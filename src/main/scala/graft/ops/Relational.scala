@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-parity relational operators over the driver testdata schema.
+  *
+  * Each method mirrors one operator row of SURVEY.md §2 (cites are to
+  * `/root/reference/etl.py`), re-expressed Spark-first over the TPC-H-ish
+  * fixture tables (FIXTURES.md §B). All queries end in a deterministic
+  * `orderBy` on a unique key so the DuckDB-oracle hash compare is
+  * order-stable.
+  */
+object Relational {
+
+  /** Exact, engine-portable SUM over a double column: cast to
+    * DECIMAL(18,2) first so the sum is exact and order-independent
+    * (identical in Spark and DuckDB regardless of partition/summation
+    * order), then back to double with a fixed rounding. SURVEY §7.4 risk 2.
+    */
+  def exactSum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast("decimal(18,2)")).cast("double"), scale)
+
+  /** D1 + C3 + B4 (`etl.py:159-191`): multi-way LEFT equi-join of the fact
+    * to its dimensions, WHERE every right-side key IS NOT NULL (so
+    * Catalyst's `EliminateOuterJoin` rewrites to inner), with an aliased
+    * projection renaming source columns to model names.
+    *
+    * Scale notes: lineitem⋈orders is a genuine big-big join — shuffle
+    * hash/sort-merge on the key, AQE decides; part/supplier/customer/
+    * nation are dimension-sized → auto-broadcast. No driver-side work.
+    */
+  def starJoin(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+               supplier: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val joined = lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"), "left")
+      .join(part, lineitem("l_partkey") === part("p_partkey"), "left")
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"), "left")
+      .join(customer, orders("o_custkey") === customer("c_custkey"), "left")
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"), "left")
+      .where(orders("o_orderkey").isNotNull && part("p_partkey").isNotNull &&
+        supplier("s_suppkey").isNotNull && customer("c_custkey").isNotNull &&
+        nation("n_nationkey").isNotNull)
+    joined.select(
+      lineitem("l_orderkey").as("order_key"),
+      lineitem("l_linenumber").as("line_number"),
+      date_format(orders("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      orders("o_orderstatus").as("order_status"),
+      orders("o_orderpriority").as("order_priority"),
+      part("p_name").as("part_name"),
+      part("p_brand").as("brand"),
+      supplier("s_name").as("supplier_name"),
+      customer("c_name").as("customer_name"),
+      customer("c_mktsegment").as("market_segment"),
+      nation("n_name").as("nation_name"),
+      lineitem("l_quantity").as("quantity"),
+      lineitem("l_extendedprice").as("extended_price"),
+      lineitem("l_returnflag").as("return_flag"),
+      lineitem("l_linestatus").as("line_status")
+    ).orderBy("order_key", "line_number")
+  }
+
+  /** E1 (`etl.py:202-213`): hash GROUP BY with multiple SUMs collapsing a
+    * finer grain, incl. the reference's string→numeric cast made explicit
+    * (ANSI-safe). Partial+final HashAggregate; one shuffle on the group keys.
+    */
+  def groupBySum(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+      exactSum(col("l_quantity")).as("sum_qty"),
+      exactSum(col("l_extendedprice")).as("sum_price"),
+      round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("double"), 2).as("sum_revenue"),
+      count(lit(1)).as("n_rows")
+    ).orderBy("l_returnflag", "l_linestatus")
+
+  /** E1 + H3 + D2 (`etl.py:194-221`): aggregate two per-entity tables to a
+    * shared grain, then join the aggregates back through a dimension on a
+    * *derived* lower-cased expression key plus a second key column —
+    * mirrors `lower(td.city)=lower(lp.city) AND td.state_code=lp.state_code`.
+    */
+  def aggJoinBack(customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val custAgg = customer.groupBy("c_nationkey").agg(
+      exactSum(col("c_acctbal")).as("cust_balance"),
+      count(lit(1)).as("n_customers"))
+    val suppAgg = supplier.groupBy("s_nationkey").agg(
+      exactSum(col("s_acctbal")).as("supp_balance"),
+      count(lit(1)).as("n_suppliers"))
+    // derive a lower() name key on both sides via the nation dim
+    val custByName = custAgg.join(nation, custAgg("c_nationkey") === nation("n_nationkey"))
+      .select(lower(col("n_name")).as("nation_name"), col("n_regionkey").as("region_key"),
+        col("cust_balance"), col("n_customers"))
+    val suppByName = suppAgg.join(nation, suppAgg("s_nationkey") === nation("n_nationkey"))
+      .select(lower(col("n_name")).as("s_nation_name"), col("n_regionkey").as("s_region_key"),
+        col("supp_balance"), col("n_suppliers"))
+    custByName.join(suppByName,
+      custByName("nation_name") === suppByName("s_nation_name") &&
+        custByName("region_key") === suppByName("s_region_key"), "inner")
+      .select(col("nation_name"), col("region_key"), col("cust_balance"),
+        col("n_customers"), col("supp_balance"), col("n_suppliers"))
+      .orderBy("nation_name")
+  }
+
+  /** C1 + C2 (`etl.py:110-115,144-148`): sentinel-value rejection plus
+    * IS NOT NULL filter, both pushed down to the parquet scan.
+    */
+  def filterSentinel(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderstatus") =!= "P" && col("o_custkey").isNotNull)
+      .select(col("o_orderkey").as("order_key"), col("o_orderstatus").as("order_status"),
+        col("o_custkey").as("customer_key"))
+      .orderBy("order_key")
+
+  /** F1 (`etl.py:123`): regexp_replace normalizing a family of bad values
+    * to a sentinel, with an anchored alternation pattern.
+    */
+  def regexpNormalize(part: DataFrame): DataFrame =
+    part.select(col("p_partkey").as("part_key"), col("p_type").as("part_type"),
+      regexp_replace(col("p_type"), "^PROMO.*|^ECONOMY.*", "NA").as("type_norm"))
+      .orderBy("part_key")
+
+  /** F2 + F3 (`etl.py:131-132`): split + element access + trim, including
+    * the null-producing path when the token is absent. The reference's
+    * PySpark `getItem(1)` yielded null for missing tokens; under Spark 4
+    * ANSI mode that is an error, so `get()` (null on invalid index) is the
+    * behavior-compatible form — SURVEY §7.4 risk 1/3.
+    */
+  def splitParts(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey").as("part_key"),
+      trim(get(split(col("p_name"), " "), lit(0))).as("name_head"),
+      trim(get(split(col("p_name"), " "), lit(1))).as("name_tail"),
+      get(split(col("p_name"), ","), lit(1)).as("missing_token")
+    ).orderBy("part_key")
+
+  /** Window top-k (§2.10): rank rows per group, keep k — the top-3 orders
+    * per customer by total price. One shuffle on the partition key; ties
+    * broken deterministically by order key.
+    */
+  def windowTopK(orders: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("o_custkey").as("customer_key"), col("rnk"),
+        col("o_orderkey").as("order_key"), col("o_totalprice").as("total_price"))
+      .orderBy("customer_key", "rnk")
+  }
+
+  /** ROLLUP grouping-sets aggregate (§2.10 extension surface). */
+  def rollupAgg(lineitem: DataFrame): DataFrame =
+    lineitem.rollup("l_returnflag", "l_linestatus").agg(
+      exactSum(col("l_quantity")).as("sum_qty"),
+      count(lit(1)).as("n_rows")
+    ).orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** UNION (distinct) of two conformed projections. */
+  def unionNames(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_name").as("name"))
+      .union(supplier.select(col("s_name").as("name")))
+      .distinct()
+      .orderBy("name")
+
+  /** DISTINCT projection. */
+  def distinctSegments(customer: DataFrame): DataFrame =
+    customer.select(col("c_mktsegment").as("market_segment")).distinct()
+      .orderBy("market_segment")
+
+  /** LEFT SEMI join (EXISTS): customers having at least one order. */
+  def semiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("customer_key"), col("c_name").as("customer_name"))
+      .orderBy("customer_key")
+
+  /** LEFT ANTI join (NOT EXISTS): orders with no lineitems. */
+  def antiJoin(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"), "left_anti")
+      .select(col("o_orderkey").as("order_key"), col("o_orderstatus").as("order_status"))
+      .orderBy("order_key")
+}
