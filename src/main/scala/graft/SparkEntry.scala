@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops._
+import graft.ext._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,7 +41,27 @@ object SparkEntry {
     "q_union" -> ((s, d) => Relational.unionNames(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_distinct" -> ((s, d) => Relational.distinctSegments(Tables.customer(s, d))),
     "q_semi_join" -> ((s, d) => Relational.semiJoin(Tables.customer(s, d), Tables.orders(s, d))),
-    "q_anti_join" -> ((s, d) => Relational.antiJoin(Tables.orders(s, d), Tables.lineitem(s, d)))
+    "q_anti_join" -> ((s, d) => Relational.antiJoin(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // §2.10 extension surface: event-time ops
+    "q_event_windows" -> ((s, d) => Events.tumblingWindows(Tables.events(s, d))),
+    "q_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
+    // §2.10: text analysis
+    "q_text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
+    "q_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
+    "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "q_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
+    "q_fingerprint_md5" -> ((s, d) => TextOps.fingerprintMd5(Tables.documents(s, d))),
+    "q_rolling_hash" -> ((s, d) => TextOps.rollingHash(Tables.documents(s, d))),
+    // §2.10: dedup family
+    "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "q_minhash_neardup" -> ((s, d) => Dedup.minhashNearDup(Tables.documents(s, d))),
+    "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
+    // §2.10: similarity search
+    "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
+    "q_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    // §2.10: multimodal binary plumbing
+    "q_multimodal_binary" -> ((s, d) => Multimodal.binaryStats(Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -163,6 +184,116 @@ object SparkEntry {
       """SELECT o_orderkey AS order_key, o_orderstatus AS order_status
         |FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
-        |ORDER BY order_key""".stripMargin
+        |ORDER BY order_key""".stripMargin,
+    "q_event_windows" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  round(AVG(n_chars), 2) AS avg_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|or|and|of)\b')) AS INTEGER) AS score_en,
+        |    CAST(len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) AS INTEGER) AS score_es,
+        |    CAST(len(regexp_extract_all(text, '\b(le|la|de|et|les)\b')) AS INTEGER) AS score_fr,
+        |    CAST(len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS INTEGER) AS score_de,
+        |    CAST(len(regexp_extract_all(text, '\b(de|shi|le|wo|ni)\b')) AS INTEGER) AS score_zh
+        |  FROM documents)
+        |SELECT doc_id, labeled_lang, score_en, score_es, score_fr, score_de, score_zh,
+        |  CASE
+        |    WHEN score_en > 0 AND score_en >= score_es AND score_en >= score_fr
+        |      AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+        |    WHEN score_es > 0 AND score_es >= score_en AND score_es >= score_fr
+        |      AND score_es >= score_de AND score_es >= score_zh THEN 'es'
+        |    WHEN score_fr > 0 AND score_fr >= score_en AND score_fr >= score_es
+        |      AND score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+        |    WHEN score_de > 0 AND score_de >= score_en AND score_de >= score_es
+        |      AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        |    WHEN score_zh > 0 AND score_zh >= score_en AND score_zh >= score_es
+        |      AND score_zh >= score_fr AND score_zh >= score_de THEN 'zh'
+        |    ELSE 'und' END AS predicted_lang
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_len,
+        |  round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / n_chars, 4) AS punct_ratio,
+        |  round(CAST(len(regexp_extract_all(text, '\b(the|a|or|and|of)\b')) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 4) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint_md5" ->
+      """SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies, min(n_chars) AS n_chars
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |    i -> array_to_string(l[i:i+4], ' ')))) AS shingle
+        |  FROM toks WHERE len(l) >= 5),
+        |kept AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 1000),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+        |  FROM q, c WHERE neighbor_id <> query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+        |      AS INTEGER) AS rnk
+        |  FROM s)
+        |SELECT query_id, rnk, neighbor_id, round(sim, 6) AS cosine_sim
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_multimodal_binary" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  sha256(text) AS sha256_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

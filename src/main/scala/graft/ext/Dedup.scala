@@ -1,0 +1,161 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table (SURVEY §2.10):
+  * exact (hash groupBy), n-gram-Jaccard near-dup, MinHash+LSH near-dup,
+  * and SimHash near-dup.
+  *
+  * Scale design: everything is expressed as shuffles on content-derived
+  * keys (text hash, shingle, band bucket) — no driver-side state, no
+  * pairwise O(n²) over the corpus. The only quadratic step is *within* an
+  * LSH/band bucket or a shared-shingle group, which is bounded by
+  * `maxShingleDf` (drop shingles whose document frequency explodes a
+  * group — the standard guard against 50M-doc buckets at 100 TB).
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min doc_id) per distinct text,
+    * with the duplicate count. A single hash aggregation on the full
+    * text; at scale, group on `xxhash64(text)` first and only compare
+    * texts within a hash bucket (collision-safe two-level form) — here
+    * the direct groupBy is the oracle-matched form.
+    */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents.groupBy(col("text")).agg(
+      min(col("doc_id")).as("doc_id"),
+      count(lit(1)).as("n_copies"),
+      min(col("n_chars")).as("n_chars"))
+      .select("doc_id", "n_copies", "n_chars")
+      .orderBy("doc_id")
+
+  /** Distinct word-k-gram shingles per document: (doc_id, shingle).
+    * Documents with fewer than k tokens produce no shingles (guarded —
+    * `sequence(0, negative)` would descend).
+    */
+  def shingles(documents: DataFrame, k: Int = 5): DataFrame = {
+    val tokens = split(col("text"), " ")
+    documents
+      .select(col("doc_id"), tokens.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))).as("shingle"))
+  }
+
+  /** Exact n-gram (word 5-shingle) Jaccard near-dup pairs ≥ `threshold`.
+    * Pipeline: distinct shingles → document-frequency cap → shared-shingle
+    * pair counts (shuffle on shingle) → Jaccard from |A∩B|/(|A|+|B|-|A∩B|).
+    * Fully SQL-expressible → oracle-checked.
+    */
+  def ngramJaccard(documents: DataFrame, k: Int = 5, threshold: Double = 0.5,
+                   maxShingleDf: Int = 1000): DataFrame = {
+    val sh = shingles(documents, k)
+    val kept = sh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxShingleDf).drop("df")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, "shingle").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signature per document: `numHashes` permutations simulated
+    * as `min(xxhash64(shingle, i))` per seed i (the standard one-hash-
+    * family trick). Returns (doc_id, sig array<long>).
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    val minCols = (0 until numHashes)
+      .map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding near-dup: band the signature (`numBands` bands
+    * of `numHashes/numBands` rows), bucket-join on (band index, band
+    * hash) to get candidate pairs, then verify candidates with exact
+    * shingle Jaccard ≥ `threshold`. Candidate generation is probabilistic
+    * (banding may miss borderline pairs) → no SQL oracle; the verify step
+    * makes every *emitted* pair exact.
+    */
+  def minhashNearDup(documents: DataFrame, k: Int = 5, numHashes: Int = 64,
+                     numBands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sh = shingles(documents, k).cache()
+    val sig = minhashSignatures(sh, numHashes)
+    val bandCols = (0 until numBands).map { bnd =>
+      val parts = (0 until rowsPerBand).map(r => col("sig").getItem(bnd * rowsPerBand + r))
+      xxhash64(lit(bnd) +: parts: _*)
+    }
+    val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val interA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val interB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = cand.join(interA, "doc_a").join(interB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash fingerprint per document: per-token xxhash64, each
+    * bit votes ±1, fingerprint bit = sign of the vote sum. One shuffle
+    * (groupBy doc_id) with 64 conditional-sum aggregates — stays in
+    * whole-stage codegen.
+    */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val fp = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found
+    * by 16-bit band blocking (pairs within Hamming ≤ 3 of a 4-band split
+    * always share ≥ 1 exact band) then exact `bit_count(a^b)` check.
+    */
+  def simhashNearDup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(documents).cache()
+    val bands = fp.select(col("doc_id"), col("simhash"), posexplode(array(
+      (0 until 4).map(i => shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      .toDF("doc_id", "simhash", "band_idx", "band_val")
+    bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+}

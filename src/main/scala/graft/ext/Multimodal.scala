@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2.10): opaque `binary` payload
+  * columns carried with typed metadata structs, plus a batch
+  * decode/feature-extract stage.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic fake ([[FakeCodec]]); everything around
+  * it — schema (binary + struct metadata), partition-preserving batch
+  * shape (`mapPartitions`), and the feature projection — is real and
+  * tested. Swap [[FakeCodec.decode]] for a real codec binding on a
+  * cluster with the native libs installed.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside the opaque payload. */
+  case class MediaMeta(mediaType: String, widthPx: Int, heightPx: Int, sourceId: Long)
+
+  case class MediaRecord(docId: Long, payload: Array[Byte], meta: MediaMeta)
+
+  case class MediaFeatures(docId: Long, mediaType: String, nBytes: Int,
+                           meanByte: Double, featureHash: Long)
+
+  /** Deterministic fake codec — STUB for the real image/audio decode.
+    * Produces stable pseudo-features from the payload bytes so the
+    * Spark-side plumbing (batching, schema, shuffle boundaries) is fully
+    * exercisable without native codec libraries.
+    */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): Array[Double] = {
+      // real impl would be e.g. JPEG decode → pixel tensor; here: byte stats
+      if (payload.isEmpty) Array(0.0)
+      else payload.map(b => (b & 0xFF).toDouble)
+    }
+  }
+
+  /** Build a multimodal table from `documents`: the UTF-8 bytes of the
+    * text stand in for an opaque media payload, with a metadata struct
+    * derived deterministically. This is the ingest shape: payload stays
+    * binary end-to-end, metadata is a first-class nested struct.
+    */
+  def toMediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("media_type"),
+        (col("n_chars") % 640).cast("int").as("width_px"),
+        (col("n_chars") % 480).cast("int").as("height_px"),
+        col("doc_id").as("source_id")).as("meta"))
+
+  /** Batch feature extraction over the media table via `mapPartitions` —
+    * the per-partition batch shape a real codec needs (amortize codec
+    * init per partition, not per row). No shuffle: narrow transformation.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("meta.media_type"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        // per-partition init site (real codec: open decoder context here)
+        it.map { case (id, payload, mt) =>
+          val decoded = Multimodal.FakeCodec.decode(payload)
+          val mean = decoded.sum / decoded.length
+          val fh = decoded.foldLeft(17L)((a, v) => a * 1000003L + java.lang.Double.doubleToLongBits(v))
+          MediaFeatures(id, mt, payload.length, mean, fh)
+        }
+      }
+  }
+
+  /** Oracle-matched projection of the binary plumbing: payload byte
+    * length + SHA-256 content hash, both engine-portable (DuckDB:
+    * octet_length / sha256 over the same UTF-8 bytes).
+    */
+  def binaryStats(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+      sha2(encode(col("text"), "UTF-8"), 256).as("sha256_hex"))
+      .orderBy("doc_id")
+}

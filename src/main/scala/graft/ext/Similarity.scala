@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY §2.10):
+  * brute-force cosine top-k as the exact baseline, and a random-
+  * hyperplane LSH-bucketed variant as the scale path.
+  *
+  * The dot product / norms are higher-order `zip_with` + `aggregate`
+  * expressions over `array<float>` cast to double — no UDF, stays
+  * codegen-adjacent and engine-portable (DuckDB computes the identical
+  * double arithmetic).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force exact cosine top-k: for each query vector (vec_id <
+    * `numQueries`), the k nearest other vectors. The query set is tiny →
+    * broadcast; candidates stream through in one scan; ranking is a
+    * window on the (small) query key space. Exact → oracle-checked.
+    */
+  def cosineTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val c = embeddings
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    val sims = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("sim"), 6).as("cosine_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Deterministic ±1 random hyperplanes: `numPlanes` × `dim`, seeded. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(if (rng.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH bucketing: each vector
+    * gets a `numPlanes`-bit signature (sign of projection onto each
+    * hyperplane). Approximate-NN = exact cosine *within* a bucket — the
+    * O(n²) pair space shrinks to per-bucket blocks, shuffled on the
+    * bucket key; this is the shape that survives 100 TB. Approximate →
+    * no SQL oracle (rows-only check).
+    */
+  def lshBuckets(embeddings: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val emb = asDouble(col("embedding"))
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val proj = dot(emb, array(p.map(lit): _*))
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    embeddings.select(col("vec_id"), col("embedding"), bits.as("bucket"))
+  }
+
+  /** Approximate cosine top-k via LSH buckets: candidates must share the
+    * query's bucket. Same output shape as [[cosineTopK]]; recall < 1 by
+    * construction.
+    */
+  def lshTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+              numPlanes: Int = 8): DataFrame = {
+    val bucketed = lshBuckets(embeddings, numPlanes).cache()
+    val q = bucketed.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"),
+        col("bucket"))
+    val c = bucketed
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"),
+        col("bucket"))
+    val sims = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("sim"), 6).as("cosine_sim"))
+      .orderBy("query_id", "rnk")
+  }
+}

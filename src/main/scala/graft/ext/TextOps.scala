@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (SURVEY §2.10):
+  * per-language stats, token counting (whitespace + BPE-ish regex),
+  * heuristic language ID, quality scoring, and document fingerprinting.
+  *
+  * All are single-pass projections or one-shuffle aggregations built from
+  * codegen'd built-ins (`split`, `regexp_count`, `md5`, higher-order
+  * array functions) — no UDFs in the hot path, so whole-stage codegen
+  * spans the whole plan and the scan prunes to (doc_id, text[, lang]).
+  */
+object TextOps {
+
+  private def wsTokens(c: Column): Column = split(c, " ")
+
+  /** Per-language corpus stats: doc count, char sums, average length,
+    * total whitespace tokens. One shuffle on `lang`.
+    */
+  def textStats(documents: DataFrame): DataFrame =
+    documents.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"),
+      round(avg(col("n_chars")), 2).as("avg_chars"),
+      sum(size(wsTokens(col("text"))).cast("long")).as("sum_tokens"))
+      .orderBy("lang")
+
+  /** BPE-ish tokenizer regex: runs of letters, runs of digits, or single
+    * non-alphanumeric-non-space characters — a coarse public analogue of
+    * byte-pair pre-tokenization split rules.
+    */
+  val bpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** Per-document token counts: whitespace tokens and regex tokens. */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).as("n_ws_tokens"),
+      regexp_count(col("text"), lit(bpeishPattern)).as("n_re_tokens"))
+      .orderBy("doc_id")
+
+  /** Stopword regexes per language for the n-gram/stopword language-ID
+    * heuristic. Patterns are word-bounded alternations; both Java regex
+    * (Spark) and RE2 (DuckDB) support `\b`.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|or|and|of)\\b",
+    "es" -> "\\b(el|la|de|que|los)\\b",
+    "fr" -> "\\b(le|la|de|et|les)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "zh" -> "\\b(de|shi|le|wo|ni)\\b")
+
+  /** Heuristic language ID: count stopword-marker hits per language,
+    * predict the argmax with a fixed tie-break order (the order of
+    * `langMarkers`). Deterministic and engine-portable.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val scored = langMarkers.foldLeft(documents.select(col("doc_id"), col("text"),
+      col("lang").as("labeled_lang"))) {
+      case (df, (l, pat)) => df.withColumn(s"score_$l", regexp_count(col("text"), lit(pat)))
+    }
+    val best = langMarkers.map(_._1).foldRight(lit("und")) { (l, rest) =>
+      val c = col(s"score_$l")
+      val isMax = langMarkers.map(_._1).filter(_ != l)
+        .map(o => c >= col(s"score_$o")).reduce(_ && _)
+      when(c > 0 && isMax, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("predicted_lang", best)
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/punctuation/stopword ratios per document —
+    * the classic cheap quality filters of LLM data pipelines.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val tokens = size(wsTokens(col("text")))
+    val punct = regexp_count(col("text"), lit("[^a-zA-Z0-9 ]"))
+    val stop = regexp_count(col("text"), lit("\\b(the|a|or|and|of)\\b"))
+    documents.select(
+      col("doc_id"),
+      col("n_chars"),
+      tokens.as("n_tokens"),
+      round(col("n_chars").cast("double") / tokens, 4).as("avg_token_len"),
+      round(punct.cast("double") / col("n_chars"), 4).as("punct_ratio"),
+      round(stop.cast("double") / tokens, 4).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprint: md5 of the document text (engine-portable
+    * exact fingerprint for dedup bookkeeping).
+    */
+  def fingerprintMd5(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), md5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Rolling polynomial hash over whitespace tokens: fold over
+    * murmur3-hashed tokens, `acc = (acc * 31 + h(w)) mod 1e9+7` —
+    * modular so ANSI mode can't overflow. Stays in codegen via
+    * higher-order `aggregate`; no oracle twin (hash functions are
+    * engine-specific).
+    */
+  def rollingHash(documents: DataFrame): DataFrame = {
+    val m = lit(1000000007L)
+    documents.select(
+      col("doc_id"),
+      aggregate(
+        transform(wsTokens(col("text")), w => pmod(hash(w).cast("long"), m)),
+        lit(0L),
+        (acc, h) => pmod(acc * 31 + h, m)).as("rolling_hash"))
+      .orderBy("doc_id")
+  }
+}
