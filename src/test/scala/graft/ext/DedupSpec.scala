@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  val base = "the quick brown fox jumps over the lazy dog again and again today"
+  val nearDup = "the quick brown fox jumps over the lazy dog again and again tonight"
+  val other = "completely different words that share nothing with any other entry here"
+
+  test("exactDedup: identical texts collapse to min doc_id with copy count") {
+    val d = docs(1L -> base, 2L -> base, 3L -> other)
+    val rows = Dedup.exactDedup(d).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles: k-gram count = tokens - k + 1 (distinct), short docs dropped") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c") // 6 tokens → 2 shingles; 3 → none
+    val sh = Dedup.shingles(d, 5).collect()
+    assert(sh.map(_.getString(1)).toSet === Set("a b c d e", "b c d e f"))
+  }
+
+  test("ngramJaccard: identical docs have jaccard 1.0; near-dups score high") {
+    val d = docs(1L -> base, 2L -> base, 3L -> nearDup, 4L -> other)
+    val rows = Dedup.ngramJaccard(d, threshold = 0.3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows((1L, 2L)) === 1.0)
+    assert(rows((1L, 3L)) > 0.5 && rows((1L, 3L)) < 1.0)
+    assert(!rows.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("minhashNearDup finds the planted near-dup pair with exact jaccard attached") {
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val rows = Dedup.minhashNearDup(d, threshold = 0.3).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("minhash agrees with exact ngram jaccard on the real testdata corpus") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.ngramJaccard(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashNearDup(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact), "minhash must not emit false positives (exact verify step)")
+    assert(mh.size >= (exact.size * 9) / 10, s"recall too low: ${mh.size}/${exact.size}")
+  }
+
+  test("simhash: identical docs get identical fingerprints → hamming-0 pair") {
+    val d = docs(1L -> base, 2L -> base, 3L -> other)
+    val fps = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    val pairs = Dedup.simhashNearDup(d).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ext
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+class EventsSpec extends AnyFunSuite with SparkSpec {
+
+  def ev(rows: (Long, String, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, ts, uid) =>
+      (id, Timestamp.valueOf(ts), uid, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("sessionize: gap of exactly 30min stays in-session; over 30min splits (strict >)") {
+    val d = ev(
+      (1L, "2024-01-01 00:00:00", 7L),
+      (2L, "2024-01-01 00:30:00", 7L),          // exactly 30:00 gap → same session
+      (3L, "2024-01-01 01:00:00.000001", 7L),   // 30:00.000001 gap → new session
+      (4L, "2024-01-01 01:10:00", 7L))
+    val rows = Events.sessionize(d).collect()
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L), (2L, 2L))) // two sessions of two events each
+    assert(rows(0).getAs[String]("session_start") === "2024-01-01 00:00:00.000000")
+    assert(rows(1).getAs[String]("session_start") === "2024-01-01 01:00:00.000001")
+  }
+
+  test("sessionize: sessions are per-user (no cross-user bleed)") {
+    val d = ev(
+      (1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:05:00", 2L),
+      (3L, "2024-01-01 00:10:00", 1L))
+    val rows = Events.sessionize(d).collect()
+    assert(rows.length === 2)
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSet === Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("tumblingWindows: events land in their hour bucket, sums are exact") {
+    val d = ev(
+      (1L, "2024-01-01 00:59:59", 1L), (2L, "2024-01-01 01:00:00", 1L),
+      (3L, "2024-01-01 01:59:59.999999", 1L))
+    val rows = Events.tumblingWindows(d).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(2))).toSeq ===
+      Seq(("2024-01-01 00:00:00", 1L), ("2024-01-01 01:00:00", 2L)))
+  }
+
+  test("testdata events parse as microsecond timestamps (nanos conversion exact)") {
+    val d = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    assert(d.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    val first = d.orderBy("event_id").limit(1).collect()(0).getAs[Timestamp]("ts")
+    assert(first.toString === "2024-01-01 00:09:58.778549")
+  }
+}

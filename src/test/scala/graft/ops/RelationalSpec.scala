@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class RelationalSpec extends AnyFunSuite with SparkSpec {
+  val sf = "/root/testdata/sf0.001"
+
+  test("starJoin: EliminateOuterJoin fires (no LeftOuter survives) and dims broadcast") {
+    val df = Relational.starJoin(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Tables.part(spark, sf), Tables.supplier(spark, sf), Tables.customer(spark, sf),
+      Tables.nation(spark, sf))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("LeftOuter"),
+      "null-rejecting WHERE must rewrite LEFT joins to inner")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), "small dims should broadcast")
+  }
+
+  test("starJoin row count equals the inner-join count (C3 semantics)") {
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val inner = li.join(o, li("l_orderkey") === o("o_orderkey"), "inner").count()
+    // all other FKs resolve in the fixture, so star join count == li⋈o inner count
+    val star = Relational.starJoin(li, o, Tables.part(spark, sf),
+      Tables.supplier(spark, sf), Tables.customer(spark, sf), Tables.nation(spark, sf))
+    assert(star.count() === inner)
+  }
+
+  test("groupBySum partition-invariance: sums over a repartitioned input are identical") {
+    val li = Tables.lineitem(spark, sf)
+    val a = Relational.groupBySum(li).collect().toSeq
+    val b = Relational.groupBySum(li.repartition(13)).collect().toSeq
+    assert(a === b) // decimal-exact sums are summation-order independent
+  }
+
+  test("splitParts: missing token is null, not an error") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta"), (2L, "single")).toDF("p_partkey", "p_name")
+    val rows = Relational.splitParts(df).collect()
+    assert(rows(0).getAs[String]("name_head") === "alpha")
+    assert(rows(0).getAs[String]("name_tail") === "beta")
+    assert(rows(0).getAs[String]("missing_token") === null)
+    assert(rows(1).getAs[String]("name_tail") === null)
+  }
+
+  test("windowTopK: deterministic tie-break on order key, at most k per group") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 100.0), (1L, 11L, 100.0), (1L, 12L, 100.0), (1L, 13L, 100.0))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice")
+    val rows = Relational.windowTopK(df, 3).collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[Long]("order_key")).toSeq === Seq(10L, 11L, 12L))
+  }
+
+  test("filters push down to the parquet scan") {
+    val df = Relational.filterSentinel(Tables.orders(spark, sf))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") &&
+      physical.contains("IsNotNull"), s"expected pushed filters in:\n$physical")
+  }
+
+  test("semi/anti join partition the orders universe") {
+    val o = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val withItems = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi").count()
+    val withoutItems = Relational.antiJoin(o, li).count()
+    assert(withItems + withoutItems === o.count())
+  }
+
+  test("rollup emits group rows + per-flag subtotals + grand total") {
+    val n = Tables.lineitem(spark, sf).select("l_returnflag", "l_linestatus").distinct().count()
+    val flags = Tables.lineitem(spark, sf).select("l_returnflag").distinct().count()
+    assert(Relational.rollupAgg(Tables.lineitem(spark, sf)).count() === n + flags + 1)
+  }
+}
