@@ -45,6 +45,7 @@ object SparkEntry {
     // §2.10 extension surface: event-time ops
     "q_event_windows" -> ((s, d) => Events.tumblingWindows(Tables.events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
+    "q_asof_join" -> ((s, d) => Events.asofJoin(Tables.events(s, d), Tables.orders(s, d))),
     // §2.10: text analysis
     "q_text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
@@ -208,6 +209,16 @@ object SparkEntry {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
         |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS key, o_orderdate AS t, max(o_orderkey) AS order_key
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+        |  r.order_key AS last_order_key
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.key AND e.ts >= r.t
+        |ORDER BY e.event_id""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

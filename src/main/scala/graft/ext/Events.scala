@@ -29,6 +29,37 @@ object Events {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** As-of join: for each event, the most recent order of the same user
+    * at-or-before the event time — implemented with the union-tag trick:
+    * tag both sides, sort within user by (time, right-before-left), and
+    * propagate the latest right-side payload with `last(ignoreNulls)`.
+    * ONE shuffle + sort on the join key — no range/theta join, no
+    * per-key driver loop; this is the shape that scales (a naive
+    * inequality join is O(n·m) per key).
+    *
+    * Right side is deduped to one row per (key, time) (max order key) so
+    * ties are deterministic in both engines; DuckDB's native ASOF JOIN is
+    * the oracle twin.
+    */
+  def asofJoin(events: DataFrame, orders: DataFrame): DataFrame = {
+    val r = orders.groupBy(col("o_custkey").as("key"), col("o_orderdate").as("t"))
+      .agg(max(col("o_orderkey")).as("order_key"))
+      .select(col("key"), col("t"), col("order_key"),
+        lit(null).cast("long").as("event_id"), lit(0).as("is_left"))
+    val l = events.select(col("user_id").as("key"), col("ts").as("t"),
+      lit(null).cast("long").as("order_key"), col("event_id"), lit(1).as("is_left"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("t"), col("is_left"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    r.unionByName(l)
+      .withColumn("last_order_key", last(col("order_key"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("event_id"), col("key").as("user_id"),
+        date_format(col("t"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("event_ts"),
+        col("last_order_key"))
+      .orderBy("event_id")
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMinutes`. Session ids
     * are per-user running sums of the new-session flag (classic

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression,
+  ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for cosine similarity over two
+  * `array<double>` columns, with whole-stage codegen (`doGenCode`
+  * emits a fused dot/norm loop — one pass, no intermediate arrays).
+  *
+  * This is the (b)-tier custom operator of the preference order (compose
+  * built-ins → custom Expression → custom plan): the `zip_with` +
+  * `aggregate` composition in [[graft.ext.Similarity]] is the baseline;
+  * this expression computes the identical double (same fold order)
+  * without materializing the element-wise product array. Registered for
+  * SQL as `cosine_sim(a, b)` via [[GraftExtensions]] (builder
+  * `.withExtensions` or `spark.sql.extensions`) or
+  * [[GraftFunctions.register]].
+  *
+  * Children must be `array<double>`; [[GraftFunctions]] wraps arguments
+  * in casts so `array<float>` inputs work transparently.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: this body is inlined into shared codegen scope
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  private val arrDouble = ArrayType(DoubleType)
+
+  /** Expression builder with implicit-cast behavior: any numeric array
+    * argument (e.g. the testdata's `array<float>`) is cast to
+    * `array<double>` before hitting the native loop.
+    */
+  def cosineSimBuilder(exprs: Seq[Expression]): Expression =
+    CosineSimilarity(Cast(exprs(0), arrDouble), Cast(exprs(1), arrDouble))
+
+  /** Register graft's native functions on an existing session (the
+    * runtime-equivalent of [[GraftExtensions]]).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", cosineSimBuilder, "built-in")
+
+  /** Column-API form: `cosine_sim($"a", $"b")` (requires [[register]] or
+    * [[GraftExtensions]] on the session).
+    */
+  def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+}
+
+/** Session extension registering graft's native functions for SQL use:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      GraftFunctions.cosineSimBuilder _))
+  }
+}

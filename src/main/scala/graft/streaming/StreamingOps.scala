@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming twins of the batch event-time operators
+  * (graft.ext.Events): watermarked tumbling-window aggregation and
+  * stateful gap sessionization via flatMapGroupsWithState.
+  *
+  * The reference is batch-only (SURVEY §2.9) — this is extension surface
+  * for the streaming capability. Both operators are incremental and
+  * partition by their natural key (window bucket / user), so state is
+  * bounded by watermark and scales out with executors.
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                     n_events: Long, sum_value: Double)
+
+  /** Watermarked tumbling 1-hour counts per event_type. Late rows beyond
+    * the watermark are dropped; output mode `update`/`append` both work
+    * (append emits once the watermark passes the window end).
+    */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Stateful gap sessionization: per-user sessions close when no event
+    * arrives within `gapMinutes` of the last one (decided by event-time
+    * timeout against the watermark, so late data within the watermark
+    * still extends a session). Emits one row per closed session.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMinutes: Int = 30, watermark: String = "10 minutes"): Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = gapMinutes.toLong * 60000L
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      def toSession(s: SessionState) = Session(userId,
+        new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(toSession).iterator
+        state.remove()
+        out
+      } else {
+        val events = batch.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        events.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+            case Some(s) =>
+              closed ::= toSession(s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}
