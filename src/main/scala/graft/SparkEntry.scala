@@ -38,12 +38,17 @@ object SparkEntry {
     "q_sas_date_udf" -> ((s, d) => Dates.sasDateConvert(Tables.lineitem(s, d), useUdf = true)),
     "q_window_topk" -> ((s, d) => Relational.windowTopK(Tables.orders(s, d))),
     "q_rollup" -> ((s, d) => Relational.rollupAgg(Tables.lineitem(s, d))),
+    "q_cube" -> ((s, d) => Relational.cubeAgg(Tables.lineitem(s, d))),
+    "q_count_distinct" -> ((s, d) => Relational.countDistinct(Tables.lineitem(s, d))),
+    "q_topn" -> ((s, d) => Relational.topNOrders(Tables.orders(s, d))),
+    "q_pivot" -> ((s, d) => Relational.pivotLineStatus(Tables.lineitem(s, d))),
     "q_union" -> ((s, d) => Relational.unionNames(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_distinct" -> ((s, d) => Relational.distinctSegments(Tables.customer(s, d))),
     "q_semi_join" -> ((s, d) => Relational.semiJoin(Tables.customer(s, d), Tables.orders(s, d))),
     "q_anti_join" -> ((s, d) => Relational.antiJoin(Tables.orders(s, d), Tables.lineitem(s, d))),
     // §2.10 extension surface: event-time ops
     "q_event_windows" -> ((s, d) => Events.tumblingWindows(Tables.events(s, d))),
+    "q_json_extract" -> ((s, d) => Events.jsonExtract(Tables.events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => Events.asofJoin(Tables.events(s, d), Tables.orders(s, d))),
     // §2.10: text analysis
@@ -60,6 +65,7 @@ object SparkEntry {
     "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     // §2.10: similarity search
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
+    "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
     "q_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     // §2.10: multimodal binary plumbing
     "q_multimodal_binary" -> ((s, d) => Multimodal.binaryStats(Tables.documents(s, d)))
@@ -168,6 +174,40 @@ object SparkEntry {
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_topn" ->
+      """SELECT o_orderkey AS order_key, o_totalprice AS total_price
+        |FROM orders ORDER BY total_price DESC, order_key LIMIT 10""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F')
+        |    AS DOUBLE), 2) AS "F",
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O')
+        |    AS DOUBLE), 2) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q_union" ->
       """SELECT c_name AS name FROM customer
         |UNION

