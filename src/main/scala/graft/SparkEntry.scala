@@ -67,6 +67,7 @@ object SparkEntry {
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
     "q_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // §2.10: multimodal binary plumbing
     "q_multimodal_binary" -> ((s, d) => Multimodal.binaryStats(Tables.documents(s, d)))
   )

@@ -100,6 +100,77 @@ object Similarity {
     embeddings.select(col("vec_id"), col("embedding"), bits.as("bucket"))
   }
 
+  /** IVF coarse quantizer: mini k-means (deterministic init = first
+    * `nList` vectors, `iters` Lloyd rounds). Only the k×dim centroid
+    * matrix ever reaches the driver; assignment and the element-wise
+    * centroid means are distributed (posexplode + groupBy(cluster, pos)).
+    */
+  def ivfCentroids(embeddings: DataFrame, nList: Int = 16, iters: Int = 2): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = embeddings.orderBy("vec_id").limit(nList)
+      .select(asDouble(col("embedding")).as("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = assignClusters(embeddings, centroids)
+      val means = assigned
+        .select(col("cluster"), posexplode(asDouble(col("embedding"))))
+        .groupBy("cluster", "pos").agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      centroids = centroids.indices.map(i => means.get(i).map(_.toArray)
+        .getOrElse(centroids(i))).toArray // empty cluster keeps its centroid
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment (max cosine), computed with the native
+    * expression against literal centroid arrays — struct array_max gives
+    * the argmax without a join.
+    */
+  def assignClusters(embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val emb = asDouble(col("embedding"))
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(nativeCosine(embeddings, emb, array(c.map(lit): _*)).as("sim"),
+        lit(i).as("idx"))
+    }
+    embeddings.withColumn("cluster", array_max(array(scored: _*)).getField("idx"))
+  }
+
+  /** IVF approximate top-k: queries probe their `nProbe` nearest
+    * centroid lists; candidates are only the vectors assigned to those
+    * lists (shuffle on cluster id — the classic inverted-file shape that
+    * scales: candidate work is corpus/nList × nProbe instead of corpus).
+    * With nProbe = nList this is exactly brute force (equivalence tested).
+    */
+  def ivfTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+              nList: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(embeddings, nList, iters)
+    val assigned = assignClusters(embeddings, centroids).cache()
+    val emb = asDouble(col("embedding"))
+    // each query's nProbe nearest centroid ids, exploded to (query, cluster)
+    val probeScores = centroids.zipWithIndex.map { case (c, i) =>
+      struct(nativeCosine(embeddings, emb, array(c.map(lit): _*)).as("sim"),
+        lit(i).as("idx"))
+    }
+    val q = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), emb.as("qv"),
+        slice(reverse(array_sort(array(probeScores: _*))), 1, nProbe).as("probes"))
+      .select(col("query_id"), col("qv"),
+        explode(col("probes").getField("idx")).as("cluster"))
+    val c = assigned.select(col("vec_id").as("neighbor_id"), emb.as("cv"), col("cluster"))
+    val sims = c.join(broadcast(q), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", nativeCosine(embeddings, col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("sim"), 6).as("cosine_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Approximate cosine top-k via LSH buckets: candidates must share the
     * query's bucket. Same output shape as [[cosineTopK]]; recall < 1 by
     * construction.

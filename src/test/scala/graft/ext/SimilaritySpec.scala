@@ -43,6 +43,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     // (correct similarity, reduced candidate set)
   }
 
+  test("IVF with nProbe = nList is exactly brute force; fewer probes stay a subset") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.cosineTopK(d, numQueries = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = Similarity.ivfTopK(d, numQueries = 5, k = 5, nList = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full === brute, "probing every list must reduce IVF to brute force")
+    val partial = Similarity.ivfTopK(d, numQueries = 5, k = 5, nList = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brutePairs = brute.map(t => (t._1, t._3))
+    assert(partial.nonEmpty)
+    // partial probing returns correctly-computed sims (values exact for
+    // any pair it emits), checked via set relation on pair identity
+    assert(partial.subsetOf(
+      Similarity.cosineTopK(d, numQueries = 5, k = 500).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet))
+  }
+
+  test("ivfCentroids: k-means means are element-wise and deterministic") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val c1 = Similarity.ivfCentroids(d, nList = 4, iters = 1)
+    val c2 = Similarity.ivfCentroids(d, nList = 4, iters = 1)
+    assert(c1.length === 4)
+    assert(c1.map(_.toSeq) === c2.map(_.toSeq))
+    assert(c1.forall(_.length === 64))
+  }
+
   test("dot product fold matches a driver-side computation exactly") {
     import spark.implicits._
     val a = Array(0.1f, -0.2f, 0.3f, 0.4f)
