@@ -45,6 +45,11 @@ object SparkEntry {
     "q_union" -> ((s, d) => Relational.unionNames(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_distinct" -> ((s, d) => Relational.distinctSegments(Tables.customer(s, d))),
     "q_semi_join" -> ((s, d) => Relational.semiJoin(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_intersect" -> ((s, d) => Relational.intersectKeys(Tables.customer(s, d), Tables.supplier(s, d))),
+    "q_except" -> ((s, d) => Relational.exceptKeys(Tables.customer(s, d), Tables.supplier(s, d))),
+    "q_scalar_subquery" -> ((s, d) => Relational.scalarSubquery(s, Tables.orders(s, d))),
+    "q_date_functions" -> ((s, d) => Relational.dateFunctions(Tables.orders(s, d))),
+    "q_typed_agg" -> ((s, d) => graft.functions.QtyStats.perReturnFlag(s, Tables.lineitem(s, d))),
     "q_anti_join" -> ((s, d) => Relational.antiJoin(Tables.orders(s, d), Tables.lineitem(s, d))),
     // §2.10 extension surface: event-time ops
     "q_event_windows" -> ((s, d) => Events.tumblingWindows(Tables.events(s, d))),
@@ -53,6 +58,8 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) => Events.asofJoin(Tables.events(s, d), Tables.orders(s, d))),
     // §2.10: text analysis
     "q_text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
+    "q_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
+    "q_collect_list" -> ((s, d) => TextOps.docIdsPerLang(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -227,6 +234,49 @@ object SparkEntry {
         |FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         |ORDER BY order_key""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nation_key FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nation_key FROM supplier
+        |ORDER BY nation_key""".stripMargin,
+    "q_except" ->
+      """SELECT c_nationkey AS nation_key FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nation_key FROM supplier
+        |ORDER BY nation_key""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o.o_orderkey AS order_key, o.o_custkey AS customer_key,
+        |  o.o_totalprice AS total_price
+        |FROM orders o
+        |WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) *
+        |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT CAST(SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY order_key""".stripMargin,
+    "q_date_functions" ->
+      """SELECT o_orderkey AS order_key,
+        |  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+        |  CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        |  CAST(day(o_orderdate) AS INTEGER) AS order_day,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3_months,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start,
+        |  CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+        |    AS days_since_1992
+        |FROM orders ORDER BY order_key""".stripMargin,
+    "q_typed_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_top_tokens" ->
+      """SELECT token, COUNT(*) AS n_occurrences
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20""".stripMargin,
+    "q_collect_list" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_event_windows" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, COUNT(*) AS n_events,

@@ -89,6 +89,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Word-count classic: explode tokens → count → top-N by frequency
+    * with deterministic tie-break. The shuffle key is the token — at
+    * corpus scale this is the canonical map-side-combine aggregation.
+    */
+  def topTokens(documents: DataFrame, n: Int = 20): DataFrame =
+    documents.select(explode(wsTokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(n)
+
+  /** Grouped list aggregation: per-language ordered doc-id roster,
+    * emitted as a joined string (engine-portable array compare).
+    * `sort_array` before the join — `collect_list` order is
+    * partition-nondeterministic by contract.
+    */
+  def docIdsPerLang(documents: DataFrame): DataFrame =
+    documents.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      array_join(transform(sort_array(collect_list(col("doc_id"))),
+        x => x.cast("string")), ",").as("doc_ids"))
+      .orderBy("lang")
+
   /** Content fingerprint: md5 of the document text (engine-portable
     * exact fingerprint for dedup bookkeeping).
     */

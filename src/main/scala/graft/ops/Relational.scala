@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -201,6 +201,55 @@ object Relational {
   def distinctSegments(customer: DataFrame): DataFrame =
     customer.select(col("c_mktsegment").as("market_segment")).distinct()
       .orderBy("market_segment")
+
+  /** INTERSECT (distinct) of two key projections. */
+  def intersectKeys(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nation_key"))
+      .intersect(supplier.select(col("s_nationkey").as("nation_key")))
+      .orderBy("nation_key")
+
+  /** EXCEPT (distinct): nations with customers but no suppliers. */
+  def exceptKeys(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nation_key"))
+      .except(supplier.select(col("s_nationkey").as("nation_key")))
+      .orderBy("nation_key")
+
+  /** Correlated scalar subqueries (SQL path): orders priced above their
+    * customer's average. The comparison is done entirely in integer
+    * cents (price·count > sum-of-cents) so the row membership is exact
+    * and engine-portable — a float average comparison could flip rows at
+    * ties (SURVEY §7.4 risk 2).
+    */
+  def scalarSubquery(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_sq")
+    spark.sql("""
+      SELECT o.o_orderkey AS order_key, o.o_custkey AS customer_key,
+             o.o_totalprice AS total_price
+      FROM orders_sq o
+      WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) *
+            (SELECT COUNT(*) FROM orders_sq o2 WHERE o2.o_custkey = o.o_custkey)
+          > (SELECT CAST(SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             FROM orders_sq o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY order_key""")
+  }
+
+  /** Calendar/date function pack over the order date: component
+    * extraction, month arithmetic (end-of-month clamping), truncation.
+    */
+  def dateFunctions(orders: DataFrame): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    orders.select(
+      col("o_orderkey").as("order_key"),
+      year(d).as("order_year"),
+      quarter(d).as("order_quarter"),
+      month(d).as("order_month"),
+      dayofmonth(d).as("order_day"),
+      date_format(add_months(d, 3), "yyyy-MM-dd").as("plus_3_months"),
+      date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+      date_format(trunc(d, "MM"), "yyyy-MM-dd").as("month_start"),
+      datediff(d, to_date(lit("1992-01-01"))).as("days_since_1992")
+    ).orderBy("order_key")
+  }
 
   /** LEFT SEMI join (EXISTS): customers having at least one order. */
   def semiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
