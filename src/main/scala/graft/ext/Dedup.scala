@@ -72,9 +72,22 @@ object Dedup {
 
   /** MinHash signature per document: `numHashes` permutations simulated
     * as `min(xxhash64(shingle, i))` per seed i (the standard one-hash-
-    * family trick). Returns (doc_id, sig array<long>).
+    * family trick), fused into a single native sketch aggregate
+    * ([[graft.functions.MinHashSketch]] — one buffer, one pass; the
+    * composed `numHashes`-column form below is its correctness twin).
+    * Returns (doc_id, sig array<long>).
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    val sig = graft.functions.MinHashSketch
+      .minhash_sketch(sh.sparkSession, col("shingle"), numHashes)
+    sh.groupBy("doc_id").agg(sig.as("sig"))
+  }
+
+  /** Composed-builtins twin of [[minhashSignatures]] (numHashes separate
+    * min-aggregates) — same signatures bit-for-bit, kept as the
+    * no-custom-code reference implementation.
+    */
+  def minhashSignaturesComposed(sh: DataFrame, numHashes: Int = 64): DataFrame = {
     val minCols = (0 until numHashes)
       .map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
     sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)

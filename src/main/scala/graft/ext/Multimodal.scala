@@ -27,13 +27,34 @@ object Multimodal {
   /** Deterministic fake codec — STUB for the real image/audio decode.
     * Produces stable pseudo-features from the payload bytes so the
     * Spark-side plumbing (batching, schema, shuffle boundaries) is fully
-    * exercisable without native codec libraries.
+    * exercisable without native codec libraries (none ship in this
+    * container). A real deployment swaps these bodies for codec
+    * bindings; signatures and batch shapes stay as-is.
     */
   object FakeCodec {
     def decode(payload: Array[Byte]): Array[Double] = {
       // real impl would be e.g. JPEG decode → pixel tensor; here: byte stats
       if (payload.isEmpty) Array(0.0)
       else payload.map(b => (b & 0xFF).toDouble)
+    }
+
+    /** STUB resize: nearest-neighbor downsample of the decoded "pixels"
+      * to `target` samples (a real impl resamples a H×W×C tensor).
+      */
+    def resize(decoded: Array[Double], target: Int): Array[Double] = {
+      if (decoded.length <= target) decoded
+      else Array.tabulate(target)(i => decoded((i.toLong * decoded.length / target).toInt))
+    }
+
+    /** STUB frame sampling: split the payload into `n` equal-size frames
+      * (a real impl seeks keyframes in a video container).
+      */
+    def frameSample(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      if (payload.isEmpty || n <= 0) Seq.empty
+      else {
+        val size = math.max(1, payload.length / n)
+        payload.grouped(size).take(n).toSeq
+      }
     }
   }
 
@@ -69,6 +90,27 @@ object Multimodal {
           MediaFeatures(id, mt, payload.length, mean, fh)
         }
       }
+  }
+
+  /** Resize + frame-sample stage over the media table: per-partition
+    * batch shape again (`mapPartitions`); emits one row per sampled
+    * frame with the resized feature vector — the explode-shaped output a
+    * video/image pipeline feeds to embedding models.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   nFrames: Int = 4, resizeTo: Int = 16): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          FakeCodec.frameSample(payload, nFrames).zipWithIndex.map {
+            case (frame, idx) =>
+              (id, idx, frame.length, FakeCodec.resize(FakeCodec.decode(frame), resizeTo))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_bytes", "features")
   }
 
   /** Oracle-matched projection of the binary plumbing: payload byte

@@ -51,6 +51,18 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(mh.size >= (exact.size * 9) / 10, s"recall too low: ${mh.size}/${exact.size}")
   }
 
+  test("native minhash_sketch signatures equal the composed min(xxhash64) form") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = Dedup.shingles(d)
+    val native = Dedup.minhashSignatures(sh, 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = Dedup.minhashSignaturesComposed(sh, 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet === composed.keySet)
+    assert(native.forall { case (k, sig) => composed(k) == sig },
+      "hash replication must be exact: XXH64.hashInt(i, hashUnsafeBytes(shingle, 42))")
+  }
+
   test("simhash: identical docs get identical fingerprints → hamming-0 pair") {
     val d = docs(1L -> base, 2L -> base, 3L -> other)
     val fps = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

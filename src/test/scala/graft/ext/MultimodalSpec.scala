@@ -23,6 +23,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(feats(0).meanByte === (97.0 + 98.0) / 2) // 'a'=97, 'b'=98
   }
 
+  test("frame sampling + resize: one row per frame, bounded feature width") {
+    val media = Multimodal.toMediaTable(Tables.documents(spark, "/root/testdata/sf0.001"))
+    val frames = Multimodal.sampleFrames(spark, media, nFrames = 4, resizeTo = 16)
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.values.forall(g => g.length <= 4))
+    assert(rows.forall(_.getSeq[Double](3).length <= 16))
+    // deterministic: same input → same features
+    val again = Multimodal.sampleFrames(spark, media, nFrames = 4, resizeTo = 16).collect()
+    assert(rows.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+  }
+
   test("extraction is a narrow transformation (no shuffle) over all partitions") {
     val media = Multimodal.toMediaTable(Tables.documents(spark, "/root/testdata/sf0.001"))
     val feats = Multimodal.extractFeatures(spark, media)
