@@ -37,6 +37,14 @@ object SparkEntry {
     "q_sas_date" -> ((s, d) => Dates.sasDateConvert(Tables.lineitem(s, d))),
     "q_sas_date_udf" -> ((s, d) => Dates.sasDateConvert(Tables.lineitem(s, d), useUdf = true)),
     "q_window_topk" -> ((s, d) => Relational.windowTopK(Tables.orders(s, d))),
+    "q_custom_topk" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.plans.TopKPerKey(Tables.orders(s, d),
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+        .select(col("o_custkey").as("customer_key"), col("o_orderkey").as("order_key"),
+          col("o_totalprice").as("total_price"))
+        .orderBy("customer_key", "order_key")
+    }),
     "q_rollup" -> ((s, d) => Relational.rollupAgg(Tables.lineitem(s, d))),
     "q_cube" -> ((s, d) => Relational.cubeAgg(Tables.lineitem(s, d))),
     "q_count_distinct" -> ((s, d) => Relational.countDistinct(Tables.lineitem(s, d))),
@@ -176,6 +184,13 @@ object SparkEntry {
         |FROM orders
         |QUALIFY rnk <= 3
         |ORDER BY customer_key, rnk""".stripMargin,
+    "q_custom_topk" ->
+      """SELECT o_custkey AS customer_key, o_orderkey AS order_key,
+        |  o_totalprice AS total_price
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        |ORDER BY customer_key, order_key""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,

@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.ops.Relational
+
+class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
+  val sf = "/root/testdata/sf0.001"
+
+  test("custom operator equals the window-function form on real data") {
+    val o = Tables.orders(spark, sf)
+    val win = Relational.windowTopK(o, 3).select("customer_key", "order_key", "total_price")
+      .collect().map(_.toSeq).toSet
+    val custom = TopKPerKey(o, Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+      .select(col("o_custkey").as("customer_key"), col("o_orderkey").as("order_key"),
+        col("o_totalprice").as("total_price"))
+      .collect().map(_.toSeq).toSet
+    assert(custom === win)
+  }
+
+  test("plan shape: partial below the exchange, final above (map-side top-k)") {
+    val o = Tables.orders(spark, sf)
+    val df = TopKPerKey(o, Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial"), s"missing partial node:\n$plan")
+    assert(plan.contains("TopKPerKeyFinal"), s"missing final node:\n$plan")
+    val partialIdx = plan.indexOf("TopKPerKeyPartial")
+    val finalIdx = plan.indexOf("TopKPerKeyFinal")
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx,
+      s"expected Final above Exchange above Partial:\n$plan")
+  }
+
+  test("partial pass bounds shipped rows: k per key per input partition") {
+    import spark.implicits._
+    // 1000 rows, one key, k=2 → the partial pass must cut the group to
+    // ≤ 2 rows per input partition before the shuffle
+    val df = (1 to 1000).map(i => (1L, i.toLong, i.toDouble)).toDF("k", "id", "score")
+      .repartition(4)
+    val top = TopKPerKey(df, Seq("k"), "score", "id", 2).collect()
+    assert(top.map(r => (r.getLong(1), r.getDouble(2))).sortBy(-_._2).toSeq ===
+      Seq((1000L, 1000.0), (999L, 999.0)))
+  }
+
+  test("multiple keys and empty input behave") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Double)].toDF("k", "id", "score")
+    assert(TopKPerKey(empty, Seq("k"), "score", "id", 3).collect().isEmpty)
+    val multi = Seq((1L, 1L, 5.0), (1L, 2L, 5.0), (2L, 3L, 1.0))
+      .toDF("k", "id", "score")
+    val out = TopKPerKey(multi, Seq("k"), "score", "id", 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 1L), (2L, 3L))) // tie broken by lowest id
+  }
+}
