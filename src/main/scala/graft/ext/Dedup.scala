@@ -135,10 +135,20 @@ object Dedup {
 
   /** 64-bit SimHash fingerprint per document: per-token xxhash64, each
     * bit votes ±1, fingerprint bit = sign of the vote sum. One shuffle
-    * (groupBy doc_id) with 64 conditional-sum aggregates — stays in
-    * whole-stage codegen.
+    * (groupBy doc_id) through the native single-buffer sketch aggregate
+    * ([[graft.functions.SimHashSketch]]; composed twin below).
     */
   def simhash(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    tok.groupBy("doc_id").agg(graft.functions.SimHashSketch
+      .simhash_sketch(documents.sparkSession, col("token")).as("simhash"))
+  }
+
+  /** Composed-builtins twin of [[simhash]]: 64 conditional-sum
+    * aggregates + bit assembly — same fingerprints bit-for-bit.
+    */
+  def simhashComposed(documents: DataFrame): DataFrame = {
     val tok = documents.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
       .withColumn("h", xxhash64(col("token")))

@@ -63,6 +63,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "hash replication must be exact: XXH64.hashInt(i, hashUnsafeBytes(shingle, 42))")
   }
 
+  test("native simhash_sketch fingerprints equal the composed 64-column form") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = Dedup.simhashComposed(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === composed)
+  }
+
   test("simhash: identical docs get identical fingerprints → hamming-0 pair") {
     val d = docs(1L -> base, 2L -> base, 3L -> other)
     val fps = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

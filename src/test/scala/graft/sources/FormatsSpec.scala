@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class FormatsSpec extends AnyFunSuite with SparkSpec {
+  val sf = "/root/testdata/sf0.001"
+
+  def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$name").toString + "/out"
+
+  test("round-trip: parquet, orc, json, csv preserve rows (explicit schema on text formats)") {
+    val src = Tables.customer(spark, sf)
+    val expected = src.collect().map(_.toSeq).toSet
+    for (fmt <- Seq("parquet", "orc", "json", "csv")) {
+      val path = tmp(fmt)
+      val opts = if (fmt == "csv") Map("header" -> "false") else Map.empty[String, String]
+      Formats.write(src, path, fmt, options = opts)
+      val back = Formats.read(spark, path, fmt, Some(src.schema), opts)
+      assert(back.collect().map(_.toSeq).toSet === expected, s"format $fmt")
+    }
+  }
+
+  test("partitioned write prunes partitions on read-back") {
+    val path = tmp("part")
+    Formats.write(Tables.customer(spark, sf), path, "parquet", Seq("c_mktsegment"))
+    val pruned = Formats.read(spark, path, "parquet")
+      .filter(col("c_mktsegment") === "FURNITURE")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(c_mktsegment"),
+      s"expected partition filter in:\n$plan")
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    val o = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    Formats.writeBucketed(o, "orders_b", "o_orderkey", 8)
+    Formats.writeBucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join strategy actually uses the buckets
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_b").join(spark.table("orders_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be exchange-free:\n$plan")
+      assert(joined.count() === li.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
