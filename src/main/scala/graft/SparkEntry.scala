@@ -50,6 +50,7 @@ object SparkEntry {
     "q_count_distinct" -> ((s, d) => Relational.countDistinct(Tables.lineitem(s, d))),
     "q_topn" -> ((s, d) => Relational.topNOrders(Tables.orders(s, d))),
     "q_pivot" -> ((s, d) => Relational.pivotLineStatus(Tables.lineitem(s, d))),
+    "q_percentile" -> ((s, d) => Relational.percentiles(Tables.lineitem(s, d))),
     "q_union" -> ((s, d) => Relational.unionNames(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_distinct" -> ((s, d) => Relational.distinctSegments(Tables.customer(s, d))),
     "q_semi_join" -> ((s, d) => Relational.semiJoin(Tables.customer(s, d), Tables.orders(s, d))),
@@ -218,6 +219,12 @@ object SparkEntry {
         |    AS DOUBLE), 2) AS "F",
         |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O')
         |    AS DOUBLE), 2) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,

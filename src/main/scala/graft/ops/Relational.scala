@@ -165,6 +165,17 @@ object Relational {
       count(lit(1)).as("n_rows")
     ).orderBy("l_returnflag")
 
+  /** Exact percentiles (linear interpolation — same definition as
+    * DuckDB's quantile_cont) per group. Exact percentile sorts the
+    * group; at 100 TB swap in approx_percentile with a bounded error.
+    */
+  def percentiles(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag").agg(
+      round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+      round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
+      count(lit(1)).as("n_rows")
+    ).orderBy("l_returnflag")
+
   /** Global ORDER BY + LIMIT top-N (TakeOrderedAndProject — no full
     * sort materialization; each partition keeps N, driver merges N·P).
     */
