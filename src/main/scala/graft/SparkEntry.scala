@@ -65,6 +65,7 @@ object SparkEntry {
     "q_json_extract" -> ((s, d) => Events.jsonExtract(Tables.events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => Events.asofJoin(Tables.events(s, d), Tables.orders(s, d))),
+    "q_range_join" -> ((s, d) => Events.rangeSelfJoin(Tables.events(s, d))),
     // §2.10: text analysis
     "q_text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
@@ -332,6 +333,13 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.key AND e.ts >= r.t
         |ORDER BY e.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_micros
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts
+        |  AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY event_a, event_b""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -73,6 +73,30 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Range join, bucketized: all same-user event pairs (a, b) with
+    * `a.ts < b.ts <= a.ts + window`. A naive inequality join is O(n·m)
+    * per key; bucketizing time into window-width buckets turns it into
+    * an EQUI-join on (user, bucket) — the left side explodes to its two
+    * overlapping buckets, the right side keeps one — followed by the
+    * exact range filter. One shuffle, no nested-loop; each qualifying
+    * pair matches exactly once (the right row's bucket is unique).
+    * Integer `div` on microseconds keeps bucket math exact.
+    */
+  def rangeSelfJoin(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val w = windowMinutes.toLong * 60L * 1000000L
+    val a = events.select(col("user_id"), col("event_id").as("event_a"),
+        unix_micros(col("ts")).as("ta"))
+      .withColumn("bucket", explode(array(expr(s"ta div $w"), expr(s"ta div $w") + 1)))
+    val b = events.select(col("user_id"), col("event_id").as("event_b"),
+        unix_micros(col("ts")).as("tb"))
+      .withColumn("bucket", expr(s"tb div $w"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(col("tb") > col("ta") && col("tb") <= col("ta") + w)
+      .select(col("event_a"), col("event_b"), col("user_id"),
+        (col("tb") - col("ta")).as("gap_micros"))
+      .orderBy("event_a", "event_b")
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMinutes`. Session ids
     * are per-user running sums of the new-session flag (classic

@@ -100,13 +100,15 @@ object TopKPerKeyStrategy extends SparkStrategy {
 
 object TopKPerKey {
 
-  /** Install the strategy on an existing session (idempotent);
-    * `GraftExtensions`-style injection works at builder time too.
+  /** Install the strategy + optimizer rules on an existing session
+    * (idempotent); `GraftExtensions`-style injection works at builder
+    * time too.
     */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies = cur :+ TopKPerKeyStrategy
+    GraftOptimizerRules.install(spark)
   }
 
   /** Top-k rows of `df` per `keyCols`, ranked by `scoreCol` DESC with

@@ -36,6 +36,16 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark` — state for an id is evictable
+    * once the watermark passes its event time, which is what makes
+    * streaming dedup feasible on an unbounded stream).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful gap sessionization: per-user sessions close when no event
     * arrives within `gapMinutes` of the last one (decided by event-time
     * timeout against the watermark, so late data within the watermark

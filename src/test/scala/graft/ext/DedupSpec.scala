@@ -51,6 +51,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(mh.size >= (exact.size * 9) / 10, s"recall too low: ${mh.size}/${exact.size}")
   }
 
+  test("skew stress: 10x-duplicated corpus — pairs found, and the DF cap bounds blowup") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val skewed = (0 until 10).map(i =>
+      d.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))).reduce(_ union _)
+    // every text now has 10 identical copies → C(10,2)=45 jaccard-1.0 pairs each
+    val pairs = Dedup.ngramJaccard(skewed, threshold = 0.999)
+    assert(pairs.count() >= 500L * 45)
+    // a tight document-frequency cap drops the hot shingles entirely:
+    // the pair space is bounded instead of exploding (guard semantics)
+    val capped = Dedup.ngramJaccard(skewed, threshold = 0.999, maxShingleDf = 5)
+    assert(capped.count() === 0)
+  }
+
   test("native minhash_sketch signatures equal the composed min(xxhash64) form") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val sh = Dedup.shingles(d)

@@ -43,6 +43,30 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
       Seq((1000L, 1000.0), (999L, 999.0)))
   }
 
+  test("optimizer rule: top-k of top-k collapses to one operator with min(k)") {
+    val o = Tables.orders(spark, sf)
+    val twice = TopKPerKey(TopKPerKey(o, Seq("o_custkey"), "o_totalprice", "o_orderkey", 5),
+      Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+    val optimized = twice.queryExecution.optimizedPlan
+    val nodes = optimized.collect { case t: TopKPerKeyPlan => t }
+    assert(nodes.length === 1, s"expected collapse to one node:\n$optimized")
+    assert(nodes.head.k === 3)
+    // and it still computes the right answer
+    val expected = Relational.windowTopK(o, 3)
+      .select("customer_key", "order_key").collect().map(_.toSeq).toSet
+    val got = twice.select(col("o_custkey"), col("o_orderkey")).collect()
+      .map(_.toSeq).toSet
+    assert(got === expected)
+  }
+
+  test("optimizer rule: k <= 0 becomes an empty relation (no execution)") {
+    val o = Tables.orders(spark, sf)
+    val zero = TopKPerKey(o, Seq("o_custkey"), "o_totalprice", "o_orderkey", 0)
+    assert(zero.queryExecution.optimizedPlan.collect {
+      case t: TopKPerKeyPlan => t }.isEmpty, "node should be pruned")
+    assert(zero.count() === 0)
+  }
+
   test("multiple keys and empty input behave") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, Double)].toDF("k", "id", "score")

@@ -64,6 +64,72 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: duplicate event ids across batches emit once") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = dedupStream(input.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0), // same-batch dup
+        Event(2, ts("2024-01-01 00:01:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts("2024-01-01 00:02:00"), 1, "click", 1.0)) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_out").collect().map(_.getLong(0))
+      assert(ids.sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("file sink + checkpoint: exactly-once across query restart") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    import spark.implicits._
+    def writeBatch(name: String, rows: Seq[(Long, String, String, Double)]): Unit =
+      rows.map { case (id, t, et, v) => (id, Timestamp.valueOf(t), et, v) }
+        .toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+
+    def startQuery() = windowedCounts(
+        spark.readStream.schema(schema).parquet(in))
+      .withColumn("window_start_s", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("window_start")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    writeBatch("b1", Seq((1L, "2024-01-01 00:10:00", "click", 1.0),
+      (2L, "2024-01-01 00:20:00", "click", 2.0)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    // advance watermark far enough to close the 00:00 window
+    writeBatch("b2", Seq((3L, "2024-01-01 05:00:00", "view", 1.0)))
+    q1.processAllAvailable()
+    q1.stop()
+    val afterFirst = spark.read.parquet(out)
+      .filter(col("window_start_s") === "2024-01-01 00:00:00").count()
+    assert(afterFirst === 1, "00:00 click window must be emitted exactly once")
+    // restart from the same checkpoint; add more data; earlier windows must not re-emit
+    writeBatch("b3", Seq((4L, "2024-01-01 09:00:00", "view", 1.0)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val afterRestart = spark.read.parquet(out)
+      .filter(col("window_start_s") === "2024-01-01 00:00:00").count()
+    assert(afterRestart === 1, "restart must not duplicate the closed window")
+  }
+
   test("streaming windowedCounts agrees with the batch tumbling operator on testdata") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
