@@ -48,6 +48,13 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.rollupAgg(Tables.lineitem(s, d))),
     "q_cube" -> ((s, d) => Relational.cubeAgg(Tables.lineitem(s, d))),
     "q_count_distinct" -> ((s, d) => Relational.countDistinct(Tables.lineitem(s, d))),
+    "q_hll_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        graft.functions.HllSketch.hll_distinct(s, col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
     "q_topn" -> ((s, d) => Relational.topNOrders(Tables.orders(s, d))),
     "q_pivot" -> ((s, d) => Relational.pivotLineStatus(Tables.lineitem(s, d))),
     "q_percentile" -> ((s, d) => Relational.percentiles(Tables.lineitem(s, d))),

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HyperLogLog distinct-count sketch as a `TypedImperativeAggregate`,
+  * implemented from the published algorithm (Flajolet et al. 2007, with
+  * the standard linear-counting small-range correction): 2^p one-byte
+  * registers, register index = low p bits of xxhash64, rank = leading
+  * zeros of the remaining bits + 1.
+  *
+  * Why it exists alongside Spark's approx_count_distinct: the sketch
+  * BUFFER is the useful artifact at 100 TB — per-partition/per-day
+  * sketches can be stored and merged later (union = register-wise max),
+  * giving distinct counts over arbitrary date ranges without rescanning;
+  * mergeability is what this class demonstrates (tested: sum of halves'
+  * sketches = whole corpus estimate, exactly).
+  *
+  * Standard error ≈ 1.04/√(2^p) — p=14 (16 KiB buffer) ≈ 0.8%.
+  */
+case class HllSketch(child: Expression, p: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  private val m = 1 << p
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  private def hash(v: Any): Long = v match {
+    case s: UTF8String =>
+      XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+    case l: Long => XXH64.hashLong(l, 42L)
+    case i: Int => XXH64.hashInt(i, 42L)
+    case other => XXH64.hashLong(other.hashCode().toLong, 42L)
+  }
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = hash(v)
+      val idx = (h & (m - 1)).toInt
+      val rest = h >>> p
+      // rank: position of first 1-bit in the remaining 64-p bits, capped
+      val rank = (java.lang.Long.numberOfTrailingZeros(rest | (1L << (64 - p))) + 1)
+        .min(64 - p + 1).toByte
+      if (rank > buffer(idx)) buffer(idx) = rank
+    }
+    buffer
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buffer: Array[Byte]): Any = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += 1.0 / (1L << buffer(i))
+      if (buffer(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * m * m / sum
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
+      else raw
+    math.round(est)
+  }
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(offset: Int): HllSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllSketch =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "hll_distinct"
+}
+
+object HllSketch {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_distinct",
+      exprs => HllSketch(exprs(0),
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 14),
+      "built-in")
+
+  def hll_distinct(spark: SparkSession, c: Column, p: Int = 14): Column = {
+    register(spark)
+    call_function("hll_distinct", c, lit(p))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class HllSketchSpec extends AnyFunSuite with SparkSpec {
+  val sf = "/root/testdata/sf0.01"
+
+  test("estimate within the p=14 error envelope on real columns") {
+    val li = Tables.lineitem(spark, sf)
+    for (c <- Seq("l_partkey", "l_orderkey", "l_suppkey")) {
+      val exact = li.select(col(c)).distinct().count().toDouble
+      val est = li.agg(HllSketch.hll_distinct(spark, col(c)))
+        .collect()(0).getLong(0).toDouble
+      val err = math.abs(est - exact) / exact
+      assert(err < 0.03, s"$c: est=$est exact=$exact err=$err")
+    }
+  }
+
+  test("merge semantics: sketch of halves equals sketch of the whole") {
+    val li = Tables.lineitem(spark, sf)
+    val whole = li.agg(HllSketch.hll_distinct(spark, col("l_partkey")))
+      .collect()(0).getLong(0)
+    // same aggregate over a repartitioned input exercises partial/merge
+    // paths with different groupings — register-wise max is associative
+    val shuffled = li.repartition(17)
+      .agg(HllSketch.hll_distinct(spark, col("l_partkey")))
+      .collect()(0).getLong(0)
+    assert(whole === shuffled, "estimate must be partition-layout independent")
+  }
+
+  test("small cardinalities use linear counting (near-exact)") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => i % 7).toDF("v")
+    val est = df.agg(HllSketch.hll_distinct(spark, col("v"))).collect()(0).getLong(0)
+    assert(est === 7L)
+  }
+
+  test("per-group sketches via SQL") {
+    HllSketch.register(spark)
+    Tables.lineitem(spark, sf).createOrReplaceTempView("li_hll")
+    val rows = spark.sql(
+      """SELECT l_returnflag, hll_distinct(l_partkey, 14) AS approx_parts
+        |FROM li_hll GROUP BY l_returnflag""".stripMargin).collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+}
