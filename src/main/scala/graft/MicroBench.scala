@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reproducible micro-benchmarks for the native-vs-composed
+  * implementation pairs (the numbers quoted in README/COVERAGE).
+  * Prints one JSON line. Usage: MicroBench [sfDir]
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id)").collect() // warmup
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = emb.select(col("vec_id").as("va"), col("embedding").cast("array<double>").as("ea"))
+    val b = emb.select(col("vec_id").as("vb"), col("embedding").cast("array<double>").as("eb"))
+    val pairs = a.join(b, col("va") < col("vb"))
+    def allPairs(sim: DataFrame => org.apache.spark.sql.Column): Long =
+      pairs.withColumn("s", sim(pairs)).filter(col("s") > 0.35).count()
+
+    val composedCosine = time(allPairs(df => graft.ext.Similarity.cosine(col("ea"), col("eb"))))
+    val nativeCosine = time(allPairs(df => graft.ext.Similarity.nativeCosine(df, col("ea"), col("eb"))))
+
+    val sh = graft.ext.Dedup.shingles(Tables.documents(spark, sfDir))
+    val composedMinhash = time(graft.ext.Dedup.minhashSignaturesComposed(sh).count())
+    val nativeMinhash = time(graft.ext.Dedup.minhashSignatures(sh).count())
+
+    val docs = Tables.documents(spark, sfDir)
+    val composedSimhash = time(graft.ext.Dedup.simhashComposed(docs).count())
+    val nativeSimhash = time(graft.ext.Dedup.simhash(docs).count())
+
+    println(
+      s"""{"cosine_all_pairs":{"composed_hof_sec":$composedCosine,"native_expr_sec":$nativeCosine},""" +
+      s""""minhash_signatures":{"composed_64col_sec":$composedMinhash,"native_sketch_sec":$nativeMinhash},""" +
+      s""""simhash_fingerprints":{"composed_64col_sec":$composedSimhash,"native_sketch_sec":$nativeSimhash},""" +
+      s""""sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
