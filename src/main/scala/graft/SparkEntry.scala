@@ -84,6 +84,9 @@ object SparkEntry {
     "q_rolling_hash" -> ((s, d) => TextOps.rollingHash(Tables.documents(s, d))),
     // §2.10: dedup family
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "q_hash_sample" -> ((s, d) => DataPrep.hashSample(Tables.documents(s, d))),
+    "q_dataset_split" -> ((s, d) => DataPrep.datasetSplit(Tables.documents(s, d))),
+    "q_sequence_packing" -> ((s, d) => DataPrep.sequencePacking(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "q_minhash_neardup" -> ((s, d) => Dedup.minhashNearDup(Tables.documents(s, d))),
     "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
@@ -394,6 +397,30 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies, min(n_chars) AS n_chars
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(text), 1, 2) < '40'
+        |ORDER BY doc_id""".stripMargin,
+    "q_dataset_split" ->
+      """SELECT lang,
+        |  CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "q_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |  FROM t)
+        |SELECT lang, tokens_before // 2048 AS pack_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |sh AS (

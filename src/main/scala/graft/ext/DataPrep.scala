@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-dataset preparation operators (SURVEY §2.10 north star):
+  * reproducible sampling, split assignment, and sequence packing — the
+  * bookkeeping layer of an LLM data pipeline.
+  *
+  * All three are *content-addressed and deterministic*: the md5 of the
+  * text decides sampling and splits, so re-running the pipeline on a
+  * grown corpus keeps previous decisions stable (no RNG state, no seed
+  * coordination across 1000 executors), and the same rows land in the
+  * same split on any engine — which is also what makes them exactly
+  * DuckDB-oracle-checkable.
+  */
+object DataPrep {
+
+  /** First two hex chars of md5(text) as the 0..255 bucket. */
+  private def hashBucket(c: Column): Column = substring(md5(c), 1, 2)
+
+  /** Deterministic ~`percent`% sample: keep rows whose md5 bucket falls
+    * below the cutoff. Lexicographic hex compare = numeric compare on
+    * the 0..255 bucket; 25% → buckets 0x00..0x3f.
+    */
+  def hashSample(documents: DataFrame, cutoffHex: String = "40"): DataFrame =
+    documents.filter(hashBucket(col("text")) < cutoffHex)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Content-hash train/val/test assignment (~80/10/10 via md5 bucket
+    * ranges), reported as per-(lang, split) counts. A document's split
+    * never changes as the corpus grows — the property that prevents
+    * eval contamination across dataset versions.
+    */
+  def datasetSplit(documents: DataFrame): DataFrame = {
+    val b = hashBucket(col("text"))
+    documents
+      .withColumn("split",
+        when(b < "cc", "train").when(b < "e6", "val").otherwise("test"))
+      .groupBy("lang", "split").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "split")
+  }
+
+  /** Sequence packing: fill fixed token budgets (context windows) with
+    * documents in deterministic (lang, doc_id) order — pack id = running
+    * token total `div` budget. One window cumsum per lang partition; at
+    * corpus scale this shuffles once on the partition key, and packs are
+    * reproducible because the order is content-independent and total
+    * preceding size decides the boundary.
+    */
+  def sequencePacking(documents: DataFrame, tokenBudget: Int = 2048): DataFrame = {
+    val tokens = size(split(col("text"), " "))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .withColumn("n_tokens", tokens)
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"tokens_before div $tokenBudget"))
+      .groupBy("lang", "pack_id").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "pack_id")
+  }
+}

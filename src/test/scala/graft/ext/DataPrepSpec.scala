@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class DataPrepSpec extends AnyFunSuite with SparkSpec {
+  val sf = "/root/testdata/sf0.001"
+
+  test("hash sample: deterministic, stable under corpus growth") {
+    val d = Tables.documents(spark, sf)
+    val s1 = DataPrep.hashSample(d).collect().map(_.getLong(0)).toSet
+    val s2 = DataPrep.hashSample(d).collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+    // ~25% of 500 with binomial spread
+    assert(s1.size > 80 && s1.size < 180)
+    // growing the corpus keeps prior membership decisions unchanged
+    val grown = d.union(d.withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(col("text"), lit(" extra"))))
+    val s3 = DataPrep.hashSample(grown).collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("dataset split: partitions the corpus, ~80/10/10") {
+    val d = Tables.documents(spark, sf)
+    val rows = DataPrep.datasetSplit(d).collect()
+    val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(bySplit.values.sum === 500L)
+    assert(bySplit("train") > 350 && bySplit("train") < 450)
+    assert(bySplit.keySet === Set("train", "val", "test"))
+  }
+
+  test("sequence packing: packs respect order, cover every doc, budget boundaries") {
+    val d = Tables.documents(spark, sf)
+    val packs = DataPrep.sequencePacking(d, tokenBudget = 500).collect()
+    assert(packs.map(_.getLong(2)).sum === 500L) // every doc packed once
+    // within a lang, pack ids are contiguous from 0 and doc ranges don't overlap
+    packs.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) === 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(1) === a.getLong(1) + 1)
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+    }
+  }
+}
