@@ -91,9 +91,14 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 }
 
-/** Session extension registering graft's native functions for SQL use:
+/** One-stop session extension registering ALL of graft's Catalyst
+  * additions — native functions (cosine_sim, minhash_sketch,
+  * simhash_sketch, hll_distinct), the TopKPerKey planner strategy, and
+  * the CollapseTopK optimizer rule:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  * (On an already-created session, the `install`/`register` helpers on
+  * each object do the same through public runtime hooks.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -101,5 +106,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       GraftFunctions.cosineSimBuilder _))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
+      (exprs: Seq[Expression]) => MinHashSketch(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      new FunctionIdentifier("simhash_sketch"),
+      new ExpressionInfo(classOf[SimHashSketch].getName, "simhash_sketch"),
+      (exprs: Seq[Expression]) => SimHashSketch(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(classOf[HllSketch].getName, "hll_distinct"),
+      (exprs: Seq[Expression]) => HllSketch(exprs(0),
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 14)))
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    e.injectOptimizerRule(_ => graft.plans.CollapseTopK)
   }
 }
