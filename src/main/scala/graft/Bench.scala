@@ -13,8 +13,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + codegen caches + file-system cache, so the
-    // first timed query doesn't absorb JVM start-up costs
+    // first timed query doesn't absorb JVM start-up costs. The synthetic
+    // query touches the machinery the real queries use (broadcast join,
+    // window, decimal aggregate) without reading any table twice.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    locally {
+      import org.apache.spark.sql.functions._
+      val t = spark.range(1000L).selectExpr("id", "id % 7 AS k", "CAST(id AS DOUBLE) AS d")
+      t.join(broadcast(spark.range(7L).selectExpr("id AS k")), "k")
+        .groupBy("k").agg(sum(col("d").cast("decimal(18,2)")).as("s"))
+        .selectExpr("k", "s", "row_number() OVER (PARTITION BY k ORDER BY s) AS rn")
+        .collect()
+    }
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).count()
       catch { case _: Throwable => () }
