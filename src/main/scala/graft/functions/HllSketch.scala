@@ -60,7 +60,31 @@ case class HllSketch(child: Expression, p: Int,
     a
   }
 
-  override def eval(buffer: Array[Byte]): Any = {
+  override def eval(buffer: Array[Byte]): Any = HllSketch.estimate(buffer)
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(offset: Int): HllSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllSketch =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "hll_distinct"
+}
+
+object HllSketch {
+
+  /** Shared HLL estimator over a register buffer (Flajolet alpha +
+    * linear-counting small-range correction).
+    */
+  def estimate(buffer: Array[Byte]): Long = {
+    val m = buffer.length
     val alpha = m match {
       case 16 => 0.673
       case 32 => 0.697
@@ -82,32 +106,105 @@ case class HllSketch(child: Expression, p: Int,
     math.round(est)
   }
 
-  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
-
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = false
-  override def children: Seq[Expression] = Seq(child)
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren.head)
-  override def withNewMutableAggBufferOffset(offset: Int): HllSketch =
-    copy(mutableAggBufferOffset = offset)
-  override def withNewInputAggBufferOffset(offset: Int): HllSketch =
-    copy(inputAggBufferOffset = offset)
-  override def prettyName: String = "hll_distinct"
-}
-
-object HllSketch {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_distinct",
       exprs => HllSketch(exprs(0),
         if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 14),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_sketch_buffer",
+      exprs => HllSketchBuffer(exprs(0),
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 14),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_merge", exprs => HllMerge(exprs(0)), "built-in")
+  }
 
   def hll_distinct(spark: SparkSession, c: Column, p: Int = 14): Column = {
     register(spark)
     call_function("hll_distinct", c, lit(p))
   }
+
+  /** Aggregate raw values into a STORED sketch (binary registers). */
+  def hll_sketch_buffer(spark: SparkSession, c: Column, p: Int = 14): Column = {
+    register(spark)
+    call_function("hll_sketch_buffer", c, lit(p))
+  }
+
+  /** Merge stored sketches (register-wise max) → estimate. */
+  def hll_merge(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function("hll_merge", c)
+  }
+}
+
+/** [[HllSketch]] variant whose output is the raw register buffer
+  * (BinaryType) instead of the estimate — the storable/mergeable form:
+  * persist per-partition/per-day sketches as ordinary binary columns,
+  * then answer distinct counts over arbitrary slices later with
+  * [[HllMerge]], no rescan of the raw data. Registers are
+  * hash-compatible with [[HllSketch]], so merge-of-stored ≡ direct
+  * aggregation exactly (tested).
+  */
+case class HllSketchBuffer(child: Expression, p: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+  private val inner = HllSketch(child, p)
+  override def createAggregationBuffer(): Array[Byte] = inner.createAggregationBuffer()
+  override def update(b: Array[Byte], in: InternalRow): Array[Byte] = inner.update(b, in)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
+  override def eval(buffer: Array[Byte]): Any = buffer
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): HllSketchBuffer =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketchBuffer =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "hll_sketch_buffer"
+}
+
+/** Aggregate over STORED sketch buffers: register-wise max union →
+  * estimate. `hll_merge(hll_sketch_buffer(x)) ≡ hll_distinct(x)`.
+  */
+case class HllMerge(child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else merge(buffer, v.asInstanceOf[Array[Byte]])
+  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a.isEmpty) b.clone()
+    else if (b.isEmpty) a
+    else {
+      require(a.length == b.length, s"sketch width mismatch: ${a.length} vs ${b.length}")
+      var i = 0
+      while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+  }
+  override def eval(buffer: Array[Byte]): Any =
+    if (buffer.isEmpty) 0L else HllSketch.estimate(buffer)
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): HllMerge =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMerge =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "hll_merge"
 }

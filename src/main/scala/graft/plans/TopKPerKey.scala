@@ -4,8 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences,
-  Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression,
+  UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, UnspecifiedDistribution}
@@ -47,8 +48,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], score: Expression,
     val numKeys = keys.size
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
-      val scoreEval = BindReferences.bindReference(score, childOutput)
-      val tieEval = BindReferences.bindReference(tie, childOutput)
+      // one generated projection for (score, tie) → primitive reads per
+      // row, no boxing in the heap loop
+      val ordProj = UnsafeProjection.create(
+        Seq(Cast(score, DoubleType), Cast(tie, LongType)), childOutput)
       // PriorityQueue dequeues the MAX by its ordering; make the max the
       // worst element (lowest score, then highest tie) so it's evicted
       val worstFirst = Ordering.by[(Double, Long, UnsafeRow), (Double, Long)] {
@@ -58,8 +61,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], score: Expression,
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[(Double, Long, UnsafeRow)]]
       it.foreach { row =>
         val key = keyProj(row)
-        val s = scoreEval.eval(row).asInstanceOf[Number].doubleValue()
-        val t = tieEval.eval(row).asInstanceOf[Number].longValue()
+        val ord = ordProj(row)
+        val s = ord.getDouble(0)
+        val t = ord.getLong(1)
         heaps.get(key) match {
           case Some(heap) =>
             if (heap.size < k) heap.enqueue((s, t, row.asInstanceOf[UnsafeRow].copy()))

@@ -37,6 +37,32 @@ class HllSketchSpec extends AnyFunSuite with SparkSpec {
     assert(est === 7L)
   }
 
+  test("mergeable sketch tables: merge-of-stored equals direct aggregation exactly") {
+    val li = Tables.lineitem(spark, sf)
+    // store one sketch per (returnflag, linestatus) — the "per-day sketch
+    // table" pattern — as an ordinary binary column round-tripped
+    // through parquet
+    val sketchTable = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(HllSketch.hll_sketch_buffer(spark, col("l_partkey")).as("sketch"))
+    val path = java.nio.file.Files.createTempDirectory("hll_tbl").toString + "/t"
+    sketchTable.write.mode("overwrite").parquet(path)
+    val stored = spark.read.parquet(path)
+    // merge slices of stored sketches; compare against direct aggregation
+    val merged = stored.groupBy("l_returnflag")
+      .agg(HllSketch.hll_merge(spark, col("sketch")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = li.groupBy("l_returnflag")
+      .agg(HllSketch.hll_distinct(spark, col("l_partkey")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === direct, "register union must be lossless")
+    // global: merge everything == direct over the whole table
+    val all = stored.agg(HllSketch.hll_merge(spark, col("sketch")))
+      .collect()(0).getLong(0)
+    val allDirect = li.agg(HllSketch.hll_distinct(spark, col("l_partkey")))
+      .collect()(0).getLong(0)
+    assert(all === allDirect)
+  }
+
   test("per-group sketches via SQL") {
     HllSketch.register(spark)
     Tables.lineitem(spark, sf).createOrReplaceTempView("li_hll")
