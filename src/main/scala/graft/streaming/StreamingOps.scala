@@ -46,6 +46,32 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Upsert sink: stream an update-mode aggregation into a parquet
+    * target via `foreachBatch` — each micro-batch REPLACES the target
+    * rows whose keys it contains (merge/upsert), so the target always
+    * holds the latest value per key. The target is materialized
+    * (`localCheckpoint`) before the overwrite since it is being read
+    * from the same path being written. This is the file-based upsert
+    * pattern for sinks without native MERGE support.
+    */
+  def upsertParquetSink(agg: DataFrame, targetPath: String, keyCols: Seq[String],
+                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    agg.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint(true)
+        val merged =
+          if (new java.io.File(targetPath).exists()) {
+            val target = spark.read.parquet(targetPath).localCheckpoint(true)
+            target.join(b.select(keyCols.map(batch(_)): _*), keyCols, "left_anti")
+              .unionByName(b)
+          } else b
+        merged.write.mode("overwrite").parquet(targetPath)
+        ()
+      }
+      .start()
+
   /** Stateful gap sessionization: per-user sessions close when no event
     * arrives within `gapMinutes` of the last one (decided by event-time
     * timeout against the watermark, so late data within the watermark

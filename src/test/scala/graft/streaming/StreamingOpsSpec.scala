@@ -130,6 +130,36 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(afterRestart === 1, "restart must not duplicate the closed window")
   }
 
+  test("upsert sink: update-mode batches merge into the parquet target by key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val input = MemoryStream[Event]
+    val agg = windowedCounts(input.toDF())
+      .withColumn("window_start_s", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("window_start")
+    val q = upsertParquetSink(agg, s"$dir/target",
+      Seq("window_start_s", "event_type"), s"$dir/ckpt")
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:20:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      // same window updated by a later batch + a new window appears
+      input.addData(
+        Event(3, ts("2024-01-01 00:30:00"), 1, "click", 3.0),
+        Event(4, ts("2024-01-01 01:10:00"), 1, "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/target")
+        .select("window_start_s", "event_type", "n_events")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set(
+        ("2024-01-01 00:00:00", "click", 3L), // upserted: 2 → 3
+        ("2024-01-01 01:00:00", "view", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming windowedCounts agrees with the batch tumbling operator on testdata") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
