@@ -37,6 +37,9 @@ object SparkEntry {
     "q_sas_date" -> ((s, d) => Dates.sasDateConvert(Tables.lineitem(s, d))),
     "q_sas_date_udf" -> ((s, d) => Dates.sasDateConvert(Tables.lineitem(s, d), useUdf = true)),
     "q_window_topk" -> ((s, d) => Relational.windowTopK(Tables.orders(s, d))),
+    "q_window_pack" -> ((s, d) => Relational.windowPack(Tables.orders(s, d))),
+    "q_string_pack" -> ((s, d) => Relational.stringPack(Tables.part(s, d))),
+    "q_conditional_pack" -> ((s, d) => Relational.conditionalPack(Tables.customer(s, d))),
     "q_custom_topk" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       graft.plans.TopKPerKey(Tables.orders(s, d),
@@ -196,6 +199,40 @@ object SparkEntry {
         |FROM orders
         |QUALIFY rnk <= 3
         |ORDER BY customer_key, rnk""".stripMargin,
+    "q_window_pack" ->
+      """SELECT o_custkey AS customer_key, o_orderkey AS order_key,
+        |  o_totalprice AS total_price,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS dense_rnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_orderkey) OVER w AS best_order,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY customer_key, order_key""".stripMargin,
+    "q_string_pack" ->
+      """SELECT p_partkey AS part_key,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+        |  reverse(p_name) AS name_rev,
+        |  repeat(p_brand, 2) AS brand_x2,
+        |  substr(p_name, 1, 3) AS name_left3,
+        |  CAST(strpos(p_name, ' ') AS INTEGER) AS space_pos,
+        |  CAST(levenshtein(p_name, 'cold widget') AS INTEGER) AS edit_dist
+        |FROM part ORDER BY part_key""".stripMargin,
+    "q_conditional_pack" ->
+      """SELECT c_custkey AS customer_key,
+        |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_norm,
+        |  greatest(c_acctbal, 1000.0) AS floor_bal,
+        |  least(c_acctbal, 5000.0) AS cap_bal,
+        |  CASE WHEN c_acctbal > 5000 THEN 'high'
+        |       WHEN c_acctbal > 1000 THEN 'mid' ELSE 'low' END AS tier,
+        |  map(['seg'], [c_mktsegment])['seg'][1] AS seg_from_map
+        |FROM customer ORDER BY customer_key""".stripMargin,
     "q_custom_topk" ->
       """SELECT o_custkey AS customer_key, o_orderkey AS order_key,
         |  o_totalprice AS total_price

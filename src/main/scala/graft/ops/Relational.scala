@@ -262,6 +262,59 @@ object Relational {
     ).orderBy("order_key")
   }
 
+  /** Analytic window-function pack: ranking family, offsets, ntile and
+    * distribution functions over one window spec (one shuffle + sort,
+    * shared by all of them — Catalyst collapses same-spec windows).
+    */
+  def windowPack(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select(
+      col("o_custkey").as("customer_key"),
+      col("o_orderkey").as("order_key"),
+      col("o_totalprice").as("total_price"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("dense_rnk"),
+      ntile(4).over(w).as("quartile"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      first(col("o_orderkey")).over(w).as("best_order"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume")
+    ).orderBy("customer_key", "order_key")
+  }
+
+  /** String-function pack incl. edit distance (the fuzzy-matching
+    * primitive for entity resolution at scale).
+    */
+  def stringPack(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey").as("part_key"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+      translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+      reverse(col("p_name")).as("name_rev"),
+      repeat(col("p_brand"), 2).as("brand_x2"),
+      substring(col("p_name"), 1, 3).as("name_left3"),
+      instr(col("p_name"), " ").as("space_pos"),
+      levenshtein(col("p_name"), lit("cold widget")).as("edit_dist")
+    ).orderBy("part_key")
+
+  /** Conditional / null-handling pack + a MapType column carried through
+    * the projection (nested-type surface).
+    */
+  def conditionalPack(customer: DataFrame): DataFrame =
+    customer.select(
+      col("c_custkey").as("customer_key"),
+      coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER")).as("segment_norm"),
+      greatest(col("c_acctbal"), lit(1000.0)).as("floor_bal"),
+      least(col("c_acctbal"), lit(5000.0)).as("cap_bal"),
+      when(col("c_acctbal") > 5000, "high")
+        .when(col("c_acctbal") > 1000, "mid")
+        .otherwise("low").as("tier"),
+      element_at(map(lit("seg"), col("c_mktsegment")), "seg").as("seg_from_map")
+    ).orderBy("customer_key")
+
   /** LEFT SEMI join (EXISTS): customers having at least one order. */
   def semiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
