@@ -90,6 +90,7 @@ object SparkEntry {
     "q_hash_sample" -> ((s, d) => DataPrep.hashSample(Tables.documents(s, d))),
     "q_dataset_split" -> ((s, d) => DataPrep.datasetSplit(Tables.documents(s, d))),
     "q_sequence_packing" -> ((s, d) => DataPrep.sequencePacking(Tables.documents(s, d))),
+    "q_decontaminate" -> ((s, d) => DataPrep.decontaminate(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "q_minhash_neardup" -> ((s, d) => Dedup.minhashNearDup(Tables.documents(s, d))),
     "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
@@ -434,6 +435,21 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies, min(n_chars) AS n_chars
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH ds AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train' ELSE 'eval' END AS split
+        |  FROM documents),
+        |toks AS (SELECT doc_id, split, string_split(text, ' ') AS l FROM ds),
+        |sh AS (
+        |  SELECT doc_id, split, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |    i -> array_to_string(l[i:i+4], ' ')))) AS shingle
+        |  FROM toks WHERE len(l) >= 5)
+        |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS n_shared
+        |FROM sh t JOIN sh e ON t.shingle = e.shingle
+        |WHERE t.split = 'train' AND e.split = 'eval'
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY train_doc, eval_doc""".stripMargin,
     "q_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substr(md5(text), 1, 2) < '40'

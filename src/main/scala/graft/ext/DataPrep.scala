@@ -45,6 +45,29 @@ object DataPrep {
       .orderBy("lang", "split")
   }
 
+  /** Decontamination: detect evaluation documents leaking into the
+    * training split via shared word-k-grams — the cross-split variant of
+    * n-gram near-dup detection (same shuffle-on-shingle shape; the join
+    * is blocked by split so only train×eval pairs are generated). A
+    * real pipeline drops or rewrites the flagged training docs; here the
+    * operator reports (train_doc, eval_doc, n_shared) pairs.
+    */
+  def decontaminate(documents: DataFrame, k: Int = 5, minShared: Int = 3): DataFrame = {
+    val withSplit = documents.withColumn("split",
+      when(hashBucket(col("text")) < "cc", "train").otherwise("eval"))
+    val sh = Dedup.shingles(withSplit.select(col("doc_id"), col("text")), k)
+      .join(withSplit.select(col("doc_id"), col("split")), "doc_id")
+    val train = sh.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    val eval_ = sh.filter(col("split") === "eval")
+      .select(col("doc_id").as("eval_doc"), col("shingle"))
+    train.join(eval_, "shingle")
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("train_doc", "eval_doc")
+  }
+
   /** Sequence packing: fill fixed token budgets (context windows) with
     * documents in deterministic (lang, doc_id) order — pack id = running
     * token total `div` budget. One window cumsum per lang partition; at
