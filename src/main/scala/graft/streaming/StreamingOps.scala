@@ -46,6 +46,27 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with event-time bounds: match each left
+    * event to right events of the same user within `windowMinutes` AFTER
+    * it. Both sides are watermarked so Spark can bound the join state
+    * (left rows expire once the right watermark passes their window) —
+    * the state-eviction contract that makes stream-stream joins runnable
+    * indefinitely.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       watermark: String = "10 minutes",
+                       windowMinutes: Int = 60): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val l = left.selectExpr("event_id AS l_id", "ts AS l_ts", "user_id AS l_user")
+      .withWatermark("l_ts", watermark)
+    val r = right.selectExpr("event_id AS r_id", "ts AS r_ts", "user_id AS r_user")
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"""l_user = r_user AND r_ts > l_ts AND
+         |r_ts <= l_ts + INTERVAL $windowMinutes MINUTES""".stripMargin))
+      .selectExpr("l_id", "r_id", "l_user AS user_id")
+  }
+
   /** Upsert sink: stream an update-mode aggregation into a parquet
     * target via `foreachBatch` — each micro-batch REPLACES the target
     * rows whose keys it contains (merge/upsert), so the target always

@@ -160,6 +160,38 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join: time-bounded matches across two live streams") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val lhs = MemoryStream[Event]
+    val rhs = MemoryStream[Event]
+    val q = streamStreamJoin(lhs.toDF(), rhs.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("ssj_out").start()
+    try {
+      lhs.addData(Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0))
+      rhs.addData(
+        Event(10, ts("2024-01-01 00:30:00"), 7, "view", 1.0),  // within 1h → match
+        Event(11, ts("2024-01-01 02:00:00"), 7, "view", 1.0),  // too late → no match
+        Event(12, ts("2024-01-01 00:30:00"), 8, "view", 1.0))  // other user → no match
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT l_id, r_id FROM ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((1L, 10L)))
+      // agreement with the batch range join on the same rows
+      val batch = graft.ext.Events.rangeSelfJoin(ev(
+        (1L, "2024-01-01 00:00:00", 7L), (10L, "2024-01-01 00:30:00", 7L),
+        (11L, "2024-01-01 02:00:00", 7L), (12L, "2024-01-01 00:30:00", 8L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === Set((1L, 10L)))
+    } finally q.stop()
+  }
+
+  def ev(rows: (Long, String, Long)*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, t, uid) => (id, ts(t), uid, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
   test("streaming windowedCounts agrees with the batch tumbling operator on testdata") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
