@@ -100,7 +100,13 @@ object SparkEntry {
     "q_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // §2.10: multimodal binary plumbing
-    "q_multimodal_binary" -> ((s, d) => Multimodal.binaryStats(Tables.documents(s, d)))
+    "q_multimodal_binary" -> ((s, d) => Multimodal.binaryStats(Tables.documents(s, d))),
+    "q_multimodal_frames" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Multimodal.sampleFrames(s, Multimodal.toMediaTable(Tables.documents(s, d)))
+        .orderBy("doc_id", "frame_idx")
+        .select(col("doc_id"), col("frame_idx"), col("frame_bytes"), col("features"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -119,6 +119,11 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // NOTE(scale): at 100 TB, semi-join-prune the shingle table to
+    // candidate docs before this intersection (candidates are a tiny
+    // fraction of a healthy corpus). At dimension-table corpus sizes the
+    // extra distinct+semi-join stages cost more than they save
+    // (measured: 2.2s → 3.5s at sf0.1), so the direct form is kept here.
     val interA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val interB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = cand.join(interA, "doc_a").join(interB, Seq("doc_b", "shingle"))

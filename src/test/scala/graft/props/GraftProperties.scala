@@ -1,0 +1,62 @@
+package graft.props
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.SparkSpec
+
+/** ScalaCheck property suites (run by sbt's native ScalaCheck support):
+  * randomized equivalence between independent implementations — the
+  * strongest cheap evidence that the custom operators preserve
+  * semantics on inputs nobody hand-picked.
+  */
+object TopKProperties extends Properties("TopKPerKey") with SparkSpec {
+
+  val rowsGen: Gen[List[(Long, Long, Double)]] = for {
+    n <- Gen.chooseNum(0, 60)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.chooseNum(0L, 5L)     // few keys → collisions guaranteed
+      id <- Gen.chooseNum(0L, 1000L)
+      s <- Gen.chooseNum(0, 20).map(_.toDouble) // coarse scores → ties
+    } yield (k, id, s))
+  } yield rows.distinctBy(r => (r._1, r._2)) // unique tie-break per key
+
+  property("equals window row_number form on random data") =
+    forAll(rowsGen, Gen.chooseNum(1, 5)) { (rows, k) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val df = rows.toDF("key", "id", "score")
+      val custom = graft.plans.TopKPerKey(df, Seq("key"), "score", "id", k)
+        .select("key", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = Window.partitionBy(col("key")).orderBy(col("score").desc, col("id"))
+      val windowed = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("key", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Prop(custom == windowed) :| s"custom=$custom window=$windowed"
+    }
+}
+
+object DateProperties extends Properties("Dates") with SparkSpec {
+
+  property("builtin and UDF SAS-date forms agree incl. null/zero") =
+    forAll(Gen.listOf(Gen.oneOf(Gen.const(null: Integer),
+      Gen.chooseNum(0, 50000).map(Int.box)))) { days =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val df = days.map(Tuple1(_)).toDF("d")
+      val b = df.select(graft.ops.Dates.sasDaysToIso(col("d"))).collect().map(_.getString(0))
+      val u = df.select(graft.ops.Dates.sasDaysToIsoUdf(col("d"))).collect().map(_.getString(0))
+      Prop(b.sameElements(u))
+    }
+
+  property("decimal-exact sums are partition-layout invariant") =
+    forAll(Gen.listOf(Gen.chooseNum(-100000, 100000).map(_ / 100.0)),
+      Gen.chooseNum(1, 16)) { (xs, parts) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val df = xs.toDF("x")
+      def total(d: org.apache.spark.sql.DataFrame): Option[java.math.BigDecimal] =
+        Option(d.agg(sum(col("x").cast("decimal(18,2)"))).collect()(0)
+          .getDecimal(0))
+      Prop(total(df) == total(df.repartition(parts)))
+    }
+}
