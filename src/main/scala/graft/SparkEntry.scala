@@ -61,6 +61,9 @@ object SparkEntry {
     "q_topn" -> ((s, d) => Relational.topNOrders(Tables.orders(s, d))),
     "q_pivot" -> ((s, d) => Relational.pivotLineStatus(Tables.lineitem(s, d))),
     "q_percentile" -> ((s, d) => Relational.percentiles(Tables.lineitem(s, d))),
+    "q_agg_pack" -> ((s, d) => Relational.aggPack(Tables.lineitem(s, d))),
+    "q_minmax_by" -> ((s, d) => Relational.minMaxBy(Tables.orders(s, d))),
+    "q_json_shape" -> ((s, d) => TextOps.jsonShape(Tables.documents(s, d))),
     "q_union" -> ((s, d) => Relational.unionNames(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_distinct" -> ((s, d) => Relational.distinctSegments(Tables.customer(s, d))),
     "q_semi_join" -> ((s, d) => Relational.semiJoin(Tables.customer(s, d), Tables.orders(s, d))),
@@ -281,6 +284,27 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_minmax_by" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_totalprice, o_orderkey) AS price_of_latest_order,
+        |  arg_min(o_totalprice, o_orderkey) AS price_of_earliest_order,
+        |  max(o_orderkey) AS latest_order,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_pack" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_quantity > 49) AS any_large,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(stddev_samp(l_quantity), 4) AS qty_stddev,
+        |  round(var_samp(l_quantity), 4) AS qty_var,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_json_shape" ->
+      """SELECT doc_id,
+        |  to_json(struct_pack(id := doc_id, lang := lang)) AS doc_json,
+        |  regexp_extract(text, '(\w+) (\w+)', 2) AS second_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

@@ -111,6 +111,16 @@ object TextOps {
         x => x.cast("string")), ",").as("doc_ids"))
       .orderBy("lang")
 
+  /** JSON/regex shaping: serialize a struct to compact JSON (both
+    * engines emit identical `{"k":v}` form) and extract a capture group.
+    */
+  def jsonShape(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      to_json(struct(col("doc_id").as("id"), col("lang"))).as("doc_json"),
+      regexp_extract(col("text"), "(\\w+) (\\w+)", 2).as("second_word"))
+      .orderBy("doc_id")
+
   /** Content fingerprint: md5 of the document text (engine-portable
     * exact fingerprint for dedup bookkeeping).
     */

@@ -165,6 +165,35 @@ object Relational {
       count(lit(1)).as("n_rows")
     ).orderBy("l_returnflag")
 
+  /** Aggregate-function breadth pack: min_by/max_by with a UNIQUE
+    * criterion (composite key — arbitrary-tie arg_max is
+    * nondeterministic and would never hash-match), boolean aggregates,
+    * and second-moment statistics rounded past their accumulation-order
+    * noise floor.
+    */
+  def aggPack(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag").agg(
+      bool_and(col("l_quantity") > 0).as("all_positive"),
+      bool_or(col("l_quantity") > 49).as("any_large"),
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+      round(stddev_samp(col("l_quantity")), 4).as("qty_stddev"),
+      round(var_samp(col("l_quantity")), 4).as("qty_var"),
+      round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("qty_disc_covar")
+    ).orderBy("l_returnflag")
+
+  /** min_by / max_by with a genuinely-unique criterion (o_orderkey) —
+    * arg extremes with arbitrary tie-break would never hash-match, so
+    * the criterion must be a key (the synthetic lineitem has duplicate
+    * (orderkey, linenumber) pairs; orders is the keyed table).
+    */
+  def minMaxBy(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderpriority").agg(
+      max_by(col("o_totalprice"), col("o_orderkey")).as("price_of_latest_order"),
+      min_by(col("o_totalprice"), col("o_orderkey")).as("price_of_earliest_order"),
+      max(col("o_orderkey")).as("latest_order"),
+      count(lit(1)).as("n_orders")
+    ).orderBy("o_orderpriority")
+
   /** Exact percentiles (linear interpolation — same definition as
     * DuckDB's quantile_cont) per group. Exact percentile sorts the
     * group; at 100 TB swap in approx_percentile with a bounded error.
