@@ -32,6 +32,22 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
       s"expected partition filter in:\n$plan")
   }
 
+  test("schema evolution: mergeSchema unions columns across parquet generations") {
+    import spark.implicits._
+    val path = tmp("evolve")
+    // generation 1: (id, name); generation 2 adds a column
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(path)
+    Seq((3L, "c", 9.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.sorted.toSeq === Seq("id", "name", "score"))
+    val rows = merged.collect().map(r =>
+      (r.getAs[Long]("id"), Option(r.getAs[Any]("score")))).toMap
+    assert(rows(1L) === None) // old files surface null for the new column
+    assert(rows(3L) === Some(9.5))
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val o = Tables.orders(spark, sf)
     val li = Tables.lineitem(spark, sf)
