@@ -94,6 +94,10 @@ object SparkEntry {
     "q_dataset_split" -> ((s, d) => DataPrep.datasetSplit(Tables.documents(s, d))),
     "q_sequence_packing" -> ((s, d) => DataPrep.sequencePacking(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) => DataPrep.decontaminate(Tables.documents(s, d))),
+    "q_source_mixture" -> ((s, d) => DataPrep.sourceMixture(Tables.documents(s, d),
+      Map("src0" -> "ff", "src1" -> "20"))),
+    "q_length_histogram" -> ((s, d) => DataPrep.lengthHistogram(Tables.documents(s, d))),
+    "q_profile" -> ((s, d) => Relational.profileOrders(Tables.orders(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "q_minhash_neardup" -> ((s, d) => Dedup.minhashNearDup(Tables.documents(s, d))),
     "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
@@ -480,6 +484,29 @@ object SparkEntry {
         |WHERE t.split = 'train' AND e.split = 'eval'
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
         |ORDER BY train_doc, eval_doc""".stripMargin,
+    "q_source_mixture" ->
+      """SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN substr(md5(text), 1, 2) <
+        |    (CASE WHEN source = 'src1' THEN '20'
+        |          WHEN source = 'src0' THEN 'ff' ELSE '80' END)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_length_histogram" ->
+      """SELECT CAST((n_chars // 100) * 100 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        |  COUNT(DISTINCT o_custkey) AS distinct_custkey,
+        |  COUNT(DISTINCT o_orderstatus) AS distinct_status,
+        |  COUNT(DISTINCT o_orderpriority) AS distinct_priority,
+        |  MIN(o_orderkey) AS min_orderkey, MAX(o_orderkey) AS max_orderkey,
+        |  round(MIN(o_totalprice), 2) AS min_price,
+        |  round(MAX(o_totalprice), 2) AS max_price,
+        |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+        |  strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+        |FROM orders""".stripMargin,
     "q_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substr(md5(text), 1, 2) < '40'

@@ -45,6 +45,38 @@ object DataPrep {
       .orderBy("lang", "split")
   }
 
+  /** Dataset mixture: per-source sampling rates (the "mixing weights"
+    * step of corpus assembly — e.g. upsample curated sources, downsample
+    * crawl), decided content-deterministically per row so the mixture is
+    * reproducible. Rates are expressed as md5-bucket cutoffs (out of
+    * 256). Reports kept/total per source.
+    */
+  def sourceMixture(documents: DataFrame,
+                    cutoffs: Map[String, String] = Map.empty,
+                    defaultCutoff: String = "80"): DataFrame = {
+    val cutoff = cutoffs.foldLeft(lit(defaultCutoff)) {
+      case (acc, (src, cut)) => when(col("source") === src, lit(cut)).otherwise(acc)
+    }
+    documents
+      .withColumn("kept", hashBucket(col("text")) < cutoff)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** Length histogram: document size distribution in fixed-width
+    * buckets — the standard corpus profiling step before choosing
+    * truncation/packing budgets.
+    */
+  def lengthHistogram(documents: DataFrame, bucketWidth: Int = 100): DataFrame =
+    documents
+      .withColumn("bucket", (expr(s"n_chars div $bucketWidth") * bucketWidth).cast("long"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("bucket")
+
   /** Decontamination: detect evaluation documents leaking into the
     * training split via shared word-k-grams — the cross-split variant of
     * n-gram near-dup detection (same shuffle-on-shingle shape; the join

@@ -194,6 +194,25 @@ object Relational {
       count(lit(1)).as("n_orders")
     ).orderBy("o_orderpriority")
 
+  /** Column profiling: per-column row/null/distinct counts and value
+    * bounds for a table — the data-quality sweep run before any pipeline
+    * ingests a new source. One pass (all aggregates fused).
+    */
+  def profileOrders(orders: DataFrame): DataFrame = {
+    orders.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      count_distinct(col("o_custkey")).as("distinct_custkey"),
+      count_distinct(col("o_orderstatus")).as("distinct_status"),
+      count_distinct(col("o_orderpriority")).as("distinct_priority"),
+      min(col("o_orderkey")).as("min_orderkey"),
+      max(col("o_orderkey")).as("max_orderkey"),
+      round(min(col("o_totalprice")), 2).as("min_price"),
+      round(max(col("o_totalprice")), 2).as("max_price"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"))
+  }
+
   /** Exact percentiles (linear interpolation — same definition as
     * DuckDB's quantile_cont) per group. Exact percentile sorts the
     * group; at 100 TB swap in approx_percentile with a bounded error.
