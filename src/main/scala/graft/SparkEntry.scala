@@ -7,7 +7,7 @@ import graft.ext._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every implemented operator from SURVEY.md §2 has a `queries` entry
-  * (Spark impl over `$sfDir/<table>.parquet`) and, where ANSI-SQL
+  * (Spark impl over `sfDir/<table>.parquet`) and, where ANSI-SQL
   * expressible, an `oracleSql` twin the driver runs in DuckDB over the
   * same parquet files. Column names and value formats are aligned
   * engine-to-engine (decimal-exact sums, string-formatted dates,
@@ -490,11 +490,11 @@ object SparkEntry {
         |    (CASE WHEN source = 'src1' THEN '20'
         |          WHEN source = 'src0' THEN 'ff' ELSE '80' END)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+        |FROM documents GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,
     "q_length_histogram" ->
       """SELECT CAST((n_chars // 100) * 100 AS BIGINT) AS bucket,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+        |FROM documents GROUP BY 1 ORDER BY bucket ASC NULLS FIRST""".stripMargin,
     "q_profile" ->
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-generated synthetic testdata (TESTDATA.md).
   *
-  * One parquet file per table; paths are `$dir/<name>.parquet` with
+  * One parquet file per table; paths are `dir/<name>.parquet` with
   * `dir` one of `/root/testdata/sf{0.001,0.01,0.1}`. Reads are plain
   * parquet scans so Catalyst's column pruning and filter pushdown reach
   * the file scan (check `PushedFilters`/`ReadSchema` in `.explain`).

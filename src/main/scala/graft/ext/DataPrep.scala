@@ -54,6 +54,13 @@ object DataPrep {
   def sourceMixture(documents: DataFrame,
                     cutoffs: Map[String, String] = Map.empty,
                     defaultCutoff: String = "80"): DataFrame = {
+    // cutoffs are compared lexicographically against lowercase hex md5
+    // buckets — an uppercase or 1-char cutoff would silently produce a
+    // wrong rate, so enforce the shape loudly
+    (cutoffs.values.toSeq :+ defaultCutoff).foreach { c =>
+      require(c.matches("[0-9a-f]{2}"),
+        s"cutoff '$c' must be 2-char lowercase hex (a 00..ff md5 bucket bound)")
+    }
     val cutoff = cutoffs.foldLeft(lit(defaultCutoff)) {
       case (acc, (src, cut)) => when(col("source") === src, lit(cut)).otherwise(acc)
     }
@@ -62,7 +69,7 @@ object DataPrep {
       .groupBy("source").agg(
         count(lit(1)).as("n_total"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
-      .orderBy("source")
+      .orderBy(col("source").asc_nulls_first) // pin NULL placement (DuckDB defaults last)
   }
 
   /** Length histogram: document size distribution in fixed-width
@@ -75,7 +82,7 @@ object DataPrep {
       .groupBy("bucket").agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"))
-      .orderBy("bucket")
+      .orderBy(col("bucket").asc_nulls_first)
 
   /** Decontamination: detect evaluation documents leaking into the
     * training split via shared word-k-grams — the cross-split variant of

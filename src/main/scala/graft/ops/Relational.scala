@@ -196,7 +196,10 @@ object Relational {
 
   /** Column profiling: per-column row/null/distinct counts and value
     * bounds for a table — the data-quality sweep run before any pipeline
-    * ingests a new source. One pass (all aggregates fused).
+    * ingests a new source. One scan, but the three exact
+    * COUNT(DISTINCT)s trigger Catalyst's Expand rewrite (~4× shuffle
+    * volume); at 100 TB swap them for approx_count_distinct / the HLL
+    * sketch, which fuse into a genuine single-pass aggregate.
     */
   def profileOrders(orders: DataFrame): DataFrame = {
     orders.agg(
