@@ -5,7 +5,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
   TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
-  PartitionReaderFactory, Scan, ScanBuilder}
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -58,37 +58,52 @@ class SasLabelsTable(properties: Map[String, String]) extends Table with Support
       options.getOrDefault("block", properties.getOrElse("block", "")))
 }
 
-class SasLabelsScanBuilder(path: String, block: String) extends ScanBuilder {
-  override def build(): Scan = new SasLabelsScan(path, block)
+/** Column pruning reaches the connector: Catalyst calls
+  * `pruneColumns` with the columns the query actually needs and the
+  * reader emits only those — the DSv2 contract that lets a real format
+  * skip decoding unused columns at 100 TB.
+  */
+class SasLabelsScanBuilder(path: String, block: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SasLabelsSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SasLabelsScan(path, block, required)
 }
 
-class SasLabelsScan(path: String, block: String) extends Scan with Batch {
+class SasLabelsScan(path: String, block: String, required: StructType)
+    extends Scan with Batch {
   require(path.nonEmpty, "option 'path' is required")
   require(block.nonEmpty, "option 'block' is required (e.g. i94model)")
-  override def readSchema(): StructType = SasLabelsSource.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(SasLabelsPartition(path, block)) // dictionary-sized → one split
+    Array(SasLabelsPartition(path, block, required.fieldNames)) // dictionary-sized → one split
   override def createReaderFactory(): PartitionReaderFactory =
     new SasLabelsReaderFactory
 }
 
-case class SasLabelsPartition(path: String, block: String) extends InputPartition
+case class SasLabelsPartition(path: String, block: String,
+    columns: Array[String]) extends InputPartition
 
 class SasLabelsReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SasLabelsPartition]
-    new SasLabelsReader(p.path, p.block)
+    new SasLabelsReader(p.path, p.block, p.columns)
   }
 }
 
-class SasLabelsReader(path: String, block: String) extends PartitionReader[InternalRow] {
+class SasLabelsReader(path: String, block: String, columns: Array[String])
+    extends PartitionReader[InternalRow] {
   private val rows = graft.pipeline.SasLabels.parseFile(path, block).iterator
   private var current: (String, String) = _
   override def next(): Boolean = {
     if (rows.hasNext) { current = rows.next(); true } else false
   }
   override def get(): InternalRow =
-    InternalRow(UTF8String.fromString(current._1), UTF8String.fromString(current._2))
+    InternalRow(columns.map {
+      case "code" => UTF8String.fromString(current._1)
+      case "label" => UTF8String.fromString(current._2)
+    }: _*)
   override def close(): Unit = ()
 }

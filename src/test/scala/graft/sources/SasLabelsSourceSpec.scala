@@ -36,6 +36,17 @@ class SasLabelsSourceSpec extends AnyFunSuite with SparkSpec {
     assert(viaConnector === viaParser)
   }
 
+  test("column pruning pushes into the connector scan") {
+    val pruned = read("i94model").select("label")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the BatchScan's output must contain ONLY the requested column
+    val scanLine = plan.linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("[label#") && !scanLine.contains("code#"),
+      s"expected pruned scan output in:\n$plan")
+    assert(pruned.collect().map(_.getString(0)).toSet ===
+      Set("Air", "Sea", "Land", "Not reported"))
+  }
+
   test("missing options fail loudly") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.SasLabelsSource")
