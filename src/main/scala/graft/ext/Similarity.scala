@@ -26,7 +26,10 @@ object Similarity {
   /** Baseline cosine from built-ins. Produces the same doubles as
     * [[nativeCosine]] (same fold order) but materializes the element-wise
     * product array per row — fine for one-off scoring, ~40× slower than
-    * the fused native loop on all-pairs workloads.
+    * the fused native loop on all-pairs workloads. Edge divergence: on a
+    * zero vector this form raises DIVIDE_BY_ZERO under ANSI mode while
+    * the native expression yields IEEE NaN (pinned in EdgeCasesSpec) —
+    * filter zero-norm vectors upstream if they can occur.
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

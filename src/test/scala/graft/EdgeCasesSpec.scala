@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edge-case behavior pinned explicitly: degenerate inputs that real
+  * 100 TB corpora WILL contain eventually (zero vectors, empty/one-row
+  * groups, empty corpora). These document what the operators do, so a
+  * future change that alters the behavior fails a test instead of
+  * silently shifting semantics.
+  */
+class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
+
+  def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("zero-vector cosine: native yields NaN; ANSI composed form throws (documented divergence)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark) // before analysis
+    val d = Seq((0L, Seq(0f, 0f, 0f), 0), (1L, Seq(1f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val zero = d.filter($"vec_id" === 0)
+    // native expression: raw double arithmetic → IEEE NaN, no error
+    val native = zero.select(graft.functions.GraftFunctions.cosine_sim(
+      col("embedding").cast("array<double>"), col("embedding").cast("array<double>")))
+      .collect()(0).getDouble(0)
+    assert(native.isNaN, "native cosine must produce IEEE NaN for 0/0")
+    // composed built-ins: ANSI mode raises DIVIDE_BY_ZERO on the 0-norm
+    // division — a real divergence between the twins on degenerate input
+    val e = intercept[Exception] {
+      zero.select(graft.ext.Similarity.cosine(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>"))).collect()
+    }
+    assert(e.getMessage.contains("DIVIDE_BY_ZERO"))
+  }
+
+  test("dedup operators on an empty corpus return empty, not errors") {
+    val empty = docs()
+    assert(graft.ext.Dedup.exactDedup(empty).collect().isEmpty)
+    assert(graft.ext.Dedup.ngramJaccard(empty).collect().isEmpty)
+    assert(graft.ext.Dedup.minhashNearDup(empty).collect().isEmpty)
+    assert(graft.ext.Dedup.simhashNearDup(empty).collect().isEmpty)
+  }
+
+  test("documents shorter than the shingle width produce no shingles (no negative sequences)") {
+    val short = docs((1L, "a b"), (2L, "one two three four")) // 2 and 4 tokens, k=5
+    assert(graft.ext.Dedup.shingles(short, 5).collect().isEmpty)
+    assert(graft.ext.Dedup.ngramJaccard(short).collect().isEmpty)
+  }
+
+  test("sessionize: a single event forms a one-event session; empty input is empty") {
+    import spark.implicits._
+    val one = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sessions = graft.ext.Events.sessionize(one).collect()
+    assert(sessions.length === 1)
+    assert(sessions(0).getAs[Long]("n_events") === 1)
+    assert(graft.ext.Events.sessionize(one.limit(0)).collect().isEmpty)
+  }
+
+  test("sequence packing: a document larger than the budget still gets its own pack") {
+    val big = docs((1L, Seq.fill(100)("word").mkString(" "))) // 100 tokens, budget 10
+    val packs = graft.ext.DataPrep.sequencePacking(big, tokenBudget = 10).collect()
+    assert(packs.length === 1)
+    assert(packs(0).getAs[Long]("n_docs") === 1)
+    assert(packs(0).getAs[Long]("pack_tokens") === 100)
+  }
+
+  test("hll on empty input estimates 0") {
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("v")
+    val est = empty.agg(graft.functions.HllSketch.hll_distinct(spark, col("v")))
+      .collect()(0).getLong(0)
+    assert(est === 0L)
+  }
+}
