@@ -109,10 +109,19 @@ object SparkEntry {
     // §2.10: multimodal binary plumbing
     "q_multimodal_binary" -> ((s, d) => Multimodal.binaryStats(Tables.documents(s, d))),
     "q_multimodal_frames" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
+      // Scalar digest of the frame/feature pipeline (the driver's compare
+      // can't sort array columns): every feature value still flows through
+      // the array via aggregate/get, so the mapPartitions batch path and
+      // the resize arithmetic are what's being checked.
+      import org.apache.spark.sql.functions._
       Multimodal.sampleFrames(s, Multimodal.toMediaTable(Tables.documents(s, d)))
+        .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
+          size(col("features")).as("n_features"),
+          aggregate(col("features"), lit(0L),
+            (acc, v) => acc + v.cast("long")).as("feat_sum"),
+          get(col("features"), lit(0)).cast("int").as("feat_first"),
+          get(col("features"), size(col("features")) - 1).cast("int").as("feat_last"))
         .orderBy("doc_id", "frame_idx")
-        .select(col("doc_id"), col("frame_idx"), col("frame_bytes"), col("features"))
     })
   )
 
@@ -466,6 +475,16 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint_md5" ->
       """SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id""",
+    // Same Rabin-Karp fold as TextOps.rollingHash; list_filter drops the
+    // [''] DuckDB returns for empty text (unicode('') = -1 there, while
+    // Spark's ascii('') = 0 — filtered, both engines yield the init 0).
+    "q_rolling_hash" ->
+      """SELECT doc_id,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |      c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS rolling_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies, min(n_chars) AS n_chars
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -570,6 +589,34 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  sha256(text) AS sha256_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Replicates FakeCodec exactly (text is ASCII, so unicode(char) ==
+    // payload byte): frame size = max(1, nb/4); grouped().take(4) keeps
+    // only FULL chunks -> floor(nb/sz) capped at 4, each exactly sz
+    // bytes; resize picks indices floor(i*sz/16) when sz > 16.
+    "q_multimodal_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+        |p AS (SELECT doc_id, text, nb, greatest(nb // 4, 1) AS sz FROM d),
+        |fr AS (
+        |  SELECT doc_id, text, sz,
+        |    unnest(range(0, least(4, nb // sz))) AS fi
+        |  FROM p),
+        |feats AS (
+        |  SELECT doc_id, fi, sz,
+        |    CASE WHEN sz <= 16
+        |      THEN list_transform(range(0, sz),
+        |        i -> unicode(substr(text, CAST(fi*sz + i + 1 AS INTEGER), 1)))
+        |      ELSE list_transform(range(0, 16),
+        |        i -> unicode(substr(text, CAST(fi*sz + (i*sz // 16) + 1 AS INTEGER), 1)))
+        |    END AS f
+        |  FROM fr)
+        |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+        |  CAST(sz AS INTEGER) AS frame_bytes,
+        |  CAST(len(f) AS INTEGER) AS n_features,
+        |  CAST(list_sum(f) AS BIGINT) AS feat_sum,
+        |  CAST(f[1] AS INTEGER) AS feat_first,
+        |  CAST(f[-1] AS INTEGER) AS feat_last
+        |FROM feats ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Scoped-cache materializer: forces `result` into its own (small)
+    * cache while the bulky `intermediates` are still cached, then
+    * releases the intermediates — so repeated calls in a long-lived
+    * session don't accumulate cached shingle/signature tables. The
+    * returned frame is persisted and already materialized; the caller
+    * owns its lifetime (`.unpersist()` when done).
+    */
+  private[ext] def scopeCaches(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist()
+    out.count()
+    intermediates.foreach(_.unpersist(false))
+    out
+  }
+
   /** Exact dedup: one representative (min doc_id) per distinct text,
     * with the duplicate count. A single hash aggregation on the full
     * text; at scale, group on `xxhash64(text)` first and only compare
@@ -128,7 +142,7 @@ object Dedup {
     val interB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = cand.join(interA, "doc_a").join(interB, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
+    val result = inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
       .withColumn("jaccard", round(col("n_inter").cast("double") /
@@ -136,6 +150,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+    scopeCaches(result, sh)
   }
 
   /** 64-bit SimHash fingerprint per document: per-token xxhash64, each
@@ -176,7 +191,7 @@ object Dedup {
     val bands = fp.select(col("doc_id"), col("simhash"), posexplode(array(
       (0 until 4).map(i => shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
       .toDF("doc_id", "simhash", "band_idx", "band_val")
-    bands.as("x").join(bands.as("y"),
+    val result = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -185,5 +200,6 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+    scopeCaches(result, fp)
   }
 }

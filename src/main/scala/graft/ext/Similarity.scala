@@ -151,6 +151,7 @@ object Similarity {
               nList: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     val centroids = ivfCentroids(embeddings, nList, iters)
     val assigned = assignClusters(embeddings, centroids).cache()
+    // released via Dedup.scopeCaches before return (see result below)
     val emb = asDouble(col("embedding"))
     // each query's nProbe nearest centroid ids, exploded to (query, cluster)
     val probeScores = centroids.zipWithIndex.map { case (c, i) =>
@@ -167,16 +168,19 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", nativeCosine(embeddings, col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rnk", row_number().over(w))
+    val result = sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         round(col("sim"), 6).as("cosine_sim"))
       .orderBy("query_id", "rnk")
+    Dedup.scopeCaches(result, assigned)
   }
 
   /** Approximate cosine top-k via LSH buckets: candidates must share the
     * query's bucket. Same output shape as [[cosineTopK]]; recall < 1 by
-    * construction.
+    * construction. The returned frame is persisted and materialized
+    * (caller unpersists when done); the bucketed intermediate cache is
+    * released before return.
     */
   def lshTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
               numPlanes: Int = 8): DataFrame = {
@@ -191,10 +195,11 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", nativeCosine(embeddings, col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rnk", row_number().over(w))
+    val result = sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         round(col("sim"), 6).as("cosine_sim"))
       .orderBy("query_id", "rnk")
+    Dedup.scopeCaches(result, bucketed)
   }
 }

@@ -128,20 +128,21 @@ object TextOps {
     documents.select(col("doc_id"), md5(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
-  /** Rolling polynomial hash over whitespace tokens: fold over
-    * murmur3-hashed tokens, `acc = (acc * 31 + h(w)) mod 1e9+7` —
-    * modular so ANSI mode can't overflow. Stays in codegen via
-    * higher-order `aggregate`; no oracle twin (hash functions are
-    * engine-specific).
+  /** Rolling polynomial hash over the document's characters:
+    * `acc = (acc * 31 + codepoint) mod 1e9+7` — the classic Rabin-Karp
+    * fold, modular so ANSI mode can't overflow (acc*31 + 255 < 2^35).
+    * Stays in codegen via higher-order `aggregate`; engine-portable
+    * arithmetic (no murmur3), so DuckDB replicates it exactly with
+    * `string_split(text,'') + list_reduce` → full oracle twin.
     */
   def rollingHash(documents: DataFrame): DataFrame = {
     val m = lit(1000000007L)
     documents.select(
       col("doc_id"),
       aggregate(
-        transform(wsTokens(col("text")), w => pmod(hash(w).cast("long"), m)),
+        transform(split(col("text"), ""), c => ascii(c).cast("long")),
         lit(0L),
-        (acc, h) => pmod(acc * 31 + h, m)).as("rolling_hash"))
+        (acc, b) => pmod(acc * 31 + b, m)).as("rolling_hash"))
       .orderBy("doc_id")
   }
 }

@@ -70,25 +70,44 @@ object StreamingOps {
   /** Upsert sink: stream an update-mode aggregation into a parquet
     * target via `foreachBatch` — each micro-batch REPLACES the target
     * rows whose keys it contains (merge/upsert), so the target always
-    * holds the latest value per key. The target is materialized
-    * (`localCheckpoint`) before the overwrite since it is being read
-    * from the same path being written. This is the file-based upsert
+    * holds the latest value per key. This is the file-based upsert
     * pattern for sinks without native MERGE support.
+    *
+    * Crash safety: the merged table is written to a fresh staging
+    * directory next to the target, then swapped in with Hadoop
+    * FileSystem renames — the delete-then-rename window is the only
+    * non-atomic instant, and a crash inside it leaves the fully-written
+    * staging dir on disk for manual recovery (vs the naive overwrite,
+    * which loses the whole target if the job dies mid-write). All path
+    * checks go through the Hadoop FS API so the sink works on any
+    * supported filesystem, not just file://. On a system with true
+    * atomic namespace swaps (HDFS rename to a live path is atomic;
+    * object stores are not) this is exactly-once per micro-batch
+    * combined with the checkpointed batch id.
     */
   def upsertParquetSink(agg: DataFrame, targetPath: String, keyCols: Seq[String],
                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     agg.writeStream.outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val target = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = target.getFileSystem(hconf)
         val b = batch.localCheckpoint(true)
         val merged =
-          if (new java.io.File(targetPath).exists()) {
-            val target = spark.read.parquet(targetPath).localCheckpoint(true)
-            target.join(b.select(keyCols.map(batch(_)): _*), keyCols, "left_anti")
+          if (fs.exists(target)) {
+            val cur = spark.read.parquet(targetPath).localCheckpoint(true)
+            cur.join(b.select(keyCols.map(batch(_)): _*), keyCols, "left_anti")
               .unionByName(b)
           } else b
-        merged.write.mode("overwrite").parquet(targetPath)
+        val staging = new org.apache.hadoop.fs.Path(
+          target.getParent, s".${target.getName}.staging-$batchId")
+        fs.delete(staging, true)
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(target, true)
+        if (!fs.rename(staging, target))
+          throw new java.io.IOException(s"rename $staging -> $target failed")
         ()
       }
       .start()
@@ -129,7 +148,13 @@ object StreamingOps {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.end + gapMs)
+          // flatMapGroupsWithState does NOT drop input older than the
+          // watermark, so a very late event can put s.end + gapMs at or
+          // behind the current watermark — setTimeoutTimestamp throws on
+          // that and kills the query. Clamp strictly past the watermark:
+          // the stale session then times out on the next trigger.
+          state.setTimeoutTimestamp(
+            math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
         }
         closed.reverseIterator
       }

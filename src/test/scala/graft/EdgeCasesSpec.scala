@@ -38,6 +38,19 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("DIVIDE_BY_ZERO"))
   }
 
+  test("mismatched-length cosine: native and composed twins both yield NULL") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val d = Seq((0L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("id", "a", "b")
+    // native expression: explicit NULL on length mismatch
+    val native = d.select(graft.functions.GraftFunctions.cosine_sim(col("a"), col("b")))
+      .collect()(0)
+    assert(native.isNullAt(0), "native cosine must be NULL on mismatched lengths")
+    // composed twin: zip_with null-pads, the null product poisons the fold
+    val composed = d.select(graft.ext.Similarity.cosine(col("a"), col("b"))).collect()(0)
+    assert(composed.isNullAt(0), "composed cosine must be NULL on mismatched lengths")
+  }
+
   test("dedup operators on an empty corpus return empty, not errors") {
     val empty = docs()
     assert(graft.ext.Dedup.exactDedup(empty).collect().isEmpty)

@@ -47,7 +47,11 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       .digest("a b c".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(md === expected)
     val rh = TextOps.rollingHash(d).collect().map(_.getLong(1))
-    assert(rh(0) !== rh(1), "rolling hash must depend on token order")
+    assert(rh(0) !== rh(1), "rolling hash must depend on character order")
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+    assert(rh(0) === ref("a b c"), "must equal the Rabin-Karp reference fold")
+    assert(rh(1) === ref("c b a"))
   }
 
   test("textStats aggregates per language") {
