@@ -43,10 +43,31 @@ object MicroBench {
     val composedSimhash = time(graft.ext.Dedup.simhashComposed(docs).count())
     val nativeSimhash = time(graft.ext.Dedup.simhash(docs).count())
 
+    // top-k per key: window-function form (full sort per group) vs the
+    // custom partial/final heap operator, on orders fanned out ×40
+    // (sf0.1: ~6M rows, group size ×40) — the group-size regime where the
+    // map-side bound pays.
+    val bigOrders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rep", explode(sequence(lit(0), lit(39))))
+      .withColumn("o_orderkey", col("o_orderkey") * 100 + col("rep")).drop("rep")
+    bigOrders.cache().count()
+    val windowTopK = time {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      bigOrders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
+    }
+    val customTopK = time(
+      graft.plans.TopKPerKey(bigOrders, Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+        .count())
+    bigOrders.unpersist()
+
     println(
       s"""{"cosine_all_pairs":{"composed_hof_sec":$composedCosine,"native_expr_sec":$nativeCosine},""" +
       s""""minhash_signatures":{"composed_64col_sec":$composedMinhash,"native_sketch_sec":$nativeMinhash},""" +
       s""""simhash_fingerprints":{"composed_64col_sec":$composedSimhash,"native_sketch_sec":$nativeSimhash},""" +
+      s""""topk_per_key_6m":{"window_sec":$windowTopK,"custom_heap_sec":$customTopK},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -7,9 +7,30 @@ import org.apache.spark.sql.functions._
   * (join semantics preserved — each replica is a disjoint key space) to
   * exercise the heavy operators at sf1-equivalent volume on this
   * machine. Prints one JSON line of per-query seconds.
+  *
+  * Replication is an `explode(sequence(...))` fan-out (one scan, no
+  * N-way union) with shifted keys: equi-joins stay 1:1 per replica —
+  * naive duplication would square join outputs and measure the blowup,
+  * not the operator. Group-size growth (vs group-count growth) is
+  * covered separately by MicroBench's topk_per_key_6m kernel, which
+  * replicates WITHOUT shifting the grouping key.
+  *
   * Usage: StressBench [sfDir] [factor]
   */
 object StressBench {
+
+  val KEY_OFFSET = 100000000L
+
+  /** Fan out `df` ×n; columns in `keyCols` get a disjoint value range
+    * per replica (`+ rep * KEY_OFFSET`), everything else duplicates.
+    */
+  def replicate(df: DataFrame, n: Int, keyCols: Seq[String]): DataFrame = {
+    val rep = df.withColumn("__rep", explode(sequence(lit(0), lit(n - 1))))
+    keyCols.foldLeft(rep) { (d, c) =>
+      d.withColumn(c, d(c) + col("__rep").cast("long") * KEY_OFFSET)
+    }.drop("__rep")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -24,17 +45,11 @@ object StressBench {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000L).selectExpr("sum(id)").collect() // warmup
 
-    def replicate(df: DataFrame, keyCols: Seq[String], offset: Long): DataFrame =
-      (0 until factor).map { i =>
-        keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * offset)))
-      }.reduce(_ unionByName _)
-
-    val KEY_OFFSET = 100000000L
-    val li = replicate(Tables.lineitem(spark, sfDir), Seq("l_orderkey"), KEY_OFFSET)
-    val o = replicate(Tables.orders(spark, sfDir), Seq("o_orderkey", "o_custkey"), KEY_OFFSET)
-    val c = replicate(Tables.customer(spark, sfDir), Seq("c_custkey"), KEY_OFFSET)
-    val docs = replicate(Tables.documents(spark, sfDir), Seq("doc_id"), KEY_OFFSET)
-    val emb = replicate(Tables.embeddings(spark, sfDir), Seq("vec_id"), KEY_OFFSET)
+    val li = replicate(Tables.lineitem(spark, sfDir), factor, Seq("l_orderkey"))
+    val o = replicate(Tables.orders(spark, sfDir), factor, Seq("o_orderkey", "o_custkey"))
+    val c = replicate(Tables.customer(spark, sfDir), factor, Seq("c_custkey"))
+    val docs = replicate(Tables.documents(spark, sfDir), factor, Seq("doc_id"))
+    val emb = replicate(Tables.embeddings(spark, sfDir), factor, Seq("vec_id"))
 
     def time(name: String, f: => Long): (String, Double, Long) = {
       val t0 = System.nanoTime()
@@ -46,12 +61,18 @@ object StressBench {
       time("star_join", ops.Relational.starJoin(li, o, Tables.part(spark, sfDir),
         Tables.supplier(spark, sfDir), c, Tables.nation(spark, sfDir)).count()),
       time("groupby_sum", ops.Relational.groupBySum(li).count()),
+      time("equi_join", {
+        val orJ = o.select(col("o_orderkey"), col("o_orderstatus"))
+        li.join(orJ, li("l_orderkey") === orJ("o_orderkey"))
+          .agg(count(lit(1))).collect()(0).getLong(0)
+      }),
       time("window_topk", ops.Relational.windowTopK(o).count()),
       time("custom_topk", plans.TopKPerKey(o, Seq("o_custkey"), "o_totalprice",
         "o_orderkey", 3).count()),
       time("sessionize", ext.Events.sessionize(
-        replicate(Tables.events(spark, sfDir), Seq("event_id", "user_id"), KEY_OFFSET)).count()),
+        replicate(Tables.events(spark, sfDir), factor, Seq("event_id", "user_id"))).count()),
       time("minhash_neardup", ext.Dedup.minhashNearDup(docs).count()),
+      time("dedup_exact", ext.Dedup.exactDedup(docs).count()),
       time("cosine_topk", ext.Similarity.cosineTopK(emb).count()),
       time("hll_distinct", {
         li.agg(functions.HllSketch.hll_distinct(spark, col("l_partkey"))).collect()(0).getLong(0)

@@ -67,6 +67,27 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
     assert(zero.count() === 0)
   }
 
+  test("BoundedTopK heap equals reference sort on randomized streams") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 200) {
+      val k = 1 + rng.nextInt(6)
+      val n = rng.nextInt(50)
+      // small score range forces score ties → exercises the tie ordering
+      val items = Seq.fill(n)((rng.nextInt(5).toDouble, rng.nextLong()))
+      val heap = new BoundedTopK(k)
+      items.foreach { case (s, t) =>
+        val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(1)
+        val buf = new Array[Byte](32)
+        r.pointTo(buf, 32)
+        r.setLong(0, t)
+        heap.offer(s, t, r)
+      }
+      val got = heap.iterator.map(_.getLong(0)).toSet
+      val want = items.sortBy { case (s, t) => (-s, t) }.take(k).map(_._2).toSet
+      assert(got === want, s"trial $trial k=$k items=$items")
+    }
+  }
+
   test("multiple keys and empty input behave") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, Double)].toDF("k", "id", "score")
