@@ -148,11 +148,13 @@ object StreamingOps {
         }
         cur.foreach { s =>
           state.update(s)
-          // flatMapGroupsWithState does NOT drop input older than the
-          // watermark, so a very late event can put s.end + gapMs at or
-          // behind the current watermark — setTimeoutTimestamp throws on
-          // that and kills the query. Clamp strictly past the watermark:
-          // the stale session then times out on the next trigger.
+          // setTimeoutTimestamp throws (killing the query) if the
+          // timestamp is at/behind the current watermark. Spark 4.1
+          // filters late input rows upstream of this operator (pinned in
+          // StreamingOpsSpec via numRowsDroppedByWatermark), which makes
+          // s.end + gapMs > watermark for rows that get here — the clamp
+          // is defense-in-depth for versions/configs that deliver late
+          // rows through: the stale session then times out next trigger.
           state.setTimeoutTimestamp(
             math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
         }

@@ -64,6 +64,35 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a very late event is dropped by the watermark and the query survives") {
+    // Pins the observed Spark 4.1 contract: rows older than the watermark
+    // are filtered BEFORE flatMapGroupsWithState (visible as
+    // numRowsDroppedByWatermark), so they can neither corrupt session
+    // state nor produce a session. The timeout clamp in sessionize
+    // (max(end+gap, wm+1)) is defense-in-depth for engines/versions that
+    // deliver late rows through — setTimeoutTimestamp throws on a
+    // timestamp at/behind the watermark and would kill the query.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(spark, input.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("sess_late_out").start()
+    try {
+      // advance the watermark far ahead (10-min delay => wm ~ 09:50)
+      input.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // VERY late event for a fresh key: hours behind the watermark
+      input.addData(Event(2, ts("2024-01-01 00:00:00"), 99, "click", 5.0))
+      q.processAllAvailable()
+      assert(q.isActive, "query must survive the late event")
+      val dropped = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped === 1L, "the late row must be dropped by the watermark")
+      assert(spark.sql("SELECT * FROM sess_late_out WHERE user_id = 99").collect().isEmpty,
+        "a dropped row must not produce a session")
+    } finally q.stop()
+  }
+
   test("dedupStream: duplicate event ids across batches emit once") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
@@ -157,6 +186,10 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       assert(rows === Set(
         ("2024-01-01 00:00:00", "click", 3L), // upserted: 2 → 3
         ("2024-01-01 01:00:00", "view", 1L)))
+      // the staged-rename swap must leave no staging directories behind
+      val leftovers = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.contains(".staging-"))
+      assert(leftovers.isEmpty, s"staging dirs left behind: ${leftovers.mkString(",")}")
     } finally q.stop()
   }
 
