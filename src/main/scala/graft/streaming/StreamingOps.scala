@@ -112,6 +112,28 @@ object StreamingOps {
       }
       .start()
 
+  /** Watermarked tumbling windows with APPROXIMATE distinct users per
+    * window via the graft HLL sketch ([[graft.functions.HllSketch]], a
+    * TypedImperativeAggregate): the sketch's partial buffers merge under
+    * Spark's incremental state-store aggregation exactly like sum/count
+    * partials, so an unbounded stream gets distinct counts in O(2^p)
+    * state per window instead of one state row per distinct user — the
+    * only shape that survives billions of distinct keys per day.
+    * Batch twin: the same expression over the same data (equality tested
+    * in StreamingOpsSpec).
+    */
+  def windowedDistinctUsers(events: DataFrame, watermark: String = "10 minutes",
+                            p: Int = 14): DataFrame = {
+    val spark = events.sparkSession
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.HllSketch.hll_distinct(spark, col("user_id"), p)
+        .as("approx_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("approx_users"))
+  }
+
   /** Stateful gap sessionization: per-user sessions close when no event
     * arrives within `gapMinutes` of the last one (decided by event-time
     * timeout against the watermark, so late data within the watermark

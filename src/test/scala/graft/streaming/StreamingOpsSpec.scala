@@ -93,6 +93,40 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinctUsers: HLL sketch aggregates incrementally and equals the batch twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = windowedDistinctUsers(input.toDF()).writeStream
+      .outputMode("update").format("memory").queryName("hll_out").start()
+    try {
+      // users 1,2 in batch one; user 2 again (dup) + user 3 in batch two —
+      // the sketch state must merge across batches, not restart
+      input.addData(
+        Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:20:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(3, ts("2024-01-01 00:30:00"), 2, "click", 1.0),
+        Event(4, ts("2024-01-01 00:40:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      val streaming = spark.sql(
+        "SELECT window_start, event_type, approx_users FROM hll_out ORDER BY window_start")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(streaming.last === ("2024-01-01 00:00:00.0", "click", 3L))
+      // batch twin over the same rows produces the identical estimate
+      val batchDf = Seq(
+        (1L, ts("2024-01-01 00:10:00"), 1L), (2L, ts("2024-01-01 00:20:00"), 2L),
+        (3L, ts("2024-01-01 00:30:00"), 2L), (4L, ts("2024-01-01 00:40:00"), 3L))
+        .toDF("event_id", "ts", "user_id")
+        .withColumn("event_type", org.apache.spark.sql.functions.lit("click"))
+        .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+      val batch = windowedDistinctUsers(batchDf)
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(batch === Set(("2024-01-01 00:00:00.0", "click", 3L)))
+    } finally q.stop()
+  }
+
   test("dedupStream: duplicate event ids across batches emit once") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
