@@ -88,6 +88,7 @@ object SparkEntry {
     "q_quality_score" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "q_fingerprint_md5" -> ((s, d) => TextOps.fingerprintMd5(Tables.documents(s, d))),
     "q_rolling_hash" -> ((s, d) => TextOps.rollingHash(Tables.documents(s, d))),
+    "q_repetition_ratio" -> ((s, d) => TextOps.repetitionRatio(Tables.documents(s, d))),
     // §2.10: dedup family
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_hash_sample" -> ((s, d) => DataPrep.hashSample(Tables.documents(s, d))),
@@ -488,6 +489,21 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies, min(n_chars) AS n_chars
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_repetition_ratio" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(len(l) AS INTEGER) AS n_tokens,
+        |    CASE WHEN len(l) >= 3
+        |      THEN list_transform(range(1, len(l) - 1), i -> array_to_string(l[i:i+2], ' '))
+        |      ELSE CAST([] AS VARCHAR[]) END AS grams
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(len(grams) AS INTEGER) AS n_ngrams,
+        |  CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+        |  CASE WHEN len(grams) > 0
+        |    THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+        |  END AS dup_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH ds AS (
         |  SELECT doc_id, text,

@@ -128,6 +128,31 @@ object TextOps {
     documents.select(col("doc_id"), md5(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Duplicate-n-gram repetition ratio (the Gopher/C4-style quality
+    * rule: heavily repetitive documents are low-quality training data):
+    * per document, the fraction of word n-grams that are repeats of an
+    * earlier n-gram — `1 - distinct/total`. Single-pass projection over
+    * codegen'd array built-ins; integer counts + one rounded division
+    * keep it engine-exact for the DuckDB oracle. Documents with fewer
+    * than `n` tokens have no n-grams → NULL ratio.
+    */
+  def repetitionRatio(documents: DataFrame, n: Int = 3): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    documents.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(grams).as("n_ngrams"),
+      size(array_distinct(grams)).as("n_distinct"))
+      .withColumn("dup_ratio",
+        when(col("n_ngrams") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 6)))
+      .orderBy("doc_id")
+  }
+
   /** Rolling polynomial hash over the document's characters:
     * `acc = (acc * 31 + codepoint) mod 1e9+7` — the classic Rabin-Karp
     * fold, modular so ANSI mode can't overflow (acc*31 + 255 < 2^35).

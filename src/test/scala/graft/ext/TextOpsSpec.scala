@@ -54,6 +54,22 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rh(1) === ref("c b a"))
   }
 
+  test("repetitionRatio: exact duplicate-trigram fraction; short docs yield NULL") {
+    // "a b a b a b" → trigrams: (a b a),(b a b),(a b a),(b a b) → 4 total, 2 distinct
+    val d = docs((1L, "a b a b a b", "en"), (2L, "x y", "en"), (3L, "p q r", "en"))
+    val rows = TextOps.repetitionRatio(d).collect()
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[Int]("n_ngrams") === 4)
+    assert(r1.getAs[Int]("n_distinct") === 2)
+    assert(r1.getAs[Double]("dup_ratio") === 0.5)
+    val r2 = rows.find(_.getLong(0) == 2L).get // 2 tokens < n → no grams
+    assert(r2.getAs[Int]("n_ngrams") === 0)
+    assert(r2.isNullAt(r2.fieldIndex("dup_ratio")))
+    val r3 = rows.find(_.getLong(0) == 3L).get // exactly one trigram, no repeats
+    assert(r3.getAs[Int]("n_ngrams") === 1)
+    assert(r3.getAs[Double]("dup_ratio") === 0.0)
+  }
+
   test("textStats aggregates per language") {
     val d = docs((1L, "one two", "en"), (2L, "three four five", "en"), (3L, "six", "fr"))
     val rows = TextOps.textStats(d).collect()
