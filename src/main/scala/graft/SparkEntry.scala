@@ -95,6 +95,7 @@ object SparkEntry {
     "q_dataset_split" -> ((s, d) => DataPrep.datasetSplit(Tables.documents(s, d))),
     "q_sequence_packing" -> ((s, d) => DataPrep.sequencePacking(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) => DataPrep.decontaminate(Tables.documents(s, d))),
+    "q_decontaminate_bloom" -> ((s, d) => DataPrep.decontaminateBloom(Tables.documents(s, d))),
     "q_source_mixture" -> ((s, d) => DataPrep.sourceMixture(Tables.documents(s, d),
       Map("src0" -> "ff", "src1" -> "20"))),
     "q_length_histogram" -> ((s, d) => DataPrep.lengthHistogram(Tables.documents(s, d))),
@@ -505,6 +506,23 @@ object SparkEntry {
         |  END AS dup_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
+      """WITH ds AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train' ELSE 'eval' END AS split
+        |  FROM documents),
+        |toks AS (SELECT doc_id, split, string_split(text, ' ') AS l FROM ds),
+        |sh AS (
+        |  SELECT doc_id, split, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |    i -> array_to_string(l[i:i+4], ' ')))) AS shingle
+        |  FROM toks WHERE len(l) >= 5)
+        |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS n_shared
+        |FROM sh t JOIN sh e ON t.shingle = e.shingle
+        |WHERE t.split = 'train' AND e.split = 'eval'
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY train_doc, eval_doc""".stripMargin,
+    // identical output contract to q_decontaminate: the bloom pre-filter
+    // only prunes shuffle input; false positives die in the exact join
+    "q_decontaminate_bloom" ->
       """WITH ds AS (
         |  SELECT doc_id, text,
         |    CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train' ELSE 'eval' END AS split

@@ -107,6 +107,40 @@ object DataPrep {
       .orderBy("train_doc", "eval_doc")
   }
 
+  /** Bloom-pre-filtered decontamination — the 100 TB shape of
+    * [[decontaminate]]. The eval split's shingles are tiny next to the
+    * training corpus, so build a Bloom filter over them (distributed
+    * aggregation; only the fixed-size bit array reaches the driver),
+    * broadcast it, and drop non-matching train shingles BEFORE the
+    * shuffle — the train shingle table shrinks by the filter's
+    * selectivity before any exchange. False positives only admit extra
+    * candidates into the exact equi-join, so the output is identical to
+    * the exact form (equivalence-tested in DataPrepSpec).
+    */
+  def decontaminateBloom(documents: DataFrame, k: Int = 5, minShared: Int = 3,
+                         fpp: Double = 0.01): DataFrame = {
+    val withSplit = documents.withColumn("split",
+      when(hashBucket(col("text")) < "cc", "train").otherwise("eval"))
+    val sh = Dedup.shingles(withSplit.select(col("doc_id"), col("text")), k)
+      .join(withSplit.select(col("doc_id"), col("split")), "doc_id")
+    val eval_ = sh.filter(col("split") === "eval")
+      .select(col("doc_id").as("eval_doc"), col("shingle"))
+    val evalShingles = eval_.select("shingle").distinct()
+    val expected = math.max(evalShingles.count(), 1L)
+    val bloom = evalShingles.stat.bloomFilter("shingle", expected, fpp)
+    val spark = documents.sparkSession
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightMatch = udf((s: String) => s != null && bloomBc.value.mightContain(s))
+    val train = sh.filter(col("split") === "train")
+      .filter(mightMatch(col("shingle"))) // map-side prune, pre-shuffle
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    train.join(eval_, "shingle")
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("train_doc", "eval_doc")
+  }
+
   /** Sequence packing: fill fixed token budgets (context windows) with
     * documents in deterministic (lang, doc_id) order — pack id = running
     * token total `div` budget. One window cumsum per lang partition; at

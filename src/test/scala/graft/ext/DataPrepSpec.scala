@@ -30,6 +30,17 @@ class DataPrepSpec extends AnyFunSuite with SparkSpec {
     assert(bySplit.keySet === Set("train", "val", "test"))
   }
 
+  test("bloom-pre-filtered decontamination equals the exact form") {
+    val docs = graft.Tables.documents(spark, sf)
+    val exact = DataPrep.decontaminate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = DataPrep.decontaminateBloom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloom === exact,
+      "bloom false positives must be eliminated by the exact join")
+    assert(exact.nonEmpty, "fixture must actually contain leaked pairs")
+  }
+
   test("sequence packing: packs respect order, cover every doc, budget boundaries") {
     val d = Tables.documents(spark, sf)
     val packs = DataPrep.sequencePacking(d, tokenBudget = 500).collect()
