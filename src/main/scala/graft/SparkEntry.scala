@@ -100,6 +100,7 @@ object SparkEntry {
       Map("src0" -> "ff", "src1" -> "20"))),
     "q_length_histogram" -> ((s, d) => DataPrep.lengthHistogram(Tables.documents(s, d))),
     "q_profile" -> ((s, d) => Relational.profileOrders(Tables.orders(s, d))),
+    "q_approx_profile" -> ((s, d) => Relational.approxProfile(Tables.lineitem(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "q_minhash_neardup" -> ((s, d) => Dedup.minhashNearDup(Tables.documents(s, d))),
     "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),

@@ -225,6 +225,25 @@ object Relational {
       date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"))
   }
 
+  /** The 100 TB profiling form the exact sweeps' scaladocs point at:
+    * approx_count_distinct (HLL++) and approx_percentile (mergeable
+    * quantile summaries) fuse into ONE single-pass hash aggregate — no
+    * Expand rewrite, no per-group sort, state size independent of
+    * cardinality. Approximate by construction → rows-only driver check;
+    * the error envelopes vs the exact twins are pinned in
+    * RelationalSpec.
+    */
+  def approxProfile(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_suppkey")).as("approx_suppliers"),
+      round(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)), 4)
+        .as("approx_median_qty"),
+      round(percentile_approx(col("l_quantity"), lit(0.9), lit(10000)), 4)
+        .as("approx_p90_qty"))
+      .orderBy("l_returnflag")
+
   /** Exact percentiles (linear interpolation — same definition as
     * DuckDB's quantile_cont) per group. Exact percentile sorts the
     * group; at 100 TB swap in approx_percentile with a bounded error.

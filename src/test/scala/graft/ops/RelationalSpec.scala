@@ -69,6 +69,32 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(withItems + withoutItems === o.count())
   }
 
+  test("approxProfile: estimates stay inside the sketch error envelopes of the exact twins") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf)
+    val approx = Relational.approxProfile(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exactDistinct = Relational.countDistinct(li).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_parts")).toMap
+    val exactPct = Relational.percentiles(li).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("median_qty")).toMap
+    exactDistinct.foreach { case (flag, exact) =>
+      val est = approx(flag).getAs[Long]("approx_parts")
+      assert(math.abs(est - exact).toDouble / exact < 0.05,
+        s"HLL++ estimate $est vs exact $exact for $flag outside 5%")
+    }
+    exactPct.foreach { case (flag, exact) =>
+      val est = approx(flag).getAs[Double]("approx_median_qty")
+      // quantities are 1..50: accuracy 10000 on ≤60k rows pins the
+      // approximate median within one value step of the interpolated one
+      assert(math.abs(est - exact) <= 1.0,
+        s"approx median $est vs exact $exact for $flag")
+    }
+    // single-pass shape: no Expand (the exact count-distinct rewrite)
+    val plan = Relational.approxProfile(li).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
+  }
+
   test("rollup emits group rows + per-flag subtotals + grand total") {
     val n = Tables.lineitem(spark, sf).select("l_returnflag", "l_linestatus").distinct().count()
     val flags = Tables.lineitem(spark, sf).select("l_returnflag").distinct().count()
