@@ -32,6 +32,27 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
       s"expected partition filter in:\n$plan")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // the 100 TB star-schema read path: the fact is partitioned on a key
+    // the query only constrains THROUGH a dimension filter — DPP turns
+    // the dim's broadcast result into a runtime partition filter on the
+    // fact scan, so unmatched partitions are never read
+    val dir = tmp("dpp")
+    val orders = Tables.orders(spark, sf)
+      .withColumn("order_year", org.apache.spark.sql.functions.year(col("o_orderdate")))
+    Formats.write(orders, s"$dir/fact", "parquet", Seq("order_year"))
+    val years = orders.select("order_year").distinct()
+      .withColumn("label", concat(lit("y"), col("order_year")))
+    Formats.write(years, s"$dir/dim", "parquet")
+    val fact = Formats.read(spark, s"$dir/fact", "parquet")
+    val dim = Formats.read(spark, s"$dir/dim", "parquet").filter(col("label") === "y1995")
+    val q = fact.join(dim, "order_year")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic pruning filter on the fact scan:\n$plan")
+    assert(q.count() === orders.filter(col("order_year") === 1995).count())
+  }
+
   test("schema evolution: mergeSchema unions columns across parquet generations") {
     import spark.implicits._
     val path = tmp("evolve")
