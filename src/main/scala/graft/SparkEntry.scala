@@ -103,6 +103,15 @@ object SparkEntry {
     "q_approx_profile" -> ((s, d) => Relational.approxProfile(Tables.lineitem(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "q_minhash_neardup" -> ((s, d) => Dedup.minhashNearDup(Tables.documents(s, d))),
+    "q_incremental_neardup" -> ((s, d) => {
+      // daily-ingest shape: docs < 250 are the already-ingested corpus
+      // (only their STORED signatures are used), the rest are the new batch
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val storedSigs = Dedup.minhashSignatures(
+        Dedup.shingles(docs.filter(col("doc_id") < 250)))
+      Dedup.incrementalMinhashNearDup(docs.filter(col("doc_id") >= 250), storedSigs)
+    }),
     "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     // §2.10: similarity search
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),

@@ -153,6 +153,55 @@ object Dedup {
     scopeCaches(result, sh)
   }
 
+  /** Estimated Jaccard from two MinHash signatures: the fraction of
+    * equal components (the unbiased MinHash estimator).
+    */
+  def sigJaccard(a: Column, b: Column, numHashes: Int): Column =
+    round(aggregate(zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v).cast("double") / numHashes, 6)
+
+  /** Incremental near-dup — the daily-ingest shape: dedup a NEW batch of
+    * documents against an already-ingested corpus using only the
+    * corpus's STORED MinHash signatures (written once per batch by
+    * [[minhashSignatures]], reused forever — the corpus text is never
+    * re-shingled or re-read). Candidate pairs come from LSH band-bucket
+    * joins and must involve ≥ 1 new document (stored×stored pairs were
+    * reported when those batches were ingested); pair similarity is the
+    * signature-estimated Jaccard (fraction of equal minhash components),
+    * the standard trade-off for not re-reading corpus text. Emits
+    * (doc_a, doc_b, est_jaccard, is_cross) with est ≥ `threshold`;
+    * `is_cross` marks new-vs-stored pairs (true duplicates of existing
+    * corpus content → drop the new copy) vs new-vs-new.
+    */
+  def incrementalMinhashNearDup(newDocs: DataFrame, storedSigs: DataFrame,
+                                k: Int = 5, numHashes: Int = 64, numBands: Int = 16,
+                                threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val newSigs = minhashSignatures(shingles(newDocs, k), numHashes)
+    val all = storedSigs.select(col("doc_id"), col("sig"), lit(false).as("is_new"))
+      .unionByName(newSigs.select(col("doc_id"), col("sig"), lit(true).as("is_new")))
+    val bandCols = (0 until numBands).map { bnd =>
+      val parts = (0 until rowsPerBand).map(r => col("sig").getItem(bnd * rowsPerBand + r))
+      xxhash64(lit(bnd) +: parts: _*)
+    }
+    val banded = all.select(col("doc_id"), col("sig"), col("is_new"),
+      posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "sig", "is_new", "band_idx", "band_hash")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        (col("x.is_new") || col("y.is_new")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"),
+        (col("x.is_new") =!= col("y.is_new")).as("is_cross"))
+      .distinct()
+    cand.withColumn("est_jaccard", sigJaccard(col("sig_a"), col("sig_b"), numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard", "is_cross")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** 64-bit SimHash fingerprint per document: per-token xxhash64, each
     * bit votes ±1, fingerprint bit = sign of the vote sum. One shuffle
     * (groupBy doc_id) through the native single-buffer sketch aggregate

@@ -43,6 +43,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
+  test("incrementalMinhashNearDup: new batch dedups against stored signatures only") {
+    import org.apache.spark.sql.functions.col
+    val corpus = docs(1L -> base, 2L -> other)
+    val storedSigs = Dedup.minhashSignatures(Dedup.shingles(corpus))
+      .localCheckpoint(true) // simulate signatures read back from storage
+    // new batch: 10 = exact dup of stored doc 1; 11 = near-dup of 10 (new×new); 12 = fresh
+    val newBatch = docs(10L -> base, 11L -> nearDup,
+      12L -> "entirely novel content with no overlap to anything ingested before now")
+    val rows = Dedup.incrementalMinhashNearDup(newBatch, storedSigs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(rows.contains((1L, 10L)), s"cross dup not found: ${rows.keySet}")
+    assert(rows((1L, 10L))._1 === 1.0, "identical text must estimate 1.0")
+    assert(rows((1L, 10L))._2 === true, "pair with stored doc must be cross")
+    assert(rows.contains((10L, 11L)) && rows((10L, 11L))._2 === false,
+      "new-vs-new near-dup must be found and marked not cross")
+    assert(!rows.keySet.exists { case (a, b) => a == 12L || b == 12L },
+      "fresh content must not pair")
+    assert(!rows.keySet.exists { case (a, b) => a == 2L && b < 10L },
+      "stored-vs-stored pairs are not re-reported")
+  }
+
   test("minhash agrees with exact ngram jaccard on the real testdata corpus") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Dedup.ngramJaccard(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
