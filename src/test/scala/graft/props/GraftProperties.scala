@@ -35,6 +35,44 @@ object TopKProperties extends Properties("TopKPerKey") with SparkSpec {
     }
 }
 
+object TextProperties extends Properties("TextOps") with SparkSpec {
+
+  // printable-ASCII word soup with a tiny vocabulary → repeats guaranteed
+  val textGen: Gen[String] = Gen.listOf(
+    Gen.oneOf("alpha", "beta", "gamma", "x1!", "y?")).map(_.mkString(" "))
+
+  property("rollingHash equals the Rabin-Karp reference fold") =
+    forAll(Gen.listOf(textGen)) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      def ref(s: String): Long =
+        s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+      val got = graft.ext.TextOps.rollingHash(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Prop(texts.zipWithIndex.forall { case (t, i) => got(i.toLong) == ref(t) })
+    }
+
+  property("repetitionRatio is in [0,1], NULL iff fewer than n tokens") =
+    forAll(Gen.listOf(textGen)) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val rows = graft.ext.TextOps.repetitionRatio(df).collect()
+      Prop(rows.forall { r =>
+        val nTokens = r.getInt(1); val nGrams = r.getInt(2)
+        val isNull = r.isNullAt(r.fieldIndex("dup_ratio"))
+        val bounds = isNull || {
+          val v = r.getDouble(r.fieldIndex("dup_ratio")); v >= 0.0 && v <= 1.0
+        }
+        val nullRule = isNull == (nTokens < 3) && (nGrams == 0) == (nTokens < 3)
+        bounds && nullRule
+      })
+    }
+}
+
 object DateProperties extends Properties("Dates") with SparkSpec {
 
   property("builtin and UDF SAS-date forms agree incl. null/zero") =
