@@ -126,13 +126,17 @@ object DataPrep {
     val eval_ = sh.filter(col("split") === "eval")
       .select(col("doc_id").as("eval_doc"), col("shingle"))
     val evalShingles = eval_.select("shingle").distinct()
-    val expected = math.max(evalShingles.count(), 1L)
-    val bloom = evalShingles.stat.bloomFilter("shingle", expected, fpp)
-    val spark = documents.sparkSession
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightMatch = udf((s: String) => s != null && bloomBc.value.mightContain(s))
-    val train = sh.filter(col("split") === "train")
-      .filter(mightMatch(col("shingle"))) // map-side prune, pre-shuffle
+    val expected = evalShingles.count()
+    val train0 = sh.filter(col("split") === "train")
+    // stat.bloomFilter NPEs on an empty column (no partial to merge), and
+    // with an empty eval side the join is empty anyway — skip the filter
+    val train = (if (expected == 0) train0
+      else {
+        val bloom = evalShingles.stat.bloomFilter("shingle", expected, fpp)
+        val bloomBc = documents.sparkSession.sparkContext.broadcast(bloom)
+        val mightMatch = udf((s: String) => s != null && bloomBc.value.mightContain(s))
+        train0.filter(mightMatch(col("shingle"))) // map-side prune, pre-shuffle
+      })
       .select(col("doc_id").as("train_doc"), col("shingle"))
     train.join(eval_, "shingle")
       .groupBy("train_doc", "eval_doc")

@@ -83,6 +83,27 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(packs(0).getAs[Long]("pack_tokens") === 100)
   }
 
+  test("round-2 operators on empty/degenerate input return empty or NULL, not errors") {
+    import org.apache.spark.sql.functions.col
+    val empty = docs()
+    assert(graft.ext.TextOps.repetitionRatio(empty).collect().isEmpty)
+    assert(graft.ext.TextOps.rollingHash(empty).collect().isEmpty)
+    assert(graft.ext.DataPrep.decontaminateBloom(empty).collect().isEmpty)
+    assert(graft.ops.Relational.approxProfile(
+      graft.Tables.lineitem(spark, "/root/testdata/sf0.001").limit(0)).collect().isEmpty)
+    // incremental dedup: empty new batch → nothing; empty store → only new×new
+    val corpusSigs = graft.ext.Dedup.minhashSignatures(
+      graft.ext.Dedup.shingles(docs((1L, "the quick brown fox jumps over the lazy dog"))))
+    assert(graft.ext.Dedup.incrementalMinhashNearDup(empty, corpusSigs).collect().isEmpty)
+    val emptySigs = corpusSigs.limit(0)
+    val twice = docs(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog"))
+    val newOnly = graft.ext.Dedup.incrementalMinhashNearDup(twice, emptySigs).collect()
+    assert(newOnly.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((10L, 11L)))
+    assert(newOnly.forall(!_.getBoolean(3)), "no stored side → nothing is cross")
+  }
+
   test("hll on empty input estimates 0") {
     import spark.implicits._
     val empty = Seq.empty[Long].toDF("v")
