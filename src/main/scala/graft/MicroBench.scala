@@ -13,6 +13,7 @@ object MicroBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -63,11 +64,36 @@ object MicroBench {
         .count())
     bigOrders.unpersist()
 
+    // columnar tier: single-query scan-scoring, fused ColumnarBatch
+    // consumer vs ColumnarToRow + codegen expression, on embeddings
+    // fanned out ×40 to parquet (~2M rows) so the scan itself dominates.
+    // Written to disk because the fusion point IS the batched file scan.
+    val bigPath = java.nio.file.Files.createTempDirectory("graft_mb_emb").toString + "/emb"
+    Tables.embeddings(spark, sfDir)
+      .withColumn("rep", explode(sequence(lit(0), lit(39))))
+      .withColumn("vec_id", col("vec_id") * 100 + col("rep")).drop("rep")
+      .write.mode("overwrite").parquet(bigPath)
+    val bigEmb = spark.read.parquet(bigPath)
+    val qv = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+    def exprScore(): Long = bigEmb.select(
+        graft.ext.Similarity.nativeCosine(bigEmb,
+          col("embedding").cast("array<double>"),
+          array(qv.map(lit).toIndexedSeq: _*)).as("s"))
+      .filter(col("s") > 2).count() // filter > 2: force full compute, no rows out
+    def fusedScore(): Long = graft.plans.VectorizedCosine.score(bigEmb, qv)
+      .filter(col("cosine_sim") > 2).count()
+    exprScore(); fusedScore() // warmup both paths
+    val exprSec = (1 to 3).map(_ => time(exprScore())).min
+    val fusedSec = (1 to 3).map(_ => time(fusedScore())).min
+
     println(
       s"""{"cosine_all_pairs":{"composed_hof_sec":$composedCosine,"native_expr_sec":$nativeCosine},""" +
       s""""minhash_signatures":{"composed_64col_sec":$composedMinhash,"native_sketch_sec":$nativeMinhash},""" +
       s""""simhash_fingerprints":{"composed_64col_sec":$composedSimhash,"native_sketch_sec":$nativeSimhash},""" +
       s""""topk_per_key_6m":{"window_sec":$windowTopK,"custom_heap_sec":$customTopK},""" +
+      s""""scan_score_2m":{"columnar_to_row_expr_sec":$exprSec,"fused_columnar_sec":$fusedSec},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

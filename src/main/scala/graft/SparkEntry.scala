@@ -118,6 +118,17 @@ object SparkEntry {
     "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
     "q_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    "q_vectorized_cosine" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, round}
+      val emb = Tables.embeddings(s, d)
+      // driver-side fetch of ONE query vector (k×dim-scale, like IVF centroids)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect()(0).getSeq[Double](0).toArray
+      graft.plans.VectorizedCosine.score(emb, q)
+        .select(col("neighbor_id"), round(col("cosine_sim"), 6).as("cosine_sim"))
+        .orderBy("neighbor_id")
+    }),
     // §2.10: multimodal binary plumbing
     "q_multimodal_binary" -> ((s, d) => Multimodal.binaryStats(Tables.documents(s, d))),
     "q_multimodal_frames" -> ((s, d) => {
@@ -629,6 +640,15 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, rnk, neighbor_id, round(sim, 6) AS cosine_sim
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // same arithmetic whether the columnar-fused exec or the row
+    // fallback runs (plan-shape-independent, tested) — so it can be
+    // oracle-matched even though it is a custom physical operator
+    "q_vectorized_cosine" ->
+      """SELECT e.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+        |    AS cosine_sim
+        |FROM embeddings e ORDER BY neighbor_id""".stripMargin,
     "q_multimodal_binary" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -133,6 +133,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => HllSketch(exprs(0),
         if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 14)))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.VectorizedCosineStrategy)
     e.injectOptimizerRule(_ => graft.plans.CollapseTopK)
+    // columnar tier: fuse CosineScoreExec into the batched scan. Builder-
+    // time only — Spark has no runtime hook for columnar rules.
+    e.injectColumnar(_ => new graft.plans.VectorizedCosineRule)
   }
 }
