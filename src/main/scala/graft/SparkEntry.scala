@@ -38,6 +38,8 @@ object SparkEntry {
     "q_sas_date_udf" -> ((s, d) => Dates.sasDateConvert(Tables.lineitem(s, d), useUdf = true)),
     "q_window_topk" -> ((s, d) => Relational.windowTopK(Tables.orders(s, d))),
     "q_window_pack" -> ((s, d) => Relational.windowPack(Tables.orders(s, d))),
+    "q_window_frames" -> ((s, d) => Relational.windowFrames(Tables.orders(s, d))),
+    "q_array_pack" -> ((s, d) => Relational.arrayPack(Tables.part(s, d))),
     "q_string_pack" -> ((s, d) => Relational.stringPack(Tables.part(s, d))),
     "q_conditional_pack" -> ((s, d) => Relational.conditionalPack(Tables.customer(s, d))),
     "q_custom_topk" -> ((s, d) => {
@@ -259,6 +261,33 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY customer_key, order_key""".stripMargin,
+    "q_window_frames" ->
+      """SELECT o_custkey AS customer_key, o_orderkey AS order_key,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER run AS DOUBLE), 2)
+        |    AS running_total,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER m3 AS DOUBLE), 2)
+        |    AS moving_sum3,
+        |  COUNT(*) OVER m3 AS n_in_frame,
+        |  round(MAX(o_totalprice) OVER ahead, 2) AS max_next2
+        |FROM orders
+        |WINDOW
+        |  run AS (PARTITION BY o_custkey ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING),
+        |  m3 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |  ahead AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING)
+        |ORDER BY order_key""".stripMargin,
+    "q_array_pack" ->
+      """WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS l FROM part)
+        |SELECT p_partkey AS part_key,
+        |  CAST(len(l) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(l, x -> len(x) > 4)) AS INTEGER) AS n_long_tokens,
+        |  len(list_filter(l, x -> len(x) <= 3)) > 0 AS has_short,
+        |  len(list_filter(l, x -> len(x) < 2)) = 0 AS all_ge2,
+        |  list_sort(l)[1] AS first_sorted,
+        |  array_to_string(list_sort(l)[1:3], '-') AS sorted_head3,
+        |  CAST(list_sum(list_transform(l, x -> len(x))) AS INTEGER) AS sum_token_lens
+        |FROM t ORDER BY part_key""".stripMargin,
     "q_string_pack" ->
       """SELECT p_partkey AS part_key,
         |  concat_ws('|', p_brand, p_type) AS brand_type,

@@ -363,6 +363,45 @@ object Relational {
     ).orderBy("customer_key", "order_key")
   }
 
+  /** ROWS-frame window pack: running totals and bounded sliding frames
+    * (2-preceding / 1-following) — the moving-aggregate surface. One
+    * shared partition+sort, decimal-exact sums inside the frames.
+    */
+  def windowFrames(orders: DataFrame): DataFrame = {
+    val base = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m3 = base.rowsBetween(-2, 0)
+    val ahead = base.rowsBetween(0, 1)
+    val dec = col("o_totalprice").cast("decimal(18,2)")
+    orders.select(
+      col("o_custkey").as("customer_key"),
+      col("o_orderkey").as("order_key"),
+      round(sum(dec).over(run).cast("double"), 2).as("running_total"),
+      round(sum(dec).over(m3).cast("double"), 2).as("moving_sum3"),
+      count(lit(1)).over(m3).as("n_in_frame"),
+      round(max(col("o_totalprice")).over(ahead), 2).as("max_next2"))
+      .orderBy("order_key")
+  }
+
+  /** Higher-order array-function pack over tokenized names: transform /
+    * filter / exists / forall / sort / slice / fold — the list-algebra
+    * surface (all codegen'd built-ins, engine-portable → oracle).
+    */
+  def arrayPack(part: DataFrame): DataFrame = {
+    val toks = split(col("p_name"), " ")
+    part.select(
+      col("p_partkey").as("part_key"),
+      size(toks).as("n_tokens"),
+      size(filter(toks, t => length(t) > 4)).as("n_long_tokens"),
+      exists(toks, t => length(t) <= 3).as("has_short"),
+      forall(toks, t => length(t) >= 2).as("all_ge2"),
+      get(sort_array(toks), lit(0)).as("first_sorted"),
+      array_join(slice(sort_array(toks), 1, 3), "-").as("sorted_head3"),
+      aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b)
+        .as("sum_token_lens"))
+      .orderBy("part_key")
+  }
+
   /** String-function pack incl. edit distance (the fuzzy-matching
     * primitive for entity resolution at scale).
     */
