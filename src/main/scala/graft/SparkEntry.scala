@@ -51,6 +51,8 @@ object SparkEntry {
         .orderBy("customer_key", "order_key")
     }),
     "q_rollup" -> ((s, d) => Relational.rollupAgg(Tables.lineitem(s, d))),
+    "q_grouping_sets" -> ((s, d) => Relational.groupingSets(Tables.lineitem(s, d))),
+    "q_unpivot" -> ((s, d) => Relational.unpivotPart(Tables.part(s, d))),
     "q_cube" -> ((s, d) => Relational.cubeAgg(Tables.lineitem(s, d))),
     "q_count_distinct" -> ((s, d) => Relational.countDistinct(Tables.lineitem(s, d))),
     "q_hll_distinct" -> ((s, d) => {
@@ -321,6 +323,21 @@ object SparkEntry {
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    // Spark grouping_id bit order: first group-by column = most
+    // significant bit → DuckDB twin is 2*GROUPING(flag) + GROUPING(status)
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(2*GROUPING(l_returnflag) + GROUPING(l_linestatus) AS INTEGER) AS gid,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_unpivot" ->
+      """SELECT part_key, attribute, round(value, 2) AS value FROM (
+        |  UNPIVOT (SELECT p_partkey AS part_key, CAST(p_size AS DOUBLE) AS size,
+        |           CAST(p_retailprice AS DOUBLE) AS retail_price FROM part)
+        |  ON size, retail_price INTO NAME attribute VALUE value)
+        |ORDER BY part_key, attribute""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,

@@ -363,6 +363,36 @@ object Relational {
     ).orderBy("customer_key", "order_key")
   }
 
+  /** Wide→long reshape (unpivot/melt): numeric part attributes become
+    * (attribute, value) rows — the normalization step before per-metric
+    * aggregation over heterogeneous measures.
+    */
+  def unpivotPart(part: DataFrame): DataFrame =
+    part.select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").cast("double").as("retail_price"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail_price")),
+        "attribute", "value")
+      .select(col("p_partkey").as("part_key"), col("attribute"),
+        round(col("value"), 2).as("value"))
+      .orderBy("part_key", "attribute")
+
+  /** Explicit GROUPING SETS with grouping_id: per-flag and per-status
+    * marginals plus the grand total in ONE pass (what rollup/cube
+    * generalize); gid disambiguates the NULL-as-aggregate rows from
+    * genuine NULL keys.
+    */
+  def groupingSets(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        exactSum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** ROWS-frame window pack: running totals and bounded sliding frames
     * (2-preceding / 1-following) — the moving-aggregate surface. One
     * shared partition+sort, decimal-exact sums inside the frames.
