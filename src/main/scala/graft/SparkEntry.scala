@@ -152,9 +152,40 @@ object SparkEntry {
     })
   )
 
+  /** The LSH bucketing is data-INDEPENDENT (seeded ±1 hyperplanes), so
+    * the whole approximate pipeline is SQL-replicable by embedding the
+    * plane matrix as literals: same projections (sequential fold ≡
+    * list_inner_product), same sign buckets, same within-bucket exact
+    * cosine and ranking — an oracle for an "approximate" operator.
+    */
+  private def lshTopKOracle: String = {
+    val planes = graft.ext.Similarity.hyperplanes(numPlanes = 8, dim = 64)
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(v, $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |    $bucketExpr AS bucket
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+       |s AS (
+       |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+       |  FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+       |      AS INTEGER) AS rnk
+       |  FROM s)
+       |SELECT query_id, rnk, neighbor_id, round(sim, 6) AS cosine_sim
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_lsh_topk" -> lshTopKOracle,
     "q_star_join" ->
       """SELECT l.l_orderkey AS order_key, l.l_linenumber AS line_number,
         |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
