@@ -65,6 +65,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "stored-vs-stored pairs are not re-reported")
   }
 
+  test("sigJaccard estimator: identical sigs → 1.0, disjoint docs → low, symmetric") {
+    import org.apache.spark.sql.functions.col
+    val d = docs(1L -> base, 2L -> base, 3L -> other)
+    val sigs = Dedup.minhashSignatures(Dedup.shingles(d))
+    val pairs = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        Dedup.sigJaccard(col("a.sig"), col("b.sig"), 64).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 1.0, "identical text → identical sigs → est 1.0")
+    assert(pairs((1L, 3L)) < 0.2, "unrelated docs must estimate low")
+    // symmetry: reverse join direction gives the same estimates
+    val rev = sigs.as("a").join(sigs.as("b"), col("a.doc_id") > col("b.doc_id"))
+      .select(col("b.doc_id").as("da"), col("a.doc_id").as("db"),
+        Dedup.sigJaccard(col("b.sig"), col("a.sig"), 64).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rev === pairs)
+  }
+
   test("minhash agrees with exact ngram jaccard on the real testdata corpus") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Dedup.ngramJaccard(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
