@@ -72,7 +72,14 @@ object StressBench {
         "o_orderkey", 3).count()),
       time("sessionize", ext.Events.sessionize(
         replicate(Tables.events(spark, sfDir), factor, Seq("event_id", "user_id"))).count()),
-      time("minhash_neardup", ext.Dedup.minhashNearDup(docs).count()),
+      time("minhash_neardup", {
+        // near-dup returns a persisted frame (caller owns the lifetime) —
+        // release it so later queries don't run under its memory pressure
+        val dup = ext.Dedup.minhashNearDup(docs)
+        val n = dup.count()
+        dup.unpersist(false)
+        n
+      }),
       time("dedup_exact", ext.Dedup.exactDedup(docs).count()),
       time("cosine_topk", ext.Similarity.cosineTopK(emb).count()),
       time("hll_distinct", {
