@@ -95,6 +95,7 @@ object SparkEntry {
     "q_repetition_ratio" -> ((s, d) => TextOps.repetitionRatio(Tables.documents(s, d))),
     // §2.10: dedup family
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     "q_hash_sample" -> ((s, d) => DataPrep.hashSample(Tables.documents(s, d))),
     "q_dataset_split" -> ((s, d) => DataPrep.datasetSplit(Tables.documents(s, d))),
     "q_sequence_packing" -> ((s, d) => DataPrep.sequencePacking(Tables.documents(s, d))),
@@ -618,6 +619,40 @@ object SparkEntry {
         |WHERE t.split = 'train' AND e.split = 'eval'
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
         |ORDER BY train_doc, eval_doc""".stripMargin,
+    // transitive closure of the exact near-dup pairs via recursive CTE:
+    // label = min doc_id reachable (same fixpoint the iterative Spark
+    // min-label propagation converges to)
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |    i -> array_to_string(l[i:i+4], ' ')))) AS shingle
+        |  FROM toks WHERE len(l) >= 5),
+        |kept AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 1000),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id),
+        |pairs AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst AS node, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+        |SELECT l.doc_id, l.cluster_id, cs.cluster_size
+        |FROM lab l JOIN cs USING (cluster_id)
+        |WHERE cs.cluster_size > 1 ORDER BY l.doc_id""".stripMargin,
     // identical output contract to q_decontaminate: the bloom pre-filter
     // only prunes shuffle input; false positives die in the exact join
     "q_decontaminate_bloom" ->

@@ -153,6 +153,58 @@ object Dedup {
     scopeCaches(result, sh)
   }
 
+  /** Connected components by iterative min-label propagation: every node
+    * ends up labeled with the smallest doc_id reachable from it. Each
+    * round is pure DataFrame ops (symmetric edge join + min-aggregate);
+    * the driver only checks the converged flag — no vertex data ever
+    * leaves the cluster, and rounds are O(diameter), which for dedup
+    * graphs (dense cliques of copies) is 1-2. The `maxIters` guard
+    * bounds pathological chains.
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaNeighbors = sym.join(labels, sym("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .localCheckpoint(true) // truncate the growing lineage each round
+      val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Duplicate-cluster resolution — pair lists are not enough for a real
+    * dedup pass: (a,b),(b,c) must collapse into ONE keep-decision. Runs
+    * exact n-gram Jaccard pair generation, then connected components;
+    * emits one row per document in a multi-doc cluster with its cluster
+    * id (= min doc_id in the cluster, the canonical "keep" doc) and the
+    * cluster size. Deterministic end-to-end → recursive-CTE oracle.
+    */
+  def dedupClusters(documents: DataFrame, k: Int = 5,
+                    threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(documents, k, threshold) // persisted (we own it)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = connectedComponents(edges, documents.select("doc_id"))
+    pairs.unpersist(false) // labels are checkpointed; edge cache done
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .filter(col("cluster_size") > 1)
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Estimated Jaccard from two MinHash signatures: the fraction of
     * equal components (the unbiased MinHash estimator).
     */

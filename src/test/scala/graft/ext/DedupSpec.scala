@@ -65,6 +65,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "stored-vs-stored pairs are not re-reported")
   }
 
+  test("connectedComponents: chains merge transitively, isolated nodes keep their id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 1-2, 2-3 (chain) and 5-6; 4 isolated; labels = min reachable id
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val labels = Dedup.connectedComponents(edges, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+    // a ring with the min in the middle: diameter > 1 forces iteration
+    val ring = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)).toDF("src", "dst")
+    val rn = Seq(10L, 11L, 12L, 13L).toDF("doc_id")
+    val rl = Dedup.connectedComponents(ring, rn).collect().map(_.getLong(1)).distinct
+    assert(rl === Array(10L))
+  }
+
+  test("dedupClusters: transitive near-dup group collapses to one cluster") {
+    // a≈b and b≈c but a,c share less: the pair list alone can't decide —
+    // the cluster must contain all three with cluster_id = min doc_id
+    val chain1 = "the quick brown fox jumps over the lazy dog again and again today ok"
+    val chain2 = "the quick brown fox jumps over the lazy dog again and again tonight ok"
+    val chain3 = "a quick brown fox jumps over the lazy dog again and again tonight ok"
+    val d = docs(1L -> chain1, 2L -> chain2, 3L -> chain3, 4L -> other)
+    val rows = Dedup.dedupClusters(d, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet === Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
+  }
+
   test("sigJaccard estimator: identical sigs → 1.0, disjoint docs → low, symmetric") {
     import org.apache.spark.sql.functions.col
     val d = docs(1L -> base, 2L -> base, 3L -> other)
