@@ -52,6 +52,10 @@ object SparkEntry {
     }),
     "q_rollup" -> ((s, d) => Relational.rollupAgg(Tables.lineitem(s, d))),
     "q_grouping_sets" -> ((s, d) => Relational.groupingSets(Tables.lineitem(s, d))),
+    "q_full_outer" -> ((s, d) => Relational.fullOuterBalances(
+      Tables.customer(s, d), Tables.supplier(s, d))),
+    "q_cross_join" -> ((s, d) => Relational.crossRegionSegments(
+      Tables.region(s, d), Tables.customer(s, d))),
     "q_unpivot" -> ((s, d) => Relational.unpivotPart(Tables.part(s, d))),
     "q_cube" -> ((s, d) => Relational.cubeAgg(Tables.lineitem(s, d))),
     "q_count_distinct" -> ((s, d) => Relational.countDistinct(Tables.lineitem(s, d))),
@@ -364,6 +368,26 @@ object SparkEntry {
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_full_outer" ->
+      """WITH ca AS (
+        |  SELECT c_nationkey AS nk,
+        |    round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS cust_balance,
+        |    COUNT(*) AS n_customers
+        |  FROM customer GROUP BY c_nationkey),
+        |sa AS (
+        |  SELECT s_nationkey AS snk,
+        |    round(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS supp_balance,
+        |    COUNT(*) AS n_suppliers
+        |  FROM supplier GROUP BY s_nationkey)
+        |SELECT coalesce(nk, snk) AS nation_key,
+        |  cust_balance, n_customers, supp_balance, n_suppliers
+        |FROM ca FULL OUTER JOIN sa ON ca.nk = sa.snk
+        |ORDER BY nation_key ASC NULLS FIRST""".stripMargin,
+    "q_cross_join" ->
+      """SELECT r.r_regionkey AS region_key, r.r_name AS region_name, s.market_segment
+        |FROM region r CROSS JOIN
+        |  (SELECT DISTINCT c_mktsegment AS market_segment FROM customer) s
+        |ORDER BY region_key, market_segment""".stripMargin,
     "q_unpivot" ->
       """SELECT part_key, attribute, round(value, 2) AS value FROM (
         |  UNPIVOT (SELECT p_partkey AS part_key, CAST(p_size AS DOUBLE) AS size,

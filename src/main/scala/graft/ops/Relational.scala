@@ -363,6 +363,36 @@ object Relational {
     ).orderBy("customer_key", "order_key")
   }
 
+  /** FULL OUTER join of the per-nation customer and supplier rollups —
+    * unlike the inner aggJoinBack, nations present on only one side
+    * survive with NULLs (the reconciliation report shape). Coalesced key
+    * so the output key is total.
+    */
+  def fullOuterBalances(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val ca = customer.groupBy(col("c_nationkey").as("nk"))
+      .agg(exactSum(col("c_acctbal")).as("cust_balance"),
+        count(lit(1)).as("n_customers"))
+    val sa = supplier.groupBy(col("s_nationkey").as("snk"))
+      .agg(exactSum(col("s_acctbal")).as("supp_balance"),
+        count(lit(1)).as("n_suppliers"))
+    ca.join(sa, ca("nk") === sa("snk"), "full_outer")
+      .select(coalesce(col("nk"), col("snk")).as("nation_key"),
+        col("cust_balance"), col("n_customers"),
+        col("supp_balance"), col("n_suppliers"))
+      .orderBy(col("nation_key").asc_nulls_first)
+  }
+
+  /** Cross join of two tiny dimensions — the deliberate-cartesian
+    * surface (only ever sane when both sides are dimension-sized; the
+    * planner broadcasts one side).
+    */
+  def crossRegionSegments(region: DataFrame, customer: DataFrame): DataFrame = {
+    val segs = customer.select(col("c_mktsegment").as("market_segment")).distinct()
+    region.select(col("r_regionkey").as("region_key"), col("r_name").as("region_name"))
+      .crossJoin(segs)
+      .orderBy("region_key", "market_segment")
+  }
+
   /** Wide→long reshape (unpivot/melt): numeric part attributes become
     * (attribute, value) rows — the normalization step before per-metric
     * aggregation over heterogeneous measures.
