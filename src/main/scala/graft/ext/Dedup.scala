@@ -196,7 +196,12 @@ object Dedup {
                     threshold: Double = 0.5): DataFrame = {
     val pairs = ngramJaccard(documents, k, threshold) // persisted (we own it)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val labels = connectedComponents(edges, documents.select("doc_id"))
+    // only pair-participating docs can land in a multi-doc cluster, and
+    // singletons are filtered below — propagate over the (much smaller)
+    // edge-node set, not the whole corpus
+    val pairNodes = edges.select(col("src").as("doc_id"))
+      .unionByName(edges.select(col("dst").as("doc_id"))).distinct()
+    val labels = connectedComponents(edges, pairNodes)
     pairs.unpersist(false) // labels are checkpointed; edge cache done
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
