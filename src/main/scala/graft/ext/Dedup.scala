@@ -289,13 +289,26 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found
-    * by 16-bit band blocking (pairs within Hamming ≤ 3 of a 4-band split
-    * always share ≥ 1 exact band) then exact `bit_count(a^b)` check.
+    * by band blocking then exact `bit_count(a^b)` check. Band count is
+    * DERIVED as `maxHamming + 1` (pigeonhole: ≤ maxHamming differing
+    * bits over maxHamming+1 disjoint bands leaves ≥ 1 band identical),
+    * so recall is complete for ANY threshold — a fixed 4-band split
+    * would silently miss pairs for maxHamming > 3. Default (3 → four
+    * 16-bit bands) is bit-identical to the original scheme.
     */
   def simhashNearDup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32): $maxHamming")
+    val nb = maxHamming + 1
+    val bounds = (0 to nb).map(i => i * 64 / nb)
     val fp = simhash(documents).cache()
-    val bands = fp.select(col("doc_id"), col("simhash"), posexplode(array(
-      (0 until 4).map(i => shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+    val bandCols = (0 until nb).map { i =>
+      val lo = bounds(i); val width = bounds(i + 1) - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftright(col("simhash"), lo).bitwiseAND(mask)
+    }
+    val bands = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)))
       .toDF("doc_id", "simhash", "band_idx", "band_val")
     val result = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

@@ -65,6 +65,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "stored-vs-stored pairs are not re-reported")
   }
 
+  test("simhashNearDup banding is recall-complete at any threshold (≡ brute force)") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (maxH <- Seq(3, 5, 8)) {
+      val banded = Dedup.simhashNearDup(d, maxH).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+      val fp = Dedup.simhash(d)
+      val brute = fp.as("x").join(fp.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("h"))
+        .filter(col("h") <= maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+      assert(banded === brute,
+        s"banding must find exactly the brute-force pairs at maxHamming=$maxH")
+    }
+  }
+
   test("connectedComponents: chains merge transitively, isolated nodes keep their id") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
