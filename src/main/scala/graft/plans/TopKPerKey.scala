@@ -107,8 +107,12 @@ case class TopKPerKeyExec(keys: Seq[Expression], score: Expression,
       it.foreach { row =>
         val key = keyProj(row)
         val ord = ordProj(row)
-        val s = ord.getDouble(0)
-        val t = ord.getLong(1)
+        // NULL semantics must match the window form (desc → nulls last):
+        // a null score is the worst possible, a null tie the last of its
+        // score class. Reading the raw slot would silently yield 0.0,
+        // outranking genuine negative scores.
+        val s = if (ord.isNullAt(0)) Double.NegativeInfinity else ord.getDouble(0)
+        val t = if (ord.isNullAt(1)) Long.MaxValue else ord.getLong(1)
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>

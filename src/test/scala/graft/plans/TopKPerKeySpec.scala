@@ -88,6 +88,22 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("null scores rank as worst, matching the window form's nulls-last") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // negative scores present: a null read as 0.0 would wrongly win
+    val df = Seq((1L, 1L, Some(-5.0)), (1L, 2L, None), (1L, 3L, Some(-1.0)),
+      (1L, 4L, None), (2L, 5L, None))
+      .toDF("k", "id", "score")
+    val custom = TopKPerKey(df, Seq("k"), "score", "id", 2)
+      .select("k", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc, col("id"))
+    val windowed = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("k", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(custom === windowed)
+    assert(custom === Set((1L, 3L), (1L, 1L), (2L, 5L)))
+  }
+
   test("multiple keys and empty input behave") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, Double)].toDF("k", "id", "score")
