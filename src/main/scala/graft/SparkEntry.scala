@@ -97,6 +97,10 @@ object SparkEntry {
     "q_fingerprint_md5" -> ((s, d) => TextOps.fingerprintMd5(Tables.documents(s, d))),
     "q_rolling_hash" -> ((s, d) => TextOps.rollingHash(Tables.documents(s, d))),
     "q_repetition_ratio" -> ((s, d) => TextOps.repetitionRatio(Tables.documents(s, d))),
+    "q_pii_redact" -> ((s, d) => TextOps.piiRedact(TextOps.withSyntheticPii(Tables.documents(s, d)))),
+    "q_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(Tables.documents(s, d))),
+    "q_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(Tables.documents(s, d))),
+    "q_ngram_lm" -> ((s, d) => TextOps.bigramLmScore(Tables.documents(s, d))),
     // §2.10: dedup family
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
@@ -108,6 +112,7 @@ object SparkEntry {
     "q_source_mixture" -> ((s, d) => DataPrep.sourceMixture(Tables.documents(s, d),
       Map("src0" -> "ff", "src1" -> "20"))),
     "q_length_histogram" -> ((s, d) => DataPrep.lengthHistogram(Tables.documents(s, d))),
+    "q_stratified_sample" -> ((s, d) => DataPrep.stratifiedSample(Tables.documents(s, d))),
     "q_profile" -> ((s, d) => Relational.profileOrders(Tables.orders(s, d))),
     "q_approx_profile" -> ((s, d) => Relational.approxProfile(Tables.lineitem(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
@@ -127,6 +132,7 @@ object SparkEntry {
     "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
     "q_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    "q_centroid_outliers" -> ((s, d) => Similarity.centroidSim(Tables.embeddings(s, d))),
     "q_vectorized_cosine" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, round}
       val emb = Tables.embeddings(s, d)
@@ -628,6 +634,98 @@ object SparkEntry {
         |    THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
         |  END AS dup_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text
+        |      || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+        |      || ' tel 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS after_email
+        |  FROM aug),
+        |r2 AS (
+        |  SELECT doc_id, text, after_email,
+        |    regexp_replace(after_email, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+        |      '<IP>', 'g') AS after_ip
+        |  FROM r1)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(after_email,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+        |  CAST(len(regexp_extract_all(after_ip,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+        |  regexp_replace(after_ip, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean_text
+        |FROM r2 ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token)
+        |      AS INTEGER) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, token, tfidf FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (SELECT token, COUNT(*) AS n_occ FROM tok GROUP BY token)
+        |  ORDER BY n_occ DESC, token LIMIT 50)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_in_vocab,
+        |  round(1.0 - CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_ngram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w FROM t),
+        |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM tok)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  round(SUM(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v))) / COUNT(*), 6) AS avg_logprob
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH counts AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(n_total) AS min_total FROM counts),
+        |cut AS (SELECT lang, n_total, min_total * 256 // n_total AS cutoff_bucket
+        |        FROM counts CROSS JOIN m)
+        |SELECT d.lang, MAX(c.n_total) AS n_total, MAX(c.cutoff_bucket) AS cutoff_bucket,
+        |  CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(d.text), 1, 2)) AS INTEGER)
+        |    < c.cutoff_bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN cut c USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q_centroid_outliers" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |cen AS (SELECT label, dim, AVG(v) AS c FROM ex GROUP BY label, dim),
+        |s AS (
+        |  SELECT vec_id, label, SUM(v * c) AS dot, SUM(v * v) AS na, SUM(c * c) AS nc
+        |  FROM ex JOIN cen USING (label, dim)
+        |  GROUP BY vec_id, label)
+        |SELECT vec_id, label,
+        |  round(dot / (sqrt(na) * sqrt(nc)), 5) AS centroid_sim,
+        |  round(dot / (sqrt(na) * sqrt(nc)), 5) < 0.2 AS is_outlier
+        |FROM s ORDER BY vec_id""".stripMargin,
     "q_decontaminate" ->
       """WITH ds AS (
         |  SELECT doc_id, text,

@@ -84,6 +84,33 @@ object DataPrep {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("bucket").asc_nulls_first)
 
+  /** Stratified (balanced) sampling: downsample every stratum to
+    * approximately the size of the SMALLEST stratum — the classic
+    * class-balancing step — with the keep-decision still content-
+    * addressed. Each stratum's md5-bucket cutoff is derived from the
+    * data (`min_total * 256 div n_total`), so the smallest stratum
+    * keeps everything (cutoff 256) and larger strata thin to match.
+    * Integer arithmetic end-to-end → exactly reproducible on any
+    * engine; reports per-stratum totals, cutoff, and kept counts.
+    * Two tiny aggregations + one broadcast join — the corpus itself
+    * is scanned once.
+    */
+  def stratifiedSample(documents: DataFrame, strataCol: String = "lang"): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 2), 16, 10).cast("int")
+    val counts = documents.groupBy(strataCol).agg(count(lit(1)).as("n_total"))
+    val minCount = counts.agg(min(col("n_total")).as("min_total"))
+    val cut = counts.crossJoin(broadcast(minCount))
+      .withColumn("cutoff_bucket", expr("min_total * 256 div n_total"))
+      .select(col(strataCol), col("n_total"), col("cutoff_bucket"))
+    documents.join(broadcast(cut), strataCol)
+      .withColumn("kept", bucket < col("cutoff_bucket"))
+      .groupBy(strataCol).agg(
+        max(col("n_total")).as("n_total"),
+        max(col("cutoff_bucket")).as("cutoff_bucket"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(strataCol)
+  }
+
   /** Decontamination: detect evaluation documents leaking into the
     * training split via shared word-k-grams — the cross-split variant of
     * n-gram near-dup detection (same shuffle-on-shingle shape; the join

@@ -80,6 +80,32 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Per-label centroid similarity (embedding-space outlier scoring —
+    * the "does this vector belong to its cluster" QA pass): compute each
+    * label's centroid (per-dimension mean, distributed via posexplode +
+    * groupBy(label, dim) — only label×dim rows ever aggregate), assemble
+    * the centroid vectors, broadcast them back, and score every vector's
+    * cosine against its own label's centroid with the native expression.
+    * `is_outlier` flags rounded similarity below `threshold`. At 100 TB
+    * the centroid table is labels×dim (tiny) and the scoring pass is a
+    * broadcast join at scan speed.
+    */
+  def centroidSim(embeddings: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val ex = embeddings
+      .select(col("vec_id"), col("label"), posexplode(asDouble(col("embedding"))))
+      .toDF("vec_id", "label", "dim", "v")
+    val cen = ex.groupBy("label", "dim").agg(avg(col("v")).as("c"))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("centroid"))
+    embeddings.join(broadcast(cen), "label")
+      .withColumn("centroid_sim",
+        round(nativeCosine(embeddings, asDouble(col("embedding")), col("centroid")), 5))
+      .select(col("vec_id"), col("label"), col("centroid_sim"),
+        (col("centroid_sim") < threshold).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   /** Deterministic ±1 random hyperplanes: `numPlanes` × `dim`, seeded. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)

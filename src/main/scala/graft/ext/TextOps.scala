@@ -153,6 +153,129 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PII patterns: kept to the regex subset shared by Java regex (Spark)
+    * and RE2 (DuckDB) — character classes, bounded repetition, `\b`.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction (the scrub step every training-data pipeline runs
+    * before anything else): replace emails, IPv4 addresses, and
+    * NNN-NNN-NNNN phone numbers with typed placeholders and report
+    * per-document redaction counts. Counting is *sequential* — each
+    * category is counted on the text with previous categories already
+    * redacted — so one span is never double-counted across categories.
+    * Pure single-pass projection (regexp built-ins, codegen'd, no
+    * shuffle): at 100 TB this runs at scan speed per split.
+    */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val t = col("text")
+    val afterEmail = regexp_replace(t, emailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Pattern, "<IP>")
+    val afterPhone = regexp_replace(afterIp, phonePattern, "<PHONE>")
+    documents.select(
+      col("doc_id"),
+      regexp_count(t, lit(emailPattern)).as("n_emails"),
+      regexp_count(afterEmail, lit(ipv4Pattern)).as("n_ips"),
+      regexp_count(afterIp, lit(phonePattern)).as("n_phones"),
+      afterPhone.as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Demo fixture for [[piiRedact]] over the synthetic corpus (whose
+    * text contains no PII): deterministically appends an email, a phone
+    * number, and an IPv4 address derived from `doc_id` to every third
+    * document. Both engines build the identical string, so the
+    * redaction query stays fully oracle-checkable while actually
+    * exercising all three patterns (including zero-redaction rows).
+    */
+  def withSyntheticPii(documents: DataFrame): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".com"),
+      lit(" tel 555-867-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit("."), pmod(col("doc_id"), lit(100)).cast("string"))
+    documents.withColumn("text",
+      when(pmod(col("doc_id"), lit(3)) === 0, dirty).otherwise(col("text")))
+  }
+
+  /** TF-IDF top terms per document: tf = in-document term count, idf =
+    * ln(N / document-frequency), top `topK` terms by rounded score with
+    * a lexicographic tie-break. Two corpus-keyed shuffles (doc-term
+    * counts, then term document-frequency) + one broadcast of the single
+    * N row; ranking windows over doc_id — the partition key the data
+    * already has. Scores are rounded BEFORE ranking so the order is
+    * engine-exact (an unrounded double order could flip on a 1-ulp
+    * libm difference).
+    */
+  def tfidfTopTerms(documents: DataFrame, topK: Int = 3): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Vocabulary coverage: build the top-`vocabSize` corpus vocabulary
+    * (by occurrence count, lexicographic tie-break) and report each
+    * document's out-of-vocabulary token rate — the standard check that
+    * a tokenizer/vocab fits a corpus. The vocabulary is corpus-reduced
+    * then broadcast back (two-stage "train then apply"), so the apply
+    * side is a map-side join at any corpus size.
+    */
+  def vocabCoverage(documents: DataFrame, vocabSize: Int = 50): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0)).cast("long")).as("n_in_vocab"))
+      .withColumn("oov_rate",
+        round(lit(1.0) - col("n_in_vocab").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram language-model quality score — the cheap statistical
+    * perplexity proxy of LLM data pipelines (KenLM-style filtering,
+    * public analogue): train add-one-smoothed bigram probabilities from
+    * the corpus's own counts, then score every document by its average
+    * bigram log-probability. P(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V).
+    * Train = two aggregations on (w1,w2)/(w1); score = joins back on the
+    * same keys — all shuffles are on token keys with map-side combine,
+    * and the model never leaves the cluster (no driver collect).
+    * Documents with < 2 tokens have no bigrams and are absent.
+    */
+  def bigramLmScore(documents: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val bg = documents.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => struct(get(col("t"), i).as("w1"), get(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = documents.select(explode(toks).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    val logp = log((col("c2") + 1).cast("double") / (col("c1") + col("v")))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(v))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(logp) / count(lit(1)), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling polynomial hash over the document's characters:
     * `acc = (acc * 31 + codepoint) mod 1e9+7` — the classic Rabin-Karp
     * fold, modular so ANSI mode can't overflow (acc*31 + 255 < 2^35).

@@ -41,6 +41,28 @@ class DataPrepSpec extends AnyFunSuite with SparkSpec {
     assert(exact.nonEmpty, "fixture must actually contain leaked pairs")
   }
 
+  test("stratified sample: balances strata toward the smallest, min stratum kept whole") {
+    val d = Tables.documents(spark, sf)
+    val rows = DataPrep.stratifiedSample(d, "lang").collect()
+    val byLang = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val minTotal = byLang.values.map(_._1).min
+    byLang.foreach { case (lang, (nTotal, cutoff, nKept)) =>
+      assert(cutoff === minTotal * 256 / nTotal, s"cutoff formula for $lang")
+      if (nTotal == minTotal)
+        assert(nKept === nTotal, "smallest stratum keeps every row (cutoff 256)")
+      else {
+        // kept fraction tracks min/total with md5-bucket binomial spread
+        val expected = nTotal.toDouble * cutoff / 256
+        assert(math.abs(nKept - expected) < 6 * math.sqrt(expected),
+          s"$lang kept $nKept, expected ~$expected")
+      }
+      assert(nKept <= nTotal)
+    }
+    // deterministic: same decisions on re-run
+    assert(DataPrep.stratifiedSample(d, "lang").collect().toSeq === rows.toSeq)
+  }
+
   test("sequence packing: packs respect order, cover every doc, budget boundaries") {
     val d = Tables.documents(spark, sf)
     val packs = DataPrep.sequencePacking(d, tokenBudget = 500).collect()

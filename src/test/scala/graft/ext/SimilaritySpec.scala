@@ -11,6 +11,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     rows.toDF("vec_id", "embedding", "label")
   }
 
+  test("centroidSim: members of a tight cluster score 1, the stray scores low") {
+    // label 0: two identical vectors + their centroid is the same direction → sim 1
+    // label 1: two opposite vectors → centroid orthogonal-ish; single vector label → sim 1
+    val d = emb(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(2f, 0f, 0f, 0f), 1))
+    val rows = Similarity.centroidSim(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows(0L) === 1.0)
+    assert(rows(1L) === 1.0)
+    assert(rows(2L) === 1.0, "singleton label's centroid is itself")
+    // a genuinely off-cluster vector: centroid of (e1, e2) is 45° from both
+    val mixed = emb(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(0f, 1f, 0f, 0f), 0))
+    val sims = Similarity.centroidSim(mixed).collect().map(_.getDouble(2))
+    sims.foreach(s => assert(math.abs(s - math.sqrt(0.5)) < 1e-4,
+      "both vectors sit 45 degrees from the mean direction"))
+  }
+
+  test("centroidSim flags below-threshold members as outliers") {
+    val d = emb(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(1f, 0.01f, 0f, 0f), 0),
+      (2L, Seq(-1f, 0.2f, 0f, 0f), 0)) // points away from the cluster mean
+    val rows = Similarity.centroidSim(d, threshold = 0.2).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(rows(0L) === false)
+    assert(rows(1L) === false)
+    assert(rows(2L) === true)
+  }
+
   test("cosine: identical → 1, orthogonal → 0, opposite → -1") {
     val d = emb(
       (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(1f, 0f, 0f, 0f), 0),

@@ -70,6 +70,78 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r3.getAs[Double]("dup_ratio") === 0.0)
   }
 
+  test("piiRedact: typed placeholders, sequential counts, clean rows untouched") {
+    val d = docs(
+      (1L, "mail bob@corp.example.com and jo.ann+x@a.io tel 555-123-4567 host 192.168.0.1", "en"),
+      (2L, "no pii here at all", "en"))
+    val rows = TextOps.piiRedact(d).collect()
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[Int]("n_emails") === 2)
+    assert(r1.getAs[Int]("n_phones") === 1)
+    assert(r1.getAs[Int]("n_ips") === 1)
+    assert(r1.getAs[String]("clean_text") ===
+      "mail <EMAIL> and <EMAIL> tel <PHONE> host <IP>")
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    assert(r2.getAs[Int]("n_emails") === 0)
+    assert(r2.getAs[String]("clean_text") === "no pii here at all")
+  }
+
+  test("piiRedact: an IP is not double-counted as a phone (sequential counting)") {
+    // 3-digit octets separated by dots must not feed the phone pattern,
+    // and a redacted email's digits must not resurface in later counts
+    val d = docs((1L, "ip 111.222.111.222 mail a1@b2.com", "en"))
+    val r = TextOps.piiRedact(d).collect()(0)
+    assert(r.getAs[Int]("n_ips") === 1)
+    assert(r.getAs[Int]("n_phones") === 0)
+    assert(r.getAs[Int]("n_emails") === 1)
+  }
+
+  test("tfidfTopTerms: rare terms outrank common ones; ties break lexicographically") {
+    // 'rare' appears in 1 of 4 docs → idf ln(4); 'common' in all 4 → idf 0
+    val d = docs(
+      (1L, "common rare common", "en"),
+      (2L, "common zeta zeta", "en"),
+      (3L, "common alpha beta", "en"),
+      (4L, "common", "en"))
+    val rows = TextOps.tfidfTopTerms(d, topK = 2).collect()
+    val d1 = rows.filter(_.getLong(0) == 1L).map(r => (r.getAs[Int]("rnk"), r.getAs[String]("token"), r.getAs[Double]("tfidf")))
+    assert(d1(0)._2 === "rare")
+    assert(d1(0)._3 === math.rint(math.log(4.0) * 1e6) / 1e6)
+    assert(d1(1)._2 === "common") // tfidf 0 but still ranked (only 2 distinct terms)
+    assert(d1(1)._3 === 0.0)
+    val d3 = rows.filter(_.getLong(0) == 3L).map(r => (r.getAs[Int]("rnk"), r.getAs[String]("token")))
+    assert(d3.map(_._2).toSeq === Seq("alpha", "beta"), "equal scores break on token order")
+  }
+
+  test("vocabCoverage: OOV rate against the top-V corpus vocabulary") {
+    // vocab size 2 → {'a' (4 occ), 'b' (2 occ)}; 'z','q' are OOV
+    val d = docs((1L, "a a b z", "en"), (2L, "a a b q", "en"))
+    val rows = TextOps.vocabCoverage(d, vocabSize = 2).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") === 4)
+      assert(r.getAs[Long]("n_in_vocab") === 3)
+      assert(r.getAs[Double]("oov_rate") === 0.25)
+    }
+  }
+
+  test("bigramLmScore: add-one smoothed probabilities, hand-computed") {
+    // corpus: doc1 "x y", doc2 "x y" → bigrams: (x,y)×2; V = 2 distinct tokens
+    // P(y|x) = (c2+1)/(c1+V) = (2+1)/(2+2) = 0.75 → avg_logprob = ln(0.75)
+    val d = docs((1L, "x y", "en"), (2L, "x y", "en"))
+    val rows = TextOps.bigramLmScore(d).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") === 1)
+      assert(r.getAs[Double]("avg_logprob") === math.rint(math.log(0.75) * 1e6) / 1e6)
+    }
+  }
+
+  test("bigramLmScore: single-token and empty docs produce no rows") {
+    val d = docs((1L, "solo", "en"), (2L, "", "en"), (3L, "a b", "en"))
+    val ids = TextOps.bigramLmScore(d).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(3L))
+  }
+
   test("textStats aggregates per language") {
     val d = docs((1L, "one two", "en"), (2L, "three four five", "en"), (3L, "six", "fr"))
     val rows = TextOps.textStats(d).collect()
