@@ -87,6 +87,27 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => Events.asofJoin(Tables.events(s, d), Tables.orders(s, d))),
     "q_range_join" -> ((s, d) => Events.rangeSelfJoin(Tables.events(s, d))),
+    "q_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
+    "q_hourly_spikes" -> ((s, d) => Events.hourlySpikes(Tables.events(s, d))),
+    "q_skew_histogram" -> ((s, d) => Relational.skewHistogram(Tables.lineitem(s, d), "l_orderkey")),
+    "q_cohort_retention" -> ((s, d) => Events.cohortRetention(Tables.events(s, d))),
+    "q_scd2_merge" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val cust = Tables.customer(s, d)
+      // versioned dimension: every row open since epoch; the update batch
+      // re-segments every 10th customer and inserts brand-new keys
+      val current = cust.select(col("c_custkey").as("customer_key"),
+        col("c_mktsegment").as("segment"), col("c_nationkey").as("nation_key"),
+        lit("1992-01-01").as("valid_from"), lit(null).cast("string").as("valid_to"))
+      val updates = cust.filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .select(col("c_custkey").as("customer_key"), lit("PROMO").as("segment"),
+          col("c_nationkey").as("nation_key"))
+        .unionByName(cust.filter(pmod(col("c_custkey"), lit(97)) === 0)
+          .select((col("c_custkey") + 1000000L).as("customer_key"),
+            lit("NEW").as("segment"), lit(0).as("nation_key")))
+      graft.ops.Scd.scd2Merge(current, updates, "customer_key",
+        Seq("segment", "nation_key"), "1998-01-01")
+    }),
     // §2.10: text analysis
     "q_text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
@@ -562,6 +583,72 @@ object SparkEntry {
         |  ON a.user_id = b.user_id AND b.ts > a.ts
         |  AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY event_a, event_b""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT 1 AS stage_idx, 'view' AS stage, COUNT(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', COUNT(*) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', COUNT(*) FROM s3
+        |ORDER BY stage_idx""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |cs AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM fs GROUP BY cohort_day),
+        |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_day FROM events),
+        |r AS (
+        |  SELECT cohort_day, CAST(datediff('day', cohort_day, event_day) AS INTEGER)
+        |      AS offset_days,
+        |    COUNT(*) AS n_active
+        |  FROM ud JOIN fs USING (user_id)
+        |  WHERE datediff('day', cohort_day, event_day) <= 7
+        |  GROUP BY cohort_day, offset_days)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, offset_days, n_active,
+        |  cohort_size, round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM r JOIN cs USING (cohort_day)
+        |ORDER BY cohort_day, offset_days""".stripMargin,
+    "q_scd2_merge" ->
+      """WITH current AS (
+        |  SELECT c_custkey AS customer_key, c_mktsegment AS segment,
+        |    c_nationkey AS nation_key,
+        |    '1992-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+        |  FROM customer),
+        |updates AS (
+        |  SELECT c_custkey AS customer_key, 'PROMO' AS segment, c_nationkey AS nation_key
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEW', CAST(0 AS INTEGER)
+        |  FROM customer WHERE c_custkey % 97 = 0),
+        |matched_changed AS (
+        |  SELECT c.customer_key, c.segment AS old_segment, c.nation_key AS old_nation,
+        |    c.valid_from, u.segment AS new_segment, u.nation_key AS new_nation
+        |  FROM current c JOIN updates u USING (customer_key)
+        |  WHERE c.segment IS DISTINCT FROM u.segment
+        |     OR c.nation_key IS DISTINCT FROM u.nation_key)
+        |SELECT customer_key, old_segment AS segment, old_nation AS nation_key,
+        |  valid_from, '1998-01-01' AS valid_to
+        |FROM matched_changed
+        |UNION ALL
+        |SELECT customer_key, new_segment, new_nation, '1998-01-01', NULL
+        |FROM matched_changed
+        |UNION ALL
+        |SELECT customer_key, segment, nation_key, valid_from, valid_to FROM current
+        |WHERE customer_key NOT IN (SELECT customer_key FROM matched_changed)
+        |UNION ALL
+        |SELECT customer_key, segment, nation_key, '1998-01-01', NULL FROM updates
+        |WHERE customer_key NOT IN (SELECT customer_key FROM current)
+        |ORDER BY customer_key, valid_from""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

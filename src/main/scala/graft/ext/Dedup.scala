@@ -167,6 +167,17 @@ object Dedup {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
+    // labels only ever decrease (min-propagation), so the label sum is
+    // strictly monotone until the fixpoint: convergence = unchanged sum.
+    // One scalar aggregate per round instead of a next-vs-old join.
+    // decimal(38,0) sum: exact at any node count (a wrapped long sum
+    // could in principle alias two distinct label states); null on an
+    // empty node set → 0
+    def labelSum(df: DataFrame): BigDecimal = {
+      val d = df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      if (d == null) BigDecimal(0) else BigDecimal(d)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -175,11 +186,11 @@ object Dedup {
       val next = labels.unionByName(viaNeighbors)
         .groupBy("doc_id").agg(min(col("label")).as("label"))
         .localCheckpoint(true) // truncate the growing lineage each round
-      val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      val nextSum = labelSum(next)
       labels.unpersist(false)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     labels

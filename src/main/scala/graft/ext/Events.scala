@@ -118,4 +118,78 @@ object Events {
         round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
+
+  /** Hourly volume anomaly detection (z-score spike/dip flagging): per
+    * event type, hours whose event count deviates from the type's mean
+    * hourly count by ≥ `zThreshold` sample standard deviations. Two
+    * aggregations — hourly counts (shuffle on (type, hour)), then the
+    * per-type mean/stddev reduced from at most types×hours rows — and a
+    * broadcast-sized join back. The z-score is rounded BEFORE the
+    * threshold filter so membership is engine-exact.
+    */
+  def hourlySpikes(events: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy("event_type").agg(
+      avg(col("n_events")).as("m"), stddev_samp(col("n_events")).as("sd"))
+    hourly.join(stats, "event_type")
+      .withColumn("z", round((col("n_events") - col("m")) / col("sd"), 4))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_events"), col("z"))
+      .orderBy("event_type", "window_start")
+  }
+
+  /** Ordered conversion funnel: how many users reached each stage IN
+    * ORDER — a user counts for stage i only with an event of that type
+    * strictly after their stage-(i-1) entry time. Each stage is one
+    * filtered aggregation joined to the previous stage's (user, time)
+    * table; at scale every step shuffles on user_id only, and stage
+    * tables shrink monotonically (classic funnel pruning), so later
+    * stages are nearly free. Strictly-after semantics and min-entry
+    * times make the result deterministic and engine-exact.
+    */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var reached = events.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("ts")).as("t_reach"))
+    val perStage = scala.collection.mutable.Buffer[(String, DataFrame)](stages.head -> reached)
+    for (st <- stages.tail) {
+      reached = events.filter(col("event_type") === st)
+        .join(reached, "user_id")
+        .filter(col("ts") > col("t_reach"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_reach"))
+      perStage += (st -> reached)
+    }
+    perStage.zipWithIndex.map { case ((st, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(st).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy("stage_idx")
+  }
+
+  /** Cohort retention: users are cohorted by first-seen day; for each
+    * (cohort day, day offset) the count of cohort members active that
+    * day and the retention rate against the cohort size. Two
+    * aggregations on user_id + one on (cohort, offset) — the distinct
+    * user-day reduction happens before the cohort join, so the join
+    * input is at most users × active-days, not raw events.
+    */
+  def cohortRetention(events: DataFrame, maxOffsetDays: Int = 7): DataFrame = {
+    val firstSeen = events.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+    val cohortSizes = firstSeen.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+    events.select(col("user_id"), to_date(col("ts")).as("event_day")).distinct()
+      .join(firstSeen, "user_id")
+      .withColumn("offset_days", datediff(col("event_day"), col("cohort_day")))
+      .filter(col("offset_days") <= maxOffsetDays)
+      .groupBy("cohort_day", "offset_days").agg(count(lit(1)).as("n_active"))
+      .join(cohortSizes, "cohort_day")
+      .select(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+      .orderBy("cohort_day", "offset_days")
+  }
 }

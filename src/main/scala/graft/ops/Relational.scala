@@ -203,6 +203,19 @@ object Relational {
       count(lit(1)).as("n_orders")
     ).orderBy("o_orderpriority")
 
+  /** Key-skew diagnostics: the group-size distribution (count of keys
+    * per group size) for a prospective shuffle key — the measurement
+    * that decides whether a join/aggregation on this key needs salting,
+    * AQE skew handling, or a broadcast rewrite BEFORE burning a 100 TB
+    * shuffle on it. Two cascaded aggregations; the second operates on
+    * one row per distinct key, and its output is at most the number of
+    * distinct group sizes (tiny).
+    */
+  def skewHistogram(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size").agg(count(lit(1)).as("n_keys"))
+      .orderBy("group_size")
+
   /** Column profiling: per-column row/null/distinct counts and value
     * bounds for a table — the data-quality sweep run before any pipeline
     * ingests a new source. One scan, but the three exact

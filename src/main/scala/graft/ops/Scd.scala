@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type-2 merge — the batch-ETL operator the
+  * reference's star-schema pipeline stops short of (its dimensions are
+  * rebuilt from scratch each run; see `/root/reference/etl.py:64-130`):
+  * apply an update batch to a versioned dimension, closing changed
+  * rows' validity windows and opening new versions, while history rows
+  * pass through untouched.
+  *
+  * Scale design: ONE full-outer join on the dimension key decides every
+  * row's fate (close / reopen / pass-through / insert); the four
+  * outcome branches are projections of that join unioned back together
+  * — no per-row driver logic, no window over the whole dimension. At
+  * 100 TB the join shuffles on the key (or stays exchange-free on a
+  * bucketed dimension table), and null-safe comparison (`<=>`) makes
+  * change detection exact for nullable tracked columns.
+  */
+object Scd {
+
+  /** `current` must carry `key`, `tracked` columns, and string-typed
+    * `valid_from` / `valid_to` (null `valid_to` = open row). `updates`
+    * carries `key` + `tracked`. Emits the merged dimension: closed
+    * history (untouched), rows closed by this batch (`valid_to` =
+    * `batchDate`), new versions and brand-new keys (`valid_from` =
+    * `batchDate`, open), and unchanged open rows.
+    */
+  def scd2Merge(current: DataFrame, updates: DataFrame, key: String,
+                tracked: Seq[String], batchDate: String): DataFrame = {
+    val open = current.filter(col("valid_to").isNull)
+    val closedHistory = current.filter(col("valid_to").isNotNull)
+    val u = updates.select(
+      col(key).as("u_key") +: tracked.map(c => col(c).as(s"u_$c")): _*)
+    val joined = open.join(u, col(key) === col("u_key"), "full_outer")
+    val differs = tracked.map(c => !(col(c) <=> col(s"u_$c"))).reduce(_ || _)
+
+    val matchedChanged = joined.filter(
+      col(key).isNotNull && col("u_key").isNotNull && differs)
+    val closedNow = matchedChanged.select(
+      col(key) +: tracked.map(col) :+
+        col("valid_from") :+ lit(batchDate).as("valid_to"): _*)
+    val openedNew = matchedChanged.select(
+      col("u_key").as(key) +: tracked.map(c => col(s"u_$c").as(c)) :+
+        lit(batchDate).as("valid_from") :+ lit(null).cast("string").as("valid_to"): _*)
+    val unchanged = joined.filter(
+      col(key).isNotNull && (col("u_key").isNull || !differs))
+      .select(col(key) +: tracked.map(col) :+
+        col("valid_from") :+ col("valid_to"): _*)
+    val inserted = joined.filter(col(key).isNull)
+      .select(col("u_key").as(key) +: tracked.map(c => col(s"u_$c").as(c)) :+
+        lit(batchDate).as("valid_from") :+ lit(null).cast("string").as("valid_to"): _*)
+
+    closedHistory.select(unchanged.columns.map(col): _*)
+      .unionByName(closedNow).unionByName(unchanged)
+      .unionByName(openedNew).unionByName(inserted)
+      .orderBy(key, "valid_from")
+  }
+}

@@ -14,6 +14,59 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
+  def evTyped(rows: (Long, String, Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, ts, uid, tpe) =>
+      (id, Timestamp.valueOf(ts), uid, tpe, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("funnel: stages must happen in order; out-of-order users don't convert") {
+    val d = evTyped(
+      // user 1: full ordered funnel
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 00:01:00", 1L, "click"),
+      (3L, "2024-01-01 00:02:00", 1L, "purchase"),
+      // user 2: clicked BEFORE viewing — stalls at view
+      (4L, "2024-01-01 00:01:00", 2L, "click"),
+      (5L, "2024-01-01 00:02:00", 2L, "view"),
+      // user 3: view then click, no purchase
+      (6L, "2024-01-01 00:00:00", 3L, "view"),
+      (7L, "2024-01-01 00:03:00", 3L, "click"),
+      // user 4: purchase only — never enters
+      (8L, "2024-01-01 00:00:00", 4L, "purchase"))
+    val rows = Events.funnel(d).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rows === Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
+  }
+
+  test("funnel: same-timestamp stage events do NOT convert (strictly-after)") {
+    val d = evTyped(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 00:00:00", 1L, "click"))
+    val rows = Events.funnel(d).collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rows("view") === 1L)
+    assert(rows("click") === 0L)
+  }
+
+  test("cohortRetention: offsets count distinct active days against cohort size") {
+    val d = evTyped(
+      // cohort 01-01: users 1,2. user 1 returns day+1 (twice → one active day)
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-02 09:00:00", 1L, "view"),
+      (3L, "2024-01-02 11:00:00", 1L, "click"),
+      (4L, "2024-01-01 12:00:00", 2L, "view"),
+      // cohort 01-03: user 3 only
+      (5L, "2024-01-03 08:00:00", 3L, "view"))
+    val rows = Events.cohortRetention(d).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows(("2024-01-01", 0)) === ((2L, 2L, 1.0)))
+    assert(rows(("2024-01-01", 1)) === ((1L, 2L, 0.5)))
+    assert(rows(("2024-01-03", 0)) === ((1L, 1L, 1.0)))
+    assert(rows.size === 3)
+  }
+
   test("sessionize: gap of exactly 30min stays in-session; over 30min splits (strict >)") {
     val d = ev(
       (1L, "2024-01-01 00:00:00", 7L),
