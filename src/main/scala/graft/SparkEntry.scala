@@ -583,6 +583,22 @@ object SparkEntry {
         |  ON a.user_id = b.user_id AND b.ts > a.ts
         |  AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY event_a, event_b""".stripMargin,
+    "q_hourly_spikes" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n_events
+        |  FROM events GROUP BY event_type, hr),
+        |stats AS (
+        |  SELECT event_type, AVG(n_events) AS m, stddev_samp(n_events) AS sd
+        |  FROM hourly GROUP BY event_type)
+        |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  n_events, round((n_events - m) / sd, 4) AS z
+        |FROM hourly JOIN stats USING (event_type)
+        |WHERE abs(round((n_events - m) / sd, 4)) >= 2.0
+        |ORDER BY event_type, window_start""".stripMargin,
+    "q_skew_histogram" ->
+      """SELECT group_size, COUNT(*) AS n_keys FROM (
+        |  SELECT l_orderkey, COUNT(*) AS group_size FROM lineitem GROUP BY l_orderkey)
+        |GROUP BY group_size ORDER BY group_size""".stripMargin,
     "q_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, MIN(ts) AS t FROM events

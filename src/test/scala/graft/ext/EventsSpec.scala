@@ -21,6 +21,20 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
+  test("hourlySpikes flags only hours beyond the z threshold") {
+    // type 'a': 9 calm hours of 10 events + one 100-event spike hour
+    val calm = (0 until 9).flatMap(h => (0 until 10).map(i =>
+      (h * 100L + i, f"2024-01-01 $h%02d:00:${i}%02d", 1L, "a")))
+    val spike = (0 until 100).map(i =>
+      (5000L + i, f"2024-01-02 03:00:${i % 60}%02d.${i}%03d", 1L, "a"))
+    val d = evTyped(calm ++ spike: _*)
+    val rows = Events.hourlySpikes(d, zThreshold = 2.0).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(1) === "2024-01-02 03:00:00")
+    assert(rows(0).getLong(2) === 100L)
+    assert(rows(0).getDouble(3) > 2.0)
+  }
+
   test("funnel: stages must happen in order; out-of-order users don't convert") {
     val d = evTyped(
       // user 1: full ordered funnel

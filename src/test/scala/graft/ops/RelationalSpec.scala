@@ -100,4 +100,15 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     val flags = Tables.lineitem(spark, sf).select("l_returnflag").distinct().count()
     assert(Relational.rollupAgg(Tables.lineitem(spark, sf)).count() === n + flags + 1)
   }
+
+  test("skewHistogram: count-of-counts conserves both keys and rows") {
+    val li = Tables.lineitem(spark, sf)
+    val hist = Relational.skewHistogram(li, "l_orderkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val keys = li.select("l_orderkey").distinct().count()
+    assert(hist.map(_._2).sum === keys, "sum of n_keys = distinct keys")
+    assert(hist.map { case (size, n) => size * n }.sum === li.count(),
+      "sum of size×n_keys = total rows")
+    assert(hist.map(_._1).toSeq === hist.map(_._1).sorted.toSeq)
+  }
 }
