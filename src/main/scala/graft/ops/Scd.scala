@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Slowly-changing-dimension type-2 merge — the batch-ETL operator the
@@ -36,25 +36,28 @@ object Scd {
     val joined = open.join(u, col(key) === col("u_key"), "full_outer")
     val differs = tracked.map(c => !(col(c) <=> col(s"u_$c"))).reduce(_ || _)
 
-    val matchedChanged = joined.filter(
-      col(key).isNotNull && col("u_key").isNotNull && differs)
-    val closedNow = matchedChanged.select(
-      col(key) +: tracked.map(col) :+
-        col("valid_from") :+ lit(batchDate).as("valid_to"): _*)
-    val openedNew = matchedChanged.select(
-      col("u_key").as(key) +: tracked.map(c => col(s"u_$c").as(c)) :+
-        lit(batchDate).as("valid_from") :+ lit(null).cast("string").as("valid_to"): _*)
-    val unchanged = joined.filter(
-      col(key).isNotNull && (col("u_key").isNull || !differs))
-      .select(col(key) +: tracked.map(col) :+
-        col("valid_from") :+ col("valid_to"): _*)
-    val inserted = joined.filter(col(key).isNull)
-      .select(col("u_key").as(key) +: tracked.map(c => col(s"u_$c").as(c)) :+
-        lit(batchDate).as("valid_from") :+ lit(null).cast("string").as("valid_to"): _*)
+    // every outcome is a projection of the SAME joined row, so emit all
+    // of them from ONE pass with a conditional explode (0–2 rows per
+    // input) — a per-branch filter+union would re-scan and re-join the
+    // dimension once per outcome class
+    def mkRow(k: Column, vals: Seq[Column], from: Column, to: Column): Column = {
+      val named: Seq[Column] = vals.zip(tracked).map { case (c, n) => c.as(n) }
+      struct((k.as(key) +: named) ++
+        Seq(from.as("valid_from"), to.as("valid_to")): _*)
+    }
+    val closedRow = mkRow(col(key), tracked.map(col),
+      col("valid_from"), lit(batchDate))
+    val reopenRow = mkRow(col("u_key"), tracked.map(c => col(s"u_$c")),
+      lit(batchDate), lit(null).cast("string"))
+    val keepRow = mkRow(col(key), tracked.map(col),
+      col("valid_from"), col("valid_to"))
+    val outcome = when(col(key).isNull, array(reopenRow)) // brand-new key
+      .when(col("u_key").isNull || !differs, array(keepRow)) // untouched
+      .otherwise(array(closedRow, reopenRow)) // changed: close + reopen
+    val merged = joined.select(explode(outcome).as("r")).select(col("r.*"))
 
-    closedHistory.select(unchanged.columns.map(col): _*)
-      .unionByName(closedNow).unionByName(unchanged)
-      .unionByName(openedNew).unionByName(inserted)
+    closedHistory.select(merged.columns.map(col): _*)
+      .unionByName(merged)
       .orderBy(key, "valid_from")
   }
 }
