@@ -72,6 +72,10 @@ object StressBench {
         "o_orderkey", 3).count()),
       time("sessionize", ext.Events.sessionize(
         replicate(Tables.events(spark, sfDir), factor, Seq("event_id", "user_id"))).count()),
+      time("funnel", ext.Events.funnel(
+        replicate(Tables.events(spark, sfDir), factor, Seq("event_id", "user_id"))).count()),
+      time("tfidf", ext.TextOps.tfidfTopTerms(docs).count()),
+      time("bigram_lm", ext.TextOps.bigramLmScore(docs).count()),
       time("minhash_neardup", {
         // near-dup returns a persisted frame (caller owns the lifetime) —
         // release it so later queries don't run under its memory pressure
