@@ -104,6 +104,35 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(newOnly.forall(!_.getBoolean(3)), "no stored side → nothing is cross")
   }
 
+  test("continuation-session operators on empty/degenerate input return empty or NULL, not errors") {
+    import spark.implicits._
+    val empty = docs()
+    assert(graft.ext.TextOps.piiRedact(empty).collect().isEmpty)
+    assert(graft.ext.TextOps.tfidfTopTerms(empty).collect().isEmpty)
+    assert(graft.ext.TextOps.vocabCoverage(empty).collect().isEmpty)
+    assert(graft.ext.TextOps.bigramLmScore(empty).collect().isEmpty)
+    assert(graft.ext.DataPrep.stratifiedSample(empty).collect().isEmpty)
+    // single stratum: it IS the minimum → cutoff 256, everything kept
+    val single = graft.ext.DataPrep.stratifiedSample(docs((1L, "a"), (2L, "b"))).collect()
+    assert(single.length === 1 && single(0).getLong(3) === 2L)
+    // funnel on events missing a stage: later stages report 0, not error
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val f = graft.ext.Events.funnel(ev).collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(f === Map("view" -> 1L, "click" -> 0L, "purchase" -> 0L))
+    assert(graft.ext.Events.hourlySpikes(ev).collect().isEmpty,
+      "a single hour has null stddev → no spikes, no error")
+    // SCD2 with an empty update batch: dimension passes through untouched
+    val cur = Seq((1L, "A", "1992-01-01", null.asInstanceOf[String]))
+      .toDF("k", "segment", "valid_from", "valid_to")
+    val out = graft.ops.Scd.scd2Merge(cur, cur.select($"k", $"segment").limit(0),
+      "k", Seq("segment"), "1998-01-01").collect()
+    assert(out.length === 1 && out(0).getString(1) === "A" && out(0).isNullAt(3))
+    // centroid scoring on an empty embeddings table
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(graft.ext.Similarity.centroidSim(emptyEmb).collect().isEmpty)
+  }
+
   test("hll on empty input estimates 0") {
     import spark.implicits._
     val empty = Seq.empty[Long].toDF("v")

@@ -73,6 +73,55 @@ object TextProperties extends Properties("TextOps") with SparkSpec {
     }
 }
 
+object ScdProperties extends Properties("Scd") with SparkSpec {
+
+  // small key space so updates collide with current rows often
+  val dimGen: Gen[List[(Long, String)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(1L, 8L), Gen.oneOf("A", "B", "C")))
+      .map(_.distinctBy(_._1))
+
+  property("exactly one open row per surviving key; tracked values come from updates") =
+    forAll(dimGen, dimGen) { (cur, upd) =>
+      import spark.implicits._
+      val current = cur.map { case (k, s) => (k, s, "1992-01-01", null.asInstanceOf[String]) }
+        .toDF("k", "segment", "valid_from", "valid_to")
+      val updates = upd.toDF("k", "segment")
+      val out = graft.ops.Scd.scd2Merge(current, updates, "k", Seq("segment"), "1998-01-01")
+        .collect()
+      val openByKey = out.filter(_.isNullAt(3))
+        .groupBy(_.getLong(0)).view.mapValues(_.toList).toMap
+      val curMap = cur.toMap
+      val updMap = upd.toMap
+      val allKeys = curMap.keySet ++ updMap.keySet
+      Prop(allKeys.forall { k =>
+        openByKey.get(k).exists(_.length == 1) && {
+          // the open row carries the update's value when one exists,
+          // else the current value
+          val seg = openByKey(k).head.getString(1)
+          seg == updMap.getOrElse(k, curMap(k))
+        }
+      }) :| "one open row per key with the freshest value" &&
+      Prop(out.count(!_.isNullAt(3)) ==
+        cur.count { case (k, s) => updMap.get(k).exists(_ != s) }
+      ) :| "closed rows = changed keys exactly"
+    }
+
+  property("funnel stage counts are monotonically non-increasing") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(1L, 6L),
+      Gen.chooseNum(0, 5000), Gen.oneOf("view", "click", "purchase")))) { evs =>
+      import spark.implicits._
+      val df = evs.zipWithIndex.map { case ((u, off, tpe), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + off * 1000L), u, tpe, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val counts = graft.ext.Events.funnel(df).collect()
+        .sortBy(_.getInt(0)).map(_.getLong(2))
+      Prop(counts.sliding(2).forall {
+        case Array(a, b) => b <= a
+        case _ => true
+      })
+    }
+}
+
 object DateProperties extends Properties("Dates") with SparkSpec {
 
   property("builtin and UDF SAS-date forms agree incl. null/zero") =
