@@ -78,6 +78,8 @@ object SparkEntry {
     "q_intersect" -> ((s, d) => Relational.intersectKeys(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_except" -> ((s, d) => Relational.exceptKeys(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_scalar_subquery" -> ((s, d) => Relational.scalarSubquery(s, Tables.orders(s, d))),
+    "q_lateral_topn" -> ((s, d) => Relational.lateralTopPerGroup(s,
+      Tables.customer(s, d), Tables.nation(s, d))),
     "q_date_functions" -> ((s, d) => Relational.dateFunctions(Tables.orders(s, d))),
     "q_typed_agg" -> ((s, d) => graft.functions.QtyStats.perReturnFlag(s, Tables.lineitem(s, d))),
     "q_anti_join" -> ((s, d) => Relational.antiJoin(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -519,6 +521,15 @@ object SparkEntry {
         |    > (SELECT CAST(SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY order_key""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT n.n_name AS nation_name, t.customer_name, t.balance
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_name AS customer_name, c_acctbal AS balance
+        |  FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY nation_name, balance DESC, customer_name""".stripMargin,
     "q_date_functions" ->
       """SELECT o_orderkey AS order_key,
         |  CAST(year(o_orderdate) AS INTEGER) AS order_year,

@@ -336,6 +336,29 @@ object Relational {
       ORDER BY order_key""")
   }
 
+  /** Correlated LATERAL join (SQL surface): per outer row, a dependent
+    * subquery with its own ORDER BY + LIMIT — "top-2 customers per
+    * nation" phrased the way an analyst writes it. Catalyst decorrelates
+    * the lateral subquery into a join + per-key limit, so the executed
+    * plan is the same shape as the window/custom top-k forms (no
+    * nested-loop re-execution per outer row) — worth knowing when users
+    * port LATERAL-heavy warehouse SQL.
+    */
+  def lateralTopPerGroup(spark: SparkSession, customer: DataFrame,
+                         nation: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("graft_lat_customer")
+    nation.createOrReplaceTempView("graft_lat_nation")
+    spark.sql("""
+      SELECT n.n_name AS nation_name, t.customer_name, t.balance
+      FROM graft_lat_nation n,
+      LATERAL (
+        SELECT c_name AS customer_name, c_acctbal AS balance
+        FROM graft_lat_customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY nation_name, balance DESC, customer_name""")
+  }
+
   /** Calendar/date function pack over the order date: component
     * extraction, month arithmetic (end-of-month clamping), truncation.
     */

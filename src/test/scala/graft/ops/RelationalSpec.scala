@@ -101,6 +101,23 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(Relational.rollupAgg(Tables.lineitem(spark, sf)).count() === n + flags + 1)
   }
 
+  test("lateralTopPerGroup: LATERAL subquery equals the window top-2 form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val c = Tables.customer(spark, sf)
+    val n = Tables.nation(spark, sf)
+    val lat = Relational.lateralTopPerGroup(spark, c, n).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_name"))
+    val win = c.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 2)
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_name"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(lat === win)
+    assert(lat.nonEmpty)
+  }
+
   test("skewHistogram: count-of-counts conserves both keys and rows") {
     val li = Tables.lineitem(spark, sf)
     val hist = Relational.skewHistogram(li, "l_orderkey").collect()
