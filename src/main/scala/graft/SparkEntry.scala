@@ -169,6 +169,8 @@ object SparkEntry {
     }),
     // §2.10: multimodal binary plumbing
     "q_multimodal_binary" -> ((s, d) => Multimodal.binaryStats(Tables.documents(s, d))),
+    "q_aspect_batches" -> ((s, d) => Multimodal.aspectBatches(
+      Multimodal.toMediaTable(Tables.documents(s, d)))),
     "q_multimodal_frames" -> ((s, d) => {
       // Scalar digest of the frame/feature pipeline (the driver's compare
       // can't sort array columns): every feature value still flows through
@@ -1002,6 +1004,21 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  sha256(text) AS sha256_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_aspect_batches" ->
+      """WITH m AS (
+        |  SELECT doc_id, n_chars % 640 AS w, n_chars % 480 AS h FROM documents),
+        |b AS (
+        |  SELECT doc_id, CASE WHEN h > 0 THEN (w * 10) // h END AS aspect_bucket
+        |  FROM m),
+        |r AS (
+        |  SELECT doc_id, aspect_bucket,
+        |    CAST(row_number() OVER (PARTITION BY aspect_bucket ORDER BY doc_id) - 1
+        |      AS BIGINT) AS rn
+        |  FROM b)
+        |SELECT aspect_bucket, rn // 8 AS batch_id, COUNT(*) AS n_items,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM r GROUP BY aspect_bucket, batch_id
+        |ORDER BY aspect_bucket ASC NULLS FIRST, batch_id""".stripMargin,
     // Replicates FakeCodec exactly (text is ASCII, so unicode(char) ==
     // payload byte): frame size = max(1, nb/4); grouped().take(4) keeps
     // only FULL chunks -> floor(nb/sz) capped at 4, each exactly sz

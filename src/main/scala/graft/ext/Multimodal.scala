@@ -113,6 +113,31 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_bytes", "features")
   }
 
+  /** Aspect-ratio bucketing + batch packing — the image/video-training
+    * batching trick: group media by aspect-ratio class (so a batch's
+    * tensors share a shape and need no padding), then pack each bucket
+    * into fixed-size training batches in deterministic doc order.
+    * The bucket is an INTEGER aspect decile (`width*10 div height`) —
+    * exact on any engine, no float rounding at bucket edges; zero
+    * heights land in a NULL bucket instead of dividing by zero. One
+    * shuffle on the bucket key; batch ids come from a per-bucket
+    * row_number, the same running-total shape as sequence packing.
+    */
+  def aspectBatches(media: DataFrame, batchSize: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = when(col("meta.height_px") > 0,
+      expr("CAST(meta.width_px AS BIGINT) * 10 div meta.height_px"))
+    val w = Window.partitionBy(col("aspect_bucket")).orderBy(col("doc_id"))
+    media.withColumn("aspect_bucket", bucket)
+      .withColumn("rn", row_number().over(w).cast("long") - 1)
+      .withColumn("batch_id", expr(s"rn div $batchSize"))
+      .groupBy("aspect_bucket", "batch_id").agg(
+        count(lit(1)).as("n_items"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("aspect_bucket").asc_nulls_first, col("batch_id"))
+  }
+
   /** Oracle-matched projection of the binary plumbing: payload byte
     * length + SHA-256 content hash, both engine-portable (DuckDB:
     * octet_length / sha256 over the same UTF-8 bytes).

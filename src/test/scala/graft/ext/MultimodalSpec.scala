@@ -43,4 +43,27 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val plan = feats.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan, got:\n$plan")
   }
+
+  test("aspectBatches: full batches except per-bucket tails; every item batched once") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.toMediaTable(docs)
+    val batches = Multimodal.aspectBatches(media, batchSize = 8).collect()
+    assert(batches.map(_.getLong(2)).sum === docs.count(), "items conserved")
+    // within each bucket, only the highest batch_id may be short
+    batches.groupBy(r => Option(r.get(0))).foreach { case (_, g) =>
+      val maxBatch = g.map(_.getLong(1)).max
+      g.foreach { r =>
+        if (r.getLong(1) < maxBatch)
+          assert(r.getLong(2) === 8L, s"non-tail batch must be full: $r")
+        assert(r.getLong(2) <= 8L)
+      }
+    }
+    // doc ranges of consecutive batches in a bucket never overlap
+    batches.groupBy(r => Option(r.get(0))).foreach { case (_, g) =>
+      g.sortBy(_.getLong(1)).sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) < b.getLong(3))
+        case _ =>
+      }
+    }
+  }
 }
