@@ -119,6 +119,22 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Hourly event counts per type — shared by the batch spike detector
+    * and, as the offline-trained reference, by the streaming alert sink
+    * ([[graft.streaming.StreamingOps.spikeAlerts]]).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Per-type mean/stddev of hourly counts (the "model" of the z-score
+    * detector; at most types×hours input rows).
+    */
+  def hourlyStats(events: DataFrame): DataFrame =
+    hourlyCounts(events).groupBy("event_type").agg(
+      avg(col("n_events")).as("m"), stddev_samp(col("n_events")).as("sd"))
+
   /** Hourly volume anomaly detection (z-score spike/dip flagging): per
     * event type, hours whose event count deviates from the type's mean
     * hourly count by ≥ `zThreshold` sample standard deviations. Two
@@ -128,11 +144,8 @@ object Events {
     * threshold filter so membership is engine-exact.
     */
   def hourlySpikes(events: DataFrame, zThreshold: Double = 2.0): DataFrame = {
-    val hourly = events
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-      .agg(count(lit(1)).as("n_events"))
-    val stats = hourly.groupBy("event_type").agg(
-      avg(col("n_events")).as("m"), stddev_samp(col("n_events")).as("sd"))
+    val hourly = hourlyCounts(events)
+    val stats = hourlyStats(events)
     hourly.join(stats, "event_type")
       .withColumn("z", round((col("n_events") - col("m")) / col("sd"), 4))
       .filter(abs(col("z")) >= zThreshold)

@@ -112,6 +112,34 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming anomaly alerts — the "train offline, score online"
+    * split of [[graft.ext.Events.hourlySpikes]]: finalized hourly
+    * windows (append mode — a window emits once the watermark passes
+    * its end) are scored in `foreachBatch` against REFERENCE per-type
+    * statistics computed offline by the batch twin
+    * ([[graft.ext.Events.hourlyStats]] over the historical corpus), and
+    * crossing windows are appended to `alertPath`. The reference stats
+    * are broadcast (types×2 doubles), so scoring adds no shuffle to the
+    * stream; the z-score is rounded before the threshold exactly like
+    * the batch form, so an alert here IS a row the batch detector would
+    * flag over the same hour.
+    */
+  def spikeAlerts(counts: DataFrame, refStats: DataFrame, alertPath: String,
+                  checkpoint: String, zThreshold: Double = 2.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    counts.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val alerts = batch
+          .join(broadcast(refStats), "event_type")
+          .withColumn("z", round((col("n_events") - col("m")) / col("sd"), 4))
+          .filter(abs(col("z")) >= zThreshold)
+          .select(col("event_type"), col("window_start"), col("n_events"), col("z"))
+        alerts.write.mode("append").parquet(alertPath)
+        ()
+      }
+      .start()
+
   /** Watermarked tumbling windows with APPROXIMATE distinct users per
     * window via the graft HLL sketch ([[graft.functions.HllSketch]], a
     * TypedImperativeAggregate): the sketch's partial buffers merge under

@@ -280,4 +280,47 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       assert(stream === batch)
     } finally q.stop()
   }
+
+  test("spikeAlerts: finalized spike windows land in the alert sink; calm hours don't") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_alerts").toString
+    // offline reference: 10 calm hours of 2 events → m=2, sd=0 is no good;
+    // vary counts 1..3 so sd > 0
+    val refEvents = (0 until 9).flatMap { h =>
+      (0 until (1 + h % 3)).map(i =>
+        (h * 100L + i, ts(f"2024-01-01 $h%02d:05:0$i"), 1L, "click", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val refStats = graft.ext.Events.hourlyStats(refEvents)
+    val input = MemoryStream[Event]
+    val counts = windowedCounts(input.toDF())
+    val q = spikeAlerts(counts, refStats, s"$dir/alerts", s"$dir/ckpt")
+    try {
+      // one calm hour (2 events ≈ mean) then a 40-event spike hour
+      input.addData(
+        Event(1, ts("2024-02-01 00:10:00"), 1, "click", 1.0),
+        Event(2, ts("2024-02-01 00:20:00"), 1, "click", 1.0))
+      input.addData((0 until 40).map(i =>
+        Event(100L + i, ts(f"2024-02-01 01:${i % 60}%02d:00"), 1L, "click", 1.0)))
+      // advance the watermark far enough to finalize both hours
+      input.addData(Event(999, ts("2024-02-01 03:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val alerts = spark.read.parquet(s"$dir/alerts")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"),
+          col("n_events"), col("z")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(alerts.toSeq === Seq(("2024-02-01 01:00:00", 40L)),
+        "exactly the spike hour alerts; the calm hour does not")
+      // agreement with the batch detector over the union of ref + live hours
+      val live = Seq(
+        (1L, ts("2024-02-01 00:10:00")), (2L, ts("2024-02-01 00:20:00"))) ++
+        (0 until 40).map(i => (100L + i, ts(f"2024-02-01 01:${i % 60}%02d:00")))
+      val liveDf = live.map { case (id, t) => (id, t, 1L, "click", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val batchSpikes = graft.ext.Events.hourlySpikes(refEvents.unionByName(liveDf))
+        .collect().map(_.getString(1))
+      assert(batchSpikes.contains("2024-02-01 01:00:00"))
+    } finally q.stop()
+  }
 }
