@@ -183,9 +183,11 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val viaNeighbors = sym.join(labels, sym("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("label"))
+      // lazy checkpoint: the convergence aggregate right below is the
+      // action that materializes it — one job per round, not two
       val next = labels.unionByName(viaNeighbors)
         .groupBy("doc_id").agg(min(col("label")).as("label"))
-        .localCheckpoint(true) // truncate the growing lineage each round
+        .localCheckpoint(false) // truncate the growing lineage each round
       val nextSum = labelSum(next)
       labels.unpersist(false)
       labels = next
