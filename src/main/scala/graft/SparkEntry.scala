@@ -136,6 +136,15 @@ object SparkEntry {
       Map("src0" -> "ff", "src1" -> "20"))),
     "q_length_histogram" -> ((s, d) => DataPrep.lengthHistogram(Tables.documents(s, d))),
     "q_stratified_sample" -> ((s, d) => DataPrep.stratifiedSample(Tables.documents(s, d))),
+    "q_boilerplate" -> ((s, d) => TextOps.boilerplateRemoval(Tables.documents(s, d))),
+    "q_cluster_rep" -> ((s, d) => Dedup.clusterRepresentatives(Tables.documents(s, d))),
+    "q_curriculum" -> ((s, d) => DataPrep.curriculumDeciles(Tables.documents(s, d))),
+    "q_temperature_mix" -> ((s, d) => DataPrep.temperatureResample(Tables.documents(s, d))),
+    // mergeable-sketch table pattern: per-day HLL buffers → range merge.
+    // Estimates aren't SQL-replicable → rows-only; SketchesSpec pins
+    // merged ≡ single-pass bit-identically (incl. parquet round-trip).
+    "q_sketch_merge" -> ((s, d) => graft.ops.Sketches.weeklyDistinctUsers(
+      graft.ops.Sketches.dailyUserSketches(Tables.events(s, d)))),
     "q_profile" -> ((s, d) => Relational.profileOrders(Tables.orders(s, d))),
     "q_approx_profile" -> ((s, d) => Relational.approxProfile(Tables.lineitem(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
@@ -860,6 +869,85 @@ object SparkEntry {
     // transitive closure of the exact near-dup pairs via recursive CTE:
     // label = min doc_id reachable (same fixpoint the iterative Spark
     // min-label propagation converges to)
+    "q_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |c0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, (len(l) + 4) // 5),
+        |    i -> {'pos': i, 'chunk': array_to_string(l[i*5+1:i*5+5], ' ')})) AS u
+        |  FROM t),
+        |c AS (SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM c0),
+        |boiler AS (SELECT chunk FROM c GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2),
+        |flagged AS (SELECT c.doc_id, c.pos, c.chunk, (b.chunk IS NOT NULL) AS is_boiler
+        |            FROM c LEFT JOIN boiler b USING (chunk))
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_chunks,
+        |  CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS INTEGER) AS n_boiler,
+        |  md5(COALESCE(string_agg(CASE WHEN NOT is_boiler THEN chunk END, ' ' ORDER BY pos),
+        |    '')) AS clean_hash
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_curriculum" ->
+      """SELECT decile, COUNT(*) AS n_docs,
+        |  CAST(MIN(n_chars) AS INTEGER) AS min_chars,
+        |  CAST(MAX(n_chars) AS INTEGER) AS max_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
+        |FROM (SELECT doc_id, n_chars,
+        |    CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS decile
+        |  FROM documents)
+        |GROUP BY decile ORDER BY decile""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+        |m AS (SELECT MAX(n_total) AS n_max FROM c),
+        |f AS (SELECT lang, n_total,
+        |    CAST(ceil(sqrt(CAST(n_max AS DOUBLE) / CAST(n_total AS DOUBLE))) AS INTEGER)
+        |      AS factor
+        |  FROM c, m)
+        |SELECT d.doc_id, d.lang, f.factor,
+        |  CAST(unnest(range(1, f.factor + 1)) AS INTEGER) AS copy_idx
+        |FROM documents d JOIN f USING (lang)
+        |ORDER BY doc_id, copy_idx""".stripMargin,
+    // q_cluster_rep: the q_dedup_clusters recursive-CTE pipeline plus the
+    // keep-decision (rank members by n_chars DESC, doc_id; rn=1 is kept)
+    "q_cluster_rep" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |    i -> array_to_string(l[i:i+4], ' ')))) AS shingle
+        |  FROM toks WHERE len(l) >= 5),
+        |kept AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 1000),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id),
+        |pairs AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst AS node, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id),
+        |member AS (
+        |  SELECT l.doc_id, l.cluster_id, cs.cluster_size, d.n_chars
+        |  FROM lab l JOIN cs USING (cluster_id) JOIN documents d USING (doc_id)
+        |  WHERE cs.cluster_size > 1),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM member)
+        |SELECT cluster_id, CAST(MAX(cluster_size) AS INTEGER) AS cluster_size,
+        |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc,
+        |  CAST(MIN(CASE WHEN rn = 1 THEN n_chars END) AS INTEGER) AS rep_chars,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
+        |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE
         |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

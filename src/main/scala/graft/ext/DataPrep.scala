@@ -111,6 +111,64 @@ object DataPrep {
       .orderBy(strataCol)
   }
 
+  /** Curriculum bucketing: order the corpus by a difficulty proxy
+    * (document length, doc_id tiebreak → total order) and cut it into
+    * `nBuckets` equal-size phases with `ntile` — the "easy examples
+    * first" schedule of curriculum training, reported as per-phase
+    * stats. `ntile` semantics (larger buckets first when uneven) are
+    * identical across engines given the same total order, so the
+    * assignment is exactly reproducible.
+    *
+    * Scale note: an unpartitioned ranking window is a single-reducer
+    * sort — fine for the assignment bookkeeping here (the output is one
+    * row per bucket), but at 100 TB the per-DOCUMENT assignment would
+    * instead use distributed binning on pre-computed quantile boundaries
+    * (`approxQuantile` or an exact two-pass rank), trading exact equal
+    * sizes for full parallelism.
+    */
+  def curriculumDeciles(documents: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    documents
+      .withColumn("decile", ntile(nBuckets).over(w))
+      .groupBy("decile").agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).cast("int").as("min_chars"),
+        max(col("n_chars")).cast("int").as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("decile")
+  }
+
+  /** Temperature-scaled mixture resampling: upsample under-represented
+    * strata by an integer repeat factor `ceil((n_max/n_s)^(1/T))` — the
+    * multinomial temperature trick of multilingual corpus assembly
+    * (T → ∞ keeps natural proportions, T = 1 fully balances), made
+    * deterministic by materializing whole copies instead of sampling.
+    * Emits one row per (document, copy). Two tiny aggregations decide
+    * the factors (broadcast back); the fan-out is `explode(sequence)` —
+    * a single scan of the corpus, no shuffle of document content.
+    *
+    * The default T = 2 uses `sqrt`, which IEEE 754 requires to be
+    * correctly rounded → the factor is engine-exact (oracle-checked).
+    * Other temperatures go through `pow`, whose last-ulp behavior is
+    * libm-specific — same pipeline, but don't expect cross-engine
+    * bit-equality of the boundary cases.
+    */
+  def temperatureResample(documents: DataFrame, strataCol: String = "lang",
+                          temperature: Double = 2.0): DataFrame = {
+    val counts = documents.groupBy(strataCol).agg(count(lit(1)).as("n_total"))
+    val nMax = counts.agg(max(col("n_total")).as("n_max"))
+    val ratio = col("n_max").cast("double") / col("n_total").cast("double")
+    val scaled = if (temperature == 2.0) sqrt(ratio)
+      else pow(ratio, lit(1.0 / temperature))
+    val factors = counts.crossJoin(broadcast(nMax))
+      .select(col(strataCol), ceil(scaled).cast("int").as("factor"))
+    documents.join(broadcast(factors), strataCol)
+      .select(col("doc_id"), col(strataCol), col("factor"),
+        explode(sequence(lit(1), col("factor"))).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
   /** Decontamination: detect evaluation documents leaking into the
     * training split via shared word-k-grams — the cross-split variant of
     * n-gram near-dup detection (same shuffle-on-shingle shape; the join

@@ -223,6 +223,29 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Canonicalization — the keep-decision that turns [[dedupClusters]]
+    * into an actual dedup pass: per multi-doc cluster, keep the highest-
+    * quality member (here: max `n_chars`, ties to the smallest doc_id)
+    * and account for what gets dropped. Emits one row per cluster with
+    * the representative and the dropped-volume tally. The ranking window
+    * partitions by cluster_id — already the data's key after clustering,
+    * so no extra shuffle beyond the doc-metadata join.
+    */
+  def clusterRepresentatives(documents: DataFrame, k: Int = 5,
+                             threshold: Double = 0.5): DataFrame = {
+    val clusters = dedupClusters(documents, k, threshold)
+    val member = clusters.join(documents.select(col("doc_id"), col("n_chars")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("n_chars").desc, col("doc_id"))
+    member.withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id").agg(
+        max(col("cluster_size")).cast("int").as("cluster_size"),
+        min(when(col("rn") === 1, col("doc_id"))).as("rep_doc"),
+        min(when(col("rn") === 1, col("n_chars"))).cast("int").as("rep_chars"),
+        sum(when(col("rn") > 1, col("n_chars")).otherwise(0L)).as("dropped_chars"))
+      .orderBy("cluster_id")
+  }
+
   /** Estimated Jaccard from two MinHash signatures: the fraction of
     * equal components (the unbiased MinHash estimator).
     */

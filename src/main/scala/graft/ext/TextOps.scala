@@ -276,6 +276,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** C4-style boilerplate removal: split every document into
+    * non-overlapping `chunkTokens`-token chunks (the corpus has no line
+    * structure, so fixed token spans stand in for C4's lines/sentences),
+    * mark chunks appearing in ≥ `minDocs` DISTINCT documents as
+    * boilerplate, and rebuild each document from its kept chunks in
+    * original order. Emits per-document chunk counts and the md5 of the
+    * cleaned text (engine-portable digest of the reassembly).
+    *
+    * Scale shape: one shuffle keyed on the chunk string to find the
+    * boilerplate set (map-side combine collapses repeats), one join back
+    * (the boilerplate set is corpus-frequency-bounded and usually
+    * broadcast-able), one groupBy doc_id to reassemble. `collect_list`
+    * order is nondeterministic by contract → `array_sort` on (pos,
+    * chunk) before joining.
+    */
+  def boilerplateRemoval(documents: DataFrame, chunkTokens: Int = 5,
+                         minDocs: Int = 2): DataFrame = {
+    val c = chunkTokens
+    val toks = wsTokens(col("text"))
+    // ceil(n_tokens / c) chunks; split("") = [""] so every doc has ≥ 1
+    val nChunks = expr(s"(size(split(text, ' ')) + ${c - 1}) div $c")
+    val chunked = documents.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * c + 1, lit(c))))))
+      .toDF("doc_id", "pos", "chunk")
+    val boiler = chunked.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+      .filter(col("n_docs_with") >= minDocs)
+      .select(col("chunk"), lit(true).as("is_boiler"))
+    chunked.join(boiler, Seq("chunk"), "left")
+      .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false)))
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("is_boiler"), 1).otherwise(0)).cast("int").as("n_boiler"),
+        // collect_list skips the null branch → only kept chunks land here
+        md5(array_join(transform(
+          array_sort(collect_list(when(!col("is_boiler"),
+            struct(col("pos"), col("chunk"))))),
+          s => s.getField("chunk")), " ")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling polynomial hash over the document's characters:
     * `acc = (acc * 31 + codepoint) mod 1e9+7` — the classic Rabin-Karp
     * fold, modular so ANSI mode can't overflow (acc*31 + 255 < 2^35).

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.HllSketch
+
+/** The persisted mergeable-sketch table pattern — the 100 TB answer to
+  * "distinct users over an arbitrary date range" without rescanning raw
+  * events: aggregate each day ONCE into a fixed-size HLL register buffer
+  * (a plain binary column, storable in parquet), then answer any range
+  * by merging the per-day buffers (register-wise max) — seconds over a
+  * sketch table of a few KiB/day instead of a rescan of the raw table.
+  *
+  * Merge-of-stored is exactly the estimate a single pass over the range
+  * would produce (register max is associative/commutative/idempotent),
+  * so pre-aggregation loses nothing — tested bit-identical in
+  * SketchesSpec, including through a parquet round-trip.
+  */
+object Sketches {
+
+  /** Per-day user sketch table: one row per calendar day with the HLL
+    * register buffer over `user_id` plus exact bookkeeping counts. One
+    * shuffle on day; the buffer (2^p bytes) is the only per-group state.
+    */
+  def dailyUserSketches(events: DataFrame, p: Int = 14): DataFrame = {
+    val s = events.sparkSession
+    events.groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        HllSketch.hll_sketch_buffer(s, col("user_id"), p).as("sketch"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Range query over the stored sketch table: distinct users per ISO
+    * week by merging that week's daily buffers. Never touches raw
+    * events — the input is [[dailyUserSketches]] output (typically read
+    * back from parquet). Same shape answers any slicing (month, rolling
+    * 28-day, all-time) off the same stored table.
+    */
+  def weeklyDistinctUsers(sketchTable: DataFrame): DataFrame = {
+    val s = sketchTable.sparkSession
+    sketchTable
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week_start"))
+      .agg(
+        HllSketch.hll_merge(s, col("sketch")).as("est_users"),
+        count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("n_events"))
+      .select(date_format(col("week_start"), "yyyy-MM-dd").as("week_start"),
+        col("n_days"), col("n_events"), col("est_users"))
+      .orderBy("week_start")
+  }
+}

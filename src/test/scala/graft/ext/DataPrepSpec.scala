@@ -63,6 +63,46 @@ class DataPrepSpec extends AnyFunSuite with SparkSpec {
     assert(DataPrep.stratifiedSample(d, "lang").collect().toSeq === rows.toSeq)
   }
 
+  test("curriculum deciles: equal-size phases, ordered non-overlapping ranges") {
+    val d = Tables.documents(spark, sf)
+    val rows = DataPrep.curriculumDeciles(d).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 10))
+    assert(rows.map(_.getLong(1)).sum === 500L)
+    // ntile: bucket sizes differ by at most 1, larger buckets first
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    assert(sizes.toSeq === sizes.sortBy(-_).toSeq)
+    // difficulty ranges are non-decreasing across phases
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Int]("max_chars") <= b.getAs[Int]("min_chars"))
+      case _ =>
+    }
+  }
+
+  test("temperature resample: integer factors balance strata, copies fully materialized") {
+    val d = Tables.documents(spark, sf)
+    val rows = DataPrep.temperatureResample(d).collect()
+    val byLang = rows.groupBy(_.getString(1))
+    val nDocs = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMax = nDocs.values.max
+    byLang.foreach { case (lang, g) =>
+      val factor = math.ceil(math.sqrt(nMax.toDouble / nDocs(lang))).toInt
+      assert(g.forall(_.getInt(2) == factor), s"$lang factor")
+      assert(g.length === nDocs(lang) * factor, s"$lang copy count")
+      // every doc carries exactly copy_idx 1..factor
+      g.groupBy(_.getLong(0)).foreach { case (_, copies) =>
+        assert(copies.map(_.getInt(3)).sorted.toSeq === (1 to factor))
+      }
+    }
+    // the largest stratum is never upsampled; smaller ones are
+    val maxLang = nDocs.maxBy(_._2)._1
+    assert(byLang(maxLang).head.getInt(2) === 1)
+    assert(byLang.exists(_._2.head.getInt(2) > 1),
+      "fixture must exercise an actual upsample")
+  }
+
   test("sequence packing: packs respect order, cover every doc, budget boundaries") {
     val d = Tables.documents(spark, sf)
     val packs = DataPrep.sequencePacking(d, tokenBudget = 500).collect()

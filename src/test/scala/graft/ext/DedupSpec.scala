@@ -171,6 +171,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(native === composed)
   }
 
+  test("clusterRepresentatives: longest member kept, doc_id breaks ties, drops tallied") {
+    // one near-dup cluster {1,2,4}: 2 is longest → representative;
+    // 3 is unrelated → no cluster row
+    val longer = base + " with extra trailing words"
+    val d = docs(1L -> base, 2L -> longer, 4L -> base, 3L -> other)
+    val rows = Dedup.clusterRepresentatives(d).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("cluster_id") === 1L)
+    assert(r.getAs[Int]("cluster_size") === 3)
+    assert(r.getAs[Long]("rep_doc") === 2L)
+    assert(r.getAs[Int]("rep_chars") === longer.length)
+    assert(r.getAs[Long]("dropped_chars") === 2L * base.length)
+  }
+
+  test("clusterRepresentatives: equal-length members fall back to min doc_id") {
+    val d = docs(7L -> base, 5L -> base, 9L -> other)
+    val r = Dedup.clusterRepresentatives(d).collect()(0)
+    assert(r.getAs[Long]("rep_doc") === 5L)
+  }
+
   test("simhash: identical docs get identical fingerprints → hamming-0 pair") {
     val d = docs(1L -> base, 2L -> base, 3L -> other)
     val fps = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -142,6 +142,40 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(ids === Set(3L))
   }
 
+  test("boilerplateRemoval: shared chunks removed, unique chunks kept in order") {
+    // chunkTokens=2: doc1 = [A B][C D], doc2 = [A B][E F], doc3 = [G H]
+    // "A B" appears in 2 distinct docs → boilerplate; everything else kept
+    val d = docs(
+      (1L, "A B C D", "en"),
+      (2L, "A B E F", "en"),
+      (3L, "G H", "en"))
+    val rows = TextOps.boilerplateRemoval(d, chunkTokens = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(rows(1L) === ((2, 1, md5hex("C D"))))
+    assert(rows(2L) === ((2, 1, md5hex("E F"))))
+    assert(rows(3L) === ((1, 0, md5hex("G H"))))
+  }
+
+  test("boilerplateRemoval: fully-boilerplate doc reassembles to the empty string") {
+    val d = docs((1L, "A B", "en"), (2L, "A B", "en"))
+    val rows = TextOps.boilerplateRemoval(d, chunkTokens = 2, minDocs = 2).collect()
+    rows.foreach { r =>
+      assert(r.getInt(2) === 1) // its single chunk is boilerplate
+      assert(r.getString(3) === "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+    }
+  }
+
+  test("boilerplateRemoval: a repeated chunk within ONE doc is not boilerplate") {
+    val d = docs((1L, "A B A B", "en"), (2L, "X Y", "en"))
+    val r = TextOps.boilerplateRemoval(d, chunkTokens = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(r(1L) === 0, "distinct-doc count, not occurrence count, decides")
+  }
+
   test("textStats aggregates per language") {
     val d = docs((1L, "one two", "en"), (2L, "three four five", "en"), (3L, "six", "fr"))
     val rows = TextOps.textStats(d).collect()
