@@ -207,7 +207,10 @@ object Dedup {
     */
   def dedupClusters(documents: DataFrame, k: Int = 5,
                     threshold: Double = 0.5): DataFrame = {
-    val pairs = ngramJaccard(documents, k, threshold) // persisted (we own it)
+    // persist: the edge table feeds EVERY label-propagation round (plus
+    // the node-set build) — unpersisted, each round would re-run the
+    // whole shingle self-join pipeline through the lineage
+    val pairs = ngramJaccard(documents, k, threshold).persist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // only pair-participating docs can land in a multi-doc cluster, and
     // singletons are filtered below — propagate over the (much smaller)
