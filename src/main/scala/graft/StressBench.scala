@@ -85,6 +85,18 @@ object StressBench {
         n
       }),
       time("dedup_exact", ext.Dedup.exactDedup(docs).count()),
+      time("boilerplate", ext.TextOps.boilerplateRemoval(docs).count()),
+      time("cluster_rep", {
+        // replicated corpus → every text ×factor → the near-dup graph is a
+        // pathological clique bed; exercises pair-gen + label propagation +
+        // canonicalization end to end
+        val rep = ext.Dedup.clusterRepresentatives(docs)
+        rep.count()
+      }),
+      time("temperature_mix", ext.DataPrep.temperatureResample(docs).count()),
+      time("sketch_table", ops.Sketches.weeklyDistinctUsers(
+        ops.Sketches.dailyUserSketches(
+          replicate(Tables.events(spark, sfDir), factor, Seq("event_id", "user_id")))).count()),
       time("cosine_topk", ext.Similarity.cosineTopK(emb).count()),
       time("hll_distinct", {
         li.agg(functions.HllSketch.hll_distinct(spark, col("l_partkey"))).collect()(0).getLong(0)
