@@ -136,6 +136,23 @@ object SparkEntry {
       Map("src0" -> "ff", "src1" -> "20"))),
     "q_length_histogram" -> ((s, d) => DataPrep.lengthHistogram(Tables.documents(s, d))),
     "q_stratified_sample" -> ((s, d) => DataPrep.stratifiedSample(Tables.documents(s, d))),
+    "q_dq_checks" -> ((s, d) => graft.ops.Quality.checkSuite(
+      Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))),
+    "q_snapshot_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // CDC fixture: the "new" snapshot drops every 13th key, re-segments
+      // every 10th surviving key, and appends a shifted-key batch
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      val mutated = base.filter(col("c_custkey") % 13 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 10 === 0, lit("PROMO")).otherwise(col("c_mktsegment")))
+      val inserts = base.filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit("NEW").as("c_mktsegment"), lit(0).as("c_nationkey"))
+      graft.ops.Diff.snapshotDiff(base, mutated.unionByName(inserts),
+        "c_custkey", Seq("c_mktsegment", "c_nationkey"))
+    }),
     "q_boilerplate" -> ((s, d) => TextOps.boilerplateRemoval(Tables.documents(s, d))),
     "q_cluster_rep" -> ((s, d) => Dedup.clusterRepresentatives(Tables.documents(s, d))),
     "q_curriculum" -> ((s, d) => DataPrep.curriculumDeciles(Tables.documents(s, d))),
@@ -869,6 +886,50 @@ object SparkEntry {
     // transitive closure of the exact near-dup pairs via recursive CTE:
     // label = min doc_id reachable (same fixpoint the iterative Spark
     // min-label propagation converges to)
+    "q_dq_checks" ->
+      """SELECT check_name, n_rows, n_violations, (n_violations = 0) AS pass FROM (
+        |  SELECT 'orders_pk_unique' AS check_name, count(*) AS n_rows,
+        |    count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+        |  UNION ALL SELECT 'orders_custkey_positive', count(*),
+        |    CAST(SUM(CASE WHEN o_custkey <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'orders_status_enum', count(*),
+        |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'orders_price_positive', count(*),
+        |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'lineitem_qty_range', count(*),
+        |    CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'lineitem_discount_range', count(*),
+        |    CAST(SUM(CASE WHEN l_discount NOT BETWEEN 0 AND 0.1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'lineitem_fk_orders', count(*),
+        |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |      ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL SELECT 'orders_fk_customer', count(*),
+        |    CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |      ON o.o_custkey = c.c_custkey
+        |) ORDER BY check_name""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH oldt AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg, c_nationkey AS nk FROM customer),
+        |newt AS (
+        |  SELECT k, CASE WHEN k % 10 = 0 THEN 'PROMO' ELSE seg END AS seg, nk
+        |  FROM oldt WHERE k % 13 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000, 'NEW', 0 FROM oldt WHERE k % 97 = 0),
+        |j AS (
+        |  SELECT o.k AS ok, n.k AS nk2, o.seg AS oseg, o.nk AS onk,
+        |    n.seg AS nseg, n.nk AS nnk
+        |  FROM oldt o FULL OUTER JOIN newt n ON o.k = n.k)
+        |SELECT CASE WHEN ok IS NULL THEN 'insert' WHEN nk2 IS NULL THEN 'delete'
+        |    WHEN oseg IS NOT DISTINCT FROM nseg AND onk IS NOT DISTINCT FROM nnk
+        |    THEN 'unchanged' ELSE 'update' END AS change_type,
+        |  count(*) AS n_keys, CAST(SUM(COALESCE(ok, nk2)) AS BIGINT) AS sum_keys
+        |FROM j GROUP BY 1 ORDER BY change_type""".stripMargin,
     "q_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |c0 AS (
