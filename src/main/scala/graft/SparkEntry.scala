@@ -136,6 +136,8 @@ object SparkEntry {
       Map("src0" -> "ff", "src1" -> "20"))),
     "q_length_histogram" -> ((s, d) => DataPrep.lengthHistogram(Tables.documents(s, d))),
     "q_stratified_sample" -> ((s, d) => DataPrep.stratifiedSample(Tables.documents(s, d))),
+    "q_fuzzy_match" -> ((s, d) => graft.ops.Fuzzy.fuzzyNameMatch(
+      Tables.part(s, d), "p_name")),
     "q_dq_checks" -> ((s, d) => graft.ops.Quality.checkSuite(
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))),
     "q_snapshot_diff" -> ((s, d) => {
@@ -886,6 +888,16 @@ object SparkEntry {
     // transitive closure of the exact near-dup pairs via recursive CTE:
     // label = min doc_id reachable (same fixpoint the iterative Spark
     // min-label propagation converges to)
+    "q_fuzzy_match" ->
+      """WITH n AS (SELECT p_name AS name, count(*) AS n_rows FROM part GROUP BY 1),
+        |a AS (SELECT name AS name_a, n_rows AS n_rows_a, substr(name,1,1) AS blk FROM n),
+        |b AS (SELECT name AS name_b, n_rows AS n_rows_b, substr(name,1,1) AS blk FROM n)
+        |SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist,
+        |  n_rows_a, n_rows_b
+        |FROM a JOIN b USING (blk)
+        |WHERE name_a < name_b AND abs(len(name_a) - len(name_b)) <= 2
+        |  AND levenshtein(name_a, name_b) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
     "q_dq_checks" ->
       """SELECT check_name, n_rows, n_violations, (n_violations = 0) AS pass FROM (
         |  SELECT 'orders_pk_unique' AS check_name, count(*) AS n_rows,
