@@ -91,6 +91,8 @@ object SparkEntry {
     "q_range_join" -> ((s, d) => Events.rangeSelfJoin(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
     "q_hourly_spikes" -> ((s, d) => Events.hourlySpikes(Tables.events(s, d))),
+    "q_sliding_windows" -> ((s, d) => Events.slidingWindows(Tables.events(s, d))),
+    "q_event_transitions" -> ((s, d) => Events.eventTransitions(Tables.events(s, d))),
     "q_skew_histogram" -> ((s, d) => Relational.skewHistogram(Tables.lineitem(s, d), "l_orderkey")),
     "q_cohort_retention" -> ((s, d) => Events.cohortRetention(Tables.events(s, d))),
     "q_scd2_merge" -> ((s, d) => {
@@ -589,6 +591,33 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n_events,
         |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sliding 1h/30min: each event belongs to exactly 2 epoch-aligned
+    // windows — time_bucket(30min) and the one 30 minutes earlier
+    "q_sliding_windows" ->
+      """WITH m AS (
+        |  SELECT event_type, value,
+        |    unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+        |      AS window_start
+        |  FROM events)
+        |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n_transitions
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |d AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n_transitions,
+        |  round(CAST(n_transitions AS DOUBLE) / n_from, 6) AS p
+        |FROM c JOIN d USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "q_sessionize" ->
       """WITH lagged AS (
         |  SELECT user_id, event_id, ts, value,

@@ -42,6 +42,45 @@ object Events {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** Sliding (hopping) 1-hour windows with a 30-minute slide: every
+    * event contributes to length/slide = 2 overlapping windows — the
+    * standard smoothing shape for rates and rolling aggregates (and the
+    * batch twin of Structured Streaming's `window(ts, len, slide)`).
+    * Spark's `window()` enumerates member windows per row; the oracle
+    * twin reproduces the same epoch-aligned bucketing with
+    * `time_bucket` + an explicit 2-element unnest.
+    */
+  def slidingWindows(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type")).agg(
+      count(lit(1)).as("n_events"),
+      round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Next-event transition matrix (first-order Markov over the event
+    * stream): per user, order events by (ts, event_id) and count
+    * (event_type → next event_type) transitions; probability = count /
+    * out-degree of the source type, rounded for engine-exact compare.
+    * One window pass on the user key (the data's natural partition) +
+    * one small aggregation on the type pair — the session-path
+    * analytics building block (what-happens-after-X).
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = pairs.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val outDeg = counts.groupBy("from_type").agg(sum(col("n_transitions")).as("n_from"))
+    counts.join(outDeg, "from_type")
+      .withColumn("p", round(col("n_transitions").cast("double") / col("n_from"), 6))
+      .select("from_type", "to_type", "n_transitions", "p")
+      .orderBy("from_type", "to_type")
+  }
+
   /** As-of join: for each event, the most recent order of the same user
     * at-or-before the event time — implemented with the union-tag trick:
     * tag both sides, sort within user by (time, right-before-left), and

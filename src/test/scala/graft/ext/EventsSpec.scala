@@ -112,6 +112,37 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       Seq(("2024-01-01 00:00:00", 1L), ("2024-01-01 01:00:00", 2L)))
   }
 
+  test("slidingWindows: every event lands in exactly length/slide = 2 windows") {
+    val d = ev((1L, "2024-01-01 10:47:11", 1L), (2L, "2024-01-01 10:10:00", 1L))
+    val rows = Events.slidingWindows(d).collect()
+    // event 1 → windows 10:00 and 10:30; event 2 → 09:30 and 10:00
+    val byWindow = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byWindow === Map(
+      "2024-01-01 09:30:00" -> 1L,
+      "2024-01-01 10:00:00" -> 2L,
+      "2024-01-01 10:30:00" -> 1L))
+    assert(rows.map(_.getLong(2)).sum === 4L, "2 events × 2 windows each")
+  }
+
+  test("eventTransitions: per-user ordered pairs, probabilities sum to 1 per source") {
+    val d = evTyped(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:01:00", 1L, "cart"),
+      (3L, "2024-01-01 10:02:00", 1L, "view"),
+      (4L, "2024-01-01 10:03:00", 1L, "buy"),
+      (5L, "2024-01-01 10:00:30", 2L, "view"),   // other user: view→cart only
+      (6L, "2024-01-01 10:01:30", 2L, "cart"))
+    val rows = Events.eventTransitions(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // user-1 path: view→cart→view→buy; user-2: view→cart
+    assert(rows(("view", "cart")) === ((2L, 0.666667)))
+    assert(rows(("view", "buy")) === ((1L, 0.333333)))
+    // u2's trailing cart has no successor → cart's only exit is cart→view
+    assert(rows(("cart", "view")) === ((1L, 1.0)))
+    // cross-user boundary produces NO transition (cart of u1 ↛ view of u2)
+    assert(!rows.contains(("buy", "view")))
+  }
+
   test("testdata events parse as microsecond timestamps (nanos conversion exact)") {
     val d = graft.Tables.events(spark, "/root/testdata/sf0.001")
     assert(d.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
