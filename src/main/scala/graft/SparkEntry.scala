@@ -92,6 +92,19 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
     "q_hourly_spikes" -> ((s, d) => Events.hourlySpikes(Tables.events(s, d))),
     "q_sliding_windows" -> ((s, d) => Events.slidingWindows(Tables.events(s, d))),
+    // PageRank over the event-type transition graph (stationary "which
+    // event is most central" distribution). Distributed double sums are
+    // order-nondeterministic → rows-only; GraphSpec pins the math against
+    // an independent in-memory simulation to 1e-9.
+    "q_pagerank" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, round}
+      val tr = Events.eventTransitions(Tables.events(s, d))
+        .select(col("from_type").as("src"), col("to_type").as("dst"),
+          col("n_transitions").cast("double").as("weight"))
+      graft.ops.Graph.pageRank(tr)
+        .select(col("node").as("event_type"), round(col("rank"), 6).as("rank"))
+        .orderBy("event_type")
+    }),
     "q_event_transitions" -> ((s, d) => Events.eventTransitions(Tables.events(s, d))),
     "q_skew_histogram" -> ((s, d) => Relational.skewHistogram(Tables.lineitem(s, d), "l_orderkey")),
     "q_cohort_retention" -> ((s, d) => Events.cohortRetention(Tables.events(s, d))),
