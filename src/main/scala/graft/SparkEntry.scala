@@ -179,6 +179,25 @@ object SparkEntry {
     // merged ≡ single-pass bit-identically (incl. parquet round-trip).
     "q_sketch_merge" -> ((s, d) => graft.ops.Sketches.weeklyDistinctUsers(
       graft.ops.Sketches.dailyUserSketches(Tables.events(s, d)))),
+    // KMV twin of q_sketch_merge: same stored-daily-buffer shape, but the
+    // sketch also yields a uniform distinct-user SAMPLE per range (HLL
+    // can't). Estimates → rows-only; KmvSketchSpec pins exactness below
+    // k, the error envelope, and merge ≡ single-pass bit-identity.
+    "q_kmv_users" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val K = graft.functions.KmvSketch
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(K.kmv_sketch_buffer(s, col("user_id"), 64).as("sketch"))
+      daily.groupBy(date_trunc("week", col("day")).cast("date").as("wk"))
+        .agg(K.kmv_merge_estimate(s, col("sketch")).as("est_users"),
+          K.kmv_merge_sample(s, col("sketch")).as("sample"))
+        .select(date_format(col("wk"), "yyyy-MM-dd").as("week_start"),
+          col("est_users"), size(col("sample")).as("n_sample"),
+          array_min(col("sample")).as("sample_min"),
+          array_max(col("sample")).as("sample_max"))
+        .orderBy("week_start")
+    }),
     "q_profile" -> ((s, d) => Relational.profileOrders(Tables.orders(s, d))),
     "q_approx_profile" -> ((s, d) => Relational.approxProfile(Tables.lineitem(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
