@@ -92,6 +92,7 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
     "q_hourly_spikes" -> ((s, d) => Events.hourlySpikes(Tables.events(s, d))),
     "q_sliding_windows" -> ((s, d) => Events.slidingWindows(Tables.events(s, d))),
+    "q_session_paths" -> ((s, d) => Events.sessionPaths(Tables.events(s, d))),
     // PageRank over the event-type transition graph (stationary "which
     // event is most central" distribution). Distributed double sums are
     // order-nondeterministic → rows-only; GraphSpec pins the math against
@@ -650,6 +651,25 @@ object SparkEntry {
         |  round(CAST(n_transitions AS DOUBLE) / n_from, 6) AS p
         |FROM c JOIN d USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    "q_session_paths" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q_sessionize" ->
       """WITH lagged AS (
         |  SELECT user_id, event_id, ts, value,

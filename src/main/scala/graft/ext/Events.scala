@@ -81,6 +81,32 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Top session paths: the clickstream-analytics classic "what do
+    * sessions look like" — gap-sessionize (same assignment as
+    * [[sessionize]]), render each session as its ordered event-type
+    * string, count path frequencies corpus-wide, top-N with a
+    * deterministic tie-break. `collect_list` order is non-contractual →
+    * sort the (ts, event_id, type) structs before joining. Two keyed
+    * shuffles (user sessions, then path counts) + a top-N.
+    */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30, topN: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val newSession = when(prevTs.isNull ||
+      unix_micros(col("ts")) - unix_micros(prevTs) > gapMicros, 1L).otherwise(0L)
+    events
+      .withColumn("session_id",
+        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id")).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          s => s.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+  }
+
   /** As-of join: for each event, the most recent order of the same user
     * at-or-before the event time — implemented with the union-tag trick:
     * tag both sides, sort within user by (time, right-before-left), and

@@ -143,6 +143,18 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(!rows.contains(("buy", "view")))
   }
 
+  test("sessionPaths: gap splits sessions, paths render in event order") {
+    val d = evTyped(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:05:00", 1L, "cart"),
+      (3L, "2024-01-01 12:00:00", 1L, "view"),   // > 30 min gap → new session
+      (4L, "2024-01-01 10:00:00", 2L, "view"),
+      (5L, "2024-01-01 10:02:00", 2L, "cart"))
+    val rows = Events.sessionPaths(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows === Map("view>cart" -> 2L, "view" -> 1L))
+  }
+
   test("testdata events parse as microsecond timestamps (nanos conversion exact)") {
     val d = graft.Tables.events(spark, "/root/testdata/sf0.001")
     assert(d.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
