@@ -147,3 +147,36 @@ object DateProperties extends Properties("Dates") with SparkSpec {
       Prop(total(df) == total(df.repartition(parts)))
     }
 }
+
+object KmvProperties extends Properties("KmvSketch") {
+  import java.util.{TreeMap => JTreeMap}
+  import graft.functions.KmvTestHooks
+
+  val keysGen: Gen[List[Long]] = Gen.listOf(Gen.chooseNum(-1000L, 1000L))
+
+  /** Offer a stream into a fresh buffer. */
+  private def sketch(k: Int, vs: Seq[Long]): JTreeMap[Long, Long] = {
+    val m = new JTreeMap[Long, Long]()
+    vs.foreach(v => KmvTestHooks.offer(m, k, v))
+    m
+  }
+
+  property("any partitioning of the input merges to the single-pass sketch") =
+    forAll(keysGen, Gen.chooseNum(2, 32), Gen.chooseNum(1, 8)) { (vs, k, parts) =>
+      val whole = sketch(k, vs)
+      val merged = new JTreeMap[Long, Long]()
+      vs.grouped(math.max(1, vs.size / parts + 1)).foreach { chunk =>
+        KmvTestHooks.mergeInto(merged, k, sketch(k, chunk))
+      }
+      Prop(merged == whole) :| s"merged=$merged whole=$whole"
+    }
+
+  property("estimate is exact below k and never negative") =
+    forAll(keysGen, Gen.chooseNum(2, 64)) { (vs, k) =>
+      val m = sketch(k, vs)
+      val est = KmvTestHooks.estimate(m, k)
+      val distinct = vs.distinct.size
+      if (distinct < k) Prop(est == distinct.toLong)
+      else Prop(est >= 0L)
+    }
+}
