@@ -31,20 +31,22 @@ object Graph {
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      // dangling nodes (no out-edges) spread their mass uniformly; one
-      // scalar aggregate per round is all the driver ever sees
-      val danglingRow = ranks.join(outW, ranks("node") === outW("src"), "left_anti")
-        .agg(sum(col("rank"))).collect()(0)
-      val dangling = if (danglingRow.isNullAt(0)) 0.0 else danglingRow.getDouble(0)
+      // dangling nodes (no out-edges) spread their mass uniformly. The
+      // mass stays IN the plan as a broadcast 1-row aggregate instead of
+      // a per-round collect — so each round is exactly ONE job (the
+      // eager checkpoint below), nothing reaches the driver
+      val dangling = ranks.join(outW, ranks("node") === outW("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling"))
       val contrib = trans.join(ranks, trans("src") === ranks("node"))
         .select(col("dst").as("node"), (col("p") * col("rank")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("c"))
       val next = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(dangling / n)))
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dangling") / n))
             .as("rank"))
-        .localCheckpoint(false) // materialized by next round's dangling agg
+        .localCheckpoint(true) // one materialization job per round
       ranks.unpersist(false)
       ranks = next
     }
