@@ -154,6 +154,7 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => DataPrep.stratifiedSample(Tables.documents(s, d))),
     "q_fuzzy_match" -> ((s, d) => graft.ops.Fuzzy.fuzzyNameMatch(
       Tables.part(s, d), "p_name")),
+    "q_zorder_layout" -> ((s, d) => graft.ops.Layout.zorderFileStats(Tables.orders(s, d))),
     "q_dq_checks" -> ((s, d) => graft.ops.Quality.checkSuite(
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))),
     "q_snapshot_diff" -> ((s, d) => {
@@ -281,10 +282,47 @@ object SparkEntry {
        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** The Morton interleave is pure integer bit-arithmetic, so the
+    * "exotic" layout expression has an EXACT SQL twin: the same 5
+    * mask/shift spread rounds, generated stage-wise as CTEs (every
+    * shift is overflow-free by the preceding mask — DuckDB checks).
+    */
+  private def zorderOracle: String = {
+    val stages = Seq(
+      (16, "281470681808895"),        // 0x0000FFFF0000FFFF
+      (8, "71777214294589695"),       // 0x00FF00FF00FF00FF
+      (4, "1085102592571150095"),     // 0x0F0F0F0F0F0F0F0F
+      (2, "3689348814741910323"),     // 0x3333333333333333
+      (1, "6148914691236517205"))     // 0x5555555555555555
+    val spreadCtes = stages.zipWithIndex.map { case ((sh, mask), i) =>
+      val prev = s"s$i"
+      s"""s${i + 1} AS (
+         |  SELECT o_orderkey, o_custkey, day,
+         |    ((x | (x << $sh)) & $mask) AS x, ((y | (y << $sh)) & $mask) AS y
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day
+       |  FROM orders),
+       |s0 AS (SELECT o_orderkey, o_custkey, day,
+       |  o_custkey & 2147483647 AS x, day & 2147483647 AS y FROM b),
+       |$spreadCtes,
+       |z AS (SELECT o_orderkey, o_custkey, day, x | (y << 1) AS z FROM s5),
+       |f AS (SELECT *, (row_number() OVER (ORDER BY z, o_orderkey) - 1) // 1000 AS file_id
+       |      FROM z)
+       |SELECT file_id, COUNT(*) AS n_rows,
+       |  MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+       |  CAST(MIN(day) AS INTEGER) AS min_day, CAST(MAX(day) AS INTEGER) AS max_day,
+       |  MIN(z) AS min_z, MAX(z) AS max_z
+       |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_lsh_topk" -> lshTopKOracle,
+    "q_zorder_layout" -> zorderOracle,
     "q_star_join" ->
       """SELECT l.l_orderkey AS order_key, l.l_linenumber AS line_number,
         |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,

@@ -93,9 +93,12 @@ object GraftFunctions {
   /** Register graft's native functions on an existing session (the
     * runtime-equivalent of [[GraftExtensions]]).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", cosineSimBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder", ZOrder.zorderBuilder, "built-in")
+  }
 
   /** Column-API form: `cosine_sim($"a", $"b")` (requires [[register]] or
     * [[GraftExtensions]] on the session).
@@ -132,6 +135,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllSketch].getName, "hll_distinct"),
       (exprs: Seq[Expression]) => HllSketch(exprs(0),
         if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 14)))
+    e.injectFunction((
+      new FunctionIdentifier("zorder"),
+      new ExpressionInfo(classOf[ZOrder].getName, "zorder"),
+      ZOrder.zorderBuilder _))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectPlannerStrategy(_ => graft.plans.VectorizedCosineStrategy)
     e.injectOptimizerRule(_ => graft.plans.CollapseTopK)

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, ZOrder}
+
+/** Data-layout optimization: cluster a table on the Morton curve of two
+  * key columns ([[graft.functions.ZOrder]]) and measure what that buys.
+  * Writing z-sorted files makes per-file min/max statistics tight on
+  * BOTH dimensions simultaneously, so scan pruning (parquet row-group
+  * stats / partition skipping) works for predicates on either key —
+  * the `ZORDER BY` clustering idea of lakehouse engines.
+  *
+  * [[zorderFileStats]] simulates the layout: rank by z, cut into
+  * `rowsPerFile` chunks ("files"), report each file's bounding box.
+  * The ranking window is a global sort here (fine for a stats report);
+  * the production write path is `df.repartitionByRange(z).sortWithin
+  * Partitions(z).write` — same curve, fully distributed.
+  */
+object Layout {
+
+  /** Morton code of two integer columns (casts applied; 31-bit domain). */
+  def zorderCol(df: DataFrame, x: Column, y: Column): Column = {
+    GraftFunctions.register(df.sparkSession)
+    ZOrder.zorder(x, y)
+  }
+
+  /** Per-simulated-file bounding boxes after z-order clustering of
+    * `orders` on (custkey, order day): file id, row count, and min/max
+    * of both dimensions plus the z range. Tight boxes = skippable
+    * files; the spec quantifies the win vs the natural insert order.
+    */
+  def zorderFileStats(orders: DataFrame, rowsPerFile: Int = 1000): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01")))
+    val z = zorderCol(orders, col("o_custkey"), day)
+    val ranked = orders
+      .select(col("o_orderkey"), col("o_custkey"), day.as("day"), z.as("z"))
+      .withColumn("file_id",
+        expr(s"(row_number() OVER (ORDER BY z, o_orderkey) - 1) div $rowsPerFile"))
+    ranked.groupBy("file_id").agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+      min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+      min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .orderBy("file_id")
+  }
+}
