@@ -18,6 +18,16 @@ import graft.functions.{GraftFunctions, ZOrder}
   * The ranking window is a global sort here (fine for a stats report);
   * the production write path is `df.repartitionByRange(z).sortWithin
   * Partitions(z).write` — same curve, fully distributed.
+  *
+  * Two preconditions for the curve to actually buy pruning (both
+  * MEASURED in ZOrderSpec against parquet row-group stats):
+  *  - normalize dimensions to comparable bit-widths first (scale the
+  *    narrower key up, or z-order on quantile ranks) — a wider key's
+  *    high bits otherwise dominate and the layout degrades to a
+  *    single-key sort on that key;
+  *  - the key grid should be DENSE relative to the row count —
+  *    z-ordering a sparse grid buys little because consecutive curve
+  *    positions jump across empty space.
   */
 object Layout {
 
