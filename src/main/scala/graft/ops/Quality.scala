@@ -22,7 +22,9 @@ object Quality {
     * (check_name, n_rows, n_violations, pass) rows.
     */
   private def unpivotChecks(agg: DataFrame, checkCols: Seq[String]): DataFrame = {
-    val stackArgs = checkCols.map(c => s"'$c', $c").mkString(", ")
+    // empty input → SUM aggregates yield NULL: that's zero violations
+    // (vacuous pass), not an unknown — pinned in QualitySpec
+    val stackArgs = checkCols.map(c => s"'$c', coalesce($c, 0L)").mkString(", ")
     agg.select(
       expr(s"stack(${checkCols.size}, $stackArgs) AS (check_name, n_violations)"),
       col("n_rows"))

@@ -133,6 +133,42 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(graft.ext.Similarity.centroidSim(emptyEmb).collect().isEmpty)
   }
 
+  test("second-continuation operators on empty/degenerate input return empty, not errors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val empty = docs()
+    assert(graft.ext.TextOps.boilerplateRemoval(empty).collect().isEmpty)
+    assert(graft.ext.Dedup.clusterRepresentatives(empty).collect().isEmpty)
+    assert(graft.ext.DataPrep.curriculumDeciles(empty).collect().isEmpty)
+    assert(graft.ext.DataPrep.temperatureResample(empty).collect().isEmpty)
+    // single stratum → n_max = n → factor 1, corpus unchanged
+    val one = graft.ext.DataPrep.temperatureResample(docs((1L, "a"), (2L, "b"))).collect()
+    assert(one.length === 2 && one.forall(_.getInt(2) == 1))
+    // two empty-text docs share their single "" chunk → both all-boilerplate
+    val blank = graft.ext.TextOps.boilerplateRemoval(docs((1L, ""), (2L, ""))).collect()
+    assert(blank.forall(r => r.getInt(1) == 1 && r.getInt(2) == 1))
+    // snapshot diff: empty new snapshot = all deletes; empty old = all inserts
+    val s = Seq((1L, "A", 1), (2L, "B", 2)).toDF("k", "seg", "nk")
+    val allDel = graft.ops.Diff.snapshotDiff(s, s.limit(0), "k", Seq("seg", "nk")).collect()
+    assert(allDel.map(r => r.getString(0) -> r.getLong(1)).toMap === Map("delete" -> 2L))
+    val allIns = graft.ops.Diff.snapshotDiff(s.limit(0), s, "k", Seq("seg", "nk")).collect()
+    assert(allIns.map(r => r.getString(0) -> r.getLong(1)).toMap === Map("insert" -> 2L))
+    // pagerank on an empty edge list → empty ranks, no division blow-up
+    val noEdges = Seq.empty[(String, String, Double)].toDF("src", "dst", "weight")
+    assert(graft.ops.Graph.pageRank(noEdges, iters = 2).collect().isEmpty)
+    // fuzzy match ignores NULL names (null block keys never join)
+    val withNull = Seq(Some("abc"), None, Some("abd")).toDF("p_name")
+    val fm = graft.ops.Fuzzy.fuzzyNameMatch(withNull, "p_name").collect()
+    assert(fm.length === 1)
+    // zorder masks negatives into the 31-bit domain (no sign surprises)
+    assert(graft.functions.ZOrder.interleave(-1L, 0L) ===
+      graft.functions.ZOrder.interleave(0x7FFFFFFFL, 0L))
+    // kmv over an all-null column estimates 0
+    val nulls = Seq.empty[Option[Long]].toDF("v")
+    assert(nulls.agg(graft.functions.KmvSketch.kmv_distinct(spark, col("v")))
+      .collect()(0).getLong(0) === 0L)
+  }
+
   test("hll on empty input estimates 0") {
     import spark.implicits._
     val empty = Seq.empty[Long].toDF("v")

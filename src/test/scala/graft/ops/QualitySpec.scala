@@ -46,6 +46,17 @@ class QualitySpec extends AnyFunSuite with SparkSpec {
     assert(rows("orders_fk_customer") === ((4L, 1L, false)))   // -3 unmatched, null exempt
   }
 
+  test("checkSuite: empty tables yield vacuous all-pass, not NULL verdicts") {
+    val o = orders().limit(0)
+    val li = lineitem().limit(0)
+    val rows = Quality.checkSuite(o, li, customer().limit(0)).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      assert(!r.isNullAt(2) && r.getLong(2) === 0L, s"${r.getString(0)} violations")
+      assert(!r.isNullAt(3) && r.getBoolean(3), s"${r.getString(0)} pass flag")
+    }
+  }
+
   test("checkSuite: clean data yields all-pass with zero violations") {
     val o = orders((1L, 10L, "O", 5.0), (2L, 20L, "F", 6.0))
     val li = lineitem((1L, 1.0, 0.0), (2L, 50.0, 0.1))
