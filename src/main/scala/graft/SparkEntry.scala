@@ -93,6 +93,7 @@ object SparkEntry {
     "q_hourly_spikes" -> ((s, d) => Events.hourlySpikes(Tables.events(s, d))),
     "q_sliding_windows" -> ((s, d) => Events.slidingWindows(Tables.events(s, d))),
     "q_session_paths" -> ((s, d) => Events.sessionPaths(Tables.events(s, d))),
+    "q_daily_features" -> ((s, d) => Events.dailyFeatures(Tables.events(s, d))),
     // PageRank over the event-type transition graph (stationary "which
     // event is most central" distribution). Distributed double sums are
     // order-nondeterministic → rows-only; GraphSpec pins the math against
@@ -689,6 +690,23 @@ object SparkEntry {
         |  round(CAST(n_transitions AS DOUBLE) / n_from, 6) AS p
         |FROM c JOIN d USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    "q_daily_features" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT *, date_diff('day', DATE '2024-01-01', day) AS day_num FROM d)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+        |  CAST(SUM(n_events) OVER w7 AS BIGINT) AS n_7day,
+        |  COUNT(*) OVER w7 AS days_in_window,
+        |  lag(n_events, 1) OVER wo AS lag_1,
+        |  lag(n_events, 7) OVER wo AS lag_7,
+        |  n_events - lag(n_events, 1) OVER wo AS delta_1
+        |FROM n
+        |WINDOW
+        |  w7 AS (PARTITION BY event_type ORDER BY day_num
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |  wo AS (PARTITION BY event_type ORDER BY day_num)
+        |ORDER BY event_type, day""".stripMargin,
     "q_session_paths" ->
       """WITH lagged AS (
         |  SELECT user_id, event_id, ts, event_type,

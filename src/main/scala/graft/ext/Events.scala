@@ -42,6 +42,33 @@ object Events {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** Time-series feature frame — the forecasting-prep step: per
+    * (event_type, day), the daily count plus trailing-window and lag
+    * features. The 7-day aggregate uses a RANGE frame over the day
+    * NUMBER (value-based, so calendar gaps shrink the window — a ROWS
+    * frame would silently span gaps); lags are row-based by definition.
+    * One shuffle on event_type; every feature comes from the same
+    * sorted window pass.
+    */
+  def dailyFeatures(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("day_num", datediff(col("day"), to_date(lit("2024-01-01"))))
+    val ordered = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+    val trailing7 = ordered.rangeBetween(-6, 0)
+    daily.select(
+      col("event_type"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("n_events"),
+      sum(col("n_events")).over(trailing7).as("n_7day"),
+      count(lit(1)).over(trailing7).as("days_in_window"),
+      lag(col("n_events"), 1).over(ordered).as("lag_1"),
+      lag(col("n_events"), 7).over(ordered).as("lag_7"),
+      (col("n_events") - lag(col("n_events"), 1).over(ordered)).as("delta_1"))
+      .orderBy("event_type", "day")
+  }
+
   /** Sliding (hopping) 1-hour windows with a 30-minute slide: every
     * event contributes to length/slide = 2 overlapping windows — the
     * standard smoothing shape for rates and rolling aggregates (and the

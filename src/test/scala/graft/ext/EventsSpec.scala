@@ -155,6 +155,25 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(rows === Map("view>cart" -> 2L, "view" -> 1L))
   }
 
+  test("dailyFeatures: RANGE frame shrinks across calendar gaps; lags are row-based") {
+    // type 'a': days 0,1,2 then a gap to day 10
+    val d = evTyped(
+      (1L, "2024-01-01 01:00:00", 1L, "a"), (2L, "2024-01-01 02:00:00", 2L, "a"),
+      (3L, "2024-01-02 01:00:00", 1L, "a"),
+      (4L, "2024-01-03 01:00:00", 1L, "a"),
+      (5L, "2024-01-11 01:00:00", 1L, "a"))
+    val rows = Events.dailyFeatures(d).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows("2024-01-01") === ((2L, 2L, 1L)))
+    assert(rows("2024-01-03") === ((1L, 4L, 3L))) // days 1-3 all inside 7-day range
+    // day 11: the RANGE frame (days 5..11) contains only itself — a ROWS
+    // frame would wrongly include the pre-gap days
+    assert(rows("2024-01-11") === ((1L, 1L, 1L)))
+    val d11 = Events.dailyFeatures(d).collect().find(_.getString(1) == "2024-01-11").get
+    assert(d11.getLong(5) === 1L, "lag_1 is row-based: previous observed day")
+    assert(d11.getLong(7) === 0L, "delta vs previous observed day")
+  }
+
   test("testdata events parse as microsecond timestamps (nanos conversion exact)") {
     val d = graft.Tables.events(spark, "/root/testdata/sf0.001")
     assert(d.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
