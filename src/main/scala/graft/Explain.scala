@@ -25,6 +25,8 @@ object Explain {
       val t0 = System.nanoTime()
       val n = df.count()
       println(s"rows=$n in ${(System.nanoTime() - t0) / 1e9}s")
+      println("== executed plan after AQE ==")
+      println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }
