@@ -139,6 +139,7 @@ object SparkEntry {
     "q_repetition_ratio" -> ((s, d) => TextOps.repetitionRatio(Tables.documents(s, d))),
     "q_pii_redact" -> ((s, d) => TextOps.piiRedact(TextOps.withSyntheticPii(Tables.documents(s, d)))),
     "q_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(Tables.documents(s, d))),
+    "q_token_map" -> ((s, d) => TextOps.repeatedTokenMap(Tables.documents(s, d))),
     "q_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(Tables.documents(s, d))),
     "q_ngram_lm" -> ((s, d) => TextOps.bigramLmScore(Tables.documents(s, d))),
     // §2.10: dedup family
@@ -690,6 +691,18 @@ object SparkEntry {
         |  round(CAST(n_transitions AS DOUBLE) / n_from, 6) AS p
         |FROM c JOIN d USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    "q_token_map" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |d AS (SELECT doc_id, l, list_distinct(l) AS dl FROM t),
+        |c AS (SELECT doc_id, dl,
+        |    list_transform(dl, x -> len(list_filter(l, y -> y = x))) AS cnts FROM d),
+        |z AS (SELECT doc_id, CAST(len(dl) AS INTEGER) AS n_distinct,
+        |    list_sort(list_filter(list_zip(dl, cnts), p -> p[2] >= 2)) AS rep FROM c)
+        |SELECT doc_id, n_distinct, CAST(len(rep) AS INTEGER) AS n_repeated,
+        |  COALESCE(array_to_string(list_transform(rep,
+        |    p -> p[1] || ':' || CAST(p[2] AS VARCHAR) || ':'
+        |      || CAST(len(p[1]) * p[2] AS VARCHAR)), ','), '') AS repeated_digest
+        |FROM z ORDER BY doc_id""".stripMargin,
     "q_daily_features" ->
       """WITH d AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events

@@ -276,6 +276,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** MapType surface: per-document token→count map built and shaped
+    * entirely with map higher-order functions — `map_from_arrays`,
+    * `map_filter` (keep repeated tokens), `transform_values`, and
+    * keyed lookup — then digested to a deterministic sorted `k:v`
+    * string (maps have no portable ordering, strings hash-compare).
+    * Shuffle-free single-pass projection; the per-doc count build is
+    * O(tokens × distinct) inside codegen'd array HOFs, fine for
+    * document-sized arrays.
+    */
+  def repeatedTokenMap(documents: DataFrame, minCount: Int = 2): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val distinctToks = array_distinct(toks)
+    val counts = transform(distinctToks,
+      t => size(filter(toks, x => x === t)))
+    val m = map_from_arrays(distinctToks, counts)
+    val repeated = map_filter(m, (_, v) => v >= minCount)
+    // transform_values closes the HOF set: double = "occurrences of the
+    // token's char count" demo payload (token_len * count)
+    val weighted = transform_values(repeated, (k, v) => length(k) * v)
+    documents.select(
+      col("doc_id"),
+      size(map_keys(m)).as("n_distinct"),
+      size(map_keys(repeated)).as("n_repeated"),
+      array_join(transform(array_sort(map_keys(repeated)),
+        k => concat(k, lit(":"), element_at(repeated, k).cast("string"),
+          lit(":"), element_at(weighted, k).cast("string"))), ",")
+        .as("repeated_digest"))
+      .orderBy("doc_id")
+  }
+
   /** C4-style boilerplate removal: split every document into
     * non-overlapping `chunkTokens`-token chunks (the corpus has no line
     * structure, so fixed token spans stand in for C4's lines/sentences),

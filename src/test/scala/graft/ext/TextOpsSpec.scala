@@ -142,6 +142,15 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(ids === Set(3L))
   }
 
+  test("repeatedTokenMap: map HOF pipeline counts, filters, weights exactly") {
+    val d = docs((1L, "b a b c a b", "en"), (2L, "x y", "en"))
+    val rows = TextOps.repeatedTokenMap(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // doc 1: a×2, b×3, c×1 → repeated {a:2, b:3}; weight = len(token)*count
+    assert(rows(1L) === ((3, 2, "a:2:2,b:3:3")))
+    assert(rows(2L) === ((2, 0, "")))
+  }
+
   test("boilerplateRemoval: shared chunks removed, unique chunks kept in order") {
     // chunkTokens=2: doc1 = [A B][C D], doc2 = [A B][E F], doc3 = [G H]
     // "A B" appears in 2 distinct docs → boilerplate; everything else kept
