@@ -167,6 +167,13 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     val nulls = Seq.empty[Option[Long]].toDF("v")
     assert(nulls.agg(graft.functions.KmvSketch.kmv_distinct(spark, col("v")))
       .collect()(0).getLong(0) === 0L)
+    assert(graft.ext.TextOps.repeatedTokenMap(empty).collect().isEmpty)
+    // a single observed day: RANGE window contains itself; lags are NULL
+    val oneDay = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val df1 = graft.ext.Events.dailyFeatures(oneDay).collect()
+    assert(df1.length === 1 && df1(0).getLong(3) === 1L && df1(0).isNullAt(5)
+      && df1(0).isNullAt(7))
   }
 
   test("hll on empty input estimates 0") {
