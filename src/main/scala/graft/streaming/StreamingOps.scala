@@ -24,14 +24,18 @@ object StreamingOps {
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
                      n_events: Long, sum_value: Double)
 
-  /** Watermarked tumbling 1-hour counts per event_type. Late rows beyond
-    * the watermark are dropped; output mode `update`/`append` both work
-    * (append emits once the watermark passes the window end).
+  /** Watermarked 1-hour counts per event_type. Late rows beyond the
+    * watermark are dropped; output mode `update`/`append` both work
+    * (append emits once the watermark passes the window end). With a
+    * `slide` shorter than the window this becomes the sliding/hopping
+    * form — each event lands in length/slide overlapping windows, the
+    * streaming twin of `ext.Events.slidingWindows` (equivalence-tested).
     */
-  def windowedCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+                     slide: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .groupBy(window(col("ts"), "1 hour", slide), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))

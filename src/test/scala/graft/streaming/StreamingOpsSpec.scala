@@ -28,6 +28,30 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windowedCounts over a stream ≡ batch slidingWindows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:47:11"), 1, "click", 1.5),
+      Event(2, ts("2024-01-01 10:10:00"), 2, "click", 2.5),
+      Event(3, ts("2024-01-01 11:05:00"), 1, "view", 3.0))
+    val input = MemoryStream[Event]
+    val q = windowedCounts(input.toDF(), slide = "30 minutes").writeStream
+      .outputMode("update").format("memory").queryName("swc_out").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM swc_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      val batch = graft.ext.Events.slidingWindows(
+        events.toDF().withColumn("props", org.apache.spark.sql.functions.lit("{}")))
+        .collect()
+        .map(r => (r.getString(0) + ".0", r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.size === 5, "3 events × 2 windows, minus one shared (win,type)")
+    } finally q.stop()
+  }
+
   test("sessionize: sessions close on gap timeout as the watermark advances") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
