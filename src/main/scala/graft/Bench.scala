@@ -33,7 +33,12 @@ object Bench {
     // A failed query is reported as -1 (NOT its wall-clock-to-failure,
     // which would read as a fast success) and excluded from the total;
     // failed names are also listed under "failed".
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration;
+    // the driver leaves it unset and gets every query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>

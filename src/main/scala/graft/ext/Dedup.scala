@@ -65,16 +65,24 @@ object Dedup {
     */
   def ngramJaccard(documents: DataFrame, k: Int = 5, threshold: Double = 0.5,
                    maxShingleDf: Int = 1000): DataFrame = {
-    val sh = shingles(documents, k)
-    val kept = sh.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxShingleDf).drop("df")
+    // the shingle table feeds the df-cap, the per-doc sizes, AND both
+    // sides of the pair self-join — pin it once instead of re-running
+    // tokenize+explode four times through the lineage
+    val sh = shingles(documents, k).persist()
+    // document-frequency cap as a map-side-combined aggregate + anti-join
+    // against the (tiny) overflow set — a windowed count would shuffle
+    // every shingle ROW with no partial aggregation. The overflow set is
+    // the corpus's "stop-shingle" list (df > maxShingleDf), bounded and
+    // broadcast-able at any corpus size.
+    val overflow = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("shingle")
+    val kept = sh.join(broadcast(overflow), Seq("shingle"), "left_anti").persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = kept.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = kept.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = a.join(b, "shingle").filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
+    val result = inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
       .withColumn("jaccard", round(col("n_inter").cast("double") /
@@ -82,6 +90,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+    scopeCaches(result, sh, kept)
   }
 
   /** MinHash signature per document: `numHashes` permutations simulated
@@ -153,16 +162,82 @@ object Dedup {
     scopeCaches(result, sh)
   }
 
-  /** Connected components by iterative min-label propagation: every node
-    * ends up labeled with the smallest doc_id reachable from it. Each
+  /** Connected components: every node ends up labeled with the smallest
+    * doc_id reachable from it.
+    *
+    * ADAPTIVE execution, the same regime split Spark applies to
+    * broadcast joins: a post-filter dedup edge set is usually a tiny
+    * fraction of the corpus, so when it is broadcast-sized it is
+    * collected once and solved with union-find on the driver (zero jobs
+    * per round); above the threshold the distributed min-label
+    * propagation below runs. Both paths produce identical labels
+    * (pinned in DedupSpec).
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          maxIters: Int = 20,
+                          localEdgeThreshold: Long = 500000L): DataFrame = {
+    val e = edges.persist()
+    val n = nodes.persist()
+    val small = e.count() <= localEdgeThreshold && n.count() <= localEdgeThreshold
+    val out = if (small) connectedComponentsLocal(e, n)
+              else connectedComponentsDistributed(e, n, maxIters)
+    e.unpersist(false)
+    n.unpersist(false)
+    out
+  }
+
+  /** Driver-local union-find over a collected edge list — the
+    * "broadcast" regime. Labels = min doc_id per component, identical to
+    * the converged min-label propagation. Output covers nodes ∪ all edge
+    * endpoints (the same set the distributed loop converges over).
+    */
+  private def connectedComponentsLocal(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val spark = edges.sparkSession
+    val es = edges.select(col("src"), col("dst")).collect()
+      .map(r => (r.get(0), r.get(1)))
+    val ns = nodes.select(col("doc_id")).collect().map(_.get(0))
+    val all = (ns ++ es.map(_._1) ++ es.map(_._2)).distinct
+    val parent = scala.collection.mutable.HashMap[Any, Any](all.map(v => v -> v): _*)
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    es.foreach { case (a, b) => val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb }
+    // min doc_id per component (doc_ids are Comparable at runtime —
+    // long/int/string keys all qualify)
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val minLabel = scala.collection.mutable.HashMap[Any, Any]()
+    all.foreach { v =>
+      val r = find(v)
+      minLabel.get(r) match {
+        case Some(m) => if (lt(v, m)) minLabel(r) = v
+        case None => minLabel(r) = v
+      }
+    }
+    val idField = nodes.select(col("doc_id")).schema.fields.head
+    val schema = StructType(Seq(
+      StructField("doc_id", idField.dataType, nullable = idField.nullable),
+      StructField("label", idField.dataType, nullable = idField.nullable)))
+    val rows = all.map(v => Row(v, minLabel(find(v)))).toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Distributed min-label propagation — the at-scale regime. Each
     * round is pure DataFrame ops (symmetric edge join + min-aggregate);
     * the driver only checks the converged flag — no vertex data ever
     * leaves the cluster, and rounds are O(diameter), which for dedup
     * graphs (dense cliques of copies) is 1-2. The `maxIters` guard
     * bounds pathological chains.
     */
-  def connectedComponents(edges: DataFrame, nodes: DataFrame,
-                          maxIters: Int = 20): DataFrame = {
+  def connectedComponentsDistributed(edges: DataFrame, nodes: DataFrame,
+                                     maxIters: Int = 20): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))

@@ -98,6 +98,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(rl === Array(10L))
   }
 
+  test("connectedComponentsDistributed (at-scale path) ≡ local union-find path") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 5L), (9L, 8L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L).toDF("doc_id")
+    val dist = Dedup.connectedComponentsDistributed(edges, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.connectedComponents(edges, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === local)
+    assert(dist === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("dedupClusters: transitive near-dup group collapses to one cluster") {
     // a≈b and b≈c but a,c share less: the pair list alone can't decide —
     // the cluster must contain all three with cluster_id = min doc_id

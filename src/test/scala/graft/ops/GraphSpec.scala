@@ -55,4 +55,29 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     want.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-9) }
     assert(got("b") > got("c"), "heavier edge → more rank")
   }
+
+  test("pageRankDistributed (at-scale path) ≡ local path and simulation") {
+    // dangling node `e` exercises the per-round broadcast mass aggregate
+    val es = Seq(("a", "b", 2.0), ("b", "c", 1.0), ("c", "a", 1.0),
+      ("a", "c", 1.0), ("c", "e", 1.0))
+    val dist = Graph.pageRankDistributed(edges(es: _*)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val local = Graph.pageRank(edges(es: _*)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = simulate(es, 0.85, 10)
+    assert(math.abs(dist.values.sum - 1.0) < 1e-9)
+    want.foreach { case (k, v) =>
+      assert(math.abs(dist(k) - v) < 1e-9, s"distributed $k: ${dist(k)} vs $v")
+      assert(math.abs(local(k) - v) < 1e-9, s"local $k: ${local(k)} vs $v")
+    }
+  }
+
+  test("pageRankDistributed with no dangling nodes (skip-branch) ≡ simulation") {
+    val es = Seq(("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0), ("b", "a", 1.0))
+    val dist = Graph.pageRankDistributed(edges(es: _*)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = simulate(es, 0.85, 10)
+    want.foreach { case (k, v) =>
+      assert(math.abs(dist(k) - v) < 1e-9, s"$k: ${dist(k)} vs $v") }
+  }
 }
