@@ -179,8 +179,10 @@ object DataPrep {
   def decontaminate(documents: DataFrame, k: Int = 5, minShared: Int = 3): DataFrame = {
     val withSplit = documents.withColumn("split",
       when(hashBucket(col("text")) < "cc", "train").otherwise("eval"))
-    val sh = Dedup.shingles(withSplit.select(col("doc_id"), col("text")), k)
-      .join(withSplit.select(col("doc_id"), col("split")), "doc_id")
+    // split carried through the shingle explode (no doc_id self-join);
+    // NOT cached — each side's recompute is one fused explode stage,
+    // cheaper than a columnar cache build (measured at sf0.1)
+    val sh = Dedup.shingles(withSplit, k, carry = Seq("split"))
     val train = sh.filter(col("split") === "train")
       .select(col("doc_id").as("train_doc"), col("shingle"))
     val eval_ = sh.filter(col("split") === "eval")
@@ -206,8 +208,9 @@ object DataPrep {
                          fpp: Double = 0.01): DataFrame = {
     val withSplit = documents.withColumn("split",
       when(hashBucket(col("text")) < "cc", "train").otherwise("eval"))
-    val sh = Dedup.shingles(withSplit.select(col("doc_id"), col("text")), k)
-      .join(withSplit.select(col("doc_id"), col("split")), "doc_id")
+    // pinned: consumed by the eval count, the bloom build, and both
+    // sides of the exact join — unpersisted, each pass re-shingles
+    val sh = Dedup.shingles(withSplit, k, carry = Seq("split")).persist()
     val eval_ = sh.filter(col("split") === "eval")
       .select(col("doc_id").as("eval_doc"), col("shingle"))
     val evalShingles = eval_.select("shingle").distinct()
@@ -223,11 +226,12 @@ object DataPrep {
         train0.filter(mightMatch(col("shingle"))) // map-side prune, pre-shuffle
       })
       .select(col("doc_id").as("train_doc"), col("shingle"))
-    train.join(eval_, "shingle")
+    val result = train.join(eval_, "shingle")
       .groupBy("train_doc", "eval_doc")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy("train_doc", "eval_doc")
+    Dedup.scopeCaches(result, sh)
   }
 
   /** Sequence packing: fill fixed token budgets (context windows) with

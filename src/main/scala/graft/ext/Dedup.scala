@@ -48,14 +48,15 @@ object Dedup {
     * Documents with fewer than k tokens produce no shingles (guarded —
     * `sequence(0, negative)` would descend).
     */
-  def shingles(documents: DataFrame, k: Int = 5): DataFrame = {
+  def shingles(documents: DataFrame, k: Int = 5, carry: Seq[String] = Nil): DataFrame = {
     val tokens = split(col("text"), " ")
+    val carryCols = carry.map(col)
     documents
-      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id") +: carryCols :+ tokens.as("toks"): _*)
       .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(array_distinct(
+      .select(col("doc_id") +: carryCols :+ explode(array_distinct(
         transform(sequence(lit(0), size(col("toks")) - k),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))).as("shingle"))
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))).as("shingle"): _*)
   }
 
   /** Exact n-gram (word 5-shingle) Jaccard near-dup pairs ≥ `threshold`.
