@@ -123,49 +123,79 @@ object Similarity {
     val planes = hyperplanes(numPlanes, dim)
     val emb = asDouble(col("embedding"))
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val proj = dot(emb, array(p.map(lit): _*))
+      // ONE ArrayType literal per plane (not 64 Literal nodes + a
+      // CreateArray): keeps the generated code small enough that Janino
+      // compile time doesn't dominate at dimension-table input sizes
+      val proj = dot(emb, typedlit(p.toSeq))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     embeddings.select(col("vec_id"), col("embedding"), bits.as("bucket"))
   }
 
-  /** IVF coarse quantizer: mini k-means (deterministic init = first
-    * `nList` vectors, `iters` Lloyd rounds). Only the k×dim centroid
-    * matrix ever reaches the driver; assignment and the element-wise
-    * centroid means are distributed (posexplode + groupBy(cluster, pos)).
+  /** IVF coarse quantizer: mini k-means trained ON A SAMPLE collected
+    * to the driver — the standard IVF design (FAISS trains coarse
+    * quantizers on a bounded sample regardless of corpus size), so
+    * training cost is corpus-size-independent and the Lloyd loop pays
+    * zero per-round job overhead. Deterministic: sample = first
+    * `trainSample` vectors by vec_id, init = its first `nList` vectors,
+    * sequential in-order means. Assignment of the full corpus stays
+    * distributed ([[assignClusters]]); only the k×dim centroid matrix
+    * and the bounded sample ever reach the driver. Argmax ties break to
+    * the HIGHEST cluster idx, mirroring `array_max` over (sim, idx)
+    * structs in [[assignClusters]].
     */
-  def ivfCentroids(embeddings: DataFrame, nList: Int = 16, iters: Int = 2): Array[Array[Double]] = {
-    var centroids: Array[Array[Double]] = embeddings.orderBy("vec_id").limit(nList)
+  def ivfCentroids(embeddings: DataFrame, nList: Int = 16, iters: Int = 2,
+                   trainSample: Int = 100000): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = embeddings.orderBy("vec_id").limit(trainSample)
       .select(asDouble(col("embedding")).as("v")).collect()
       .map(_.getSeq[Double](0).toArray)
+    var centroids = sample.take(nList).map(_.clone())
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
     for (_ <- 0 until iters) {
-      val assigned = assignClusters(embeddings, centroids)
-      val means = assigned
-        .select(col("cluster"), posexplode(asDouble(col("embedding"))))
-        .groupBy("cluster", "pos").agg(avg(col("col")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rows) =>
-          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      val sums = Array.fill(nList)(new Array[Double](if (sample.isEmpty) 0 else sample(0).length))
+      val counts = new Array[Long](nList)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < centroids.length) {
+          val s = cos(v, centroids(c))
+          if (s >= bestSim) { bestSim = s; best = c } // ties → highest idx
+          c += 1
         }
-      centroids = centroids.indices.map(i => means.get(i).map(_.toArray)
-        .getOrElse(centroids(i))).toArray // empty cluster keeps its centroid
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // empty cluster keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }.toArray
     }
     centroids
   }
 
-  /** Nearest-centroid assignment (max cosine), computed with the native
-    * expression against literal centroid arrays — struct array_max gives
-    * the argmax without a join.
+  /** Per-centroid (sim, idx) scores as ONE expression: a `transform`
+    * over a single 2-D array literal with the native cosine inside the
+    * lambda. One cosine node in the tree (runtime loop over centroids)
+    * instead of nList inlined copies — generated-code size, and with it
+    * Janino compile time, stays constant as nList grows.
     */
-  def assignClusters(embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+  private def centroidScores(df: DataFrame, centroids: Array[Array[Double]]): Column = {
     val emb = asDouble(col("embedding"))
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(nativeCosine(embeddings, emb, array(c.map(lit): _*)).as("sim"),
-        lit(i).as("idx"))
-    }
-    embeddings.withColumn("cluster", array_max(array(scored: _*)).getField("idx"))
+    transform(typedlit(centroids.map(_.toSeq).toSeq),
+      (c, i) => struct(nativeCosine(df, emb, c).as("sim"), i.cast("int").as("idx")))
   }
+
+  /** Nearest-centroid assignment (max cosine): struct array_max gives
+    * the argmax without a join; ties break to the highest cluster idx.
+    */
+  def assignClusters(embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    embeddings.withColumn("cluster",
+      array_max(centroidScores(embeddings, centroids)).getField("idx"))
 
   /** IVF approximate top-k: queries probe their `nProbe` nearest
     * centroid lists; candidates are only the vectors assigned to those
@@ -180,13 +210,10 @@ object Similarity {
     // released via Dedup.scopeCaches before return (see result below)
     val emb = asDouble(col("embedding"))
     // each query's nProbe nearest centroid ids, exploded to (query, cluster)
-    val probeScores = centroids.zipWithIndex.map { case (c, i) =>
-      struct(nativeCosine(embeddings, emb, array(c.map(lit): _*)).as("sim"),
-        lit(i).as("idx"))
-    }
     val q = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), emb.as("qv"),
-        slice(reverse(array_sort(array(probeScores: _*))), 1, nProbe).as("probes"))
+        slice(reverse(array_sort(centroidScores(embeddings, centroids))), 1, nProbe)
+          .as("probes"))
       .select(col("query_id"), col("qv"),
         explode(col("probes").getField("idx")).as("cluster"))
     val c = assigned.select(col("vec_id").as("neighbor_id"), emb.as("cv"), col("cluster"))
