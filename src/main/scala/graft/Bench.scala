@@ -35,7 +35,8 @@ object Bench {
     // failed names are also listed under "failed".
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration;
     // the driver leaves it unset and gets every query.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.trim.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
