@@ -376,4 +376,85 @@ object TextOps {
         (acc, b) => pmod(acc * 31 + b, m)).as("rolling_hash"))
       .orderBy("doc_id")
   }
+
+  /** Per-document token-distribution Shannon entropy — the information-
+    * density quality signal (near-zero entropy = degenerate/repetitive
+    * text; complements [[repetitionRatio]]). Computed as
+    * `ln(n) - Σ c·ln(c) / n` over per-document token counts — the
+    * algebraic form keeps every term a function of integer counts, so
+    * both engines evaluate the identical doubles. One shuffle on
+    * (doc_id, token) with map-side combine, then one on doc_id.
+    */
+  def tokenEntropy(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(log(sum(col("c")).cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum(col("c")).cast("double"), 6).as("entropy"))
+      .orderBy("doc_id")
+
+  /** Deterministic synthetic URL per document (the corpus has no URL
+    * column): both engines build the identical string, so web-corpus
+    * analytics stay oracle-checkable — same fixture pattern as
+    * [[withSyntheticPii]].
+    */
+  def withSyntheticUrl(documents: DataFrame): DataFrame =
+    documents.withColumn("url", concat(
+      lit("https://"),
+      element_at(typedlit(Seq("news.example.com", "blog.example.org",
+        "wiki.example.net", "forum.example.io", "docs.example.dev")),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
+      lit("/"), col("lang"), lit("/page-"), col("doc_id").cast("string")))
+
+  /** Per-domain corpus composition — the standard web-pipeline audit
+    * (domain mix drives dedup and filtering policy): parse the host out
+    * of the URL (Spark's `parse_url`; the oracle's regex twin extracts
+    * the identical span) and aggregate docs/chars/langs per domain.
+    * One shuffle on the domain key.
+    */
+  def domainStats(documents: DataFrame): DataFrame =
+    withSyntheticUrl(documents)
+      .withColumn("domain", parse_url(col("url"), lit("HOST")))
+      .groupBy("domain").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("domain")
+
+  /** Top PMI token pairs — corpus-level co-occurrence mining (the
+    * collocation signal behind phrase detection in training-data
+    * pipelines). Pairs are UNORDERED distinct-token pairs within a
+    * document's first `maxTokens` tokens (bounding the per-doc pair
+    * blow-up, the standard guard at corpus scale); PMI =
+    * ln(N·c_ab / (c_a·c_b)) over doc-frequencies, reported for pairs
+    * with c_ab ≥ `minPairDocs`, ranked by rounded PMI. Shuffles are
+    * keyed on tokens/pairs with map-side combine throughout.
+    */
+  def pmiPairs(documents: DataFrame, maxTokens: Int = 40,
+               minPairDocs: Int = 5, topN: Int = 20): DataFrame = {
+    val toks = array_distinct(slice(wsTokens(col("text")), 1, maxTokens))
+    val docToks = documents.select(col("doc_id"), toks.as("t"))
+    val tokDf = docToks.select(explode(col("t")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c_tok"))
+    val pairs = docToks
+      .select(col("doc_id"), explode(col("t")).as("tok_a"), col("t"))
+      .select(col("doc_id"), col("tok_a"), explode(col("t")).as("tok_b"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minPairDocs)
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(tokDf.select(col("token").as("tok_a"), col("c_tok").as("c_a")), "tok_a")
+      .join(tokDf.select(col("token").as("tok_b"), col("c_tok").as("c_b")), "tok_b")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", round(log(col("n_docs").cast("double") * col("c_pair") /
+        (col("c_a").cast("double") * col("c_b"))), 6))
+      .select(col("tok_a"), col("tok_b"), col("c_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(topN)
+  }
 }
