@@ -132,6 +132,10 @@ object Dedup {
     */
   def minhashNearDup(documents: DataFrame, k: Int = 5, numHashes: Int = 64,
                      numBands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    // e.g. 64/12 would silently drop the trailing 4 signature components
+    // and lower recall below the banding guarantee
+    require(numBands > 0 && numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
     val rowsPerBand = numHashes / numBands
     val sh = shingles(documents, k).cache()
     val sig = minhashSignatures(sh, numHashes)
@@ -353,6 +357,8 @@ object Dedup {
   def incrementalMinhashNearDup(newDocs: DataFrame, storedSigs: DataFrame,
                                 k: Int = 5, numHashes: Int = 64, numBands: Int = 16,
                                 threshold: Double = 0.5): DataFrame = {
+    require(numBands > 0 && numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
     val rowsPerBand = numHashes / numBands
     val newSigs = minhashSignatures(shingles(newDocs, k), numHashes)
     val all = storedSigs.select(col("doc_id"), col("sig"), lit(false).as("is_new"))

@@ -5,11 +5,12 @@ import java.util.{TreeMap => JTreeMap}
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, IntegerType, LongType, ShortType}
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 
 /** KMV (k-minimum-values / bottom-k) distinct sketch — the second
   * storable sketch family next to [[HllSketch]], from the published
@@ -63,13 +64,32 @@ object KmvSketch {
   private[functions] def updateRaw(buf: JTreeMap[Long, Long], k: Int,
                                    child: Expression, input: InternalRow): JTreeMap[Long, Long] = {
     val v = child.eval(input)
+    // integral-only by checkIntegralKey; a hashCode() fallback here would
+    // silently produce 32-bit-collision-biased estimates for other types
     if (v != null) offer(buf, k, v match {
       case l: Long => l
       case i: Int => i.toLong
-      case other => other.hashCode().toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => throw new IllegalStateException(
+        s"kmv sketch key must be integral, got ${other.getClass.getName}")
     })
     buf
   }
+
+  /** Analysis-time gate for the raw-key forms: the sample IS the point
+    * of KMV, so keys must be stored losslessly — only integral types
+    * qualify. (Non-integral keys used to fall through to
+    * `hashCode().toLong`: 32-bit-collision-biased estimates and
+    * meaningless sample values.)
+    */
+  private[functions] def checkIntegralKey(child: Expression, name: String): TypeCheckResult =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$name requires an integral key column (tinyint/smallint/int/bigint), " +
+          s"got ${dt.catalogString}; hash non-integral keys to bigint first (e.g. xxhash64)")
+    }
 
   /** Top-53-bits-as-double position of a signed hash in unsigned [0,1). */
   private[functions] def frac(h: Long): Double =
@@ -151,6 +171,8 @@ case class KmvDistinct(child: Expression, k: Int,
   override def serialize(b: JTreeMap[Long, Long]): Array[Byte] = KmvSketch.serializeBuf(b, k)
   override def deserialize(bytes: Array[Byte]): JTreeMap[Long, Long] =
     KmvSketch.deserializeBuf(bytes)._2
+  override def checkInputDataTypes(): TypeCheckResult =
+    KmvSketch.checkIntegralKey(child, prettyName)
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)
@@ -178,6 +200,8 @@ case class KmvSketchBuffer(child: Expression, k: Int,
   override def serialize(b: JTreeMap[Long, Long]): Array[Byte] = KmvSketch.serializeBuf(b, k)
   override def deserialize(bytes: Array[Byte]): JTreeMap[Long, Long] =
     KmvSketch.deserializeBuf(bytes)._2
+  override def checkInputDataTypes(): TypeCheckResult =
+    KmvSketch.checkIntegralKey(child, prettyName)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)

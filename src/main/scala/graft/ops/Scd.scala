@@ -26,13 +26,28 @@ object Scd {
     * history (untouched), rows closed by this batch (`valid_to` =
     * `batchDate`), new versions and brand-new keys (`valid_from` =
     * `batchDate`, open), and unchanged open rows.
+    *
+    * PRECONDITION (enforced): at most ONE update row per key — an
+    * update batch is "the state of each key as of `batchDate`", and a
+    * duplicate key would multiply through the full-outer join into a
+    * corrupted dimension. Enforced in-plan (count per key +
+    * `assert_true`), so the merge stays lazy and violations fail the
+    * job at execution time naming the offending key, instead of
+    * silently emitting inflated history.
     */
   def scd2Merge(current: DataFrame, updates: DataFrame, key: String,
                 tracked: Seq[String], batchDate: String): DataFrame = {
     val open = current.filter(col("valid_to").isNull)
     val closedHistory = current.filter(col("valid_to").isNotNull)
-    val u = updates.select(
+    val u0 = updates.select(
       col(key).as("u_key") +: tracked.map(c => col(c).as(s"u_$c")): _*)
+    val keyCounts = u0.groupBy(col("u_key")).agg(count(lit(1)).as("u_cnt"))
+    val u = u0.join(keyCounts, Seq("u_key"))
+      .withColumn("_dup_chk", assert_true(col("u_cnt") === 1,
+        concat(lit("scd2Merge: more than one update row for key "),
+          col("u_key").cast("string"))))
+      .filter(col("_dup_chk").isNull) // always true; keeps the check referenced
+      .drop("_dup_chk", "u_cnt")
     val joined = open.join(u, col(key) === col("u_key"), "full_outer")
     val differs = tracked.map(c => !(col(c) <=> col(s"u_$c"))).reduce(_ || _)
 

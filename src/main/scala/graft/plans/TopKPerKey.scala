@@ -44,33 +44,49 @@ case class TopKPerKeyPlan(keys: Seq[Expression], score: Expression,
 private[plans] final class BoundedTopK(k: Int) {
   private val scores = new Array[Double](k)
   private val ties = new Array[Long](k)
+  // bit 0 = score is NULL, bit 1 = tie is NULL. Explicit flags instead of
+  // sentinel values: a -Inf sentinel for NULL score would TIE a genuine
+  // -Inf score instead of ordering after it (ditto Long.MaxValue ties).
+  private val flags = new Array[Int](k)
   private val rows = new Array[UnsafeRow](k)
   private var n = 0
 
-  // strict "a is worse than b" in keep order: lower score, then higher tie
-  @inline private def worse(s1: Double, t1: Long, s2: Double, t2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && t1 > t2)
+  // strict "a is worse than b" in keep order (= window order row k comes
+  // after row k-1): score DESC NULLS LAST, then tie ASC NULLS FIRST —
+  // exactly Spark's desc/asc null placement in the window twin.
+  @inline private def worse(s1: Double, t1: Long, f1: Int,
+                            s2: Double, t2: Long, f2: Int): Boolean = {
+    val sn1 = (f1 & 1) != 0; val sn2 = (f2 & 1) != 0
+    if (sn1 != sn2) sn1
+    else if (!sn1 && s1 != s2) s1 < s2
+    else {
+      val tn1 = (f1 & 2) != 0; val tn2 = (f2 & 2) != 0
+      if (tn1 != tn2) tn2
+      else !tn1 && t1 > t2
+    }
+  }
 
   /** Offer a row; `rowCopy` is only evaluated (and the row only copied)
     * if it is admitted.
     */
-  def offer(s: Double, t: Long, rowCopy: => UnsafeRow): Unit =
+  def offer(s: Double, t: Long, f: Int, rowCopy: => UnsafeRow): Unit =
     if (n < k) {
       var i = n
-      scores(i) = s; ties(i) = t; rows(i) = rowCopy
+      scores(i) = s; ties(i) = t; flags(i) = f; rows(i) = rowCopy
       n += 1
-      while (i > 0 && worse(scores(i), ties(i), scores((i - 1) / 2), ties((i - 1) / 2))) {
+      while (i > 0 && worse(scores(i), ties(i), flags(i),
+          scores((i - 1) / 2), ties((i - 1) / 2), flags((i - 1) / 2))) {
         swap(i, (i - 1) / 2); i = (i - 1) / 2
       }
-    } else if (worse(scores(0), ties(0), s, t)) {
-      scores(0) = s; ties(0) = t; rows(0) = rowCopy
+    } else if (worse(scores(0), ties(0), flags(0), s, t, f)) {
+      scores(0) = s; ties(0) = t; flags(0) = f; rows(0) = rowCopy
       var i = 0
       var done = false
       while (!done) {
         val l = 2 * i + 1; val r = l + 1
         var w = i
-        if (l < n && worse(scores(l), ties(l), scores(w), ties(w))) w = l
-        if (r < n && worse(scores(r), ties(r), scores(w), ties(w))) w = r
+        if (l < n && worse(scores(l), ties(l), flags(l), scores(w), ties(w), flags(w))) w = l
+        if (r < n && worse(scores(r), ties(r), flags(r), scores(w), ties(w), flags(w))) w = r
         if (w == i) done = true
         else { swap(i, w); i = w }
       }
@@ -79,6 +95,7 @@ private[plans] final class BoundedTopK(k: Int) {
   @inline private def swap(i: Int, j: Int): Unit = {
     val s = scores(i); scores(i) = scores(j); scores(j) = s
     val t = ties(i); ties(i) = ties(j); ties(j) = t
+    val f = flags(i); flags(i) = flags(j); flags(j) = f
     val r = rows(i); rows(i) = rows(j); rows(j) = r
   }
 
@@ -107,12 +124,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], score: Expression,
       it.foreach { row =>
         val key = keyProj(row)
         val ord = ordProj(row)
-        // NULL semantics must match the window form (desc → nulls last):
-        // a null score is the worst possible, a null tie the last of its
-        // score class. Reading the raw slot would silently yield 0.0,
-        // outranking genuine negative scores.
-        val s = if (ord.isNullAt(0)) Double.NegativeInfinity else ord.getDouble(0)
-        val t = if (ord.isNullAt(1)) Long.MaxValue else ord.getLong(1)
+        // NULL-ness travels as an explicit flag (reading the raw slot of
+        // a null would silently yield 0.0, outranking genuine negative
+        // scores; a sentinel would tie genuine -Inf / MaxValue values)
+        val sNull = ord.isNullAt(0)
+        val tNull = ord.isNullAt(1)
+        val s = if (sNull) 0.0 else ord.getDouble(0)
+        val t = if (tNull) 0L else ord.getLong(1)
+        val f = (if (sNull) 1 else 0) | (if (tNull) 2 else 0)
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>
@@ -120,7 +139,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], score: Expression,
             heaps.put(key.copy(), h)
             h
         }
-        heap.offer(s, t, row.asInstanceOf[UnsafeRow].copy())
+        heap.offer(s, t, f, row.asInstanceOf[UnsafeRow].copy())
       }
       heaps.valuesIterator.flatMap(_.iterator)
     }

@@ -212,4 +212,18 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val pairs = Dedup.simhashNearDup(d).collect()
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
   }
+
+  test("LSH banding rejects numHashes not divisible by numBands") {
+    // 64/12 would silently drop the trailing 4 signature components and
+    // lower recall below the banding guarantee
+    val d = docs(1L -> base, 2L -> other)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minhashNearDup(d, numHashes = 64, numBands = 12)
+    }
+    assert(ex.getMessage.contains("multiple"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinhashNearDup(d, d, numHashes = 64, numBands = 12)
+    }
+    assert(ex2.getMessage.contains("multiple"))
+  }
 }

@@ -58,4 +58,22 @@ class KmvSketchSpec extends AnyFunSuite with SparkSpec {
       .agg(KmvSketch.kmv_distinct(spark, col("user_id"), 32)).collect()(0).getLong(0)
     assert(a === b)
   }
+
+  test("raw-key forms reject non-integral key columns at analysis time") {
+    // a string key used to fall through to hashCode().toLong: 32-bit-
+    // collision-biased estimates and meaningless sample values
+    val ev = Tables.events(spark, sf)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      ev.agg(KmvSketch.kmv_distinct(spark, col("event_type"), 64)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("integral"), ex.getMessage)
+    val ex2 = intercept[org.apache.spark.sql.AnalysisException] {
+      ev.agg(KmvSketch.kmv_sketch_buffer(spark, col("ts"), 64)).collect()
+    }
+    assert(ex2.getMessage.toLowerCase.contains("integral"), ex2.getMessage)
+    // the documented workaround stays accepted: hash to bigint first
+    val ok = ev.agg(KmvSketch.kmv_distinct(spark, xxhash64(col("event_type")), 64))
+      .collect()(0).getLong(0)
+    assert(ok > 0)
+  }
 }

@@ -64,4 +64,20 @@ class ScdSpec extends AnyFunSuite with SparkSpec {
     assert(out(0).getString(2) === "1998-01-01")
     assert(out(0).isNullAt(3))
   }
+
+  test("scd2Merge rejects duplicate update keys at execution, naming the key") {
+    // duplicates would multiply through the full-outer join into
+    // corrupted history — must fail, not silently inflate
+    val current = dim((1L, "A", "1992-01-01", None))
+    val updates = upd((1L, "X"), (1L, "Y"), (2L, "Z"))
+    val ex = intercept[Exception] {
+      Scd.scd2Merge(current, updates, "customer_key", Seq("segment"), "1998-01-01")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(ex).mkString("\n")
+    assert(all.contains("more than one update row"), all)
+    assert(all.contains("1"), all)
+  }
 }

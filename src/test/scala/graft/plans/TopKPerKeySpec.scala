@@ -80,7 +80,7 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
         val buf = new Array[Byte](32)
         r.pointTo(buf, 32)
         r.setLong(0, t)
-        heap.offer(s, t, r)
+        heap.offer(s, t, 0, r)
       }
       val got = heap.iterator.map(_.getLong(0)).toSet
       val want = items.sortBy { case (s, t) => (-s, t) }.take(k).map(_._2).toSet
@@ -113,5 +113,33 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
     val out = TopKPerKey(multi, Seq("k"), "score", "id", 1).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out === Set((1L, 1L), (2L, 3L))) // tie broken by lowest id
+  }
+
+  test("NULL score orders strictly after -Inf; NULL tie orders first (window parity)") {
+    import spark.implicits._
+    // a -Inf sentinel for NULL would TIE the genuine -Inf row; the
+    // explicit null flag must rank NULL below it (desc → nulls last)
+    val df = Seq((1L, 1L, Some(5.0)),
+      (1L, 2L, Some(Double.NegativeInfinity)),
+      (1L, 3L, None: Option[Double])).toDF("k", "id", "score")
+    val top2 = TopKPerKey(df, Seq("k"), "score", "id", 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top2 === Set(1L, 2L), "NULL score must rank below -Inf, not tie it")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("score").desc, col("id").asc)
+    val win = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top2 === win)
+    // tie ASC → nulls FIRST: the null-tie row beats id=2 within the score class
+    val dft = Seq((1L, Some(1L), 5.0), (1L, Some(2L), 5.0), (1L, None: Option[Long], 5.0))
+      .toDF("k", "id", "score")
+    val topT = TopKPerKey(dft, Seq("k"), "score", "id", 2)
+      .select("id").collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("score").desc, col("id").asc)
+    val winT = dft.withColumn("rn", row_number().over(wt)).filter(col("rn") <= 2)
+      .select("id").collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(topT === winT)
+    assert(topT === Set(None, Some(1L)))
   }
 }
