@@ -250,7 +250,16 @@ object Dedup {
                                      maxIters: Int = 20): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+    // seed from nodes ∪ edge endpoints — the same vertex set the local
+    // union-find covers. Seeding from `nodes` alone would (a) silently
+    // drop components whose edges touch no listed node and (b) let an
+    // endpoint-only vertex receive a label without ever contributing its
+    // own id, so the two regimes could disagree on the component min.
+    val vertices = nodes.select(col("doc_id"))
+      .unionByName(edges.select(col("src").as("doc_id")))
+      .unionByName(edges.select(col("dst").as("doc_id")))
+      .distinct()
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
     // labels only ever decrease (min-propagation), so the label sum is
     // strictly monotone until the fixpoint: convergence = unchanged sum.

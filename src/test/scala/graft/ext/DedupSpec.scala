@@ -111,6 +111,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("both regimes cover nodes ∪ edge endpoints when nodes miss endpoints") {
+    import spark.implicits._
+    // endpoint-only vertices: 2 bridges 1→3 but is not listed; the 8-9
+    // edge touches NO listed node at all. Both regimes must emit the
+    // full endpoint closure with the same min labels — seeding the
+    // distributed path from `nodes` alone dropped 8-9 entirely and let
+    // an unlisted endpoint receive a label without contributing its id.
+    val edges = Seq((2L, 1L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    val nodes = Seq(1L, 3L, 4L).toDF("doc_id")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 8L -> 8L, 9L -> 8L)
+    val dist = Dedup.connectedComponentsDistributed(edges, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.connectedComponents(edges, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === want)
+    assert(local === want)
+  }
+
   test("dedupClusters: transitive near-dup group collapses to one cluster") {
     // a≈b and b≈c but a,c share less: the pair list alone can't decide —
     // the cluster must contain all three with cluster_id = min doc_id
