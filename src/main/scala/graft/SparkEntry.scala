@@ -142,6 +142,11 @@ object SparkEntry {
     "q_token_map" -> ((s, d) => TextOps.repeatedTokenMap(Tables.documents(s, d))),
     "q_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(Tables.documents(s, d))),
     "q_ngram_lm" -> ((s, d) => TextOps.bigramLmScore(Tables.documents(s, d))),
+    "q_token_entropy" -> ((s, d) => TextOps.tokenEntropy(Tables.documents(s, d))),
+    "q_synthetic_url" -> ((s, d) => TextOps.withSyntheticUrl(Tables.documents(s, d))
+      .select("doc_id", "lang", "url").orderBy("doc_id")),
+    "q_domain_stats" -> ((s, d) => TextOps.domainStats(Tables.documents(s, d))),
+    "q_pmi_pairs" -> ((s, d) => TextOps.pmiPairs(Tables.documents(s, d))),
     // §2.10: dedup family
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
@@ -996,6 +1001,51 @@ object SparkEntry {
         |  round(SUM(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v))) / COUNT(*), 6) AS avg_logprob
         |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_token_entropy" ->
+      """WITH cnt AS (
+        |  SELECT doc_id, token, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY doc_id, token)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  round(ln(CAST(SUM(c) AS DOUBLE)) -
+        |    SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE),
+        |    6) AS entropy
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_synthetic_url" ->
+      """SELECT doc_id, lang,
+        |  'https://' || ['news.example.com', 'blog.example.org', 'wiki.example.net',
+        |    'forum.example.io', 'docs.example.dev'][CAST(doc_id % 5 AS INTEGER) + 1]
+        |  || '/' || lang || '/page-' || CAST(doc_id AS VARCHAR) AS url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_domain_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    'https://' || ['news.example.com', 'blog.example.org', 'wiki.example.net',
+        |      'forum.example.io', 'docs.example.dev'][CAST(doc_id % 5 AS INTEGER) + 1]
+        |    || '/' || lang || '/page-' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents)
+        |SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  min(doc_id) AS first_doc
+        |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+    "q_pmi_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')[1:40]) AS t FROM documents),
+        |tokc AS (SELECT token, COUNT(*) AS c_tok
+        |         FROM (SELECT unnest(t) AS token FROM d) GROUP BY token),
+        |p1 AS (SELECT tok_a, unnest(t) AS tok_b
+        |       FROM (SELECT unnest(t) AS tok_a, t FROM d)),
+        |pairs AS (SELECT tok_a, tok_b, COUNT(*) AS c_pair FROM p1
+        |          WHERE tok_a < tok_b GROUP BY tok_a, tok_b HAVING COUNT(*) >= 5)
+        |SELECT p.tok_a, p.tok_b, CAST(p.c_pair AS BIGINT) AS c_pair,
+        |  round(ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) * p.c_pair /
+        |    (CAST(a.c_tok AS DOUBLE) * b.c_tok)), 6) AS pmi
+        |FROM pairs p
+        |JOIN tokc a ON a.token = p.tok_a
+        |JOIN tokc b ON b.token = p.tok_b
+        |ORDER BY pmi DESC, tok_a, tok_b LIMIT 20""".stripMargin,
     "q_stratified_sample" ->
       """WITH counts AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
         |m AS (SELECT MIN(n_total) AS min_total FROM counts),

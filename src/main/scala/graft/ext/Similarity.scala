@@ -150,22 +150,11 @@ object Similarity {
       .select(asDouble(col("embedding")).as("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     var centroids = sample.take(nList).map(_.clone())
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     for (_ <- 0 until iters) {
       val sums = Array.fill(nList)(new Array[Double](if (sample.isEmpty) 0 else sample(0).length))
       val counts = new Array[Long](nList)
       sample.foreach { v =>
-        var best = 0; var bestSim = Double.NegativeInfinity
-        var c = 0
-        while (c < centroids.length) {
-          val s = cos(v, centroids(c))
-          if (s >= bestSim) { bestSim = s; best = c } // ties → highest idx
-          c += 1
-        }
+        val best = bestCluster(v, centroids)
         counts(best) += 1
         var i = 0
         while (i < v.length) { sums(best)(i) += v(i); i += 1 }
@@ -176,6 +165,32 @@ object Similarity {
       }.toArray
     }
     centroids
+  }
+
+  private def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Driver-side nearest-centroid argmax, mirroring Spark's `array_max`
+    * over (sim, idx) structs EXACTLY — including the degenerate cases:
+    * NaN (a zero-norm vector or centroid → cos = 0/0) orders GREATER
+    * than every real similarity, and all ties — NaN == NaN included —
+    * break to the highest cluster idx. A plain `s >= best` loop would
+    * leave NaN vectors in cluster 0 while [[assignClusters]] sends them
+    * to nList-1, so training and assignment would disagree.
+    */
+  private[ext] def bestCluster(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestSim = Double.NegativeInfinity; var bestNaN = false
+    var c = 0
+    while (c < centroids.length) {
+      val s = cosLocal(v, centroids(c))
+      val sNaN = java.lang.Double.isNaN(s)
+      if (sNaN || (!bestNaN && s >= bestSim)) { bestSim = s; bestNaN = sNaN; best = c }
+      c += 1
+    }
+    best
   }
 
   /** Per-centroid (sim, idx) scores as ONE expression: a `transform`

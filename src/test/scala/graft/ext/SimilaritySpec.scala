@@ -110,4 +110,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       df("a").cast("array<double>"), df("b").cast("array<double>"))).collect()(0).getDouble(0)
     assert(got === expected)
   }
+
+  test("driver-trainer argmax mirrors array_max NaN semantics (zero-norm vectors)") {
+    import spark.implicits._
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.5, 0.5))
+    // vec 0 is zero-norm → cos = NaN against every centroid; Spark's
+    // array_max orders NaN greatest with struct ties → highest idx
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.0f)),
+      (1L, Seq(2.0f, 0.1f)),
+      (2L, Seq(0.0f, 3.0f)),
+      (3L, Seq(1.0f, 1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val assigned = Similarity.assignClusters(df, centroids).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    vecs.foreach { case (id, emb) =>
+      val v = emb.map(_.toDouble).toArray
+      assert(Similarity.bestCluster(v, centroids) === assigned(id),
+        s"driver and distributed argmax must agree on vec $id")
+    }
+    assert(assigned(0L) === 2, "NaN sims land in the highest cluster idx")
+  }
 }

@@ -192,4 +192,44 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(en.getAs[Long]("n_docs") === 2)
     assert(en.getAs[Long]("sum_tokens") === 5)
   }
+
+  test("tokenEntropy: uniform tokens give ln(n); repetition gives 0") {
+    val d = docs((1L, "a b c d", "en"), (2L, "a a a a", "en"), (3L, "a a b b", "en"))
+    val r = TextOps.tokenEntropy(d).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) === math.BigDecimal(math.log(4)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r(2L) === 0.0)
+    assert(r(3L) === math.BigDecimal(math.log(2)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("withSyntheticUrl is deterministic; domainStats parses and aggregates per host") {
+    val d = docs((0L, "t", "en"), (1L, "tt", "fr"), (5L, "ttt", "en"), (6L, "x", "de"))
+    val urls = TextOps.withSyntheticUrl(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("url")).toMap
+    assert(urls(0L) === "https://news.example.com/en/page-0")
+    assert(urls(5L) === "https://news.example.com/en/page-5")
+    assert(urls(6L) === "https://blog.example.org/de/page-6")
+    val stats = TextOps.domainStats(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(stats("news.example.com") === ((2L, 4L, 1L, 0L))) // docs 0 and 5, both en
+    assert(stats("blog.example.org") === ((2L, 3L, 2L, 1L))) // docs 1 and 6
+  }
+
+  test("pmiPairs: perfectly correlated pair scores ln(N·c_ab/(c_a·c_b)); independent pair scores 0") {
+    // 5 docs "x y", 5 docs "x z", 5 docs "p q":
+    //   (p,q): N=15, c_ab=5, c_a=c_b=5 → pmi = ln(15·5/25) = ln 3
+    //   (x,y): c_x=10 → pmi = ln(15·5/50)  = ln 1.5
+    val rows = (1 to 5).map(i => (i.toLong, "x y", "en")) ++
+      (6 to 10).map(i => (i.toLong, "x z", "en")) ++
+      (11 to 15).map(i => (i.toLong, "p q", "en"))
+    val out = TextOps.pmiPairs(docs(rows: _*), minPairDocs = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    def r6(x: Double) = math.BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("p", "q")) === ((5L, r6(math.log(3.0)))))
+    assert(out(("x", "y")) === ((5L, r6(math.log(1.5)))))
+    assert(out(("x", "z")) === ((5L, r6(math.log(1.5)))))
+    assert(out.size === 3, "pairs below minPairDocs must not appear")
+  }
 }
