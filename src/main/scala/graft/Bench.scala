@@ -34,25 +34,49 @@ object Bench {
     // which would read as a fast success) and excluded from the total;
     // failed names are also listed under "failed".
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration;
-    // the driver leaves it unset and gets every query.
+    // the driver leaves it unset and gets every query. The active filter
+    // and any names it did NOT match are echoed into the JSON, so a
+    // partial run (or a typo'd query name) is self-identifying instead
+    // of masquerading as a fast full run.
     val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.trim.nonEmpty)
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-                 false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    // Per-run wall times on this box vary up to ±40% with machine
+    // contention (BENCH_r03 was 2× BENCH_r02 on identical code), so each
+    // query is timed SPARK_GRAFT_RUNS times (default 3) and the MINIMUM
+    // — the stable low-noise estimator — is reported.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").filter(_.trim.nonEmpty)
+      .map(_.trim.toInt).filter(_ > 0).getOrElse(3)
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val unmatched = only.map(_.diff(allNames.toSet)).getOrElse(Set.empty).toSeq.sorted
+    val results = allNames
+      .filter(n => only.forall(_.contains(n)))
+      .map { name =>
+        val fn = SparkEntry.queries(name)
+        var best = Double.MaxValue
+        var failed = false
+        var r = 0
+        while (r < runs && !failed) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            failed = true
+          }
+          r += 1
+        }
+        name -> (if (failed) -1.0 else best)
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val onlyJson = only.map(_.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      .getOrElse("null")
+    val unmatchedJson = unmatched.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"only":$onlyJson,"unmatched":$unmatchedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
