@@ -256,7 +256,12 @@ object SparkEntry {
           get(col("features"), lit(0)).cast("int").as("feat_first"),
           get(col("features"), size(col("features")) - 1).cast("int").as("feat_last"))
         .orderBy("doc_id", "frame_idx")
-    })
+    }),
+    // REAL codec: javax.imageio PNG encode → decode round-trip; the
+    // aggregates below are over DECODED pixels, oracle = closed form of
+    // the deterministic pattern (PNG is lossless)
+    "q_png_decode" -> ((s, d) => Multimodal.decodePngFeatures(s,
+      Multimodal.syntheticPngTable(s, Tables.documents(s, d))).orderBy("doc_id"))
   )
 
   /** The LSH bucketing is data-INDEPENDENT (seeded ±1 hyperplanes), so
@@ -1407,6 +1412,20 @@ object SparkEntry {
         |  CAST(list_sum(f) AS BIGINT) AS feat_sum,
         |  CAST(f[1] AS INTEGER) AS feat_first,
         |  CAST(f[-1] AS INTEGER) AS feat_last
-        |FROM feats ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM feats ORDER BY doc_id, frame_idx""".stripMargin,
+    // Closed form of the deterministic pixel pattern the Spark side
+    // pushes through a REAL PNG encode → javax.imageio decode round-trip
+    // (lossless, so decoded sums equal the direct arithmetic).
+    "q_png_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM px),
+        |ys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((doc_id * 11 + x + y * 2) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id * 13 + x * 4 + y) % 256) AS BIGINT) AS sum_b
+        |FROM ys GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
   )
 }

@@ -148,4 +148,96 @@ object Multimodal {
       octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
       sha2(encode(col("text"), "UTF-8"), 256).as("sha256_hex"))
       .orderBy("doc_id")
+
+  /** REAL codec tier — PNG via `javax.imageio` (pure JVM, ships with
+    * the JDK, no native deps): actual image encode and decode inside
+    * the same per-partition batch stages the [[FakeCodec]] paths
+    * demonstrate. PNG is lossless, so a deterministic pixel pattern
+    * survives the encode→decode round-trip bit-exactly and the decoded
+    * aggregates stay DuckDB-oracle-matched in closed form.
+    */
+  object PngCodec {
+    /** Encode a width×height RGB image, pixel (x,y) = `rgb(x,y)`
+      * (0xRRGGBB). Codec contexts are cheap for PNG; for stateful
+      * codecs, hoist init to the mapPartitions head.
+      */
+    def encode(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+
+    def decode(png: Array[Byte]): java.awt.image.BufferedImage =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+  }
+
+  /** Synthetic PNG media table: one real PNG per document, dimensions
+    * and per-pixel channels derived deterministically from `doc_id`
+    * (same fixture pattern as `withSyntheticPii` / `withSyntheticUrl`
+    * — the corpus has no image column, so the operator is exercised on
+    * synthetic payloads while staying hash-matched). Encode runs in a
+    * `mapPartitions` batch stage: narrow, no shuffle.
+    */
+  def syntheticPngTable(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          val png = PngCodec.encode(w, h, (x, y) => {
+            val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+            val g = ((id * 11 + x + y * 2) % 256).toInt
+            val b = ((id * 13 + x * 4 + y) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+          (id, png, w, h)
+        }
+      }
+      .toDF("doc_id", "payload", "width_px", "height_px")
+      .select(col("doc_id"), col("payload"), struct(
+        lit("image/png").as("media_type"),
+        col("width_px"), col("height_px"),
+        col("doc_id").as("source_id")).as("meta"))
+  }
+
+  /** Decode the PNG payloads with `javax.imageio` and aggregate the
+    * DECODED pixels per image (dimensions + exact per-channel sums —
+    * integer math, engine-portable). Same `mapPartitions` batch shape
+    * as [[extractFeatures]]; narrow, shuffle-free (plan-tested).
+    */
+  def decodePngFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, png) =>
+          val img = PngCodec.decode(png)
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xFF
+              sg += (p >> 8) & 0xFF
+              sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, w.toLong * h, sr, sg, sb)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
+  }
 }

@@ -66,4 +66,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("PNG codec: payloads are real PNGs and decoded pixels match the pattern exactly") {
+    import spark.implicits._
+    val docs = Seq((3L, "x", "en", "src0", 1L), (10L, "y", "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.syntheticPngTable(spark, docs)
+    val payloads = media.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    // PNG signature: 0x89 'P' 'N' 'G'
+    payloads.values.foreach { png =>
+      assert((png(0) & 0xFF) === 0x89 && png(1) === 'P'.toByte &&
+        png(2) === 'N'.toByte && png(3) === 'G'.toByte, "payload must be a real PNG")
+    }
+    val feats = Multimodal.decodePngFeatures(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(3L, 10L)) {
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (id * 7 + x * 3 + y * 5) % 256
+        sg += (id * 11 + x + y * 2) % 256
+        sb += (id * 13 + x * 4 + y) % 256
+      }
+      val r = feats(id)
+      assert((r.getInt(1), r.getInt(2), r.getLong(3)) === ((w, h, w.toLong * h)))
+      assert((r.getLong(4), r.getLong(5), r.getLong(6)) === ((sr, sg, sb)),
+        s"decoded channel sums must equal the closed form for doc $id")
+    }
+  }
+
+  test("PNG encode + decode stages are shuffle-free (narrow mapPartitions)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Multimodal.decodePngFeatures(spark,
+      Multimodal.syntheticPngTable(spark, docs)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"codec pipeline must not shuffle:\n$plan")
+  }
 }
