@@ -687,6 +687,46 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n_events,
         |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // 10 unrolled power-iteration rounds over the transition graph.
+    // PageRank is deterministic double arithmetic on a fixed iteration
+    // count; every constant is CAST AS DOUBLE so DuckDB's decimal
+    // literals don't diverge from Scala's double literals ((1.0-0.85) is
+    // 0.15000000000000002 in IEEE doubles but exactly 0.15 in decimal).
+    // Residual engine noise is summation order (~1e-15); round(,6)
+    // absorbs it, as in the TF-IDF/bigram-LM oracles.
+    "q_pagerank" -> {
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+      // each round references the previous one twice (contrib join +
+      // dangling sum) → exponential plan blowup without it.
+      val rounds = (1 to 10).map { k =>
+        s"""d$k AS MATERIALIZED (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS d
+           |  FROM r${k - 1} WHERE node NOT IN (SELECT src FROM t)),
+           |c$k AS MATERIALIZED (SELECT t.dst AS node, SUM(t.p * r.rank) AS c
+           |  FROM t JOIN r${k - 1} r ON r.node = t.src GROUP BY t.dst),
+           |r$k AS MATERIALIZED (
+           |  SELECT n.node,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+           |      + CAST(0.85 AS DOUBLE) * (COALESCE(c.c, CAST(0 AS DOUBLE))
+           |        + (SELECT d FROM d$k) / (SELECT n FROM nn)) AS rank
+           |  FROM nodes n LEFT JOIN c$k c ON c.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p0 AS (
+         |  SELECT event_type AS src,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM events),
+         |e AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS weight
+         |      FROM p0 WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |ow AS (SELECT src, SUM(weight) AS w_out FROM e GROUP BY 1),
+         |t AS MATERIALIZED (SELECT e.src, e.dst, e.weight / ow.w_out AS p
+         |      FROM e JOIN ow USING (src)),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+         |      FROM nodes),
+         |$rounds
+         |SELECT node AS event_type, round(rank, 6) AS rank FROM r10
+         |ORDER BY event_type""".stripMargin
+    },
     "q_event_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS from_type,
