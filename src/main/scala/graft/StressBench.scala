@@ -51,6 +51,8 @@ object StressBench {
     val c = replicate(Tables.customer(spark, sfDir), factor, Seq("c_custkey"))
     val docs = replicate(Tables.documents(spark, sfDir), factor, Seq("doc_id"))
     val emb = replicate(Tables.embeddings(spark, sfDir), factor, Seq("vec_id"))
+    def ev = replicate(Tables.events(spark, sfDir), factor, Seq("event_id", "user_id"))
+    val sketchDir = s"${System.getProperty("java.io.tmpdir")}/graft_stress_sketches"
 
     def time(name: String, f: => Long): (String, Double, Long) = {
       val t0 = System.nanoTime()
@@ -70,16 +72,22 @@ object StressBench {
       time("window_topk", ops.Relational.windowTopK(o).count()),
       time("custom_topk", plans.TopKPerKey(o, Seq("o_custkey"), "o_totalprice",
         "o_orderkey", 3).count()),
-      time("sessionize", ext.Events.sessionize(
-        replicate(Tables.events(spark, sfDir), factor, Seq("event_id", "user_id"))).count()),
-      time("funnel", ext.Events.funnel(
-        replicate(Tables.events(spark, sfDir), factor, Seq("event_id", "user_id"))).count()),
+      time("sessionize", ext.Events.sessionize(ev).count()),
+      time("funnel", ext.Events.funnel(ev).count()),
       time("tfidf", ext.TextOps.tfidfTopTerms(docs).count()),
       time("bigram_lm", ext.TextOps.bigramLmScore(docs).count()),
       time("minhash_neardup", {
         // near-dup returns a persisted frame (caller owns the lifetime) —
         // release it so later queries don't run under its memory pressure
         val dup = ext.Dedup.minhashNearDup(docs)
+        val n = dup.count()
+        dup.unpersist(false)
+        n
+      }),
+      time("minhash_neardup_pruned", {
+        // A/B twin: semi-join-prune the verify shingles to candidate docs
+        // (the 100 TB regime) — measures what the prune costs/saves here
+        val dup = ext.Dedup.minhashNearDup(docs, pruneVerifyShingles = true)
         val n = dup.count()
         dup.unpersist(false)
         n
@@ -94,9 +102,25 @@ object StressBench {
         rep.count()
       }),
       time("temperature_mix", ext.DataPrep.temperatureResample(docs).count()),
-      time("sketch_table", ops.Sketches.weeklyDistinctUsers(
-        ops.Sketches.dailyUserSketches(
-          replicate(Tables.events(spark, sfDir), factor, Seq("event_id", "user_id")))).count()),
+      // the sketch-table story, measured in its real three parts: pay the
+      // raw-events aggregation ONCE to build+store the daily buffers, then
+      // answer range queries from the stored table — vs the exact sweep
+      // that re-reads raw events every time it is asked
+      time("sketch_daily_build_store", {
+        ops.Sketches.dailyUserSketches(ev)
+          .write.mode("overwrite").parquet(s"$sketchDir/hll")
+        ops.Sketches.dailyUserSketchesKmv(ev)
+          .write.mode("overwrite").parquet(s"$sketchDir/kmv")
+        spark.read.parquet(s"$sketchDir/hll").count()
+      }),
+      time("sketch_range_hll_stored", ops.Sketches.weeklyDistinctUsers(
+        spark.read.parquet(s"$sketchDir/hll")).collect().length.toLong),
+      time("sketch_range_kmv_stored", ops.Sketches.weeklyDistinctUsersKmv(
+        spark.read.parquet(s"$sketchDir/kmv")).collect().length.toLong),
+      time("exact_range_sweep", ev
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("week_start"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .collect().length.toLong),
       time("cosine_topk", ext.Similarity.cosineTopK(emb).count()),
       time("hll_distinct", {
         li.agg(functions.HllSketch.hll_distinct(spark, col("l_partkey"))).collect()(0).getLong(0)

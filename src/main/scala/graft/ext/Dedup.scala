@@ -131,7 +131,8 @@ object Dedup {
     * makes every *emitted* pair exact.
     */
   def minhashNearDup(documents: DataFrame, k: Int = 5, numHashes: Int = 64,
-                     numBands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                     numBands: Int = 16, threshold: Double = 0.5,
+                     pruneVerifyShingles: Boolean = false): DataFrame = {
     // e.g. 64/12 would silently drop the trailing 4 signature components
     // and lower recall below the banding guarantee
     require(numBands > 0 && numHashes % numBands == 0,
@@ -145,20 +146,32 @@ object Dedup {
     }
     val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band_idx", "band_hash")
-    val cand = banded.as("x").join(banded.as("y"),
+    val candRaw = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    // NOTE(scale): at 100 TB, semi-join-prune the shingle table to
-    // candidate docs before this intersection (candidates are a tiny
-    // fraction of a healthy corpus). At dimension-table corpus sizes the
-    // extra distinct+semi-join stages cost more than they save
-    // (measured: 2.2s → 3.5s at sf0.1), so the direct form is kept here.
-    val interA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val interB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    // pruning reads the candidate table twice (doc set + verify join) —
+    // pin it so band self-join + distinct run once
+    val cand = if (pruneVerifyShingles) candRaw.persist() else candRaw
+    // `pruneVerifyShingles` = the 100 TB regime: semi-join-prune the
+    // shingle table to candidate docs before the verify intersection
+    // (candidates are a tiny fraction of a healthy corpus, so the verify
+    // join then touches only their shingles). A semi-join keeps every
+    // shingle row of a kept doc, so per-doc sizes and pair intersections
+    // — and therefore the emitted pairs — are identical to the direct
+    // form (pinned in DedupSpec). OFF by default: at dimension-table
+    // corpus sizes the extra distinct+semi-join stages cost more than
+    // they save (StressBench ×20 A/B in RESULTS.md).
+    val verifySh = if (pruneVerifyShingles) {
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+      sh.join(candDocs, Seq("doc_id"), "left_semi")
+    } else sh
+    val sizes = verifySh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val interA = verifySh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val interB = verifySh.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = cand.join(interA, "doc_a").join(interB, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     val result = inter
@@ -169,7 +182,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
-    scopeCaches(result, sh)
+    scopeCaches(result, (if (pruneVerifyShingles) Seq(sh, cand) else Seq(sh)): _*)
   }
 
   /** Connected components: every node ends up labeled with the smallest

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.HllSketch
+import graft.functions.{HllSketch, KmvSketch}
 
 /** The persisted mergeable-sketch table pattern — the 100 TB answer to
   * "distinct users over an arbitrary date range" without rescanning raw
@@ -43,6 +43,36 @@ object Sketches {
       .groupBy(date_trunc("week", col("day")).cast("date").as("week_start"))
       .agg(
         HllSketch.hll_merge(s, col("sketch")).as("est_users"),
+        count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("n_events"))
+      .select(date_format(col("week_start"), "yyyy-MM-dd").as("week_start"),
+        col("n_days"), col("n_events"), col("est_users"))
+      .orderBy("week_start")
+  }
+
+  /** KMV twin of [[dailyUserSketches]]: per-day K-minimum-values buffer
+    * over `user_id`. Same stored-mergeable-table shape; KMV additionally
+    * supports a distinct-value *sample* on merge (see
+    * [[graft.functions.KmvSketch.kmv_merge_sample]]).
+    */
+  def dailyUserSketchesKmv(events: DataFrame, k: Int = 256): DataFrame = {
+    val s = events.sparkSession
+    events.groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        KmvSketch.kmv_sketch_buffer(s, col("user_id"), k).as("sketch"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** KMV twin of [[weeklyDistinctUsers]]: range query over the stored
+    * KMV table — per-ISO-week distinct-user estimate from merged daily
+    * buffers, never touching raw events.
+    */
+  def weeklyDistinctUsersKmv(sketchTable: DataFrame): DataFrame = {
+    val s = sketchTable.sparkSession
+    sketchTable
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week_start"))
+      .agg(
+        KmvSketch.kmv_merge_estimate(s, col("sketch")).as("est_users"),
         count(lit(1)).as("n_days"),
         sum(col("n_events")).as("n_events"))
       .select(date_format(col("week_start"), "yyyy-MM-dd").as("week_start"),

@@ -43,6 +43,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
+  test("minhashNearDup: pruneVerifyShingles emits identical pairs and jaccards") {
+    // mix of exact dup, near-dup, and unrelated docs so candidates are a
+    // strict subset of the corpus — the regime the prune targets
+    val d = docs(1L -> base, 2L -> base, 3L -> nearDup, 4L -> other,
+      5L -> "yet another unrelated document with its own private vocabulary entirely",
+      6L -> "one more distinct text again sharing no shingles with the rest at all")
+    def run(prune: Boolean) =
+      Dedup.minhashNearDup(d, threshold = 0.3, pruneVerifyShingles = prune)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = run(false)
+    val pruned = run(true)
+    assert(direct.nonEmpty, "planted dups must surface")
+    assert(pruned === direct)
+  }
+
   test("incrementalMinhashNearDup: new batch dedups against stored signatures only") {
     import org.apache.spark.sql.functions.col
     val corpus = docs(1L -> base, 2L -> other)

@@ -31,6 +31,26 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       "register-max merge over stored buffers must lose nothing vs a raw rescan")
   }
 
+  test("KMV twin: weekly merge of stored daily KMV buffers ≡ exact at daily cardinalities") {
+    val ev = Tables.events(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("kmv_tbl").toString + "/daily"
+    Sketches.dailyUserSketchesKmv(ev).write.mode("overwrite").parquet(path)
+    val merged = Sketches.weeklyDistinctUsersKmv(spark.read.parquet(path))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val exact = ev
+      .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week_start"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet === exact.keySet)
+    // weekly cardinality (≈ hundreds of users) ≤ k=256 kept minima →
+    // the KMV estimate is EXACT below k, even through the parquet
+    // round-trip and the buffer merge
+    exact.foreach { case (w, n) =>
+      if (n <= 256) assert(merged(w) === n, s"week $w: est=${merged(w)} exact=$n")
+      else assert(math.abs(merged(w) - n) <= n / 10, s"week $w: est=${merged(w)} exact=$n")
+    }
+  }
+
   test("per-day sketch estimates are near-exact at daily cardinalities (linear counting)") {
     val ev = Tables.events(spark, sf)
     val est = Sketches.dailyUserSketches(ev)
