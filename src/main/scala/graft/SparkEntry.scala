@@ -147,6 +147,15 @@ object SparkEntry {
       .select("doc_id", "lang", "url").orderBy("doc_id")),
     "q_domain_stats" -> ((s, d) => TextOps.domainStats(Tables.documents(s, d))),
     "q_pmi_pairs" -> ((s, d) => TextOps.pmiPairs(Tables.documents(s, d))),
+    "q_gopher_rules" -> ((s, d) => TextOps.gopherRules(Tables.documents(s, d))),
+    // deterministic (fixed zlib level) but not SQL-expressible in the
+    // oracle engine -> rows-only; determinism pinned in CompressionSpec
+    "q_compression_ratio" -> ((s, d) =>
+      graft.ext.Compression.compressionSignal(s, Tables.documents(s, d))),
+    // Misra-Gries in the exact regime (capacity >= distinct tokens), so
+    // the oracle is the plain token-count aggregation
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.ops.Sketches.heavyHitterTokens(Tables.documents(s, d))),
     // §2.10: dedup family
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
@@ -226,6 +235,10 @@ object SparkEntry {
     "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
     "q_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    // IVF with nProbe = nList IS brute force (every list probed) -> the
+    // exact cosine top-k oracle applies; q_ivf_topk above stays the
+    // pruned-probe demo (rows-only by design)
+    "q_ivf_exact" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), nProbe = 16)),
     "q_centroid_outliers" -> ((s, d) => Similarity.centroidSim(Tables.embeddings(s, d))),
     "q_vectorized_cosine" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, round}
@@ -1091,6 +1104,48 @@ object SparkEntry {
         |JOIN tokc a ON a.token = p.tok_a
         |JOIN tokc b ON b.token = p.tok_b
         |ORDER BY pmi DESC, tok_a, tok_b LIMIT 20""".stripMargin,
+    // Spark computes the same signals with HOFs over split();
+    // thresholds are inlined identically on both sides
+    "q_gopher_rules" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    string_split(text, ' ') AS words,
+        |    string_split(text, chr(10)) AS lines,
+        |    CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE) AS n_sym,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\b(the|be|to|of|and|that|have|with)\b')) AS INTEGER) AS stop_hits
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS INTEGER) AS n_words,
+        |    CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE)
+        |      / len(words) AS mean_word_len,
+        |    n_sym / len(words) AS symbol_ratio,
+        |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'
+        |      OR l LIKE '•%')) AS DOUBLE) / len(lines) AS bullet_line_ratio,
+        |    CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+        |      AS DOUBLE) / len(lines) AS ellipsis_line_ratio,
+        |    CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+        |      AS DOUBLE) / len(words) AS alpha_word_ratio,
+        |    stop_hits AS n_stopword_hits
+        |  FROM s)
+        |SELECT doc_id, n_words, round(mean_word_len, 4) AS mean_word_len,
+        |  round(symbol_ratio, 4) AS symbol_ratio,
+        |  round(bullet_line_ratio, 4) AS bullet_line_ratio,
+        |  round(ellipsis_line_ratio, 4) AS ellipsis_line_ratio,
+        |  round(alpha_word_ratio, 4) AS alpha_word_ratio,
+        |  n_stopword_hits,
+        |  (n_words BETWEEN 40 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+        |    AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+        |    AND n_stopword_hits >= 2) AS passes
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // Misra-Gries exact regime (31 distinct tokens << capacity 64), so
+    // the sketch result IS the plain token-count aggregation
+    "q_heavy_hitters" ->
+      """SELECT token, COUNT(*) AS n_occurrences
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n_occurrences DESC, token""".stripMargin,
     "q_stratified_sample" ->
       """WITH counts AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
         |m AS (SELECT MIN(n_total) AS min_total FROM counts),
@@ -1383,6 +1438,22 @@ object SparkEntry {
         |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+        |  FROM q, c WHERE neighbor_id <> query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+        |      AS INTEGER) AS rnk
+        |  FROM s)
+        |SELECT query_id, rnk, neighbor_id, round(sim, 6) AS cosine_sim
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // nProbe = nList probes every inverted list -> IVF degenerates to
+    // brute force, so the exact cosine top-k oracle applies verbatim
+    "q_ivf_exact" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

@@ -425,6 +425,57 @@ object TextOps {
         min(col("doc_id")).as("first_doc"))
       .orderBy("domain")
 
+  /** Gopher-style composite quality-rule filter (Rae et al. 2021 §A1.1
+    * — the published rule family behind most LLM-corpus cleaning): per
+    * document, the rule signals and a `passes` verdict, each signal a
+    * codegen'd built-in so the whole filter is one narrow projection —
+    * at corpus scale this runs at scan speed with the (doc_id, text)
+    * column pruning the plan already gets.
+    *
+    * Signals: word count bounds, mean word length band, symbol-to-word
+    * ratio (`#`/`…`), bullet-line and ellipsis-line ratios, fraction of
+    * words with an alphabetic character, and a minimum stop-word hit
+    * count. Thresholds are the paper's, except `minWords` (the corpus
+    * here is short-doc synthetic; the default splits it realistically).
+    */
+  def gopherRules(documents: DataFrame,
+                  minWords: Int = 40, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletLineRatio: Double = 0.9, maxEllipsisLineRatio: Double = 0.3,
+                  minAlphaWordRatio: Double = 0.8, minStopwordHits: Int = 2): DataFrame = {
+    val words = wsTokens(col("text"))
+    val nWords = size(words)
+    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWords
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
+    val ellipsisLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…")))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val stopHits = regexp_count(col("text"), lit("\\b(the|be|to|of|and|that|have|with)\\b"))
+    documents.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(regexp_count(col("text"), lit("[#…]")).cast("double") / nWords, 4)
+        .as("symbol_ratio"),
+      round(bulletLines.cast("double") / nLines, 4).as("bullet_line_ratio"),
+      round(ellipsisLines.cast("double") / nLines, 4).as("ellipsis_line_ratio"),
+      round(alphaWords.cast("double") / nWords, 4).as("alpha_word_ratio"),
+      stopHits.as("n_stopword_hits"),
+      (nWords.between(minWords, maxWords) &&
+        meanLen.between(minMeanWordLen, maxMeanWordLen) &&
+        (regexp_count(col("text"), lit("[#…]")).cast("double") / nWords) <= maxSymbolRatio &&
+        (bulletLines.cast("double") / nLines) <= maxBulletLineRatio &&
+        (ellipsisLines.cast("double") / nLines) <= maxEllipsisLineRatio &&
+        (alphaWords.cast("double") / nWords) >= minAlphaWordRatio &&
+        stopHits >= minStopwordHits).as("passes"))
+      .orderBy("doc_id")
+  }
+
   /** Top PMI token pairs — corpus-level co-occurrence mining (the
     * collocation signal behind phrase detection in training-data
     * pipelines). Pairs are UNORDERED distinct-token pairs within a

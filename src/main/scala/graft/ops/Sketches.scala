@@ -79,4 +79,24 @@ object Sketches {
         col("n_days"), col("n_events"), col("est_users"))
       .orderBy("week_start")
   }
+
+  /** Corpus heavy hitters via the Misra–Gries sketch
+    * ([[graft.functions.FreqSketch]]): explode tokens, one MG aggregate
+    * (map-side partials merge like any other agg buffer — the shuffle
+    * carries ≤ `capacity` counters per partition, not the token
+    * domain), then unnest the counter array to (token, count) rows.
+    * With `capacity` ≥ the distinct-token count the result is EXACT and
+    * partition-independent (the oracle-matched regime); under capacity
+    * it degrades to the documented N/(k+1) error bound instead of
+    * failing.
+    */
+  def heavyHitterTokens(documents: DataFrame, capacity: Int = 64): DataFrame = {
+    val s = documents.sparkSession
+    documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(graft.functions.FreqSketch.mg_topk(s, col("token"), capacity).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+  }
 }

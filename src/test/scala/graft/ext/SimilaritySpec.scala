@@ -91,6 +91,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
         .map(r => (r.getLong(0), r.getLong(2))).toSet))
   }
 
+  test("q_ivf_exact parameters (nList = nProbe = 16) equal cosineTopK row-for-row") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ivf = Similarity.ivfTopK(d, nProbe = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val brute = Similarity.cosineTopK(d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(ivf === brute, "the driver-contract exact regime must match brute force")
+  }
+
   test("ivfCentroids: k-means means are element-wise and deterministic") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val c1 = Similarity.ivfCentroids(d, nList = 4, iters = 1)

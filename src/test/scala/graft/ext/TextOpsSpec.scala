@@ -232,4 +232,27 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(("x", "z")) === ((5L, r6(math.log(1.5)))))
     assert(out.size === 3, "pairs below minPairDocs must not appear")
   }
+
+  test("gopherRules: hand-computed signals and the pass verdict") {
+    val good = Array.fill(4)("the fox and hen of all that have with more").mkString(" ")
+    val d = docs(
+      (1L, good, "en"),              // 40 words, mean 3.3, all-alpha, 24 stop hits
+      (2L, "tiny doc", "en"),        // fails min word count and stop hits
+      (3L, "- bullet one\n* bullet two\nplain line...\nnormal", "en"),
+      (4L, "# # # tag", "en"),       // symbol ratio 0.75
+      (5L, "123 456 abc", "en"))     // alpha word ratio 1/3
+    val rows = TextOps.gopherRules(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Int]("n_words") === 40)
+    assert(rows(1L).getAs[Double]("mean_word_len") === 3.3)
+    assert(rows(1L).getAs[Int]("n_stopword_hits") === 24)
+    assert(rows(1L).getAs[Boolean]("passes"))
+    assert(rows(2L).getAs[Int]("n_words") === 2)
+    assert(!rows(2L).getAs[Boolean]("passes"))
+    assert(rows(3L).getAs[Double]("bullet_line_ratio") === 0.5)
+    assert(rows(3L).getAs[Double]("ellipsis_line_ratio") === 0.25)
+    assert(rows(4L).getAs[Double]("symbol_ratio") === 0.75)
+    assert(!rows(4L).getAs[Boolean]("passes"))
+    assert(rows(5L).getAs[Double]("alpha_word_ratio") === 0.3333)
+  }
 }
