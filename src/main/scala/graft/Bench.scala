@@ -48,26 +48,32 @@ object Bench {
       .map(_.trim.toInt).filter(_ > 0).getOrElse(3)
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     val unmatched = only.map(_.diff(allNames.toSet)).getOrElse(Set.empty).toSeq.sorted
-    val results = allNames
-      .filter(n => only.forall(_.contains(n)))
-      .map { name =>
-        val fn = SparkEntry.queries(name)
-        var best = Double.MaxValue
-        var failed = false
-        var r = 0
-        while (r < runs && !failed) {
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).count()
-            best = math.min(best, (System.nanoTime() - t0) / 1e9)
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            failed = true
-          }
-          r += 1
-        }
-        name -> (if (failed) -1.0 else best)
+    val names = allNames.filter(n => only.forall(_.contains(n)))
+    // INTERLEAVED min-of-N: full passes over every query, not N
+    // back-to-back runs per query. Contention on this box arrives in
+    // ~minute-long windows; back-to-back runs let one window poison all
+    // N samples of a single query (observed: 0.8s -> 21.6s on
+    // q_minhash_neardup), while interleaving spaces a query's samples
+    // ~a full pass apart so the minimum sees a clean window.
+    val best = scala.collection.mutable.Map[String, Double]()
+    val failedSet = scala.collection.mutable.Set[String]()
+    for (r <- 0 until runs; name <- names if !failedSet(name)) {
+      val t0 = System.nanoTime()
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
+        // operators that persist their result hand ownership to the
+        // caller; release it so cached frames from earlier queries
+        // don't squeeze executor memory and distort later timings
+        df.unpersist(blocking = true)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        failedSet += name
       }
+    }
+    val results = names.map(n => n -> (if (failedSet(n)) -1.0 else best(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
