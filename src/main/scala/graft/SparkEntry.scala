@@ -192,6 +192,10 @@ object SparkEntry {
     "q_cluster_rep" -> ((s, d) => Dedup.clusterRepresentatives(Tables.documents(s, d))),
     "q_curriculum" -> ((s, d) => DataPrep.curriculumDeciles(Tables.documents(s, d))),
     "q_temperature_mix" -> ((s, d) => DataPrep.temperatureResample(Tables.documents(s, d))),
+    "q_leakage_safe_split" -> ((s, d) => DataPrep.leakageSafeSplit(Tables.documents(s, d))),
+    "q_token_budget" -> ((s, d) => DataPrep.tokenBudgetSelect(Tables.documents(s, d))),
+    "q_quality_quantile" -> ((s, d) => DataPrep.qualityQuantileFilter(Tables.documents(s, d))),
+    "q_repeated_spans" -> ((s, d) => Dedup.repeatedSpans(Tables.documents(s, d))),
     // mergeable-sketch table pattern: per-day HLL buffers → range merge.
     // Estimates aren't SQL-replicable → rows-only; SketchesSpec pins
     // merged ≡ single-pass bit-identically (incl. parquet round-trip).
@@ -1258,6 +1262,57 @@ object SparkEntry {
         |  md5(COALESCE(string_agg(CASE WHEN NOT is_boiler THEN chunk END, ' ' ORDER BY pos),
         |    '')) AS clean_hash
         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all default
+    "q_leakage_safe_split" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      ' +', ' ', 'g') AS canon
+        |  FROM documents),
+        |g AS (SELECT canon, MIN(doc_id) AS group_rep, COUNT(*) AS n_variants
+        |      FROM k GROUP BY canon)
+        |SELECT k.doc_id,
+        |  CASE WHEN substr(md5(k.canon), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(k.canon), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  g.group_rep, g.n_variants
+        |FROM k JOIN g USING (canon) ORDER BY k.doc_id""".stripMargin,
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin,
+    "q_quality_quantile" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+        |      AS pr
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |  round(pr, 6) AS quality_rank
+        |FROM r WHERE pr <= 0.5 ORDER BY doc_id""".stripMargin,
+    "q_repeated_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |s AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, len(toks) - 4),
+        |      i -> array_to_string(toks[i + 1:i + 5], ' '))) AS span
+        |  FROM t)
+        |SELECT span, COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
+        |FROM s GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY n_occurrences DESC, span LIMIT 50""".stripMargin,
     "q_curriculum" ->
       """SELECT decile, COUNT(*) AS n_docs,
         |  CAST(MIN(n_chars) AS INTEGER) AS min_chars,

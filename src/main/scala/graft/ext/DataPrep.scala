@@ -256,4 +256,70 @@ object DataPrep {
         max(col("doc_id")).as("last_doc"))
       .orderBy("lang", "pack_id")
   }
+
+  /** Leakage-safe split assignment: trivially-perturbed variants of the
+    * same content (case, punctuation, run-on whitespace) must never
+    * straddle train/test, so the split hash is taken over a NORMALIZED
+    * canonical form instead of the raw text — the cheap tier of
+    * fuzzy-dedup-aware splitting (near-dup clusters are the expensive
+    * tier; see [[Dedup.dedupClusters]]). Emits each doc with its split,
+    * the variant-group representative, and the group size; same
+    * one-shuffle shape as exact dedup (hash agg on the canonical key,
+    * join back pruned to two columns).
+    */
+  def leakageSafeSplit(documents: DataFrame): DataFrame = {
+    val norm = regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")
+    val keyed = documents.withColumn("canon", norm)
+    val groups = keyed.groupBy("canon").agg(
+      min(col("doc_id")).as("group_rep"),
+      count(lit(1)).as("n_variants"))
+    val b = substring(md5(col("canon")), 1, 2)
+    keyed.join(groups, "canon")
+      .withColumn("split",
+        when(b < "cc", "train").when(b < "e6", "val").otherwise("test"))
+      .select("doc_id", "split", "group_rep", "n_variants")
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget selection: greedily admit documents in priority order
+    * (quality proxy descending, doc_id tie-break) until the running
+    * token total exceeds `budget` — the "fill the training-run budget
+    * with the best data first" curation step. The running total is one
+    * window cumulative sum; no driver loop, and the window order is
+    * total (unique tie-break) so admission is deterministic on any
+    * engine. At 100 TB the single global window is the textbook case
+    * for a two-pass range-partitioned cumulative sum; the semantics
+    * here are the spec for that.
+    */
+  def tokenBudgetSelect(documents: DataFrame, budget: Long = 20000L): DataFrame = {
+    val tokens = size(split(col("text"), " ")).cast("long")
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .withColumn("n_tokens", tokens)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Per-source quality quantile gate: keep each source's top
+    * `keepFraction` of documents by a quality proxy (percent_rank over
+    * a totally-ordered window — unique tie-break, so membership is
+    * deterministic and engine-exact). The per-source window shuffles
+    * once on the source key; this is the "per-domain quality floor"
+    * step crawl pipelines apply before mixing sources.
+    */
+  def qualityQuantileFilter(documents: DataFrame,
+                            keepFraction: Double = 0.5): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    documents
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= keepFraction)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("pr"), 6).as("quality_rank"))
+      .orderBy("doc_id")
+  }
 }

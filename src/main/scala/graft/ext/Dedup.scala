@@ -469,4 +469,32 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
     scopeCaches(result, fp)
   }
+
+  /** Cross-document repeated spans: word k-grams occurring in at least
+    * `minDocs` DISTINCT documents, with occurrence totals — the
+    * span-level exact-duplication audit (the signal behind
+    * substring-dedup pipelines: memorization-prone spans repeat across
+    * documents, not within one). Unlike [[shingles]] this keeps every
+    * occurrence (no array_distinct), so within-doc repeats count toward
+    * `n_occurrences` but only cross-doc presence passes the `minDocs`
+    * gate. One shuffle on the span key with map-side combine; the
+    * top-N emission bounds output at any corpus size.
+    */
+  def repeatedSpans(documents: DataFrame, k: Int = 5, minDocs: Int = 2,
+                    topN: Int = 50): DataFrame = {
+    val tokens = split(col("text"), " ")
+    documents
+      .select(col("doc_id"), tokens.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))).as("span"))
+      .groupBy("span").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_occurrences").desc, col("span"))
+      .limit(topN)
+  }
 }

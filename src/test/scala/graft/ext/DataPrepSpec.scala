@@ -119,4 +119,54 @@ class DataPrepSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("leakageSafeSplit: perturbed variants co-assign; distinct content splits independently") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "The quick brown fox jumps over dogs", "en"),
+      (2L, "the quick  brown fox jumps over dogs!", "en"), // case/ws/punct variant
+      (3L, "completely different content here now", "en"))
+      .map { case (id, t, l) => (id, t, l, "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = DataPrep.leakageSafeSplit(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) === rows(2L), "variants must share split, rep, and group size")
+    assert(rows(1L)._2 === 1L && rows(1L)._3 === 2L)
+    assert(rows(3L)._2 === 3L && rows(3L)._3 === 1L)
+  }
+
+  test("tokenBudgetSelect: greedy admission by priority order, hard budget") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d", 400L), // 4 tokens, highest priority (n_chars)
+      (2L, "a b c", 300L),   // 3 tokens
+      (3L, "a b", 200L),     // 2 tokens — would exceed budget 8
+      (4L, "a", 100L))       // 1 token — cumsum already past budget
+      .map { case (id, t, nc) => (id, t, "en", "src0", nc) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = DataPrep.tokenBudgetSelect(d, budget = 8L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((1L, 4L, 4L), (2L, 3L, 7L)),
+      "docs admitted in priority order until the running total would pass the budget")
+  }
+
+  test("qualityQuantileFilter: per-source top fraction with deterministic ties") {
+    val d = Tables.documents(spark, sf)
+    val kept = DataPrep.qualityQuantileFilter(d, keepFraction = 0.5).collect()
+    val perSource = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptPerSource = kept.groupBy(_.getString(1)).map { case (s, g) => s -> g.length }
+    keptPerSource.foreach { case (s, n) =>
+      val total = perSource(s)
+      // percent_rank <= 0.5 keeps floor((n-1)/2)+1 of n
+      assert(n === (total - 1) / 2 + 1, s"source $s kept $n of $total")
+    }
+    // the floor of each source's kept set is its n_chars median or above
+    val minKept = kept.groupBy(_.getString(1)).map { case (s, g) =>
+      s -> g.map(_.getLong(2)).min }
+    minKept.foreach { case (s, m) =>
+      val all = d.filter(col("source") === s).collect().map(_.getAs[Long]("n_chars")).sorted
+      assert(m >= all(all.length / 2 - 1), s"source $s kept below-median doc")
+    }
+  }
 }

@@ -259,4 +259,16 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
     assert(ex2.getMessage.contains("multiple"))
   }
+
+  test("repeatedSpans: cross-doc spans only; within-doc repeats never pass the gate") {
+    val d = docs(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d e y"),
+      (3L, "z z z z z")) // "z z z" occurs 3x but in ONE doc only
+    val rows = Dedup.repeatedSpans(d, k = 3, minDocs = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      ("a b c", 2L, 2L, 1L), ("b c d", 2L, 2L, 1L), ("c d e", 2L, 2L, 1L)),
+      "exactly the spans shared by both docs, count-desc/span-asc ordered")
+  }
 }
