@@ -124,7 +124,18 @@ object StressBench {
       time("cosine_topk", ext.Similarity.cosineTopK(emb).count()),
       time("hll_distinct", {
         li.agg(functions.HllSketch.hll_distinct(spark, col("l_partkey"))).collect()(0).getLong(0)
-      }))
+      }),
+      // round-5 additions: the new curation/signal operators at scale
+      time("gopher_rules", ext.TextOps.gopherRules(docs).count()),
+      time("compression_ratio", ext.Compression.compressionSignal(spark, docs).count()),
+      time("heavy_hitters_mg", ops.Sketches.heavyHitterTokens(docs).count()),
+      // exact twin of the MG sketch for the same heavy-hitter answer
+      time("heavy_hitters_exact", docs
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1))).count()),
+      time("repeated_spans", ext.Dedup.repeatedSpans(docs).count()),
+      time("quality_quantile", ext.DataPrep.qualityQuantileFilter(docs).count()),
+      time("leakage_safe_split", ext.DataPrep.leakageSafeSplit(docs).count()))
 
     val rows = li.count()
     val qs = results.map { case (k, v, n) => s""""$k":{"sec":$v,"rows":$n}""" }

@@ -166,6 +166,27 @@ object StreamingOps {
         col("approx_users"))
   }
 
+  /** Streaming trending items: per hourly window, the Misra–Gries
+    * frequent-items counters over `event_type` — the "what's trending
+    * right now" operator. Same bounded-state shape as
+    * [[windowedDistinctUsers]]: the MG buffer (≤ `capacity` counters)
+    * is the ONLY per-window state however many distinct items flow
+    * through, and its merge rule makes incremental batch-by-batch
+    * accumulation equal a single pass whenever distinct items stay
+    * below capacity (the exactness regime, equality tested against the
+    * batch twin in StreamingOpsSpec).
+    */
+  def windowedTopItems(events: DataFrame, watermark: String = "10 minutes",
+                       capacity: Int = 64): DataFrame = {
+    val spark = events.sparkSession
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.FreqSketch.mg_topk(spark, col("event_type"), capacity)
+        .as("top_items"))
+      .select(col("window.start").as("window_start"), col("top_items"))
+  }
+
   /** Stateful gap sessionization: per-user sessions close when no event
     * arrives within `gapMinutes` of the last one (decided by event-time
     * timeout against the watermark, so late data within the watermark

@@ -151,6 +151,36 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedTopItems: MG counters accumulate across batches and equal the batch twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    // complete mode: the memory table is REPLACED each trigger, so it
+    // holds only the latest counter state (update mode would retain
+    // batch one's intermediate (click, 2) row alongside the final rows)
+    val q = windowedTopItems(input.toDF()).writeStream
+      .outputMode("complete").format("memory").queryName("mg_out").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:20:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(3, ts("2024-01-01 00:30:00"), 2, "view", 1.0),
+        Event(4, ts("2024-01-01 00:40:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      // counters must carry batch one's clicks into batch two's state
+      val streaming = spark.sql(
+        """SELECT window_start, e.item, e.count
+          |FROM (SELECT window_start, explode(top_items) AS e FROM mg_out)
+          |ORDER BY e.count DESC, e.item""".stripMargin)
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(streaming.toSeq === Seq(
+        ("2024-01-01 00:00:00.0", "click", 3L),
+        ("2024-01-01 00:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
   test("dedupStream: duplicate event ids across batches emit once") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
