@@ -196,6 +196,8 @@ object SparkEntry {
     "q_token_budget" -> ((s, d) => DataPrep.tokenBudgetSelect(Tables.documents(s, d))),
     "q_quality_quantile" -> ((s, d) => DataPrep.qualityQuantileFilter(Tables.documents(s, d))),
     "q_repeated_spans" -> ((s, d) => Dedup.repeatedSpans(Tables.documents(s, d))),
+    "q_context_windows" -> ((s, d) => DataPrep.contextWindows(Tables.documents(s, d))),
+    "q_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))),
     // mergeable-sketch table pattern: per-day HLL buffers → range merge.
     // Estimates aren't SQL-replicable → rows-only; SketchesSpec pins
     // merged ≡ single-pass bit-identically (incl. parquet round-trip).
@@ -1313,6 +1315,31 @@ object SparkEntry {
         |  COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
         |FROM s GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY n_occurrences DESC, span LIMIT 50""".stripMargin,
+    "q_context_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS start FROM t)
+        |SELECT doc_id, CAST(start // 32 AS INTEGER) AS window_idx,
+        |  CAST(start AS INTEGER) AS start,
+        |  CAST(len(toks[start + 1:start + 64]) AS INTEGER) AS n_tokens,
+        |  array_to_string(toks[start + 1:start + 64], ' ') AS window_text
+        |FROM s ORDER BY doc_id, window_idx""".stripMargin,
+    // floor(v/scale + 0.5) spelled out on BOTH sides: engine round()
+    // half-case conventions differ, floor does not
+    "q_quantize_int8" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN mx > 0 THEN mx / 127.0 END AS scale
+        |      FROM m),
+        |q AS (SELECT vec_id, emb, scale,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s)
+        |SELECT vec_id, CAST(len(emb) AS INTEGER) AS n_dims,
+        |  round(scale, 9) AS scale,
+        |  array_to_string(qv, ',') AS qvec_csv,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_curriculum" ->
       """SELECT decile, COUNT(*) AS n_docs,
         |  CAST(MIN(n_chars) AS INTEGER) AS min_chars,

@@ -54,11 +54,18 @@ object StressBench {
     def ev = replicate(Tables.events(spark, sfDir), factor, Seq("event_id", "user_id"))
     val sketchDir = s"${System.getProperty("java.io.tmpdir")}/graft_stress_sketches"
 
-    def time(name: String, f: => Long): (String, Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = f
-      (name, (System.nanoTime() - t0) / 1e9, n)
-    }
+    // SPARK_GRAFT_ONLY=a,b restricts the run (same contract as Bench) —
+    // the by-name body never evaluates for filtered-out entries, so a
+    // targeted re-measure pays only its own queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.trim.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet)
+    def time(name: String, f: => Long): Option[(String, Double, Long)] =
+      if (only.exists(!_.contains(name))) None
+      else {
+        val t0 = System.nanoTime()
+        val n = f
+        Some((name, (System.nanoTime() - t0) / 1e9, n))
+      }
 
     val results = Seq(
       time("star_join", ops.Relational.starJoin(li, o, Tables.part(spark, sfDir),
@@ -135,7 +142,7 @@ object StressBench {
         .groupBy("token").agg(count(lit(1))).count()),
       time("repeated_spans", ext.Dedup.repeatedSpans(docs).count()),
       time("quality_quantile", ext.DataPrep.qualityQuantileFilter(docs).count()),
-      time("leakage_safe_split", ext.DataPrep.leakageSafeSplit(docs).count()))
+      time("leakage_safe_split", ext.DataPrep.leakageSafeSplit(docs).count())).flatten
 
     val rows = li.count()
     val qs = results.map { case (k, v, n) => s""""$k":{"sec":$v,"rows":$n}""" }

@@ -257,6 +257,32 @@ object DataPrep {
       .orderBy("lang", "pack_id")
   }
 
+  /** Fixed-stride context windows: slide a `windowTokens`-wide window
+    * over each document's tokens at `stride` (the chunking step that
+    * feeds embedding models and RAG indexes; stride < window gives the
+    * standard overlap). Pure per-row explode — narrow, scan-speed, no
+    * shuffle until the presentation sort; trailing windows are shorter
+    * (never dropped, never padded), and every token of every doc is
+    * covered by construction.
+    */
+  def contextWindows(documents: DataFrame, windowTokens: Int = 64,
+                     stride: Int = 32): DataFrame = {
+    require(windowTokens > 0 && stride > 0, "window and stride must be positive")
+    val toks = split(col("text"), " ")
+    documents
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("int").as("window_idx"),
+        col("start"),
+        size(slice(col("toks"), col("start") + 1, lit(windowTokens))).as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(windowTokens)))
+          .as("window_text"))
+      .orderBy("doc_id", "window_idx")
+  }
+
   /** Leakage-safe split assignment: trivially-perturbed variants of the
     * same content (case, punctuation, run-on whitespace) must never
     * straddle train/test, so the split hash is taken over a NORMALIZED
@@ -270,12 +296,15 @@ object DataPrep {
   def leakageSafeSplit(documents: DataFrame): DataFrame = {
     val norm = regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")
-    val keyed = documents.withColumn("canon", norm)
-    val groups = keyed.groupBy("canon").agg(
+    // group and join on md5(canon), not the canonical text itself: the
+    // shuffle key is 32 hex chars instead of the whole document, and the
+    // split bucket reads off the same digest for free
+    val keyed = documents.select(col("doc_id"), md5(norm).as("ckey"))
+    val groups = keyed.groupBy("ckey").agg(
       min(col("doc_id")).as("group_rep"),
       count(lit(1)).as("n_variants"))
-    val b = substring(md5(col("canon")), 1, 2)
-    keyed.join(groups, "canon")
+    val b = substring(col("ckey"), 1, 2)
+    keyed.join(groups, "ckey")
       .withColumn("split",
         when(b < "cc", "train").when(b < "e6", "val").otherwise("test"))
       .select("doc_id", "split", "group_rep", "n_variants")

@@ -489,9 +489,13 @@ object Dedup {
       .select(col("doc_id"), explode(
         transform(sequence(lit(0), size(col("toks")) - k),
           i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))).as("span"))
+      // two-level aggregation instead of COUNT(DISTINCT …): the
+      // (span, doc) pre-agg gets map-side combine and the second agg is
+      // plain counts — no Expand doubling the exploded span volume
+      .groupBy("span", "doc_id").agg(count(lit(1)).as("n_occ"))
       .groupBy("span").agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_occ")).as("n_occurrences"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_occurrences").desc, col("span"))

@@ -270,4 +270,30 @@ object Similarity {
       .orderBy("query_id", "rnk")
     Dedup.scopeCaches(result, bucketed)
   }
+
+  /** Symmetric int8 quantization of the embedding column (the standard
+    * ANN index-prep step: 4× smaller vectors, SIMD-friendly dot
+    * products downstream): per vector, scale = max|v| / 127 and
+    * q_i = floor(v_i/scale + 0.5). The explicit floor(+0.5) rounding
+    * is deliberate — both engines floor identically, where built-in
+    * round() half-case conventions could differ. Zero vectors emit a
+    * NULL scale and an all-zero code. Emits the codes as a CSV digest
+    * (engine-portable; raw array columns don't survive the oracle
+    * compare) plus reconstruction bookkeeping. Narrow projection — at
+    * corpus scale this runs at scan speed and writes 1/4 the bytes.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val emb = asDouble(col("embedding"))
+    val mx = array_max(transform(emb, v => abs(v)))
+    val scale = when(mx > 0, mx / 127.0)
+    val q = transform(emb, v =>
+      when(scale.isNull, lit(0)).otherwise(floor(v / scale + 0.5).cast("int")))
+    embeddings.select(
+      col("vec_id"),
+      size(emb).as("n_dims"),
+      round(scale, 9).as("scale"),
+      concat_ws(",", q).as("qvec_csv"),
+      aggregate(q, lit(0L), (acc, x) => acc + abs(x)).as("q_l1"))
+      .orderBy("vec_id")
+  }
 }

