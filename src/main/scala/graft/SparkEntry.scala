@@ -198,6 +198,19 @@ object SparkEntry {
     "q_repeated_spans" -> ((s, d) => Dedup.repeatedSpans(Tables.documents(s, d))),
     "q_context_windows" -> ((s, d) => DataPrep.contextWindows(Tables.documents(s, d))),
     "q_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))),
+    // incremental materialized-view maintenance: history rollup + new
+    // batch rollup merged WITHOUT rescanning history; the oracle
+    // recomputes from scratch — hash equality IS the correctness claim
+    "q_incremental_rollup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, to_date, lit}
+      val ev = Tables.events(s, d)
+      val stored = graft.ops.Incremental.dailyRollup(
+        ev.filter(to_date(col("ts")) <= lit("2024-01-20")))
+      val delta = graft.ops.Incremental.dailyRollup(
+        ev.filter(to_date(col("ts")) > lit("2024-01-20")))
+      graft.ops.Incremental.present(
+        graft.ops.Incremental.mergeRollup(stored, delta))
+    }),
     // mergeable-sketch table pattern: per-day HLL buffers → range merge.
     // Estimates aren't SQL-replicable → rows-only; SketchesSpec pins
     // merged ≡ single-pass bit-identically (incl. parquet round-trip).
@@ -1340,6 +1353,15 @@ object SparkEntry {
         |  array_to_string(qv, ',') AS qvec_csv,
         |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
         |FROM q ORDER BY vec_id""".stripMargin,
+    // full recompute over ALL events — the incremental merge must hash-
+    // equal it; decimal sums keep addition order-independent
+    "q_incremental_rollup" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        |  COUNT(*) AS n_events,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+        |  round(MIN(value), 4) AS min_value,
+        |  round(MAX(value), 4) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q_curriculum" ->
       """SELECT decile, COUNT(*) AS n_docs,
         |  CAST(MIN(n_chars) AS INTEGER) AS min_chars,
