@@ -150,6 +150,15 @@ class DataPrepSpec extends AnyFunSuite with SparkSpec {
       "docs admitted in priority order until the running total would pass the budget")
   }
 
+  test("contextWindows plan: explode stays narrow, scan prunes to (doc_id, text)") {
+    val d = Tables.documents(spark, sf)
+    val plan = DataPrep.contextWindows(d).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"chunking must not read lang/source/n_chars:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"per-row explode + presentation sort expected:\n$plan")
+  }
+
   test("contextWindows: stride overlap, short tails, full token coverage") {
     import spark.implicits._
     val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6", "en"), (2L, "a b", "en"))

@@ -100,6 +100,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(ivf === brute, "the driver-contract exact regime must match brute force")
   }
 
+  test("quantizeInt8 plan: scan prunes to (vec_id, embedding), narrow until the sort") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Similarity.quantizeInt8(d).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"quantization must not read the label column:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"narrow projection + presentation sort expected:\n$plan")
+  }
+
   test("quantizeInt8: max code is ±127, reconstruction within scale/2, zero vector is NULL-scale") {
     val d = emb(
       (0L, Seq(1.0f, -0.5f, 0.25f, 0f), 0),

@@ -233,6 +233,15 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.size === 3, "pairs below minPairDocs must not appear")
   }
 
+  test("gopherRules plan: scan prunes to (doc_id, text), no exchange before the sort") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = TextOps.gopherRules(d).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"quality filter must not drag lang/source/n_chars through the scan:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"one narrow projection + presentation sort expected:\n$plan")
+  }
+
   test("gopherRules: hand-computed signals and the pass verdict") {
     val good = Array.fill(4)("the fox and hen of all that have with more").mkString(" ")
     val d = docs(
