@@ -140,6 +140,16 @@ object StressBench {
       time("heavy_hitters_exact", docs
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1))).count()),
+      // MG's actual regime: high key cardinality (replicated partkeys ->
+      // ~200k distinct at x10). The exact form shuffles the full key
+      // domain; MG ships <= 64 counters per map partition.
+      time("highcard_mg", li
+        .agg(functions.FreqSketch.mg_topk(spark, col("l_partkey").cast("string"), 64))
+        .count()),
+      time("highcard_exact_top64", li
+        .groupBy(col("l_partkey").cast("string").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("k")).limit(64).count()),
       time("repeated_spans", ext.Dedup.repeatedSpans(docs).count()),
       time("quality_quantile", ext.DataPrep.qualityQuantileFilter(docs).count()),
       time("leakage_safe_split", ext.DataPrep.leakageSafeSplit(docs).count())).flatten
