@@ -148,6 +148,8 @@ object SparkEntry {
     "q_domain_stats" -> ((s, d) => TextOps.domainStats(Tables.documents(s, d))),
     "q_pmi_pairs" -> ((s, d) => TextOps.pmiPairs(Tables.documents(s, d))),
     "q_gopher_rules" -> ((s, d) => TextOps.gopherRules(Tables.documents(s, d))),
+    "q_strip_markup" -> ((s, d) =>
+      TextOps.stripMarkup(TextOps.withSyntheticHtml(Tables.documents(s, d)))),
     // deterministic (fixed zlib level) but not SQL-expressible in the
     // oracle engine -> rows-only; determinism pinned in CompressionSpec
     "q_compression_ratio" -> ((s, d) =>
@@ -1159,6 +1161,29 @@ object SparkEntry {
         |    AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
         |    AND n_stopword_hits >= 2) AS passes
         |FROM m ORDER BY doc_id""".stripMargin,
+    // same fixture + regexp chain on both engines; Java regex and RE2
+    // agree on the non-greedy block matches
+    "q_strip_markup" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Document ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><script type="text/javascript">var tracker = 1;</script>' ||
+        |    '<style>.p { margin: 0; }</style></head><body><p class="main"><b>' ||
+        |    text ||
+        |    '</b></p><div><a href="/next">next page</a></div></body></html>' AS html
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, clean AS clean_text,
+        |  CAST(len(clean) AS INTEGER) AS n_chars_clean,
+        |  CAST(len(regexp_extract_all(html, '<[^>]+>')) AS INTEGER) AS n_tags
+        |FROM s ORDER BY doc_id""".stripMargin,
     // Misra-Gries exact regime (31 distinct tokens << capacity 64), so
     // the sketch result IS the plain token-count aggregation
     "q_heavy_hitters" ->

@@ -425,6 +425,41 @@ object TextOps {
         min(col("doc_id")).as("first_doc"))
       .orderBy("domain")
 
+  /** Deterministic synthetic HTML per document (the corpus is plain
+    * text): head with title + a script block, body with the text and a
+    * bold tag around it — the same fixture pattern as
+    * [[withSyntheticPii]]/[[withSyntheticUrl]], so markup stripping is
+    * oracle-checkable AND round-trippable (strip ∘ wrap = identity on
+    * the text, pinned in TextOpsSpec).
+    */
+  def withSyntheticHtml(documents: DataFrame): DataFrame =
+    documents.withColumn("html", concat(
+      lit("<html><head><title>Document "), col("doc_id").cast("string"),
+      lit("</title><script type=\"text/javascript\">var tracker = 1;</script>"),
+      lit("<style>.p { margin: 0; }</style></head><body><p class=\"main\"><b>"),
+      col("text"),
+      lit("</b></p><div><a href=\"/next\">next page</a></div></body></html>")))
+
+  /** Markup stripping — the web-extraction stage of a crawl pipeline:
+    * drop script/style blocks WITH their content, drop every remaining
+    * tag, collapse whitespace. Pure regexp built-ins (non-greedy block
+    * matches work identically in Java regex and RE2), one narrow
+    * projection at scan speed. Reports the removed-tag count as the
+    * extraction-quality signal.
+    */
+  def stripMarkup(htmlDocs: DataFrame): DataFrame = {
+    val noScript = regexp_replace(col("html"), "<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val clean = trim(regexp_replace(noTags, " +", " "))
+    htmlDocs.select(
+      col("doc_id"),
+      clean.as("clean_text"),
+      length(clean).as("n_chars_clean"),
+      regexp_count(col("html"), lit("<[^>]+>")).as("n_tags"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style composite quality-rule filter (Rae et al. 2021 §A1.1
     * — the published rule family behind most LLM-corpus cleaning): per
     * document, the rule signals and a `passes` verdict, each signal a

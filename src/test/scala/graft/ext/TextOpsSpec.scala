@@ -233,6 +233,21 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.size === 3, "pairs below minPairDocs must not appear")
   }
 
+  test("stripMarkup: script/style content gone, body text preserved, tags counted") {
+    val d = docs((7L, "the quick brown fox", "en"))
+    val r = TextOps.stripMarkup(TextOps.withSyntheticHtml(d)).collect()(0)
+    assert(r.getString(1) === "Document 7 the quick brown fox next page",
+      "title/body/anchor text survive; markup and script/style content do not")
+    assert(!r.getString(1).contains("tracker") && !r.getString(1).contains("margin"))
+    assert(r.getInt(3) === 20, "every tag in the fixture counted")
+    // raw markup with tricky content: attributes, nested inline tags
+    import spark.implicits._
+    val raw = Seq((1L, "<p>a <b>bold <i>word</i></b> here</p><script>x<1 && y>2;</script>"))
+      .toDF("doc_id", "html")
+    val clean = TextOps.stripMarkup(raw).collect()(0).getString(1)
+    assert(clean === "a bold word here")
+  }
+
   test("gopherRules plan: scan prunes to (doc_id, text), no exchange before the sort") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = TextOps.gopherRules(d).queryExecution.executedPlan.toString
