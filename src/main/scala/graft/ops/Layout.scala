@@ -56,4 +56,27 @@ object Layout {
       min(col("z")).as("min_z"), max(col("z")).as("max_z"))
       .orderBy("file_id")
   }
+
+  /** Bounded-size training-shard writer — the actual write path a
+    * 100 TB export needs: `repartitionByRange` on the sort key spreads
+    * rows into `numShards` contiguous key ranges (one task each, no
+    * global sort), `sortWithinPartitions` makes every shard internally
+    * ordered, and `maxRecordsPerFile` caps file size WITHIN a task, so
+    * no single output file exceeds the record budget however skewed a
+    * range lands. Returns the written-file manifest (path, rows) read
+    * back from the shard directory.
+    */
+  def writeShards(df: DataFrame, path: String, sortKey: String,
+                  numShards: Int = 8, maxRecordsPerFile: Int = 1000): DataFrame = {
+    df.repartitionByRange(numShards, col(sortKey))
+      .sortWithinPartitions(col(sortKey))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .parquet(path)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.input_file_name
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
 }

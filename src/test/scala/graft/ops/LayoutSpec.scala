@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class LayoutSpec extends AnyFunSuite with SparkSpec {
+
+  test("writeShards: every file within the record budget, all rows present, shards key-disjoint") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val total = o.count()
+    val path = java.nio.file.Files.createTempDirectory("shards").toString + "/t"
+    val manifest = Layout.writeShards(o, path, "o_orderkey",
+      numShards = 4, maxRecordsPerFile = 500).collect()
+    assert(manifest.map(_.getLong(1)).sum === total, "no row lost or duplicated")
+    manifest.foreach { r =>
+      assert(r.getLong(1) <= 500, s"${r.getString(0)} exceeds maxRecordsPerFile")
+    }
+    // a range-partitioned write keeps shards key-disjoint: per-file key
+    // ranges must not interleave across range partitions
+    val back = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // group files by the writer partition id in the filename
+    // (part-0000N-…); range partitions must be pairwise key-disjoint
+    // and ordered by id
+    val pidOf = "part-(\\d+)".r
+    val parts = back
+      .groupBy(t => pidOf.findFirstMatchIn(
+        new java.io.File(t._1).getName).get.group(1).toInt)
+      .map { case (pid, fs) => (pid, fs.map(_._2).min, fs.map(_._3).max) }
+      .toSeq.sortBy(_._1)
+    assert(parts.length > 1, "fixture must produce several range partitions")
+    parts.sliding(2).foreach {
+      case Seq((_, _, hiA), (pid, loB, _)) =>
+        assert(hiA <= loB, s"range partition $pid overlaps its predecessor")
+      case _ => ()
+    }
+  }
+}
