@@ -197,6 +197,7 @@ object SparkEntry {
     "q_leakage_safe_split" -> ((s, d) => DataPrep.leakageSafeSplit(Tables.documents(s, d))),
     "q_token_budget" -> ((s, d) => DataPrep.tokenBudgetSelect(Tables.documents(s, d))),
     "q_quality_quantile" -> ((s, d) => DataPrep.qualityQuantileFilter(Tables.documents(s, d))),
+    "q_negative_samples" -> ((s, d) => DataPrep.negativeSamples(Tables.documents(s, d))),
     "q_repeated_spans" -> ((s, d) => Dedup.repeatedSpans(Tables.documents(s, d))),
     "q_context_windows" -> ((s, d) => DataPrep.contextWindows(Tables.documents(s, d))),
     "q_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))),
@@ -1340,6 +1341,26 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
         |  round(pr, 6) AS quality_rank
         |FROM r WHERE pr <= 0.5 ORDER BY doc_id""".stripMargin,
+    "q_negative_samples" ->
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1
+        |    AS ord FROM documents),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |raw AS (
+        |  SELECT doc_id, ord, n_docs, unnest(range(0, 3)) AS sample_idx
+        |  FROM ids, n),
+        |hx AS (
+        |  SELECT doc_id, ord, n_docs, CAST(sample_idx AS INTEGER) AS sample_idx,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(sample_idx AS VARCHAR)), 1, 8)) AS BIGINT) % n_docs AS neg0
+        |  FROM raw),
+        |fixed AS (
+        |  SELECT doc_id, sample_idx,
+        |    CASE WHEN neg0 = ord THEN (neg0 + 1) % n_docs ELSE neg0 END AS neg_ord
+        |  FROM hx)
+        |SELECT f.doc_id, f.sample_idx, i.doc_id AS neg_doc_id
+        |FROM fixed f JOIN ids i ON i.ord = f.neg_ord
+        |ORDER BY f.doc_id, f.sample_idx""".stripMargin,
     "q_repeated_spans" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -257,6 +257,37 @@ object DataPrep {
       .orderBy("lang", "pack_id")
   }
 
+  /** Deterministic negative sampling — the contrastive-training prep
+    * step (k pseudo-random non-self partners per document) without any
+    * RNG state: the partner ordinal is an md5-derived 32-bit integer of
+    * (doc_id, sample_idx) modulo the corpus size, shifted off self.
+    * Content-addressed like the split/sample family, so re-runs and
+    * both engines agree row-for-row. Ordinals come from a ranking of
+    * doc_ids (no density assumption); the global row_number window is
+    * the oracle-exact form — at corpus scale swap it for a
+    * zipWithIndex-style two-pass rank, same semantics.
+    */
+  def negativeSamples(documents: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+    val ids = documents.select(col("doc_id"))
+      .withColumn("ord", row_number().over(w).cast("long") - 1)
+    val n = ids.agg(count(lit(1)).as("n_docs"))
+    val h = (i: Column) => conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":"), i.cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val raw = ids.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("ord"), col("n_docs"),
+        explode(sequence(lit(0), lit(k - 1))).as("sample_idx"))
+      .withColumn("neg_ord", pmod(h(col("sample_idx")), col("n_docs")))
+      .withColumn("neg_ord",
+        when(col("neg_ord") === col("ord"),
+          pmod(col("neg_ord") + 1, col("n_docs"))).otherwise(col("neg_ord")))
+    raw.join(ids.select(col("ord").as("neg_ord"), col("doc_id").as("neg_doc_id")),
+        "neg_ord")
+      .select(col("doc_id"), col("sample_idx"), col("neg_doc_id"))
+      .orderBy("doc_id", "sample_idx")
+  }
+
   /** Fixed-stride context windows: slide a `windowTokens`-wide window
     * over each document's tokens at `stride` (the chunking step that
     * feeds embedding models and RAG indexes; stride < window gives the

@@ -150,6 +150,23 @@ class DataPrepSpec extends AnyFunSuite with SparkSpec {
       "docs admitted in priority order until the running total would pass the budget")
   }
 
+  test("negativeSamples: k non-self partners per doc, deterministic, all ids real") {
+    val d = Tables.documents(spark, sf)
+    val ids = d.select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = DataPrep.negativeSamples(d, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b = DataPrep.negativeSamples(d, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq, "content-addressed sampling must be rerun-stable")
+    assert(a.length === ids.size * 3)
+    a.foreach { case (doc, _, neg) =>
+      assert(doc != neg, s"self-pair for $doc")
+      assert(ids.contains(neg), s"partner $neg is not a corpus doc")
+    }
+    // partners are spread, not collapsed onto a few docs
+    assert(a.map(_._3).distinct.length > ids.size / 4)
+  }
+
   test("contextWindows plan: explode stays narrow, scan prunes to (doc_id, text)") {
     val d = Tables.documents(spark, sf)
     val plan = DataPrep.contextWindows(d).queryExecution.executedPlan.toString
