@@ -113,20 +113,53 @@ object DataPrep {
 
   /** Curriculum bucketing: order the corpus by a difficulty proxy
     * (document length, doc_id tiebreak → total order) and cut it into
-    * `nBuckets` equal-size phases with `ntile` — the "easy examples
-    * first" schedule of curriculum training, reported as per-phase
-    * stats. `ntile` semantics (larger buckets first when uneven) are
-    * identical across engines given the same total order, so the
-    * assignment is exactly reproducible.
+    * `nBuckets` equal-size phases — the "easy examples first" schedule
+    * of curriculum training, reported as per-phase stats.
     *
-    * Scale note: an unpartitioned ranking window is a single-reducer
-    * sort — fine for the assignment bookkeeping here (the output is one
-    * row per bucket), but at 100 TB the per-DOCUMENT assignment would
-    * instead use distributed binning on pre-computed quantile boundaries
-    * (`approxQuantile` or an exact two-pass rank), trading exact equal
-    * sizes for full parallelism.
+    * DEFAULT PATH is the scale-safe two-pass form: a range-partitioned
+    * global ordinal ([[graft.ops.GlobalOrder]]) plus the closed-form
+    * `ntile` bucket derived from (ordinal, total count) — SQL `ntile(n)`
+    * over N totally-ordered rows assigns row `ord` (0-based) to bucket
+    * `ord div (base+1) + 1` for the first `rem` oversized buckets and
+    * `rem + (ord - rem*(base+1)) div base + 1` after, where
+    * `base = N div n`, `rem = N mod n`. Identical across engines given
+    * the same total order (unique tie-break), so the assignment stays
+    * exactly reproducible — [[curriculumDecilesWindow]] keeps the
+    * single-window form as the oracle twin (equality pinned in
+    * DataPrepSpec on ties/skew/empty-partition beds).
     */
-  def curriculumDeciles(documents: DataFrame, nBuckets: Int = 10): DataFrame = {
+  def curriculumDeciles(documents: DataFrame, nBuckets: Int = 10,
+                        numPartitions: Int = 0): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val base = documents.select(col("doc_id"), col("n_chars"))
+    val ordered = graft.ops.GlobalOrder.withOrdinal(base,
+      Seq(col("n_chars"), col("doc_id")), valueCol = None,
+      ordName = "_ord", numPartitions = numPartitions)
+    val n = ordered.totalRows
+    val bucketBase = n / nBuckets
+    val rem = n % nBuckets
+    val pivot = rem * (bucketBase + 1)
+    // max(base,1) keeps the dead else-branch division defined when
+    // N < nBuckets (then pivot = N and every ord takes the first branch)
+    val decile = when(col("_ord") < pivot,
+        expr(s"_ord div ${bucketBase + 1}"))
+      .otherwise(expr(s"$rem + (_ord - $pivot) div ${math.max(bucketBase, 1L)}"))
+      .cast("int") + 1
+    ordered.df
+      .withColumn("decile", decile)
+      .groupBy("decile").agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).cast("int").as("min_chars"),
+        max(col("n_chars")).cast("int").as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("decile")
+  }
+
+  /** Single-global-window `ntile` form of [[curriculumDeciles]] — the
+    * oracle shape (one serial sort; don't use at scale).
+    */
+  def curriculumDecilesWindow(documents: DataFrame, nBuckets: Int = 10): DataFrame = {
     val w = Window.orderBy(col("n_chars"), col("doc_id"))
     documents
       .withColumn("decile", ntile(nBuckets).over(w))
@@ -263,25 +296,51 @@ object DataPrep {
     * (doc_id, sample_idx) modulo the corpus size, shifted off self.
     * Content-addressed like the split/sample family, so re-runs and
     * both engines agree row-for-row. Ordinals come from a ranking of
-    * doc_ids (no density assumption); the global row_number window is
-    * the oracle-exact form — at corpus scale swap it for a
-    * zipWithIndex-style two-pass rank, same semantics.
+    * doc_ids (no density assumption); DEFAULT PATH is the two-pass
+    * range-partitioned rank ([[graft.ops.GlobalOrder]] — no
+    * single-reducer window), with [[negativeSamplesWindow]] keeping the
+    * global `row_number` form as the oracle twin (equality pinned in
+    * DataPrepSpec).
     */
-  def negativeSamples(documents: DataFrame, k: Int = 3): DataFrame = {
+  def negativeSamples(documents: DataFrame, k: Int = 3,
+                      numPartitions: Int = 0): DataFrame = {
+    val ordered = graft.ops.GlobalOrder.withOrdinal(
+      documents.select(col("doc_id")), Seq(col("doc_id")),
+      valueCol = None, ordName = "ord", numPartitions = numPartitions)
+    val ids = ordered.df
+    // the corpus size is a by-product of the ordinal's first pass —
+    // a bounded driver scalar, not an extra aggregation job
+    val nDocs = ordered.totalRows
+    negativeSamplesFromIds(ids, nDocs, k)
+  }
+
+  /** Global-window `row_number` form of [[negativeSamples]] — the
+    * oracle shape (one serial sort; don't use at scale).
+    */
+  def negativeSamplesWindow(documents: DataFrame, k: Int = 3): DataFrame = {
     val w = Window.orderBy(col("doc_id"))
     val ids = documents.select(col("doc_id"))
       .withColumn("ord", row_number().over(w).cast("long") - 1)
-    val n = ids.agg(count(lit(1)).as("n_docs"))
+    val n = ids.count()
+    negativeSamplesFromIds(ids, n, k)
+  }
+
+  /** Shared tail of both [[negativeSamples]] forms: md5-derived partner
+    * ordinal modulo corpus size, shifted off self, joined back to ids.
+    */
+  private def negativeSamplesFromIds(ids: DataFrame, nDocs: Long, k: Int): DataFrame = {
     val h = (i: Column) => conv(
       substring(md5(concat(col("doc_id").cast("string"), lit(":"), i.cast("string"))), 1, 8),
       16, 10).cast("long")
-    val raw = ids.crossJoin(broadcast(n))
-      .select(col("doc_id"), col("ord"), col("n_docs"),
+    // nDocs == 0 is safe: pmod's zero divisor is never evaluated on an
+    // empty frame, so the empty result flows through the normal plan
+    val raw = ids
+      .select(col("doc_id"), col("ord"),
         explode(sequence(lit(0), lit(k - 1))).as("sample_idx"))
-      .withColumn("neg_ord", pmod(h(col("sample_idx")), col("n_docs")))
+      .withColumn("neg_ord", pmod(h(col("sample_idx")), lit(nDocs)))
       .withColumn("neg_ord",
         when(col("neg_ord") === col("ord"),
-          pmod(col("neg_ord") + 1, col("n_docs"))).otherwise(col("neg_ord")))
+          pmod(col("neg_ord") + 1, lit(nDocs))).otherwise(col("neg_ord")))
     raw.join(ids.select(col("ord").as("neg_ord"), col("doc_id").as("neg_doc_id")),
         "neg_ord")
       .select(col("doc_id"), col("sample_idx"), col("neg_doc_id"))
@@ -345,14 +404,35 @@ object DataPrep {
   /** Token-budget selection: greedily admit documents in priority order
     * (quality proxy descending, doc_id tie-break) until the running
     * token total exceeds `budget` — the "fill the training-run budget
-    * with the best data first" curation step. The running total is one
-    * window cumulative sum; no driver loop, and the window order is
+    * with the best data first" curation step. The window order is
     * total (unique tie-break) so admission is deterministic on any
-    * engine. At 100 TB the single global window is the textbook case
-    * for a two-pass range-partitioned cumulative sum; the semantics
-    * here are the spec for that.
+    * engine.
+    *
+    * DEFAULT PATH is the two-pass range-partitioned cumulative sum
+    * ([[graft.ops.GlobalOrder]]): one parallel range shuffle, per-range
+    * local running totals, broadcast prefix offsets — no single-reducer
+    * window. The token count is projected BEFORE the shuffle, so only
+    * (doc_id, n_chars, n_tokens) moves, not the text.
+    * [[tokenBudgetSelectWindow]] keeps the global-window form as the
+    * oracle twin (equality pinned in DataPrepSpec).
     */
-  def tokenBudgetSelect(documents: DataFrame, budget: Long = 20000L): DataFrame = {
+  def tokenBudgetSelect(documents: DataFrame, budget: Long = 20000L,
+                        numPartitions: Int = 0): DataFrame = {
+    val base = documents.select(col("doc_id"), col("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val ordered = graft.ops.GlobalOrder.withOrdinal(base,
+      Seq(col("n_chars").desc, col("doc_id")), valueCol = Some("n_tokens"),
+      ordName = "_ord", cumName = "cum_tokens", numPartitions = numPartitions)
+    ordered.df
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Single-global-window cumsum form of [[tokenBudgetSelect]] — the
+    * oracle shape (one serial sort; don't use at scale).
+    */
+  def tokenBudgetSelectWindow(documents: DataFrame, budget: Long = 20000L): DataFrame = {
     val tokens = size(split(col("text"), " ")).cast("long")
     val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

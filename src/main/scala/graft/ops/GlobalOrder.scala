@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Scale-safe global ordering: a 0-based global ordinal (dense
+  * `row_number() - 1`) and an optional running sum over a total order,
+  * WITHOUT the single-reducer `Window.orderBy(...)` sort.
+  *
+  * The classic two-pass shape (`zipWithIndex` generalised to carry a
+  * cumulative sum):
+  *
+  *   1. `repartitionByRange` on the order key spreads the rows into
+  *      contiguous key ranges — partition `i` holds only keys that sort
+  *      before everything in partition `i+1` (equal keys never straddle
+  *      a boundary: the range partitioner maps a key to exactly one
+  *      partition) — and `sortWithinPartitions` makes each range
+  *      internally ordered. ONE shuffle, fully parallel.
+  *   2. A first pass computes each partition's row count and value sum
+  *      (one tiny `(pid, count, sum, nNonNull)` row per partition — only
+  *      `numPartitions` scalars reach the driver, never data).
+  *   3. The exclusive prefix over those per-partition totals is the
+  *      offset each partition adds to its LOCAL rank/cumsum; the offset
+  *      arrays are broadcast and the second pass emits
+  *      `ordinal = offset + local_rank` / `cum = offset_sum + local_sum`
+  *      in a single ordered sweep per partition.
+  *
+  * Both passes read the same range shuffle (the `Dataset.rdd` is shared,
+  * so Spark reuses the map output for the second job); nothing in the
+  * plan serialises the corpus through one task. This is the 100 TB twin
+  * of the global-window forms in [[graft.ext.DataPrep]] — equality with
+  * those forms (ties, skew, empty partitions, leading NULL values) is
+  * pinned in GlobalOrderSpec/DataPrepSpec.
+  *
+  * Running-sum semantics match SQL `SUM(v) OVER (ORDER BY ... ROWS
+  * UNBOUNDED PRECEDING)`: NULL values don't advance the sum, and the
+  * sum is NULL until the first non-NULL value has been seen.
+  */
+object GlobalOrder {
+
+  /** Result frame plus the totals the first pass already paid for
+    * (driver-known, so callers don't re-aggregate for `count(*)`).
+    */
+  final case class Ordered(df: DataFrame, totalRows: Long, totalValue: Long)
+
+  /** Appends `ordName` (0-based global ordinal, LONG) and — when
+    * `valueCol` is set — `cumName` (inclusive running sum of that LONG
+    * column) to `df`, ordered by `sortExprs` (may include `.desc`; must
+    * reach a total order for the result to be deterministic).
+    *
+    * `numPartitions <= 0` leaves the range partition count to
+    * `spark.sql.shuffle.partitions`.
+    */
+  def withOrdinal(df: DataFrame, sortExprs: Seq[Column],
+                  valueCol: Option[String] = None,
+                  ordName: String = "ord", cumName: String = "cum_value",
+                  numPartitions: Int = 0): Ordered = {
+    require(sortExprs.nonEmpty, "need at least one order expression")
+    val spark = df.sparkSession
+    val parted0 =
+      if (numPartitions > 0) df.repartitionByRange(numPartitions, sortExprs: _*)
+      else df.repartitionByRange(sortExprs: _*)
+    val parted = parted0.sortWithinPartitions(sortExprs: _*)
+    val schema = parted.schema
+    val vIdx = valueCol.map { c =>
+      val i = schema.fieldIndex(c)
+      require(schema(i).dataType == LongType,
+        s"value column '$c' must be LONG (got ${schema(i).dataType.sql})")
+      i
+    }
+    // Dataset.rdd is a lazy val: both jobs below hang off the same
+    // shuffled RDD, so the range-exchange map output is computed once
+    // and the second job's map stage is skipped.
+    val rdd = parted.rdd
+    // pass 1: per-partition (rows, sum, non-null count) — bounded driver
+    // traffic: numPartitions tuples of three longs
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cnt = 0L; var sum = 0L; var nn = 0L
+      it.foreach { r =>
+        cnt += 1
+        vIdx.foreach { i => if (!r.isNullAt(i)) { sum += r.getLong(i); nn += 1 } }
+      }
+      Iterator((pid, cnt, sum, nn))
+    }.collect()
+    val nPart = rdd.getNumPartitions
+    val cntOff = new Array[Long](nPart)
+    val sumOff = new Array[Long](nPart)
+    val nnOff = new Array[Long](nPart)
+    var c = 0L; var s = 0L; var nnAcc = 0L
+    stats.sortBy(_._1).foreach { case (pid, cnt, sum, nn) =>
+      cntOff(pid) = c; sumOff(pid) = s; nnOff(pid) = nnAcc
+      c += cnt; s += sum; nnAcc += nn
+    }
+    val sc = spark.sparkContext
+    val bcCnt = sc.broadcast(cntOff)
+    val bcSum = sc.broadcast(sumOff)
+    val bcNn = sc.broadcast(nnOff)
+    val outFields = schema.fields :+ StructField(ordName, LongType, nullable = false)
+    val outSchema = StructType(
+      if (vIdx.isDefined) outFields :+ StructField(cumName, LongType, nullable = true)
+      else outFields)
+    // pass 2: ordered sweep per partition, offsets added
+    val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var ord = bcCnt.value(pid)
+      var cum = bcSum.value(pid)
+      var seen = bcNn.value(pid) > 0L
+      it.map { r =>
+        val base = r.toSeq :+ ord
+        ord += 1
+        val out = vIdx match {
+          case Some(i) =>
+            if (!r.isNullAt(i)) { cum += r.getLong(i); seen = true }
+            base :+ (if (seen) cum: java.lang.Long else null)
+          case None => base
+        }
+        Row.fromSeq(out)
+      }
+    }
+    Ordered(spark.createDataFrame(outRdd, outSchema), c, s)
+  }
+}

@@ -150,6 +150,33 @@ class DataPrepSpec extends AnyFunSuite with SparkSpec {
       "docs admitted in priority order until the running total would pass the budget")
   }
 
+  test("two-pass twins equal the window forms (corpus + ties/skew/empty-partition beds)") {
+    import spark.implicits._
+    // bed 1: the real corpus; bed 2: every n_chars ties (total order only
+    // via doc_id tiebreak) with one skewed token-count outlier; both run
+    // with more range partitions than bed-2 rows (empty partitions)
+    val corpus = Tables.documents(spark, sf)
+    val ties = (1 to 40).map { i =>
+      val text = if (i == 7) ("w " * 500).trim else s"t$i u$i v$i"
+      (i.toLong, text, "en", "src0", 100L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    for ((bed, np) <- Seq((corpus, 0), (corpus, 7), (ties, 64))) {
+      assert(DataPrep.tokenBudgetSelect(bed, 2000L, np).collect().toSeq ===
+        DataPrep.tokenBudgetSelectWindow(bed, 2000L).collect().toSeq,
+        s"tokenBudgetSelect two-pass vs window (np=$np)")
+      assert(DataPrep.negativeSamples(bed, 3, np).collect().toSeq ===
+        DataPrep.negativeSamplesWindow(bed, 3).collect().toSeq,
+        s"negativeSamples two-pass vs window (np=$np)")
+      assert(DataPrep.curriculumDeciles(bed, 10, np).collect().toSeq ===
+        DataPrep.curriculumDecilesWindow(bed, 10).collect().toSeq,
+        s"curriculumDeciles two-pass vs window (np=$np)")
+    }
+    // uneven ntile split: 40 rows into 7 buckets -> first 5 buckets of 6,
+    // then 5+5 (rem = 40 % 7 = 5) — pinned against the closed form
+    assert(DataPrep.curriculumDeciles(ties, 7, 3).collect().map(_.getLong(1)).toSeq ===
+      DataPrep.curriculumDecilesWindow(ties, 7).collect().map(_.getLong(1)).toSeq)
+  }
+
   test("negativeSamples: k non-self partners per doc, deterministic, all ids real") {
     val d = Tables.documents(spark, sf)
     val ids = d.select("doc_id").collect().map(_.getLong(0)).toSet
