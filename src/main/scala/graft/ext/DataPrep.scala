@@ -229,34 +229,56 @@ object DataPrep {
 
   /** Bloom-pre-filtered decontamination — the 100 TB shape of
     * [[decontaminate]]. The eval split's shingles are tiny next to the
-    * training corpus, so build a Bloom filter over them (distributed
-    * aggregation; only the fixed-size bit array reaches the driver),
-    * broadcast it, and drop non-matching train shingles BEFORE the
-    * shuffle — the train shingle table shrinks by the filter's
-    * selectivity before any exchange. False positives only admit extra
-    * candidates into the exact equi-join, so the output is identical to
-    * the exact form (equivalence-tested in DataPrepSpec).
+    * training corpus, so build a Bloom filter over them and drop
+    * non-matching train shingles BEFORE the shuffle — the train shingle
+    * table shrinks by the filter's selectivity before any exchange.
+    * False positives only admit extra candidates into the exact
+    * equi-join, so the output is identical to the exact form
+    * (equivalence-tested in DataPrepSpec).
+    *
+    * The filter stays fully inside Catalyst: the bloom is built by
+    * Spark's own `BloomFilterAggregate` (distributed aggregation,
+    * delivered to the probe side as a scalar subquery — the bit array
+    * never transits user code) and probed by `BloomFilterMightContain`
+    * over `xxhash64(shingle)` — the same expression pair Spark's
+    * runtime-filter optimization injects, so the probe is codegen'd
+    * instead of the per-row Scala UDF this used (the last hot-path
+    * codegen barrier in the repo; plan pinned UDF-free in DataPrepSpec).
     */
   def decontaminateBloom(documents: DataFrame, k: Int = 5, minShared: Int = 3,
                          fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val withSplit = documents.withColumn("split",
       when(hashBucket(col("text")) < "cc", "train").otherwise("eval"))
-    // pinned: consumed by the eval count, the bloom build, and both
-    // sides of the exact join — unpersisted, each pass re-shingles
+    // pinned: consumed by the eval count, the bloom-build subquery, and
+    // both sides of the exact join — unpersisted, each pass re-shingles
     val sh = Dedup.shingles(withSplit, k, carry = Seq("split")).persist()
     val eval_ = sh.filter(col("split") === "eval")
       .select(col("doc_id").as("eval_doc"), col("shingle"))
     val evalShingles = eval_.select("shingle").distinct()
     val expected = evalShingles.count()
     val train0 = sh.filter(col("split") === "train")
-    // stat.bloomFilter NPEs on an empty column (no partial to merge), and
-    // with an empty eval side the join is empty anyway — skip the filter
+    // an empty eval side makes the join empty anyway — skip the filter
+    // (BloomFilterAggregate requires a positive item estimate)
     val train = (if (expected == 0) train0
       else {
-        val bloom = evalShingles.stat.bloomFilter("shingle", expected, fpp)
-        val bloomBc = documents.sparkSession.sparkContext.broadcast(bloom)
-        val mightMatch = udf((s: String) => s != null && bloomBc.value.mightContain(s))
-        train0.filter(mightMatch(col("shingle"))) // map-side prune, pre-shuffle
+        // bits for the target fpp at `expected` items (the standard
+        // -n·ln(p)/ln(2)² sizing), clamped to Spark's runtime-filter cap
+        val maxBits = documents.sparkSession.conf
+          .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+        val numBits = math.min(maxBits, math.max(64L,
+          math.ceil(-expected * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+        val bloomAgg = GraftBridge.column(
+          new BloomFilterAggregate(
+            GraftBridge.expression(xxhash64(col("shingle"))),
+            Literal(expected), Literal(numBits)).toAggregateExpression())
+        val bloom = evalShingles.select(bloomAgg.as("bf")).scalar()
+        val mightMatch = GraftBridge.column(BloomFilterMightContain(
+          GraftBridge.expression(bloom),
+          GraftBridge.expression(xxhash64(col("shingle")))))
+        train0.filter(mightMatch) // map-side prune, pre-shuffle, codegen'd
       })
       .select(col("doc_id").as("train_doc"), col("shingle"))
     val result = train.join(eval_, "shingle")

@@ -39,6 +39,12 @@ class DataPrepSpec extends AnyFunSuite with SparkSpec {
     assert(bloom === exact,
       "bloom false positives must be eliminated by the exact join")
     assert(exact.nonEmpty, "fixture must actually contain leaked pairs")
+    // the prune must stay inside Catalyst: Spark's own bloom aggregate +
+    // might_contain probe, not a per-row Scala UDF (codegen barrier)
+    val plan = DataPrep.decontaminateBloom(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("batchevalpython"),
+      s"bloom probe must not be a UDF:\n$plan")
+    assert(plan.contains("might_contain"), s"expected a might_contain probe:\n$plan")
   }
 
   test("stratified sample: balances strata toward the smallest, min stratum kept whole") {
