@@ -55,34 +55,49 @@ object Bench {
     // N samples of a single query (observed: 0.8s -> 21.6s on
     // q_minhash_neardup), while interleaving spaces a query's samples
     // ~a full pass apart so the minimum sees a clean window.
-    val best = scala.collection.mutable.Map[String, Double]()
-    val failedSet = scala.collection.mutable.Set[String]()
-    for (r <- 0 until runs; name <- names if !failedSet(name)) {
+    // Every query attempts every pass, even after a failure: a
+    // transient contention-induced error in pass 2 must not discard a
+    // valid pass-1 sample (reported value = best SUCCESSFUL sample;
+    // -1 only for queries that never completed, listed under "failed";
+    // intermittent failures surface under "flaky" with a count).
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    val failCount = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    for (r <- 0 until runs; name <- names) {
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.count()
         val dt = (System.nanoTime() - t0) / 1e9
-        if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
+        samples(name) = dt :: samples(name)
         // operators that persist their result hand ownership to the
         // caller; release it so cached frames from earlier queries
         // don't squeeze executor memory and distort later timings
         df.unpersist(blocking = true)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-        failedSet += name
+        failCount(name) += 1
       }
     }
-    val results = names.map(n => n -> (if (failedSet(n)) -1.0 else best(n)))
+    val results = names.map(n => n ->
+      (if (samples(n).isEmpty) -1.0 else samples(n).min))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val flaky = names.collect { case n if failCount(n) > 0 && samples(n).nonEmpty =>
+      s"\"" + n + "\":" + failCount(n) }.mkString("{", ",", "}")
+    // per-query [min, max] across the interleaved passes: a poisoned
+    // sample (host-contention window inflating one pass) shows up as a
+    // wide spread instead of masquerading as a regression
+    val spread = names.collect { case n if samples(n).nonEmpty =>
+      s"\"" + n + "\":[" + samples(n).min + "," + samples(n).max + "]" }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val onlyJson = only.map(_.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
       .getOrElse("null")
     val unmatchedJson = unmatched.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"only":$onlyJson,"unmatched":$unmatchedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"flaky":$flaky,"spread":$spread,"only":$onlyJson,"unmatched":$unmatchedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
