@@ -173,6 +173,14 @@ object SparkEntry {
     "q_fuzzy_match" -> ((s, d) => graft.ops.Fuzzy.fuzzyNameMatch(
       Tables.part(s, d), "p_name")),
     "q_zorder_layout" -> ((s, d) => graft.ops.Layout.zorderFileStats(Tables.orders(s, d))),
+    // real parquet export + read-back: shard ids, row/file counts, and key
+    // ranges are all closed-form deterministic (ordinal sharding +
+    // maxRecordsPerFile), so the manifest is oracle-checkable
+    "q_shard_manifest" -> ((s, d) => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_shards_" + new java.io.File(d).getName).getPath
+      graft.ops.Layout.writeShardsManifest(Tables.documents(s, d), out, "doc_id")
+    }),
     "q_dq_checks" -> ((s, d) => graft.ops.Quality.checkSuite(
       Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))),
     "q_snapshot_diff" -> ((s, d) => {
@@ -1319,6 +1327,21 @@ object SparkEntry {
         |       ELSE 'test' END AS split,
         |  g.group_rep, g.n_variants
         |FROM k JOIN g USING (canon) ORDER BY k.doc_id""".stripMargin,
+    // the export's shard assignment is the closed form
+    // floor(ord * numShards / N) over the doc_id order, and the writer
+    // emits ceil(rows/maxRecordsPerFile) files per shard directory —
+    // both reproducible in SQL, so the manifest hash-matches
+    "q_shard_manifest" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS ord,
+        |    COUNT(*) OVER () AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, CAST((ord * 8) // n AS INTEGER) AS shard FROM o)
+        |SELECT shard, COUNT(*) AS n_rows,
+        |  CAST(ceil(COUNT(*) / 200.0) AS BIGINT) AS n_files,
+        |  MIN(doc_id) AS min_key, MAX(doc_id) AS max_key
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     "q_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, n_chars,

@@ -79,4 +79,54 @@ object Layout {
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"))
   }
+
+  /** [[writeShards]] with DETERMINISTIC shard assignment and a
+    * normalized manifest — the driver-contract form. `repartitionByRange`
+    * draws its boundaries from a random sample, so per-shard row counts
+    * wobble across runs; here the shard of a row is the closed form
+    * `floor(ordinal * numShards / N)` over the two-pass global ordinal
+    * ([[GlobalOrder]] — no single-reducer sort), which any engine
+    * reproduces exactly. Rows are hash-clustered by shard id (a shard
+    * never splits across tasks), sorted within tasks, and written with
+    * dynamic `partitionBy(shard)` + `maxRecordsPerFile`, so shard `s`
+    * lands in its own directory as exactly `ceil(rows_s / maxRecords)`
+    * files.
+    *
+    * Returns the manifest read back from the export: one row per shard —
+    * ordinal, row count, file count, min/max sort key. Every column is a
+    * pure function of (data, numShards, maxRecordsPerFile): no paths, no
+    * timestamps — which is what makes the export DuckDB-oracle-checkable
+    * (`q_shard_manifest`).
+    */
+  def writeShardsManifest(df: DataFrame, path: String, sortKey: String,
+                          numShards: Int = 8, maxRecordsPerFile: Int = 200): DataFrame = {
+    require(numShards > 0 && maxRecordsPerFile > 0,
+      "numShards and maxRecordsPerFile must be positive")
+    val ordered = GlobalOrder.withOrdinal(df, Seq(col(sortKey)),
+      valueCol = None, ordName = "_ord")
+    val n = math.max(ordered.totalRows, 1L)
+    ordered.df
+      .withColumn("shard", expr(s"CAST((_ord * $numShards) div $n AS INT)"))
+      .drop("_ord")
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(sortKey))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("shard")
+      .parquet(path)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{countDistinct, input_file_name}
+    spark.read.parquet(path)
+      // input_file_name() is non-deterministic to the analyzer — it must
+      // be materialized by a projection before it can feed an aggregate
+      .select(col("shard").cast("int").as("shard"), col(sortKey),
+        input_file_name().as("_file"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("_file")).as("n_files"),
+        min(col(sortKey)).as("min_key"),
+        max(col(sortKey)).as("max_key"))
+      .orderBy("shard")
+  }
 }

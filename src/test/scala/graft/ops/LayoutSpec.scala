@@ -38,4 +38,31 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       case _ => ()
     }
   }
+
+  test("writeShardsManifest: closed-form shard sizes and file counts, rerun-identical") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val total = d.count() // 500
+    val path = java.nio.file.Files.createTempDirectory("shardsm").toString + "/t"
+    val m1 = Layout.writeShardsManifest(d, path, "doc_id",
+      numShards = 4, maxRecordsPerFile = 60).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // deterministic equal split: shard s holds ords [s*N/4, (s+1)*N/4)
+    assert(m1.map(_._1).toSeq === (0 until 4))
+    assert(m1.map(_._2).sum === total)
+    m1.foreach { case (s, rows, files, _, _) =>
+      assert(rows === total / 4, s"shard $s must hold exactly N/numShards rows")
+      assert(files === (rows + 59) / 60, s"shard $s file count must be ceil(rows/max)")
+    }
+    // shards are contiguous, key-disjoint ranges in sort-key order
+    m1.sliding(2).foreach {
+      case Array((_, _, _, _, hiA), (s, _, _, loB, _)) =>
+        assert(hiA < loB, s"shard $s key range overlaps its predecessor")
+      case _ => ()
+    }
+    // unlike sampled range boundaries, reruns reproduce the manifest exactly
+    val m2 = Layout.writeShardsManifest(d, path, "doc_id",
+      numShards = 4, maxRecordsPerFile = 60).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(m2.toSeq === m1.toSeq)
+  }
 }
