@@ -304,7 +304,12 @@ object SparkEntry {
     // aggregates below are over DECODED pixels, oracle = closed form of
     // the deterministic pattern (PNG is lossless)
     "q_png_decode" -> ((s, d) => Multimodal.decodePngFeatures(s,
-      Multimodal.syntheticPngTable(s, Tables.documents(s, d))).orderBy("doc_id"))
+      Multimodal.syntheticPngTable(s, Tables.documents(s, d))).orderBy("doc_id")),
+    // lossy tier: real JPEG encode->decode; reconstruction isn't
+    // closed-form SQL, so rows-only here with the per-channel error
+    // bound pinned in MultimodalSpec
+    "q_jpeg_decode" -> ((s, d) => Multimodal.decodeImageFeatures(s,
+      Multimodal.syntheticJpegTable(s, Tables.documents(s, d))).orderBy("doc_id"))
   )
 
   /** The LSH bucketing is data-INDEPENDENT (seeded ±1 hyperplanes), so
@@ -1411,7 +1416,8 @@ object SparkEntry {
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |m AS (SELECT vec_id, emb,
         |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
-        |s AS (SELECT vec_id, emb, CASE WHEN mx > 0 THEN mx / 127.0 END AS scale
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale
         |      FROM m),
         |q AS (SELECT vec_id, emb, scale,
         |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0

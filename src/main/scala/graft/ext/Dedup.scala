@@ -443,8 +443,24 @@ object Dedup {
     * so recall is complete for ANY threshold — a fixed 4-band split
     * would silently miss pairs for maxHamming > 3. Default (3 → four
     * 16-bit bands) is bit-identical to the original scheme.
+    *
+    * `maxBandBucket` (opt-in, 0 = off) is the corpus-scale skew guard:
+    * a heavy band value — canonically the all-zeros fingerprint a mass
+    * of empty/near-empty documents shares — makes the band self-join
+    * quadratic in that one bucket. Buckets holding more than
+    * `maxBandBucket` fingerprints are dropped BEFORE the self-join
+    * (same anti-join shape as [[ngramJaccard]]'s shingle df-cap), which
+    * bounds per-bucket candidates at maxBandBucket² while keeping every
+    * pair that agrees on any NON-degenerate band. Pairs only reachable
+    * through a dropped bucket are sacrificed knowingly: such buckets
+    * are mass-duplicate clusters that exact dedup ([[exactDedup]])
+    * already catches upstream for far less work than a quadratic join.
+    * Off by default so the recall-complete form stays the driver-
+    * contract shape; the guard's bound is pinned in DedupSpec on a
+    * degenerate mostly-empty corpus.
     */
-  def simhashNearDup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDup(documents: DataFrame, maxHamming: Int = 3,
+                     maxBandBucket: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 32): $maxHamming")
     val nb = maxHamming + 1
@@ -455,9 +471,16 @@ object Dedup {
       val mask = if (width >= 64) -1L else (1L << width) - 1L
       shiftright(col("simhash"), lo).bitwiseAND(mask)
     }
-    val bands = fp.select(col("doc_id"), col("simhash"),
+    val allBands = fp.select(col("doc_id"), col("simhash"),
       posexplode(array(bandCols: _*)))
       .toDF("doc_id", "simhash", "band_idx", "band_val")
+    val bands = if (maxBandBucket <= 0) allBands else {
+      val heavy = allBands.groupBy("band_idx", "band_val")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBandBucket)
+        .select("band_idx", "band_val")
+      allBands.join(heavy, Seq("band_idx", "band_val"), "left_anti")
+    }
     val result = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&

@@ -209,10 +209,67 @@ object Multimodal {
         col("doc_id").as("source_id")).as("meta"))
   }
 
+  /** Synthetic JPEG media table — the LOSSY tier next to
+    * [[syntheticPngTable]]. Same deterministic per-doc_id fixture shape,
+    * but the pixel pattern is a LOW-FREQUENCY gradient: JPEG's DCT
+    * quantization error concentrates in high-frequency content, so a
+    * smooth gradient keeps per-channel reconstruction error small and
+    * bounded — which is what the tolerance spec (MultimodalSpec) pins.
+    * Encoding is `javax.imageio`'s baseline JPEG writer (deterministic
+    * for a fixed JVM); decode aggregates are NOT closed-form
+    * SQL-expressible (lossy), so `q_jpeg_decode` is a rows-only driver
+    * check with the error bound pinned in ScalaTest instead.
+    */
+  def syntheticJpegTable(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (16 + id % 9).toInt
+          val h = (16 + id % 7).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              // smooth gradients per channel, phase-shifted by doc_id
+              val r = (((id * 7) % 64 + x * 2 + y) % 256).toInt
+              val g = (((id * 11) % 64 + x + y * 2) % 256).toInt
+              val b = (((id * 13) % 64 + x + y) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", baos)
+          (id, baos.toByteArray, w, h)
+        }
+      }
+      .toDF("doc_id", "payload", "width_px", "height_px")
+      .select(col("doc_id"), col("payload"), struct(
+        lit("image/jpeg").as("media_type"),
+        col("width_px"), col("height_px"),
+        col("doc_id").as("source_id")).as("meta"))
+  }
+
+  /** Decode image payloads with `javax.imageio` (format-sniffing: PNG
+    * and JPEG alike) and aggregate the DECODED pixels per image
+    * (dimensions + exact per-channel sums — integer math over whatever
+    * the codec reconstructed). Same `mapPartitions` batch shape as
+    * [[extractFeatures]]; narrow, shuffle-free (plan-tested).
+    */
+  def decodeImageFeatures(spark: SparkSession, media: DataFrame): DataFrame =
+    decodePngFeatures(spark, media)
+
   /** Decode the PNG payloads with `javax.imageio` and aggregate the
     * DECODED pixels per image (dimensions + exact per-channel sums —
     * integer math, engine-portable). Same `mapPartitions` batch shape
     * as [[extractFeatures]]; narrow, shuffle-free (plan-tested).
+    * (`ImageIO.read` sniffs the container, so this decodes any
+    * JDK-supported format — [[decodeImageFeatures]] is the
+    * format-neutral name.)
     */
   def decodePngFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._

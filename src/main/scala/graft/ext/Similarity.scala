@@ -285,7 +285,13 @@ object Similarity {
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
     val emb = asDouble(col("embedding"))
     val mx = array_max(transform(emb, v => abs(v)))
-    val scale = when(mx > 0, mx / 127.0)
+    // explicit NaN branch: Spark orders NaN > 0 as false while DuckDB
+    // orders NaN greater than any value — without this guard a
+    // NaN-containing embedding would quantize to zero codes here but get
+    // a non-NULL scale in the oracle. Both sides now map NaN -> NULL
+    // scale -> zero codes.
+    val scale = when(isnan(mx), lit(null).cast("double"))
+      .when(mx > 0, mx / 127.0)
     val q = transform(emb, v =>
       when(scale.isNull, lit(0)).otherwise(floor(v / scale + 0.5).cast("int")))
     embeddings.select(

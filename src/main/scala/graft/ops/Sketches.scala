@@ -89,12 +89,34 @@ object Sketches {
     * partition-independent (the oracle-matched regime); under capacity
     * it degrades to the documented N/(k+1) error bound instead of
     * failing.
+    *
+    * `requireExact = true` (the driver-contract setting) enforces the
+    * exact-regime precondition AT RUN TIME, in-plan: Misra–Gries
+    * decrements counters iff the distinct count ever exceeds capacity,
+    * so "sketch mass == total token count" holds exactly when the
+    * result is exact. The total rides along in the same aggregation
+    * (zero extra pass) and `assert_true` raises with a pointed message
+    * instead of letting a regenerated corpus with >capacity distinct
+    * tokens surface as an unexplained oracle hash mismatch.
     */
-  def heavyHitterTokens(documents: DataFrame, capacity: Int = 64): DataFrame = {
+  def heavyHitterTokens(documents: DataFrame, capacity: Int = 64,
+                        requireExact: Boolean = true): DataFrame = {
     val s = documents.sparkSession
-    documents
+    val agged = documents
       .select(explode(split(col("text"), " ")).as("token"))
-      .agg(graft.functions.FreqSketch.mg_topk(s, col("token"), capacity).as("hh"))
+      .agg(graft.functions.FreqSketch.mg_topk(s, col("token"), capacity).as("hh"),
+        count(lit(1)).as("n_total"))
+    val checked = if (!requireExact) agged else {
+      val mass = aggregate(col("hh"), lit(0L), (a, e) => a + e.getField("count"))
+      // assert_true returns NULL on success; coalesce keeps the filter
+      // from being constant-folded away while never dropping the row
+      agged.filter(coalesce(assert_true(mass === col("n_total"),
+        lit(s"Misra-Gries exact-regime precondition violated: sketch mass < " +
+          s"total tokens, so the distinct-token count exceeds capacity $capacity " +
+          "and counts are lower bounds — raise capacity or set requireExact=false")),
+        lit(true)))
+    }
+    checked
       .select(explode(col("hh")).as("e"))
       .select(col("e.item").as("token"), col("e.count").as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("token"))

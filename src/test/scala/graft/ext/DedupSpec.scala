@@ -97,6 +97,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("simhashNearDup band-bucket cap bounds the degenerate-corpus blowup") {
+    import spark.implicits._
+    // 200 empty docs share the all-zeros fingerprint: every band bucket
+    // holds all 200, so the uncapped self-join emits all C(200,2) pairs
+    val emptyDocs = (1 to 200).map(i => (i.toLong, "", "en", "s", 0L))
+    // planted near-dup pair in a small bucket must survive the cap
+    val planted = Seq(
+      (1001L, "alpha beta gamma delta epsilon", "en", "s", 30L),
+      (1002L, "alpha beta gamma delta epsilon", "en", "s", 30L))
+    val d = (emptyDocs ++ planted)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val uncapped = Dedup.simhashNearDup(d).collect()
+    assert(uncapped.length === 200 * 199 / 2 + 1,
+      "uncapped: quadratic pair volume in the degenerate bucket")
+    val capped = Dedup.simhashNearDup(d, maxBandBucket = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq === Seq((1001L, 1002L)),
+      "cap must drop the mass-duplicate bucket (exact dedup's job) " +
+        "while keeping pairs from non-degenerate buckets")
+  }
+
   test("connectedComponents: chains merge transitively, isolated nodes keep their id") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -102,4 +102,50 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       Multimodal.syntheticPngTable(spark, docs)).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"codec pipeline must not shuffle:\n$plan")
   }
+
+  test("JPEG lossy tier: real JPEGs, bounded reconstruction error, deterministic") {
+    import spark.implicits._
+    val docs = Seq((3L, "x", "en", "src0", 1L), (10L, "y", "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.syntheticJpegTable(spark, docs)
+    val payloads = media.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    // JPEG/JFIF signature: 0xFF 0xD8 0xFF
+    payloads.values.foreach { jpg =>
+      assert((jpg(0) & 0xFF) === 0xFF && (jpg(1) & 0xFF) === 0xD8 &&
+        (jpg(2) & 0xFF) === 0xFF, "payload must be a real JPEG")
+    }
+    val feats = Multimodal.decodeImageFeatures(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(3L, 10L)) {
+      val w = (16 + id % 9).toInt; val h = (16 + id % 7).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += ((id * 7) % 64 + x * 2 + y) % 256
+        sg += ((id * 11) % 64 + x + y * 2) % 256
+        sb += ((id * 13) % 64 + x + y) % 256
+      }
+      val r = feats(id)
+      assert((r.getInt(1), r.getInt(2), r.getLong(3)) === ((w, h, w.toLong * h)),
+        "dimensions survive the lossy round-trip exactly")
+      // lossy codec: per-channel MEAN reconstruction error stays small
+      // on the smooth-gradient fixture (DCT error lives in high
+      // frequencies); 8 gray levels per pixel is a generous envelope
+      val n = w.toLong * h
+      for ((got, want, ch) <- Seq((r.getLong(4), sr, "r"),
+          (r.getLong(5), sg, "g"), (r.getLong(6), sb, "b")))
+        assert(math.abs(got - want) <= 8 * n,
+          s"channel $ch of doc $id drifted ${math.abs(got - want)} over $n px")
+    }
+    // same JVM encoder + deterministic pattern -> byte-identical reruns
+    val again = Multimodal.syntheticJpegTable(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    for (id <- Seq(3L, 10L))
+      assert(java.util.Arrays.equals(payloads(id), again(id)),
+        "JPEG encode must be rerun-deterministic")
+    val plan = Multimodal.decodeImageFeatures(spark,
+      Multimodal.syntheticJpegTable(spark, docs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"codec pipeline must not shuffle:\n$plan")
+  }
 }

@@ -121,6 +121,13 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val r1 = rows(1L)
     assert(r1.isNullAt(r1.fieldIndex("scale")))
     assert(r1.getString(3) === "0,0,0,0")
+    // NaN-containing vector: explicitly NULL scale + zero codes (the
+    // engine-portable convention — DuckDB would otherwise order NaN
+    // greater than any value and produce a non-NULL scale)
+    val nan = Similarity.quantizeInt8(emb((2L, Seq(Float.NaN, 1.0f, 0f, 0f), 0)))
+      .collect()(0)
+    assert(nan.isNullAt(nan.fieldIndex("scale")), "NaN vector must get NULL scale")
+    assert(nan.getString(3) === "0,0,0,0")
     // real data: every code within int8 range, reconstruction error <= scale/2
     val real = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     Similarity.quantizeInt8(real).collect().foreach { r =>

@@ -32,6 +32,30 @@ class FreqSketchSpec extends AnyFunSuite with SparkSpec {
     assert(rows.toSeq === Seq(("a", 2L), ("b", 2L), ("c", 1L)))
   }
 
+  test("heavyHitterTokens guards its exact-regime oracle claim at run time") {
+    import spark.implicits._
+    // in-regime: passes and equals the plain aggregation
+    val small = Seq((1L, "a b a", "en", "s", 5L), (2L, "b c", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.Sketches.heavyHitterTokens(small, capacity = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+    // over capacity: the same entry point must RAISE (pointing at the
+    // violated precondition), not silently return lower-bound counts
+    // that would surface as an unexplained oracle hash mismatch
+    val wide = (1 to 30).map(i => (i.toLong, s"tok$i x", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[Exception] {
+      graft.ops.Sketches.heavyHitterTokens(wide, capacity = 4).collect()
+    }
+    assert(e.getMessage.contains("exact-regime precondition violated"),
+      s"wrong failure: ${e.getMessage}")
+    // opt-out keeps the documented degraded mode available
+    val degraded = graft.ops.Sketches
+      .heavyHitterTokens(wide, capacity = 4, requireExact = false).collect()
+    assert(degraded.nonEmpty && degraded.length <= 4)
+  }
+
   test("over capacity: every item above N/(k+1) survives with count error <= N/(k+1)") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
