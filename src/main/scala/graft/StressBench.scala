@@ -152,7 +152,19 @@ object StressBench {
         .orderBy(col("n").desc, col("k")).limit(64).count()),
       time("repeated_spans", ext.Dedup.repeatedSpans(docs).count()),
       time("quality_quantile", ext.DataPrep.qualityQuantileFilter(docs).count()),
-      time("leakage_safe_split", ext.DataPrep.leakageSafeSplit(docs).count())).flatten
+      time("leakage_safe_split", ext.DataPrep.leakageSafeSplit(docs).count()),
+      // round-6: the two-pass global-order forms vs their single-reducer
+      // window twins at replication scale — the A/B the scale-safety
+      // claim rests on (budget scaled with the corpus so admission stays
+      // a corpus-wide sweep, not a tiny prefix)
+      time("token_budget_twopass", ext.DataPrep.tokenBudgetSelect(
+        docs, budget = 2000000L * factor).count()),
+      time("token_budget_window", ext.DataPrep.tokenBudgetSelectWindow(
+        docs, budget = 2000000L * factor).count()),
+      time("curriculum_twopass", ext.DataPrep.curriculumDeciles(docs).count()),
+      time("curriculum_window", ext.DataPrep.curriculumDecilesWindow(docs).count()),
+      time("negative_samples_twopass", ext.DataPrep.negativeSamples(docs).count()),
+      time("negative_samples_window", ext.DataPrep.negativeSamplesWindow(docs).count())).flatten
 
     val rows = li.count()
     val qs = results.map { case (k, v, n) => s""""$k":{"sec":$v,"rows":$n}""" }

@@ -20,4 +20,15 @@ object GraftBridge {
 
   def column(e: Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** DataFrame over an RDD of InternalRow — the Tungsten-native twin of
+    * `createDataFrame(RDD[Row], schema)`, skipping the external-type
+    * converters entirely. Rows must be immutable (fresh UnsafeRow
+    * copies, not reused reader buffers).
+    */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rows: org.apache.spark.rdd.RDD[catalyst.InternalRow],
+      schema: types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rows, schema)
 }
