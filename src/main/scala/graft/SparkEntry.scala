@@ -155,9 +155,11 @@ object SparkEntry {
     "q_compression_ratio" -> ((s, d) =>
       graft.ext.Compression.compressionSignal(s, Tables.documents(s, d))),
     // Misra-Gries in the exact regime (capacity >= distinct tokens), so
-    // the oracle is the plain token-count aggregation
+    // the oracle is the plain token-count aggregation; requireExact
+    // raises in-plan instead of hash-mismatching if a regenerated
+    // corpus ever leaves that regime
     "q_heavy_hitters" -> ((s, d) =>
-      graft.ops.Sketches.heavyHitterTokens(Tables.documents(s, d))),
+      graft.ops.Sketches.heavyHitterTokens(Tables.documents(s, d), requireExact = true)),
     // §2.10: dedup family
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
@@ -177,8 +179,13 @@ object SparkEntry {
     // ranges are all closed-form deterministic (ordinal sharding +
     // maxRecordsPerFile), so the manifest is oracle-checkable
     "q_shard_manifest" -> ((s, d) => {
+      // applicationId in the path: two concurrent runs against the same
+      // SF would otherwise race on a shared overwrite target. The
+      // export is scratch output — reclaimed on JVM exit.
       val out = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_shards_" + new java.io.File(d).getName).getPath
+        "graft_shards_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(out)
       graft.ops.Layout.writeShardsManifest(Tables.documents(s, d), out, "doc_id")
     }),
     "q_dq_checks" -> ((s, d) => graft.ops.Quality.checkSuite(

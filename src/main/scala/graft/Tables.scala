@@ -39,4 +39,21 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Recursively delete a scratch directory when the JVM exits — for
+    * per-run export targets (keyed by applicationId, so concurrent runs
+    * never share one) that the driver still reads back lazily after the
+    * producing query returns.
+    */
+  def deleteOnExit(path: String): Unit = {
+    val f = new java.io.File(path)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(x: java.io.File): Unit = {
+        val kids = x.listFiles()
+        if (kids != null) kids.foreach(rm)
+        x.delete(): Unit
+      }
+      rm(f)
+    }))
+  }
 }

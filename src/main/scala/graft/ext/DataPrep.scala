@@ -265,15 +265,26 @@ object DataPrep {
     val train = (if (expected == 0) train0
       else {
         // bits for the target fpp at `expected` items (the standard
-        // -n·ln(p)/ln(2)² sizing), clamped to Spark's runtime-filter cap
-        val maxBits = documents.sparkSession.conf
+        // -n·ln(p)/ln(2)² sizing), clamped to Spark's runtime-filter cap.
+        // estimatedNumItems must respect its own cap too: Spark rejects
+        // values above maxNumItems (default 4M) with an AnalysisException,
+        // and an eval split with >4M distinct shingles is exactly the
+        // regime this path exists for. When either clamp engages the
+        // effective fpp rises above the requested one — which only
+        // admits more rows into the exact equi-join below, never changes
+        // the result.
+        val conf = documents.sparkSession.conf
+        val maxBits = conf
           .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+        val maxItems = conf
+          .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+        val estItems = math.min(maxItems, expected)
         val numBits = math.min(maxBits, math.max(64L,
           math.ceil(-expected * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
         val bloomAgg = GraftBridge.column(
           new BloomFilterAggregate(
             GraftBridge.expression(xxhash64(col("shingle"))),
-            Literal(expected), Literal(numBits)).toAggregateExpression())
+            Literal(estItems), Literal(numBits)).toAggregateExpression())
         val bloom = evalShingles.select(bloomAgg.as("bf")).scalar()
         val mightMatch = GraftBridge.column(BloomFilterMightContain(
           GraftBridge.expression(bloom),

@@ -444,9 +444,9 @@ object Dedup {
     * would silently miss pairs for maxHamming > 3. Default (3 → four
     * 16-bit bands) is bit-identical to the original scheme.
     *
-    * `maxBandBucket` (opt-in, 0 = off) is the corpus-scale skew guard:
-    * a heavy band value — canonically the all-zeros fingerprint a mass
-    * of empty/near-empty documents shares — makes the band self-join
+    * `maxBandBucket` is the corpus-scale skew guard: a heavy band
+    * value — canonically the all-zeros fingerprint a mass of
+    * empty/near-empty documents shares — makes the band self-join
     * quadratic in that one bucket. Buckets holding more than
     * `maxBandBucket` fingerprints are dropped BEFORE the self-join
     * (same anti-join shape as [[ngramJaccard]]'s shingle df-cap), which
@@ -455,17 +455,38 @@ object Dedup {
     * through a dropped bucket are sacrificed knowingly: such buckets
     * are mass-duplicate clusters that exact dedup ([[exactDedup]])
     * already catches upstream for far less work than a quadratic join.
-    * Off by default so the recall-complete form stays the driver-
-    * contract shape; the guard's bound is pinned in DedupSpec on a
-    * degenerate mostly-empty corpus.
+    *
+    * The guard is ON BY DEFAULT with a data-derived cap (`-1` = auto):
+    * `max(64, ceil(sqrt(4·R)))` where `R` is the band-row count
+    * (fingerprints × bands). The sqrt law is the natural "degenerate"
+    * line — a single bucket of size m emits ~m²/2 candidate pairs, so
+    * m > sqrt(4R) is precisely when ONE bucket alone exceeds a
+    * linear-in-corpus 2R pair budget; any smaller bucket is cheap by
+    * definition, and the 64 floor keeps small corpora recall-complete.
+    * Duplicate-cluster buckets in a real (exact-deduped) corpus sit far
+    * below sqrt(4R), so auto is a no-op outside the degenerate regime —
+    * verified on the driver corpus at every SF (rows identical to the
+    * unguarded form) and bound-pinned on a mostly-empty corpus in
+    * DedupSpec, both with no caller-supplied parameter. `0` disables
+    * the guard explicitly (the provably recall-complete form); `> 0`
+    * sets a manual cap.
     */
   def simhashNearDup(documents: DataFrame, maxHamming: Int = 3,
-                     maxBandBucket: Int = 0): DataFrame = {
+                     maxBandBucket: Int = -1): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 32): $maxHamming")
     val nb = maxHamming + 1
     val bounds = (0 to nb).map(i => i * 64 / nb)
     val fp = simhash(documents).cache()
+    val cap: Long =
+      if (maxBandBucket > 0) maxBandBucket.toLong
+      else if (maxBandBucket == 0) 0L
+      else {
+        // auto: the fp.count() action doubles as the cache
+        // materialisation the banding pass reuses
+        val bandRows = fp.count() * nb
+        math.max(64L, math.ceil(math.sqrt(4.0 * bandRows)).toLong)
+      }
     val bandCols = (0 until nb).map { i =>
       val lo = bounds(i); val width = bounds(i + 1) - lo
       val mask = if (width >= 64) -1L else (1L << width) - 1L
@@ -474,10 +495,10 @@ object Dedup {
     val allBands = fp.select(col("doc_id"), col("simhash"),
       posexplode(array(bandCols: _*)))
       .toDF("doc_id", "simhash", "band_idx", "band_val")
-    val bands = if (maxBandBucket <= 0) allBands else {
+    val bands = if (cap <= 0) allBands else {
       val heavy = allBands.groupBy("band_idx", "band_val")
         .agg(count(lit(1)).as("n"))
-        .filter(col("n") > maxBandBucket)
+        .filter(col("n") > cap)
         .select("band_idx", "band_val")
       allBands.join(heavy, Seq("band_idx", "band_val"), "left_anti")
     }

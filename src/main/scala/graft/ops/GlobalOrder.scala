@@ -37,13 +37,38 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Running-sum semantics match SQL `SUM(v) OVER (ORDER BY ... ROWS
   * UNBOUNDED PRECEDING)`: NULL values don't advance the sum, and the
   * sum is NULL until the first non-NULL value has been seen.
+  *
+  * RECOMPUTE HAZARD (two jobs over one shuffle): correctness of the
+  * pass-2 ordinals relies on pass 2 reading the SAME shuffle map output
+  * pass 1 measured. Spark guarantees that while the shuffle files live;
+  * if they are lost (executor decommission on a real cluster) the map
+  * stage re-runs, and a NON-deterministic source could then shuffle
+  * different partition contents than the offsets were computed from —
+  * silently wrong ordinals. Every graft caller feeds deterministic
+  * input (parquet scans + deterministic expressions), which makes the
+  * recompute idempotent; callers with non-deterministic upstreams
+  * (sampling without a seed, `rand()`) must checkpoint or persist their
+  * input before calling this.
   */
 object GlobalOrder {
 
   /** Result frame plus the totals the first pass already paid for
-    * (driver-known, so callers don't re-aggregate for `count(*)`).
+    * (driver-known, so callers don't re-aggregate for `count(*)`), and
+    * the prefix-offset broadcast pass 2 reads. The broadcast is
+    * reclaimed automatically by Spark's ContextCleaner once `df`'s
+    * lineage is unreachable; callers that fully materialise `df`
+    * inside their own scope (e.g. a terminal `.write`) can reclaim it
+    * eagerly with [[Ordered.release]].
     */
-  final case class Ordered(df: DataFrame, totalRows: Long, totalValue: Long)
+  final case class Ordered(df: DataFrame, totalRows: Long, totalValue: Long,
+      private[graft] val offsets: org.apache.spark.broadcast.Broadcast[_]) {
+    /** Drop the offset broadcast's executor + driver copies NOW.
+      * Only safe once `df` has been fully materialised (written,
+      * collected, or persisted-and-counted): re-executing `df`'s plan
+      * after release fails on the destroyed broadcast.
+      */
+    def release(): Unit = offsets.destroy()
+  }
 
   /** Appends `ordName` (0-based global ordinal, LONG) and — when
     * `valueCol` is set — `cumName` (inclusive running sum of that LONG
@@ -98,9 +123,9 @@ object GlobalOrder {
       c += cnt; s += sum; nnAcc += nn
     }
     val sc = spark.sparkContext
-    val bcCnt = sc.broadcast(cntOff)
-    val bcSum = sc.broadcast(sumOff)
-    val bcNn = sc.broadcast(nnOff)
+    // one broadcast for all three offset arrays — a single handle for
+    // the ContextCleaner / release() to reclaim
+    val bcOff = sc.broadcast((cntOff, sumOff, nnOff))
     val outFields = schema.fields :+ StructField(ordName, LongType, nullable = false)
     val outSchema = StructType(
       if (vIdx.isDefined) outFields :+ StructField(cumName, LongType, nullable = true)
@@ -114,9 +139,10 @@ object GlobalOrder {
         val proj = UnsafeProjection.create(outSchema)
         val joined = new JoinedRow
         val extra = new GenericInternalRow(nExtra)
-        var ord = bcCnt.value(pid)
-        var cum = bcSum.value(pid)
-        var seen = bcNn.value(pid) > 0L
+        val (cntA, sumA, nnA) = bcOff.value
+        var ord = cntA(pid)
+        var cum = sumA(pid)
+        var seen = nnA(pid) > 0L
         it.map { r =>
           extra.update(0, ord)
           ord += 1
@@ -127,6 +153,6 @@ object GlobalOrder {
           proj(joined(r, extra)).copy(): InternalRow
         }
       }
-    Ordered(GraftBridge.internalCreateDataFrame(spark, outRdd, outSchema), c, s)
+    Ordered(GraftBridge.internalCreateDataFrame(spark, outRdd, outSchema), c, s, bcOff)
   }
 }

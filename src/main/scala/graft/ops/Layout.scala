@@ -102,9 +102,28 @@ object Layout {
                           numShards: Int = 8, maxRecordsPerFile: Int = 200): DataFrame = {
     require(numShards > 0 && maxRecordsPerFile > 0,
       "numShards and maxRecordsPerFile must be positive")
+    val spark = df.sparkSession
+    val keyType = df.schema(sortKey).dataType
+    val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_files",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("min_key", keyType),
+      org.apache.spark.sql.types.StructField("max_key", keyType)))
     val ordered = GlobalOrder.withOrdinal(df, Seq(col(sortKey)),
       valueCol = None, ordName = "_ord")
-    val n = math.max(ordered.totalRows, 1L)
+    // empty input: partitionBy writes no part files, and a schema-less
+    // parquet read-back fails ("unable to infer schema") — return the
+    // empty manifest directly instead
+    if (ordered.totalRows == 0) {
+      ordered.release()
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifestSchema)
+    }
+    val n = ordered.totalRows
     ordered.df
       .withColumn("shard", expr(s"CAST((_ord * $numShards) div $n AS INT)"))
       .drop("_ord")
@@ -114,7 +133,9 @@ object Layout {
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy("shard")
       .parquet(path)
-    val spark = df.sparkSession
+    // the write above fully materialised ordered.df — the offset
+    // broadcast is dead weight from here on
+    ordered.release()
     import org.apache.spark.sql.functions.{countDistinct, input_file_name}
     spark.read.parquet(path)
       // input_file_name() is non-deterministic to the analyzer — it must

@@ -47,6 +47,24 @@ class DataPrepSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("might_contain"), s"expected a might_contain probe:\n$plan")
   }
 
+  test("decontaminateBloom cache hygiene: only the returned result stays pinned") {
+    val docs = Tables.documents(spark, sf)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // k=7 keeps this call's plan distinct from the equality test's
+    // cached results above (CacheManager dedupes identical plans, which
+    // would make the new-cache diff empty)
+    val out = DataPrep.decontaminateBloom(docs, k = 7)
+    // the operator contract hands the caller a persisted, already-
+    // materialised result; every intermediate (the shingle table) must
+    // have been released before it returned — sequential operators must
+    // not accumulate dead caches (the ×20-run failure mode in RESULTS.md)
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.size === 1, s"expected only the result cache, got: $during")
+    out.unpersist(blocking = true)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"caches left after releasing the result: $after")
+  }
+
   test("stratified sample: balances strata toward the smallest, min stratum kept whole") {
     val d = Tables.documents(spark, sf)
     val rows = DataPrep.stratifiedSample(d, "lang").collect()

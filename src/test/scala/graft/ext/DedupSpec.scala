@@ -84,7 +84,9 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.functions._
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     for (maxH <- Seq(3, 5, 8)) {
-      val banded = Dedup.simhashNearDup(d, maxH).collect()
+      // guard off: recall-completeness is a property of the banding
+      // itself; the auto guard's no-op-on-this-corpus is pinned below
+      val banded = Dedup.simhashNearDup(d, maxH, maxBandBucket = 0).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
       val fp = Dedup.simhash(d)
       val brute = fp.as("x").join(fp.as("y"), col("x.doc_id") < col("y.doc_id"))
@@ -95,6 +97,13 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       assert(banded === brute,
         s"banding must find exactly the brute-force pairs at maxHamming=$maxH")
     }
+    // default (auto guard) on a normal corpus: no bucket is degenerate,
+    // so the guard must be a row-for-row no-op
+    val auto = Dedup.simhashNearDup(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    val off = Dedup.simhashNearDup(d, maxBandBucket = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    assert(auto === off, "auto cap must not drop rows on a non-degenerate corpus")
   }
 
   test("simhashNearDup band-bucket cap bounds the degenerate-corpus blowup") {
@@ -108,14 +117,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       (1002L, "alpha beta gamma delta epsilon", "en", "s", 30L))
     val d = (emptyDocs ++ planted)
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val uncapped = Dedup.simhashNearDup(d).collect()
+    val uncapped = Dedup.simhashNearDup(d, maxBandBucket = 0).collect()
     assert(uncapped.length === 200 * 199 / 2 + 1,
-      "uncapped: quadratic pair volume in the degenerate bucket")
+      "guard off: quadratic pair volume in the degenerate bucket")
     val capped = Dedup.simhashNearDup(d, maxBandBucket = 50).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(capped.toSeq === Seq((1001L, 1002L)),
       "cap must drop the mass-duplicate bucket (exact dedup's job) " +
         "while keeping pairs from non-degenerate buckets")
+    // safe-by-default: NO caller-supplied parameter. 202 fingerprints ×
+    // 4 bands = 808 band rows -> auto cap = max(64, ceil(sqrt(3232))) =
+    // 64, so the 200-strong degenerate buckets are dropped and the
+    // planted pair's 2-strong buckets survive
+    val auto = Dedup.simhashNearDup(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(auto.toSeq === Seq((1001L, 1002L)),
+      "auto cap must bound the degenerate corpus with no parameter")
   }
 
   test("connectedComponents: chains merge transitively, isolated nodes keep their id") {

@@ -40,19 +40,22 @@ class FreqSketchSpec extends AnyFunSuite with SparkSpec {
     val got = graft.ops.Sketches.heavyHitterTokens(small, capacity = 8).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq === Seq(("a", 2L), ("b", 2L), ("c", 1L)))
-    // over capacity: the same entry point must RAISE (pointing at the
-    // violated precondition), not silently return lower-bound counts
-    // that would surface as an unexplained oracle hash mismatch
+    // over capacity with strict mode (the driver-contract setting):
+    // must RAISE pointing at the violated precondition, not silently
+    // return lower-bound counts that would surface as an unexplained
+    // oracle hash mismatch
     val wide = (1 to 30).map(i => (i.toLong, s"tok$i x", "en", "s", 6L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val e = intercept[Exception] {
-      graft.ops.Sketches.heavyHitterTokens(wide, capacity = 4).collect()
+      graft.ops.Sketches
+        .heavyHitterTokens(wide, capacity = 4, requireExact = true).collect()
     }
     assert(e.getMessage.contains("exact-regime precondition violated"),
       s"wrong failure: ${e.getMessage}")
-    // opt-out keeps the documented degraded mode available
+    // the default keeps the documented N/(k+1) degraded mode: bounded
+    // lower-bound counts, no error
     val degraded = graft.ops.Sketches
-      .heavyHitterTokens(wide, capacity = 4, requireExact = false).collect()
+      .heavyHitterTokens(wide, capacity = 4).collect()
     assert(degraded.nonEmpty && degraded.length <= 4)
   }
 

@@ -65,4 +65,14 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(m2.toSeq === m1.toSeq)
   }
+
+  test("writeShardsManifest: empty input returns an empty manifest, not a read error") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.lit(false))
+    val path = java.nio.file.Files.createTempDirectory("shardse").toString + "/t"
+    val m = Layout.writeShardsManifest(d, path, "doc_id")
+    assert(m.collect().isEmpty)
+    assert(m.schema.fieldNames.toSeq ===
+      Seq("shard", "n_rows", "n_files", "min_key", "max_key"))
+  }
 }
