@@ -257,6 +257,19 @@ object SparkEntry {
     "q_approx_profile" -> ((s, d) => Relational.approxProfile(Tables.lineitem(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "q_minhash_neardup" -> ((s, d) => Dedup.minhashNearDup(Tables.documents(s, d))),
+    // md5-family twin: same LSH pipeline, portable hash -> the banding,
+    // candidates, AND verify are all DuckDB-reproducible (oracle-matched),
+    // closing the "banding is engine-specific" gap for the family
+    "q_minhash_neardup_md5" -> ((s, d) => Dedup.minhashNearDup(
+      Tables.documents(s, d), numHashes = 16, numBands = 8, portableHash = true)),
+    "q_incremental_neardup_md5" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val storedSigs = Dedup.minhashSignaturesMd5(
+        Dedup.shingles(docs.filter(col("doc_id") < 250)), numHashes = 16)
+      Dedup.incrementalMinhashNearDup(docs.filter(col("doc_id") >= 250), storedSigs,
+        numHashes = 16, numBands = 8, portableHash = true)
+    }),
     "q_incremental_neardup" -> ((s, d) => {
       // daily-ingest shape: docs < 250 are the already-ingested corpus
       // (only their STORED signatures are used), the rest are the new batch
@@ -1622,6 +1635,82 @@ object SparkEntry {
         |    round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // portable-hash minhash: DuckDB reproduces the md5-family signatures
+    // bit-for-bit (('0x'||substr(md5(...),1,15))::BIGINT == Spark's
+    // conv(substring(md5(...),1,15),16,10) cast long), so banding,
+    // candidate generation and the exact-Jaccard verify are all checked
+    "q_minhash_neardup_md5" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |    i -> array_to_string(l[i:i+4], ' ')))) AS shingle
+        |  FROM toks WHERE len(l) >= 5),
+        |mins AS (
+        |  SELECT doc_id, seeds.i,
+        |    min(('0x' || substr(md5(shingle || chr(1) || CAST(seeds.i AS VARCHAR)),
+        |      1, 15))::BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) seeds
+        |  GROUP BY doc_id, seeds.i),
+        |bands AS (
+        |  SELECT a.doc_id, a.i // 2 AS band_idx,
+        |    CAST(a.h AS VARCHAR) || ':' || CAST(b.h AS VARCHAR) AS band_key
+        |  FROM mins a JOIN mins b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  WHERE a.i % 2 = 0),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+        |    AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // incremental twin: same portable signatures; stored side (doc_id <
+    // 250) contributes ONLY its signature components, candidates need
+    // >= 1 new doc, similarity is the signature-estimated Jaccard
+    "q_incremental_neardup_md5" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |    i -> array_to_string(l[i:i+4], ' ')))) AS shingle
+        |  FROM toks WHERE len(l) >= 5),
+        |mins AS (
+        |  SELECT doc_id, seeds.i,
+        |    min(('0x' || substr(md5(shingle || chr(1) || CAST(seeds.i AS VARCHAR)),
+        |      1, 15))::BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) seeds
+        |  GROUP BY doc_id, seeds.i),
+        |bands AS (
+        |  SELECT a.doc_id, a.doc_id >= 250 AS is_new, a.i // 2 AS band_idx,
+        |    CAST(a.h AS VARCHAR) || ':' || CAST(b.h AS VARCHAR) AS band_key
+        |  FROM mins a JOIN mins b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  WHERE a.i % 2 = 0),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    (x.is_new <> y.is_new) AS is_cross
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+        |    AND x.doc_id < y.doc_id AND (x.is_new OR y.is_new)),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b, c.is_cross,
+        |    round(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+        |  FROM cand c
+        |  JOIN mins ma ON ma.doc_id = c.doc_a
+        |  JOIN mins mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_a, doc_b, est_jaccard, is_cross FROM est
+        |WHERE est_jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

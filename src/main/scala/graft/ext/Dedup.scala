@@ -123,26 +123,63 @@ object Dedup {
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Engine-portable 60-bit hash of (value, seed): the first 15 hex
+    * chars of `md5(value <0x01> seed)` as a LONG. Unlike `xxhash64`
+    * (Spark-only), md5 is bit-identical across engines — DuckDB computes
+    * the same value as `('0x' || substr(md5(v || chr(1) || seed), 1,
+    * 15))::BIGINT` — which is what lets the minhash near-dup family run
+    * under a DuckDB oracle (the `_md5` twins below). 60 bits keep the
+    * value positive in a signed 64-bit long in both engines.
+    */
+  private[graft] def md5HashLong(c: Column, seed: Int): Column =
+    conv(substring(md5(concat_ws("\u0001", c, lit(seed.toString))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** [[minhashSignaturesComposed]] over the portable md5 hash family —
+    * same algorithm, every hash value reproducible by any engine with
+    * md5. The oracle-checkable twin's signature source.
+    */
+  def minhashSignaturesMd5(sh: DataFrame, numHashes: Int = 16): DataFrame = {
+    val minCols = (0 until numHashes)
+      .map(i => min(md5HashLong(col("shingle"), i)).as(s"h$i"))
+    sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
   /** MinHash + LSH banding near-dup: band the signature (`numBands` bands
     * of `numHashes/numBands` rows), bucket-join on (band index, band
     * hash) to get candidate pairs, then verify candidates with exact
-    * shingle Jaccard ≥ `threshold`. Candidate generation is probabilistic
-    * (banding may miss borderline pairs) → no SQL oracle; the verify step
-    * makes every *emitted* pair exact.
+    * shingle Jaccard ≥ `threshold`. With the default xxhash64 family,
+    * candidate generation is engine-specific (no SQL oracle — the
+    * verify step still makes every *emitted* pair exact); with
+    * `portableHash = true` signatures and band keys come from the
+    * [[md5HashLong]] family, so the WHOLE pipeline — banding,
+    * candidates, verification — is reproducible in any md5-capable
+    * engine and runs under a DuckDB oracle (`q_minhash_neardup_md5`).
+    * Same algorithm and plan shape either way; xxhash64 stays the
+    * production default (one fused sketch aggregate vs numHashes
+    * md5 min-columns).
     */
   def minhashNearDup(documents: DataFrame, k: Int = 5, numHashes: Int = 64,
                      numBands: Int = 16, threshold: Double = 0.5,
-                     pruneVerifyShingles: Boolean = false): DataFrame = {
+                     pruneVerifyShingles: Boolean = false,
+                     portableHash: Boolean = false): DataFrame = {
     // e.g. 64/12 would silently drop the trailing 4 signature components
     // and lower recall below the banding guarantee
     require(numBands > 0 && numHashes % numBands == 0,
       s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
     val rowsPerBand = numHashes / numBands
     val sh = shingles(documents, k).cache()
-    val sig = minhashSignatures(sh, numHashes)
+    val sig =
+      if (portableHash) minhashSignaturesMd5(sh, numHashes)
+      else minhashSignatures(sh, numHashes)
     val bandCols = (0 until numBands).map { bnd =>
       val parts = (0 until rowsPerBand).map(r => col("sig").getItem(bnd * rowsPerBand + r))
-      xxhash64(lit(bnd) +: parts: _*)
+      // portable band key: the components themselves (":"-joined) — a
+      // separator-delimited long tuple cannot collide, and any engine
+      // reproduces it; xxhash64 otherwise (constant-width shuffle key)
+      if (portableHash) concat_ws(":", parts.map(_.cast("string")): _*)
+      else xxhash64(lit(bnd) +: parts: _*)
     }
     val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band_idx", "band_hash")
@@ -375,19 +412,30 @@ object Dedup {
     * (doc_a, doc_b, est_jaccard, is_cross) with est ≥ `threshold`;
     * `is_cross` marks new-vs-stored pairs (true duplicates of existing
     * corpus content → drop the new copy) vs new-vs-new.
+    *
+    * `portableHash = true` switches the new batch's signatures and the
+    * band keys to the [[md5HashLong]] family (stored sigs must then
+    * come from [[minhashSignaturesMd5]]), making candidates AND
+    * estimates engine-reproducible — the DuckDB-oracle-matched twin
+    * `q_incremental_neardup_md5`.
     */
   def incrementalMinhashNearDup(newDocs: DataFrame, storedSigs: DataFrame,
                                 k: Int = 5, numHashes: Int = 64, numBands: Int = 16,
-                                threshold: Double = 0.5): DataFrame = {
+                                threshold: Double = 0.5,
+                                portableHash: Boolean = false): DataFrame = {
     require(numBands > 0 && numHashes % numBands == 0,
       s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
     val rowsPerBand = numHashes / numBands
-    val newSigs = minhashSignatures(shingles(newDocs, k), numHashes)
+    val newSh = shingles(newDocs, k)
+    val newSigs =
+      if (portableHash) minhashSignaturesMd5(newSh, numHashes)
+      else minhashSignatures(newSh, numHashes)
     val all = storedSigs.select(col("doc_id"), col("sig"), lit(false).as("is_new"))
       .unionByName(newSigs.select(col("doc_id"), col("sig"), lit(true).as("is_new")))
     val bandCols = (0 until numBands).map { bnd =>
       val parts = (0 until rowsPerBand).map(r => col("sig").getItem(bnd * rowsPerBand + r))
-      xxhash64(lit(bnd) +: parts: _*)
+      if (portableHash) concat_ws(":", parts.map(_.cast("string")): _*)
+      else xxhash64(lit(bnd) +: parts: _*)
     }
     val banded = all.select(col("doc_id"), col("sig"), col("is_new"),
       posexplode(array(bandCols: _*)))

@@ -80,6 +80,46 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "stored-vs-stored pairs are not re-reported")
   }
 
+  test("md5HashLong is the engine-portable value DuckDB computes") {
+    import spark.implicits._
+    // pinned cross-engine constant: DuckDB's
+    //   ('0x' || substr(md5('abc' || chr(1) || '7'), 1, 15))::BIGINT
+    // = 1102009975508406977 — the parity the _md5 oracle twins rest on
+    val got = Seq("abc").toDF("s")
+      .select(Dedup.md5HashLong(org.apache.spark.sql.functions.col("s"), 7))
+      .collect()(0).getLong(0)
+    assert(got === 1102009975508406977L)
+  }
+
+  test("portable minhash twin: planted duplicates found, cross/new classes correct") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // stored corpus (ids < 250) with one doc whose exact copy and one
+    // near-copy arrive in the new batch; plus a new-vs-new exact pair
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val docs = Seq(
+      (10L, base, "en", "s", 60L),
+      (300L, base, "en", "s", 60L),   // new, dup of stored 10
+      (301L, near, "en", "s", 60L),   // new, near-dup of stored 10
+      (310L, "one two three four five six seven", "en", "s", 40L),
+      (311L, "one two three four five six seven", "en", "s", 40L) // new-vs-new dup
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val stored = Dedup.minhashSignaturesMd5(
+      Dedup.shingles(docs.filter(col("doc_id") < 250)), numHashes = 16)
+    val out = Dedup.incrementalMinhashNearDup(
+      docs.filter(col("doc_id") >= 250), stored,
+      numHashes = 16, numBands = 8, portableHash = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val byPair = out.map(t => (t._1, t._2) -> t).toMap
+    assert(byPair((10L, 300L))._3 === 1.0 && byPair((10L, 300L))._4 === true,
+      "exact stored-dup must be found cross with est 1.0")
+    assert(byPair.contains(10L -> 301L) && byPair((10L, 301L))._4 === true,
+      "near-dup of stored content must be found cross")
+    assert(byPair((310L, 311L))._3 === 1.0 && byPair((310L, 311L))._4 === false,
+      "new-vs-new dup must be found non-cross")
+  }
+
   test("simhashNearDup banding is recall-complete at any threshold (≡ brute force)") {
     import org.apache.spark.sql.functions._
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
