@@ -63,7 +63,7 @@ object Bench {
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     val failCount = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
-    for (r <- 0 until runs; name <- names) {
+    def timeOne(name: String): Unit = {
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
@@ -79,6 +79,20 @@ object Bench {
         failCount(name) += 1
       }
     }
+    for (r <- 0 until runs; name <- names) timeOne(name)
+    // Contention-adaptive top-up: a max/min spread over 3x means at
+    // least one pass sat in a host-contention window — and with minute-
+    // long windows even the min of 3 interleaved samples can be
+    // inflated (r6: q_star_join min 1.75s in-suite vs 0.73s quiet-host).
+    // One extra sample per wide-spread query, taken AFTER the sweep (a
+    // different time window), gives the minimum another clean shot. The
+    // 50 ms floor keeps sub-100ms queries' fixed-cost jitter from
+    // triggering top-ups.
+    val suspects = names.filter { n =>
+      val s = samples(n)
+      s.nonEmpty && s.min > 0.05 && s.max / s.min > 3.0
+    }
+    suspects.foreach(timeOne)
     val results = names.map(n => n ->
       (if (samples(n).isEmpty) -1.0 else samples(n).min))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -97,7 +111,8 @@ object Bench {
     val onlyJson = only.map(_.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
       .getOrElse("null")
     val unmatchedJson = unmatched.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"flaky":$flaky,"spread":$spread,"only":$onlyJson,"unmatched":$unmatchedJson,"sf":"$sfDir"}""")
+    val toppedUp = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"flaky":$flaky,"spread":$spread,"topped_up":$toppedUp,"only":$onlyJson,"unmatched":$unmatchedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
