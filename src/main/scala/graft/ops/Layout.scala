@@ -113,8 +113,12 @@ object Layout {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("min_key", keyType),
       org.apache.spark.sql.types.StructField("max_key", keyType)))
+    // pinInput = false: the child here is the caller's raw (often
+    // full-width) scan — parquet re-traversals are cheap and columnar,
+    // while caching the whole corpus ahead of an export would double
+    // its storage footprint at scale
     val ordered = GlobalOrder.withOrdinal(df, Seq(col(sortKey)),
-      valueCol = None, ordName = "_ord")
+      valueCol = None, ordName = "_ord", pinInput = false)
     // empty input: partitionBy writes no part files, and a schema-less
     // parquet read-back fails ("unable to infer schema") — return the
     // empty manifest directly instead
