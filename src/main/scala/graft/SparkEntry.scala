@@ -280,6 +280,12 @@ object SparkEntry {
       Dedup.incrementalMinhashNearDup(docs.filter(col("doc_id") >= 250), storedSigs)
     }),
     "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
+    // winnowing (SIGMOD'03 / MOSS) fingerprints over the portable md5
+    // hash: selection AND overlap near-dup run under the DuckDB oracle
+    "q_winnow_fingerprints" -> ((s, d) =>
+      Dedup.winnowFingerprints(Tables.documents(s, d))
+        .orderBy("doc_id", "fp")),
+    "q_winnow_neardup" -> ((s, d) => Dedup.winnowNearDup(Tables.documents(s, d))),
     // §2.10: similarity search
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
@@ -1711,6 +1717,68 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3)
         |SELECT doc_a, doc_b, est_jaccard, is_cross FROM est
         |WHERE est_jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // winnowing (SIGMOD'03): char-8-gram md5-60bit hashes, min per
+    // 8-gram sliding window of 8 — full windows only, distinct per doc.
+    // Engine-identical: same normalization, same portable hash, same
+    // ROWS window frame, min over BIGINTs
+    "q_winnow_fingerprints" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS t
+        |  FROM documents),
+        |grams0 AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos
+        |  FROM norm WHERE len(t) >= 15),
+        |grams AS (
+        |  SELECT doc_id, pos, len(t) - 7 AS n_grams,
+        |    ('0x' || substr(md5(substr(t, CAST(pos AS INTEGER), 8)
+        |      || chr(1) || '0'), 1, 15))::BIGINT AS h
+        |  FROM grams0),
+        |wins AS (
+        |  SELECT doc_id, pos, n_grams,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        |  FROM grams)
+        |SELECT DISTINCT doc_id, fp FROM wins
+        |WHERE pos <= n_grams - 7
+        |ORDER BY doc_id, fp""".stripMargin,
+    "q_winnow_neardup" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS t
+        |  FROM documents),
+        |grams0 AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos
+        |  FROM norm WHERE len(t) >= 15),
+        |grams AS (
+        |  SELECT doc_id, pos, len(t) - 7 AS n_grams,
+        |    ('0x' || substr(md5(substr(t, CAST(pos AS INTEGER), 8)
+        |      || chr(1) || '0'), 1, 15))::BIGINT AS h
+        |  FROM grams0),
+        |wins AS (
+        |  SELECT doc_id, pos, n_grams,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        |  FROM grams),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n_grams - 7),
+        |kept AS (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df
+        |    FROM fps) WHERE df <= 50),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ov AS (
+        |  SELECT doc_a, doc_b, n_shared,
+        |    round(CAST(n_shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+        |  FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, n_shared, overlap FROM ov
+        |WHERE overlap >= 0.4
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

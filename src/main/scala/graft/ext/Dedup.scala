@@ -593,4 +593,79 @@ object Dedup {
       .orderBy(col("n_occurrences").desc, col("span"))
       .limit(topN)
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS algorithm). Text is normalized (lowercase,
+    * non-alphanumerics stripped), char `k`-grams are hashed with the
+    * engine-portable [[md5HashLong]] family, and each sliding window of
+    * `w` consecutive gram hashes contributes its minimum — the
+    * fingerprint set is the distinct (doc_id, fp) pairs. Guarantee: any
+    * shared substring of at least `w + k - 1` chars yields at least one
+    * shared fingerprint, while storing only ~2/(w+1) of the gram hashes.
+    *
+    * Scale design: the explode is per-char but strictly linear, and the
+    * window is PARTITIONED BY doc_id (ordered by gram position) — one
+    * hash shuffle on doc_id, never a global window. The portable hash
+    * makes the whole pipeline reproducible in any md5-capable engine,
+    * so it runs under the DuckDB oracle (`q_winnow_fingerprints`).
+    * Documents shorter than `k + w - 1` normalized chars produce no
+    * fingerprints (no full window exists — guarded, `sequence` never
+    * descends).
+    */
+  def winnowFingerprints(documents: DataFrame, k: Int = 8, w: Int = 8): DataFrame = {
+    require(k > 0 && w > 0, s"k ($k) and w ($w) must be positive")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    val norm = lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", ""))
+    documents
+      .select(col("doc_id"), norm.as("t"))
+      .filter(length(col("t")) >= k + w - 1)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5HashLong(col("t").substr(col("pos"), lit(k)), 0).as("h"),
+        (length(col("t")) - (k - 1)).as("n_grams"))
+      .select(col("doc_id"), col("pos"), col("n_grams"),
+        min(col("h")).over(win).as("fp"))
+      // only full windows — AFTER the min, so boundary windows see all
+      // their grams: a window starting at pos covers grams
+      // [pos, pos + w - 1], so pos must not exceed n_grams - w + 1
+      .filter(col("pos") <= col("n_grams") - (w - 1))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs by winnowing-fingerprint overlap: documents
+    * whose shared fingerprints cover at least `overlapThreshold` of the
+    * smaller document's fingerprint set (each shared fingerprint
+    * witnesses a common substring of `w + k - 1`+ chars; the fraction
+    * makes the test length-invariant — an absolute count would flag
+    * template-corpus noise and miss short dups). Fingerprints appearing
+    * in more than `maxDf` documents are dropped before the self-join —
+    * the boilerplate guard that also bounds bucket size at scale (same
+    * posture as the shingle df-cap: the join is bucketed by
+    * fingerprint, never all-pairs). Fully oracle-expressible
+    * (`q_winnow_neardup`).
+    */
+  def winnowNearDup(documents: DataFrame, k: Int = 8, w: Int = 8,
+                    overlapThreshold: Double = 0.4, maxDf: Int = 50): DataFrame = {
+    val fps = winnowFingerprints(documents, k, w)
+    val kept = fps.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("df") <= maxDf).drop("df")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("sa.n"), col("sb.n")), 6).as("overlap"))
+      .filter(col("overlap") >= overlapThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -349,4 +349,51 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       ("a b c", 2L, 2L, 1L), ("b c d", 2L, 2L, 1L), ("c d e", 2L, 2L, 1L)),
       "exactly the spans shared by both docs, count-desc/span-asc ordered")
   }
+
+  test("winnowFingerprints: guarantee, density bound, short-doc guard, normalization") {
+    // SIGMOD'03 guarantee: any shared substring of >= w + k - 1 chars
+    // yields >= 1 shared fingerprint
+    val k = 8; val w = 8
+    val shared = "zqxwvutsrqponmlk" // 16 >= k + w - 1 = 15 chars, distinctive
+    val d = docs(
+      1L -> s"first document body $shared and then some trailing content here",
+      2L -> s"totally other opening $shared closing words differ completely now",
+      3L -> other,
+      4L -> "tiny") // < 15 normalized chars -> no fingerprints
+    val fp = Dedup.winnowFingerprints(d, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fp.groupBy(_._1).map { case (id, a) => id -> a.map(_._2).toSet }
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "docs sharing a 16-char substring must share a fingerprint")
+    assert(byDoc(3L).intersect(byDoc(1L)).isEmpty, "unrelated doc shares nothing")
+    assert(!byDoc.contains(4L), "sub-(k+w-1) docs produce no fingerprints")
+    // density: distinct fingerprints <= full windows, >= windows / w
+    // (every window selects a fingerprint within it, so one fingerprint
+    // covers at most w windows)
+    val norm1 = ("first document body " + shared + " and then some trailing content here")
+      .toLowerCase.replaceAll("[^a-z0-9]", "")
+    val nWindows = norm1.length - k + 1 - (w - 1)
+    assert(byDoc(1L).size <= nWindows && byDoc(1L).size >= nWindows / w)
+    // normalization: case and punctuation do not change the fingerprint set
+    val d2 = docs(9L -> "The-Quick! brown FOX, jumps; over (the) lazy dog today yes",
+                  10L -> "the quick brown fox jumps over the lazy dog today yes")
+    val fp2 = Dedup.winnowFingerprints(d2, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (id, a) => id -> a.map(_._2).toSet }
+    assert(fp2(9L) === fp2(10L))
+  }
+
+  test("winnowNearDup: overlap fraction isolates the planted dup pair") {
+    val d = docs(
+      1L -> (base + " extra tail words here to pass length"),
+      2L -> (base + " extra tail words here to pass length"),
+      3L -> nearDup, 4L -> other)
+    val rows = Dedup.winnowNearDup(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(rows((1L, 2L)) === 1.0, "identical docs overlap fully")
+    assert(rows.contains((1L, 3L)) && rows((1L, 3L)) < 1.0,
+      "near-dup (one word changed) passes the 0.4 overlap gate")
+    assert(!rows.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "unrelated doc never pairs")
+  }
 }

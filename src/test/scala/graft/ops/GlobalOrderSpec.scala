@@ -90,4 +90,22 @@ class GlobalOrderSpec extends AnyFunSuite with SparkSpec {
     assert(sizes.count(_ > 0) > 1, "rows must land in multiple range partitions")
     assert(sizes.max < 1000, "no partition may hold the whole input")
   }
+
+  test("AQE cannot coalesce the default range exchange to one partition") {
+    // regression: a number-less repartitionByRange is fair game for AQE
+    // partition coalescing — a narrow corpus under the 64 MB advisory
+    // size collapsed to ONE partition, recreating the single-task global
+    // sort the two-pass exists to avoid. withOrdinal must always pass an
+    // explicit (user-specified, coalescing-exempt) count.
+    val d = (1 to 10000).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = GlobalOrder.withOrdinal(d, Seq(col("id")), Some("v"))
+    val n = spark.sessionState.conf.numShufflePartitions
+    assert(got.df.rdd.getNumPartitions === n,
+      s"default path must keep the session's $n shuffle partitions under AQE")
+    // and the input pin must not linger after the call (compare against
+    // pre-call state — the session is shared across suites)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before),
+      "withOrdinal must release its input pin after pass 1")
+  }
 }
