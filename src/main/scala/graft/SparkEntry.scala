@@ -150,6 +150,9 @@ object SparkEntry {
     "q_gopher_rules" -> ((s, d) => TextOps.gopherRules(Tables.documents(s, d))),
     "q_strip_markup" -> ((s, d) =>
       TextOps.stripMarkup(TextOps.withSyntheticHtml(Tables.documents(s, d)))),
+    // NFC via the native codegen expression; fixture injects decomposed
+    // accents / zero-width chars so the normalize actually has work
+    "q_normalize_text" -> ((s, d) => TextOps.normalizeText(Tables.documents(s, d))),
     // deterministic (fixed zlib level) but not SQL-expressible in the
     // oracle engine -> rows-only; determinism pinned in CompressionSpec
     "q_compression_ratio" -> ((s, d) =>
@@ -1224,6 +1227,32 @@ object SparkEntry {
         |  CAST(len(clean) AS INTEGER) AS n_chars_clean,
         |  CAST(len(regexp_extract_all(html, '<[^>]+>')) AS INTEGER) AS n_tags
         |FROM s ORDER BY doc_id""".stripMargin,
+    // identical fixture rebuilt from chr() codepoints; DuckDB's
+    // nfc_normalize is the same Unicode NFC the JDK Normalizer
+    // implements, and the \x{...} regex escapes parse identically in
+    // Java regex and RE2 (see normalizeText for the \s caveat: VT is
+    // stripped by the control class before either engine's \s differs)
+    "q_normalize_text" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    text || CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN ' re' || chr(769) || 'sume' || chr(769) ||
+        |        ' from cafe' || chr(769) || ' ' || chr(8491)
+        |      WHEN 1 THEN ' data' || chr(8203) || 'set' || chr(8204) ||
+        |        ' final' || chr(65279) || chr(7) || ' list' || chr(160) || 'item'
+        |      ELSE '' END AS raw
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, raw,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+        |      '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]',
+        |      '', 'g'),
+        |      '[\s\x{00A0}]+', ' ', 'g')) AS text_norm
+        |  FROM raw)
+        |SELECT doc_id, text_norm,
+        |  CAST(length(raw) AS INTEGER) AS n_chars_raw,
+        |  CAST(length(text_norm) AS INTEGER) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
     // Misra-Gries exact regime (31 distinct tokens << capacity 64), so
     // the sketch result IS the plain token-count aggregation
     "q_heavy_hitters" ->

@@ -396,6 +396,54 @@ object TextOps {
             sum(col("c")).cast("double"), 6).as("entropy"))
       .orderBy("doc_id")
 
+  /** Deterministic non-NFC mess-up per document (the synthetic corpus
+    * is pure ASCII, which is NFC by construction): docs ≡ 0 (mod 3)
+    * get decomposed accents (`e`+U+0301) plus the U+212B ANGSTROM
+    * singleton; docs ≡ 1 get zero-width chars (ZWSP/ZWNJ/BOM), a
+    * control char, and a no-break space; docs ≡ 2 stay clean (the
+    * must-not-change control group). Built from plain `concat` so the
+    * DuckDB oracle reconstructs the identical byte sequence with
+    * `chr()` — same fixture pattern as [[withSyntheticPii]].
+    */
+  def withSyntheticUnicode(documents: DataFrame): DataFrame =
+    documents.withColumn("raw", concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        // "résumé from café Å" decomposed: e+COMBINING ACUTE (U+0301)
+        // ×3 plus the ANGSTROM SIGN NFC singleton (U+212B → U+00C5)
+        lit(" re\u0301sume\u0301 from cafe\u0301 \u212B"))
+      .when(pmod(col("doc_id"), lit(3)) === 1,
+        // ZWSP / ZWNJ / BOM / BEL control / NBSP
+        lit(" data\u200Bset\u200C final\uFEFF\u0007 list\u00A0item"))
+      .otherwise(lit(""))))
+
+  /** Unicode text normalization — the cleanup stage that runs before
+    * any exact-hash operator (dedup keys, shingles, minhash) on a web
+    * corpus, where the same visible text arrives in mixed byte forms:
+    * NFC-normalize (native codegen expression
+    * [[graft.functions.UnicodeNormalize]] — Spark ships no normalizer
+    * built-in), strip zero-width/control characters, fold no-break
+    * spaces into the whitespace collapse, trim. All three regex steps
+    * use `\x{...}` escapes interpreted identically by Java regex and
+    * RE2, so the DuckDB twin runs the same patterns on
+    * `nfc_normalize()` output. One narrow projection at scan speed;
+    * reports before/after char counts as the audit signal.
+    */
+  def normalizeText(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val withRaw = withSyntheticUnicode(documents)
+    val nfc = graft.functions.UnicodeNormalize.unicode_normalize(col("raw"))
+    val stripped = regexp_replace(nfc,
+      "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{0000}-\\x{0008}" +
+        "\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]", "")
+    val collapsed = trim(regexp_replace(stripped, "[\\s\\x{00A0}]+", " "))
+    withRaw.select(
+      col("doc_id"),
+      collapsed.as("text_norm"),
+      length(col("raw")).cast("int").as("n_chars_raw"),
+      length(collapsed).cast("int").as("n_chars_norm"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic synthetic URL per document (the corpus has no URL
     * column): both engines build the identical string, so web-corpus
     * analytics stay oracle-checkable — same fixture pattern as

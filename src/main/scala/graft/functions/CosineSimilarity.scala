@@ -98,6 +98,8 @@ object GraftFunctions {
       "cosine_sim", cosineSimBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zorder", ZOrder.zorderBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unicode_normalize", UnicodeNormalize.builder, "built-in")
   }
 
   /** Column-API form: `cosine_sim($"a", $"b")` (requires [[register]] or
@@ -139,6 +141,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("zorder"),
       new ExpressionInfo(classOf[ZOrder].getName, "zorder"),
       ZOrder.zorderBuilder _))
+    e.injectFunction((
+      new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      UnicodeNormalize.builder _))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectPlannerStrategy(_ => graft.plans.VectorizedCosineStrategy)
     e.injectOptimizerRule(_ => graft.plans.CollapseTopK)

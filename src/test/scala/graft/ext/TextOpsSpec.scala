@@ -279,4 +279,44 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!rows(4L).getAs[Boolean]("passes"))
     assert(rows(5L).getAs[Double]("alpha_word_ratio") === 0.3333)
   }
+
+  test("normalizeText: NFC composition, singleton, zero-width strip, control group") {
+    // doc_ids chosen to hit each fixture branch: 3 -> decomposed accents,
+    // 4 -> zero-width/control/NBSP, 5 -> clean control group
+    val d = docs((3L, "alpha", "en"), (4L, "beta", "en"), (5L, "gamma", "en"))
+    val rows = TextOps.normalizeText(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // decomposed e+U+0301 composes to U+00E9; U+212B singleton -> U+00C5
+    assert(rows(3L).getAs[String]("text_norm") ===
+      "alpha résumé from café Å")
+    // ZWSP/ZWNJ/BOM/BEL stripped, NBSP folded into the space collapse
+    assert(rows(4L).getAs[String]("text_norm") === "beta dataset final list item")
+    // composition shrinks the char count (each e+combining pair -> one char)
+    assert(rows(3L).getAs[Int]("n_chars_norm") < rows(3L).getAs[Int]("n_chars_raw"))
+    // clean ASCII must pass through untouched
+    assert(rows(5L).getAs[String]("text_norm") === "gamma")
+    assert(rows(5L).getAs[Int]("n_chars_norm") === 5)
+  }
+
+  test("normalizeText: idempotent, and the expression short-circuits ASCII") {
+    import graft.functions.UnicodeNormalize
+    import org.apache.spark.unsafe.types.UTF8String
+    // static fast path: pure-ASCII input returns the SAME object (no alloc)
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(UnicodeNormalize.nfc(ascii) eq ascii)
+    // already-NFC non-ASCII returns the same object too (isNormalized probe)
+    val nfcStr = UTF8String.fromString("café")
+    assert(UnicodeNormalize.nfc(nfcStr) eq nfcStr)
+    // actual work: decomposed composes, and a second pass is identity
+    val once = UnicodeNormalize.nfc(UTF8String.fromString("café Å"))
+    assert(once.toString === "café Å")
+    assert(UnicodeNormalize.nfc(once) eq once)
+    // null propagates through the expression (UnaryExpression default)
+    val d = docs((2L, "x", "en"))
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.functions.GraftFunctions.register(spark)
+    val r = d.select(UnicodeNormalize.unicode_normalize(
+      lit(null).cast("string")).as("n")).collect()(0)
+    assert(r.isNullAt(0))
+  }
 }
