@@ -217,6 +217,9 @@ object SparkEntry {
     "q_quality_quantile" -> ((s, d) => DataPrep.qualityQuantileFilter(Tables.documents(s, d))),
     "q_negative_samples" -> ((s, d) => DataPrep.negativeSamples(Tables.documents(s, d))),
     "q_repeated_spans" -> ((s, d) => Dedup.repeatedSpans(Tables.documents(s, d))),
+    // the surgery twin of the audit above: tokens covered by cross-doc
+    // duplicated k-grams are cut, docs reassembled (Lee et al. 2021)
+    "q_remove_spans" -> ((s, d) => Dedup.removeRepeatedSpans(Tables.documents(s, d))),
     "q_context_windows" -> ((s, d) => DataPrep.contextWindows(Tables.documents(s, d))),
     "q_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))),
     // incremental materialized-view maintenance: history rollup + new
@@ -1457,6 +1460,40 @@ object SparkEntry {
         |  COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
         |FROM s GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY n_occurrences DESC, span LIMIT 50""".stripMargin,
+    // identical pipeline over the portable md5-60bit gram hash (the
+    // '0x'-prefix cast ≡ Spark's conv(substr(md5)) — the proven twin
+    // form); NOT EXISTS spells the left-anti coverage join
+    "q_remove_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, unnest(range(0, len(toks) - 4)) AS start, toks
+        |  FROM t WHERE len(toks) >= 5),
+        |g AS (
+        |  SELECT doc_id, start,
+        |    ('0x' || substr(md5(array_to_string(toks[start + 1:start + 5], ' ')
+        |      || chr(1) || '0'), 1, 15))::BIGINT AS h
+        |  FROM g0),
+        |dup AS (
+        |  SELECT h FROM (SELECT h, doc_id FROM g GROUP BY h, doc_id)
+        |  GROUP BY h HAVING COUNT(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT g.doc_id, unnest(range(g.start, g.start + 5)) AS pos
+        |    FROM g JOIN dup USING (h))),
+        |tp AS (
+        |  SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+        |    unnest(toks) AS tok FROM t),
+        |kept AS (
+        |  SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS kept_text,
+        |    COUNT(*) AS n_kept
+        |  FROM tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |    WHERE cov.doc_id = tp.doc_id AND cov.pos = tp.pos)
+        |  GROUP BY tp.doc_id)
+        |SELECT t.doc_id, COALESCE(kept.kept_text, '') AS text_clean,
+        |  CAST(len(t.toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(t.toks) - COALESCE(kept.n_kept, 0) AS INTEGER) AS n_removed
+        |FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_context_windows" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS start FROM t)

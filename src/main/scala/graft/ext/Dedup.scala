@@ -594,6 +594,66 @@ object Dedup {
       .limit(topN)
   }
 
+  /** Repeated-span REMOVAL — the surgery step [[repeatedSpans]] only
+    * audits (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better": cross-document duplicated substrings are
+    * the memorization-prone content worth cutting, not whole docs).
+    * Every token covered by any word `k`-gram that appears in ≥
+    * `minDocs` distinct documents is dropped; the document is
+    * reassembled from the surviving tokens in position order.
+    *
+    * Scale design: the gram stream is reduced to a portable 60-bit
+    * [[md5HashLong]] BEFORE any shuffle, so the duplicated-span set and
+    * the coverage join move fixed-width longs instead of k-token
+    * strings (at 100 TB the gram shuffle is the whole cost). The hash
+    * is engine-reproducible, so the DuckDB oracle runs the identical
+    * pipeline — a collision would merge two spans for BOTH engines
+    * (and at 60 bits is vanishing anyway). Three shuffles total: the
+    * dup-set aggregation, the coverage join, the per-doc rebuild —
+    * each keyed to spread (hash / doc_id), none global.
+    */
+  def removeRepeatedSpans(documents: DataFrame, k: Int = 5,
+                          minDocs: Int = 2): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = documents.select(col("doc_id"), toks.as("toks"))
+    // (doc_id, start, gram-hash) — one row per k-gram occurrence
+    val grams = base.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => md5HashLong(concat_ws(" ", slice(col("toks"), i + 1, lit(k))), 0))))
+      .toDF("doc_id", "start", "h")
+    // spans present in >= minDocs docs: two-level agg (map-side combine,
+    // no COUNT-DISTINCT Expand), same shape as repeatedSpans
+    val dup = grams.groupBy("h", "doc_id").agg(count(lit(1)).as("n"))
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("h")
+    // token positions covered by any duplicated gram occurrence
+    val covered = grams.join(dup, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .distinct()
+    val tokensPos = base
+      .select(col("doc_id"), posexplode(col("toks"))).toDF("doc_id", "pos", "tok")
+    // rebuild from surviving tokens; array_sort on (pos, tok) structs
+    // restores order (collect_list order is partition-nondeterministic)
+    val kept = tokensPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id").agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    // left join from base: a fully-covered doc has NO surviving tokens
+    // (empty result string), and short docs (< k tokens) pass through
+    base.join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("kept_text"), lit("")).as("text_clean"),
+        size(col("toks")).as("n_tokens"),
+        (size(col("toks")) - coalesce(col("n_kept"), lit(0L))).cast("int")
+          .as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003 — the MOSS algorithm). Text is normalized (lowercase,

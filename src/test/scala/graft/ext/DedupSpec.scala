@@ -350,6 +350,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "exactly the spans shared by both docs, count-desc/span-asc ordered")
   }
 
+  test("removeRepeatedSpans: covered tokens cut, short docs and unique text survive") {
+    val d = docs(
+      (1L, "a b c d e f"),        // shares "a b c d e" span region with doc 2
+      (2L, "x a b c d e y"),
+      (3L, "z z z z z"),          // within-doc repeats only -> untouched
+      (4L, "p q"),                // shorter than k -> passthrough
+      (5L, "a b c d e"))          // ENTIRELY covered -> empty result
+    val rows = Dedup.removeRepeatedSpans(d, k = 3, minDocs = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    // docs 1/2/5 share the grams of "a b c d e": every token of that
+    // region is covered; doc 1 keeps "f", doc 2 keeps "x ... y"
+    assert(rows === Seq(
+      (1L, "f", 6, 5),
+      (2L, "x y", 7, 5),
+      (3L, "z z z z z", 5, 0),
+      (4L, "p q", 2, 0),
+      (5L, "", 5, 5)))
+  }
+
+  test("removeRepeatedSpans: clean corpus is a no-op reassembly") {
+    val d = docs((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+    val rows = Dedup.removeRepeatedSpans(d, k = 3, minDocs = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSeq
+    assert(rows === Seq(
+      (1L, "alpha beta gamma delta", 0),
+      (2L, "one two three four", 0)),
+      "no cross-doc grams -> byte-identical reassembly, zero removals")
+  }
+
   test("winnowFingerprints: guarantee, density bound, short-doc guard, normalization") {
     // SIGMOD'03 guarantee: any shared substring of >= w + k - 1 chars
     // yields >= 1 shared fingerprint
