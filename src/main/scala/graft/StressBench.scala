@@ -163,6 +163,12 @@ object StressBench {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("k")).limit(64).count()),
       time("repeated_spans", ext.Dedup.repeatedSpans(docs).count()),
+      // round-7: the surgery twin — same gram volume as repeated_spans
+      // plus the coverage anti-join and per-doc rebuild. A replicated
+      // corpus makes EVERY gram cross-doc-duplicated, so this measures
+      // the worst case where all tokens are covered and every doc is
+      // rewritten to empty.
+      time("remove_spans", ext.Dedup.removeRepeatedSpans(docs).count()),
       time("quality_quantile", ext.DataPrep.qualityQuantileFilter(docs).count()),
       time("leakage_safe_split", ext.DataPrep.leakageSafeSplit(docs).count()),
       // round-6: the two-pass global-order forms vs their single-reducer
