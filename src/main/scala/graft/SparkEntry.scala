@@ -214,6 +214,10 @@ object SparkEntry {
     "q_temperature_mix" -> ((s, d) => DataPrep.temperatureResample(Tables.documents(s, d))),
     "q_leakage_safe_split" -> ((s, d) => DataPrep.leakageSafeSplit(Tables.documents(s, d))),
     "q_token_budget" -> ((s, d) => DataPrep.tokenBudgetSelect(Tables.documents(s, d))),
+    "q_token_budget_by_source" -> ((s, d) =>
+      DataPrep.tokenBudgetBySource(Tables.documents(s, d))),
+    "q_contamination_report" -> ((s, d) =>
+      DataPrep.contaminationReport(Tables.documents(s, d))),
     "q_quality_quantile" -> ((s, d) => DataPrep.qualityQuantileFilter(Tables.documents(s, d))),
     "q_negative_samples" -> ((s, d) => DataPrep.negativeSamples(Tables.documents(s, d))),
     "q_repeated_spans" -> ((s, d) => Dedup.repeatedSpans(Tables.documents(s, d))),
@@ -1418,6 +1422,46 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin,
+    // the same cumsum admission PARTITIONED by source
+    "q_token_budget_by_source" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,
+    // per-train-doc contaminated-shingle fraction; same split/shingle
+    // CTEs as q_decontaminate, LEFT JOIN against the distinct eval set
+    "q_contamination_report" ->
+      """WITH ds AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train' ELSE 'eval' END AS split
+        |  FROM documents),
+        |toks AS (SELECT doc_id, split, string_split(text, ' ') AS l FROM ds),
+        |sh AS (
+        |  SELECT doc_id, split, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |    i -> array_to_string(l[i:i+4], ' ')))) AS shingle
+        |  FROM toks WHERE len(l) >= 5),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE split = 'eval'),
+        |j AS (
+        |  SELECT t.doc_id AS train_doc, (e.shingle IS NOT NULL) AS hit
+        |  FROM sh t LEFT JOIN ev e ON t.shingle = e.shingle
+        |  WHERE t.split = 'train'),
+        |a AS (
+        |  SELECT train_doc, COUNT(*) AS n_shingles,
+        |    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        |  FROM j GROUP BY train_doc)
+        |SELECT train_doc, n_shingles, n_contaminated,
+        |  round(n_contaminated / n_shingles, 6) AS contamination,
+        |  (n_contaminated / n_shingles >= 0.2) AS flagged
+        |FROM a ORDER BY train_doc""".stripMargin,
     "q_quality_quantile" ->
       """WITH r AS (
         |  SELECT doc_id, source, n_chars,

@@ -227,6 +227,39 @@ object DataPrep {
       .orderBy("train_doc", "eval_doc")
   }
 
+  /** Per-document contamination REPORT — the graded companion of
+    * [[decontaminate]]'s pair listing: for every training document,
+    * what fraction of its distinct word-k-grams also appear anywhere
+    * in the eval split. Pipelines threshold on this fraction (drop,
+    * down-weight, or audit) rather than on raw pair counts, because
+    * the fraction is length-invariant.
+    *
+    * Shape at scale: the eval shingle set is tiny next to the train
+    * corpus (eval splits are), so the left join marks train shingles
+    * against a broadcast-able distinct set — no train-side blowup, one
+    * agg keyed by train doc with map-side combine. The
+    * [[decontaminateBloom]] pre-shuffle prune composes with this
+    * identically if the eval set outgrows broadcast.
+    */
+  def contaminationReport(documents: DataFrame, k: Int = 5,
+                          flagFraction: Double = 0.2): DataFrame = {
+    val withSplit = documents.withColumn("split",
+      when(hashBucket(col("text")) < "cc", "train").otherwise("eval"))
+    val sh = Dedup.shingles(withSplit, k, carry = Seq("split"))
+    val train = sh.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    val evalSet = sh.filter(col("split") === "eval")
+      .select("shingle").distinct().withColumn("hit", lit(1))
+    train.join(evalSet, Seq("shingle"), "left")
+      .groupBy("train_doc").agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated") / col("n_shingles"), 6))
+      .withColumn("flagged", col("contamination") >= flagFraction)
+      .orderBy("train_doc")
+  }
+
   /** Bloom-pre-filtered decontamination — the 100 TB shape of
     * [[decontaminate]]. The eval split's shingles are tiny next to the
     * training corpus, so build a Bloom filter over them and drop
@@ -459,6 +492,34 @@ object DataPrep {
     ordered.df
       .filter(col("cum_tokens") <= budget)
       .select("doc_id", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Per-source token-budget admission — the source-balanced variant
+    * of [[tokenBudgetSelect]] (build a mixture by giving every source
+    * the same token allowance, best documents first, instead of one
+    * global budget the largest source would swallow). Within each
+    * source, docs are admitted in (n_chars desc, doc_id) order while
+    * the source-local cumulative token count stays within budget.
+    *
+    * The window is PARTITIONED by source, so it spreads across tasks —
+    * the scale regime for this operator is many sources (domain-level
+    * mixtures: thousands to millions of keys), where a partitioned
+    * window is the right Spark shape. For the few-giant-sources regime
+    * (a handful of 25 TB sources), run [[tokenBudgetSelect]] per
+    * source filter instead: its two-pass exchange is the shape that
+    * survives a single source exceeding one task.
+    */
+  def tokenBudgetBySource(documents: DataFrame,
+                          budgetPerSource: Long = 800L): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerSource)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
       .orderBy("doc_id")
   }
 

@@ -174,6 +174,50 @@ class DataPrepSpec extends AnyFunSuite with SparkSpec {
       "docs admitted in priority order until the running total would pass the budget")
   }
 
+  test("tokenBudgetBySource: each source admits against its own budget") {
+    import spark.implicits._
+    val d = Seq(
+      // srcA: 4+3 admitted (cum 7 <= 8), 2 pushes past -> cut
+      (1L, "a b c d", 400L, "srcA"),
+      (2L, "a b c", 300L, "srcA"),
+      (3L, "a b", 200L, "srcA"),
+      // srcB: its own fresh budget — both docs fit (cum 5 <= 8)
+      (4L, "x y z", 300L, "srcB"),
+      (5L, "x y", 200L, "srcB"))
+      .map { case (id, t, nc, s) => (id, t, "en", s, nc) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = DataPrep.tokenBudgetBySource(d, budgetPerSource = 8L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      (1L, "srcA", 4L, 4L), (2L, "srcA", 3L, 7L),
+      (4L, "srcB", 3L, 3L), (5L, "srcB", 2L, 5L)),
+      "admission is per-source: srcB starts a fresh cumsum, srcA cuts at its cap")
+  }
+
+  test("contaminationReport agrees with the pair-level decontaminate view") {
+    val docs = Tables.documents(spark, sf)
+    val report = DataPrep.contaminationReport(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toMap
+    // ratio arithmetic is internally consistent
+    report.foreach { case (doc, (total, hit, frac, flagged)) =>
+      assert(hit <= total, s"doc $doc: contaminated > total")
+      assert(frac === math.rint(hit.toDouble / total * 1e6) / 1e6,
+        s"doc $doc: fraction mismatch")
+      assert(flagged === (frac >= 0.2), s"doc $doc: flag threshold")
+    }
+    // every pair the pair-level operator reports is visible here: a
+    // train doc sharing n shingles with SOME eval doc has at least that
+    // many contaminated shingles overall
+    val pairs = DataPrep.decontaminate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(pairs.nonEmpty, "fixture must contain leaked pairs")
+    pairs.foreach { case (trainDoc, nShared) =>
+      assert(report(trainDoc)._2 >= nShared,
+        s"train doc $trainDoc: report misses pair-level shingles")
+    }
+  }
+
   test("two-pass twins equal the window forms (corpus + ties/skew/empty-partition beds)") {
     import spark.implicits._
     // bed 1: the real corpus; bed 2: every n_chars ties (total order only
