@@ -296,6 +296,9 @@ object SparkEntry {
       Dedup.winnowFingerprints(Tables.documents(s, d))
         .orderBy("doc_id", "fp")),
     "q_winnow_neardup" -> ((s, d) => Dedup.winnowNearDup(Tables.documents(s, d))),
+    // asymmetric containment |A∩B|/|A|: the excerpt/quote detector
+    "q_containment_neardup" -> ((s, d) =>
+      Dedup.containmentNearDup(Tables.documents(s, d))),
     // §2.10: similarity search
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
@@ -1890,6 +1893,37 @@ object SparkEntry {
         |SELECT doc_a, doc_b, n_shared, overlap FROM ov
         |WHERE overlap >= 0.4
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // asymmetric containment over the same shingle pipeline as
+    // q_ngram_jaccard: sizes from the UNCAPPED shingle set, intersection
+    // from the df-capped one, both directions scored from each pair row
+    "q_containment_neardup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |    i -> array_to_string(l[i:i+4], ' ')))) AS shingle
+        |  FROM toks WHERE len(l) >= 5),
+        |kept AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 1000),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sized AS (
+        |  SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id),
+        |dir AS (
+        |  SELECT doc_a AS contained_doc, doc_b AS container_doc,
+        |    round(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment FROM sized
+        |  UNION ALL
+        |  SELECT doc_b AS contained_doc, doc_a AS container_doc,
+        |    round(CAST(n_inter AS DOUBLE) / n_b, 6) AS containment FROM sized)
+        |SELECT contained_doc, container_doc, containment FROM dir
+        |WHERE containment >= 0.6
+        |ORDER BY contained_doc, container_doc""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id < 10),

@@ -594,6 +594,48 @@ object Dedup {
       .limit(topN)
   }
 
+  /** Containment (asymmetric) near-dup — |A∩B| / |A| instead of
+    * Jaccard's symmetric ratio. The excerpt/quote detector: a short
+    * document wholly quoted inside a long one scores containment ≈ 1.0
+    * while its Jaccard stays near |A|/|B| — symmetric dedup never sees
+    * it. Emits DIRECTED pairs (contained_doc, container_doc); both
+    * directions of each undirected shingle intersection are scored
+    * from the same aggregated row, so the pair join runs once.
+    *
+    * Same scale shape as [[ngramJaccard]] (shared shingle cache,
+    * df-cap anti-join against corpus-proportional stop-shingles, AQE
+    * picks the join strategies); containment ≥ jaccard always, so the
+    * default threshold is set above the jaccard default.
+    */
+  def containmentNearDup(documents: DataFrame, k: Int = 5,
+                         threshold: Double = 0.6,
+                         maxShingleDf: Int = 1000): DataFrame = {
+    val sh = shingles(documents, k).persist()
+    val overflow = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("shingle")
+    val kept = sh.join(overflow, Seq("shingle"), "left_anti")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, "shingle").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    val sized = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "n_b"), "doc_b")
+    val dirA = sized.select(
+      col("doc_a").as("contained_doc"), col("doc_b").as("container_doc"),
+      round(col("n_inter").cast("double") / col("n_a"), 6).as("containment"))
+    val dirB = sized.select(
+      col("doc_b").as("contained_doc"), col("doc_a").as("container_doc"),
+      round(col("n_inter").cast("double") / col("n_b"), 6).as("containment"))
+    val result = dirA.unionAll(dirB)
+      .filter(col("containment") >= threshold)
+      .orderBy("contained_doc", "container_doc")
+    scopeCaches(result, sh)
+  }
+
   /** Repeated-span REMOVAL — the surgery step [[repeatedSpans]] only
     * audits (Lee et al. 2021, "Deduplicating Training Data Makes
     * Language Models Better": cross-document duplicated substrings are

@@ -412,6 +412,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(fp2(9L) === fp2(10L))
   }
 
+  test("containmentNearDup: quoted excerpt scores 1.0 where symmetric jaccard misses") {
+    val container = base + " plus a much longer additional discussion that keeps " +
+      "going with many more unique tokens beyond the quoted passage entirely now"
+    val d = docs(1L -> base, 2L -> container, 3L -> other)
+    val rows = Dedup.containmentNearDup(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows((1L, 2L)) === 1.0, "wholly-quoted excerpt is fully contained")
+    assert(!rows.contains((2L, 1L)),
+      "directed: the long doc is not contained in the excerpt")
+    assert(!rows.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    assert(Dedup.ngramJaccard(d).collect().isEmpty,
+      "the pair symmetric jaccard at its default threshold never sees")
+  }
+
   test("winnowNearDup: overlap fraction isolates the planted dup pair") {
     val d = docs(
       1L -> (base + " extra tail words here to pass length"),
