@@ -309,6 +309,12 @@ object SparkEntry {
     // pruned-probe demo (rows-only by design)
     "q_ivf_exact" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), nProbe = 16)),
     "q_centroid_outliers" -> ((s, d) => Similarity.centroidSim(Tables.embeddings(s, d))),
+    // SemDeDup: cluster-blocked semantic near-dup drop (rows-only —
+    // cluster boundaries are kmeans-dependent); the nList=1 regime below
+    // is brute force and carries the SQL oracle for the drop rule
+    "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
+    "q_semantic_dedup_exact" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), nList = 1)),
     "q_vectorized_cosine" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, round}
       val emb = Tables.embeddings(s, d)
@@ -686,6 +692,19 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // nList=1 semantic dedup IS brute force: drop rule = "has a lower-id
+    // neighbor with cosine >= 0.35"; raw-cosine filter parity with the
+    // engine is the same as q_embedding_neardup's
+    "q_semantic_dedup_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |drp AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+        |SELECT e.vec_id, CAST(0 AS INTEGER) AS cluster,
+        |  (d.vec_id IS NOT NULL) AS is_dropped
+        |FROM e LEFT JOIN drp d ON e.vec_id = d.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     "q_union" ->
       """SELECT c_name AS name FROM customer
         |UNION

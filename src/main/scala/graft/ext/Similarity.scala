@@ -271,6 +271,44 @@ object Similarity {
     Dedup.scopeCaches(result, bucketed)
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023 "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space with the IVF coarse quantizer, then
+    * drop every vector that has a lower-id in-cluster neighbor with
+    * cosine ≥ `threshold`. Near-identical *meanings* — paraphrases,
+    * re-crawls, boilerplate variants — collapse even when their token
+    * overlap is too low for MinHash/Jaccard to see.
+    *
+    * The pair space is per-cluster (shuffle on the cluster id), so
+    * candidate work is ~corpus²/nList instead of corpus² — the same
+    * inverted-file shape as [[ivfTopK]], and the one that survives
+    * 100 TB. With `nList = 1` the clustering is a no-op and the drop
+    * rule is exactly the brute-force all-pairs form — that regime is
+    * the SQL oracle (`q_semantic_dedup_exact`); the clustered default
+    * is checked rows-only with its subset relation spec-pinned (a
+    * cluster boundary can only *split* a brute-force pair, never
+    * invent one, so clustered drops ⊆ exact drops).
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.35,
+                    nList: Int = 16, iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(embeddings, nList, iters)
+    val assigned = assignClusters(embeddings, centroids)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"), col("cluster"))
+      .cache()
+    val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"), col("e").as("ea"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"), col("e").as("eb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(nativeCosine(embeddings, col("ea"), col("eb")) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    val result = assigned
+      .join(dropped.withColumn("is_dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
+      .orderBy("vec_id")
+    Dedup.scopeCaches(result, assigned)
+  }
+
   /** Symmetric int8 quantization of the embedding column (the standard
     * ANN index-prep step: 4× smaller vectors, SIMD-friendly dot
     * products downstream): per vector, scale = max|v| / 127 and

@@ -100,6 +100,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(ivf === brute, "the driver-contract exact regime must match brute force")
   }
 
+  test("semanticDedup: near-identical directions collapse to the lowest id; " +
+    "clustered drops are a subset of exact drops") {
+    // 0 and 1 point the same way (cos = 1), 2 is nearly parallel to them,
+    // 3 is orthogonal — only 1 and 2 should drop
+    val d = emb(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(2f, 0f, 0f, 0f), 0),
+      (2L, Seq(10f, 0.1f, 0f, 0f), 0), (3L, Seq(0f, 1f, 0f, 0f), 0))
+    val exact = Similarity.semanticDedup(d, threshold = 0.9, nList = 1).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(exact === Map(0L -> false, 1L -> true, 2L -> true, 3L -> false))
+    // real data: a cluster boundary can only split a brute-force pair,
+    // never invent one, so the clustered drop set ⊆ the exact drop set
+    // and survivors form a superset
+    val real = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def drops(nList: Int) = Similarity.semanticDedup(real, nList = nList)
+      .collect().filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val clustered = drops(16)
+    val brute = drops(1)
+    assert(clustered.subsetOf(brute))
+    assert(brute.nonEmpty, "sf0.001 embeddings contain planted near-dups")
+  }
+
   test("quantizeInt8 plan: scan prunes to (vec_id, embedding), narrow until the sort") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Similarity.quantizeInt8(d).queryExecution.executedPlan.toString
