@@ -188,6 +188,15 @@ object StressBench {
       time("curriculum_window", ext.DataPrep.curriculumDecilesWindow(docsPq).count()),
       time("negative_samples_twopass", ext.DataPrep.negativeSamples(docsPq).count()),
       time("negative_samples_window", ext.DataPrep.negativeSamplesWindow(docsPq).count()),
+      // round-7: semantic dedup at replication scale — the cluster-
+      // blocked pair space vs brute force. Replication copies every
+      // direction ×factor, so the near-dup graph is maximally dense and
+      // the drop-candidate join is the worst case; the A/B measures what
+      // IVF blocking saves as the corpus doubles (brute grows ~4×).
+      time("semantic_dedup_clustered", ext.Similarity.semanticDedup(emb, nList = 16)
+        .filter(col("is_dropped")).count()),
+      time("semantic_dedup_brute", ext.Similarity.semanticDedup(emb, nList = 1)
+        .filter(col("is_dropped")).count()),
       // round-7: the deterministic shard export end to end (two-pass
       // ordinal + closed-form shard + dynamic partitionBy write + manifest
       // read-back) — the write path's scale evidence
