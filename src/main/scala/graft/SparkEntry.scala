@@ -263,6 +263,13 @@ object SparkEntry {
           array_max(col("sample")).as("sample_max"))
         .orderBy("week_start")
     }),
+    // Quantile twin of q_sketch_merge: per-day QuantileSketch buffers,
+    // weekly p50/p90/p99 by merge. Integer-cents values keep the domain
+    // bounded (< 65536 distinct at any SF) so the default k IS the
+    // exact regime -> oracle-matched against DuckDB quantile_disc;
+    // under-capacity estimation is spec-pinned (QuantileSketchSpec).
+    "q_quantile_sketch" -> ((s, d) => graft.ops.Sketches.weeklyValueQuantiles(
+      graft.ops.Sketches.dailyValueSketches(Tables.events(s, d)))),
     "q_profile" -> ((s, d) => Relational.profileOrders(Tables.orders(s, d))),
     "q_approx_profile" -> ((s, d) => Relational.approxProfile(Tables.lineitem(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
@@ -859,6 +866,21 @@ object SparkEntry {
         |    p -> p[1] || ':' || CAST(p[2] AS VARCHAR) || ':'
         |      || CAST(len(p[1]) * p[2] AS VARCHAR)), ','), '') AS repeated_digest
         |FROM z ORDER BY doc_id""".stripMargin,
+    // exact regime: cents domain < k=65536 distinct, so the sketch holds
+    // every distinct value with exact counts and the ceil-rank quantile
+    // equals DuckDB's quantile_disc definition
+    "q_quantile_sketch" ->
+      """WITH e AS (
+        |  SELECT date_trunc('week', CAST(ts AS DATE)) AS week_start,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT strftime(week_start, '%Y-%m-%d') AS week_start,
+        |  CAST(count(*) AS BIGINT) AS n_values,
+        |  CAST(count(*) AS BIGINT) AS n_sketch_total,
+        |  quantile_disc(cents, 0.5) AS p50_cents,
+        |  quantile_disc(cents, 0.9) AS p90_cents,
+        |  quantile_disc(cents, 0.99) AS p99_cents
+        |FROM e GROUP BY week_start ORDER BY week_start""".stripMargin,
     "q_daily_features" ->
       """WITH d AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events

@@ -136,6 +136,20 @@ object StressBench {
         spark.read.parquet(s"$sketchDir/hll")).collect().length.toLong),
       time("sketch_range_kmv_stored", ops.Sketches.weeklyDistinctUsersKmv(
         spark.read.parquet(s"$sketchDir/kmv")).collect().length.toLong),
+      // quantile family: build+store is the one raw scan; range p50/p90/p99
+      // then comes off the stored table, vs the exact quantile sweep that
+      // re-sorts raw values per ask
+      time("qsketch_daily_build_store", {
+        ops.Sketches.dailyValueSketches(ev)
+          .write.mode("overwrite").parquet(s"$sketchDir/qsk")
+        spark.read.parquet(s"$sketchDir/qsk").count()
+      }),
+      time("qsketch_range_stored", ops.Sketches.weeklyValueQuantiles(
+        spark.read.parquet(s"$sketchDir/qsk")).collect().length.toLong),
+      time("exact_quantile_sweep", ev.filter(col("value").isNotNull)
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("week_start"))
+        .agg(expr("percentile(CAST(round(value*100) AS BIGINT), array(0.5, 0.9, 0.99))"))
+        .collect().length.toLong),
       time("exact_range_sweep", ev
         .groupBy(date_trunc("week", col("ts")).cast("date").as("week_start"))
         .agg(countDistinct(col("user_id")).as("n_users"))

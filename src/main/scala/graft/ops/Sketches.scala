@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{HllSketch, KmvSketch}
+import graft.functions.{HllSketch, KmvSketch, QuantileSketch}
 
 /** The persisted mergeable-sketch table pattern — the 100 TB answer to
   * "distinct users over an arbitrary date range" without rescanning raw
@@ -77,6 +77,46 @@ object Sketches {
         sum(col("n_events")).as("n_events"))
       .select(date_format(col("week_start"), "yyyy-MM-dd").as("week_start"),
         col("n_days"), col("n_events"), col("est_users"))
+      .orderBy("week_start")
+  }
+
+  /** Quantile twin of [[dailyUserSketches]]: per-day
+    * [[graft.functions.QuantileSketch]] buffer over the event value in
+    * integer cents (the sketch keys on integral values so the hash is
+    * lossless; cents also keep the domain bounded — ≤ ~49k distinct for
+    * this corpus's (0, 490] value range — so the default k = 65536 is
+    * the EXACT regime at any scale factor). Same stored-mergeable-table
+    * shape as the HLL/KMV/MG families: one shuffle on day, a few KiB of
+    * buffer per group.
+    */
+  def dailyValueSketches(events: DataFrame, k: Int = 65536): DataFrame = {
+    val s = events.sparkSession
+    events.groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        QuantileSketch.qsk_buffer(s,
+          round(col("value") * 100).cast("long"), k).as("sketch"),
+        count(col("value")).as("n_values"))
+  }
+
+  /** Range query over the stored quantile-sketch table: p50/p90/p99 of
+    * the event value per ISO week by merging that week's daily buffers
+    * — never rescanning raw events. The merged row total is carried
+    * exactly inside the sketch and cross-checked against the
+    * bookkeeping sum in the output (`n_values` vs `n_sketch_total`).
+    */
+  def weeklyValueQuantiles(sketchTable: DataFrame): DataFrame = {
+    val s = sketchTable.sparkSession
+    sketchTable
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week_start"))
+      .agg(
+        QuantileSketch.qsk_merge_quantile(s, col("sketch"), 0.5).as("p50_cents"),
+        QuantileSketch.qsk_merge_quantile(s, col("sketch"), 0.9).as("p90_cents"),
+        QuantileSketch.qsk_merge_quantile(s, col("sketch"), 0.99).as("p99_cents"),
+        QuantileSketch.qsk_merge_total(s, col("sketch")).as("n_sketch_total"),
+        sum(col("n_values")).as("n_values"))
+      .select(date_format(col("week_start"), "yyyy-MM-dd").as("week_start"),
+        col("n_values"), col("n_sketch_total"),
+        col("p50_cents"), col("p90_cents"), col("p99_cents"))
       .orderBy("week_start")
   }
 
