@@ -187,6 +187,30 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("top_items"))
   }
 
+  /** Streaming latency/value percentiles: per hourly window, p50/p99 of
+    * the event value in integer cents via the
+    * [[graft.functions.QuantileSketch]] aggregate. Same bounded-state
+    * shape as the other sketch twins — the ≤ k-entry buffer is the only
+    * per-window state — and because the sketch's merge is bit-identical
+    * to a single pass IN ANY ORDER (even past capacity), incremental
+    * batch-by-batch accumulation across micro-batches equals the batch
+    * computation unconditionally, not just below capacity (equality
+    * tested against the batch twin in StreamingOpsSpec).
+    */
+  def windowedValueQuantiles(events: DataFrame, watermark: String = "10 minutes",
+                             k: Int = 4096): DataFrame = {
+    val spark = events.sparkSession
+    val cents = round(col("value") * 100).cast("long")
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        graft.functions.QuantileSketch.qsk_quantile(spark, cents, k, 0.5).as("p50_cents"),
+        graft.functions.QuantileSketch.qsk_quantile(spark, cents, k, 0.99).as("p99_cents"))
+      .select(col("window.start").as("window_start"),
+        col("p50_cents"), col("p99_cents"))
+  }
+
   /** Stateful gap sessionization: per-user sessions close when no event
     * arrives within `gapMinutes` of the last one (decided by event-time
     * timeout against the watermark, so late data within the watermark

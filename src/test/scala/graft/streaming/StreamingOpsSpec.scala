@@ -181,6 +181,42 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedValueQuantiles: sketch state accumulates across batches ≡ batch twin, even past capacity") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    // k=4 with 6 distinct cent values across the two batches: the state
+    // goes LOSSY mid-stream — the bit-identical-merge contract (not an
+    // exactness regime) is what keeps streaming ≡ batch here
+    val q = windowedValueQuantiles(input.toDF(), k = 4).writeStream
+      .outputMode("complete").format("memory").queryName("qsk_out").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:15:00"), 2, "click", 2.0),
+        Event(3, ts("2024-01-01 00:20:00"), 3, "click", 3.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(4, ts("2024-01-01 00:30:00"), 2, "click", 4.0),
+        Event(5, ts("2024-01-01 00:40:00"), 3, "click", 5.0),
+        Event(6, ts("2024-01-01 00:45:00"), 3, "click", 6.0))
+      q.processAllAvailable()
+      val streaming = spark.sql(
+        "SELECT window_start, p50_cents, p99_cents FROM qsk_out ORDER BY window_start")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+      val batchDf = (1 to 6).map(i =>
+          (i.toLong, ts(f"2024-01-01 00:${(i * 7) % 50 + 10}%02d:00"), i.toLong))
+        .toDF("event_id", "ts", "user_id")
+        .withColumn("event_type", org.apache.spark.sql.functions.lit("click"))
+        .withColumn("value",
+          org.apache.spark.sql.functions.col("event_id").cast("double"))
+      val batch = windowedValueQuantiles(batchDf, k = 4)
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+      assert(streaming.toSeq === batch.toSeq)
+      assert(streaming.length === 1)
+    } finally q.stop()
+  }
+
   test("dedupStream: duplicate event ids across batches emit once") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
