@@ -148,6 +148,8 @@ object SparkEntry {
     "q_domain_stats" -> ((s, d) => TextOps.domainStats(Tables.documents(s, d))),
     "q_pmi_pairs" -> ((s, d) => TextOps.pmiPairs(Tables.documents(s, d))),
     "q_gopher_rules" -> ((s, d) => TextOps.gopherRules(Tables.documents(s, d))),
+    "q_classifier_score" -> ((s, d) =>
+      TextOps.classifierQualityScore(Tables.documents(s, d))),
     "q_strip_markup" -> ((s, d) =>
       TextOps.stripMarkup(TextOps.withSyntheticHtml(Tables.documents(s, d)))),
     // NFC via the native codegen expression; fixture injects decomposed
@@ -1219,6 +1221,23 @@ object SparkEntry {
         |JOIN tokc a ON a.token = p.tok_a
         |JOIN tokc b ON b.token = p.tok_b
         |ORDER BY pmi DESC, tok_a, tok_b LIMIT 20""".stripMargin,
+    // hashing-trick classifier scoring: bucket/weight arithmetic is all
+    // portable integers (md5 60-bit hash, milli-weights, exact BIGINT
+    // sum); the single float step is the final division, rounded
+    "q_classifier_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    list_sum(list_transform(toks, x ->
+        |      (((('0x' || substr(md5(x || chr(1) || '0'), 1, 15))::BIGINT % 1024)
+        |        * 2654435761) % 1997) - 998)) AS sum_milli
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  round(CAST(sum_milli AS DOUBLE) / (n_tokens * 998.0), 6) AS quality_score,
+        |  CAST(sum_milli >= 0 AS INTEGER) AS kept
+        |FROM s ORDER BY doc_id""".stripMargin,
     // Spark computes the same signals with HOFs over split();
     // thresholds are inlined identically on both sides
     "q_gopher_rules" ->

@@ -160,6 +160,7 @@ object StressBench {
       }),
       // round-5 additions: the new curation/signal operators at scale
       time("gopher_rules", ext.TextOps.gopherRules(docs).count()),
+      time("classifier_score", ext.TextOps.classifierQualityScore(docs).count()),
       time("compression_ratio", ext.Compression.compressionSignal(spark, docs).count()),
       time("heavy_hitters_mg", ops.Sketches.heavyHitterTokens(docs).count()),
       // exact twin of the MG sketch for the same heavy-hitter answer

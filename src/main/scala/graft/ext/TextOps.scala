@@ -591,4 +591,52 @@ object TextOps {
       .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
       .limit(topN)
   }
+
+  /** Model-based quality scoring — the classifier-filter pipeline stage
+    * (hashing-trick bag-of-words × linear weights, the fastText/CCNet
+    * shape used to filter web corpora against a quality reference).
+    * Deliberately SHUFFLE-FREE: each document folds its own token array
+    * (`transform` + `aggregate` over codegen'd built-ins), so scoring
+    * runs at scan speed and parallelizes embarrassingly — the property
+    * that makes classifier filtering viable over 100 TB.
+    *
+    * Feature hashing uses the portable md5 family
+    * ([[Dedup.md5HashLong]]): bucket = md5_60bit(token) mod `dim`.
+    * Weights are integer milli-weights in [-998, 998] so the per-doc
+    * accumulation is EXACT (a BIGINT sum — no float-order sensitivity,
+    * engine-portable); the only floating step is one final division,
+    * rounded. Score = Σ w(bucket(tok)) / (998·n_tokens) ∈ [-1, 1];
+    * `kept` = integer sign test on the raw sum, so the filter decision
+    * is exact.
+    *
+    * `weights` = None uses a deterministic pseudo-model
+    * (w = (bucket·2654435761) mod 1997 − 998 — engine-portable integer
+    * arithmetic, the stand-in for trained parameters, and the
+    * oracle-matched regime). Real trained milli-weights drop in as an
+    * `Array[Int]` of length `dim`: they ride the plan as an array
+    * literal (broadcast to every executor once), and the lookup is an
+    * `element_at` — still zero-shuffle, still codegen'd.
+    */
+  def classifierQualityScore(documents: DataFrame, dim: Int = 1024,
+                             weights: Option[Array[Int]] = None): DataFrame = {
+    require(weights.forall(w => w.length == dim && w.forall(x => math.abs(x) <= 998)),
+      s"weights must be $dim milli-weights in [-998, 998]")
+    val toks = filter(wsTokens(col("text")), t => t =!= "")
+    val bucket = (t: Column) => pmod(Dedup.md5HashLong(t, 0), lit(dim))
+    val w = (t: Column) => weights match {
+      case Some(arr) => element_at(lit(arr), bucket(t).cast("int") + 1).cast("long")
+      case None => pmod(bucket(t) * lit(2654435761L), lit(1997L)) - lit(998L)
+    }
+    documents.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      aggregate(toks, lit(0L), (acc, t) => acc + w(t)).as("sum_milli"))
+      .filter(col("n_tokens") > 0)
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("sum_milli").cast("double") / (col("n_tokens") * 998.0), 6)
+          .as("quality_score"),
+        (col("sum_milli") >= 0).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
 }

@@ -319,4 +319,51 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       lit(null).cast("string")).as("n")).collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("classifierQualityScore: exact arithmetic vs a hand-computed reference") {
+    val d = docs((1L, "aa bb aa", "en"), (2L, "cc", "en"), (3L, "  ", "en"))
+    val r = TextOps.classifierQualityScore(d, dim = 8).collect()
+    // reference: bucket = md5_60bit(tok+\u0001+"0") % 8; w = (b*2654435761) % 1997 - 998
+    def md5Long(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((s + "\u00010").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def w(tok: String): Long = ((md5Long(tok) % 8) * 2654435761L) % 1997L - 998L
+    val exp1 = w("aa") + w("bb") + w("aa")
+    val got1 = r.find(_.getLong(0) == 1L).get
+    assert(got1.getInt(1) === 3)
+    assert(got1.getDouble(2) === BigDecimal(exp1.toDouble / (3 * 998.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got1.getInt(3) === (if (exp1 >= 0) 1 else 0))
+    // whitespace-only doc: zero tokens -> filtered out entirely
+    assert(!r.exists(_.getLong(0) == 3L))
+  }
+
+  test("classifierQualityScore: caller-provided weights ride the plan as a literal") {
+    val d = docs((1L, "aa bb", "en"), (2L, "aa", "en"))
+    // all-positive weights: every doc kept, score = 1.0 when all w = 998
+    val keep = Array.fill(16)(998)
+    val r = TextOps.classifierQualityScore(d, dim = 16, weights = Some(keep))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(2), x.getInt(3))).toMap
+    assert(r(1L) === ((1.0, 1)))
+    assert(r(2L) === ((1.0, 1)))
+    // all-negative: everything dropped, sign test exact
+    val drop = Array.fill(16)(-998)
+    val r2 = TextOps.classifierQualityScore(d, dim = 16, weights = Some(drop))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(2), x.getInt(3))).toMap
+    assert(r2(1L) === ((-1.0, 0)))
+    assert(intercept[IllegalArgumentException] {
+      TextOps.classifierQualityScore(d, dim = 16, weights = Some(Array(1, 2)))
+    }.getMessage.contains("milli-weights"))
+  }
+
+  test("classifierQualityScore: shuffle-free scan-speed plan") {
+    val d = docs((1L, "aa bb", "en"))
+    val plan = TextOps.classifierQualityScore(d).queryExecution.executedPlan.toString
+    // the only exchange allowed is the final presentation sort
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"scoring must not shuffle:\n$plan")
+  }
 }
