@@ -146,6 +146,11 @@ object SparkEntry {
     "q_synthetic_url" -> ((s, d) => TextOps.withSyntheticUrl(Tables.documents(s, d))
       .select("doc_id", "lang", "url").orderBy("doc_id")),
     "q_domain_stats" -> ((s, d) => TextOps.domainStats(Tables.documents(s, d))),
+    "q_url_canon" -> ((s, d) =>
+      WebOps.canonicalizeUrl(WebOps.withSyntheticMessyUrl(Tables.documents(s, d)))
+        .select("doc_id", "url", "canonical_url").orderBy("doc_id")),
+    "q_url_dedup" -> ((s, d) =>
+      WebOps.urlDedup(WebOps.withSyntheticMessyUrl(Tables.documents(s, d)))),
     "q_pmi_pairs" -> ((s, d) => TextOps.pmiPairs(Tables.documents(s, d))),
     "q_gopher_rules" -> ((s, d) => TextOps.gopherRules(Tables.documents(s, d))),
     "q_classifier_score" -> ((s, d) =>
