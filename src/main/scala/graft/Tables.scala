@@ -24,18 +24,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) cannot represent — Spark 4 rejects the file outright unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/
-    * test sessions). Read the long nanos and convert with integer
-    * division (a double-typed `/ 1000` would lose precision at 1.7e18).
+  /** Normalize `events.ts` to session-TZ TimestampType (µs) across the
+    * physical types the generator has produced over time:
+    *  - TIMESTAMP(NANOS): Spark's TimestampType (µs) cannot represent
+    *    it — Spark 4 rejects the file outright unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/
+    *    Bench/test sessions). Read the long nanos and convert with
+    *    integer division (a double-typed `/ 1000` would lose precision
+    *    at 1.7e18).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ, which time-zone-aware functions
+    *    (`unix_micros`, `window`, watermarks) reject. Sessions here
+    *    run with `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ
+    *    cast relabels the same wall-clock instant as UTC — bit-exact
+    *    with what DuckDB sees in the file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
