@@ -112,7 +112,31 @@ object Bench {
       .getOrElse("null")
     val unmatchedJson = unmatched.map("\"" + _ + "\"").mkString("[", ",", "]")
     val toppedUp = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"flaky":$flaky,"spread":$spread,"topped_up":$toppedUp,"only":$onlyJson,"unmatched":$unmatchedJson,"sf":"$sfDir"}""")
+    // The harness that captures this run keeps only the LAST 2000
+    // characters of stdout, and the full per-query JSON outgrew that
+    // window long ago — so the complete record goes to a file and
+    // stdout gets a compact line that provably fits the window.
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"flaky":$flaky,"spread":$spread,"topped_up":$toppedUp,"only":$onlyJson,"unmatched":$unmatchedJson,"sf":"$sfDir"}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    locally {
+      val w = new java.io.PrintWriter(fullPath, "UTF-8")
+      try w.println(fullJson) finally w.close()
+    }
+    // Compact line: aggregates plus as many of the SLOWEST queries as
+    // fit a fixed character budget — the slow tail is what regression
+    // tracking needs; the full map is in `full`. %.3f keeps every
+    // entry short; the 1600-char budget leaves headroom for the log
+    // prefix and the build-tool epilogue inside the 2000-char window.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val flakyN = names.count(n => failCount(n) > 0 && samples(n).nonEmpty)
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"n_queries":${names.size},"n_ok":${results.count(_._2 >= 0)},"failed":$failed,"flaky_n":$flakyN,"topped_up_n":${suspects.size},"only":$onlyJson,"unmatched":$unmatchedJson,"full":"$fullPath","sf":"$sfDir","queries":{"""
+    val slowestFirst = results.filter(_._2 >= 0).sortBy(-_._2)
+    val qsb = new StringBuilder
+    slowestFirst.foreach { case (k, v) =>
+      val piece = (if (qsb.nonEmpty) "," else "") + "\"" + k + "\":" + fmt(v)
+      if (head.length + qsb.length + piece.length + 2 <= 1600) qsb.append(piece)
+    }
+    println(head + qsb + "}}")
     spark.stop()
   }
 }
