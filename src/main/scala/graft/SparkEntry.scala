@@ -1210,6 +1210,101 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
         |  min(doc_id) AS first_doc
         |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+    // WebOps.canonicalizeUrl twin: the messy-URL fixture is doc_id
+    // arithmetic, and every canonicalization step (fragment strip,
+    // scheme/host lowercase, default-port strip, trailing-slash trim,
+    // tracking-param drop + param sort) is in the regex subset shared
+    // by Java regex (Spark) and RE2 (DuckDB).
+    "q_url_canon" ->
+      """WITH msgurl AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |    ['News.Example.COM', 'BLOG.Example.org', 'Wiki.EXAMPLE.net',
+        |     'Forum.example.IO', 'DOCS.Example.dev'][CAST(doc_id % 5 AS INTEGER) + 1] ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |    '/p/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN '?b=' || CAST((doc_id % 100) % 7 AS VARCHAR) ||
+        |           '&utm_source=feed&a=' || CAST((doc_id % 100) % 5 AS VARCHAR)
+        |      ELSE '?a=' || CAST((doc_id % 100) % 5 AS VARCHAR) ||
+        |           '&b=' || CAST((doc_id % 100) % 7 AS VARCHAR) ||
+        |           '&gclid=g' || CAST(doc_id AS VARCHAR) END) ||
+        |    (CASE WHEN doc_id % 2 = 1
+        |      THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END) AS url
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
+        |  FROM msgurl),
+        |r AS (
+        |  SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS host,
+        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path0,
+        |    list_sort(list_filter(string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref|igshid)='))) AS params
+        |  FROM q)
+        |SELECT doc_id, url,
+        |  scheme || '://' || host ||
+        |  (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |  (CASE WHEN len(params) > 0
+        |    THEN '?' || array_to_string(params, '&') ELSE '' END) AS canonical_url
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_url_dedup" ->
+      """WITH msgurl AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |    ['News.Example.COM', 'BLOG.Example.org', 'Wiki.EXAMPLE.net',
+        |     'Forum.example.IO', 'DOCS.Example.dev'][CAST(doc_id % 5 AS INTEGER) + 1] ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |    '/p/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN '?b=' || CAST((doc_id % 100) % 7 AS VARCHAR) ||
+        |           '&utm_source=feed&a=' || CAST((doc_id % 100) % 5 AS VARCHAR)
+        |      ELSE '?a=' || CAST((doc_id % 100) % 5 AS VARCHAR) ||
+        |           '&b=' || CAST((doc_id % 100) % 7 AS VARCHAR) ||
+        |           '&gclid=g' || CAST(doc_id AS VARCHAR) END) ||
+        |    (CASE WHEN doc_id % 2 = 1
+        |      THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END) AS url
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
+        |  FROM msgurl),
+        |r AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS host,
+        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path0,
+        |    list_sort(list_filter(string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref|igshid)='))) AS params
+        |  FROM q),
+        |c AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |    (CASE WHEN len(params) > 0
+        |      THEN '?' || array_to_string(params, '&') ELSE '' END) AS canonical_url
+        |  FROM r)
+        |SELECT canonical_url, CAST(COUNT(*) AS INTEGER) AS n_docs,
+        |  min(doc_id) AS keep_doc
+        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     "q_pmi_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')[1:40]) AS t FROM documents),
