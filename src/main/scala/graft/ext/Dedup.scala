@@ -717,6 +717,25 @@ object Dedup {
     */
   def winnowFingerprints(documents: DataFrame, k: Int = 8, w: Int = 8): DataFrame = {
     require(k > 0 && w > 0, s"k ($k) and w ($w) must be positive")
+    val norm = lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", ""))
+    val fps = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WinnowFps(
+        org.apache.spark.sql.GraftBridge.expression(norm), k, w))
+    // the expression returns the doc's DISTINCT minima, so exploding it
+    // IS the distinct (doc_id, fp) set — no exchange anywhere in the
+    // plan: scan → project → generate, all inside one codegen stage
+    documents
+      .select(col("doc_id"), explode(fps).as("fp"))
+  }
+
+  /** The pre-expression winnowing pipeline — one row per character
+    * through a doc-partitioned sliding-min window, then distinct. Kept
+    * as the equality twin for [[winnowFingerprints]] (identical output
+    * pinned in DedupSpec): same normalization, same portable hash, same
+    * full-window rule, expressed in built-in operators only.
+    */
+  def winnowFingerprintsComposed(documents: DataFrame, k: Int = 8, w: Int = 8): DataFrame = {
+    require(k > 0 && w > 0, s"k ($k) and w ($w) must be positive")
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)

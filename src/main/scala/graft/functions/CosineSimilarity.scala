@@ -100,7 +100,17 @@ object GraftFunctions {
       "zorder", ZOrder.zorderBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "unicode_normalize", UnicodeNormalize.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps", winnowFpsBuilder, "built-in")
   }
+
+  /** `winnow_fps(text, k, w)` — k and w must be integer literals (they
+    * parameterize the generated code).
+    */
+  def winnowFpsBuilder(exprs: Seq[Expression]): Expression =
+    WinnowFps(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].intValue())
 
   /** Column-API form: `cosine_sim($"a", $"b")` (requires [[register]] or
     * [[GraftExtensions]] on the session).
@@ -145,6 +155,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       UnicodeNormalize.builder _))
+    e.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      GraftFunctions.winnowFpsBuilder _))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectPlannerStrategy(_ => graft.plans.VectorizedCosineStrategy)
     e.injectOptimizerRule(_ => graft.plans.CollapseTopK)

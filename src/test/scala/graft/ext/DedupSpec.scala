@@ -412,6 +412,62 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(fp2(9L) === fp2(10L))
   }
 
+  test("winnowFingerprints: native expression == composed window twin, incl. edge cases") {
+    // the native WinnowFps expression must reproduce the composed
+    // explode/window/distinct pipeline EXACTLY: same md5-60bit hash,
+    // same full-window rule, same short-doc guard. Edge beds: length
+    // exactly k+w-1 (one window), length k+w-2 (none), repeated chars
+    // (max hash ties in the sliding min), non-ASCII (code-point vs
+    // UTF-16 walk would diverge on a supplementary char).
+    val d = docs(
+      1L -> (base + " extra tail words here to pass length"),
+      2L -> nearDup,
+      3L -> other,
+      4L -> "abcdefgh1234567", // 15 normalized chars = k+w-1: exactly 1 window
+      5L -> "abcdefgh123456",  // 14: no full window
+      6L -> "aaaaaaaaaaaaaaaaaaaaaaaa") // all-equal hashes: tie handling
+    for (kw <- Seq((8, 8), (5, 3), (2, 11))) {
+      val (k, w) = kw
+      val native = Dedup.winnowFingerprints(d, k, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val composed = Dedup.winnowFingerprintsComposed(d, k, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(native === composed, s"k=$k w=$w")
+    }
+    // and the plan earns its keep: no exchange anywhere
+    val plan = Dedup.winnowFingerprints(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"native winnowing must be shuffle-free, got:\n$plan")
+    import org.apache.spark.sql.functions._
+    // code-point walk: normalization strips non-ASCII before the
+    // expression in the operator, so pin the raw expression against the
+    // SQL pipeline (both substr and length count code points) on text
+    // with BMP and supplementary (emoji) characters, where a UTF-16
+    // char walk would slice grams differently
+    import org.apache.spark.sql.GraftBridge
+    val k = 3; val w = 4
+    val raw = spark.createDataFrame(Seq(
+      (1L, "日本語テキスト😀abcdefgh12漢字"))).toDF("doc_id", "t")
+    val nat = raw.select(col("doc_id"), explode(GraftBridge.column(
+        graft.functions.WinnowFps(GraftBridge.expression(col("t")), k, w))).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    val sql = raw
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        Dedup.md5HashLong(col("t").substr(col("pos"), lit(k)), 0).as("h"),
+        (length(col("t")) - (k - 1)).as("n_grams"))
+      .select(col("doc_id"), col("pos"), col("n_grams"),
+        min(col("h")).over(win).as("fp"))
+      .filter(col("pos") <= col("n_grams") - (w - 1))
+      .select(col("doc_id"), col("fp")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(nat === sql, "expression must hash code-point grams like substr")
+  }
+
   test("containmentNearDup: quoted excerpt scores 1.0 where symmetric jaccard misses") {
     val container = base + " plus a much longer additional discussion that keeps " +
       "going with many more unique tokens beyond the quoted passage entirely now"
