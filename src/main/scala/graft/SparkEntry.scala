@@ -304,6 +304,9 @@ object SparkEntry {
       Dedup.incrementalMinhashNearDup(docs.filter(col("doc_id") >= 250), storedSigs)
     }),
     "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
+    // LSH calibration harness: measured banding recall per exact-jaccard
+    // bucket — the probabilistic side itself under the DuckDB oracle
+    "q_lsh_recall_curve" -> ((s, d) => Dedup.lshRecallCurve(Tables.documents(s, d))),
     // winnowing (SIGMOD'03 / MOSS) fingerprints over the portable md5
     // hash: selection AND overlap near-dup run under the DuckDB oracle
     "q_winnow_fingerprints" -> ((s, d) =>
@@ -368,7 +371,14 @@ object SparkEntry {
     // closed-form SQL, so rows-only here with the per-channel error
     // bound pinned in MultimodalSpec
     "q_jpeg_decode" -> ((s, d) => Multimodal.decodeImageFeatures(s,
-      Multimodal.syntheticJpegTable(s, Tables.documents(s, d))).orderBy("doc_id"))
+      Multimodal.syntheticJpegTable(s, Tables.documents(s, d))).orderBy("doc_id")),
+    // perceptual image dedup over DECODED pixels: 63-bit dHash per
+    // image (closed-form oracle — PNG lossless), then pigeonhole-banded
+    // Hamming near-dup, the image twin of simhashNearDup
+    "q_image_dhash" -> ((s, d) => Multimodal.imageDhash(s,
+      Multimodal.syntheticPngClusters(s, Tables.documents(s, d))).orderBy("doc_id")),
+    "q_image_neardup" -> ((s, d) => Multimodal.imageNearDup(s,
+      Multimodal.syntheticPngClusters(s, Tables.documents(s, d))))
   )
 
   /** The LSH bucketing is data-INDEPENDENT (seeded ±1 hyperplanes), so
@@ -1955,6 +1965,56 @@ object SparkEntry {
         |  JOIN sizes sb ON doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // banding-recall calibration: truth = df-capped exact jaccard
+    // (ngramJaccard contract), candidates = the same md5 banding as
+    // q_minhash_neardup_md5, bucketed by floor(10*jaccard)
+    "q_lsh_recall_curve" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |    i -> array_to_string(l[i:i+4], ' ')))) AS shingle
+        |  FROM toks WHERE len(l) >= 5),
+        |overflow AS (
+        |  SELECT shingle FROM (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1)
+        |  WHERE c > 1000),
+        |kept AS (
+        |  SELECT s.doc_id, s.shingle FROM sh s
+        |  LEFT JOIN overflow o ON s.shingle = o.shingle WHERE o.shingle IS NULL),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.1),
+        |mins AS (
+        |  SELECT doc_id, seeds.i,
+        |    min(('0x' || substr(md5(shingle || chr(1) || CAST(seeds.i AS VARCHAR)),
+        |      1, 15))::BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) seeds
+        |  GROUP BY doc_id, seeds.i),
+        |bands AS (
+        |  SELECT a.doc_id, a.i // 2 AS band_idx,
+        |    CAST(a.h AS VARCHAR) || ':' || CAST(b.h AS VARCHAR) AS band_key
+        |  FROM mins a JOIN mins b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  WHERE a.i % 2 = 0),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+        |    AND x.doc_id < y.doc_id)
+        |SELECT CAST(floor(t.jaccard * 10) AS INTEGER) AS bucket10,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_caught,
+        |  round(CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS recall
+        |FROM truth t LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // incremental twin: same portable signatures; stored side (doc_id <
     // 250) contributes ONLY its signature components, candidates need
     // >= 1 new doc, similarity is the signature-estimated Jaccard
@@ -2184,6 +2244,61 @@ object SparkEntry {
         |  CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS sum_r,
         |  CAST(SUM((doc_id * 11 + x + y * 2) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((doc_id * 13 + x * 4 + y) % 256) AS BIGINT) AS sum_b
-        |FROM ys GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+        |FROM ys GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // dHash twin: the decoded pixels are the closed-form cluster
+    // pattern (PNG lossless), so the sample grid, integer luma, and
+    // bit packing replay exactly; 63 bits keeps every shift inside
+    // BIGINT (DuckDB errors on shift overflow)
+    "q_image_dhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 50 AS key, doc_id // 50 AS bump,
+        |    8 + (doc_id % 50) % 9 AS w, 8 + (doc_id % 50) % 7 AS h
+        |  FROM documents),
+        |js AS (SELECT doc_id, key, bump, w, h, unnest(range(0, 7)) AS j FROM d),
+        |g0 AS (SELECT doc_id, key, bump, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, key, bump, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, j, i,
+        |  299 * (CASE WHEN x = 0 AND y = 0
+        |    THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |    ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |  + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |  + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9)
+        |SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_image_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 50 AS key, doc_id // 50 AS bump,
+        |    8 + (doc_id % 50) % 9 AS w, 8 + (doc_id % 50) % 7 AS h
+        |  FROM documents),
+        |js AS (SELECT doc_id, key, bump, w, h, unnest(range(0, 7)) AS j FROM d),
+        |g0 AS (SELECT doc_id, key, bump, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, key, bump, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, j, i,
+        |  299 * (CASE WHEN x = 0 AND y = 0
+        |    THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |    ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |  + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |  + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |h AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

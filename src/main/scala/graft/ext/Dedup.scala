@@ -770,6 +770,70 @@ object Dedup {
     * fingerprint, never all-pairs). Fully oracle-expressible
     * (`q_winnow_neardup`).
     */
+  /** LSH banding calibration: the measured recall S-curve of
+    * md5-minhash band-bucket candidate generation against EXACT shingle
+    * Jaccard ground truth, one row per 0.1-wide similarity bucket
+    * (`bucket10` = ⌊10·jaccard⌋) with the true-pair count, the count
+    * the banding caught, and the caught fraction. This is the "measure,
+    * don't guess" knob-tuner for (numHashes, numBands): the curve makes
+    * the banding threshold ≈ (1/b)^(1/r) and its sharpness visible on
+    * the operator's own corpus instead of trusting the textbook
+    * formula.
+    *
+    * Truth pairs follow the [[ngramJaccard]] contract (df-capped
+    * intersection, full-set sizes); candidates replay
+    * [[minhashNearDup]]'s portable-hash banding, so the whole
+    * evaluation — including the probabilistic LSH side — runs under the
+    * DuckDB oracle (`q_lsh_recall_curve`). The ground-truth self-join
+    * is the quadratic exact baseline: at 100 TB you run this on a
+    * sampled slice (the curve is a per-pair property, so uniform doc
+    * sampling preserves it), never the full corpus.
+    */
+  def lshRecallCurve(documents: DataFrame, k: Int = 5, numHashes: Int = 16,
+                     numBands: Int = 8, minJaccard: Double = 0.1,
+                     maxShingleDf: Int = 1000): DataFrame = {
+    require(numBands > 0 && numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
+    val rowsPerBand = numHashes / numBands
+    val sh = shingles(documents, k).persist()
+    val overflow = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("shingle")
+    val kept = sh.join(overflow, Seq("shingle"), "left_anti")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("shingle"))
+    val truth = a.join(b, "shingle").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "n_b"), "doc_b")
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+    val sig = minhashSignaturesMd5(sh, numHashes)
+    val bandCols = (0 until numBands).map { bnd =>
+      val parts = (0 until rowsPerBand).map(r => col("sig").getItem(bnd * rowsPerBand + r))
+      concat_ws(":", parts.map(_.cast("string")): _*)
+    }
+    val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val curve = truth
+      .join(cand.withColumn("caught", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .groupBy(floor(col("jaccard") * 10).cast("int").as("bucket10"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .withColumn("recall", round(col("n_caught").cast("double") / col("n_pairs"), 6))
+      .orderBy("bucket10")
+    scopeCaches(curve, sh)
+  }
+
   def winnowNearDup(documents: DataFrame, k: Int = 8, w: Int = 8,
                     overlapThreshold: Double = 0.4, maxDf: Int = 50): DataFrame = {
     val fps = winnowFingerprints(documents, k, w)

@@ -297,4 +297,146 @@ object Multimodal {
       }
       .toDF("doc_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
   }
+
+  /** 63-bit difference hash (dHash) of each DECODED image — the
+    * classic perceptual fingerprint (Krawetz's "Kind of Like That"
+    * aHash/dHash family): sample integer luma (299·R + 587·G + 114·B,
+    * no division — exact) at a nearest-neighbor 10×7 grid
+    * (`x_i = (2i+1)·w / 20`, `y_j = (2j+1)·h / 14`, integer floor — a
+    * closed-form "resize" that is engine-portable, unlike
+    * interpolation), then one bit per horizontal neighbor pair:
+    * `luma(x_{i+1}) > luma(x_i)` → bit `j·9 + i`. 9 bits × 7 rows =
+    * 63 bits, so the hash never touches the BIGINT sign bit (DuckDB
+    * errors on 64-bit shift overflow; 63 bits keeps the oracle exact).
+    *
+    * Decode runs in the same narrow `mapPartitions` batch stage as
+    * [[decodePngFeatures]]; per-row output is one long — at 100 TB the
+    * image bytes never cross a shuffle. Lossless payloads (PNG) make
+    * the hash a closed-form function of the synthetic pixel pattern,
+    * so the whole pipeline sits under the DuckDB oracle
+    * (`q_image_dhash`).
+    */
+  def imageDhash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val img = PngCodec.decode(payload)
+          val w = img.getWidth; val h = img.getHeight
+          var hash = 0L
+          var j = 0
+          while (j < 7) {
+            val y = ((2 * j + 1) * h) / 14
+            var prev = 0L; var i = 0
+            while (i < 10) {
+              val x = ((2 * i + 1) * w) / 20
+              val p = img.getRGB(x, y)
+              val luma = 299L * ((p >> 16) & 0xFF) +
+                587L * ((p >> 8) & 0xFF) + 114L * (p & 0xFF)
+              if (i > 0 && luma > prev) hash |= 1L << (j * 9 + (i - 1))
+              prev = luma
+              i += 1
+            }
+            j += 1
+          }
+          (id, hash)
+        }
+      }
+      .toDF("doc_id", "dhash")
+  }
+
+  /** Perceptual near-duplicate image pairs: Hamming distance over
+    * [[imageDhash]] fingerprints at most `maxHamming`. Same pigeonhole
+    * banding as the simhash text path: `maxHamming + 1` contiguous
+    * bit-slices of the 63-bit hash — any pair within the distance
+    * budget agrees on at least one whole band, so candidates come from
+    * equi-joins on (band, value) buckets, never all-pairs. The same
+    * safe-by-default band-bucket cap applies (auto-derived from corpus
+    * size; flat-image corpora would otherwise pile into one bucket);
+    * `maxBandBucket > 0` overrides, `0` disables.
+    */
+  def imageNearDup(spark: SparkSession, media: DataFrame,
+                   maxHamming: Int = 6, maxBandBucket: Int = -1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 63,
+      s"maxHamming must be in [0, 63): $maxHamming")
+    val nb = maxHamming + 1
+    val bounds = (0 to nb).map(i => i * 63 / nb)
+    val fp = imageDhash(spark, media).cache()
+    val cap: Long =
+      if (maxBandBucket > 0) maxBandBucket.toLong
+      else if (maxBandBucket == 0) 0L
+      else {
+        val bandRows = fp.count() * nb
+        math.max(64L, math.ceil(math.sqrt(4.0 * bandRows)).toLong)
+      }
+    val bandCols = (0 until nb).map { i =>
+      val lo = bounds(i); val width = bounds(i + 1) - lo
+      val mask = (1L << width) - 1L
+      shiftright(col("dhash"), lo).bitwiseAND(mask)
+    }
+    val allBands = fp.select(col("doc_id"), col("dhash"),
+      posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "dhash", "band_idx", "band_val")
+    val bands = if (cap <= 0) allBands else {
+      val heavy = allBands.groupBy("band_idx", "band_val")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap)
+        .select("band_idx", "band_val")
+      allBands.join(heavy, Seq("band_idx", "band_val"), "left_anti")
+    }
+    val result = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+    graft.ext.Dedup.scopeCaches(result, fp)
+  }
+
+  /** Synthetic PNG table with PLANTED perceptual duplicates: the pixel
+    * pattern (and dimensions) derive from `doc_id % nClusters`, so each
+    * residue class is one image cluster; cluster members with
+    * `doc_id >= nClusters` additionally get one corner pixel's red
+    * channel shifted by `doc_id / nClusters` — a perturbation that
+    * moves at most one dHash sample, keeping in-cluster Hamming
+    * distance ≤ 1 while distinct clusters stay tens of bits apart.
+    * Closed-form per (doc_id, x, y) in both engines, same fixture
+    * pattern as [[syntheticPngTable]].
+    */
+  def syntheticPngClusters(spark: SparkSession, documents: DataFrame,
+                           nClusters: Int = 50): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val key = id % nClusters
+          val w = (8 + key % 9).toInt
+          val h = (8 + key % 7).toInt
+          val bump = (id / nClusters).toInt
+          // HIGH-frequency pattern (large multipliers + x·y cross
+          // term): a smooth gradient makes luma monotonic along each
+          // row, collapsing every image's dHash toward all-ones and
+          // drowning the bed in spurious near-pairs (measured: 58k
+          // pairs at <=6 bits on the linear pattern vs exactly the
+          // 2250 planted ones on this pattern, nearest cross-cluster
+          // pair 13 bits)
+          val png = PngCodec.encode(w, h, (x, y) => {
+            val r0 = ((key * 7 + x * 37 + y * 59 + x * y * 13) % 256).toInt
+            val r = if (x == 0 && y == 0) (r0 + bump) % 256 else r0
+            val g = ((key * 11 + x * 23 + y * 41 + x * y * 7) % 256).toInt
+            val b = ((key * 13 + x * 29 + y * 31 + x * y * 17) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+          (id, png, w, h)
+        }
+      }
+      .toDF("doc_id", "payload", "width_px", "height_px")
+      .select(col("doc_id"), col("payload"), struct(
+        lit("image/png").as("media_type"),
+        col("width_px"), col("height_px"),
+        col("doc_id").as("source_id")).as("meta"))
+  }
 }

@@ -482,6 +482,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "the pair symmetric jaccard at its default threshold never sees")
   }
 
+  test("lshRecallCurve: buckets partition the truth set; identical docs always caught") {
+    // planted pair-groups with stepped token overlap -> truth pairs
+    // spread over several similarity buckets (disjoint token alphabets
+    // between groups, so only the planted pairs exist)
+    val rows = (0 until 10).flatMap { g =>
+      val base = (0 until 30).map(i => s"g${g}t$i")
+      val variant = base.take(30 - 3 * g) ++ (0 until 3 * g).map(i => s"x${g}n$i")
+      Seq((2L * g) -> base.mkString(" "), (2L * g + 1) -> variant.mkString(" "))
+    }
+    val d = docs(rows: _*)
+    val curve = Dedup.lshRecallCurve(d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(curve.nonEmpty)
+    curve.foreach { case (b, n, c, r) =>
+      assert(c <= n, s"bucket $b: caught $c > pairs $n")
+      assert(r === math.rint(c.toDouble / n * 1e6) / 1e6, s"bucket $b recall")
+      assert(b >= 1 && b <= 10)
+    }
+    // buckets partition exactly the >= minJaccard truth set
+    val truthCount = Dedup.ngramJaccard(d, threshold = 0.1).count()
+    assert(curve.map(_._2).sum === truthCount)
+    // the identical pair has identical signatures -> guaranteed caught
+    val b10 = curve.find(_._1 === 10)
+    assert(b10.exists(t => t._2 >= 1 && t._3 === t._2 && t._4 === 1.0),
+      s"jaccard-1.0 pairs must always be caught, got $b10")
+  }
+
   test("winnowNearDup: overlap fraction isolates the planted dup pair") {
     val d = docs(
       1L -> (base + " extra tail words here to pass length"),

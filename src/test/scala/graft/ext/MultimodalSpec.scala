@@ -148,4 +148,57 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"codec pipeline must not shuffle:\n$plan")
   }
+
+  test("imageDhash: decoded-pixel hash matches closed form; hashing is shuffle-free") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.syntheticPngClusters(spark, docs)
+    val got = Multimodal.imageDhash(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: replay the pattern + grid + luma + bits in
+    // plain Scala (no Spark, no codec) — the decode path must agree
+    def ref(id: Long): Long = {
+      val key = id % 50; val bump = (id / 50).toInt
+      val w = (8 + key % 9).toInt; val h = (8 + key % 7).toInt
+      def r(x: Int, y: Int): Int = {
+        val v = ((key * 7 + x * 37 + y * 59 + x * y * 13) % 256).toInt
+        if (x == 0 && y == 0) (v + bump) % 256 else v
+      }
+      def g(x: Int, y: Int): Int = ((key * 11 + x * 23 + y * 41 + x * y * 7) % 256).toInt
+      def b(x: Int, y: Int): Int = ((key * 13 + x * 29 + y * 31 + x * y * 17) % 256).toInt
+      var hash = 0L
+      for (j <- 0 until 7) {
+        val y = ((2 * j + 1) * h) / 14
+        var prev = 0L
+        for (i <- 0 until 10) {
+          val x = ((2 * i + 1) * w) / 20
+          val l = 299L * r(x, y) + 587L * g(x, y) + 114L * b(x, y)
+          if (i > 0 && l > prev) hash |= 1L << (j * 9 + (i - 1))
+          prev = l
+        }
+      }
+      hash
+    }
+    assert(got.nonEmpty)
+    got.foreach { case (id, hsh) => assert(hsh === ref(id), s"doc $id") }
+    assert(got.values.forall(_ >= 0L), "63-bit hash never touches the sign bit")
+    val plan = Multimodal.imageDhash(spark, media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hashing must not shuffle:\n$plan")
+  }
+
+  test("imageNearDup: exactly the planted clusters, nothing across them") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.syntheticPngClusters(spark, docs)
+    val pairs = Multimodal.imageNearDup(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val n = docs.count()
+    // every same-residue pair is a planted perceptual dup (corner bump
+    // moves <= 1 dHash sample); distinct clusters sit >= 13 bits apart
+    val expected = (for {
+      a <- 0L until n; b <- (a + 1) until n
+      if a % 50 == b % 50
+    } yield (a, b)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet === expected)
+    assert(pairs.forall(_._3 <= 1), "in-cluster Hamming distance is at most the bump bit")
+  }
 }
