@@ -135,11 +135,26 @@ object Dedup {
     conv(substring(md5(concat_ws("\u0001", c, lit(seed.toString))), 1, 15), 16, 10)
       .cast("long")
 
-  /** [[minhashSignaturesComposed]] over the portable md5 hash family —
-    * same algorithm, every hash value reproducible by any engine with
-    * md5. The oracle-checkable twin's signature source.
+  /** [[minhashSignatures]] over the portable md5 hash family — same
+    * algorithm, every hash value reproducible by any engine with md5.
+    * The oracle-checkable twin's signature source. Fused
+    * [[graft.functions.Md5MinHashSketch]] aggregate (byte-level
+    * digests, no per-hash string traffic);
+    * [[minhashSignaturesMd5Composed]] is the built-in-expression twin
+    * it is equality-pinned against.
     */
   def minhashSignaturesMd5(sh: DataFrame, numHashes: Int = 16): DataFrame = {
+    val sig = graft.functions.Md5MinHashSketch
+      .md5_minhash_sketch(sh.sparkSession, col("shingle"), numHashes)
+    sh.groupBy("doc_id").agg(sig.as("sig"))
+  }
+
+  /** The composed md5 signature build — `numHashes` separate
+    * `min(md5HashLong)` aggregate columns over built-in expressions
+    * only. Kept as the equality twin for [[minhashSignaturesMd5]]
+    * (identical signatures pinned in DedupSpec).
+    */
+  def minhashSignaturesMd5Composed(sh: DataFrame, numHashes: Int = 16): DataFrame = {
     val minCols = (0 until numHashes)
       .map(i => min(md5HashLong(col("shingle"), i)).as(s"h$i"))
     sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)

@@ -287,6 +287,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "hash replication must be exact: XXH64.hashInt(i, hashUnsafeBytes(shingle, 42))")
   }
 
+  test("fused md5_minhash_sketch signatures equal the composed min(md5HashLong) form") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = Dedup.shingles(d).repartition(8) // exercise partial/merge paths
+    val fused = Dedup.minhashSignaturesMd5(sh, 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = Dedup.minhashSignaturesMd5Composed(sh, 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused.keySet === composed.keySet)
+    assert(fused.forall { case (k, sig) => composed(k) == sig },
+      "byte-level digests must replicate conv(substring(md5(concat_ws)))")
+    // non-ASCII shingles: digest bytes must be the UTF-8 stream
+    import spark.implicits._
+    val uni = Seq((1L, "日本語"), (1L, "naïve café"), (1L, "😀emoji"), (2L, "日本語"))
+      .toDF("doc_id", "shingle")
+    val f2 = Dedup.minhashSignaturesMd5(uni, 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val c2 = Dedup.minhashSignaturesMd5Composed(uni, 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(f2 === c2)
+  }
+
   test("native simhash_sketch fingerprints equal the composed 64-column form") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val native = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
