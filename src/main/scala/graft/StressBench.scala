@@ -212,6 +212,31 @@ object StressBench {
         .filter(col("is_dropped")).count()),
       time("semantic_dedup_brute", ext.Similarity.semanticDedup(emb, nList = 1)
         .filter(col("is_dropped")).count()),
+      // round-8: winnowing — native row-local expression vs the
+      // explode-per-character window twin; the near-dup overlap join on
+      // top of the native path
+      time("winnow_fps_native", ext.Dedup.winnowFingerprints(docs).count()),
+      time("winnow_fps_window", ext.Dedup.winnowFingerprintsComposed(docs).count()),
+      time("winnow_neardup", ext.Dedup.winnowNearDup(docs).count()),
+      // round-8: portable md5 signatures — fused byte-level sketch
+      // aggregate vs 16 composed min(string-pipeline) columns. The
+      // consumer SUMS a signature component: a bare count() lets
+      // column pruning delete the unused min-aggregates and measures
+      // an empty groupBy (observed: "composed" 3× faster, falsely)
+      time("md5_sig_fused",
+        ext.Dedup.minhashSignaturesMd5(ext.Dedup.shingles(docs))
+          .select((element_at(col("sig"), 1) % 1000000007L).as("h"))
+          .agg(sum(col("h"))).collect().length.toLong),
+      time("md5_sig_composed",
+        ext.Dedup.minhashSignaturesMd5Composed(ext.Dedup.shingles(docs))
+          .select((element_at(col("sig"), 1) % 1000000007L).as("h"))
+          .agg(sum(col("h"))).collect().length.toLong),
+      // round-8: perceptual image hashing — real PNG decode + dHash per
+      // image, narrow end to end (the near-dup pair space on a
+      // replicated corpus is fixture-quadratic, so only the linear
+      // decode+hash path is stress-relevant)
+      time("image_dhash", ext.Multimodal.imageDhash(spark,
+        ext.Multimodal.syntheticPngClusters(spark, docs)).count()),
       // round-7: the deterministic shard export end to end (two-pass
       // ordinal + closed-form shard + dynamic partitionBy write + manifest
       // read-back) — the write path's scale evidence
