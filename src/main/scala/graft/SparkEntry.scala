@@ -155,6 +155,10 @@ object SparkEntry {
     "q_gopher_rules" -> ((s, d) => TextOps.gopherRules(Tables.documents(s, d))),
     "q_classifier_score" -> ((s, d) =>
       TextOps.classifierQualityScore(Tables.documents(s, d))),
+    // threshold knob-tuner: docs/tokens surviving each 0.1 quality
+    // cutoff — one agg into <=21 bucket rows + a constant-size window
+    "q_quality_retention" -> ((s, d) =>
+      DataPrep.qualityRetentionCurve(Tables.documents(s, d))),
     "q_strip_markup" -> ((s, d) =>
       TextOps.stripMarkup(TextOps.withSyntheticHtml(Tables.documents(s, d)))),
     // NFC via the native codegen expression; fixture injects decomposed
@@ -378,6 +382,8 @@ object SparkEntry {
     "q_image_dhash" -> ((s, d) => Multimodal.imageDhash(s,
       Multimodal.syntheticPngClusters(s, Tables.documents(s, d))).orderBy("doc_id")),
     "q_image_neardup" -> ((s, d) => Multimodal.imageNearDup(s,
+      Multimodal.syntheticPngClusters(s, Tables.documents(s, d)))),
+    "q_image_clusters" -> ((s, d) => Multimodal.imageClusters(s,
       Multimodal.syntheticPngClusters(s, Tables.documents(s, d))))
   )
 
@@ -1348,6 +1354,38 @@ object SparkEntry {
         |  round(CAST(sum_milli AS DOUBLE) / (n_tokens * 998.0), 6) AS quality_score,
         |  CAST(sum_milli >= 0 AS INTEGER) AS kept
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_quality_retention" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    list_sum(list_transform(toks, x ->
+        |      (((('0x' || substr(md5(x || chr(1) || '0'), 1, 15))::BIGINT % 1024)
+        |        * 2654435761) % 1997) - 998)) AS sum_milli
+        |  FROM t WHERE len(toks) > 0),
+        |q AS (
+        |  SELECT doc_id, n_tokens,
+        |    round(CAST(sum_milli AS DOUBLE) / (n_tokens * 998.0), 6) AS quality_score
+        |  FROM s),
+        |b AS (
+        |  SELECT CAST(floor(quality_score * 10) AS INTEGER) AS cutoff10,
+        |    COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_toks
+        |  FROM q GROUP BY 1),
+        |c AS (
+        |  SELECT cutoff10,
+        |    SUM(n_docs) OVER (ORDER BY cutoff10 DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS docs_retained,
+        |    SUM(n_toks) OVER (ORDER BY cutoff10 DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tokens_retained,
+        |    SUM(n_docs) OVER () AS total_docs,
+        |    SUM(n_toks) OVER () AS total_toks
+        |  FROM b)
+        |SELECT cutoff10, CAST(docs_retained AS BIGINT) AS docs_retained,
+        |  CAST(tokens_retained AS BIGINT) AS tokens_retained,
+        |  round(CAST(docs_retained AS DOUBLE) / total_docs, 6) AS doc_fraction,
+        |  round(CAST(tokens_retained AS DOUBLE) / total_toks, 6) AS token_fraction
+        |FROM c ORDER BY cutoff10""".stripMargin,
     // Spark computes the same signals with HOFs over split();
     // thresholds are inlined identically on both sides
     "q_gopher_rules" ->
@@ -2299,6 +2337,46 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // image clusters: the dhash pair graph closed under the same
+    // recursive min-label walk as q_dedup_clusters
+    "q_image_clusters" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id, doc_id % 50 AS key, doc_id // 50 AS bump,
+        |    8 + (doc_id % 50) % 9 AS w, 8 + (doc_id % 50) % 7 AS h
+        |  FROM documents),
+        |js AS (SELECT doc_id, key, bump, w, h, unnest(range(0, 7)) AS j FROM d),
+        |g0 AS (SELECT doc_id, key, bump, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, key, bump, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, j, i,
+        |  299 * (CASE WHEN x = 0 AND y = 0
+        |    THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |    ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |  + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |  + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |hsh AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst AS node, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+        |SELECT l.doc_id, l.cluster_id, cs.cluster_size
+        |FROM lab l JOIN cs USING (cluster_id)
+        |WHERE cs.cluster_size > 1 ORDER BY l.doc_id""".stripMargin
   )
 }

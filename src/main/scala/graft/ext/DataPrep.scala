@@ -556,4 +556,44 @@ object DataPrep {
         round(col("pr"), 6).as("quality_rank"))
       .orderBy("doc_id")
   }
+
+  /** Quality-cutoff retention curve: for each 0.1-wide step of the
+    * classifier quality score ([[TextOps.classifierQualityScore]],
+    * range [-1, 1]), how many documents and tokens survive a
+    * `score >= cutoff` filter, as counts and corpus fractions — the
+    * knob-tuner that turns "pick a quality threshold" into a measured
+    * trade-off (the filtering twin of [[graft.ext.Dedup.lshRecallCurve]]).
+    *
+    * `cutoff10` = ⌊10·score⌋, so the row at value c is retention at
+    * cutoff c/10 exactly (`score >= c/10 ⇔ ⌊10·score⌋ >= c` for
+    * integer c — no float boundary ambiguity, and the bucketing
+    * arithmetic is the same IEEE double in any engine).
+    *
+    * Scale shape: one hash aggregation over the scored corpus into at
+    * most 21 bucket rows; the cumulative window then runs over those
+    * ≤21 rows — a global window over a CONSTANT-size table, not the
+    * corpus (the usual single-reducer concern does not apply).
+    */
+  def qualityRetentionCurve(documents: DataFrame): DataFrame = {
+    val scored = TextOps.classifierQualityScore(documents)
+    val bucketed = scored
+      .groupBy(floor(col("quality_score") * 10).cast("int").as("cutoff10"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_toks"))
+    val fromTop = Window.orderBy(col("cutoff10").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bucketed
+      .select(col("cutoff10"),
+        sum(col("n_docs")).over(fromTop).as("docs_retained"),
+        sum(col("n_toks")).over(fromTop).as("tokens_retained"),
+        sum(col("n_docs")).over(whole).as("total_docs"),
+        sum(col("n_toks")).over(whole).as("total_toks"))
+      .select(col("cutoff10"), col("docs_retained"), col("tokens_retained"),
+        round(col("docs_retained").cast("double") / col("total_docs"), 6)
+          .as("doc_fraction"),
+        round(col("tokens_retained").cast("double") / col("total_toks"), 6)
+          .as("token_fraction"))
+      .orderBy("cutoff10")
+  }
 }

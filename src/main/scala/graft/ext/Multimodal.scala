@@ -396,6 +396,29 @@ object Multimodal {
     graft.ext.Dedup.scopeCaches(result, fp)
   }
 
+  /** Perceptual duplicate-image clusters: connected components over the
+    * [[imageNearDup]] pair graph (min-doc_id labels), multi-image
+    * clusters only — the image twin of [[graft.ext.Dedup.dedupClusters]],
+    * sharing its adaptive local/distributed component machinery. The
+    * propagation runs over pair-participating images only (singletons
+    * never enter the loop), so the iterative stage sees the near-dup
+    * graph, not the corpus.
+    */
+  def imageClusters(spark: SparkSession, media: DataFrame,
+                    maxHamming: Int = 6): DataFrame = {
+    val pairs = imageNearDup(spark, media, maxHamming)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val pairNodes = edges.select(col("src").as("doc_id"))
+      .unionByName(edges.select(col("dst").as("doc_id"))).distinct()
+    val labels = graft.ext.Dedup.connectedComponents(edges, pairNodes)
+    pairs.unpersist(false)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .filter(col("cluster_size") > 1)
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Synthetic PNG table with PLANTED perceptual duplicates: the pixel
     * pattern (and dimensions) derive from `doc_id % nClusters`, so each
     * residue class is one image cluster; cluster members with

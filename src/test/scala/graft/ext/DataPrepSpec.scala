@@ -304,4 +304,30 @@ class DataPrepSpec extends AnyFunSuite with SparkSpec {
       assert(m >= all(all.length / 2 - 1), s"source $s kept below-median doc")
     }
   }
+
+  test("qualityRetentionCurve: monotone retention, exact agreement with a direct filter") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val curve = DataPrep.qualityRetentionCurve(d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(curve.nonEmpty)
+    // retention never increases as the cutoff rises; fractions in (0, 1]
+    curve.sliding(2).foreach {
+      case Array((_, d1, t1, _, _), (_, d2, t2, _, _)) =>
+        assert(d2 <= d1 && t2 <= t1, "retention must be monotone non-increasing")
+      case _ =>
+    }
+    // lowest cutoff retains the whole scored corpus
+    val scored = TextOps.classifierQualityScore(d)
+    assert(curve.head._2 === scored.count())
+    assert(curve.head._4 === 1.0 && curve.head._5 === 1.0)
+    // each row equals a direct score >= cutoff/10 filter (integer-exact
+    // bucket boundary: floor(10*s) >= c  <=>  s >= c/10)
+    import org.apache.spark.sql.functions._
+    for ((c, nd, nt, _, _) <- curve) {
+      val direct = scored.filter(floor(col("quality_score") * 10) >= c)
+        .agg(count(lit(1)), coalesce(sum(col("n_tokens")), lit(0L)))
+        .collect()(0)
+      assert((direct.getLong(0), direct.getLong(1)) === ((nd, nt)), s"cutoff10=$c")
+    }
+  }
 }

@@ -201,4 +201,17 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet === expected)
     assert(pairs.forall(_._3 <= 1), "in-cluster Hamming distance is at most the bump bit")
   }
+
+  test("imageClusters: components recover the planted residue classes exactly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.syntheticPngClusters(spark, docs)
+    val rows = Multimodal.imageClusters(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = docs.count()
+    assert(rows.length === n, "every image is in a planted multi-image cluster")
+    rows.foreach { case (id, cid, size) =>
+      assert(cid === id % 50, s"label must be the min doc_id of the residue class")
+      assert(size === n / 50)
+    }
+  }
 }
