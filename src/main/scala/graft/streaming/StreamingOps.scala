@@ -50,6 +50,23 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming canonical-URL dedup — the online twin of
+    * [[graft.ext.WebOps.urlDedup]] for a live crawl feed. Each arriving
+    * fetch record is canonicalized with the SAME pure projection as the
+    * batch operator (so online and offline keep-decisions agree), then
+    * only the FIRST record per canonical URL within the watermark
+    * horizon survives ("first fetch wins"). State is keyed by
+    * canonical_url and evicted as the watermark advances — the bounded-
+    * state contract that makes an indefinite crawl runnable; refetches
+    * separated by more than the horizon re-emit by design (they ARE
+    * refetches at crawl timescales).
+    */
+  def urlDedupStream(fetches: DataFrame, watermark: String = "10 minutes",
+                     urlCol: String = "url"): DataFrame =
+    graft.ext.WebOps.canonicalizeUrl(fetches, urlCol)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("canonical_url")
+
   /** Stream-stream inner join with event-time bounds: match each left
     * event to right events of the same user within `windowMinutes` AFTER
     * it. Both sides are watermarked so Spark can bound the join state

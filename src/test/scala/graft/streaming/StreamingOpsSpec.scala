@@ -236,6 +236,35 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("urlDedupStream: canonical variants collapse to first fetch; batch parity") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val fetches = input.toDF().toDF("doc_id", "ts", "url")
+    val q = urlDedupStream(fetches).writeStream
+      .outputMode("append").format("memory").queryName("urldedup_out").start()
+    try {
+      // four surface forms of ONE page + one genuinely distinct page
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00"), "HTTPS://News.Example.COM:443/p/7?b=2&utm_source=feed&a=1"),
+        (2L, ts("2024-01-01 00:00:10"), "https://news.example.com/p/7/?a=1&b=2#sec-3"),
+        (3L, ts("2024-01-01 00:00:20"), "https://other.example.org/p/9?a=1"))
+      q.processAllAvailable()
+      input.addData( // cross-batch variant of the same page
+        (4L, ts("2024-01-01 00:01:00"), "https://news.example.com/p/7?a=1&gclid=g4&b=2"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, canonical_url FROM urldedup_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(rows.map(_._1).toSeq === Seq(1L, 3L), "first fetch per canonical wins")
+      // the canonical the stream keyed on equals the batch operator's
+      val batch = graft.ext.WebOps.canonicalizeUrl(
+        Seq((1L, "HTTPS://News.Example.COM:443/p/7?b=2&utm_source=feed&a=1"))
+          .toDF("doc_id", "url")).collect()(0).getAs[String]("canonical_url")
+      assert(rows.head._2 === batch)
+      assert(batch === "https://news.example.com/p/7?a=1&b=2")
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint: exactly-once across query restart") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
