@@ -356,7 +356,17 @@ object Multimodal {
     * `maxBandBucket > 0` overrides, `0` disables.
     */
   def imageNearDup(spark: SparkSession, media: DataFrame,
-                   maxHamming: Int = 6, maxBandBucket: Int = -1): DataFrame = {
+                   maxHamming: Int = 6, maxBandBucket: Int = -1): DataFrame =
+    imageNearDupImpl(spark, media, maxHamming, maxBandBucket, ordered = true)
+
+  /** `ordered = false` skips the deterministic output sort — for
+    * consumers like [[imageClusters]] that only read the pair SET (the
+    * sort of the full pair table buys nothing before a groupBy/label
+    * propagation).
+    */
+  private def imageNearDupImpl(spark: SparkSession, media: DataFrame,
+                               maxHamming: Int, maxBandBucket: Int,
+                               ordered: Boolean): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 63,
       s"maxHamming must be in [0, 63): $maxHamming")
     val nb = maxHamming + 1
@@ -384,7 +394,7 @@ object Multimodal {
         .select("band_idx", "band_val")
       allBands.join(heavy, Seq("band_idx", "band_val"), "left_anti")
     }
-    val result = bands.as("x").join(bands.as("y"),
+    val pairs = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -392,7 +402,7 @@ object Multimodal {
         bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
+    val result = if (ordered) pairs.orderBy("doc_a", "doc_b") else pairs
     graft.ext.Dedup.scopeCaches(result, fp)
   }
 
@@ -406,7 +416,8 @@ object Multimodal {
     */
   def imageClusters(spark: SparkSession, media: DataFrame,
                     maxHamming: Int = 6): DataFrame = {
-    val pairs = imageNearDup(spark, media, maxHamming)
+    val pairs = imageNearDupImpl(spark, media, maxHamming,
+      maxBandBucket = -1, ordered = false)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val pairNodes = edges.select(col("src").as("doc_id"))
       .unionByName(edges.select(col("dst").as("doc_id"))).distinct()
