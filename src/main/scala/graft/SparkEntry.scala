@@ -384,7 +384,15 @@ object SparkEntry {
     "q_image_neardup" -> ((s, d) => Multimodal.imageNearDup(s,
       Multimodal.syntheticPngClusters(s, Tables.documents(s, d)))),
     "q_image_clusters" -> ((s, d) => Multimodal.imageClusters(s,
-      Multimodal.syntheticPngClusters(s, Tables.documents(s, d))))
+      Multimodal.syntheticPngClusters(s, Tables.documents(s, d)))),
+    // daily-ingest shape (image twin of q_incremental_neardup_md5):
+    // stored side contributes only (doc_id, dhash), new batch decodes
+    "q_image_neardup_inc" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val media = Multimodal.syntheticPngClusters(s, Tables.documents(s, d))
+      val stored = Multimodal.imageDhash(s, media.filter(col("doc_id") < 250))
+      Multimodal.imageNearDupIncremental(s, media.filter(col("doc_id") >= 250), stored)
+    })
   )
 
   /** The LSH bucketing is data-INDEPENDENT (seeded ±1 hyperplanes), so
@@ -2377,6 +2385,38 @@ object SparkEntry {
         |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
         |SELECT l.doc_id, l.cluster_id, cs.cluster_size
         |FROM lab l JOIN cs USING (cluster_id)
-        |WHERE cs.cluster_size > 1 ORDER BY l.doc_id""".stripMargin
+        |WHERE cs.cluster_size > 1 ORDER BY l.doc_id""".stripMargin,
+    // incremental twin: stored side = doc_id < 250 (hashes only), pairs
+    // need >= 1 new side; is_cross marks new-vs-stored
+    "q_image_neardup_inc" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 50 AS key, doc_id // 50 AS bump,
+        |    8 + (doc_id % 50) % 9 AS w, 8 + (doc_id % 50) % 7 AS h
+        |  FROM documents),
+        |js AS (SELECT doc_id, key, bump, w, h, unnest(range(0, 7)) AS j FROM d),
+        |g0 AS (SELECT doc_id, key, bump, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, key, bump, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, j, i,
+        |  299 * (CASE WHEN x = 0 AND y = 0
+        |    THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |    ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |  + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |  + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |h AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming,
+        |  (a.doc_id >= 250) <> (b.doc_id >= 250) AS is_cross
+        |FROM h a JOIN h b
+        |  ON a.doc_id < b.doc_id AND (a.doc_id >= 250 OR b.doc_id >= 250)
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

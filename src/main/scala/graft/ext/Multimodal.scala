@@ -406,6 +406,48 @@ object Multimodal {
     graft.ext.Dedup.scopeCaches(result, fp)
   }
 
+  /** Incremental perceptual dedup: a NEW batch of images against the
+    * STORED dHash table — the daily-ingest regime where yesterday's
+    * corpus contributes only its (doc_id, dhash) rows, never its
+    * payloads (the image twin of
+    * [[graft.ext.Dedup.incrementalMinhashNearDup]]). Only the new batch
+    * is decoded; banding covers stored ∪ new but candidate pairs
+    * require ≥ 1 new side, so stored×stored work is never redone.
+    * `is_cross` marks new-vs-stored pairs (true duplicates of already-
+    * ingested images) vs new-vs-new. Closed-form fixture ⇒ fully
+    * oracle-matched (`q_image_neardup_inc`).
+    */
+  def imageNearDupIncremental(spark: SparkSession, newMedia: DataFrame,
+                              storedHashes: DataFrame,
+                              maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 63,
+      s"maxHamming must be in [0, 63): $maxHamming")
+    val nb = maxHamming + 1
+    val bounds = (0 to nb).map(i => i * 63 / nb)
+    val newFp = imageDhash(spark, newMedia)
+    val all = storedHashes.select(col("doc_id"), col("dhash"), lit(false).as("is_new"))
+      .unionByName(newFp.select(col("doc_id"), col("dhash"), lit(true).as("is_new")))
+    val bandCols = (0 until nb).map { i =>
+      val lo = bounds(i); val width = bounds(i + 1) - lo
+      val mask = (1L << width) - 1L
+      shiftright(col("dhash"), lo).bitwiseAND(mask)
+    }
+    val banded = all.select(col("doc_id"), col("dhash"), col("is_new"),
+      posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "dhash", "is_new", "band_idx", "band_val")
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        (col("x.is_new") || col("y.is_new")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"),
+        (col("x.is_new") =!= col("y.is_new")).as("is_cross"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Perceptual duplicate-image clusters: connected components over the
     * [[imageNearDup]] pair graph (min-doc_id labels), multi-image
     * clusters only — the image twin of [[graft.ext.Dedup.dedupClusters]],

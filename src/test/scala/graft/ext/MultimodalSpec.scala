@@ -202,6 +202,28 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.forall(_._3 <= 1), "in-cluster Hamming distance is at most the bump bit")
   }
 
+  test("imageNearDupIncremental: only pairs with a new side; classes agree with full run") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.syntheticPngClusters(spark, docs)
+    val stored = Multimodal.imageDhash(spark, media.filter(col("doc_id") < 250))
+    val inc = Multimodal.imageNearDupIncremental(spark,
+      media.filter(col("doc_id") >= 250), stored).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getBoolean(3)))).toMap
+    assert(inc.nonEmpty)
+    // every emitted pair involves >= 1 new doc; is_cross = exactly one new
+    inc.foreach { case ((a, b), (_, cross)) =>
+      assert(a >= 250 || b >= 250)
+      assert(cross === ((a < 250) != (b < 250)))
+    }
+    // the incremental view is exactly the full pair set minus stored-stored
+    val full = Multimodal.imageNearDup(spark, media).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val expected = full.filter { case ((a, b), _) => a >= 250 || b >= 250 }
+    assert(inc.keySet === expected.keySet)
+    inc.foreach { case (k, (hamming, _)) => assert(hamming === expected(k)) }
+  }
+
   test("imageClusters: components recover the planted residue classes exactly") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.syntheticPngClusters(spark, docs)
