@@ -639,13 +639,16 @@ object Dedup {
         .withColumnRenamed("n_shingles", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_shingles", "n_b"), "doc_b")
-    val dirA = sized.select(
-      col("doc_a").as("contained_doc"), col("doc_b").as("container_doc"),
-      round(col("n_inter").cast("double") / col("n_a"), 6).as("containment"))
-    val dirB = sized.select(
-      col("doc_b").as("contained_doc"), col("doc_a").as("container_doc"),
-      round(col("n_inter").cast("double") / col("n_b"), 6).as("containment"))
-    val result = dirA.unionAll(dirB)
+    // both directions from ONE aggregated pair row via conditional
+    // explode (the SCD2 pattern) — a two-select union would re-run the
+    // pair join + aggregation once per direction through the lineage
+    val result = sized.select(explode(array(
+        struct(col("doc_a").as("contained_doc"), col("doc_b").as("container_doc"),
+          round(col("n_inter").cast("double") / col("n_a"), 6).as("containment")),
+        struct(col("doc_b").as("contained_doc"), col("doc_a").as("container_doc"),
+          round(col("n_inter").cast("double") / col("n_b"), 6).as("containment"))))
+        .as("p"))
+      .select(col("p.contained_doc"), col("p.container_doc"), col("p.containment"))
       .filter(col("containment") >= threshold)
       .orderBy("contained_doc", "container_doc")
     scopeCaches(result, sh)
