@@ -180,3 +180,41 @@ object KmvProperties extends Properties("KmvSketch") {
       else Prop(est >= 0L)
     }
 }
+
+object WinnowProperties extends Properties("WinnowFps") {
+
+  // mixed-script text incl. supplementary (emoji) code points — the
+  // bed where a UTF-16 char walk would slice grams wrong
+  val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(6)),
+    Gen.oneOf("日本", "語", "😀", "naïve", "ß", ""))).map(_.mkString)
+
+  /** Naive reference: materialize every gram string, hash it the way
+    * md5HashLong does (hex-string arithmetic, independently coded), take
+    * each window's min by scanning, distinct + sort. No deques, no bit
+    * tricks — a different implementation of the same definition.
+    */
+  def reference(s: String, k: Int, w: Int): Seq[Long] = {
+    val cps = s.codePoints().toArray
+    val grams = (0 to cps.length - k).map(i => new String(cps, i, k))
+    if (grams.length < w) return Seq.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = grams.map { g =>
+      val hex = md.digest((g + "\u0001" + "0").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    hs.sliding(w).map(_.min).toSeq.distinct.sorted
+  }
+
+  property("kernel equals the naive gram/window reference on random unicode") =
+    forAll(textGen, Gen.chooseNum(1, 6), Gen.chooseNum(1, 6)) { (s, k, w) =>
+      val got = {
+        val arr = graft.functions.WinnowFps.fingerprints(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+        (0 until arr.numElements()).map(arr.getLong(_))
+      }
+      val want = reference(s, k, w)
+      Prop(got == want) :| s"k=$k w=$w text=${s.take(40)} got=$got want=$want"
+    }
+}
