@@ -176,6 +176,47 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
       && df1(0).isNullAt(7))
   }
 
+  test("round-8 operators on empty/degenerate input return empty, not errors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val empty = docs()
+    // winnowing: empty corpus and sub-window docs both yield no rows
+    assert(graft.ext.Dedup.winnowFingerprints(empty).collect().isEmpty)
+    assert(graft.ext.Dedup.winnowFingerprints(docs(1L -> "tiny")).collect().isEmpty)
+    assert(graft.ext.Dedup.winnowNearDup(empty).collect().isEmpty)
+    // recall curve: with no truth pairs there are no buckets
+    assert(graft.ext.Dedup.lshRecallCurve(empty).collect().isEmpty)
+    assert(graft.ext.Dedup.lshRecallCurve(docs(1L -> "completely unrelated one",
+      2L -> "nothing shared here at all today")).collect().isEmpty)
+    // retention curve: empty corpus -> no rows; uniform corpus -> one
+    // bucket retaining everything
+    assert(graft.ext.DataPrep.qualityRetentionCurve(empty).collect().isEmpty)
+    val uni = graft.ext.DataPrep.qualityRetentionCurve(
+      docs(1L -> "same words", 2L -> "same words")).collect()
+    assert(uni.length === 1 && uni(0).getLong(1) === 2L
+      && uni(0).getDouble(3) === 1.0)
+    // URL ops: a URL with no scheme/host canonicalizes from empty parts
+    // (regexp_extract misses -> empty strings), never throws
+    val weird = Seq((1L, "not a url at all"), (2L, "ftp://Host.Example:21/x/"))
+      .toDF("doc_id", "url")
+    val canon = graft.ext.WebOps.canonicalizeUrl(weird).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(canon(1L) === "://"  + "/")
+    assert(canon(2L) === "ftp://host.example:21/x", "non-http scheme keeps its port")
+    // image ops: empty media tables flow through hash/near-dup/clusters
+    val noMedia = graft.ext.Multimodal.syntheticPngClusters(spark, empty)
+    assert(graft.ext.Multimodal.imageDhash(spark, noMedia).collect().isEmpty)
+    assert(graft.ext.Multimodal.imageNearDup(spark, noMedia).collect().isEmpty)
+    assert(graft.ext.Multimodal.imageClusters(spark, noMedia).collect().isEmpty)
+    // incremental image dedup with an empty stored side = new-vs-new only
+    val media1 = graft.ext.Multimodal.syntheticPngClusters(spark,
+      docs(1L -> "a", 51L -> "b"))
+    val inc = graft.ext.Multimodal.imageNearDupIncremental(spark, media1,
+      graft.ext.Multimodal.imageDhash(spark, noMedia)).collect()
+    assert(inc.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSeq ===
+      Seq((1L, 51L, false)), "same residue class pairs; nothing is cross")
+  }
+
   test("hll on empty input estimates 0") {
     import spark.implicits._
     val empty = Seq.empty[Long].toDF("v")
