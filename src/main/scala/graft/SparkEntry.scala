@@ -151,6 +151,12 @@ object SparkEntry {
         .select("doc_id", "url", "canonical_url").orderBy("doc_id")),
     "q_url_dedup" -> ((s, d) =>
       WebOps.urlDedup(WebOps.withSyntheticMessyUrl(Tables.documents(s, d)))),
+    // the whole curation pipeline as one verified funnel: URL dedup ->
+    // exact dedup -> near-dup canonicalization -> quality gate ->
+    // decontamination (train side) -> token budget, each stage the same
+    // arithmetic as its standalone operator, composition oracle-matched
+    "q_curation_funnel" -> ((s, d) => Curation.curationFunnel(
+      WebOps.withSyntheticCrawlUrl(Tables.documents(s, d)), tokenBudget = 2000L)),
     "q_pmi_pairs" -> ((s, d) => TextOps.pmiPairs(Tables.documents(s, d))),
     "q_gopher_rules" -> ((s, d) => TextOps.gopherRules(Tables.documents(s, d))),
     "q_classifier_score" -> ((s, d) =>
@@ -1329,6 +1335,141 @@ object SparkEntry {
         |SELECT canonical_url, CAST(COUNT(*) AS INTEGER) AS n_docs,
         |  min(doc_id) AS keep_doc
         |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+    // end-to-end funnel: each stage CTE is the proven fragment of its
+    // standalone oracle, chained; counts verify the COMPOSITION
+    "q_curation_funnel" ->
+      """WITH RECURSIVE
+        |msgurl AS (
+        |  SELECT doc_id, text,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |    ['News.Example.COM', 'BLOG.Example.org', 'Wiki.EXAMPLE.net',
+        |     'Forum.example.IO', 'DOCS.Example.dev']
+        |      [CAST((CASE WHEN doc_id % 7 = 3 THEN doc_id - 1 ELSE doc_id END) % 5
+        |        AS INTEGER) + 1] ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |    '/p/' || CAST((CASE WHEN doc_id % 7 = 3 THEN doc_id - 1 ELSE doc_id END)
+        |      AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN '?b=' || CAST((CASE WHEN doc_id % 7 = 3 THEN doc_id - 1 ELSE doc_id END) % 7 AS VARCHAR) ||
+        |           '&utm_source=feed&a=' || CAST((CASE WHEN doc_id % 7 = 3 THEN doc_id - 1 ELSE doc_id END) % 5 AS VARCHAR)
+        |      ELSE '?a=' || CAST((CASE WHEN doc_id % 7 = 3 THEN doc_id - 1 ELSE doc_id END) % 5 AS VARCHAR) ||
+        |           '&b=' || CAST((CASE WHEN doc_id % 7 = 3 THEN doc_id - 1 ELSE doc_id END) % 7 AS VARCHAR) ||
+        |           '&gclid=g' || CAST(doc_id AS VARCHAR) END) ||
+        |    (CASE WHEN doc_id % 2 = 1
+        |      THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END) AS url
+        |  FROM documents),
+        |cq AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
+        |  FROM msgurl),
+        |cr AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS host,
+        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path0,
+        |    list_sort(list_filter(string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref|igshid)='))) AS params
+        |  FROM cq),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |    (CASE WHEN len(params) > 0
+        |      THEN '?' || array_to_string(params, '&') ELSE '' END) AS canonical_url
+        |  FROM cr),
+        |tok AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens,
+        |    list_sum(list_transform(list_filter(string_split(d.text, ' '), x -> x <> ''),
+        |      x -> (((('0x' || substr(md5(x || chr(1) || '0'), 1, 15))::BIGINT % 1024)
+        |        * 2654435761) % 1997) - 998) ) AS sum_milli
+        |  FROM documents d),
+        |tokq AS (
+        |  SELECT doc_id, n_tokens, sum_milli,
+        |    CASE WHEN n_tokens > 0
+        |      THEN round(CAST(sum_milli AS DOUBLE) / (n_tokens * 998.0), 6) END
+        |      AS quality_score
+        |  FROM tok),
+        |s1 AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canonical_url),
+        |s2 AS (SELECT min(d.doc_id) AS doc_id FROM documents d JOIN s1 USING (doc_id)
+        |       GROUP BY d.text),
+        |toks2 AS (SELECT d.doc_id, string_split(d.text, ' ') AS l
+        |          FROM documents d JOIN s2 USING (doc_id)),
+        |sh2 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |    i -> array_to_string(l[i:i+4], ' ')))) AS shingle
+        |  FROM toks2 WHERE len(l) >= 5),
+        |kept2 AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh2)
+        |  WHERE df <= 1000),
+        |sizes2 AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+        |inter2 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM kept2 a JOIN kept2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac2 AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+        |  FROM inter2 JOIN sizes2 sa ON doc_a = sa.doc_id
+        |  JOIN sizes2 sb ON doc_b = sb.doc_id),
+        |pairs2 AS (SELECT doc_a AS src, doc_b AS dst FROM jac2 WHERE jaccard >= 0.5),
+        |edges2 AS (SELECT src, dst FROM pairs2 UNION ALL SELECT dst, src FROM pairs2),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM s2
+        |  UNION
+        |  SELECT e.dst AS node, w.label FROM walk w JOIN edges2 e ON e.src = w.node),
+        |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        |s3 AS (SELECT doc_id FROM lab WHERE cluster_id = doc_id),
+        |s4 AS (
+        |  SELECT s3.doc_id FROM s3 JOIN tokq USING (doc_id)
+        |  WHERE n_tokens > 0 AND sum_milli >= 0),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train' ELSE 'eval' END AS split
+        |  FROM documents),
+        |s4t AS (SELECT s4.doc_id FROM s4 JOIN sp USING (doc_id) WHERE split = 'train'),
+        |tokse AS (SELECT d.doc_id, string_split(d.text, ' ') AS l, sp.split
+        |          FROM documents d JOIN sp ON d.doc_id = sp.doc_id),
+        |she AS (
+        |  SELECT doc_id, split, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |    i -> array_to_string(l[i:i+4], ' ')))) AS shingle
+        |  FROM tokse WHERE len(l) >= 5),
+        |contaminated AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM (SELECT s.doc_id, s.shingle FROM she s JOIN s4t USING (doc_id)) t
+        |  JOIN (SELECT doc_id AS eval_doc, shingle FROM she WHERE split = 'eval') e
+        |    ON t.shingle = e.shingle
+        |  GROUP BY t.doc_id, e.eval_doc
+        |  HAVING COUNT(*) >= 3),
+        |s5 AS (SELECT doc_id FROM s4t WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |s6 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT s5.doc_id,
+        |      SUM(q.n_tokens) OVER (ORDER BY q.quality_score DESC, s5.doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM s5 JOIN tokq q USING (doc_id))
+        |  WHERE cum <= 2000),
+        |stg AS (
+        |  SELECT 0 AS stage, 'input' AS stage_name, d.doc_id FROM documents d
+        |  UNION ALL SELECT 1, 'url_dedup', doc_id FROM s1
+        |  UNION ALL SELECT 2, 'exact_dedup', doc_id FROM s2
+        |  UNION ALL SELECT 3, 'near_dup', doc_id FROM s3
+        |  UNION ALL SELECT 4, 'quality', doc_id FROM s4
+        |  UNION ALL SELECT 5, 'decontaminate_train', doc_id FROM s5
+        |  UNION ALL SELECT 6, 'token_budget', doc_id FROM s6)
+        |SELECT stage, stage_name, COUNT(*) AS n_docs,
+        |  CAST(COALESCE(SUM(t.n_tokens), 0) AS BIGINT) AS n_tokens
+        |FROM stg JOIN tokq t USING (doc_id)
+        |GROUP BY stage, stage_name ORDER BY stage""".stripMargin,
     "q_pmi_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')[1:40]) AS t FROM documents),

@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation pipeline, as one operator: the stage
+  * sequence a web-scale training corpus actually runs —
+  *
+  *   0 input
+  *   1 URL dedup            (cheapest first: string arithmetic only)
+  *   2 exact text dedup     (hash aggregation)
+  *   3 near-dup canonicalization (shingle jaccard pairs → components →
+  *                           keep the min-doc_id representative)
+  *   4 quality gate         (hashing-trick classifier, kept = score ≥ 0)
+  *   5 decontamination      (train side only; drop docs sharing ≥
+  *                           `minShared` shingles with any eval doc)
+  *   6 token budget         (greedy admission by quality, two-pass
+  *                           global order — never a single-task sort)
+  *
+  * ordered so each stage shrinks the corpus the next (more expensive)
+  * stage sees. Returns the funnel: one row per stage with surviving
+  * doc and token counts — the artifact a data-curation run reports.
+  *
+  * Every stage rule is the same arithmetic as its standalone operator
+  * (canonicalizeUrl, exactDedup's min-per-text, ngramJaccard +
+  * connectedComponents, classifierQualityScore, decontaminate's
+  * pair rule, tokenBudgetSelect's cumulative admission), so the whole
+  * funnel is DuckDB-expressible and runs under the exact oracle
+  * (`q_curation_funnel`) — the composition is verified end to end, not
+  * just its parts.
+  */
+object Curation {
+
+  def curationFunnel(documents: DataFrame, urlCol: String = "url",
+                     k: Int = 5, jaccardThreshold: Double = 0.5,
+                     minShared: Int = 3, tokenBudget: Long = 5000L): DataFrame = {
+    // per-doc token counts (non-empty whitespace tokens) for the stage
+    // sums; quality joins in the classifier's content-pure score
+    val allTok = documents.select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
+        .as("n_tokens")).persist()
+    val quality = TextOps.classifierQualityScore(documents)
+      .select(col("doc_id"), col("quality_score"), col("kept")).persist()
+
+    // 1: first fetch per canonical URL wins
+    val s1 = WebOps.canonicalizeUrl(documents, urlCol)
+      .groupBy("canonical_url").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    // 2: min doc_id per exact text among URL survivors
+    val s2 = documents.join(s1, "doc_id")
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val docs2 = documents.join(s2, "doc_id").persist()
+    // 3: near-dup components over the s2 subset; keep the min-label
+    // representative of each cluster (singletons pass untouched)
+    val pairs = Dedup.ngramJaccard(docs2, k, jaccardThreshold)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val pairNodes = edges.select(col("src").as("doc_id"))
+      .unionByName(edges.select(col("dst").as("doc_id"))).distinct()
+    val labels = Dedup.connectedComponents(edges, pairNodes)
+    val dropped = labels.filter(col("label") =!= col("doc_id")).select("doc_id")
+    pairs.unpersist(false)
+    val s3 = docs2.select("doc_id").join(dropped, Seq("doc_id"), "left_anti").persist()
+    // 4: classifier gate (kept requires n_tokens > 0 and score >= 0)
+    val s4 = s3.join(quality.filter(col("kept") === 1).select("doc_id"), "doc_id")
+      .persist()
+    // 5: train docs only, minus those sharing >= minShared shingles
+    // with ANY eval doc of the ORIGINAL corpus (the eval set is not
+    // subject to curation — it is the contamination reference)
+    val splitDf = documents.select(col("doc_id"),
+      when(substring(md5(col("text")), 1, 2) < "cc", "train")
+        .otherwise("eval").as("split"))
+    val s4train = s4.join(splitDf.filter(col("split") === "train")
+      .select("doc_id"), "doc_id")
+    val trainSh = Dedup.shingles(documents.join(s4train, "doc_id"), k)
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    val evalSh = Dedup.shingles(documents.join(
+        splitDf.filter(col("split") === "eval").select("doc_id"), "doc_id"), k)
+      .select(col("doc_id").as("eval_doc"), col("shingle"))
+    val contaminated = trainSh.join(evalSh, "shingle")
+      .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val s5 = s4train.join(contaminated, Seq("doc_id"), "left_anti").persist()
+    // 6: greedy token-budget admission by (quality desc, doc_id),
+    // cumulative sum via the range-partitioned two-pass global order
+    val s5doc = s5.join(quality, "doc_id").join(allTok, "doc_id")
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+    val ordered = graft.ops.GlobalOrder.withOrdinal(s5doc,
+      Seq(col("quality_score").desc, col("doc_id")),
+      valueCol = Some("n_tokens"), ordName = "_ord", cumName = "cum_tokens")
+    val s6 = ordered.df.filter(col("cum_tokens") <= tokenBudget)
+      .select("doc_id").persist()
+
+    def stage(i: Int, name: String, ids: DataFrame): DataFrame =
+      ids.join(allTok, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(i).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    val out = stage(0, "input", documents.select("doc_id"))
+      .unionByName(stage(1, "url_dedup", s1))
+      .unionByName(stage(2, "exact_dedup", s2))
+      .unionByName(stage(3, "near_dup", s3))
+      .unionByName(stage(4, "quality", s4))
+      .unionByName(stage(5, "decontaminate_train", s5))
+      .unionByName(stage(6, "token_budget", s6))
+      .orderBy("stage")
+    Dedup.scopeCaches(out, allTok, quality, docs2, s3, s4, s5, s6)
+  }
+}

@@ -76,6 +76,38 @@ object WebOps {
         min(col(idCol)).as("keep_doc"))
       .orderBy("canonical_url")
 
+  /** Crawl-shaped URL fixture: most documents live at their OWN page,
+    * but every `doc_id % 7 == 3` document aliases the previous page —
+    * an SF-independent ~1/7 refetch rate, the proportion a crawl feed
+    * actually shows (vs [[withSyntheticMessyUrl]]'s dense %100
+    * collapse bed, which stress-tests the dedup itself). Page identity
+    * (host, path, content params) is keyed on the PAGE; surface
+    * variance (scheme case, default port, trailing slash, tracking
+    * params, fragment) on the DOCUMENT — so alias pairs canonicalize
+    * equal and nothing else does.
+    */
+  def withSyntheticCrawlUrl(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val p = when(pmod(id, lit(7L)) === 3, id - 1).otherwise(id)
+    val host = element_at(typedlit(Seq("News.Example.COM", "BLOG.Example.org",
+      "Wiki.EXAMPLE.net", "Forum.example.IO", "DOCS.Example.dev")),
+      (pmod(p, lit(5L)) + 1).cast("int"))
+    val scheme = when(pmod(id, lit(2L)) === 0, lit("HTTPS")).otherwise(lit("https"))
+    val port = when(pmod(id, lit(4L)) === 0, lit(":443")).otherwise(lit(""))
+    val trail = when(pmod(id, lit(3L)) === 0, lit("/")).otherwise(lit(""))
+    val a = pmod(p, lit(5L)).cast("string")
+    val b = pmod(p, lit(7L)).cast("string")
+    val query = when(pmod(id, lit(2L)) === 0,
+        concat(lit("?b="), b, lit("&utm_source=feed&a="), a))
+      .otherwise(concat(lit("?a="), a, lit("&b="), b,
+        lit("&gclid=g"), id.cast("string")))
+    val frag = when(pmod(id, lit(2L)) === 1,
+      concat(lit("#sec-"), pmod(id, lit(4L)).cast("string"))).otherwise(lit(""))
+    documents.withColumn("url",
+      concat(scheme, lit("://"), host, port, lit("/p/"), p.cast("string"),
+        trail, query, frag))
+  }
+
   /** Deterministic messy-URL fixture (the corpus has no URL column):
     * every doc gets a URL whose canonical form depends only on
     * `doc_id % 100`, while scheme case, host case, default port,
