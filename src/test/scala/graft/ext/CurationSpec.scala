@@ -25,6 +25,10 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       (3L, nearDup, "https://ex.com/c?x=3"),
       (4L, other, "https://ex.com/a/?x=1#frag"),
       (5L, "tiny words", "https://ex.com/e?x=5"))
+    // snapshot BEFORE: the session is shared across suites, so other
+    // specs' caches may legitimately exist — assert only that the
+    // funnel adds none of its own
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val out = Curation.curationFunnel(d)
     val funnel = out.collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
@@ -43,8 +47,9 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
     // the funnel releases every cache it pinned except the result
     out.unpersist(blocking = true)
-    val leaked = spark.sparkContext.getPersistentRDDs.values
-      .filterNot(_.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
-    assert(leaked.isEmpty, s"leaked caches: ${leaked.map(_.name)}")
+    val leaked = spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, rdd) => cachedBefore.contains(id) ||
+        rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE }
+    assert(leaked.isEmpty, s"funnel leaked caches: ${leaked.values.map(_.name)}")
   }
 }
