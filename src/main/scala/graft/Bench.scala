@@ -117,7 +117,12 @@ object Bench {
     // window long ago — so the complete record goes to a file and
     // stdout gets a compact line that provably fits the window.
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"flaky":$flaky,"spread":$spread,"topped_up":$toppedUp,"only":$onlyJson,"unmatched":$unmatchedJson,"sf":"$sfDir"}"""
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    // a filtered run writes to a sidecar so a quick SPARK_GRAFT_ONLY
+    // re-measure can never clobber the committed full-sweep record
+    // (observed: a 1-query re-bench silently replaced the 145-query
+    // record between sweep and commit)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (only.isDefined) "BENCH_FULL.partial.json" else "BENCH_FULL.json")
     locally {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(fullJson) finally w.close()
