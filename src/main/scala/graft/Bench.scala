@@ -137,9 +137,16 @@ object Bench {
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"n_queries":${names.size},"n_ok":${results.count(_._2 >= 0)},"failed":$failed,"flaky_n":$flakyN,"topped_up_n":${suspects.size},"only":$onlyJson,"unmatched":$unmatchedJson,"full":"$fullPath","sf":"$sfDir","queries":{"""
     val slowestFirst = results.filter(_._2 >= 0).sortBy(-_._2)
     val qsb = new StringBuilder
-    slowestFirst.foreach { case (k, v) =>
+    // stop at the FIRST piece that doesn't fit: appending later,
+    // shorter-named queries after skipping a slower one would make the
+    // summary not a true slowest-first prefix
+    val it = slowestFirst.iterator
+    var fits = true
+    while (fits && it.hasNext) {
+      val (k, v) = it.next()
       val piece = (if (qsb.nonEmpty) "," else "") + "\"" + k + "\":" + fmt(v)
       if (head.length + qsb.length + piece.length + 2 <= 1600) qsb.append(piece)
+      else fits = false
     }
     println(head + qsb + "}}")
     spark.stop()

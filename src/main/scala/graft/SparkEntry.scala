@@ -387,8 +387,14 @@ object SparkEntry {
     // Hamming near-dup, the image twin of simhashNearDup
     "q_image_dhash" -> ((s, d) => Multimodal.imageDhash(s,
       Multimodal.syntheticPngClusters(s, Tables.documents(s, d))).orderBy("doc_id")),
+    // maxBandBucket = 0 (guard off) on the ORACLE paths: the DuckDB
+    // twin is the exact quadratic join, and the auto cap knowingly
+    // drops heavy buckets — exact here keeps verification valid at any
+    // SF while the capped default stays the production behavior (the
+    // cap itself is bound-pinned on a degenerate corpus in MultimodalSpec)
     "q_image_neardup" -> ((s, d) => Multimodal.imageNearDup(s,
-      Multimodal.syntheticPngClusters(s, Tables.documents(s, d)))),
+      Multimodal.syntheticPngClusters(s, Tables.documents(s, d)),
+      maxBandBucket = 0)),
     "q_image_clusters" -> ((s, d) => Multimodal.imageClusters(s,
       Multimodal.syntheticPngClusters(s, Tables.documents(s, d)))),
     // daily-ingest shape (image twin of q_incremental_neardup_md5):
@@ -397,7 +403,8 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       val media = Multimodal.syntheticPngClusters(s, Tables.documents(s, d))
       val stored = Multimodal.imageDhash(s, media.filter(col("doc_id") < 250))
-      Multimodal.imageNearDupIncremental(s, media.filter(col("doc_id") >= 250), stored)
+      Multimodal.imageNearDupIncremental(s, media.filter(col("doc_id") >= 250), stored,
+        maxBandBucket = 0)
     })
   )
 

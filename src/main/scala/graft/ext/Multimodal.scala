@@ -416,10 +416,20 @@ object Multimodal {
     * `is_cross` marks new-vs-stored pairs (true duplicates of already-
     * ingested images) vs new-vs-new. Closed-form fixture ⇒ fully
     * oracle-matched (`q_image_neardup_inc`).
+    *
+    * The same safe-by-default band-bucket cap as the batch path guards
+    * this join: the incremental route runs *every day*, so a corpus of
+    * flat/monochrome images (all sharing the all-zeros dHash) would
+    * otherwise pile stored ∪ new into one (band, value) bucket and go
+    * quadratic in total corpus size on the daily path. Buckets holding
+    * more than the cap fingerprints are anti-joined away before the
+    * join (`-1` = auto-derive from stored ∪ new size, `0` = off,
+    * `> 0` = manual), exactly as in [[imageNearDup]].
     */
   def imageNearDupIncremental(spark: SparkSession, newMedia: DataFrame,
                               storedHashes: DataFrame,
-                              maxHamming: Int = 6): DataFrame = {
+                              maxHamming: Int = 6,
+                              maxBandBucket: Int = -1): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 63,
       s"maxHamming must be in [0, 63): $maxHamming")
     val nb = maxHamming + 1
@@ -427,15 +437,32 @@ object Multimodal {
     val newFp = imageDhash(spark, newMedia)
     val all = storedHashes.select(col("doc_id"), col("dhash"), lit(false).as("is_new"))
       .unionByName(newFp.select(col("doc_id"), col("dhash"), lit(true).as("is_new")))
+      .cache()
+    val cap: Long =
+      if (maxBandBucket > 0) maxBandBucket.toLong
+      else if (maxBandBucket == 0) 0L
+      else {
+        // auto: the count() action doubles as cache materialisation —
+        // the new batch is decoded once, not once per banding pass
+        val bandRows = all.count() * nb
+        math.max(64L, math.ceil(math.sqrt(4.0 * bandRows)).toLong)
+      }
     val bandCols = (0 until nb).map { i =>
       val lo = bounds(i); val width = bounds(i + 1) - lo
       val mask = (1L << width) - 1L
       shiftright(col("dhash"), lo).bitwiseAND(mask)
     }
-    val banded = all.select(col("doc_id"), col("dhash"), col("is_new"),
+    val allBands = all.select(col("doc_id"), col("dhash"), col("is_new"),
       posexplode(array(bandCols: _*)))
       .toDF("doc_id", "dhash", "is_new", "band_idx", "band_val")
-    banded.as("x").join(banded.as("y"),
+    val banded = if (cap <= 0) allBands else {
+      val heavy = allBands.groupBy("band_idx", "band_val")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap)
+        .select("band_idx", "band_val")
+      allBands.join(heavy, Seq("band_idx", "band_val"), "left_anti")
+    }
+    val result = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.doc_id") < col("y.doc_id") &&
@@ -446,6 +473,7 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+    graft.ext.Dedup.scopeCaches(result, all)
   }
 
   /** Perceptual duplicate-image clusters: connected components over the

@@ -87,8 +87,10 @@ object GraftFunctions {
     * argument (e.g. the testdata's `array<float>`) is cast to
     * `array<double>` before hitting the native loop.
     */
-  def cosineSimBuilder(exprs: Seq[Expression]): Expression =
+  def cosineSimBuilder(exprs: Seq[Expression]): Expression = {
+    FnArgs.arity("cosine_sim", exprs, Seq(2))
     CosineSimilarity(Cast(exprs(0), arrDouble), Cast(exprs(1), arrDouble))
+  }
 
   /** Register graft's native functions on an existing session (the
     * runtime-equivalent of [[GraftExtensions]]).
@@ -107,10 +109,12 @@ object GraftFunctions {
   /** `winnow_fps(text, k, w)` — k and w must be integer literals (they
     * parameterize the generated code).
     */
-  def winnowFpsBuilder(exprs: Seq[Expression]): Expression =
+  def winnowFpsBuilder(exprs: Seq[Expression]): Expression = {
+    FnArgs.arity("winnow_fps", exprs, Seq(3))
     WinnowFps(exprs(0),
-      exprs(1).eval().asInstanceOf[Number].intValue(),
-      exprs(2).eval().asInstanceOf[Number].intValue())
+      FnArgs.intLit("winnow_fps", exprs, 1, "k"),
+      FnArgs.intLit("winnow_fps", exprs, 2, "w"))
+  }
 
   /** Column-API form: `cosine_sim($"a", $"b")` (requires [[register]] or
     * [[GraftExtensions]] on the session).
@@ -136,17 +140,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
-      (exprs: Seq[Expression]) => MinHashSketch(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+      (exprs: Seq[Expression]) => MinHashSketch(
+        FnArgs.arity("minhash_sketch", exprs, Seq(2)).head,
+        FnArgs.intLit("minhash_sketch", exprs, 1, "numHashes"))))
     e.injectFunction((
       new FunctionIdentifier("simhash_sketch"),
       new ExpressionInfo(classOf[SimHashSketch].getName, "simhash_sketch"),
-      (exprs: Seq[Expression]) => SimHashSketch(exprs(0))))
+      (exprs: Seq[Expression]) =>
+        SimHashSketch(FnArgs.arity("simhash_sketch", exprs, Seq(1)).head)))
     e.injectFunction((
       new FunctionIdentifier("hll_distinct"),
       new ExpressionInfo(classOf[HllSketch].getName, "hll_distinct"),
-      (exprs: Seq[Expression]) => HllSketch(exprs(0),
-        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 14)))
+      (exprs: Seq[Expression]) => HllSketch(
+        FnArgs.arity("hll_distinct", exprs, Seq(1, 2)).head,
+        if (exprs.length > 1) FnArgs.intLit("hll_distinct", exprs, 1, "p") else 14)))
     e.injectFunction((
       new FunctionIdentifier("zorder"),
       new ExpressionInfo(classOf[ZOrder].getName, "zorder"),

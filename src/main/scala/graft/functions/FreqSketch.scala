@@ -151,14 +151,18 @@ object FreqSketch {
     }
 
   def register(spark: SparkSession): Unit = {
-    def kOf(exprs: Seq[Expression], default: Int): Int =
-      if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else default
+    def kOf(fn: String, exprs: Seq[Expression], default: Int): Int =
+      if (exprs.length > 1) FnArgs.intLit(fn, exprs, 1, "k") else default
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "mg_topk", exprs => MgTopK(exprs(0), kOf(exprs, 64)), "built-in")
+      "mg_topk", exprs => MgTopK(FnArgs.arity("mg_topk", exprs, Seq(1, 2)).head,
+        kOf("mg_topk", exprs, 64)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "mg_sketch_buffer", exprs => MgSketchBuffer(exprs(0), kOf(exprs, 64)), "built-in")
+      "mg_sketch_buffer",
+      exprs => MgSketchBuffer(FnArgs.arity("mg_sketch_buffer", exprs, Seq(1, 2)).head,
+        kOf("mg_sketch_buffer", exprs, 64)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "mg_merge_topk", exprs => MgMergeTopK(exprs(0)), "built-in")
+      "mg_merge_topk",
+      exprs => MgMergeTopK(FnArgs.arity("mg_merge_topk", exprs, Seq(1)).head), "built-in")
   }
 
   def mg_topk(spark: SparkSession, c: Column, k: Int = 64): Column = {

@@ -109,16 +109,17 @@ object HllSketch {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_distinct",
-      exprs => HllSketch(exprs(0),
-        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 14),
+      exprs => HllSketch(FnArgs.arity("hll_distinct", exprs, Seq(1, 2)).head,
+        if (exprs.length > 1) FnArgs.intLit("hll_distinct", exprs, 1, "p") else 14),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_sketch_buffer",
-      exprs => HllSketchBuffer(exprs(0),
-        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Number].intValue() else 14),
+      exprs => HllSketchBuffer(FnArgs.arity("hll_sketch_buffer", exprs, Seq(1, 2)).head,
+        if (exprs.length > 1) FnArgs.intLit("hll_sketch_buffer", exprs, 1, "p") else 14),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hll_merge", exprs => HllMerge(exprs(0)), "built-in")
+      "hll_merge",
+      exprs => HllMerge(FnArgs.arity("hll_merge", exprs, Seq(1)).head), "built-in")
   }
 
   def hll_distinct(spark: SparkSession, c: Column, p: Int = 14): Column = {

@@ -48,25 +48,32 @@ case class Md5MinHashSketch(child: Expression, numHashes: Int,
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
 
+  // NULL input replicates the composed twin's concat_ws semantics:
+  // concat_ws drops a NULL arg *and* its separator, leaving just the
+  // decimal seed string — so a null shingle hashes the seed-only byte
+  // stream here too and the twins stay bit-identical on ANY input (an
+  // all-NULL group yields the same constant signature in both, not
+  // [Long.MaxValue, ...] vs hashes).
+  @transient private lazy val seedOnly: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(i => i.toString.getBytes("UTF-8"))
+
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val bytes = v.asInstanceOf[UTF8String].getBytes
-      var i = 0
-      while (i < numHashes) {
-        md.reset()
-        md.update(bytes)
-        md.update(seedSuffix(i))
-        val d = md.digest()
-        // first 15 hex chars == top 60 bits: 7 full bytes + the high
-        // nibble of byte 7 (same extraction as WinnowFps)
-        var h = 0L
-        var j = 0
-        while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
-        h = (h << 4) | ((d(7) & 0xf0L) >>> 4)
-        if (h < buffer(i)) buffer(i) = h
-        i += 1
-      }
+    val bytes = if (v == null) null else v.asInstanceOf[UTF8String].getBytes
+    var i = 0
+    while (i < numHashes) {
+      md.reset()
+      if (bytes == null) md.update(seedOnly(i))
+      else { md.update(bytes); md.update(seedSuffix(i)) }
+      val d = md.digest()
+      // first 15 hex chars == top 60 bits: 7 full bytes + the high
+      // nibble of byte 7 (same extraction as WinnowFps)
+      var h = 0L
+      var j = 0
+      while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      h = (h << 4) | ((d(7) & 0xf0L) >>> 4)
+      if (h < buffer(i)) buffer(i) = h
+      i += 1
     }
     buffer
   }
@@ -108,8 +115,9 @@ object Md5MinHashSketch {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_minhash_sketch",
-      exprs => Md5MinHashSketch(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+      exprs => Md5MinHashSketch(
+        FnArgs.arity("md5_minhash_sketch", exprs, Seq(2)).head,
+        FnArgs.intLit("md5_minhash_sketch", exprs, 1, "numHashes")),
       "built-in")
 
   def md5_minhash_sketch(spark: SparkSession, shingle: Column, numHashes: Int): Column = {

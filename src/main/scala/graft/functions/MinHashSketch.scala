@@ -87,8 +87,9 @@ object MinHashSketch {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sketch",
-      exprs => MinHashSketch(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+      exprs => MinHashSketch(
+        FnArgs.arity("minhash_sketch", exprs, Seq(2)).head,
+        FnArgs.intLit("minhash_sketch", exprs, 1, "numHashes")),
       "built-in")
 
   def minhash_sketch(spark: SparkSession, shingle: Column, numHashes: Int): Column = {

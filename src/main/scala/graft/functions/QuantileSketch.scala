@@ -172,16 +172,22 @@ object QuantileSketch {
   }
 
   def register(spark: SparkSession): Unit = {
-    def kOf(exprs: Seq[Expression]): Int = exprs(1).eval().asInstanceOf[Number].intValue()
-    def pOf(exprs: Seq[Expression], i: Int): Double = exprs(i).eval().asInstanceOf[Number].doubleValue()
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "qsk_quantile", exprs => QskQuantile(exprs(0), kOf(exprs), pOf(exprs, 2)), "built-in")
+      "qsk_quantile",
+      exprs => QskQuantile(FnArgs.arity("qsk_quantile", exprs, Seq(3)).head,
+        FnArgs.intLit("qsk_quantile", exprs, 1, "k"),
+        FnArgs.doubleLit("qsk_quantile", exprs, 2, "p")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "qsk_buffer", exprs => QskBuffer(exprs(0), kOf(exprs)), "built-in")
+      "qsk_buffer", exprs => QskBuffer(FnArgs.arity("qsk_buffer", exprs, Seq(2)).head,
+        FnArgs.intLit("qsk_buffer", exprs, 1, "k")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "qsk_merge_quantile", exprs => QskMergeQuantile(exprs(0), pOf(exprs, 1)), "built-in")
+      "qsk_merge_quantile",
+      exprs => QskMergeQuantile(FnArgs.arity("qsk_merge_quantile", exprs, Seq(2)).head,
+        FnArgs.doubleLit("qsk_merge_quantile", exprs, 1, "p")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "qsk_merge_total", exprs => QskMergeTotal(exprs(0)), "built-in")
+      "qsk_merge_total",
+      exprs => QskMergeTotal(FnArgs.arity("qsk_merge_total", exprs, Seq(1)).head),
+      "built-in")
   }
 
   def qsk_quantile(spark: SparkSession, c: Column, k: Int, p: Double): Column = {

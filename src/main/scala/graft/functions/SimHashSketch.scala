@@ -80,7 +80,9 @@ case class SimHashSketch(child: Expression,
 object SimHashSketch {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_sketch", exprs => SimHashSketch(exprs(0)), "built-in")
+      "simhash_sketch",
+      exprs => SimHashSketch(FnArgs.arity("simhash_sketch", exprs, Seq(1)).head),
+      "built-in")
 
   def simhash_sketch(spark: SparkSession, token: Column): Column = {
     register(spark)

@@ -58,7 +58,8 @@ object UnicodeNormalize {
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
   }
 
-  def builder(exprs: Seq[Expression]): Expression = UnicodeNormalize(exprs.head)
+  def builder(exprs: Seq[Expression]): Expression =
+    UnicodeNormalize(FnArgs.arity("unicode_normalize", exprs, Seq(1)).head)
 
   /** Column form (requires [[GraftExtensions]] / `register`). */
   def unicode_normalize(c: Column): Column = call_function("unicode_normalize", c)

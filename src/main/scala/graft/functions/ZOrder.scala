@@ -56,10 +56,12 @@ object ZOrder {
   /** Morton code: bits of `a` on even positions, `b` on odd. */
   def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
 
-  def zorderBuilder(exprs: Seq[Expression]): Expression =
+  def zorderBuilder(exprs: Seq[Expression]): Expression = {
+    FnArgs.arity("zorder", exprs, Seq(2))
     ZOrder(
       org.apache.spark.sql.catalyst.expressions.Cast(exprs(0), LongType),
       org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), LongType))
+  }
 
   /** Column form (requires [[GraftExtensions]] / [[GraftFunctions]]). */
   def zorder(a: Column, b: Column): Column = call_function("zorder", a, b)

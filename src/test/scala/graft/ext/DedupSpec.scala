@@ -306,6 +306,17 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val c2 = Dedup.minhashSignaturesMd5Composed(uni, 4).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(f2 === c2)
+    // NULL shingles: concat_ws drops a NULL arg and its separator, so
+    // the composed twin hashes the seed-only string — the fused sketch
+    // must replicate that (mixed and all-NULL groups alike), not skip
+    val withNull = Seq((1L, "abc"), (1L, null), (2L, null), (2L, null))
+      .toDF("doc_id", "shingle")
+    val f3 = Dedup.minhashSignaturesMd5(withNull, 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val c3 = Dedup.minhashSignaturesMd5Composed(withNull, 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(f3 === c3,
+      "twins must stay bit-identical on NULL input (concat_ws semantics)")
   }
 
   test("native simhash_sketch fingerprints equal the composed 64-column form") {

@@ -224,6 +224,63 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     inc.foreach { case (k, (hamming, _)) => assert(hamming === expected(k)) }
   }
 
+  test("image near-dup band-bucket cap bounds the flat-image corpus blowup (batch + incremental)") {
+    import spark.implicits._
+    // flat (constant-color) images: every intra-row luma comparison is
+    // false, so ALL of them share the all-zeros dHash — the image twin
+    // of DedupSpec's empty-document simhash bed. Color varies per doc
+    // to show the degeneracy is structural, not a payload-equality dup.
+    def flatPng(id: Long): Array[Byte] = {
+      val c = ((id * 31) % 256).toInt
+      Multimodal.PngCodec.encode(16, 16, (_, _) => (c << 16) | (c << 8) | c)
+    }
+    // planted near-dup pair: the high-frequency cluster pattern from
+    // syntheticPngClusters (key fixed), corner-bump perturbation on one
+    // member -> in-pair Hamming <= 1, ~half the 63 bits set so the pair
+    // sits tens of bits from the flat images' all-zeros hash
+    def clusterPng(bump: Int): Array[Byte] = {
+      val key = 7L
+      val w = (8 + key % 9).toInt; val h = (8 + key % 7).toInt
+      Multimodal.PngCodec.encode(w, h, (x, y) => {
+        val r0 = ((key * 7 + x * 37 + y * 59 + x * y * 13) % 256).toInt
+        val r = if (x == 0 && y == 0) (r0 + bump) % 256 else r0
+        val g = ((key * 11 + x * 23 + y * 41 + x * y * 7) % 256).toInt
+        val b = ((key * 13 + x * 29 + y * 31 + x * y * 17) % 256).toInt
+        (r << 16) | (g << 8) | b
+      })
+    }
+    val media = ((1L to 200L).map(id => (id, flatPng(id))) ++
+      Seq((1001L, clusterPng(0)), (1002L, clusterPng(5))))
+      .toDF("doc_id", "payload")
+
+    // batch path: guard off is quadratic in the flat bucket; auto cap
+    // (202 fp × 7 bands -> cap 76 < 200) drops it with NO caller
+    // parameter while the planted pair's 2-strong buckets survive
+    val uncapped = Multimodal.imageNearDup(spark, media, maxBandBucket = 0).collect()
+    assert(uncapped.length === 200 * 199 / 2 + 1,
+      "guard off: all-pairs volume in the flat-image bucket")
+    val auto = Multimodal.imageNearDup(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(auto.toSeq === Seq((1001L, 1002L)),
+      "auto cap must bound the flat-image corpus with no parameter")
+
+    // incremental (daily-ingest) path: stored = 150 flat + one planted
+    // member's hashes, new = 50 flat + the other planted member
+    import org.apache.spark.sql.functions.col
+    val stored = Multimodal.imageDhash(spark,
+      media.filter(col("doc_id") <= 150 || col("doc_id") === 1001L))
+    val newMedia = media.filter(col("doc_id") > 150 && col("doc_id") =!= 1001L)
+    val incUncapped = Multimodal.imageNearDupIncremental(spark, newMedia, stored,
+      maxBandBucket = 0).collect()
+    assert(incUncapped.length === 200 * 199 / 2 - 150 * 149 / 2 + 1,
+      "guard off: every flat pair with a new side")
+    val incAuto = Multimodal.imageNearDupIncremental(spark, newMedia, stored).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(incAuto.toSeq === Seq((1001L, 1002L, true)),
+      "auto cap must bound the daily-ingest path with no parameter; " +
+        "the planted stored-vs-new dup survives as a cross pair")
+  }
+
   test("imageClusters: components recover the planted residue classes exactly") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.syntheticPngClusters(spark, docs)
