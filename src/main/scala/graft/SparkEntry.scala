@@ -314,6 +314,11 @@ object SparkEntry {
       Dedup.incrementalMinhashNearDup(docs.filter(col("doc_id") >= 250), storedSigs)
     }),
     "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
+    // md5-family simhash twin: portable 60-bit fingerprints put the
+    // whole simhash near-dup path (fingerprint, banding, verify) under
+    // the DuckDB oracle; guard off on the oracle path (exact regime)
+    "q_simhash_neardup_md5" -> ((s, d) => Dedup.simhashNearDupMd5(
+      Tables.documents(s, d), maxBandBucket = 0)),
     // LSH calibration harness: measured banding recall per exact-jaccard
     // bucket — the probabilistic side itself under the DuckDB oracle
     "q_lsh_recall_curve" -> ((s, d) => Dedup.lshRecallCurve(Tables.documents(s, d))),
@@ -2158,6 +2163,32 @@ object SparkEntry {
         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
         |  JOIN sizes sb ON doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // portable-hash simhash: DuckDB reproduces the 60-bit md5-family
+    // fingerprints (per-token hash, ±1 bit votes, sign of the sum), and
+    // the Spark side's pigeonhole banding is recall-complete with the
+    // guard off, so the exact quadratic Hamming join IS its oracle
+    "q_simhash_neardup_md5" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |hh AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(token || chr(1) || '0'), 1, 15))::BIGINT AS h
+        |  FROM tok),
+        |hb AS (SELECT doc_id, h, unnest(range(0, 60)) AS b FROM hh),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hb GROUP BY doc_id, b),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+        |      AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     // banding-recall calibration: truth = df-capped exact jaccard
     // (ngramJaccard contract), candidates = the same md5 banding as

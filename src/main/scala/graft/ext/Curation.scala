@@ -66,16 +66,25 @@ object Curation {
       .persist()
     // 5: train docs only, minus those sharing >= minShared shingles
     // with ANY eval doc of the ORIGINAL corpus (the eval set is not
-    // subject to curation — it is the contamination reference)
+    // subject to curation — it is the contamination reference).
+    // Both decontamination sides come from ONE shingle pass: at 100 TB
+    // tokenization is a top-3 cost, and the previous form re-tokenized
+    // the corpus once per side. The train/eval tag rides through the
+    // explode as a carry column, so each side is a narrow filter over
+    // the same cached shingle table.
     val splitDf = documents.select(col("doc_id"),
       when(substring(md5(col("text")), 1, 2) < "cc", "train")
         .otherwise("eval").as("split"))
     val s4train = s4.join(splitDf.filter(col("split") === "train")
       .select("doc_id"), "doc_id")
-    val trainSh = Dedup.shingles(documents.join(s4train, "doc_id"), k)
+    val needed = s4train.withColumn("side", lit("train"))
+      .unionByName(splitDf.filter(col("split") === "eval")
+        .select("doc_id").withColumn("side", lit("eval")))
+    val sh = Dedup.shingles(documents.join(needed, "doc_id"), k,
+      carry = Seq("side")).persist()
+    val trainSh = sh.filter(col("side") === "train")
       .select(col("doc_id").as("train_doc"), col("shingle"))
-    val evalSh = Dedup.shingles(documents.join(
-        splitDf.filter(col("split") === "eval").select("doc_id"), "doc_id"), k)
+    val evalSh = sh.filter(col("side") === "eval")
       .select(col("doc_id").as("eval_doc"), col("shingle"))
     val contaminated = trainSh.join(evalSh, "shingle")
       .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("n_shared"))
@@ -106,6 +115,6 @@ object Curation {
       .unionByName(stage(5, "decontaminate_train", s5))
       .unionByName(stage(6, "token_budget", s6))
       .orderBy("stage")
-    Dedup.scopeCaches(out, allTok, quality, docs2, s3, s4, s5, s6)
+    Dedup.scopeCaches(out, allTok, quality, docs2, s3, s4, sh, s5, s6)
   }
 }

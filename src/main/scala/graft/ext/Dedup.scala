@@ -538,9 +538,23 @@ object Dedup {
                      maxBandBucket: Int = -1): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 32): $maxHamming")
+    bandedHammingPairs(simhash(documents), "simhash", 64, maxHamming, maxBandBucket)
+  }
+
+  /** Shared core of the fingerprint-banding near-dup family: pigeonhole
+    * `maxHamming + 1` contiguous bit-slices of a `bits`-wide long
+    * fingerprint, band-bucket self-join (with the [[simhashNearDup]]
+    * cap law applied to heavy buckets), exact `bit_count(a^b)` verify.
+    * The fingerprint frame is cached for the banding pass and released
+    * via [[scopeCaches]].
+    */
+  private def bandedHammingPairs(fp0: DataFrame, fpCol: String, bits: Int,
+                                 maxHamming: Int, maxBandBucket: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits): $maxHamming")
     val nb = maxHamming + 1
-    val bounds = (0 to nb).map(i => i * 64 / nb)
-    val fp = simhash(documents).cache()
+    val bounds = (0 to nb).map(i => i * bits / nb)
+    val fp = fp0.cache()
     val cap: Long =
       if (maxBandBucket > 0) maxBandBucket.toLong
       else if (maxBandBucket == 0) 0L
@@ -553,11 +567,11 @@ object Dedup {
     val bandCols = (0 until nb).map { i =>
       val lo = bounds(i); val width = bounds(i + 1) - lo
       val mask = if (width >= 64) -1L else (1L << width) - 1L
-      shiftright(col("simhash"), lo).bitwiseAND(mask)
+      shiftright(col(fpCol), lo).bitwiseAND(mask)
     }
-    val allBands = fp.select(col("doc_id"), col("simhash"),
+    val allBands = fp.select(col("doc_id"), col(fpCol),
       posexplode(array(bandCols: _*)))
-      .toDF("doc_id", "simhash", "band_idx", "band_val")
+      .toDF("doc_id", fpCol, "band_idx", "band_val")
     val bands = if (cap <= 0) allBands else {
       val heavy = allBands.groupBy("band_idx", "band_val")
         .agg(count(lit(1)).as("n"))
@@ -570,11 +584,47 @@ object Dedup {
         col("x.band_val") === col("y.band_val") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col(s"x.$fpCol").bitwiseXOR(col(s"y.$fpCol"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
     scopeCaches(result, fp)
+  }
+
+  /** Engine-portable SimHash twin over the [[md5HashLong]] family: a
+    * 60-bit fingerprint (one md5-60bit hash per whitespace token, bit b
+    * votes ±1, fingerprint bit = sign of the vote sum). Same algorithm
+    * as [[simhash]], but every hash value is reproducible by any
+    * md5-capable engine — which is what puts the simhash near-dup path
+    * under the DuckDB oracle the way `q_minhash_neardup_md5` did for
+    * minhash (xxhash64 stays the production default: one fused sketch
+    * aggregate vs 60 vote columns).
+    */
+  def simhashMd5(documents: DataFrame, bits: Int = 60): DataFrame = {
+    require(bits > 0 && bits <= 60, s"md5HashLong yields 60 bits: $bits")
+    val tok = documents.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+      .withColumn("h", md5HashLong(col("token"), 0))
+    val votes = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val fp = (0 until bits).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** [[simhashNearDup]] over the portable [[simhashMd5]] fingerprints —
+    * the oracle-matched twin (`q_simhash_neardup_md5`): same pigeonhole
+    * banding (recall-complete, so banded ≡ exact quadratic) and the
+    * same heavy-bucket cap semantics, over 60 portable bits.
+    */
+  def simhashNearDupMd5(documents: DataFrame, maxHamming: Int = 3,
+                        maxBandBucket: Int = -1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32): $maxHamming")
+    bandedHammingPairs(simhashMd5(documents), "simhash", 60, maxHamming, maxBandBucket)
   }
 
   /** Cross-document repeated spans: word k-grams occurring in at least

@@ -146,6 +146,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(auto === off, "auto cap must not drop rows on a non-degenerate corpus")
   }
 
+  test("simhashNearDupMd5: banded pairs ≡ brute force over the portable fingerprints") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val banded = Dedup.simhashNearDupMd5(d, maxBandBucket = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    val fp = Dedup.simhashMd5(d)
+    val brute = fp.as("x").join(fp.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    assert(banded === brute,
+      "md5-twin banding must find exactly the brute-force pairs")
+    // portable fingerprints stay in the 60-bit positive range (the
+    // DuckDB twin shifts into the same bits)
+    val fps = fp.collect().map(_.getLong(1))
+    assert(fps.forall(v => v >= 0L && v < (1L << 60)))
+  }
+
   test("simhashNearDup band-bucket cap bounds the degenerate-corpus blowup") {
     import spark.implicits._
     // 200 empty docs share the all-zeros fingerprint: every band bucket
