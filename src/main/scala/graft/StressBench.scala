@@ -76,7 +76,7 @@ object StressBench {
     // pay the corpus materialization OUTSIDE the timed bodies
     val corpusConsumers = Set("token_budget_twopass", "token_budget_window",
       "curriculum_twopass", "curriculum_window", "negative_samples_twopass",
-      "negative_samples_window", "shard_manifest_export")
+      "negative_samples_window", "shard_manifest_export", "curation_funnel")
     if (only.forall(o => (o & corpusConsumers).nonEmpty)) { docsPq; () }
 
     val results = Seq(
@@ -237,6 +237,47 @@ object StressBench {
       // decode+hash path is stress-relevant)
       time("image_dhash", ext.Multimodal.imageDhash(spark,
         ext.Multimodal.syntheticPngClusters(spark, docs)).count()),
+      // round-9: the band-bucket cap under planted skew — 25% of the
+      // corpus is flat images (all sharing the all-zeros dHash, the
+      // degenerate mass the guard exists for). Capped (auto, default)
+      // anti-joins the heavy buckets before the self-join; uncapped
+      // measures the quadratic blowup it prevents. Same A/B on the
+      // incremental (daily-ingest) path — the route the cap was ported
+      // to this round — with an 80/20 stored/new split.
+      time("image_neardup_skew_capped", {
+        val p = ext.Multimodal.imageNearDup(spark,
+          ext.Multimodal.syntheticPngSkewed(spark, docs))
+        val n = p.count(); p.unpersist(false); n
+      }),
+      time("image_neardup_skew_uncapped", {
+        val p = ext.Multimodal.imageNearDup(spark,
+          ext.Multimodal.syntheticPngSkewed(spark, docs), maxBandBucket = 0)
+        val n = p.count(); p.unpersist(false); n
+      }),
+      time("image_neardup_inc_skew_capped", {
+        val media = ext.Multimodal.syntheticPngSkewed(spark, docs)
+        val stored = ext.Multimodal.imageDhash(spark,
+          media.filter(col("doc_id") % 5 =!= 0))
+        val p = ext.Multimodal.imageNearDupIncremental(spark,
+          media.filter(col("doc_id") % 5 === 0), stored)
+        val n = p.count(); p.unpersist(false); n
+      }),
+      time("image_neardup_inc_skew_uncapped", {
+        val media = ext.Multimodal.syntheticPngSkewed(spark, docs)
+        val stored = ext.Multimodal.imageDhash(spark,
+          media.filter(col("doc_id") % 5 =!= 0))
+        val p = ext.Multimodal.imageNearDupIncremental(spark,
+          media.filter(col("doc_id") % 5 === 0), stored, maxBandBucket = 0)
+        val n = p.count(); p.unpersist(false); n
+      }),
+      // round-9: the composed curation funnel at replication scale —
+      // replicated texts make exact-dedup collapse ×factor and the
+      // near-dup graph maximally dense; budget scaled with the corpus
+      time("curation_funnel", {
+        val f = ext.Curation.curationFunnel(
+          ext.WebOps.withSyntheticCrawlUrl(docsPq), tokenBudget = 2000L * factor)
+        val n = f.count(); f.unpersist(false); n
+      }),
       // round-7: the deterministic shard export end to end (two-pass
       // ordinal + closed-form shard + dynamic partitionBy write + manifest
       // read-back) — the write path's scale evidence

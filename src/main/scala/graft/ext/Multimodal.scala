@@ -316,32 +316,36 @@ object Multimodal {
     * so the whole pipeline sits under the DuckDB oracle
     * (`q_image_dhash`).
     */
+  /** The decode + dHash kernel over ONE payload — shared by the batch
+    * scan stage and the streaming twin
+    * ([[graft.streaming.StreamingOps.imageDedupStream]]).
+    */
+  private[graft] def dhashOf(payload: Array[Byte]): Long = {
+    val img = PngCodec.decode(payload)
+    val w = img.getWidth; val h = img.getHeight
+    var hash = 0L
+    var j = 0
+    while (j < 7) {
+      val y = ((2 * j + 1) * h) / 14
+      var prev = 0L; var i = 0
+      while (i < 10) {
+        val x = ((2 * i + 1) * w) / 20
+        val p = img.getRGB(x, y)
+        val luma = 299L * ((p >> 16) & 0xFF) +
+          587L * ((p >> 8) & 0xFF) + 114L * (p & 0xFF)
+        if (i > 0 && luma > prev) hash |= 1L << (j * 9 + (i - 1))
+        prev = luma
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
   def imageDhash(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          val img = PngCodec.decode(payload)
-          val w = img.getWidth; val h = img.getHeight
-          var hash = 0L
-          var j = 0
-          while (j < 7) {
-            val y = ((2 * j + 1) * h) / 14
-            var prev = 0L; var i = 0
-            while (i < 10) {
-              val x = ((2 * i + 1) * w) / 20
-              val p = img.getRGB(x, y)
-              val luma = 299L * ((p >> 16) & 0xFF) +
-                587L * ((p >> 8) & 0xFF) + 114L * (p & 0xFF)
-              if (i > 0 && luma > prev) hash |= 1L << (j * 9 + (i - 1))
-              prev = luma
-              i += 1
-            }
-            j += 1
-          }
-          (id, hash)
-        }
-      }
+      .mapPartitions(it => it.map { case (id, payload) => (id, dhashOf(payload)) })
       .toDF("doc_id", "dhash")
   }
 
@@ -498,6 +502,48 @@ object Multimodal {
       .filter(col("cluster_size") > 1)
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
+  }
+
+  /** [[syntheticPngClusters]] with a PLANTED DEGENERATE fraction: every
+    * `flatEvery`-th doc_id is a constant-color image — luma is constant
+    * along each row, so ALL of them share the all-zeros dHash, the
+    * flat/monochrome mass a real web crawl contains. The rest follow
+    * the high-frequency cluster pattern. This is the skew-stress
+    * fixture for the band-bucket cap A/B (StressBench): with the guard
+    * off, the flat fraction piles into one (band, value) bucket per
+    * band and the self-join goes quadratic in it.
+    */
+  def syntheticPngSkewed(spark: SparkSession, documents: DataFrame,
+                         nClusters: Int = 50, flatEvery: Int = 4): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          if (id % flatEvery == 0) {
+            val c = ((id * 31) % 256).toInt
+            val png = PngCodec.encode(16, 16, (_, _) => (c << 16) | (c << 8) | c)
+            (id, png, 16, 16)
+          } else {
+            val key = id % nClusters
+            val w = (8 + key % 9).toInt
+            val h = (8 + key % 7).toInt
+            val bump = (id / nClusters).toInt
+            val png = PngCodec.encode(w, h, (x, y) => {
+              val r0 = ((key * 7 + x * 37 + y * 59 + x * y * 13) % 256).toInt
+              val r = if (x == 0 && y == 0) (r0 + bump) % 256 else r0
+              val g = ((key * 11 + x * 23 + y * 41 + x * y * 7) % 256).toInt
+              val b = ((key * 13 + x * 29 + y * 31 + x * y * 17) % 256).toInt
+              (r << 16) | (g << 8) | b
+            })
+            (id, png, w, h)
+          }
+        }
+      }
+      .toDF("doc_id", "payload", "width_px", "height_px")
+      .select(col("doc_id"), col("payload"), struct(
+        lit("image/png").as("media_type"),
+        col("width_px"), col("height_px"),
+        col("doc_id").as("source_id")).as("meta"))
   }
 
   /** Synthetic PNG table with PLANTED perceptual duplicates: the pixel

@@ -67,6 +67,63 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("canonical_url")
 
+  /** Streaming perceptual image dedup — the ONLINE twin of
+    * [[graft.ext.Multimodal.imageNearDupIncremental]] for a live image
+    * ingest feed. Each arriving image is decoded to its 63-bit dHash in
+    * the same narrow per-partition batch stage as the batch path (the
+    * image bytes never enter state and never cross a shuffle), then:
+    *
+    *  1. exact-fingerprint repeats within the watermark horizon are
+    *     dropped (state keyed on the dhash, watermark-evicted — the
+    *     bounded-state contract), and
+    *  2. survivors run the SAME pigeonhole banding as the batch path
+    *     against the STORED corpus hash table — a stream-STATIC join,
+    *     so the stored side is yesterday's (doc_id, dhash) table and is
+    *     never re-decoded.
+    *
+    * Emits the near-dup matches `(doc_id, ts, dhash, stored_dup_of,
+    * hamming)` — one row per (new image, stored neighbor) pair within
+    * `maxHamming`, multi-band hits collapsed (the streaming analogue of
+    * the batch path's pair `distinct()`). New-vs-new near-dups inside
+    * the stream (beyond exact-hash repeats, which step 1 catches) are
+    * the batch path's job at the next compaction — the same division of
+    * labor as incremental batch ingest.
+    */
+  def imageDedupStream(spark: SparkSession, images: DataFrame,
+                       storedHashes: DataFrame, maxHamming: Int = 6,
+                       watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    require(maxHamming >= 0 && maxHamming < 63,
+      s"maxHamming must be in [0, 63): $maxHamming")
+    val nb = maxHamming + 1
+    val bounds = (0 to nb).map(i => i * 63 / nb)
+    def bandCols(dhashCol: String) = (0 until nb).map { i =>
+      val lo = bounds(i); val width = bounds(i + 1) - lo
+      val mask = (1L << width) - 1L
+      shiftright(col(dhashCol), lo).bitwiseAND(mask)
+    }
+    val hashed = images.select(col("doc_id"), col("payload"), col("ts"))
+      .as[(Long, Array[Byte], Timestamp)]
+      .mapPartitions(it => it.map { case (id, png, t) =>
+        (id, graft.ext.Multimodal.dhashOf(png), t)
+      })
+      .toDF("doc_id", "dhash", "ts")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("dhash")
+    val streamBands = hashed.select(col("doc_id"), col("dhash"), col("ts"),
+      posexplode(array(bandCols("dhash"): _*)))
+      .toDF("doc_id", "dhash", "ts", "band_idx", "band_val")
+    val storedBands = storedHashes
+      .select(col("doc_id").as("stored_dup_of"), col("dhash").as("stored_dhash"),
+        posexplode(array(bandCols("dhash"): _*)))
+      .toDF("stored_dup_of", "stored_dhash", "band_idx", "band_val")
+    streamBands.join(storedBands, Seq("band_idx", "band_val"))
+      .select(col("doc_id"), col("ts"), col("dhash"), col("stored_dup_of"),
+        bit_count(col("dhash").bitwiseXOR(col("stored_dhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicatesWithinWatermark("doc_id", "stored_dup_of")
+  }
+
   /** Stream-stream inner join with event-time bounds: match each left
     * event to right events of the same user within `windowMinutes` AFTER
     * it. Both sides are watermarked so Spark can bound the join state

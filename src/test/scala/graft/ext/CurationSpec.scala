@@ -16,6 +16,21 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars", "url")
   }
 
+  test("curationFunnel plan contract: no WindowExec anywhere in the pipeline") {
+    val d = graft.ext.TextOps.withSyntheticUrl(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val f = Curation.curationFunnel(d, tokenBudget = 2000L)
+    // the token-budget stage must come from the range-partitioned
+    // two-pass global order, never a single-reducer Window sort — and
+    // no other stage is allowed to smuggle one in. The frame is
+    // persisted (scopeCaches); the cached plan inside InMemoryRelation
+    // still prints the full operator pipeline.
+    val plan = f.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"funnel must be window-free (two-pass global order):\n$plan")
+    f.unpersist(false)
+  }
+
   test("curationFunnel: each dedup stage drops exactly its planted victims") {
     // doc 4 aliases doc 1's page (URL stage), doc 2 repeats doc 1's text
     // (exact stage), doc 3 is the near-dup of doc 1 (jaccard stage)

@@ -281,6 +281,24 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
         "the planted stored-vs-new dup survives as a cross pair")
   }
 
+  test("imageNearDup plan contract: image bytes never cross a shuffle") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.syntheticPngClusters(spark, docs)
+    val pairs = Multimodal.imageNearDup(spark, media)
+    // the frame is persisted (scopeCaches); the cached plan inside
+    // InMemoryRelation still prints the full operator pipeline
+    val plan = pairs.queryExecution.executedPlan.toString
+    // every exchange must partition on derived keys (band/doc_id/dhash)
+    // — the payload column is consumed by the narrow decode stage and
+    // must never be a shuffle input
+    val parts = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(parts.nonEmpty, s"expected banded-join shuffles in:\n$plan")
+    assert(parts.forall(!_.contains("payload")),
+      s"image payload must not be a shuffle key:\n$parts")
+    pairs.unpersist(false)
+  }
+
   test("imageClusters: components recover the planted residue classes exactly") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.syntheticPngClusters(spark, docs)

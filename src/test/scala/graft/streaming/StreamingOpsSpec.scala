@@ -217,6 +217,63 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("imageDedupStream: exact repeats collapse; stored near-dups flagged; batch parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sc = spark.sqlContext
+    import graft.ext.Multimodal
+    // cluster-pattern PNGs (same fixture arithmetic as
+    // syntheticPngClusters): same key => Hamming <= 1 via the corner
+    // bump, distinct keys tens of bits apart
+    def png(key: Long, bump: Int): Array[Byte] = {
+      val w = (8 + key % 9).toInt; val h = (8 + key % 7).toInt
+      Multimodal.PngCodec.encode(w, h, (x, y) => {
+        val r0 = ((key * 7 + x * 37 + y * 59 + x * y * 13) % 256).toInt
+        val r = if (x == 0 && y == 0) (r0 + bump) % 256 else r0
+        val g = ((key * 11 + x * 23 + y * 41 + x * y * 7) % 256).toInt
+        val b = ((key * 13 + x * 29 + y * 31 + x * y * 17) % 256).toInt
+        (r << 16) | (g << 8) | b
+      })
+    }
+    // stored corpus: one image per key 1..3 (hashes only reach the stream)
+    val storedMedia = Seq((101L, png(1, 0)), (102L, png(2, 0)), (103L, png(3, 0)))
+      .toDF("doc_id", "payload")
+    val stored = Multimodal.imageDhash(spark, storedMedia)
+
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val images = input.toDF().toDF("doc_id", "payload", "ts")
+    val q = imageDedupStream(spark, images, stored).writeStream
+      .outputMode("append").format("memory").queryName("imgdedup_out").start()
+    try {
+      input.addData(
+        (1L, png(1, 5), ts("2024-01-01 00:00:00")),  // near-dup of stored 101
+        (2L, png(9, 0), ts("2024-01-01 00:00:10")),  // genuinely new key
+        (3L, png(9, 0), ts("2024-01-01 00:00:20")))  // exact repeat of doc 2 (same hash)
+      q.processAllAvailable()
+      input.addData(
+        (4L, png(2, 7), ts("2024-01-01 00:01:00")),  // near-dup of stored 102
+        (5L, png(9, 0), ts("2024-01-01 00:01:10")))  // cross-batch exact repeat
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT doc_id, stored_dup_of, hamming FROM imgdedup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+      // docs 1 and 4 match their stored neighbors within 1 bit; docs
+      // 2/3/5 share a hash with no stored image (3 and 5 are dropped by
+      // the exact-dedup state before the join ever sees them)
+      assert(rows.map(t => (t._1, t._2)).toSeq === Seq((1L, 101L), (4L, 102L)))
+      assert(rows.forall(_._3 <= 1), "corner bump moves at most one dHash sample")
+      // batch parity: the incremental batch path finds the same cross
+      // pairs for the same (stored, new) corpus
+      val newMedia = Seq((1L, png(1, 5)), (2L, png(9, 0)), (4L, png(2, 7)))
+        .toDF("doc_id", "payload")
+      val batch = Multimodal.imageNearDupIncremental(spark, newMedia, stored)
+        .filter(col("is_cross"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === Set((1L, 101L), (4L, 102L)),
+        "stream flags exactly the batch path's cross pairs")
+    } finally q.stop()
+  }
+
   test("dedupStream: duplicate event ids across batches emit once") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
