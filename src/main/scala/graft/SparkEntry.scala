@@ -382,6 +382,12 @@ object SparkEntry {
     // the deterministic pattern (PNG is lossless)
     "q_png_decode" -> ((s, d) => Multimodal.decodePngFeatures(s,
       Multimodal.syntheticPngTable(s, Tables.documents(s, d))).orderBy("doc_id")),
+    // REAL audio codec: javax.sound.sampled WAV/PCM16 encode → decode
+    // round-trip; lossless, so the decoded-sample aggregates are the
+    // closed form of the deterministic pattern (the audio member of
+    // the multimodal family)
+    "q_wav_decode" -> ((s, d) => Multimodal.decodeWavFeatures(s,
+      Multimodal.syntheticWavTable(s, Tables.documents(s, d))).orderBy("doc_id")),
     // lossy tier: real JPEG encode->decode; reconstruction isn't
     // closed-form SQL, so rows-only here with the per-channel error
     // bound pinned in MultimodalSpec
@@ -2456,6 +2462,25 @@ object SparkEntry {
         |  CAST(f[1] AS INTEGER) AS feat_first,
         |  CAST(f[-1] AS INTEGER) AS feat_last
         |FROM feats ORDER BY doc_id, frame_idx""".stripMargin,
+    // Closed form of the deterministic PCM pattern the Spark side
+    // pushes through a REAL WAV encode → javax.sound.sampled decode
+    // round-trip (16-bit PCM is lossless, so decoded-sample aggregates
+    // equal the direct arithmetic).
+    "q_wav_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 200 + doc_id % 100 AS n,
+        |    8000 + (doc_id % 4) * 4000 AS rate
+        |  FROM documents),
+        |s AS (SELECT doc_id, rate, n, unnest(range(0, n)) AS i FROM d),
+        |a AS (SELECT doc_id, rate, n,
+        |  (doc_id * 31 + i * 17) % 2003 - 1001 AS amp FROM s)
+        |SELECT doc_id, CAST(rate AS INTEGER) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(SUM(amp) AS BIGINT) AS sum_amp,
+        |  CAST(MIN(amp) AS INTEGER) AS min_amp,
+        |  CAST(MAX(amp) AS INTEGER) AS max_amp,
+        |  CAST(SUM(ABS(amp)) AS BIGINT) AS sum_abs
+        |FROM a GROUP BY doc_id, rate, n ORDER BY doc_id""".stripMargin,
     // Closed form of the deterministic pixel pattern the Spark side
     // pushes through a REAL PNG encode → javax.imageio decode round-trip
     // (lossless, so decoded sums equal the direct arithmetic).

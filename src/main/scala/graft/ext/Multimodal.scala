@@ -298,6 +298,110 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
   }
 
+  /** REAL audio codec tier — WAV/PCM via `javax.sound.sampled` (pure
+    * JVM, ships with the JDK, no native deps): actual audio encode and
+    * decode inside the same per-partition batch stages as the PNG/JPEG
+    * image tiers. 16-bit PCM is lossless, so a deterministic sample
+    * pattern survives the encode→decode round-trip bit-exactly and the
+    * decoded aggregates stay DuckDB-oracle-matched in closed form —
+    * the audio member of the multimodal family (image: PNG lossless /
+    * JPEG lossy; audio: WAV lossless).
+    */
+  object WavCodec {
+    /** Encode 16-bit signed little-endian mono PCM at `sampleRate`. */
+    def encode(sampleRate: Float, samples: Array[Short]): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xFF).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+
+    /** Decode a WAV container back to (sampleRate, PCM16 samples). */
+    def decode(wav: Array[Byte]): (Float, Array[Short]) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val frames =
+        try ais.readAllBytes()
+        finally ais.close()
+      val n = frames.length / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((frames(2 * i) & 0xFF) | (frames(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      (ais.getFormat.getSampleRate, out)
+    }
+  }
+
+  /** Synthetic WAV media table: one real PCM16 WAV per document,
+    * sample count, rate, and every sample amplitude closed-form in
+    * `doc_id` (`amp(id, i) = (id·31 + i·17) mod 2003 − 1001`) — the
+    * same fixture pattern as [[syntheticPngTable]]: the corpus has no
+    * audio column, so the codec plumbing is exercised on synthetic
+    * payloads while staying hash-matched. Encode runs in a
+    * `mapPartitions` batch stage: narrow, no shuffle.
+    */
+  def syntheticWavTable(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (200 + id % 100).toInt
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i.toLong * 17) % 2003) - 1001).toShort)
+          (id, WavCodec.encode(rate.toFloat, samples), rate, n)
+        }
+      }
+      .toDF("doc_id", "payload", "sample_rate", "n_samples")
+      .select(col("doc_id"), col("payload"), struct(
+        lit("audio/wav").as("media_type"),
+        col("sample_rate"), col("n_samples"),
+        col("doc_id").as("source_id")).as("meta"))
+  }
+
+  /** Decode the WAV payloads with `javax.sound.sampled` and aggregate
+    * the DECODED samples per clip (rate, count, exact integer
+    * amplitude sums/extremes — engine-portable). Same narrow
+    * `mapPartitions` batch shape as [[decodePngFeatures]]; PCM is
+    * lossless, so the aggregates are a closed-form function of the
+    * synthetic pattern and the whole pipeline sits under the DuckDB
+    * oracle (`q_wav_decode`).
+    */
+  def decodeWavFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, wav) =>
+          val (rate, samples) = WavCodec.decode(wav)
+          var sum = 0L; var sumAbs = 0L
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toInt
+            sum += v; sumAbs += math.abs(v)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          (id, rate.toInt, samples.length.toLong, sum, mn, mx, sumAbs)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "sum_amp", "min_amp",
+        "max_amp", "sum_abs")
+  }
+
   /** 63-bit difference hash (dHash) of each DECODED image — the
     * classic perceptual fingerprint (Krawetz's "Kind of Like That"
     * aHash/dHash family): sample integer luma (299·R + 587·G + 114·B,

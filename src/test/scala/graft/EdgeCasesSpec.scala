@@ -217,6 +217,26 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
       Seq((1L, 51L, false)), "same residue class pairs; nothing is cross")
   }
 
+  test("round-9 operators on empty/degenerate input return empty, not errors") {
+    import org.apache.spark.sql.functions.col
+    val empty = docs()
+    // portable simhash: empty corpus -> no fingerprints, no pairs
+    assert(graft.ext.Dedup.simhashMd5(empty).collect().isEmpty)
+    assert(graft.ext.Dedup.simhashNearDupMd5(empty).collect().isEmpty)
+    // empty-text docs still fingerprint (split("") = [""]) and pair up
+    val fps = graft.ext.Dedup.simhashMd5(docs(1L -> "", 2L -> "")).collect()
+    assert(fps.length === 2 && fps.map(_.getLong(1)).distinct.length === 1,
+      "identical (empty) token streams share a fingerprint")
+    // skewed PNG fixture: empty corpus flows through; the degenerate
+    // fraction alone still hashes (all-zeros) without error
+    val noSkew = graft.ext.Multimodal.syntheticPngSkewed(spark, empty)
+    assert(graft.ext.Multimodal.imageDhash(spark, noSkew).collect().isEmpty)
+    val flatOnly = graft.ext.Multimodal.syntheticPngSkewed(spark,
+      docs(4L -> "a", 8L -> "b"), flatEvery = 1)
+    val flatHashes = graft.ext.Multimodal.imageDhash(spark, flatOnly).collect()
+    assert(flatHashes.map(_.getLong(1)).toSeq === Seq(0L, 0L))
+  }
+
   test("hll on empty input estimates 0") {
     import spark.implicits._
     val empty = Seq.empty[Long].toDF("v")

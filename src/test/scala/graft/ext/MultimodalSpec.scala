@@ -281,6 +281,31 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
         "the planted stored-vs-new dup survives as a cross pair")
   }
 
+  test("WAV codec tier: PCM16 round-trips bit-exactly; decode is shuffle-free") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // kernel round-trip: encode→decode returns the exact samples + rate
+    val samples = Array.tabulate(300)(i => (((7L * 31 + i * 17) % 2003) - 1001).toShort)
+    val (rate, back) = Multimodal.WavCodec.decode(
+      Multimodal.WavCodec.encode(16000f, samples))
+    assert(rate === 16000f && back.toSeq === samples.toSeq,
+      "16-bit PCM must survive the WAV container bit-exactly")
+    // table tier: decoded aggregates equal the closed form of the fixture
+    val feats = Multimodal.decodeWavFeatures(spark,
+      Multimodal.syntheticWavTable(spark, docs))
+    val rows = feats.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5), r.getLong(6))).toMap
+    assert(rows.size === docs.count())
+    rows.foreach { case (id, (sr, n, sum, mn, mx, sumAbs)) =>
+      val amps = (0L until (200 + id % 100)).map(i => ((id * 31 + i * 17) % 2003) - 1001)
+      assert(sr === (8000 + (id % 4) * 4000).toInt && n === amps.length.toLong)
+      assert(sum === amps.sum && mn === amps.min && mx === amps.max)
+      assert(sumAbs === amps.map(math.abs).sum)
+    }
+    // narrow end to end: encode and decode stages never shuffle
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan, got:\n$plan")
+  }
+
   test("imageNearDup plan contract: image bytes never cross a shuffle") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.syntheticPngClusters(spark, docs)
