@@ -388,6 +388,15 @@ object SparkEntry {
     // the multimodal family)
     "q_wav_decode" -> ((s, d) => Multimodal.decodeWavFeatures(s,
       Multimodal.syntheticWavTable(s, Tables.documents(s, d))).orderBy("doc_id")),
+    // perceptual audio dedup over DECODED samples: 63-bit energy-
+    // difference hash (closed-form oracle — PCM lossless), then the
+    // shared pigeonhole-banded Hamming near-dup; guard off on the
+    // oracle path (exact quadratic twin), as for the image family
+    "q_audio_ehash" -> ((s, d) => Multimodal.audioEhash(s,
+      Multimodal.syntheticWavClusters(s, Tables.documents(s, d))).orderBy("doc_id")),
+    "q_audio_neardup" -> ((s, d) => Multimodal.audioNearDup(s,
+      Multimodal.syntheticWavClusters(s, Tables.documents(s, d)),
+      maxBandBucket = 0)),
     // lossy tier: real JPEG encode->decode; reconstruction isn't
     // closed-form SQL, so rows-only here with the per-channel error
     // bound pinned in MultimodalSpec
@@ -2481,6 +2490,48 @@ object SparkEntry {
         |  CAST(MAX(amp) AS INTEGER) AS max_amp,
         |  CAST(SUM(ABS(amp)) AS BIGINT) AS sum_abs
         |FROM a GROUP BY doc_id, rate, n ORDER BY doc_id""".stripMargin,
+    // Closed form of the clustered PCM fixture: per-window energies →
+    // neighbor-comparison bits → the eHash the Spark side computes from
+    // REAL WAV decode output (lossless ⇒ identical integers)
+    "q_audio_ehash" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 50 AS key, doc_id // 50 AS bump FROM documents),
+        |p AS (SELECT doc_id, key, bump, 200 + key % 100 AS n FROM d),
+        |s AS (SELECT doc_id, key, bump, n, unnest(range(0, n)) AS i FROM p),
+        |a AS (SELECT doc_id, n, i,
+        |  (key * 31 + i * 17) % 2003 - 1001
+        |    + CASE WHEN i = 0 THEN bump ELSE 0 END AS amp FROM s),
+        |e AS (SELECT doc_id, (i * 64) // n AS w, SUM(amp * amp) AS energy
+        |  FROM a GROUP BY doc_id, (i * 64) // n),
+        |b AS (SELECT x.doc_id, x.w,
+        |    CASE WHEN y.energy > x.energy THEN 1 ELSE 0 END AS bit
+        |  FROM e x JOIN e y ON y.doc_id = x.doc_id AND y.w = x.w + 1
+        |  WHERE x.w < 63)
+        |SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << w) AS BIGINT) AS ehash
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_audio_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 50 AS key, doc_id // 50 AS bump FROM documents),
+        |p AS (SELECT doc_id, key, bump, 200 + key % 100 AS n FROM d),
+        |s AS (SELECT doc_id, key, bump, n, unnest(range(0, n)) AS i FROM p),
+        |a AS (SELECT doc_id, n, i,
+        |  (key * 31 + i * 17) % 2003 - 1001
+        |    + CASE WHEN i = 0 THEN bump ELSE 0 END AS amp FROM s),
+        |e AS (SELECT doc_id, (i * 64) // n AS w, SUM(amp * amp) AS energy
+        |  FROM a GROUP BY doc_id, (i * 64) // n),
+        |b AS (SELECT x.doc_id, x.w,
+        |    CASE WHEN y.energy > x.energy THEN 1 ELSE 0 END AS bit
+        |  FROM e x JOIN e y ON y.doc_id = x.doc_id AND y.w = x.w + 1
+        |  WHERE x.w < 63),
+        |h AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << w) AS BIGINT) AS ehash
+        |  FROM b GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.ehash, b.ehash)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ehash, b.ehash)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Closed form of the deterministic pixel pattern the Spark side
     // pushes through a REAL PNG encode → javax.imageio decode round-trip
     // (lossless, so decoded sums equal the direct arithmetic).

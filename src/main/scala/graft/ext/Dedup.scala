@@ -548,8 +548,8 @@ object Dedup {
     * The fingerprint frame is cached for the banding pass and released
     * via [[scopeCaches]].
     */
-  private def bandedHammingPairs(fp0: DataFrame, fpCol: String, bits: Int,
-                                 maxHamming: Int, maxBandBucket: Int): DataFrame = {
+  private[ext] def bandedHammingPairs(fp0: DataFrame, fpCol: String, bits: Int,
+                                      maxHamming: Int, maxBandBucket: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, $bits): $maxHamming")
     val nb = maxHamming + 1

@@ -402,6 +402,93 @@ object Multimodal {
         "max_amp", "sum_abs")
   }
 
+  /** 63-bit energy-difference hash (eHash) of each DECODED audio clip —
+    * the audio twin of [[imageDhash]]: split the PCM samples into 64
+    * equal windows (sample i → window `i·64 / n`, integer floor — a
+    * closed-form layout any engine reproduces), per-window energy =
+    * Σ amp² (exact integer math), one bit per neighbor pair
+    * (`e(w+1) > e(w)` → bit w). 63 bits keeps the BIGINT oracle exact.
+    * Decode + hash run in one narrow `mapPartitions` stage — audio
+    * bytes never cross a shuffle. Clips shorter than 64 samples hash
+    * to 0 (no stable window layout).
+    */
+  private[graft] def ehashOf(samples: Array[Short]): Long = {
+    val n = samples.length
+    if (n < 64) return 0L
+    val e = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 64 / n).toInt
+      val v = samples(i).toLong
+      e(w) += v * v
+      i += 1
+    }
+    var hash = 0L
+    var w = 0
+    while (w < 63) {
+      if (e(w + 1) > e(w)) hash |= 1L << w
+      w += 1
+    }
+    hash
+  }
+
+  def audioEhash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, wav) =>
+        (id, ehashOf(WavCodec.decode(wav)._2))
+      })
+      .toDF("doc_id", "ehash")
+  }
+
+  /** Perceptual near-duplicate audio pairs: Hamming distance over
+    * [[audioEhash]] fingerprints at most `maxHamming` — the audio twin
+    * of [[imageNearDup]], sharing the pigeonhole banding + safe-by-
+    * default heavy-bucket cap core with the simhash/image paths
+    * ([[graft.ext.Dedup.bandedHammingPairs]]).
+    */
+  def audioNearDup(spark: SparkSession, media: DataFrame,
+                   maxHamming: Int = 6, maxBandBucket: Int = -1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 63,
+      s"maxHamming must be in [0, 63): $maxHamming")
+    graft.ext.Dedup.bandedHammingPairs(
+      audioEhash(spark, media), "ehash", 63, maxHamming, maxBandBucket)
+  }
+
+  /** Synthetic WAV table with PLANTED perceptual duplicates — the audio
+    * twin of [[syntheticPngClusters]]: sample pattern, count, and rate
+    * derive from `doc_id % nClusters` (one cluster per residue class);
+    * members with `doc_id >= nClusters` get the FIRST sample's
+    * amplitude shifted by `doc_id / nClusters`, which perturbs only
+    * window 0's energy — in-cluster eHash Hamming ≤ 1 (only the
+    * `e(1) > e(0)` bit can flip) while distinct clusters' pseudo-random
+    * energy profiles sit tens of bits apart. Closed-form per
+    * (doc_id, i) in both engines.
+    */
+  def syntheticWavClusters(spark: SparkSession, documents: DataFrame,
+                           nClusters: Int = 50): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val key = id % nClusters
+          val n = (200 + key % 100).toInt
+          val rate = (8000 + (key % 4) * 4000).toInt
+          val bump = id / nClusters
+          val samples = Array.tabulate(n) { i =>
+            val base = ((key * 31 + i.toLong * 17) % 2003) - 1001
+            (if (i == 0) base + bump else base).toShort
+          }
+          (id, WavCodec.encode(rate.toFloat, samples), rate, n)
+        }
+      }
+      .toDF("doc_id", "payload", "sample_rate", "n_samples")
+      .select(col("doc_id"), col("payload"), struct(
+        lit("audio/wav").as("media_type"),
+        col("sample_rate"), col("n_samples"),
+        col("doc_id").as("source_id")).as("meta"))
+  }
+
   /** 63-bit difference hash (dHash) of each DECODED image — the
     * classic perceptual fingerprint (Krawetz's "Kind of Like That"
     * aHash/dHash family): sample integer luma (299·R + 587·G + 114·B,

@@ -306,6 +306,28 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan, got:\n$plan")
   }
 
+  test("audioNearDup: exactly the planted clusters; hashing shuffle-free; hamming <= 1") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.syntheticWavClusters(spark, docs)
+    // hashing is a narrow stage — audio bytes never cross a shuffle
+    val hashPlan = Multimodal.audioEhash(spark, media)
+      .queryExecution.executedPlan.toString
+    assert(!hashPlan.contains("Exchange"), s"hashing must not shuffle:\n$hashPlan")
+    val pairs = Multimodal.audioNearDup(spark, media)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    pairs.unpersist(false)
+    val n = docs.count()
+    // every same-residue pair is a planted perceptual dup (the first-
+    // sample bump can flip only the e(1) > e(0) bit); distinct
+    // clusters' energy profiles sit far apart
+    val expected = (for {
+      a <- 0L until n; b <- (a + 1) until n
+      if a % 50 == b % 50
+    } yield (a, b)).toSet
+    assert(got.map(p => (p._1, p._2)).toSet === expected)
+    assert(got.forall(_._3 <= 1), "in-cluster Hamming is at most the bump bit")
+  }
+
   test("imageNearDup plan contract: image bytes never cross a shuffle") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.syntheticPngClusters(spark, docs)
