@@ -237,6 +237,10 @@ object StressBench {
       // decode+hash path is stress-relevant)
       time("image_dhash", ext.Multimodal.imageDhash(spark,
         ext.Multimodal.syntheticPngClusters(spark, docs)).count()),
+      // round-9: the audio twin's linear path — WAV encode + decode +
+      // energy hash per clip, narrow end to end like image_dhash
+      time("audio_ehash", ext.Multimodal.audioEhash(spark,
+        ext.Multimodal.syntheticWavClusters(spark, docs)).count()),
       // round-9: the band-bucket cap under planted skew — 25% of the
       // corpus is flat images (all sharing the all-zeros dHash, the
       // degenerate mass the guard exists for). Capped (auto, default)
