@@ -425,7 +425,28 @@ object SparkEntry {
       val stored = Multimodal.imageDhash(s, media.filter(col("doc_id") < 250))
       Multimodal.imageNearDupIncremental(s, media.filter(col("doc_id") >= 250), stored,
         maxBandBucket = 0)
-    })
+    }),
+    // REAL video container tier (GVID: length-prefixed real PNG frames
+    // — lossless end to end, so the whole tier is oracle-matched in
+    // closed form): full decode, uniform frame sampling (selective
+    // decode via the container's length prefixes), per-frame dHash
+    // fingerprints, scene-cut detection, and banded near-dup
+    "q_video_decode" -> ((s, d) => Multimodal.decodeVideoFeatures(s,
+      Multimodal.syntheticVideoTable(s, Tables.documents(s, d)))
+      .orderBy("doc_id", "frame_idx")),
+    "q_video_frames" -> ((s, d) => Multimodal.videoFrameSample(s,
+      Multimodal.syntheticVideoTable(s, Tables.documents(s, d)))
+      .orderBy("doc_id", "slot")),
+    "q_video_phash" -> ((s, d) => Multimodal.videoPhash(s,
+      Multimodal.syntheticVideoTable(s, Tables.documents(s, d)))
+      .orderBy("doc_id", "slot")),
+    "q_video_scenes" -> ((s, d) => Multimodal.videoScenes(s,
+      Multimodal.syntheticVideoScenes(s, Tables.documents(s, d)))),
+    // guard off on the oracle path (exact quadratic DuckDB twin), as
+    // for the image/audio near-dup families
+    "q_video_neardup" -> ((s, d) => Multimodal.videoNearDup(s,
+      Multimodal.syntheticVideoClusters(s, Tables.documents(s, d)),
+      maxBandBucket = 0))
   )
 
   /** The LSH bucketing is data-INDEPENDENT (seeded ±1 hyperplanes), so
@@ -2672,6 +2693,144 @@ object SparkEntry {
         |FROM h a JOIN h b
         |  ON a.doc_id < b.doc_id AND (a.doc_id >= 250 OR b.doc_id >= 250)
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // GVID video tier: every frame is a real PNG (lossless), so the
+    // per-frame pixel pattern replays in closed form — the video
+    // extension of the q_png_decode / q_image_dhash oracles with one
+    // more unnest level (the frame index)
+    "q_video_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS n, 10 + (doc_id % 3) * 5 AS fps,
+        |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents),
+        |f AS (SELECT doc_id, fps, w, h, unnest(range(0, n)) AS fr FROM d),
+        |xs AS (SELECT doc_id, fps, w, h, fr, unnest(range(0, w)) AS x FROM f),
+        |px AS (SELECT doc_id, fps, w, h, fr, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id, CAST(fr AS INTEGER) AS frame_idx,
+        |  CAST(fps AS INTEGER) AS fps,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(SUM((doc_id*7 + fr*19 + x*3 + y*5) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((doc_id*11 + fr*23 + x + y*2) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id*13 + fr*29 + x*4 + y) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, fr, fps, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // uniform sampling layout: slot j -> frame (j*n) div 4, integer
+    // floor — closed form on both engines; integer luma, no division
+    "q_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS n,
+        |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, n, w, h, unnest(range(0, 4)) AS slot FROM d),
+        |sf AS (SELECT doc_id, slot, (slot * n) // 4 AS fr, w, h FROM s),
+        |xs AS (SELECT doc_id, slot, fr, w, h, unnest(range(0, w)) AS x FROM sf),
+        |px AS (SELECT doc_id, slot, fr, w, h, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id, CAST(slot AS INTEGER) AS slot,
+        |  CAST(fr AS INTEGER) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(SUM(299 * ((doc_id*7 + fr*19 + x*3 + y*5) % 256)
+        |         + 587 * ((doc_id*11 + fr*23 + x + y*2) % 256)
+        |         + 114 * ((doc_id*13 + fr*29 + x*4 + y) % 256)) AS BIGINT) AS sum_luma
+        |FROM px GROUP BY doc_id, slot, fr, w, h
+        |ORDER BY doc_id, slot""".stripMargin,
+    // per-slot dHash: the q_image_dhash grid/luma/bit-pack CTEs with
+    // the sampled frame index as one more phase term
+    "q_video_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS n,
+        |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, n, w, h, unnest(range(0, 4)) AS slot FROM d),
+        |sf AS (SELECT doc_id, slot, (slot * n) // 4 AS fr, w, h FROM s),
+        |js AS (SELECT doc_id, slot, fr, w, h, unnest(range(0, 7)) AS j FROM sf),
+        |g0 AS (SELECT doc_id, slot, fr, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, slot, fr, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, slot, fr, j, i,
+        |  299 * ((doc_id*7 + fr*19 + x*3 + y*5) % 256)
+        |  + 587 * ((doc_id*11 + fr*23 + x + y*2) % 256)
+        |  + 114 * ((doc_id*13 + fr*29 + x*4 + y) % 256) AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.slot, a.fr, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.slot = a.slot
+        |    AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9)
+        |SELECT doc_id, CAST(slot AS INTEGER) AS slot,
+        |  CAST(fr AS INTEGER) AS frame_idx,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |FROM bits GROUP BY doc_id, slot, fr
+        |ORDER BY doc_id, slot""".stripMargin,
+    // scene fixture: frames share their scene's (fr div 3) pattern, so
+    // consecutive in-scene hashes are identical and cuts are exactly
+    // the scene boundaries; the cut rule (Hamming >= 10 between
+    // consecutive frame hashes) replays on the closed-form hashes
+    "q_video_scenes" ->
+      """WITH d AS (
+        |  SELECT doc_id, 6 + doc_id % 7 AS n,
+        |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents),
+        |f AS (SELECT doc_id, n, w, h, unnest(range(0, n)) AS fr FROM d),
+        |sc AS (SELECT doc_id, n, w, h, fr, fr // 3 AS scene FROM f),
+        |js AS (SELECT doc_id, scene, fr, w, h, unnest(range(0, 7)) AS j FROM sc),
+        |g0 AS (SELECT doc_id, scene, fr, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, scene, fr, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, fr, j, i,
+        |  299 * ((doc_id*7 + scene*97 + x*37 + y*59 + x*y*13) % 256)
+        |  + 587 * ((doc_id*11 + scene*89 + x*23 + y*41 + x*y*7) % 256)
+        |  + 114 * ((doc_id*13 + scene*83 + x*29 + y*31 + x*y*17) % 256) AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.fr, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.fr = a.fr
+        |    AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |hsh AS (SELECT doc_id, fr,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id, fr),
+        |cuts AS (SELECT a.doc_id,
+        |    CASE WHEN bit_count(xor(a.dhash, b.dhash)) >= 10 THEN 1 ELSE 0 END AS c
+        |  FROM hsh a JOIN hsh b ON b.doc_id = a.doc_id AND b.fr = a.fr - 1)
+        |SELECT d.doc_id, CAST(d.n AS INTEGER) AS n_frames,
+        |  CAST(COALESCE(SUM(c), 0) AS INTEGER) AS n_cuts
+        |FROM d LEFT JOIN cuts ON cuts.doc_id = d.doc_id
+        |GROUP BY d.doc_id, d.n ORDER BY d.doc_id""".stripMargin,
+    // near-dup twin: per-slot hashes over the CLUSTER fixture
+    // (pattern from doc_id % 50, one red channel of frame 0's corner
+    // bumped), exact quadratic pair join summing per-slot Hamming
+    "q_video_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 50 AS key, doc_id // 50 AS bump,
+        |    4 + (doc_id % 50) % 5 AS n,
+        |    8 + (doc_id % 50) % 9 AS w, 8 + (doc_id % 50) % 7 AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, key, bump, n, w, h, unnest(range(0, 4)) AS slot FROM d),
+        |sf AS (SELECT doc_id, key, bump, slot, (slot * n) // 4 AS fr, w, h FROM s),
+        |js AS (SELECT doc_id, key, bump, slot, fr, w, h, unnest(range(0, 7)) AS j FROM sf),
+        |g0 AS (SELECT doc_id, key, bump, slot, fr, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, key, bump, slot, fr, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, slot, j, i,
+        |  299 * (CASE WHEN fr = 0 AND x = 0 AND y = 0
+        |    THEN ((key*7 + fr*19 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |    ELSE (key*7 + fr*19 + x*37 + y*59 + x*y*13) % 256 END)
+        |  + 587 * ((key*11 + fr*23 + x*23 + y*41 + x*y*7) % 256)
+        |  + 114 * ((key*13 + fr*29 + x*29 + y*31 + x*y*17) % 256) AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.slot, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.slot = a.slot
+        |    AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |h AS (SELECT doc_id, slot,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id, slot)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(SUM(bit_count(xor(a.dhash, b.dhash))) AS INTEGER) AS total_hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.slot = b.slot
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING SUM(bit_count(xor(a.dhash, b.dhash))) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -737,6 +737,385 @@ object Multimodal {
         col("doc_id").as("source_id")).as("meta"))
   }
 
+  /** REAL video container tier — GVID, a motion-PNG container defined
+    * by this engine (magic + fps + frame count + length-prefixed PNG
+    * frames): the container parsing is real binary-format work (offset
+    * walking, length prefixes, magic validation) and every frame is a
+    * real `javax.imageio` PNG, so the whole tier is lossless and the
+    * decoded aggregates stay DuckDB-oracle-matched in closed form —
+    * the video member of the multimodal family (image: PNG/JPEG;
+    * audio: WAV; video: GVID). A production swap-in (MP4/H.264 via a
+    * native binding) changes only this codec object; the batch shapes,
+    * sampling layout, and fingerprint pipeline stay as-is.
+    */
+  object VideoCodec {
+    private val Magic = Array[Byte]('G', 'V', 'I', 'D', '1')
+
+    /** Encode frames (each an encoded PNG) into one GVID payload. */
+    def encode(fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(baos)
+      out.write(Magic)
+      out.writeInt(fps)
+      out.writeInt(frames.length)
+      frames.foreach { f => out.writeInt(f.length); out.write(f) }
+      out.flush()
+      baos.toByteArray
+    }
+
+    /** Decode a GVID payload to (fps, PNG frames). */
+    def decode(gvid: Array[Byte]): (Int, Vector[Array[Byte]]) = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(gvid))
+      val magic = new Array[Byte](Magic.length)
+      in.readFully(magic)
+      require(java.util.Arrays.equals(magic, Magic), "not a GVID payload")
+      val fps = in.readInt()
+      val n = in.readInt()
+      val frames = Vector.fill(n) {
+        val len = in.readInt()
+        val f = new Array[Byte](len)
+        in.readFully(f)
+        f
+      }
+      (fps, frames)
+    }
+
+    /** Header-only metadata probe: (fps, frameCount) without touching
+      * frame bytes — the cheap path a planner uses to size frame
+      * sampling before paying for any decode.
+      */
+    def probe(gvid: Array[Byte]): (Int, Int) = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(gvid))
+      val magic = new Array[Byte](Magic.length)
+      in.readFully(magic)
+      require(java.util.Arrays.equals(magic, Magic), "not a GVID payload")
+      (in.readInt(), in.readInt())
+    }
+
+    /** Decode ONLY the frames at `wanted` indices, walking the length
+      * prefixes and skipping unwanted frame bytes — the container-level
+      * analogue of keyframe seeking: sampling k of n frames reads k
+      * PNG decodes, not n.
+      */
+    def decodeFrames(gvid: Array[Byte], wanted: Seq[Int]): Seq[(Int, Array[Byte])] = {
+      val want = wanted.toSet
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(gvid))
+      in.skipBytes(Magic.length + 8)
+      val n = {
+        val hdr = new java.io.DataInputStream(new java.io.ByteArrayInputStream(gvid))
+        hdr.skipBytes(Magic.length + 4)
+        hdr.readInt()
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      var i = 0
+      while (i < n && out.size < want.size) {
+        val len = in.readInt()
+        if (want(i)) {
+          val f = new Array[Byte](len)
+          in.readFully(f)
+          out += ((i, f))
+        } else in.skipBytes(len)
+        i += 1
+      }
+      out.toSeq
+    }
+  }
+
+  /** Synthetic GVID video table: one real multi-frame container per
+    * document — frame count, fps, dimensions, and every frame's pixels
+    * closed-form in (`doc_id`, frame, x, y); each frame is a real PNG
+    * (lossless), so decode output replays exactly in SQL. Same fixture
+    * pattern as [[syntheticPngTable]]/[[syntheticWavTable]]; encode is
+    * one narrow `mapPartitions` stage.
+    */
+  def syntheticVideoTable(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (4 + id % 5).toInt
+          val fps = (10 + (id % 3) * 5).toInt
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          val frames = (0 until n).map { f =>
+            PngCodec.encode(w, h, (x, y) => {
+              val r = ((id * 7 + f * 19 + x * 3 + y * 5) % 256).toInt
+              val g = ((id * 11 + f * 23 + x + y * 2) % 256).toInt
+              val b = ((id * 13 + f * 29 + x * 4 + y) % 256).toInt
+              (r << 16) | (g << 8) | b
+            })
+          }
+          (id, VideoCodec.encode(fps, frames), w, h, n, fps)
+        }
+      }
+      .toDF("doc_id", "payload", "width_px", "height_px", "n_frames", "fps")
+      .select(col("doc_id"), col("payload"), struct(
+        lit("video/gvid").as("media_type"),
+        col("width_px"), col("height_px"),
+        col("n_frames"), col("fps"),
+        col("doc_id").as("source_id")).as("meta"))
+  }
+
+  /** Decode every frame of each GVID payload and aggregate the DECODED
+    * pixels per frame (dimensions + exact per-channel sums). One narrow
+    * `mapPartitions` stage: container parse, n PNG decodes, and the
+    * per-frame reduction all happen before any shuffle — video bytes
+    * never cross an exchange. Lossless tier ⇒ fully oracle-matched
+    * (`q_video_decode`).
+    */
+  def decodeVideoFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, gvid) =>
+          val (fps, frames) = VideoCodec.decode(gvid)
+          frames.zipWithIndex.map { case (png, f) =>
+            val img = PngCodec.decode(png)
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            (id, f, fps, w, h, sr, sg, sb)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "fps", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Uniform frame sampling: k slots per video, slot j → frame
+    * `j·n / k` (integer floor — a closed-form layout any engine
+    * reproduces; strictly increasing whenever `n ≥ k`). Only the
+    * sampled frames are PNG-decoded ([[VideoCodec.decodeFrames]] skips
+    * the rest via the length prefixes), and per sampled frame the
+    * integer-luma sum (299·R + 587·G + 114·B — no division, exact) is
+    * emitted. Narrow end to end; oracle-matched (`q_video_frames`).
+    */
+  def videoFrameSample(spark: SparkSession, media: DataFrame, k: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive: $k")
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, gvid) =>
+          val (_, n) = VideoCodec.probe(gvid)
+          val wanted = (0 until k).map(j => j * n / k).distinct
+          VideoCodec.decodeFrames(gvid, wanted).map { case (f, png) =>
+            val img = PngCodec.decode(png)
+            val w = img.getWidth; val h = img.getHeight
+            var luma = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                luma += 299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
+                  114L * (p & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            (id, wanted.indexOf(f), f, w, h, luma)
+          }
+        }
+      }
+      .toDF("doc_id", "slot", "frame_idx", "width", "height", "sum_luma")
+  }
+
+  /** Per-video perceptual fingerprint: the [[dhashOf]] 63-bit dHash of
+    * each sampled frame — k longs per video. Container parse, selective
+    * frame decode, and hashing fuse into ONE narrow stage: at 100 TB
+    * the video bytes never cross a shuffle, only (doc_id, slot, dhash)
+    * rows do (~32 bytes/slot). Lossless frames ⇒ oracle-matched
+    * (`q_video_phash`).
+    */
+  def videoPhash(spark: SparkSession, media: DataFrame, k: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive: $k")
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, gvid) =>
+          val (_, n) = VideoCodec.probe(gvid)
+          val wanted = (0 until k).map(j => j * n / k).distinct
+          VideoCodec.decodeFrames(gvid, wanted).map { case (f, png) =>
+            (id, wanted.indexOf(f), f, dhashOf(png))
+          }
+        }
+      }
+      .toDF("doc_id", "slot", "frame_idx", "dhash")
+  }
+
+  /** Scene-cut detection: dHash EVERY frame (narrow), then compare each
+    * frame to its predecessor within the video — a cut is a consecutive
+    * pair with Hamming distance ≥ `cutThreshold` bits. The window is
+    * partitioned by `doc_id` (no global window: state per video is one
+    * previous hash), so the shuffle is one exchange on doc_id carrying
+    * (doc_id, frame_idx, dhash) rows only. Output: per-video frame
+    * count + cut count, the shot-boundary profile a video-curation
+    * pipeline keys on. Oracle-matched (`q_video_scenes`).
+    */
+  def videoScenes(spark: SparkSession, media: DataFrame,
+                  cutThreshold: Int = 10): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(cutThreshold > 0, s"cutThreshold must be positive: $cutThreshold")
+    val frameHashes = media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, gvid) =>
+          val (_, frames) = VideoCodec.decode(gvid)
+          frames.zipWithIndex.map { case (png, f) => (id, f, dhashOf(png)) }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "dhash")
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frameHashes
+      .withColumn("prev", lag(col("dhash"), 1).over(w))
+      .withColumn("is_cut",
+        when(col("prev").isNotNull &&
+          bit_count(col("dhash").bitwiseXOR(col("prev"))) >= cutThreshold, 1)
+          .otherwise(0))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_frames"),
+        sum(col("is_cut")).cast("int").as("n_cuts"))
+      .orderBy("doc_id")
+  }
+
+  /** Synthetic GVID table with PLANTED scene structure: frames share a
+    * scene's pixel pattern (`scene = frame div sceneLen`) — within a
+    * scene consecutive frames are IDENTICAL (Hamming 0), across a scene
+    * boundary the high-frequency pattern re-rolls (tens of bits). Cuts
+    * are therefore exactly the frame indices divisible by `sceneLen`,
+    * closed-form in both engines.
+    */
+  def syntheticVideoScenes(spark: SparkSession, documents: DataFrame,
+                           sceneLen: Int = 3): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (6 + id % 7).toInt
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          val frames = (0 until n).map { f =>
+            val sc = f / sceneLen
+            PngCodec.encode(w, h, (x, y) => {
+              val r = ((id * 7 + sc * 97 + x * 37 + y * 59 + x * y * 13) % 256).toInt
+              val g = ((id * 11 + sc * 89 + x * 23 + y * 41 + x * y * 7) % 256).toInt
+              val b = ((id * 13 + sc * 83 + x * 29 + y * 31 + x * y * 17) % 256).toInt
+              (r << 16) | (g << 8) | b
+            })
+          }
+          (id, VideoCodec.encode(12, frames), w, h, n)
+        }
+      }
+      .toDF("doc_id", "payload", "width_px", "height_px", "n_frames")
+      .select(col("doc_id"), col("payload"), struct(
+        lit("video/gvid").as("media_type"),
+        col("width_px"), col("height_px"), col("n_frames"),
+        col("doc_id").as("source_id")).as("meta"))
+  }
+
+  /** Near-duplicate video pairs over [[videoPhash]] signatures (k
+    * sampled frame hashes per video): a pair is a near-dup when the
+    * TOTAL Hamming distance across its k slots is at most
+    * `maxTotalHamming`. Candidates come from EXACT equi-joins on
+    * (slot, dhash): requiring `maxTotalHamming < k` makes the slots
+    * themselves a pigeonhole banding — any qualifying pair has at least
+    * one slot with Hamming 0, i.e. an identical frame hash — so the
+    * pair space is bucket joins, never all-pairs. The same
+    * safe-by-default heavy-bucket cap as the image/audio paths guards
+    * degenerate corpora (all-black videos share the all-zero slot
+    * hashes): buckets holding more than the cap signatures are
+    * anti-joined away (`-1` auto-derives from corpus size, `0`
+    * disables — the oracle path runs guard-off so the exact quadratic
+    * DuckDB twin stays valid at any SF, as for images).
+    */
+  def videoNearDup(spark: SparkSession, media: DataFrame, k: Int = 4,
+                   maxTotalHamming: Int = 3, maxBandBucket: Int = -1): DataFrame = {
+    require(maxTotalHamming >= 0 && maxTotalHamming < k,
+      s"pigeonhole banding needs maxTotalHamming in [0, k=$k): $maxTotalHamming")
+    val sig = videoPhash(spark, media, k)
+      .select(col("doc_id"), col("slot"), col("dhash")).cache()
+    val cap: Long =
+      if (maxBandBucket > 0) maxBandBucket.toLong
+      else if (maxBandBucket == 0) 0L
+      else {
+        // auto: the count() action doubles as cache materialisation
+        val slotRows = sig.count()
+        math.max(64L, math.ceil(math.sqrt(4.0 * slotRows)).toLong)
+      }
+    val buckets = if (cap <= 0) sig else {
+      val heavy = sig.groupBy("slot", "dhash")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap)
+        .select("slot", "dhash")
+      sig.join(heavy, Seq("slot", "dhash"), "left_anti")
+    }
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.slot") === col("y.slot") &&
+        col("x.dhash") === col("y.dhash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val result = cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.slot") === col("b.slot"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))))
+        .cast("int").as("total_hamming"))
+      .filter(col("total_hamming") <= maxTotalHamming)
+      .orderBy("doc_a", "doc_b")
+    graft.ext.Dedup.scopeCaches(result, sig)
+  }
+
+  /** Synthetic GVID table with PLANTED near-duplicate clusters — the
+    * video twin of [[syntheticPngClusters]]/[[syntheticWavClusters]]:
+    * frame count, dimensions, and the high-frequency per-frame pattern
+    * derive from `doc_id % nClusters`; members with
+    * `doc_id >= nClusters` get frame 0's corner pixel's red channel
+    * shifted by `doc_id / nClusters` — at most ONE dHash bit of ONE
+    * slot moves (in-cluster total Hamming ≤ 1) while distinct clusters'
+    * patterns (different frame counts ⇒ different sampled frames, and
+    * different pixels everywhere) sit tens of bits apart per slot.
+    */
+  def syntheticVideoClusters(spark: SparkSession, documents: DataFrame,
+                             nClusters: Int = 50): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val key = id % nClusters
+          val n = (4 + key % 5).toInt
+          val w = (8 + key % 9).toInt
+          val h = (8 + key % 7).toInt
+          val bump = (id / nClusters).toInt
+          val frames = (0 until n).map { f =>
+            PngCodec.encode(w, h, (x, y) => {
+              val r0 = ((key * 7 + f * 19 + x * 37 + y * 59 + x * y * 13) % 256).toInt
+              val r = if (f == 0 && x == 0 && y == 0) (r0 + bump) % 256 else r0
+              val g = ((key * 11 + f * 23 + x * 23 + y * 41 + x * y * 7) % 256).toInt
+              val b = ((key * 13 + f * 29 + x * 29 + y * 31 + x * y * 17) % 256).toInt
+              (r << 16) | (g << 8) | b
+            })
+          }
+          (id, VideoCodec.encode(12, frames), w, h, n)
+        }
+      }
+      .toDF("doc_id", "payload", "width_px", "height_px", "n_frames")
+      .select(col("doc_id"), col("payload"), struct(
+        lit("video/gvid").as("media_type"),
+        col("width_px"), col("height_px"), col("n_frames"),
+        col("doc_id").as("source_id")).as("meta"))
+  }
+
   /** Synthetic PNG table with PLANTED perceptual duplicates: the pixel
     * pattern (and dimensions) derive from `doc_id % nClusters`, so each
     * residue class is one image cluster; cluster members with
