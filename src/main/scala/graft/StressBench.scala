@@ -241,6 +241,16 @@ object StressBench {
       // energy hash per clip, narrow end to end like image_dhash
       time("audio_ehash", ext.Multimodal.audioEhash(spark,
         ext.Multimodal.syntheticWavClusters(spark, docs)).count()),
+      // round-9: the video tier's linear paths (near-dup pair spaces on
+      // a replicated corpus are fixture-quadratic, as for images) —
+      // container encode + header probe + SELECTIVE frame decode + per-
+      // slot dHash, narrow end to end; and the scene path, which decodes
+      // EVERY frame then pays its one exchange on doc_id for the
+      // per-video lag window
+      time("video_phash", ext.Multimodal.videoPhash(spark,
+        ext.Multimodal.syntheticVideoClusters(spark, docs)).count()),
+      time("video_scenes", ext.Multimodal.videoScenes(spark,
+        ext.Multimodal.syntheticVideoScenes(spark, docs)).count()),
       // round-9: the band-bucket cap under planted skew — 25% of the
       // corpus is flat images (all sharing the all-zeros dHash, the
       // degenerate mass the guard exists for). Capped (auto, default)
