@@ -117,4 +117,57 @@ object Curation {
       .orderBy("stage")
     Dedup.scopeCaches(out, allTok, quality, docs2, s3, s4, sh, s5, s6)
   }
+
+  /** Cross-modal duplicate verdicts: one row per document combining
+    * three INDEPENDENT dedup signals a multimodal corpus needs —
+    *
+    *   - `url_dup`:   another doc with a lower id shares this doc's
+    *                  canonical URL (first fetch wins);
+    *   - `text_dup`:  another doc with a lower id has byte-identical
+    *                  text;
+    *   - `image_dup`: this doc's image sits in a perceptual near-dup
+    *                  cluster ([[Multimodal.imageClusters]]) whose
+    *                  min-id representative is another doc;
+    *   - `keep`:      none of the above — the doc survives multimodal
+    *                  dedup.
+    *
+    * A page re-crawled under a tracking-param variant, a mirror with
+    * identical text under a different URL, and a re-encoded copy of the
+    * same image are three different duplicate classes; any ONE makes
+    * the document redundant, so the verdict is their disjunction. Each
+    * signal is its standalone operator's arithmetic (canonicalizeUrl
+    * min-per-key, exactDedup min-per-text, the banded dHash component
+    * labels), so the COMPOSITION runs under the exact DuckDB oracle
+    * (`q_crossmodal_dedup`).
+    *
+    * Scale shape: two hash aggregations (canonical_url, text), the
+    * image path's narrow decode + capped banded join + components over
+    * pair participants only, then three joins back on doc_id — no
+    * window, no all-pairs, nothing quadratic. `maxBandBucket` threads
+    * through to the image banding (0 on the oracle path, as
+    * everywhere in the perceptual family).
+    */
+  def crossModalDedup(spark: org.apache.spark.sql.SparkSession,
+                      documents: DataFrame, media: DataFrame,
+                      urlCol: String = "url", maxHamming: Int = 6,
+                      maxBandBucket: Int = -1): DataFrame = {
+    val urlMin = WebOps.canonicalizeUrl(documents, urlCol)
+      .groupBy("canonical_url").agg(min(col("doc_id")).as("url_min"))
+    val withUrlMin = WebOps.canonicalizeUrl(documents, urlCol)
+      .select(col("doc_id"), col("text"), col("canonical_url"))
+      .join(urlMin, "canonical_url")
+    val textMin = documents.groupBy("text").agg(min(col("doc_id")).as("text_min"))
+    val clusters = Multimodal.imageClusters(spark, media, maxHamming, maxBandBucket)
+      .select(col("doc_id"), col("cluster_id"))
+    withUrlMin
+      .join(textMin, "text")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        (col("doc_id") > col("url_min")).as("url_dup"),
+        (col("doc_id") > col("text_min")).as("text_dup"),
+        coalesce(col("cluster_id") < col("doc_id"), lit(false)).as("image_dup"))
+      .withColumn("keep", !(col("url_dup") || col("text_dup") || col("image_dup")))
+      .orderBy("doc_id")
+  }
 }

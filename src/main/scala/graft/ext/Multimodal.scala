@@ -680,9 +680,9 @@ object Multimodal {
     * graph, not the corpus.
     */
   def imageClusters(spark: SparkSession, media: DataFrame,
-                    maxHamming: Int = 6): DataFrame = {
+                    maxHamming: Int = 6, maxBandBucket: Int = -1): DataFrame = {
     val pairs = imageNearDupImpl(spark, media, maxHamming,
-      maxBandBucket = -1, ordered = false)
+      maxBandBucket, ordered = false)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val pairNodes = edges.select(col("src").as("doc_id"))
       .unionByName(edges.select(col("dst").as("doc_id"))).distinct()

@@ -639,4 +639,24 @@ object TextOps {
         (col("sum_milli") >= 0).cast("int").as("kept"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic exact-duplicate-text fixture (the corpus texts are
+    * all distinct): every doc with `doc_id % 7 == 3` takes its
+    * PREDECESSOR's original text, planting ~1/7 of the corpus as exact
+    * text duplicates — the text analogue of
+    * [[graft.ext.WebOps.withSyntheticCrawlUrl]]'s planted URL
+    * re-crawls. The donor reads the ORIGINAL text (never a donated
+    * one), so duplicate groups are exactly the {id−1, id} pairs and the
+    * closed form replays in SQL. One equi-join on doc_id−1; everything
+    * else narrow.
+    */
+  def withSyntheticDupText(documents: DataFrame): DataFrame = {
+    val donor = documents.select(col("doc_id").as("donor_id"),
+      col("text").as("donor_text"))
+    documents.join(donor, col("doc_id") - 1 === col("donor_id"), "left")
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7L)) === 3 && col("donor_text").isNotNull,
+          col("donor_text")).otherwise(col("text")))
+      .drop("donor_id", "donor_text")
+  }
 }

@@ -67,4 +67,40 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
         rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE }
     assert(leaked.isEmpty, s"funnel leaked caches: ${leaked.values.map(_.name)}")
   }
+
+  test("crossModalDedup: the three planted duplicate classes land in their own flags") {
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = TextOps.withSyntheticDupText(WebOps.withSyntheticMessyUrl(base))
+    val media = Multimodal.syntheticPngClusters(spark, base)
+    val rows = Curation.crossModalDedup(spark, d, media).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.length === base.count())
+    rows.foreach { case (id, urlDup, textDup, imageDup, keep) =>
+      // messy-URL fixture: canonical form depends only on doc_id % 100,
+      // so the min-id representative of each group is the residue itself
+      assert(urlDup === (id >= 100), s"doc $id url_dup")
+      // dup-text fixture: every id % 7 == 3 doc takes its predecessor's
+      // original text (and no donor ever donated its own text away —
+      // consecutive ids can't both be ≡ 3 mod 7)
+      assert(textDup === (id % 7 == 3 && id >= 1), s"doc $id text_dup")
+      // PNG cluster fixture: every same-residue-50 pair is a perceptual
+      // dup, so the cluster representative is the residue itself
+      assert(imageDup === (id >= 50), s"doc $id image_dup")
+      assert(keep === !(urlDup || textDup || imageDup), s"doc $id keep")
+    }
+    // composition consistency: the verdict agrees with the standalone
+    // operators it claims to compose
+    val urlReps = WebOps.urlDedup(d).collect()
+      .map(_.getAs[Long]("keep_doc")).toSet
+    val textReps = Dedup.exactDedup(d).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val imgLabels = Multimodal.imageClusters(spark, media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    rows.foreach { case (id, urlDup, textDup, imageDup, _) =>
+      assert(urlDup === !urlReps.contains(id), s"doc $id vs urlDedup")
+      assert(textDup === !textReps.contains(id), s"doc $id vs exactDedup")
+      assert(imageDup === imgLabels.get(id).exists(_ < id), s"doc $id vs imageClusters")
+    }
+  }
 }
