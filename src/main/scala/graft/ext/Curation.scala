@@ -53,7 +53,30 @@ object Curation {
     val docs2 = documents.join(s2, "doc_id").persist()
     // 3: near-dup components over the s2 subset; keep the min-label
     // representative of each cluster (singletons pass untouched)
-    val pairs = Dedup.ngramJaccard(docs2, k, jaccardThreshold)
+    // ONE corpus tokenization serves stage 3 (near-dup pairs over the
+    // exact-dedup survivors) AND both stage-5 decontamination sides: at
+    // 100 TB tokenization is a top-3 cost, and stage 3's operator call
+    // used to pay its own pass over docs2 while stage 5 paid another
+    // over train ∪ eval. The membership flags are tagged on the DOC
+    // table BEFORE the explode (doc-id joins over narrow doc rows, one
+    // row per doc — never a join against the exploded shingle table,
+    // which is corpus × k wider), so stage 3 and the eval side are pure
+    // narrow filters of the shared cached table; only the train side —
+    // unknowable before stages 3–4 run — joins, and against the cached
+    // table, not a re-tokenization.
+    val splitDf = documents.select(col("doc_id"),
+      when(substring(md5(col("text")), 1, 2) < "cc", "train")
+        .otherwise("eval").as("split"))
+    val evalIds = splitDf.filter(col("split") === "eval").select("doc_id")
+    val docsTagged = documents
+      .join(docs2.select("doc_id").withColumn("in_s2", lit(true)), Seq("doc_id"), "left")
+      .join(evalIds.withColumn("is_eval", lit(true)), Seq("doc_id"), "left")
+      .withColumn("in_s2", coalesce(col("in_s2"), lit(false)))
+      .withColumn("is_eval", coalesce(col("is_eval"), lit(false)))
+      .filter(col("in_s2") || col("is_eval"))
+    val sh = Dedup.shingles(docsTagged, k, carry = Seq("in_s2", "is_eval")).persist()
+    val pairs = Dedup.ngramJaccardFromShingles(
+      sh.filter(col("in_s2")).select("doc_id", "shingle"), jaccardThreshold).persist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val pairNodes = edges.select(col("src").as("doc_id"))
       .unionByName(edges.select(col("dst").as("doc_id"))).distinct()
@@ -66,25 +89,14 @@ object Curation {
       .persist()
     // 5: train docs only, minus those sharing >= minShared shingles
     // with ANY eval doc of the ORIGINAL corpus (the eval set is not
-    // subject to curation — it is the contamination reference).
-    // Both decontamination sides come from ONE shingle pass: at 100 TB
-    // tokenization is a top-3 cost, and the previous form re-tokenized
-    // the corpus once per side. The train/eval tag rides through the
-    // explode as a carry column, so each side is a narrow filter over
-    // the same cached shingle table.
-    val splitDf = documents.select(col("doc_id"),
-      when(substring(md5(col("text")), 1, 2) < "cc", "train")
-        .otherwise("eval").as("split"))
+    // subject to curation — it is the contamination reference). Both
+    // sides are views of the shared shingle table.
     val s4train = s4.join(splitDf.filter(col("split") === "train")
       .select("doc_id"), "doc_id")
-    val needed = s4train.withColumn("side", lit("train"))
-      .unionByName(splitDf.filter(col("split") === "eval")
-        .select("doc_id").withColumn("side", lit("eval")))
-    val sh = Dedup.shingles(documents.join(needed, "doc_id"), k,
-      carry = Seq("side")).persist()
-    val trainSh = sh.filter(col("side") === "train")
+    val trainSh = sh.filter(col("in_s2") && !col("is_eval"))
+      .join(s4train.select("doc_id"), "doc_id")
       .select(col("doc_id").as("train_doc"), col("shingle"))
-    val evalSh = sh.filter(col("side") === "eval")
+    val evalSh = sh.filter(col("is_eval"))
       .select(col("doc_id").as("eval_doc"), col("shingle"))
     val contaminated = trainSh.join(evalSh, "shingle")
       .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("n_shared"))

@@ -74,6 +74,21 @@ object Dedup {
     // anti-join costs to recompute (measured: double-persist regressed
     // the query 2.6× in BENCH_r04).
     val sh = shingles(documents, k).persist()
+    val result = ngramJaccardFromShingles(sh, threshold, maxShingleDf)
+    scopeCaches(result, sh)
+  }
+
+  /** The [[ngramJaccard]] pair core over a PRE-BUILT (doc_id, shingle)
+    * table: callers that already pay a corpus tokenization (the
+    * curation funnel shares one shingle table between its near-dup and
+    * decontamination stages) pass their cached table and skip a second
+    * pass — at 100 TB tokenization is a top-3 cost. Caching and
+    * release of `sh` (and of the result) are the CALLER's concern; the
+    * df-cap is computed over exactly the rows passed in, so a filtered
+    * view gives the same pairs as tokenizing the filtered corpus.
+    */
+  def ngramJaccardFromShingles(sh: DataFrame, threshold: Double = 0.5,
+                               maxShingleDf: Int = 1000): DataFrame = {
     // document-frequency cap as a map-side-combined aggregate + anti-join
     // against the overflow "stop-shingle" set (df > maxShingleDf). No
     // broadcast hint: the overflow set is ≈ totalShingles/maxShingleDf —
@@ -88,7 +103,7 @@ object Dedup {
     val b = kept.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = a.join(b, "shingle").filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    val result = inter
+    inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
       .withColumn("jaccard", round(col("n_inter").cast("double") /
@@ -96,7 +111,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
-    scopeCaches(result, sh)
   }
 
   /** MinHash signature per document: `numHashes` permutations simulated
