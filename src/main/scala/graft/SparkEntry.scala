@@ -447,6 +447,16 @@ object SparkEntry {
     "q_video_neardup" -> ((s, d) => Multimodal.videoNearDup(s,
       Multimodal.syntheticVideoClusters(s, Tables.documents(s, d)),
       maxBandBucket = 0)),
+    // daily-ingest shape (video twin of q_image_neardup_inc): stored
+    // side contributes only (doc_id, slot, dhash), new batch decodes
+    "q_video_neardup_inc" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val media = Multimodal.syntheticVideoClusters(s, Tables.documents(s, d))
+      val stored = Multimodal.videoPhash(s, media.filter(col("doc_id") < 250))
+        .select("doc_id", "slot", "dhash")
+      Multimodal.videoNearDupIncremental(s, media.filter(col("doc_id") >= 250),
+        stored, maxBandBucket = 0)
+    }),
     // cross-modal composition: per-doc verdict over three independent
     // duplicate classes — canonical-URL re-crawl, byte-identical text,
     // perceptual image near-dup cluster — each planted by its own
@@ -2838,6 +2848,43 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(SUM(bit_count(xor(a.dhash, b.dhash))) AS INTEGER) AS total_hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.slot = b.slot
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING SUM(bit_count(xor(a.dhash, b.dhash))) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // incremental twin: stored side = doc_id < 250 (slot hashes only),
+    // pairs need >= 1 new side; is_cross marks new-vs-stored
+    "q_video_neardup_inc" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 50 AS key, doc_id // 50 AS bump,
+        |    4 + (doc_id % 50) % 5 AS n,
+        |    8 + (doc_id % 50) % 9 AS w, 8 + (doc_id % 50) % 7 AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, key, bump, n, w, h, unnest(range(0, 4)) AS slot FROM d),
+        |sf AS (SELECT doc_id, key, bump, slot, (slot * n) // 4 AS fr, w, h FROM s),
+        |js AS (SELECT doc_id, key, bump, slot, fr, w, h, unnest(range(0, 7)) AS j FROM sf),
+        |g0 AS (SELECT doc_id, key, bump, slot, fr, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, key, bump, slot, fr, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, slot, j, i,
+        |  299 * (CASE WHEN fr = 0 AND x = 0 AND y = 0
+        |    THEN ((key*7 + fr*19 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |    ELSE (key*7 + fr*19 + x*37 + y*59 + x*y*13) % 256 END)
+        |  + 587 * ((key*11 + fr*23 + x*23 + y*41 + x*y*7) % 256)
+        |  + 114 * ((key*13 + fr*29 + x*29 + y*31 + x*y*17) % 256) AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.slot, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.slot = a.slot
+        |    AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |h AS (SELECT doc_id, slot,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id, slot)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(SUM(bit_count(xor(a.dhash, b.dhash))) AS INTEGER) AS total_hamming,
+        |  (a.doc_id >= 250) <> (b.doc_id >= 250) AS is_cross
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.slot = b.slot
+        |  AND (a.doc_id >= 250 OR b.doc_id >= 250)
         |GROUP BY a.doc_id, b.doc_id
         |HAVING SUM(bit_count(xor(a.dhash, b.dhash))) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,

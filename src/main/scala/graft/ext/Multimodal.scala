@@ -905,23 +905,34 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, gvid) =>
           val (_, n) = VideoCodec.probe(gvid)
-          val wanted = (0 until k).map(j => j * n / k).distinct
-          VideoCodec.decodeFrames(gvid, wanted).map { case (f, png) =>
-            val img = PngCodec.decode(png)
-            val w = img.getWidth; val h = img.getHeight
-            var luma = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                luma += 299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
-                  114L * (p & 0xFF)
-                x += 1
+          // ALWAYS k slots: videos shorter than k frames repeat frames
+          // (slot j → frame ⌊j·n/k⌋ maps several slots to one frame),
+          // decoded once and emitted per slot — fixed-width signatures
+          // keep every downstream pair rule well-defined on any corpus.
+          // Zero-frame videos emit nothing.
+          val slotFrames = (0 until k).map(j => j * n / k)
+          val decoded = VideoCodec.decodeFrames(gvid, slotFrames.distinct)
+            .map { case (f, png) =>
+              val img = PngCodec.decode(png)
+              val w = img.getWidth; val h = img.getHeight
+              var luma = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  luma += 299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
+                    114L * (p & 0xFF)
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
-            }
-            (id, wanted.indexOf(f), f, w, h, luma)
+              f -> ((w, h, luma))
+            }.toMap
+          slotFrames.zipWithIndex.collect {
+            case (f, slot) if decoded.contains(f) =>
+              val (w, h, luma) = decoded(f)
+              (id, slot, f, w, h, luma)
           }
         }
       }
@@ -942,9 +953,14 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, gvid) =>
           val (_, n) = VideoCodec.probe(gvid)
-          val wanted = (0 until k).map(j => j * n / k).distinct
-          VideoCodec.decodeFrames(gvid, wanted).map { case (f, png) =>
-            (id, wanted.indexOf(f), f, dhashOf(png))
+          // k slots always (short videos repeat frames — hashed once,
+          // emitted per slot), so signatures are fixed-width and the
+          // near-dup pigeonhole argument holds on any corpus
+          val slotFrames = (0 until k).map(j => j * n / k)
+          val hashed = VideoCodec.decodeFrames(gvid, slotFrames.distinct)
+            .map { case (f, png) => f -> dhashOf(png) }.toMap
+          slotFrames.zipWithIndex.collect {
+            case (f, slot) if hashed.contains(f) => (id, slot, f, hashed(f))
           }
         }
       }
@@ -1074,6 +1090,68 @@ object Multimodal {
       .filter(col("total_hamming") <= maxTotalHamming)
       .orderBy("doc_a", "doc_b")
     graft.ext.Dedup.scopeCaches(result, sig)
+  }
+
+  /** Incremental perceptual video dedup: a NEW batch of videos against
+    * the STORED per-slot hash table — the daily-ingest regime where
+    * yesterday's corpus contributes only its (doc_id, slot, dhash) rows,
+    * never its payloads (the video twin of [[imageNearDupIncremental]]).
+    * Only the new batch is container-parsed and selectively decoded;
+    * the (slot, dhash) pigeonhole banding covers stored ∪ new but
+    * candidate pairs require ≥ 1 new side, so stored×stored work is
+    * never redone. `is_cross` marks new-vs-stored pairs. The same
+    * safe-by-default heavy-bucket cap guards the daily join
+    * (flat/black-frame videos all share the all-zero slot hashes);
+    * `-1` auto-derives, `0` disables (the oracle path, as everywhere
+    * in the perceptual family).
+    */
+  def videoNearDupIncremental(spark: SparkSession, newMedia: DataFrame,
+                              storedHashes: DataFrame, k: Int = 4,
+                              maxTotalHamming: Int = 3,
+                              maxBandBucket: Int = -1): DataFrame = {
+    require(maxTotalHamming >= 0 && maxTotalHamming < k,
+      s"pigeonhole banding needs maxTotalHamming in [0, k=$k): $maxTotalHamming")
+    val newFp = videoPhash(spark, newMedia, k)
+    val all = storedHashes
+      .select(col("doc_id"), col("slot"), col("dhash"), lit(false).as("is_new"))
+      .unionByName(newFp
+        .select(col("doc_id"), col("slot"), col("dhash"), lit(true).as("is_new")))
+      .cache()
+    val cap: Long =
+      if (maxBandBucket > 0) maxBandBucket.toLong
+      else if (maxBandBucket == 0) 0L
+      else {
+        // auto: the count() action doubles as cache materialisation —
+        // the new batch is decoded once, not once per banding pass
+        val slotRows = all.count()
+        math.max(64L, math.ceil(math.sqrt(4.0 * slotRows)).toLong)
+      }
+    val buckets = if (cap <= 0) all else {
+      val heavy = all.groupBy("slot", "dhash")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap)
+        .select("slot", "dhash")
+      all.join(heavy, Seq("slot", "dhash"), "left_anti")
+    }
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.slot") === col("y.slot") &&
+        col("x.dhash") === col("y.dhash") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        (col("x.is_new") || col("y.is_new")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (col("x.is_new") =!= col("y.is_new")).as("is_cross"))
+      .distinct()
+    val result = cand
+      .join(all.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(all.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.slot") === col("b.slot"))
+      .groupBy("doc_a", "doc_b", "is_cross")
+      .agg(sum(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))))
+        .cast("int").as("total_hamming"))
+      .filter(col("total_hamming") <= maxTotalHamming)
+      .select("doc_a", "doc_b", "total_hamming", "is_cross")
+      .orderBy("doc_a", "doc_b")
+    graft.ext.Dedup.scopeCaches(result, all)
   }
 
   /** Synthetic GVID table with PLANTED near-duplicate clusters — the

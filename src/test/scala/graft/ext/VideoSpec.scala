@@ -148,6 +148,65 @@ class VideoSpec extends AnyFunSuite with SparkSpec {
     Multimodal.videoNearDup(spark, media).unpersist(false)
   }
 
+  test("short videos still get k fixed-width slots (frames repeat, decoded once)") {
+    import spark.implicits._
+    def video(nFrames: Int, seed: Int): Array[Byte] = {
+      val frames = (0 until nFrames).map { f =>
+        Multimodal.PngCodec.encode(8, 8, (x, y) => (seed * 83 + f * 97 + x * 11 + y * 7) % (1 << 24))
+      }
+      Multimodal.VideoCodec.encode(12, frames)
+    }
+    val media = Seq((1L, video(1, 1)), (2L, video(2, 2)), (3L, video(7, 3)))
+      .toDF("doc_id", "payload")
+    val hashes = Multimodal.videoPhash(spark, media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // every video yields exactly slots 0..3 regardless of frame count
+    hashes.groupBy(_._1).foreach { case (id, g) =>
+      assert(g.map(_._2).sorted === Seq(0, 1, 2, 3), s"doc $id slots")
+    }
+    // 1-frame video: all slots map to frame 0 with one shared hash
+    val one = hashes.filter(_._1 == 1L)
+    assert(one.map(_._3).toSet === Set(0))
+    assert(one.map(_._4).toSet.size === 1)
+    // 2-frame video: slots 0,1 -> frame 0; slots 2,3 -> frame 1
+    val two = hashes.filter(_._1 == 2L).sortBy(_._2)
+    assert(two.map(_._3).toSeq === Seq(0, 0, 1, 1))
+    // frame sampling agrees on the layout
+    val sampled = Multimodal.videoFrameSample(spark, media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(sampled.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq === Seq(0, 0, 1, 1))
+    // two byte-identical 1-frame videos are a near-dup pair (all four
+    // slots share the repeated frame's hash — the pigeonhole still holds)
+    val dupMedia = Seq((10L, video(1, 9)), (11L, video(1, 9)))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.videoNearDup(spark, dupMedia, maxBandBucket = 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      === Seq((10L, 11L, 0)))
+  }
+
+  test("videoNearDupIncremental: only pairs with a new side; agrees with the full run") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.syntheticVideoClusters(spark, docs)
+    val stored = Multimodal.videoPhash(spark, media.filter(col("doc_id") < 250))
+      .select("doc_id", "slot", "dhash")
+    val inc = Multimodal.videoNearDupIncremental(spark,
+      media.filter(col("doc_id") >= 250), stored).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getBoolean(3)))).toMap
+    assert(inc.nonEmpty)
+    inc.foreach { case ((a, b), (_, cross)) =>
+      assert(a >= 250 || b >= 250)
+      assert(cross === ((a < 250) != (b < 250)))
+    }
+    // the incremental view is exactly the full pair set minus stored-stored
+    val full = Multimodal.videoNearDup(spark, media).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val expected = full.filter { case ((a, b), _) => a >= 250 || b >= 250 }
+    assert(inc.keySet === expected.keySet)
+    inc.foreach { case (k, (hamming, _)) => assert(hamming === expected(k)) }
+    Multimodal.videoNearDup(spark, media).unpersist(false)
+  }
+
   test("videoNearDup pigeonhole precondition is enforced") {
     val docs = Tables.documents(spark, sf)
     val media = Multimodal.syntheticVideoClusters(spark, docs)
