@@ -397,6 +397,16 @@ object SparkEntry {
     "q_audio_neardup" -> ((s, d) => Multimodal.audioNearDup(s,
       Multimodal.syntheticWavClusters(s, Tables.documents(s, d)),
       maxBandBucket = 0)),
+    // daily-ingest shape (audio twin of q_image_neardup_inc): stored
+    // side contributes only (doc_id, ehash), new batch decodes; shares
+    // the generalized incremental banding core with the image path
+    "q_audio_neardup_inc" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val media = Multimodal.syntheticWavClusters(s, Tables.documents(s, d))
+      val stored = Multimodal.audioEhash(s, media.filter(col("doc_id") < 250))
+      Multimodal.audioNearDupIncremental(s, media.filter(col("doc_id") >= 250),
+        stored, maxBandBucket = 0)
+    }),
     // lossy tier: real JPEG encode->decode; reconstruction isn't
     // closed-form SQL, so rows-only here with the per-channel error
     // bound pinned in MultimodalSpec
@@ -445,6 +455,11 @@ object SparkEntry {
     // guard off on the oracle path (exact quadratic DuckDB twin), as
     // for the image/audio near-dup families
     "q_video_neardup" -> ((s, d) => Multimodal.videoNearDup(s,
+      Multimodal.syntheticVideoClusters(s, Tables.documents(s, d)),
+      maxBandBucket = 0)),
+    // perceptual duplicate-video clusters (components over the banded
+    // pair graph), the video twin of q_image_clusters
+    "q_video_clusters" -> ((s, d) => Multimodal.videoClusters(s,
       Multimodal.syntheticVideoClusters(s, Tables.documents(s, d)),
       maxBandBucket = 0)),
     // daily-ingest shape (video twin of q_image_neardup_inc): stored
@@ -2572,6 +2587,32 @@ object SparkEntry {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ehash, b.ehash)) <= 6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // incremental twin: stored side = doc_id < 250 (eHashes only),
+    // pairs need >= 1 new side; is_cross marks new-vs-stored
+    "q_audio_neardup_inc" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 50 AS key, doc_id // 50 AS bump FROM documents),
+        |p AS (SELECT doc_id, key, bump, 200 + key % 100 AS n FROM d),
+        |s AS (SELECT doc_id, key, bump, n, unnest(range(0, n)) AS i FROM p),
+        |a AS (SELECT doc_id, n, i,
+        |  (key * 31 + i * 17) % 2003 - 1001
+        |    + CASE WHEN i = 0 THEN bump ELSE 0 END AS amp FROM s),
+        |e AS (SELECT doc_id, (i * 64) // n AS w, SUM(amp * amp) AS energy
+        |  FROM a GROUP BY doc_id, (i * 64) // n),
+        |b AS (SELECT x.doc_id, x.w,
+        |    CASE WHEN y.energy > x.energy THEN 1 ELSE 0 END AS bit
+        |  FROM e x JOIN e y ON y.doc_id = x.doc_id AND y.w = x.w + 1
+        |  WHERE x.w < 63),
+        |h AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << w) AS BIGINT) AS ehash
+        |  FROM b GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.ehash, b.ehash)) AS INTEGER) AS hamming,
+        |  (a.doc_id >= 250) <> (b.doc_id >= 250) AS is_cross
+        |FROM h a JOIN h b
+        |  ON a.doc_id < b.doc_id AND (a.doc_id >= 250 OR b.doc_id >= 250)
+        |WHERE bit_count(xor(a.ehash, b.ehash)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Closed form of the deterministic pixel pattern the Spark side
     // pushes through a REAL PNG encode → javax.imageio decode round-trip
     // (lossless, so decoded sums equal the direct arithmetic).
@@ -2851,6 +2892,51 @@ object SparkEntry {
         |GROUP BY a.doc_id, b.doc_id
         |HAVING SUM(bit_count(xor(a.dhash, b.dhash))) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // video clusters: the slot-hash pair graph closed under the same
+    // recursive min-label walk as q_image_clusters
+    "q_video_clusters" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id, doc_id % 50 AS key, doc_id // 50 AS bump,
+        |    4 + (doc_id % 50) % 5 AS n,
+        |    8 + (doc_id % 50) % 9 AS w, 8 + (doc_id % 50) % 7 AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, key, bump, n, w, h, unnest(range(0, 4)) AS slot FROM d),
+        |sf AS (SELECT doc_id, key, bump, slot, (slot * n) // 4 AS fr, w, h FROM s),
+        |js AS (SELECT doc_id, key, bump, slot, fr, w, h, unnest(range(0, 7)) AS j FROM sf),
+        |g0 AS (SELECT doc_id, key, bump, slot, fr, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, key, bump, slot, fr, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, slot, j, i,
+        |  299 * (CASE WHEN fr = 0 AND x = 0 AND y = 0
+        |    THEN ((key*7 + fr*19 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |    ELSE (key*7 + fr*19 + x*37 + y*59 + x*y*13) % 256 END)
+        |  + 587 * ((key*11 + fr*23 + x*23 + y*41 + x*y*7) % 256)
+        |  + 114 * ((key*13 + fr*29 + x*29 + y*31 + x*y*17) % 256) AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.slot, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.slot = a.slot
+        |    AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |h AS (SELECT doc_id, slot,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id, slot),
+        |pairs AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.slot = b.slot
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING SUM(bit_count(xor(a.dhash, b.dhash))) <= 3),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst AS node, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+        |SELECT l.doc_id, l.cluster_id, cs.cluster_size
+        |FROM lab l JOIN cs USING (cluster_id)
+        |WHERE cs.cluster_size > 1 ORDER BY l.doc_id""".stripMargin,
     // incremental twin: stored side = doc_id < 250 (slot hashes only),
     // pairs need >= 1 new side; is_cross marks new-vs-stored
     "q_video_neardup_inc" ->

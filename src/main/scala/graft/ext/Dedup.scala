@@ -605,6 +605,65 @@ object Dedup {
     scopeCaches(result, fp)
   }
 
+  /** Incremental twin of [[bandedHammingPairs]]: a NEW batch of
+    * fingerprints against a STORED fingerprint table — the daily-ingest
+    * regime shared by the perceptual families (image dHash, audio
+    * eHash). Banding covers stored ∪ new but candidate pairs require
+    * ≥ 1 new side, so stored×stored work is never redone; `is_cross`
+    * marks new-vs-stored pairs (true duplicates of already-ingested
+    * media). The same safe-by-default heavy-bucket cap guards the join
+    * that runs *every day* (degenerate corpora — flat images, silent
+    * audio — pile into one bucket per band otherwise): `-1`
+    * auto-derives from stored ∪ new size, `0` disables, `> 0` manual.
+    */
+  private[ext] def bandedHammingPairsIncremental(
+      newFp: DataFrame, storedFp: DataFrame, fpCol: String, bits: Int,
+      maxHamming: Int, maxBandBucket: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits): $maxHamming")
+    val nb = maxHamming + 1
+    val bounds = (0 to nb).map(i => i * bits / nb)
+    val all = storedFp.select(col("doc_id"), col(fpCol), lit(false).as("is_new"))
+      .unionByName(newFp.select(col("doc_id"), col(fpCol), lit(true).as("is_new")))
+      .cache()
+    val cap: Long =
+      if (maxBandBucket > 0) maxBandBucket.toLong
+      else if (maxBandBucket == 0) 0L
+      else {
+        // auto: the count() action doubles as cache materialisation —
+        // the new batch's decode runs once, not once per banding pass
+        val bandRows = all.count() * nb
+        math.max(64L, math.ceil(math.sqrt(4.0 * bandRows)).toLong)
+      }
+    val bandCols = (0 until nb).map { i =>
+      val lo = bounds(i); val width = bounds(i + 1) - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftright(col(fpCol), lo).bitwiseAND(mask)
+    }
+    val allBands = all.select(col("doc_id"), col(fpCol), col("is_new"),
+      posexplode(array(bandCols: _*)))
+      .toDF("doc_id", fpCol, "is_new", "band_idx", "band_val")
+    val banded = if (cap <= 0) allBands else {
+      val heavy = allBands.groupBy("band_idx", "band_val")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap)
+        .select("band_idx", "band_val")
+      allBands.join(heavy, Seq("band_idx", "band_val"), "left_anti")
+    }
+    val result = banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        (col("x.is_new") || col("y.is_new")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col(s"x.$fpCol").bitwiseXOR(col(s"y.$fpCol"))).as("hamming"),
+        (col("x.is_new") =!= col("y.is_new")).as("is_cross"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+    scopeCaches(result, all)
+  }
+
   /** Engine-portable SimHash twin over the [[md5HashLong]] family: a
     * 60-bit fingerprint (one md5-60bit hash per whitespace token, bit b
     * votes ±1, fingerprint bit = sign of the vote sum). Same algorithm

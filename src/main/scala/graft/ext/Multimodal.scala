@@ -624,52 +624,28 @@ object Multimodal {
   def imageNearDupIncremental(spark: SparkSession, newMedia: DataFrame,
                               storedHashes: DataFrame,
                               maxHamming: Int = 6,
-                              maxBandBucket: Int = -1): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 63,
-      s"maxHamming must be in [0, 63): $maxHamming")
-    val nb = maxHamming + 1
-    val bounds = (0 to nb).map(i => i * 63 / nb)
-    val newFp = imageDhash(spark, newMedia)
-    val all = storedHashes.select(col("doc_id"), col("dhash"), lit(false).as("is_new"))
-      .unionByName(newFp.select(col("doc_id"), col("dhash"), lit(true).as("is_new")))
-      .cache()
-    val cap: Long =
-      if (maxBandBucket > 0) maxBandBucket.toLong
-      else if (maxBandBucket == 0) 0L
-      else {
-        // auto: the count() action doubles as cache materialisation —
-        // the new batch is decoded once, not once per banding pass
-        val bandRows = all.count() * nb
-        math.max(64L, math.ceil(math.sqrt(4.0 * bandRows)).toLong)
-      }
-    val bandCols = (0 until nb).map { i =>
-      val lo = bounds(i); val width = bounds(i + 1) - lo
-      val mask = (1L << width) - 1L
-      shiftright(col("dhash"), lo).bitwiseAND(mask)
-    }
-    val allBands = all.select(col("doc_id"), col("dhash"), col("is_new"),
-      posexplode(array(bandCols: _*)))
-      .toDF("doc_id", "dhash", "is_new", "band_idx", "band_val")
-    val banded = if (cap <= 0) allBands else {
-      val heavy = allBands.groupBy("band_idx", "band_val")
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") > cap)
-        .select("band_idx", "band_val")
-      allBands.join(heavy, Seq("band_idx", "band_val"), "left_anti")
-    }
-    val result = banded.as("x").join(banded.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_val") === col("y.band_val") &&
-        col("x.doc_id") < col("y.doc_id") &&
-        (col("x.is_new") || col("y.is_new")))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"),
-        (col("x.is_new") =!= col("y.is_new")).as("is_cross"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
-    graft.ext.Dedup.scopeCaches(result, all)
-  }
+                              maxBandBucket: Int = -1): DataFrame =
+    graft.ext.Dedup.bandedHammingPairsIncremental(
+      imageDhash(spark, newMedia), storedHashes, "dhash", 63,
+      maxHamming, maxBandBucket)
+
+  /** Incremental perceptual audio dedup: a NEW batch of clips against
+    * the STORED eHash table — the audio member of the daily-ingest
+    * family ([[imageNearDupIncremental]], [[videoNearDupIncremental]]):
+    * yesterday's corpus contributes only its (doc_id, ehash) rows,
+    * never its WAV payloads; only the new batch is decoded. Shares
+    * [[graft.ext.Dedup.bandedHammingPairsIncremental]] (pigeonhole
+    * banding, ≥ 1-new-side candidates, safe-by-default bucket cap) with
+    * the image path. Closed-form fixture ⇒ fully oracle-matched
+    * (`q_audio_neardup_inc`).
+    */
+  def audioNearDupIncremental(spark: SparkSession, newMedia: DataFrame,
+                              storedHashes: DataFrame,
+                              maxHamming: Int = 6,
+                              maxBandBucket: Int = -1): DataFrame =
+    graft.ext.Dedup.bandedHammingPairsIncremental(
+      audioEhash(spark, newMedia), storedHashes, "ehash", 63,
+      maxHamming, maxBandBucket)
 
   /** Perceptual duplicate-image clusters: connected components over the
     * [[imageNearDup]] pair graph (min-doc_id labels), multi-image
@@ -1054,7 +1030,16 @@ object Multimodal {
     * DuckDB twin stays valid at any SF, as for images).
     */
   def videoNearDup(spark: SparkSession, media: DataFrame, k: Int = 4,
-                   maxTotalHamming: Int = 3, maxBandBucket: Int = -1): DataFrame = {
+                   maxTotalHamming: Int = 3, maxBandBucket: Int = -1): DataFrame =
+    videoNearDupImpl(spark, media, k, maxTotalHamming, maxBandBucket,
+      ordered = true)
+
+  /** `ordered = false` skips the deterministic output sort — for
+    * consumers like [[videoClusters]] that only read the pair SET.
+    */
+  private def videoNearDupImpl(spark: SparkSession, media: DataFrame, k: Int,
+                               maxTotalHamming: Int, maxBandBucket: Int,
+                               ordered: Boolean): DataFrame = {
     require(maxTotalHamming >= 0 && maxTotalHamming < k,
       s"pigeonhole banding needs maxTotalHamming in [0, k=$k): $maxTotalHamming")
     val sig = videoPhash(spark, media, k)
@@ -1080,7 +1065,7 @@ object Multimodal {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val result = cand
+    val verified = cand
       .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sig.as("b"),
         col("doc_b") === col("b.doc_id") && col("a.slot") === col("b.slot"))
@@ -1088,8 +1073,31 @@ object Multimodal {
       .agg(sum(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))))
         .cast("int").as("total_hamming"))
       .filter(col("total_hamming") <= maxTotalHamming)
-      .orderBy("doc_a", "doc_b")
+    val result = if (ordered) verified.orderBy("doc_a", "doc_b") else verified
     graft.ext.Dedup.scopeCaches(result, sig)
+  }
+
+  /** Perceptual duplicate-video clusters: connected components over the
+    * [[videoNearDup]] pair graph (min-doc_id labels), multi-video
+    * clusters only — the video twin of [[imageClusters]], sharing its
+    * adaptive local/distributed component machinery; propagation runs
+    * over pair-participating videos only.
+    */
+  def videoClusters(spark: SparkSession, media: DataFrame, k: Int = 4,
+                    maxTotalHamming: Int = 3,
+                    maxBandBucket: Int = -1): DataFrame = {
+    val pairs = videoNearDupImpl(spark, media, k, maxTotalHamming,
+      maxBandBucket, ordered = false)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val pairNodes = edges.select(col("src").as("doc_id"))
+      .unionByName(edges.select(col("dst").as("doc_id"))).distinct()
+    val labels = graft.ext.Dedup.connectedComponents(edges, pairNodes)
+    pairs.unpersist(false)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .filter(col("cluster_size") > 1)
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
   }
 
   /** Incremental perceptual video dedup: a NEW batch of videos against

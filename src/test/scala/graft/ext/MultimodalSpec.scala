@@ -328,6 +328,27 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(got.forall(_._3 <= 1), "in-cluster Hamming is at most the bump bit")
   }
 
+  test("audioNearDupIncremental: only pairs with a new side; agrees with the full run") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.syntheticWavClusters(spark, docs)
+    val stored = Multimodal.audioEhash(spark, media.filter(col("doc_id") < 250))
+    val inc = Multimodal.audioNearDupIncremental(spark,
+      media.filter(col("doc_id") >= 250), stored).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getBoolean(3)))).toMap
+    assert(inc.nonEmpty)
+    inc.foreach { case ((a, b), (_, cross)) =>
+      assert(a >= 250 || b >= 250)
+      assert(cross === ((a < 250) != (b < 250)))
+    }
+    val full = Multimodal.audioNearDup(spark, media).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val expected = full.filter { case ((a, b), _) => a >= 250 || b >= 250 }
+    assert(inc.keySet === expected.keySet)
+    inc.foreach { case (k, (hamming, _)) => assert(hamming === expected(k)) }
+    Multimodal.audioNearDup(spark, media).unpersist(false)
+  }
+
   test("imageNearDup plan contract: image bytes never cross a shuffle") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.syntheticPngClusters(spark, docs)

@@ -207,6 +207,20 @@ class VideoSpec extends AnyFunSuite with SparkSpec {
     Multimodal.videoNearDup(spark, media).unpersist(false)
   }
 
+  test("videoClusters: every planted cluster recovered with min-id label") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.syntheticVideoClusters(spark, docs)
+    val rows = Multimodal.videoClusters(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = docs.count()
+    // 500 docs / 50 residue classes -> every doc is in a 10-video cluster
+    assert(rows.length === n)
+    rows.foreach { case (id, cluster, size) =>
+      assert(cluster === id % 50, s"doc $id label")
+      assert(size === n / 50, s"doc $id size")
+    }
+  }
+
   test("videoNearDup pigeonhole precondition is enforced") {
     val docs = Tables.documents(spark, sf)
     val media = Multimodal.syntheticVideoClusters(spark, docs)
