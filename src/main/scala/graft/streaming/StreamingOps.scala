@@ -124,6 +124,53 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("doc_id", "stored_dup_of")
   }
 
+  /** Streaming perceptual AUDIO dedup — the online twin of
+    * [[graft.ext.Multimodal.audioNearDupIncremental]], mirroring
+    * [[imageDedupStream]] for a live clip ingest feed: WAV decode +
+    * 63-bit energy-difference hash in one narrow per-partition stage
+    * (audio bytes never enter state), exact-fingerprint repeats dropped
+    * within the watermark horizon (state keyed on the ehash), then the
+    * shared pigeonhole banding against the STORED corpus eHash table as
+    * a stream-STATIC join (the stored side is never re-decoded). Emits
+    * `(doc_id, ts, ehash, stored_dup_of, hamming)` per match,
+    * multi-band hits collapsed.
+    */
+  def audioDedupStream(spark: SparkSession, clips: DataFrame,
+                       storedHashes: DataFrame, maxHamming: Int = 6,
+                       watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    require(maxHamming >= 0 && maxHamming < 63,
+      s"maxHamming must be in [0, 63): $maxHamming")
+    val nb = maxHamming + 1
+    val bounds = (0 to nb).map(i => i * 63 / nb)
+    def bandCols(hashCol: String) = (0 until nb).map { i =>
+      val lo = bounds(i); val width = bounds(i + 1) - lo
+      val mask = (1L << width) - 1L
+      shiftright(col(hashCol), lo).bitwiseAND(mask)
+    }
+    val hashed = clips.select(col("doc_id"), col("payload"), col("ts"))
+      .as[(Long, Array[Byte], Timestamp)]
+      .mapPartitions(it => it.map { case (id, wav, t) =>
+        (id, graft.ext.Multimodal.ehashOf(
+          graft.ext.Multimodal.WavCodec.decode(wav)._2), t)
+      })
+      .toDF("doc_id", "ehash", "ts")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("ehash")
+    val streamBands = hashed.select(col("doc_id"), col("ehash"), col("ts"),
+      posexplode(array(bandCols("ehash"): _*)))
+      .toDF("doc_id", "ehash", "ts", "band_idx", "band_val")
+    val storedBands = storedHashes
+      .select(col("doc_id").as("stored_dup_of"), col("ehash").as("stored_ehash"),
+        posexplode(array(bandCols("ehash"): _*)))
+      .toDF("stored_dup_of", "stored_ehash", "band_idx", "band_val")
+    streamBands.join(storedBands, Seq("band_idx", "band_val"))
+      .select(col("doc_id"), col("ts"), col("ehash"), col("stored_dup_of"),
+        bit_count(col("ehash").bitwiseXOR(col("stored_ehash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicatesWithinWatermark("doc_id", "stored_dup_of")
+  }
+
   /** Stream-stream inner join with event-time bounds: match each left
     * event to right events of the same user within `windowMinutes` AFTER
     * it. Both sides are watermarked so Spark can bound the join state

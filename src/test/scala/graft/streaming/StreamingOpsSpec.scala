@@ -274,6 +274,59 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("audioDedupStream: exact repeats collapse; stored near-dups flagged; batch parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sc = spark.sqlContext
+    import graft.ext.Multimodal
+    // cluster-pattern WAVs (same fixture arithmetic as
+    // syntheticWavClusters): same key => Hamming <= 1 via the
+    // first-sample bump, distinct keys far apart
+    def wav(key: Long, bump: Int): Array[Byte] = {
+      val n = (200 + key % 100).toInt
+      val rate = (8000 + (key % 4) * 4000).toInt
+      val samples = Array.tabulate(n) { i =>
+        val base = ((key * 31 + i.toLong * 17) % 2003) - 1001
+        (if (i == 0) base + bump else base).toShort
+      }
+      Multimodal.WavCodec.encode(rate.toFloat, samples)
+    }
+    // stored corpus: one clip per key 1..3 (hashes only reach the stream)
+    val storedMedia = Seq((101L, wav(1, 0)), (102L, wav(2, 0)), (103L, wav(3, 0)))
+      .toDF("doc_id", "payload")
+    val stored = Multimodal.audioEhash(spark, storedMedia)
+
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val clips = input.toDF().toDF("doc_id", "payload", "ts")
+    val q = audioDedupStream(spark, clips, stored).writeStream
+      .outputMode("append").format("memory").queryName("auddedup_out").start()
+    try {
+      input.addData(
+        (1L, wav(1, 5), ts("2024-01-01 00:00:00")),  // near-dup of stored 101
+        (2L, wav(9, 0), ts("2024-01-01 00:00:10")),  // genuinely new key
+        (3L, wav(9, 0), ts("2024-01-01 00:00:20")))  // exact repeat of doc 2
+      q.processAllAvailable()
+      input.addData(
+        (4L, wav(2, 7), ts("2024-01-01 00:01:00")),  // near-dup of stored 102
+        (5L, wav(9, 0), ts("2024-01-01 00:01:10")))  // cross-batch exact repeat
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT doc_id, stored_dup_of, hamming FROM auddedup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+      assert(rows.map(t => (t._1, t._2)).toSeq === Seq((1L, 101L), (4L, 102L)))
+      assert(rows.forall(_._3 <= 1), "first-sample bump flips at most one eHash bit")
+      // batch parity: the incremental batch path finds the same cross
+      // pairs for the same (stored, new) corpus
+      val newMedia = Seq((1L, wav(1, 5)), (2L, wav(9, 0)), (4L, wav(2, 7)))
+        .toDF("doc_id", "payload")
+      val batch = Multimodal.audioNearDupIncremental(spark, newMedia, stored)
+        .filter(col("is_cross"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === Set((1L, 101L), (4L, 102L)),
+        "stream flags exactly the batch path's cross pairs")
+    } finally q.stop()
+  }
+
   test("dedupStream: duplicate event ids across batches emit once") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
