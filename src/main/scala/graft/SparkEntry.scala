@@ -472,6 +472,14 @@ object SparkEntry {
       Multimodal.videoNearDupIncremental(s, media.filter(col("doc_id") >= 250),
         stored, maxBandBucket = 0)
     }),
+    // junk-media quality gates: decoded-pixel luma stats with the
+    // degenerate distinct-luma=1 flat detector (on the SKEWED fixture,
+    // which plants flat images), and decoded-PCM clipping/silence
+    // counts — all-integer outputs, fully oracle-matched
+    "q_image_quality" -> ((s, d) => Multimodal.imageQualityStats(s,
+      Multimodal.syntheticPngSkewed(s, Tables.documents(s, d))).orderBy("doc_id")),
+    "q_audio_quality" -> ((s, d) => Multimodal.audioQualityStats(s,
+      Multimodal.syntheticWavClusters(s, Tables.documents(s, d))).orderBy("doc_id")),
     // cross-modal composition: per-doc verdict over three independent
     // duplicate classes — canonical-URL re-crawl, byte-identical text,
     // perceptual image near-dup cluster — each planted by its own
@@ -2974,6 +2982,55 @@ object SparkEntry {
         |GROUP BY a.doc_id, b.doc_id
         |HAVING SUM(bit_count(xor(a.dhash, b.dhash))) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // junk-image gate: luma replay over the SKEWED fixture (flat
+    // constant-color images for doc_id % 4 = 0, the cluster pattern
+    // otherwise); distinct-luma = 1 is the flat detector
+    "q_image_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 = 0 AS flat,
+        |    doc_id % 50 AS key, doc_id // 50 AS bump,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 + (doc_id % 50) % 9 END AS w,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 + (doc_id % 50) % 7 END AS h
+        |  FROM documents),
+        |xs AS (SELECT doc_id, flat, key, bump, w, h, unnest(range(0, w)) AS x FROM d),
+        |ys AS (SELECT doc_id, flat, key, bump, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |lum AS (SELECT doc_id, w, h,
+        |  CASE WHEN flat THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * (CASE WHEN x = 0 AND y = 0
+        |        THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |        ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |      + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM ys)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(MIN(l) AS BIGINT) AS min_luma, CAST(MAX(l) AS BIGINT) AS max_luma,
+        |  CAST(SUM(l) AS BIGINT) AS sum_luma,
+        |  CAST(SUM(l * l) AS BIGINT) AS sum_luma_sq,
+        |  CAST(COUNT(DISTINCT l) AS INTEGER) AS n_distinct_luma,
+        |  COUNT(DISTINCT l) = 1 AS is_flat
+        |FROM lum GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // junk-audio gate: the clustered PCM pattern's amplitude profile —
+    // near-clipping and near-silence counts, integer flags
+    "q_audio_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 50 AS key, doc_id // 50 AS bump FROM documents),
+        |p AS (SELECT doc_id, key, bump, 200 + key % 100 AS n FROM d),
+        |s AS (SELECT doc_id, key, bump, n, unnest(range(0, n)) AS i FROM p),
+        |a AS (SELECT doc_id, n,
+        |  (key * 31 + i * 17) % 2003 - 1001
+        |    + CASE WHEN i = 0 THEN bump ELSE 0 END AS amp FROM s)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(MIN(amp) AS INTEGER) AS min_amp,
+        |  CAST(MAX(amp) AS INTEGER) AS max_amp,
+        |  CAST(SUM(ABS(amp)) AS BIGINT) AS sum_abs,
+        |  CAST(SUM(CASE WHEN ABS(amp) >= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped,
+        |  CAST(SUM(CASE WHEN ABS(amp) <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_silent,
+        |  SUM(CASE WHEN ABS(amp) >= 1000 THEN 1 ELSE 0 END) > 0 AS is_clipped,
+        |  SUM(CASE WHEN ABS(amp) <= 50 THEN 1 ELSE 0 END) * 2 >= n AS is_quiet
+        |FROM a GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     // cross-modal composition: the q_url_dedup canonicalization chain
     // (messy-URL fixture), the planted dup-text donor join, and the
     // q_image_clusters dHash + recursive component walk, disjoined into

@@ -713,6 +713,88 @@ object Multimodal {
         col("doc_id").as("source_id")).as("meta"))
   }
 
+  /** Per-image quality signals over DECODED pixels — the junk-image
+    * filter a multimodal curation pipeline runs before any expensive
+    * embedding or captioning: integer-luma extremes, exact sums (sum +
+    * sum-of-squares, so variance is derivable without float drift), and
+    * the distinct-luma count, whose degenerate value 1 IS the
+    * flat/monochrome detector (`is_flat`) — the same degenerate mass
+    * the near-dup band-bucket cap guards against, caught upstream where
+    * it belongs. One narrow `mapPartitions` stage (decode + stats
+    * before any shuffle); all-integer outputs keep the DuckDB oracle
+    * exact (`q_image_quality`).
+    */
+  def imageQualityStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, png) =>
+          val img = PngCodec.decode(png)
+          val w = img.getWidth; val h = img.getHeight
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          var sum = 0L; var sumSq = 0L
+          val seen = new java.util.HashSet[Long]()
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val l = 299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
+                114L * (p & 0xFF)
+              if (l < mn) mn = l
+              if (l > mx) mx = l
+              sum += l; sumSq += l * l
+              seen.add(l)
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, w.toLong * h, mn, mx, sum, sumSq, seen.size, seen.size == 1)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "min_luma", "max_luma",
+        "sum_luma", "sum_luma_sq", "n_distinct_luma", "is_flat")
+  }
+
+  /** Per-clip quality signals over DECODED PCM — the junk-audio filter:
+    * amplitude extremes, exact |amp| sum, near-clipping count (samples
+    * with |amp| ≥ `clipThreshold`), near-silence count (|amp| ≤
+    * `silenceThreshold`), and the derived flags (`is_clipped`: any
+    * near-clipped sample; `is_quiet`: ≥ half the samples near-silent —
+    * integer comparison, no float ratio). One narrow stage; exact
+    * integer outputs ⇒ DuckDB-oracle-matched (`q_audio_quality`).
+    */
+  def audioQualityStats(spark: SparkSession, media: DataFrame,
+                        clipThreshold: Int = 1000,
+                        silenceThreshold: Int = 50): DataFrame = {
+    import spark.implicits._
+    require(clipThreshold > 0 && silenceThreshold >= 0,
+      s"bad thresholds: clip=$clipThreshold silence=$silenceThreshold")
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, wav) =>
+          val (_, samples) = WavCodec.decode(wav)
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          var sumAbs = 0L; var clipped = 0L; var silent = 0L
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toInt
+            val a = math.abs(v)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            sumAbs += a
+            if (a >= clipThreshold) clipped += 1
+            if (a <= silenceThreshold) silent += 1
+            i += 1
+          }
+          val n = samples.length.toLong
+          (id, n, mn, mx, sumAbs, clipped, silent, clipped > 0, silent * 2 >= n)
+        }
+      }
+      .toDF("doc_id", "n_samples", "min_amp", "max_amp", "sum_abs",
+        "n_clipped", "n_silent", "is_clipped", "is_quiet")
+  }
+
   /** REAL video container tier — GVID, a motion-PNG container defined
     * by this engine (magic + fps + frame count + length-prefixed PNG
     * frames): the container parsing is real binary-format work (offset

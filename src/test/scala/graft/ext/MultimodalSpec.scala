@@ -349,6 +349,53 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     Multimodal.audioNearDup(spark, media).unpersist(false)
   }
 
+  test("imageQualityStats: flat detector fires exactly on the planted flat images; narrow") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.syntheticPngSkewed(spark, docs)
+    val stats = Multimodal.imageQualityStats(spark, media)
+    val rows = stats.collect()
+    assert(rows.length === docs.count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(9) === (id % 4 == 0), s"doc $id is_flat")
+      assert((r.getInt(8) == 1) === r.getBoolean(9), "is_flat <=> one distinct luma")
+      assert(r.getLong(4) <= r.getLong(5), "min <= max")
+      // exact-integer identity: n*sumSq >= sum^2 (Cauchy-Schwarz, and
+      // equality exactly on flat images)
+      val n = r.getLong(3); val sum = r.getLong(6); val sumSq = r.getLong(7)
+      assert(n * sumSq >= sum * sum)
+      assert((n * sumSq == sum * sum) === r.getBoolean(9))
+    }
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quality scan must not shuffle:\n$plan")
+  }
+
+  test("audioQualityStats: counts match a plain-Scala replay of the decoded samples") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.syntheticWavClusters(spark, docs)
+    val rows = Multimodal.audioQualityStats(spark, media).collect()
+    assert(rows.length === docs.count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val key = id % 50; val bump = id / 50
+      val n = (200 + key % 100).toInt
+      val amps = (0 until n).map { i =>
+        ((key * 31 + i.toLong * 17) % 2003 - 1001 +
+          (if (i == 0) bump else 0L)).toInt
+      }
+      assert(r.getLong(1) === n.toLong, s"doc $id n_samples")
+      assert(r.getInt(2) === amps.min && r.getInt(3) === amps.max, s"doc $id extremes")
+      assert(r.getLong(4) === amps.map(a => math.abs(a).toLong).sum, s"doc $id sum_abs")
+      val clipped = amps.count(a => math.abs(a) >= 1000).toLong
+      val silent = amps.count(a => math.abs(a) <= 50).toLong
+      assert(r.getLong(5) === clipped && r.getLong(6) === silent, s"doc $id counts")
+      assert(r.getBoolean(7) === (clipped > 0) &&
+        r.getBoolean(8) === (silent * 2 >= n), s"doc $id flags")
+    }
+    // the bed is informative: both flag values occur for is_clipped
+    assert(rows.exists(_.getBoolean(7)) && rows.exists(!_.getBoolean(7)))
+  }
+
   test("imageNearDup plan contract: image bytes never cross a shuffle") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.syntheticPngClusters(spark, docs)
