@@ -488,6 +488,14 @@ object SparkEntry {
       TextOps.withSyntheticDupText(
         WebOps.withSyntheticMessyUrl(Tables.documents(s, d))),
       Multimodal.syntheticPngClusters(s, Tables.documents(s, d)),
+      maxBandBucket = 0)),
+    // the media-aware curation funnel: junk gate → URL dedup → exact
+    // dedup → image near-dup components → quality, the COMPOSITION
+    // oracle-verified (skewed image fixture plants the junk mass)
+    "q_multimodal_funnel" -> ((s, d) => Curation.multimodalFunnel(s,
+      TextOps.withSyntheticDupText(
+        WebOps.withSyntheticMessyUrl(Tables.documents(s, d))),
+      Multimodal.syntheticPngSkewed(s, Tables.documents(s, d)),
       maxBandBucket = 0))
   )
 
@@ -3031,6 +3039,136 @@ object SparkEntry {
         |  SUM(CASE WHEN ABS(amp) >= 1000 THEN 1 ELSE 0 END) > 0 AS is_clipped,
         |  SUM(CASE WHEN ABS(amp) <= 50 THEN 1 ELSE 0 END) * 2 >= n AS is_quiet
         |FROM a GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // multimodal funnel: junk gate (honest luma replay) → URL canon
+    // chain → donor-join text groups → component walk over surviving
+    // images → classifier gate, with per-stage doc/token counts
+    "q_multimodal_funnel" ->
+      """WITH RECURSIVE
+        |geo AS (
+        |  SELECT doc_id, doc_id % 4 = 0 AS flat,
+        |    doc_id % 50 AS key, doc_id // 50 AS bump,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 + (doc_id % 50) % 9 END AS w,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 + (doc_id % 50) % 7 END AS h
+        |  FROM documents),
+        |qx AS (SELECT doc_id, flat, key, bump, w, h, unnest(range(0, w)) AS x FROM geo),
+        |qy AS (SELECT doc_id, flat, key, bump, w, h, x, unnest(range(0, h)) AS y FROM qx),
+        |qlum AS (SELECT doc_id,
+        |  CASE WHEN flat THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * (CASE WHEN x = 0 AND y = 0
+        |        THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |        ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |      + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM qy),
+        |s1 AS (SELECT doc_id FROM qlum GROUP BY doc_id HAVING COUNT(DISTINCT l) > 1),
+        |msgurl AS (
+        |  SELECT d.doc_id,
+        |    (CASE WHEN d.doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |    ['News.Example.COM', 'BLOG.Example.org', 'Wiki.EXAMPLE.net',
+        |     'Forum.example.IO', 'DOCS.Example.dev'][CAST(d.doc_id % 5 AS INTEGER) + 1] ||
+        |    (CASE WHEN d.doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |    '/p/' || CAST(d.doc_id % 100 AS VARCHAR) ||
+        |    (CASE WHEN d.doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN d.doc_id % 2 = 0
+        |      THEN '?b=' || CAST((d.doc_id % 100) % 7 AS VARCHAR) ||
+        |           '&utm_source=feed&a=' || CAST((d.doc_id % 100) % 5 AS VARCHAR)
+        |      ELSE '?a=' || CAST((d.doc_id % 100) % 5 AS VARCHAR) ||
+        |           '&b=' || CAST((d.doc_id % 100) % 7 AS VARCHAR) ||
+        |           '&gclid=g' || CAST(d.doc_id AS VARCHAR) END) ||
+        |    (CASE WHEN d.doc_id % 2 = 1
+        |      THEN '#sec-' || CAST(d.doc_id % 4 AS VARCHAR) ELSE '' END) AS url
+        |  FROM documents d JOIN s1 USING (doc_id)),
+        |uq AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
+        |  FROM msgurl),
+        |ur AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS host,
+        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path0,
+        |    list_sort(list_filter(string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref|igshid)='))) AS params
+        |  FROM uq),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |    (CASE WHEN len(params) > 0
+        |      THEN '?' || array_to_string(params, '&') ELSE '' END) AS canonical_url
+        |  FROM ur),
+        |s2 AS (SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY canonical_url),
+        |txt AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 7 = 3 AND donor.text IS NOT NULL
+        |      THEN donor.text ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN documents donor
+        |    ON donor.doc_id = d.doc_id - 1),
+        |s3 AS (SELECT MIN(t.doc_id) AS doc_id FROM txt t JOIN s2 USING (doc_id)
+        |       GROUP BY t.text),
+        |js AS (SELECT g.doc_id, g.key, g.bump, g.w, g.h, unnest(range(0, 7)) AS j
+        |  FROM geo g JOIN s3 USING (doc_id)),
+        |g0 AS (SELECT doc_id, key, bump, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, key, bump, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, j, i,
+        |  299 * (CASE WHEN x = 0 AND y = 0
+        |    THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |    ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |  + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |  + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |hsh AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM s3
+        |  UNION
+        |  SELECT e.dst AS node, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        |s4 AS (SELECT doc_id FROM lab WHERE cluster_id = doc_id),
+        |tok AS (
+        |  SELECT t.doc_id,
+        |    CAST(len(list_filter(string_split(t.text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens,
+        |    list_sum(list_transform(list_filter(string_split(t.text, ' '), x -> x <> ''),
+        |      x -> (((('0x' || substr(md5(x || chr(1) || '0'), 1, 15))::BIGINT % 1024)
+        |        * 2654435761) % 1997) - 998) ) AS sum_milli
+        |  FROM txt t),
+        |s5 AS (SELECT s4.doc_id FROM s4 JOIN tok USING (doc_id)
+        |       WHERE n_tokens > 0 AND sum_milli >= 0),
+        |stg AS (
+        |  SELECT 0 AS stage, 'input' AS stage_name, COUNT(*) AS n_docs,
+        |    COALESCE(SUM(n_tokens), 0) AS n_tokens FROM documents JOIN tok USING (doc_id)
+        |  UNION ALL SELECT 1, 'junk_media', COUNT(*), COALESCE(SUM(n_tokens), 0)
+        |    FROM s1 JOIN tok USING (doc_id)
+        |  UNION ALL SELECT 2, 'url_dedup', COUNT(*), COALESCE(SUM(n_tokens), 0)
+        |    FROM s2 JOIN tok USING (doc_id)
+        |  UNION ALL SELECT 3, 'exact_dedup', COUNT(*), COALESCE(SUM(n_tokens), 0)
+        |    FROM s3 JOIN tok USING (doc_id)
+        |  UNION ALL SELECT 4, 'image_neardup', COUNT(*), COALESCE(SUM(n_tokens), 0)
+        |    FROM s4 JOIN tok USING (doc_id)
+        |  UNION ALL SELECT 5, 'quality', COUNT(*), COALESCE(SUM(n_tokens), 0)
+        |    FROM s5 JOIN tok USING (doc_id))
+        |SELECT CAST(stage AS INTEGER) AS stage, stage_name,
+        |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM stg ORDER BY stage""".stripMargin,
     // cross-modal composition: the q_url_dedup canonicalization chain
     // (messy-URL fixture), the planted dup-text donor join, and the
     // q_image_clusters dHash + recursive component walk, disjoined into

@@ -130,6 +130,74 @@ object Curation {
     Dedup.scopeCaches(out, allTok, quality, docs2, s3, s4, sh, s5, s6)
   }
 
+  /** The MULTIMODAL curation funnel — the media-aware sibling of
+    * [[curationFunnel]], ordered cheapest-signal-first for a corpus
+    * where every document carries an image payload:
+    *
+    *   0 input
+    *   1 junk-media gate   (drop flat/monochrome images —
+    *                        [[Multimodal.imageQualityStats]]' degenerate
+    *                        distinct-luma detector; the cheapest decode-
+    *                        derived signal, and it removes exactly the
+    *                        mass that would pile into the near-dup
+    *                        band buckets at stage 4)
+    *   2 URL dedup         (first fetch per canonical URL)
+    *   3 exact text dedup  (min doc per byte-identical text)
+    *   4 image near-dup    (dHash banding → components → keep the
+    *                        min-label representative)
+    *   5 quality gate      (hashing-trick classifier, kept = score ≥ 0)
+    *
+    * Every stage rule is its standalone operator's arithmetic, so the
+    * COMPOSITION is DuckDB-expressible and oracle-verified end to end
+    * (`q_multimodal_funnel`) — luma replay for the junk gate, the
+    * canonicalization chain, the donor-join text groups, the recursive
+    * component walk over surviving images, and the classifier score.
+    * Returns one row per stage with surviving doc and token counts.
+    */
+  def multimodalFunnel(spark: org.apache.spark.sql.SparkSession,
+                       documents: DataFrame, media: DataFrame,
+                       urlCol: String = "url", maxHamming: Int = 6,
+                       maxBandBucket: Int = -1): DataFrame = {
+    val allTok = documents.select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
+        .as("n_tokens")).persist()
+    // 1: junk-media gate (narrow decode + stats, no shuffle)
+    val s1 = Multimodal.imageQualityStats(spark, media)
+      .filter(!col("is_flat")).select("doc_id").persist()
+    // 2: first fetch per canonical URL among survivors
+    val s2 = WebOps.canonicalizeUrl(documents.join(s1, "doc_id"), urlCol)
+      .groupBy("canonical_url").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").persist()
+    // 3: min doc_id per exact text among survivors
+    val s3 = documents.join(s2, "doc_id")
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").persist()
+    // 4: perceptual components over SURVIVING images only (the flat
+    // mass never reaches the banded join), min-label representative
+    val clusters = Multimodal.imageClusters(spark,
+      media.join(s3, "doc_id"), maxHamming, maxBandBucket)
+    val dropped = clusters.filter(col("cluster_id") =!= col("doc_id"))
+      .select("doc_id")
+    val s4 = s3.join(dropped, Seq("doc_id"), "left_anti").persist()
+    // 5: classifier quality gate
+    val s5 = s4.join(TextOps.classifierQualityScore(documents)
+      .filter(col("kept") === 1).select("doc_id"), "doc_id").persist()
+    def stage(i: Int, name: String, ids: DataFrame): DataFrame =
+      ids.join(allTok, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(i).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    val out = stage(0, "input", documents.select("doc_id"))
+      .unionByName(stage(1, "junk_media", s1))
+      .unionByName(stage(2, "url_dedup", s2))
+      .unionByName(stage(3, "exact_dedup", s3))
+      .unionByName(stage(4, "image_neardup", s4))
+      .unionByName(stage(5, "quality", s5))
+      .orderBy("stage")
+    Dedup.scopeCaches(out, allTok, s1, s2, s3, s4, s5)
+  }
+
   /** Cross-modal duplicate verdicts: one row per document combining
     * three INDEPENDENT dedup signals a multimodal corpus needs —
     *

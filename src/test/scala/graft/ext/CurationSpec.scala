@@ -68,6 +68,34 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(leaked.isEmpty, s"funnel leaked caches: ${leaked.values.map(_.name)}")
   }
 
+  test("multimodalFunnel: monotone stages, each gate drops exactly its planted victims") {
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = TextOps.withSyntheticDupText(WebOps.withSyntheticMessyUrl(base))
+    val media = Multimodal.syntheticPngSkewed(spark, base)
+    val out = Curation.multimodalFunnel(spark, d, media)
+    val rows = out.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (0 to 5))
+    // survivors never grow, tokens track docs
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 <= a._3 && b._4 <= a._4)
+      case _ =>
+    }
+    val n = base.count()
+    assert(rows(0)._3 === n)
+    // stage 1 drops exactly the planted flat images (doc_id % 4 == 0)
+    assert(rows(1)._3 === (0L until n).count(_ % 4 != 0))
+    // every stage does real work on this bed
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 < a._3, s"stage ${b._2} dropped nothing")
+      case _ =>
+    }
+    // no global window anywhere (two-pass/components machinery only)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"funnel must be window-free:\n$plan")
+    out.unpersist(blocking = true)
+  }
+
   test("crossModalDedup: the three planted duplicate classes land in their own flags") {
     val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val d = TextOps.withSyntheticDupText(WebOps.withSyntheticMessyUrl(base))
