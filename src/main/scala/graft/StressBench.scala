@@ -76,7 +76,8 @@ object StressBench {
     // pay the corpus materialization OUTSIDE the timed bodies
     val corpusConsumers = Set("token_budget_twopass", "token_budget_window",
       "curriculum_twopass", "curriculum_window", "negative_samples_twopass",
-      "negative_samples_window", "shard_manifest_export", "curation_funnel")
+      "negative_samples_window", "shard_manifest_export", "curation_funnel",
+      "multimodal_funnel")
     if (only.forall(o => (o & corpusConsumers).nonEmpty)) { docsPq; () }
 
     val results = Seq(
@@ -251,6 +252,18 @@ object StressBench {
         ext.Multimodal.syntheticVideoClusters(spark, docs)).count()),
       time("video_scenes", ext.Multimodal.videoScenes(spark,
         ext.Multimodal.syntheticVideoScenes(spark, docs)).count()),
+      // round-9: the media-aware funnel at replication scale — the
+      // skewed image fixture plants the flat junk mass at 25%, so the
+      // stage-1 gate does real pruning before the banded stage-4 join
+      // (which runs with the default auto cap here, unlike the
+      // guard-off oracle path)
+      time("multimodal_funnel", {
+        val f = ext.Curation.multimodalFunnel(spark,
+          ext.TextOps.withSyntheticDupText(
+            ext.WebOps.withSyntheticCrawlUrl(docsPq)),
+          ext.Multimodal.syntheticPngSkewed(spark, docsPq))
+        val n = f.count(); f.unpersist(false); n
+      }),
       // round-9: the band-bucket cap under planted skew — 25% of the
       // corpus is flat images (all sharing the all-zeros dHash, the
       // degenerate mass the guard exists for). Capped (auto, default)
