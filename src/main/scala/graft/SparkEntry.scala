@@ -397,6 +397,16 @@ object SparkEntry {
     "q_audio_neardup" -> ((s, d) => Multimodal.audioNearDup(s,
       Multimodal.syntheticWavClusters(s, Tables.documents(s, d)),
       maxBandBucket = 0)),
+    // perceptual duplicate-audio clusters (components over the banded
+    // pair graph), completing the clusters cell for every modality
+    "q_audio_clusters" -> ((s, d) => Multimodal.audioClusters(s,
+      Multimodal.syntheticWavClusters(s, Tables.documents(s, d)),
+      maxBandBucket = 0)),
+    // junk-video gate: per-frame flatness + distinct-frame-hash count
+    // with static/flat flags, on the junk fixture (every 4th video is
+    // a static flat clip; the rest carry the scene pattern)
+    "q_video_quality" -> ((s, d) => Multimodal.videoQualityStats(s,
+      Multimodal.syntheticVideoJunk(s, Tables.documents(s, d))).orderBy("doc_id")),
     // daily-ingest shape (audio twin of q_image_neardup_inc): stored
     // side contributes only (doc_id, ehash), new batch decodes; shares
     // the generalized incremental banding core with the image path
@@ -2603,6 +2613,91 @@ object SparkEntry {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ehash, b.ehash)) <= 6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // audio clusters: the eHash pair graph closed under the same
+    // recursive min-label walk as the image/video cluster oracles
+    "q_audio_clusters" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id, doc_id % 50 AS key, doc_id // 50 AS bump FROM documents),
+        |p AS (SELECT doc_id, key, bump, 200 + key % 100 AS n FROM d),
+        |s AS (SELECT doc_id, key, bump, n, unnest(range(0, n)) AS i FROM p),
+        |a AS (SELECT doc_id, n, i,
+        |  (key * 31 + i * 17) % 2003 - 1001
+        |    + CASE WHEN i = 0 THEN bump ELSE 0 END AS amp FROM s),
+        |e AS (SELECT doc_id, (i * 64) // n AS w, SUM(amp * amp) AS energy
+        |  FROM a GROUP BY doc_id, (i * 64) // n),
+        |b AS (SELECT x.doc_id, x.w,
+        |    CASE WHEN y.energy > x.energy THEN 1 ELSE 0 END AS bit
+        |  FROM e x JOIN e y ON y.doc_id = x.doc_id AND y.w = x.w + 1
+        |  WHERE x.w < 63),
+        |h AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << w) AS BIGINT) AS ehash
+        |  FROM b GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.ehash, b.ehash)) <= 6),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e2.dst AS node, w2.label FROM walk w2 JOIN edges e2 ON e2.src = w2.node),
+        |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+        |SELECT l.doc_id, l.cluster_id, cs.cluster_size
+        |FROM lab l JOIN cs USING (cluster_id)
+        |WHERE cs.cluster_size > 1 ORDER BY l.doc_id""".stripMargin,
+    // junk-video gate: per-frame distinct-luma flatness + per-frame
+    // dHash distinctness over the junk fixture (junk videos: constant
+    // color; others: the scene pattern — distinct hashes = scene count)
+    "q_video_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 = 0 AS junk, 6 + doc_id % 7 AS n,
+        |    CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 8 + doc_id % 9 END AS w,
+        |    CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 8 + doc_id % 7 END AS h
+        |  FROM documents),
+        |f AS (SELECT doc_id, junk, n, w, h, unnest(range(0, n)) AS fr FROM d),
+        |sc AS (SELECT doc_id, junk, n, w, h, fr, fr // 3 AS scene FROM f),
+        |px AS (SELECT doc_id, junk, scene, fr, w, h, unnest(range(0, w)) AS x FROM sc),
+        |py AS (SELECT doc_id, junk, scene, fr, w, h, x, unnest(range(0, h)) AS y FROM px),
+        |flum AS (SELECT doc_id, fr,
+        |  CASE WHEN junk THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * ((doc_id*7 + scene*97 + x*37 + y*59 + x*y*13) % 256)
+        |      + 587 * ((doc_id*11 + scene*89 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((doc_id*13 + scene*83 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM py),
+        |flatf AS (SELECT doc_id, fr,
+        |  CASE WHEN COUNT(DISTINCT l) = 1 THEN 1 ELSE 0 END AS flat
+        |  FROM flum GROUP BY doc_id, fr),
+        |js AS (SELECT doc_id, junk, scene, fr, w, h, unnest(range(0, 7)) AS j FROM sc),
+        |g0 AS (SELECT doc_id, junk, scene, fr, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, junk, scene, fr, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, fr, j, i,
+        |  CASE WHEN junk THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * ((doc_id*7 + scene*97 + x*37 + y*59 + x*y*13) % 256)
+        |      + 587 * ((doc_id*11 + scene*89 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((doc_id*13 + scene*83 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.fr, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.fr = a.fr
+        |    AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |hsh AS (SELECT doc_id, fr,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id, fr),
+        |agg AS (SELECT d.doc_id, d.n,
+        |    (SELECT SUM(flat) FROM flatf WHERE flatf.doc_id = d.doc_id) AS n_flat,
+        |    (SELECT COUNT(DISTINCT dhash) FROM hsh WHERE hsh.doc_id = d.doc_id)
+        |      AS n_hashes
+        |  FROM d)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_frames, 12 AS fps,
+        |  CAST(n_flat AS INTEGER) AS n_flat_frames,
+        |  CAST(n_hashes AS INTEGER) AS n_distinct_hashes,
+        |  n_hashes = 1 AS is_static,
+        |  n_flat = n AS is_flat
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // incremental twin: stored side = doc_id < 250 (eHashes only),
     // pairs need >= 1 new side; is_cross marks new-vs-stored
     "q_audio_neardup_inc" ->

@@ -455,6 +455,27 @@ object Multimodal {
       audioEhash(spark, media), "ehash", 63, maxHamming, maxBandBucket)
   }
 
+  /** Perceptual duplicate-audio clusters: connected components over the
+    * [[audioNearDup]] pair graph (min-doc_id labels), multi-clip
+    * clusters only — the audio twin of [[imageClusters]] /
+    * [[videoClusters]], completing the clusters cell for every
+    * modality; propagation runs over pair-participating clips only.
+    */
+  def audioClusters(spark: SparkSession, media: DataFrame,
+                    maxHamming: Int = 6, maxBandBucket: Int = -1): DataFrame = {
+    val pairs = audioNearDup(spark, media, maxHamming, maxBandBucket)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val pairNodes = edges.select(col("src").as("doc_id"))
+      .unionByName(edges.select(col("dst").as("doc_id"))).distinct()
+    val labels = graft.ext.Dedup.connectedComponents(edges, pairNodes)
+    pairs.unpersist(false)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .filter(col("cluster_size") > 1)
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Synthetic WAV table with PLANTED perceptual duplicates — the audio
     * twin of [[syntheticPngClusters]]: sample pattern, count, and rate
     * derive from `doc_id % nClusters` (one cluster per residue class);
@@ -1093,6 +1114,92 @@ object Multimodal {
       .select(col("doc_id"), col("payload"), struct(
         lit("video/gvid").as("media_type"),
         col("width_px"), col("height_px"), col("n_frames"),
+        col("doc_id").as("source_id")).as("meta"))
+  }
+
+  /** Per-video quality signals — the junk-video gate completing the
+    * quality cell for every modality: frame count, fps, the number of
+    * FLAT frames (single decoded luma — the per-frame
+    * [[imageQualityStats]] detector), the number of DISTINCT frame
+    * dHashes, and the derived flags (`is_static`: every frame hashes
+    * identically — a frozen/slideshow-free video carries one hash;
+    * `is_flat`: every frame is flat — the all-black upload). Container
+    * parse, per-frame decode, luma scan, and hashing fuse into ONE
+    * narrow stage; all-integer outputs ⇒ DuckDB-oracle-matched
+    * (`q_video_quality`).
+    */
+  def videoQualityStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, gvid) =>
+          val (fps, frames) = VideoCodec.decode(gvid)
+          var flatFrames = 0
+          val hashes = new java.util.HashSet[Long]()
+          frames.foreach { png =>
+            val img = PngCodec.decode(png)
+            val w = img.getWidth; val h = img.getHeight
+            val seen = new java.util.HashSet[Long]()
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                seen.add(299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
+                  114L * (p & 0xFF))
+                x += 1
+              }
+              y += 1
+            }
+            if (seen.size == 1) flatFrames += 1
+            hashes.add(dhashOf(png))
+          }
+          (id, frames.length, fps, flatFrames, hashes.size,
+            frames.nonEmpty && hashes.size == 1,
+            frames.nonEmpty && flatFrames == frames.length)
+        }
+      }
+      .toDF("doc_id", "n_frames", "fps", "n_flat_frames",
+        "n_distinct_hashes", "is_static", "is_flat")
+  }
+
+  /** Synthetic GVID table with PLANTED junk: every 4th video is a
+    * STATIC FLAT clip (all frames one constant color — the all-black
+    * upload; color varies per doc so the degeneracy is structural);
+    * the rest follow the [[syntheticVideoScenes]] pattern, whose
+    * distinct-hash count is exactly the scene count. The junk-gate
+    * fixture for `q_video_quality`, closed-form in both engines.
+    */
+  def syntheticVideoJunk(spark: SparkSession, documents: DataFrame,
+                         sceneLen: Int = 3): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (6 + id % 7).toInt
+          val frames =
+            if (id % 4 == 0) {
+              val c = ((id * 31) % 256).toInt
+              Vector.fill(n)(PngCodec.encode(12, 12, (_, _) => (c << 16) | (c << 8) | c))
+            } else {
+              val w = (8 + id % 9).toInt
+              val h = (8 + id % 7).toInt
+              (0 until n).map { f =>
+                val sc = f / sceneLen
+                PngCodec.encode(w, h, (x, y) => {
+                  val r = ((id * 7 + sc * 97 + x * 37 + y * 59 + x * y * 13) % 256).toInt
+                  val g = ((id * 11 + sc * 89 + x * 23 + y * 41 + x * y * 7) % 256).toInt
+                  val b = ((id * 13 + sc * 83 + x * 29 + y * 31 + x * y * 17) % 256).toInt
+                  (r << 16) | (g << 8) | b
+                })
+              }.toVector
+            }
+          (id, VideoCodec.encode(12, frames), n)
+        }
+      }
+      .toDF("doc_id", "payload", "n_frames")
+      .select(col("doc_id"), col("payload"), struct(
+        lit("video/gvid").as("media_type"), col("n_frames"),
         col("doc_id").as("source_id")).as("meta"))
   }
 

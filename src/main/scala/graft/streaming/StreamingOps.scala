@@ -171,6 +171,65 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("doc_id", "stored_dup_of")
   }
 
+  /** Streaming perceptual VIDEO dedup — the online twin of
+    * [[graft.ext.Multimodal.videoNearDupIncremental]], completing the
+    * streaming cell for every modality. Each arriving container is
+    * probed, selectively decoded, and hashed to its k-slot signature in
+    * one narrow stage (video bytes never enter state); exact-signature
+    * repeats are dropped within the watermark horizon (state keyed on a
+    * hex digest of the slot hashes); then the slot-pigeonhole banding
+    * runs against the STORED per-slot hash table as a stream-STATIC
+    * join — but unlike the single-hash modalities, the verify step
+    * needs the PAIR's total Hamming over all k slots, so both sides
+    * carry their full signature array and the total folds in-row
+    * (`zip_with` + `aggregate`) at match time: no streaming aggregation,
+    * no extra state. Emits `(doc_id, ts, stored_dup_of, total_hamming)`
+    * per match, multi-slot hits collapsed.
+    */
+  def videoDedupStream(spark: SparkSession, videos: DataFrame,
+                       storedSlotHashes: DataFrame, k: Int = 4,
+                       maxTotalHamming: Int = 3,
+                       watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    require(maxTotalHamming >= 0 && maxTotalHamming < k,
+      s"pigeonhole banding needs maxTotalHamming in [0, k=$k): $maxTotalHamming")
+    val hashed = videos.select(col("doc_id"), col("payload"), col("ts"))
+      .as[(Long, Array[Byte], Timestamp)]
+      .mapPartitions { it =>
+        it.map { case (id, gvid, t) =>
+          val (_, n) = graft.ext.Multimodal.VideoCodec.probe(gvid)
+          val slotFrames = (0 until k).map(j => j * n / k)
+          val hs = graft.ext.Multimodal.VideoCodec
+            .decodeFrames(gvid, slotFrames.distinct)
+            .map { case (f, png) => f -> graft.ext.Multimodal.dhashOf(png) }.toMap
+          val sig = slotFrames.map(hs.getOrElse(_, 0L))
+          (id, sig, sig.map(_.toHexString).mkString(":"), t)
+        }
+      }
+      .toDF("doc_id", "sig", "sig_key", "ts")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sig_key")
+    val streamBands = hashed.select(col("doc_id"), col("sig"), col("ts"),
+      posexplode(col("sig")))
+      .toDF("doc_id", "sig", "ts", "slot", "dhash")
+    val storedSigs = storedSlotHashes
+      .groupBy(col("doc_id").as("stored_dup_of"))
+      .agg(array_sort(collect_list(struct(col("slot"), col("dhash"))))
+        .as("pairs"))
+      .select(col("stored_dup_of"),
+        expr("transform(pairs, p -> p.dhash)").as("stored_sig"))
+    val storedBands = storedSigs.select(col("stored_dup_of"), col("stored_sig"),
+      posexplode(col("stored_sig")))
+      .toDF("stored_dup_of", "stored_sig", "slot", "dhash")
+    streamBands.join(storedBands, Seq("slot", "dhash"))
+      .select(col("doc_id"), col("ts"), col("stored_dup_of"),
+        expr("""aggregate(zip_with(sig, stored_sig,
+                 (a, b) -> bit_count(a ^ b)), 0, (acc, x) -> acc + x)""")
+          .cast("int").as("total_hamming"))
+      .filter(col("total_hamming") <= maxTotalHamming)
+      .dropDuplicatesWithinWatermark("doc_id", "stored_dup_of")
+  }
+
   /** Stream-stream inner join with event-time bounds: match each left
     * event to right events of the same user within `windowMinutes` AFTER
     * it. Both sides are watermarked so Spark can bound the join state

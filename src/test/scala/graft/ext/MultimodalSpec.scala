@@ -396,6 +396,41 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(_.getBoolean(7)) && rows.exists(!_.getBoolean(7)))
   }
 
+  test("audioClusters: every planted cluster recovered with min-id label") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.syntheticWavClusters(spark, docs)
+    val rows = Multimodal.audioClusters(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = docs.count()
+    assert(rows.length === n)
+    rows.foreach { case (id, cluster, size) =>
+      assert(cluster === id % 50, s"doc $id label")
+      assert(size === n / 50, s"doc $id size")
+    }
+  }
+
+  test("videoQualityStats: static/flat flags fire exactly on junk videos; scene counts exact") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.syntheticVideoJunk(spark, docs)
+    val stats = Multimodal.videoQualityStats(spark, media)
+    val rows = stats.collect()
+    assert(rows.length === docs.count())
+    rows.foreach { r =>
+      val id = r.getLong(0); val n = (6 + id % 7).toInt
+      val junk = id % 4 == 0
+      assert(r.getInt(1) === n, s"doc $id n_frames")
+      assert(r.getInt(2) === 12, s"doc $id fps")
+      assert(r.getInt(3) === (if (junk) n else 0), s"doc $id n_flat_frames")
+      // non-junk videos: one distinct hash per scene
+      val scenes = (n + 2) / 3
+      assert(r.getInt(4) === (if (junk) 1 else scenes), s"doc $id n_distinct_hashes")
+      assert(r.getBoolean(5) === junk, s"doc $id is_static")
+      assert(r.getBoolean(6) === junk, s"doc $id is_flat")
+    }
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quality scan must not shuffle:\n$plan")
+  }
+
   test("imageNearDup plan contract: image bytes never cross a shuffle") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.syntheticPngClusters(spark, docs)

@@ -327,6 +327,64 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("videoDedupStream: exact repeats collapse; stored near-dups flagged; batch parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sc = spark.sqlContext
+    import graft.ext.Multimodal
+    // cluster-pattern GVID videos (same fixture arithmetic as
+    // syntheticVideoClusters): same key => total Hamming <= 1 via the
+    // frame-0 corner bump, distinct keys tens of bits apart per slot
+    def video(key: Long, bump: Int): Array[Byte] = {
+      val n = (4 + key % 5).toInt
+      val w = (8 + key % 9).toInt; val h = (8 + key % 7).toInt
+      val frames = (0 until n).map { f =>
+        Multimodal.PngCodec.encode(w, h, (x, y) => {
+          val r0 = ((key * 7 + f * 19 + x * 37 + y * 59 + x * y * 13) % 256).toInt
+          val r = if (f == 0 && x == 0 && y == 0) (r0 + bump) % 256 else r0
+          val g = ((key * 11 + f * 23 + x * 23 + y * 41 + x * y * 7) % 256).toInt
+          val b = ((key * 13 + f * 29 + x * 29 + y * 31 + x * y * 17) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+      }
+      Multimodal.VideoCodec.encode(12, frames)
+    }
+    // stored corpus: one video per key 1..3 (slot hashes only)
+    val storedMedia = Seq((101L, video(1, 0)), (102L, video(2, 0)), (103L, video(3, 0)))
+      .toDF("doc_id", "payload")
+    val stored = Multimodal.videoPhash(spark, storedMedia)
+      .select("doc_id", "slot", "dhash")
+
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val videos = input.toDF().toDF("doc_id", "payload", "ts")
+    val q = videoDedupStream(spark, videos, stored).writeStream
+      .outputMode("append").format("memory").queryName("viddedup_out").start()
+    try {
+      input.addData(
+        (1L, video(1, 5), ts("2024-01-01 00:00:00")),  // near-dup of stored 101
+        (2L, video(9, 0), ts("2024-01-01 00:00:10")),  // genuinely new key
+        (3L, video(9, 0), ts("2024-01-01 00:00:20")))  // exact repeat of doc 2
+      q.processAllAvailable()
+      input.addData(
+        (4L, video(2, 7), ts("2024-01-01 00:01:00")),  // near-dup of stored 102
+        (5L, video(9, 0), ts("2024-01-01 00:01:10")))  // cross-batch exact repeat
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT doc_id, stored_dup_of, total_hamming FROM viddedup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+      assert(rows.map(t => (t._1, t._2)).toSeq === Seq((1L, 101L), (4L, 102L)))
+      assert(rows.forall(_._3 <= 1), "corner bump moves at most one slot bit")
+      // batch parity: the incremental batch path finds the same cross pairs
+      val newMedia = Seq((1L, video(1, 5)), (2L, video(9, 0)), (4L, video(2, 7)))
+        .toDF("doc_id", "payload")
+      val batch = Multimodal.videoNearDupIncremental(spark, newMedia, stored)
+        .filter(col("is_cross"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === Set((1L, 101L), (4L, 102L)),
+        "stream flags exactly the batch path's cross pairs")
+    } finally q.stop()
+  }
+
   test("dedupStream: duplicate event ids across batches emit once") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
