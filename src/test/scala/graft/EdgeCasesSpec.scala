@@ -237,6 +237,54 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(flatHashes.map(_.getLong(1)).toSeq === Seq(0L, 0L))
   }
 
+  test("round-9 continuation operators on empty/degenerate input return empty, not errors") {
+    import org.apache.spark.sql.functions.col
+    val empty = docs()
+    val M = graft.ext.Multimodal
+    // video tier: empty corpus flows through every stage
+    val noVideos = M.syntheticVideoTable(spark, empty)
+    assert(M.decodeVideoFeatures(spark, noVideos).collect().isEmpty)
+    assert(M.videoFrameSample(spark, noVideos).collect().isEmpty)
+    assert(M.videoPhash(spark, noVideos).collect().isEmpty)
+    assert(M.videoScenes(spark, noVideos).collect().isEmpty)
+    val vp = M.videoNearDup(spark, noVideos)
+    assert(vp.collect().isEmpty); vp.unpersist(false)
+    assert(M.videoClusters(spark, noVideos).collect().isEmpty)
+    assert(M.videoQualityStats(spark, noVideos).collect().isEmpty)
+    // a ZERO-frame video: every consumer emits nothing for it, no error
+    locally {
+      import spark.implicits._
+      val z = Seq((1L, M.VideoCodec.encode(12, Seq.empty)))
+        .toDF("doc_id", "payload")
+      assert(M.decodeVideoFeatures(spark, z).collect().isEmpty)
+      assert(M.videoPhash(spark, z).collect().isEmpty)
+      assert(M.videoScenes(spark, z).collect().isEmpty,
+        "a zero-frame video contributes no scene row (nothing to window)")
+      val q = M.videoQualityStats(spark, z).collect()
+      assert(q.length === 1 && !q(0).getBoolean(5) && !q(0).getBoolean(6),
+        "a zero-frame video is neither static nor flat (vacuous truth rejected)")
+    }
+    // quality gates + crossmodal on empty corpora
+    assert(M.imageQualityStats(spark, M.syntheticPngSkewed(spark, empty))
+      .collect().isEmpty)
+    assert(M.audioQualityStats(spark, M.syntheticWavClusters(spark, empty))
+      .collect().isEmpty)
+    assert(M.audioClusters(spark, M.syntheticWavClusters(spark, empty))
+      .collect().isEmpty)
+    val emptyUrl = graft.ext.WebOps.withSyntheticMessyUrl(empty)
+    val cm = graft.ext.Curation.crossModalDedup(spark,
+      graft.ext.TextOps.withSyntheticDupText(emptyUrl),
+      M.syntheticPngClusters(spark, empty))
+    assert(cm.collect().isEmpty)
+    // the multimodal funnel on an empty corpus: six stage rows, all zero
+    val mf = graft.ext.Curation.multimodalFunnel(spark,
+      graft.ext.TextOps.withSyntheticDupText(emptyUrl),
+      M.syntheticPngSkewed(spark, empty))
+    val rows = mf.collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 6 && rows.forall(t => t._2 == 0L && t._3 == 0L))
+    mf.unpersist(false)
+  }
+
   test("hll on empty input estimates 0") {
     import spark.implicits._
     val empty = Seq.empty[Long].toDF("v")
