@@ -532,8 +532,14 @@ object Multimodal {
     * scan stage and the streaming twin
     * ([[graft.streaming.StreamingOps.imageDedupStream]]).
     */
-  private[graft] def dhashOf(payload: Array[Byte]): Long = {
-    val img = PngCodec.decode(payload)
+  private[graft] def dhashOf(payload: Array[Byte]): Long =
+    dhashOfImage(PngCodec.decode(payload))
+
+  /** The dHash kernel over an ALREADY-DECODED image — for callers that
+    * need several signals from one frame (the quality gate reads
+    * per-pixel flatness AND the hash) and must not pay the codec twice.
+    */
+  private[graft] def dhashOfImage(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth; val h = img.getHeight
     var hash = 0L
     var j = 0
@@ -1137,6 +1143,8 @@ object Multimodal {
           var flatFrames = 0
           val hashes = new java.util.HashSet[Long]()
           frames.foreach { png =>
+            // ONE decode serves both signals (flatness scan + dHash) —
+            // the codec is the dominant cost of this stage
             val img = PngCodec.decode(png)
             val w = img.getWidth; val h = img.getHeight
             val seen = new java.util.HashSet[Long]()
@@ -1152,7 +1160,7 @@ object Multimodal {
               y += 1
             }
             if (seen.size == 1) flatFrames += 1
-            hashes.add(dhashOf(png))
+            hashes.add(dhashOfImage(img))
           }
           (id, frames.length, fps, flatFrames, hashes.size,
             frames.nonEmpty && hashes.size == 1,
