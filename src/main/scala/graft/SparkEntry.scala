@@ -506,6 +506,14 @@ object SparkEntry {
       TextOps.withSyntheticDupText(
         WebOps.withSyntheticMessyUrl(Tables.documents(s, d))),
       Multimodal.syntheticPngSkewed(s, Tables.documents(s, d)),
+      maxBandBucket = 0)),
+    // per-document audit report: every gate's verdict in one wide row
+    // (the provenance artifact); skewed media so the flat gate and the
+    // dhash-0 mega-cluster both appear in the flags
+    "q_curation_report" -> ((s, d) => Curation.curationReport(s,
+      TextOps.withSyntheticDupText(
+        WebOps.withSyntheticMessyUrl(Tables.documents(s, d))),
+      Multimodal.syntheticPngSkewed(s, Tables.documents(s, d)),
       maxBandBucket = 0))
   )
 
@@ -3264,6 +3272,135 @@ object SparkEntry {
         |SELECT CAST(stage AS INTEGER) AS stage, stage_name,
         |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM stg ORDER BY stage""".stripMargin,
+    // per-document audit report: the cross-modal verdict CTEs over the
+    // SKEWED media fixture (flat branch in both the flatness and dHash
+    // luma replays) + the classifier gate, one wide row per doc
+    "q_curation_report" ->
+      """WITH RECURSIVE
+        |geo AS (
+        |  SELECT doc_id, doc_id % 4 = 0 AS flat,
+        |    doc_id % 50 AS key, doc_id // 50 AS bump,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 + (doc_id % 50) % 9 END AS w,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 + (doc_id % 50) % 7 END AS h
+        |  FROM documents),
+        |qx AS (SELECT doc_id, flat, key, bump, w, h, unnest(range(0, w)) AS x FROM geo),
+        |qy AS (SELECT doc_id, flat, key, bump, w, h, x, unnest(range(0, h)) AS y FROM qx),
+        |qlum AS (SELECT doc_id,
+        |  CASE WHEN flat THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * (CASE WHEN x = 0 AND y = 0
+        |        THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |        ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |      + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM qy),
+        |flatdoc AS (SELECT doc_id, COUNT(DISTINCT l) = 1 AS flat_image
+        |  FROM qlum GROUP BY doc_id),
+        |msgurl AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |    ['News.Example.COM', 'BLOG.Example.org', 'Wiki.EXAMPLE.net',
+        |     'Forum.example.IO', 'DOCS.Example.dev'][CAST(doc_id % 5 AS INTEGER) + 1] ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |    '/p/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN '?b=' || CAST((doc_id % 100) % 7 AS VARCHAR) ||
+        |           '&utm_source=feed&a=' || CAST((doc_id % 100) % 5 AS VARCHAR)
+        |      ELSE '?a=' || CAST((doc_id % 100) % 5 AS VARCHAR) ||
+        |           '&b=' || CAST((doc_id % 100) % 7 AS VARCHAR) ||
+        |           '&gclid=g' || CAST(doc_id AS VARCHAR) END) ||
+        |    (CASE WHEN doc_id % 2 = 1
+        |      THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END) AS url
+        |  FROM documents),
+        |uq AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
+        |  FROM msgurl),
+        |ur AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS host,
+        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path0,
+        |    list_sort(list_filter(string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref|igshid)='))) AS params
+        |  FROM uq),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |    (CASE WHEN len(params) > 0
+        |      THEN '?' || array_to_string(params, '&') ELSE '' END) AS canonical_url
+        |  FROM ur),
+        |umin AS (SELECT canonical_url, MIN(doc_id) AS url_min
+        |  FROM canon GROUP BY canonical_url),
+        |txt AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 7 = 3 AND donor.text IS NOT NULL
+        |      THEN donor.text ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN documents donor
+        |    ON donor.doc_id = d.doc_id - 1),
+        |tmin AS (SELECT text, MIN(doc_id) AS text_min FROM txt GROUP BY text),
+        |js AS (SELECT doc_id, flat, key, bump, w, h, unnest(range(0, 7)) AS j FROM geo),
+        |g0 AS (SELECT doc_id, flat, key, bump, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, flat, key, bump, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, j, i,
+        |  CASE WHEN flat THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * (CASE WHEN x = 0 AND y = 0
+        |        THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |        ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |      + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |hsh AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst AS node, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        |tok AS (
+        |  SELECT t.doc_id,
+        |    CAST(len(list_filter(string_split(t.text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens,
+        |    list_sum(list_transform(list_filter(string_split(t.text, ' '), x -> x <> ''),
+        |      x -> (((('0x' || substr(md5(x || chr(1) || '0'), 1, 15))::BIGINT % 1024)
+        |        * 2654435761) % 1997) - 998) ) AS sum_milli
+        |  FROM txt t)
+        |SELECT c.doc_id,
+        |  c.doc_id > u.url_min AS url_dup,
+        |  t2.doc_id > tm.text_min AS text_dup,
+        |  l.cluster_id < c.doc_id AS image_dup,
+        |  fd.flat_image,
+        |  COALESCE(k.n_tokens > 0 AND k.sum_milli >= 0, FALSE) AS quality_kept,
+        |  NOT (c.doc_id > u.url_min) AND NOT (t2.doc_id > tm.text_min)
+        |    AND NOT (l.cluster_id < c.doc_id) AND NOT fd.flat_image
+        |    AND COALESCE(k.n_tokens > 0 AND k.sum_milli >= 0, FALSE) AS keep
+        |FROM canon c
+        |JOIN umin u USING (canonical_url)
+        |JOIN txt t2 ON t2.doc_id = c.doc_id
+        |JOIN tmin tm ON tm.text = t2.text
+        |JOIN lab l ON l.doc_id = c.doc_id
+        |JOIN flatdoc fd ON fd.doc_id = c.doc_id
+        |JOIN tok k ON k.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     // cross-modal composition: the q_url_dedup canonicalization chain
     // (messy-URL fixture), the planted dup-text donor join, and the
     // q_image_clusters dHash + recursive component walk, disjoined into

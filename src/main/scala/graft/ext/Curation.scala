@@ -198,6 +198,38 @@ object Curation {
     Dedup.scopeCaches(out, allTok, s1, s2, s3, s4, s5)
   }
 
+  /** Per-document curation AUDIT report — the provenance artifact a
+    * production pipeline emits beside its output: one wide row per doc
+    * with every gate's individual verdict (`url_dup`, `text_dup`,
+    * `image_dup`, `flat_image`, `quality_kept`) and the final `keep`
+    * conjunction, so any document's exclusion is explainable from the
+    * flags alone (which gate, not just that it was dropped). Unlike the
+    * funnels (which report per-stage survivor COUNTS), this keeps the
+    * per-document resolution; unlike [[crossModalDedup]] it folds in
+    * the junk-media and classifier gates. Every flag is its standalone
+    * operator's arithmetic ⇒ oracle-matched (`q_curation_report`).
+    */
+  def curationReport(spark: org.apache.spark.sql.SparkSession,
+                     documents: DataFrame, media: DataFrame,
+                     urlCol: String = "url", maxHamming: Int = 6,
+                     maxBandBucket: Int = -1): DataFrame = {
+    val verdicts = crossModalDedup(spark, documents, media, urlCol,
+      maxHamming, maxBandBucket).drop("keep")
+    val flat = Multimodal.imageQualityStats(spark, media)
+      .select(col("doc_id"), col("is_flat").as("flat_image"))
+    val qual = TextOps.classifierQualityScore(documents)
+      .select(col("doc_id"), (col("kept") === 1).as("quality_kept"))
+    verdicts
+      .join(flat, "doc_id")
+      // zero-token docs have no classifier row: not kept
+      .join(qual, Seq("doc_id"), "left")
+      .withColumn("quality_kept", coalesce(col("quality_kept"), lit(false)))
+      .withColumn("keep",
+        !col("url_dup") && !col("text_dup") && !col("image_dup") &&
+        !col("flat_image") && col("quality_kept"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-modal duplicate verdicts: one row per document combining
     * three INDEPENDENT dedup signals a multimodal corpus needs —
     *

@@ -96,6 +96,35 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     out.unpersist(blocking = true)
   }
 
+  test("curationReport: one explainable row per doc; flags agree with the standalone gates") {
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = TextOps.withSyntheticDupText(WebOps.withSyntheticMessyUrl(base))
+    val media = Multimodal.syntheticPngSkewed(spark, base)
+    val rows = Curation.curationReport(spark, d, media).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(rows.size === base.count())
+    // planted-fixture flags
+    rows.foreach { case (id, (urlDup, textDup, _, flatImage, _, keep)) =>
+      assert(urlDup === (id >= 100), s"doc $id url_dup")
+      assert(textDup === (id % 7 == 3 && id >= 1), s"doc $id text_dup")
+      assert(flatImage === (id % 4 == 0), s"doc $id flat_image")
+      val (u, t, i, f, q, _) = rows(id)
+      assert(keep === (!u && !t && !i && !f && q), s"doc $id keep conjunction")
+    }
+    // image_dup and quality_kept agree with the standalone operators
+    val labels = Multimodal.imageClusters(spark, media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val kept = TextOps.classifierQualityScore(d).collect()
+      .filter(_.getAs[Int]("kept") == 1).map(_.getAs[Long]("doc_id")).toSet
+    rows.foreach { case (id, (_, _, imageDup, _, qualityKept, _)) =>
+      assert(imageDup === labels.get(id).exists(_ < id), s"doc $id image_dup")
+      assert(qualityKept === kept.contains(id), s"doc $id quality_kept")
+    }
+    // the report is informative on this bed: both keep values occur
+    assert(rows.values.exists(_._6) && rows.values.exists(!_._6))
+  }
+
   test("crossModalDedup: the three planted duplicate classes land in their own flags") {
     val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val d = TextOps.withSyntheticDupText(WebOps.withSyntheticMessyUrl(base))
