@@ -243,6 +243,10 @@ object SparkEntry {
     "q_remove_spans" -> ((s, d) => Dedup.removeRepeatedSpans(Tables.documents(s, d))),
     "q_context_windows" -> ((s, d) => DataPrep.contextWindows(Tables.documents(s, d))),
     "q_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d))),
+    // vector junk gate: zero/non-finite detection + norm — the
+    // embedding modality's quality row, on the real embeddings table
+    "q_embedding_quality" -> ((s, d) =>
+      Similarity.embeddingQualityStats(Tables.embeddings(s, d))),
     // incremental materialized-view maintenance: history rollup + new
     // batch rollup merged WITHOUT rescanning history; the oracle
     // recomputes from scratch — hash equality IS the correctness claim
@@ -2040,6 +2044,23 @@ object SparkEntry {
         |  array_to_string(qv, ',') AS qvec_csv,
         |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
         |FROM q ORDER BY vec_id""".stripMargin,
+    // vector junk gate: exact zero/non-finite counts; norm rounded past
+    // float-fold noise (the same cross-engine float contract as the
+    // cosine oracles); sequential fold ≡ list_sum over the same doubles
+    "q_embedding_quality" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_sum(list_transform(v, x -> x * x)) AS sum_sq,
+        |        len(list_filter(v, x -> isnan(x) OR abs(x) = 'infinity'::DOUBLE))
+        |          AS nf
+        |      FROM t)
+        |SELECT vec_id, CAST(len(v) AS INTEGER) AS dim,
+        |  CAST(len(list_filter(v, x -> x = 0)) AS INTEGER) AS n_zero,
+        |  CAST(nf AS INTEGER) AS n_nonfinite,
+        |  round(sqrt(sum_sq), 6) AS norm,
+        |  sum_sq = 0 AS is_zero,
+        |  sum_sq = 0 OR nf > 0 AS is_degenerate
+        |FROM s ORDER BY vec_id""".stripMargin,
     // full recompute over ALL events — the incremental merge must hash-
     // equal it; decimal sums keep addition order-independent
     "q_incremental_rollup" ->

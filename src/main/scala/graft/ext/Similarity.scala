@@ -340,4 +340,31 @@ object Similarity {
       aggregate(q, lit(0L), (acc, x) => acc + abs(x)).as("q_l1"))
       .orderBy("vec_id")
   }
+
+  /** Per-vector quality signals — the junk gate for the EMBEDDING
+    * modality (completing the quality row of the modality matrix):
+    * dimension, exact zero-entry and non-finite (NaN/±Inf) counts, the
+    * L2 norm (rounded past float-fold noise, the established
+    * cross-engine float contract), and the degenerate flags a vector
+    * store must reject before any ANN structure sees them —
+    * `is_zero` (cosine against it is 0/0) and `is_degenerate`
+    * (zero OR any non-finite entry). Pure narrow projection of
+    * codegen'd built-ins; runs on the real embeddings table
+    * (`q_embedding_quality`).
+    */
+  def embeddingQualityStats(embeddings: DataFrame): DataFrame = {
+    val emb = asDouble(col("embedding"))
+    val sumSq = aggregate(emb, lit(0.0), (acc, x) => acc + x * x)
+    val nonfinite = size(filter(emb, x =>
+      isnan(x) || abs(x) === lit(Double.PositiveInfinity)))
+    embeddings.select(
+      col("vec_id"),
+      size(emb).as("dim"),
+      size(filter(emb, x => x === 0.0)).as("n_zero"),
+      nonfinite.as("n_nonfinite"),
+      round(sqrt(sumSq), 6).as("norm"),
+      (sumSq === 0.0).as("is_zero"),
+      (sumSq === 0.0 || nonfinite > 0).as("is_degenerate"))
+      .orderBy("vec_id")
+  }
 }

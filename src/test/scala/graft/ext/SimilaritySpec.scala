@@ -198,4 +198,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
     assert(assigned(0L) === 2, "NaN sims land in the highest cluster idx")
   }
+
+  test("embeddingQualityStats: planted degenerate vectors land in their flags; narrow plan") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f, 0.0f)),                       // zero vector
+      (1L, Seq(3.0f, 4.0f, 0.0f)),                       // healthy, norm 5
+      (2L, Seq(Float.NaN, 1.0f, 2.0f)),                  // NaN entry
+      (3L, Seq(Float.PositiveInfinity, 0.0f, 1.0f)),     // +Inf entry
+      (4L, Seq(-1.0f, 2.0f, -2.0f)))                     // healthy, norm 3
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.embeddingQualityStats(df).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3),
+        Option(r.get(4)).map(_ => r.getDouble(4)), r.getBoolean(5),
+        r.getBoolean(6))).toMap
+    assert(rows(0L) === ((3, 3, 0, Some(0.0), true, true)))
+    assert(rows(1L) === ((3, 1, 0, Some(5.0), false, false)))
+    assert(rows(4L) === ((3, 0, 0, Some(3.0), false, false)))
+    // NaN/Inf vectors: counted non-finite and flagged degenerate (norm
+    // is NaN/Inf — never read it as a health signal)
+    assert(rows(2L)._3 === 1 && rows(2L)._6, "NaN counted and flagged")
+    assert(rows(3L)._3 === 1 && rows(3L)._6, "+Inf counted and flagged")
+    // pure narrow projection — no shuffle before the deterministic sort
+    val plan = Similarity.embeddingQualityStats(df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"quality scan must not hash-shuffle:\n$plan")
+  }
 }
