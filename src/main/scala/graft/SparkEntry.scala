@@ -440,7 +440,8 @@ object SparkEntry {
       Multimodal.syntheticPngClusters(s, Tables.documents(s, d)),
       maxBandBucket = 0)),
     "q_image_clusters" -> ((s, d) => Multimodal.imageClusters(s,
-      Multimodal.syntheticPngClusters(s, Tables.documents(s, d)))),
+      Multimodal.syntheticPngClusters(s, Tables.documents(s, d)),
+      maxBandBucket = 0)),
     // daily-ingest shape (image twin of q_incremental_neardup_md5):
     // stored side contributes only (doc_id, dhash), new batch decodes
     "q_image_neardup_inc" -> ((s, d) => {
@@ -491,6 +492,12 @@ object SparkEntry {
     // which plants flat images), and decoded-PCM clipping/silence
     // counts — all-integer outputs, fully oracle-matched
     "q_image_quality" -> ((s, d) => Multimodal.imageQualityStats(s,
+      Multimodal.syntheticPngSkewed(s, Tables.documents(s, d))).orderBy("doc_id")),
+    // the FUSED one-decode stage: quality stats + dHash from the same
+    // decoded frame — the stage the media compositions share so the
+    // corpus is decoded once (oracle = the q_image_quality arithmetic
+    // joined with the dhash grid replay, flat images hashing to 0)
+    "q_image_stats_dhash" -> ((s, d) => Multimodal.imageStatsDhash(s,
       Multimodal.syntheticPngSkewed(s, Tables.documents(s, d))).orderBy("doc_id")),
     "q_audio_quality" -> ((s, d) => Multimodal.audioQualityStats(s,
       Multimodal.syntheticWavClusters(s, Tables.documents(s, d))).orderBy("doc_id")),
@@ -3142,6 +3149,57 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT l) AS INTEGER) AS n_distinct_luma,
         |  COUNT(DISTINCT l) = 1 AS is_flat
         |FROM lum GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // fused one-decode stage: the q_image_quality pixel stats joined
+    // with the dhash grid replay over the SAME skewed fixture (flat
+    // images have constant luma => every direction bit 0 => dhash 0)
+    "q_image_stats_dhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 = 0 AS flat,
+        |    doc_id % 50 AS key, doc_id // 50 AS bump,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 + (doc_id % 50) % 9 END AS w,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 + (doc_id % 50) % 7 END AS h
+        |  FROM documents),
+        |xs AS (SELECT doc_id, flat, key, bump, w, h, unnest(range(0, w)) AS x FROM d),
+        |ys AS (SELECT doc_id, flat, key, bump, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |lum AS (SELECT doc_id, w, h,
+        |  CASE WHEN flat THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * (CASE WHEN x = 0 AND y = 0
+        |        THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |        ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |      + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM ys),
+        |stats AS (SELECT doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height, CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(MIN(l) AS BIGINT) AS min_luma, CAST(MAX(l) AS BIGINT) AS max_luma,
+        |  CAST(SUM(l) AS BIGINT) AS sum_luma,
+        |  CAST(SUM(l * l) AS BIGINT) AS sum_luma_sq,
+        |  CAST(COUNT(DISTINCT l) AS INTEGER) AS n_distinct_luma,
+        |  COUNT(DISTINCT l) = 1 AS is_flat
+        |  FROM lum GROUP BY doc_id, w, h),
+        |js AS (SELECT doc_id, flat, key, bump, w, h, unnest(range(0, 7)) AS j FROM d),
+        |g0 AS (SELECT doc_id, flat, key, bump, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, flat, key, bump, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |slum AS (SELECT doc_id, j, i,
+        |  CASE WHEN flat THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * (CASE WHEN x = 0 AND y = 0
+        |        THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |        ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |      + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM slum a JOIN slum b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |hsh AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT s.doc_id, s.width, s.height, s.n_pixels, s.min_luma, s.max_luma,
+        |  s.sum_luma, s.sum_luma_sq, s.n_distinct_luma, s.is_flat, h.dhash
+        |FROM stats s JOIN hsh h ON h.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     // junk-audio gate: the clustered PCM pattern's amplitude profile —
     // near-clipping and near-silence counts, integer flags
     "q_audio_quality" ->

@@ -161,9 +161,13 @@ object Curation {
     val allTok = documents.select(col("doc_id"),
       size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
         .as("n_tokens")).persist()
+    // ONE decode pass serves stage 1 (flatness gate) AND stage 4 (the
+    // dHash fingerprints): the fused stats stage decodes each payload
+    // once, where the stage-4 operator call used to decode the stage-3
+    // survivors a second time
+    val stats = Multimodal.imageStatsDhash(spark, media).persist()
     // 1: junk-media gate (narrow decode + stats, no shuffle)
-    val s1 = Multimodal.imageQualityStats(spark, media)
-      .filter(!col("is_flat")).select("doc_id").persist()
+    val s1 = stats.filter(!col("is_flat")).select("doc_id").persist()
     // 2: first fetch per canonical URL among survivors
     val s2 = WebOps.canonicalizeUrl(documents.join(s1, "doc_id"), urlCol)
       .groupBy("canonical_url").agg(min(col("doc_id")).as("doc_id"))
@@ -173,9 +177,12 @@ object Curation {
       .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id").persist()
     // 4: perceptual components over SURVIVING images only (the flat
-    // mass never reaches the banded join), min-label representative
-    val clusters = Multimodal.imageClusters(spark,
-      media.join(s3, "doc_id"), maxHamming, maxBandBucket)
+    // mass never reaches the banded join), min-label representative —
+    // fingerprints come from the shared decoded-stats stage, filtered
+    // to survivors; no second decode
+    val clusters = Multimodal.imageClustersFromHashes(
+      stats.select("doc_id", "dhash").join(s3, "doc_id"),
+      maxHamming, maxBandBucket)
     val dropped = clusters.filter(col("cluster_id") =!= col("doc_id"))
       .select("doc_id")
     val s4 = s3.join(dropped, Seq("doc_id"), "left_anti").persist()
@@ -195,7 +202,7 @@ object Curation {
       .unionByName(stage(4, "image_neardup", s4))
       .unionByName(stage(5, "quality", s5))
       .orderBy("stage")
-    Dedup.scopeCaches(out, allTok, s1, s2, s3, s4, s5)
+    Dedup.scopeCaches(out, allTok, stats, s1, s2, s3, s4, s5)
   }
 
   /** Per-document curation AUDIT report — the provenance artifact a
@@ -213,13 +220,18 @@ object Curation {
                      documents: DataFrame, media: DataFrame,
                      urlCol: String = "url", maxHamming: Int = 6,
                      maxBandBucket: Int = -1): DataFrame = {
-    val verdicts = crossModalDedup(spark, documents, media, urlCol,
-      maxHamming, maxBandBucket).drop("keep")
-    val flat = Multimodal.imageQualityStats(spark, media)
-      .select(col("doc_id"), col("is_flat").as("flat_image"))
+    // ONE decode pass serves both media signals: the dHash feeding the
+    // near-dup clusters AND the flatness stats for the junk gate come
+    // from the same fused stage (at 100 TB the codec is the dominant
+    // media cost — this report used to decode the corpus twice)
+    val stats = Multimodal.imageStatsDhash(spark, media).persist()
+    val clusters = Multimodal.imageClustersFromHashes(
+      stats.select("doc_id", "dhash"), maxHamming, maxBandBucket)
+    val verdicts = crossModalVerdicts(documents, clusters, urlCol).drop("keep")
+    val flat = stats.select(col("doc_id"), col("is_flat").as("flat_image"))
     val qual = TextOps.classifierQualityScore(documents)
       .select(col("doc_id"), (col("kept") === 1).as("quality_kept"))
-    verdicts
+    val out = verdicts
       .join(flat, "doc_id")
       // zero-token docs have no classifier row: not kept
       .join(qual, Seq("doc_id"), "left")
@@ -228,6 +240,7 @@ object Curation {
         !col("url_dup") && !col("text_dup") && !col("image_dup") &&
         !col("flat_image") && col("quality_kept"))
       .orderBy("doc_id")
+    Dedup.scopeCaches(out, stats, verdicts)
   }
 
   /** Cross-modal duplicate verdicts: one row per document combining
@@ -262,18 +275,31 @@ object Curation {
   def crossModalDedup(spark: org.apache.spark.sql.SparkSession,
                       documents: DataFrame, media: DataFrame,
                       urlCol: String = "url", maxHamming: Int = 6,
-                      maxBandBucket: Int = -1): DataFrame = {
-    val urlMin = WebOps.canonicalizeUrl(documents, urlCol)
+                      maxBandBucket: Int = -1): DataFrame =
+    crossModalVerdicts(documents,
+      Multimodal.imageClusters(spark, media, maxHamming, maxBandBucket),
+      urlCol)
+
+  /** The verdict join of [[crossModalDedup]] over PRECOMPUTED image
+    * clusters — so [[curationReport]] can feed it from the single fused
+    * decode stage instead of decoding the corpus again. The
+    * canonicalization chain runs ONCE: the projection is cached and
+    * both the per-key min aggregate and the per-doc join read the
+    * cached rows (previously the regex chain executed twice, once per
+    * branch). Result is persisted + materialized by scopeCaches; the
+    * caller owns its lifetime.
+    */
+  private[graft] def crossModalVerdicts(documents: DataFrame, clusters: DataFrame,
+                                        urlCol: String): DataFrame = {
+    val canon = WebOps.canonicalizeUrl(documents, urlCol)
+      .select(col("doc_id"), col("text"), col("canonical_url")).persist()
+    val urlMin = canon
       .groupBy("canonical_url").agg(min(col("doc_id")).as("url_min"))
-    val withUrlMin = WebOps.canonicalizeUrl(documents, urlCol)
-      .select(col("doc_id"), col("text"), col("canonical_url"))
-      .join(urlMin, "canonical_url")
+    val withUrlMin = canon.join(urlMin, "canonical_url")
     val textMin = documents.groupBy("text").agg(min(col("doc_id")).as("text_min"))
-    val clusters = Multimodal.imageClusters(spark, media, maxHamming, maxBandBucket)
-      .select(col("doc_id"), col("cluster_id"))
-    withUrlMin
+    val out = withUrlMin
       .join(textMin, "text")
-      .join(clusters, Seq("doc_id"), "left")
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         (col("doc_id") > col("url_min")).as("url_dup"),
@@ -281,5 +307,6 @@ object Curation {
         coalesce(col("cluster_id") < col("doc_id"), lit(false)).as("image_dup"))
       .withColumn("keep", !(col("url_dup") || col("text_dup") || col("image_dup")))
       .orderBy("doc_id")
+    Dedup.scopeCaches(out, canon)
   }
 }

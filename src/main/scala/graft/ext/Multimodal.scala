@@ -588,12 +588,24 @@ object Multimodal {
     */
   private def imageNearDupImpl(spark: SparkSession, media: DataFrame,
                                maxHamming: Int, maxBandBucket: Int,
-                               ordered: Boolean): DataFrame = {
+                               ordered: Boolean): DataFrame =
+    imageNearDupFromHashes(imageDhash(spark, media), maxHamming,
+      maxBandBucket, ordered)
+
+  /** The banded-Hamming pair join over PRECOMPUTED `(doc_id, dhash)`
+    * fingerprints — the decode-free core of [[imageNearDup]], for
+    * callers that already hold the hashes (the fused
+    * [[imageStatsDhash]] stage, a stored fingerprint table). Same
+    * pigeonhole banding and safe-by-default band-bucket cap.
+    */
+  private[graft] def imageNearDupFromHashes(fpIn: DataFrame,
+                                            maxHamming: Int, maxBandBucket: Int,
+                                            ordered: Boolean): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 63,
       s"maxHamming must be in [0, 63): $maxHamming")
     val nb = maxHamming + 1
     val bounds = (0 to nb).map(i => i * 63 / nb)
-    val fp = imageDhash(spark, media).cache()
+    val fp = fpIn.select(col("doc_id"), col("dhash")).cache()
     val cap: Long =
       if (maxBandBucket > 0) maxBandBucket.toLong
       else if (maxBandBucket == 0) 0L
@@ -683,8 +695,16 @@ object Multimodal {
     * graph, not the corpus.
     */
   def imageClusters(spark: SparkSession, media: DataFrame,
-                    maxHamming: Int = 6, maxBandBucket: Int = -1): DataFrame = {
-    val pairs = imageNearDupImpl(spark, media, maxHamming,
+                    maxHamming: Int = 6, maxBandBucket: Int = -1): DataFrame =
+    imageClustersFromHashes(imageDhash(spark, media), maxHamming, maxBandBucket)
+
+  /** [[imageClusters]] over PRECOMPUTED `(doc_id, dhash)` fingerprints —
+    * the decode-free core, for callers sharing one decode stage across
+    * the near-dup path and the quality gate ([[imageStatsDhash]]).
+    */
+  private[graft] def imageClustersFromHashes(fp: DataFrame, maxHamming: Int = 6,
+                                             maxBandBucket: Int = -1): DataFrame = {
+    val pairs = imageNearDupFromHashes(fp, maxHamming,
       maxBandBucket, ordered = false)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val pairNodes = edges.select(col("src").as("doc_id"))
@@ -756,31 +776,72 @@ object Multimodal {
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, png) =>
-          val img = PngCodec.decode(png)
-          val w = img.getWidth; val h = img.getHeight
-          var mn = Long.MaxValue; var mx = Long.MinValue
-          var sum = 0L; var sumSq = 0L
-          val seen = new java.util.HashSet[Long]()
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              val l = 299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
-                114L * (p & 0xFF)
-              if (l < mn) mn = l
-              if (l > mx) mx = l
-              sum += l; sumSq += l * l
-              seen.add(l)
-              x += 1
-            }
-            y += 1
-          }
-          (id, w, h, w.toLong * h, mn, mx, sum, sumSq, seen.size, seen.size == 1)
+          val s = statsOfImage(PngCodec.decode(png))
+          (id, s.w, s.h, s.w.toLong * s.h, s.minLuma, s.maxLuma,
+            s.sumLuma, s.sumLumaSq, s.nDistinctLuma, s.nDistinctLuma == 1)
         }
       }
       .toDF("doc_id", "width", "height", "n_pixels", "min_luma", "max_luma",
         "sum_luma", "sum_luma_sq", "n_distinct_luma", "is_flat")
+  }
+
+  /** The per-pixel luma-stats kernel over an ALREADY-DECODED image —
+    * shared by [[imageQualityStats]] and the fused [[imageStatsDhash]]
+    * stage, so every consumer computes the same flatness arithmetic
+    * from one decode.
+    */
+  private[graft] final case class ImageStats(w: Int, h: Int, minLuma: Long,
+      maxLuma: Long, sumLuma: Long, sumLumaSq: Long, nDistinctLuma: Int)
+
+  private[graft] def statsOfImage(img: java.awt.image.BufferedImage): ImageStats = {
+    val w = img.getWidth; val h = img.getHeight
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    var sum = 0L; var sumSq = 0L
+    val seen = new java.util.HashSet[Long]()
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val l = 299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
+          114L * (p & 0xFF)
+        if (l < mn) mn = l
+        if (l > mx) mx = l
+        sum += l; sumSq += l * l
+        seen.add(l)
+        x += 1
+      }
+      y += 1
+    }
+    ImageStats(w, h, mn, mx, sum, sumSq, seen.size)
+  }
+
+  /** ONE decode pass, every per-image signal: the quality-gate luma
+    * stats ([[imageQualityStats]]' columns) AND the 63-bit perceptual
+    * dHash fingerprint from the same decoded frame. At 100 TB the codec
+    * is THE dominant media cost, so a pipeline that needs both the
+    * junk gate and the near-dup fingerprint (curationReport,
+    * multimodalFunnel, crossModalDedup) must not run two decode stages
+    * over the corpus — this is the shared stage they consume. One
+    * narrow `mapPartitions` (decode + stats + hash before any shuffle);
+    * all-integer outputs keep the DuckDB oracle exact
+    * (`q_image_stats_dhash` = the q_image_quality ⋈ q_image_dhash
+    * arithmetic over one decode).
+    */
+  def imageStatsDhash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, png) =>
+          val img = PngCodec.decode(png)
+          val s = statsOfImage(img)
+          (id, s.w, s.h, s.w.toLong * s.h, s.minLuma, s.maxLuma,
+            s.sumLuma, s.sumLumaSq, s.nDistinctLuma, s.nDistinctLuma == 1,
+            dhashOfImage(img))
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "min_luma", "max_luma",
+        "sum_luma", "sum_luma_sq", "n_distinct_luma", "is_flat", "dhash")
   }
 
   /** Per-clip quality signals over DECODED PCM — the junk-audio filter:

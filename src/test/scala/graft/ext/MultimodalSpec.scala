@@ -370,6 +370,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"quality scan must not shuffle:\n$plan")
   }
 
+  test("imageStatsDhash: fused one-decode stage equals quality-stats join dhash; narrow") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.syntheticPngSkewed(spark, docs)
+    val fused = Multimodal.imageStatsDhash(spark, media)
+    // column-for-column identical to the two standalone operators run
+    // separately (which pay two decodes) — the fusion changes cost only
+    val expected = Multimodal.imageQualityStats(spark, media)
+      .join(Multimodal.imageDhash(spark, media), "doc_id")
+    assert(fused.columns.toSeq ===
+      expected.select(fused.columns.map(org.apache.spark.sql.functions.col): _*)
+        .columns.toSeq)
+    assert(fused.collect().map(_.toSeq).toSet ===
+      expected.select(fused.columns.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq).toSet)
+    // flat images (constant luma) hash to 0 — the degenerate mass the
+    // band-bucket cap guards against, visible from the fused row alone
+    fused.collect().foreach { r =>
+      if (r.getBoolean(9)) assert(r.getLong(10) === 0L, s"flat doc ${r.getLong(0)}")
+    }
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fused scan must not shuffle:\n$plan")
+  }
+
   test("audioQualityStats: counts match a plain-Scala replay of the decoded samples") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.syntheticWavClusters(spark, docs)
