@@ -82,12 +82,22 @@ object StreamingOps {
     *     never re-decoded.
     *
     * Emits the near-dup matches `(doc_id, ts, dhash, stored_dup_of,
-    * hamming)` — one row per (new image, stored neighbor) pair within
-    * `maxHamming`, multi-band hits collapsed (the streaming analogue of
-    * the batch path's pair `distinct()`). New-vs-new near-dups inside
-    * the stream (beyond exact-hash repeats, which step 1 catches) are
-    * the batch path's job at the next compaction — the same division of
-    * labor as incremental batch ingest.
+    * hamming)` — one row per (new image, DISTINCT stored fingerprint)
+    * within `maxHamming`, multi-band hits collapsed (the streaming
+    * analogue of the batch path's pair `distinct()`). New-vs-new
+    * near-dups inside the stream (beyond exact-hash repeats, which
+    * step 1 catches) are the batch path's job at the next compaction —
+    * the same division of labor as incremental batch ingest.
+    *
+    * The stored side is pre-aggregated to DISTINCT hashes with the
+    * min-doc_id exemplar as `stored_dup_of` before banding: this is the
+    * always-on path, and a degenerate stored corpus (M flat images all
+    * sharing the zero dHash) would otherwise make every flat arrival
+    * join M rows — per-arrival output and shuffle-read proportional to
+    * a corpus that grows daily. Collapsed, the join is bounded by the
+    * number of DISTINCT stored fingerprints in the arrival's Hamming
+    * ball, the is-dup verdict is unchanged, and the exemplar is the
+    * same deterministic min-id representative the batch family keeps.
     */
   def imageDedupStream(spark: SparkSession, images: DataFrame,
                        storedHashes: DataFrame, maxHamming: Int = 6,
@@ -114,8 +124,10 @@ object StreamingOps {
       posexplode(array(bandCols("dhash"): _*)))
       .toDF("doc_id", "dhash", "ts", "band_idx", "band_val")
     val storedBands = storedHashes
-      .select(col("doc_id").as("stored_dup_of"), col("dhash").as("stored_dhash"),
-        posexplode(array(bandCols("dhash"): _*)))
+      .groupBy(col("dhash").as("stored_dhash"))
+      .agg(min(col("doc_id")).as("stored_dup_of"))
+      .select(col("stored_dup_of"), col("stored_dhash"),
+        posexplode(array(bandCols("stored_dhash"): _*)))
       .toDF("stored_dup_of", "stored_dhash", "band_idx", "band_val")
     streamBands.join(storedBands, Seq("band_idx", "band_val"))
       .select(col("doc_id"), col("ts"), col("dhash"), col("stored_dup_of"),
@@ -133,7 +145,18 @@ object StreamingOps {
     * shared pigeonhole banding against the STORED corpus eHash table as
     * a stream-STATIC join (the stored side is never re-decoded). Emits
     * `(doc_id, ts, ehash, stored_dup_of, hamming)` per match,
-    * multi-band hits collapsed.
+    * multi-band hits collapsed. As in [[imageDedupStream]], the stored
+    * side is pre-aggregated to DISTINCT eHashes with the min-doc_id
+    * exemplar, so a degenerate stored corpus (M silent clips sharing
+    * the zero eHash) costs one joined row per arrival, not M.
+    *
+    * Collapse semantics (deliberately lossy, as in the image twin): the
+    * exact-repeat drop keys on the eHash ALONE, so a clip whose eHash
+    * collides with an earlier in-stream clip is suppressed even when it
+    * would also have matched a stored clip — the stream reports each
+    * distinct fingerprint's stored verdict once per watermark horizon,
+    * not once per document. Per-document attribution is the batch
+    * path's job at the next compaction.
     */
   def audioDedupStream(spark: SparkSession, clips: DataFrame,
                        storedHashes: DataFrame, maxHamming: Int = 6,
@@ -161,8 +184,10 @@ object StreamingOps {
       posexplode(array(bandCols("ehash"): _*)))
       .toDF("doc_id", "ehash", "ts", "band_idx", "band_val")
     val storedBands = storedHashes
-      .select(col("doc_id").as("stored_dup_of"), col("ehash").as("stored_ehash"),
-        posexplode(array(bandCols("ehash"): _*)))
+      .groupBy(col("ehash").as("stored_ehash"))
+      .agg(min(col("doc_id")).as("stored_dup_of"))
+      .select(col("stored_dup_of"), col("stored_ehash"),
+        posexplode(array(bandCols("stored_ehash"): _*)))
       .toDF("stored_dup_of", "stored_ehash", "band_idx", "band_val")
     streamBands.join(storedBands, Seq("band_idx", "band_val"))
       .select(col("doc_id"), col("ts"), col("ehash"), col("stored_dup_of"),
@@ -185,6 +210,16 @@ object StreamingOps {
     * (`zip_with` + `aggregate`) at match time: no streaming aggregation,
     * no extra state. Emits `(doc_id, ts, stored_dup_of, total_hamming)`
     * per match, multi-slot hits collapsed.
+    *
+    * A video where any wanted slot frame cannot be decoded (zero-frame
+    * or truncated container) emits NOTHING — mirroring the batch twin
+    * [[graft.ext.Multimodal.videoPhash]], which drops missing slots, so
+    * stream and batch agree on degenerate input instead of the stream
+    * fabricating an all-zero signature that matches every stored flat
+    * video. And as in the other modalities, the stored side is
+    * pre-aggregated to DISTINCT signatures with the min-doc_id
+    * exemplar, so M stored copies of one video cost one joined row per
+    * arrival, not M.
     */
   def videoDedupStream(spark: SparkSession, videos: DataFrame,
                        storedSlotHashes: DataFrame, k: Int = 4,
@@ -196,14 +231,18 @@ object StreamingOps {
     val hashed = videos.select(col("doc_id"), col("payload"), col("ts"))
       .as[(Long, Array[Byte], Timestamp)]
       .mapPartitions { it =>
-        it.map { case (id, gvid, t) =>
+        it.flatMap { case (id, gvid, t) =>
           val (_, n) = graft.ext.Multimodal.VideoCodec.probe(gvid)
           val slotFrames = (0 until k).map(j => j * n / k)
           val hs = graft.ext.Multimodal.VideoCodec
             .decodeFrames(gvid, slotFrames.distinct)
             .map { case (f, png) => f -> graft.ext.Multimodal.dhashOf(png) }.toMap
-          val sig = slotFrames.map(hs.getOrElse(_, 0L))
-          (id, sig, sig.map(_.toHexString).mkString(":"), t)
+          // a wanted slot with no decodable frame => no signature, no
+          // emission (the batch twin's collect-on-contains behavior)
+          if (slotFrames.forall(hs.contains)) {
+            val sig = slotFrames.map(hs(_))
+            Some((id, sig, sig.map(_.toHexString).mkString(":"), t))
+          } else None
         }
       }
       .toDF("doc_id", "sig", "sig_key", "ts")
@@ -218,6 +257,10 @@ object StreamingOps {
         .as("pairs"))
       .select(col("stored_dup_of"),
         expr("transform(pairs, p -> p.dhash)").as("stored_sig"))
+      // distinct signatures only, min-id exemplar: bounds the join by
+      // distinct stored content, not stored corpus size
+      .groupBy("stored_sig")
+      .agg(min(col("stored_dup_of")).as("stored_dup_of"))
     val storedBands = storedSigs.select(col("stored_dup_of"), col("stored_sig"),
       posexplode(col("stored_sig")))
       .toDF("stored_dup_of", "stored_sig", "slot", "dhash")

@@ -385,6 +385,66 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("imageDedupStream: degenerate stored corpus joins O(distinct hashes), not O(corpus)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.ext.Multimodal
+    // 50 stored flat images, ALL sharing the zero dHash (constant luma)
+    // — the degenerate mass that would make every flat arrival join 50
+    // rows if the stored side were banded per document
+    val flatPng = Multimodal.PngCodec.encode(16, 16, (_, _) => 0x808080)
+    val storedMedia = (1 to 50).map(i => (100L + i, flatPng)).toDF("doc_id", "payload")
+    val stored = Multimodal.imageDhash(spark, storedMedia)
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val images = input.toDF().toDF("doc_id", "payload", "ts")
+    val q = imageDedupStream(spark, images, stored).writeStream
+      .outputMode("append").format("memory").queryName("imgdedup_degen").start()
+    try {
+      input.addData((1L, flatPng, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT doc_id, stored_dup_of, hamming FROM imgdedup_degen")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      // ONE row per distinct stored fingerprint (here: one), with the
+      // deterministic min-id exemplar — not one row per stored copy
+      assert(rows.toSeq === Seq((1L, 101L, 0)),
+        "degenerate bucket must collapse to the min-id exemplar row")
+    } finally q.stop()
+  }
+
+  test("videoDedupStream: zero-frame arrivals emit nothing; duplicate stored sigs collapse") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.ext.Multimodal
+    def flatVideo(): Array[Byte] = {
+      val frame = Multimodal.PngCodec.encode(8, 8, (_, _) => 0x404040)
+      Multimodal.VideoCodec.encode(12, Seq(frame, frame, frame, frame))
+    }
+    // 20 stored copies of the SAME flat video (identical signatures)
+    val storedMedia = (1 to 20).map(i => (200L + i, flatVideo())).toDF("doc_id", "payload")
+    val stored = Multimodal.videoPhash(spark, storedMedia)
+      .select("doc_id", "slot", "dhash")
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val videos = input.toDF().toDF("doc_id", "payload", "ts")
+    val q = videoDedupStream(spark, videos, stored).writeStream
+      .outputMode("append").format("memory").queryName("viddedup_degen").start()
+    try {
+      input.addData(
+        // zero-frame container: batch videoPhash emits no slots for it,
+        // so the stream must emit nothing (not an all-zero signature
+        // that would match every stored flat video)
+        (1L, Multimodal.VideoCodec.encode(12, Seq.empty), ts("2024-01-01 00:00:00")),
+        // flat arrival: matches the stored signature ONCE, min exemplar
+        (2L, flatVideo(), ts("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT doc_id, stored_dup_of, total_hamming FROM viddedup_degen")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(rows.toSeq === Seq((2L, 201L, 0)),
+        "one exemplar row for the flat arrival; nothing for the zero-frame one")
+    } finally q.stop()
+  }
+
   test("dedupStream: duplicate event ids across batches emit once") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
