@@ -385,38 +385,38 @@ object SparkEntry {
     // aggregates below are over DECODED pixels, oracle = closed form of
     // the deterministic pattern (PNG is lossless)
     "q_png_decode" -> ((s, d) => Multimodal.decodePngFeatures(s,
-      Multimodal.syntheticPngTable(s, Tables.documents(s, d))).orderBy("doc_id")),
+      MediaFixtures.table(s, d, "png")).orderBy("doc_id")),
     // REAL audio codec: javax.sound.sampled WAV/PCM16 encode → decode
     // round-trip; lossless, so the decoded-sample aggregates are the
     // closed form of the deterministic pattern (the audio member of
     // the multimodal family)
     "q_wav_decode" -> ((s, d) => Multimodal.decodeWavFeatures(s,
-      Multimodal.syntheticWavTable(s, Tables.documents(s, d))).orderBy("doc_id")),
+      MediaFixtures.table(s, d, "wav")).orderBy("doc_id")),
     // perceptual audio dedup over DECODED samples: 63-bit energy-
     // difference hash (closed-form oracle — PCM lossless), then the
     // shared pigeonhole-banded Hamming near-dup; guard off on the
     // oracle path (exact quadratic twin), as for the image family
     "q_audio_ehash" -> ((s, d) => Multimodal.audioEhash(s,
-      Multimodal.syntheticWavClusters(s, Tables.documents(s, d))).orderBy("doc_id")),
+      MediaFixtures.table(s, d, "wav_clusters")).orderBy("doc_id")),
     "q_audio_neardup" -> ((s, d) => Multimodal.audioNearDup(s,
-      Multimodal.syntheticWavClusters(s, Tables.documents(s, d)),
+      MediaFixtures.table(s, d, "wav_clusters"),
       maxBandBucket = 0)),
     // perceptual duplicate-audio clusters (components over the banded
     // pair graph), completing the clusters cell for every modality
     "q_audio_clusters" -> ((s, d) => Multimodal.audioClusters(s,
-      Multimodal.syntheticWavClusters(s, Tables.documents(s, d)),
+      MediaFixtures.table(s, d, "wav_clusters"),
       maxBandBucket = 0)),
     // junk-video gate: per-frame flatness + distinct-frame-hash count
     // with static/flat flags, on the junk fixture (every 4th video is
     // a static flat clip; the rest carry the scene pattern)
     "q_video_quality" -> ((s, d) => Multimodal.videoQualityStats(s,
-      Multimodal.syntheticVideoJunk(s, Tables.documents(s, d))).orderBy("doc_id")),
+      MediaFixtures.table(s, d, "video_junk")).orderBy("doc_id")),
     // daily-ingest shape (audio twin of q_image_neardup_inc): stored
     // side contributes only (doc_id, ehash), new batch decodes; shares
     // the generalized incremental banding core with the image path
     "q_audio_neardup_inc" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val media = Multimodal.syntheticWavClusters(s, Tables.documents(s, d))
+      val media = MediaFixtures.table(s, d, "wav_clusters")
       val stored = Multimodal.audioEhash(s, media.filter(col("doc_id") < 250))
       Multimodal.audioNearDupIncremental(s, media.filter(col("doc_id") >= 250),
         stored, maxBandBucket = 0)
@@ -425,28 +425,28 @@ object SparkEntry {
     // closed-form SQL, so rows-only here with the per-channel error
     // bound pinned in MultimodalSpec
     "q_jpeg_decode" -> ((s, d) => Multimodal.decodeImageFeatures(s,
-      Multimodal.syntheticJpegTable(s, Tables.documents(s, d))).orderBy("doc_id")),
+      MediaFixtures.table(s, d, "jpeg")).orderBy("doc_id")),
     // perceptual image dedup over DECODED pixels: 63-bit dHash per
     // image (closed-form oracle — PNG lossless), then pigeonhole-banded
     // Hamming near-dup, the image twin of simhashNearDup
     "q_image_dhash" -> ((s, d) => Multimodal.imageDhash(s,
-      Multimodal.syntheticPngClusters(s, Tables.documents(s, d))).orderBy("doc_id")),
+      MediaFixtures.table(s, d, "png_clusters")).orderBy("doc_id")),
     // maxBandBucket = 0 (guard off) on the ORACLE paths: the DuckDB
     // twin is the exact quadratic join, and the auto cap knowingly
     // drops heavy buckets — exact here keeps verification valid at any
     // SF while the capped default stays the production behavior (the
     // cap itself is bound-pinned on a degenerate corpus in MultimodalSpec)
     "q_image_neardup" -> ((s, d) => Multimodal.imageNearDup(s,
-      Multimodal.syntheticPngClusters(s, Tables.documents(s, d)),
+      MediaFixtures.table(s, d, "png_clusters"),
       maxBandBucket = 0)),
     "q_image_clusters" -> ((s, d) => Multimodal.imageClusters(s,
-      Multimodal.syntheticPngClusters(s, Tables.documents(s, d)),
+      MediaFixtures.table(s, d, "png_clusters"),
       maxBandBucket = 0)),
     // daily-ingest shape (image twin of q_incremental_neardup_md5):
     // stored side contributes only (doc_id, dhash), new batch decodes
     "q_image_neardup_inc" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val media = Multimodal.syntheticPngClusters(s, Tables.documents(s, d))
+      val media = MediaFixtures.table(s, d, "png_clusters")
       val stored = Multimodal.imageDhash(s, media.filter(col("doc_id") < 250))
       Multimodal.imageNearDupIncremental(s, media.filter(col("doc_id") >= 250), stored,
         maxBandBucket = 0)
@@ -457,31 +457,31 @@ object SparkEntry {
     // decode via the container's length prefixes), per-frame dHash
     // fingerprints, scene-cut detection, and banded near-dup
     "q_video_decode" -> ((s, d) => Multimodal.decodeVideoFeatures(s,
-      Multimodal.syntheticVideoTable(s, Tables.documents(s, d)))
+      MediaFixtures.table(s, d, "video"))
       .orderBy("doc_id", "frame_idx")),
     "q_video_frames" -> ((s, d) => Multimodal.videoFrameSample(s,
-      Multimodal.syntheticVideoTable(s, Tables.documents(s, d)))
+      MediaFixtures.table(s, d, "video"))
       .orderBy("doc_id", "slot")),
     "q_video_phash" -> ((s, d) => Multimodal.videoPhash(s,
-      Multimodal.syntheticVideoTable(s, Tables.documents(s, d)))
+      MediaFixtures.table(s, d, "video"))
       .orderBy("doc_id", "slot")),
     "q_video_scenes" -> ((s, d) => Multimodal.videoScenes(s,
-      Multimodal.syntheticVideoScenes(s, Tables.documents(s, d)))),
+      MediaFixtures.table(s, d, "video_scenes"))),
     // guard off on the oracle path (exact quadratic DuckDB twin), as
     // for the image/audio near-dup families
     "q_video_neardup" -> ((s, d) => Multimodal.videoNearDup(s,
-      Multimodal.syntheticVideoClusters(s, Tables.documents(s, d)),
+      MediaFixtures.table(s, d, "video_clusters"),
       maxBandBucket = 0)),
     // perceptual duplicate-video clusters (components over the banded
     // pair graph), the video twin of q_image_clusters
     "q_video_clusters" -> ((s, d) => Multimodal.videoClusters(s,
-      Multimodal.syntheticVideoClusters(s, Tables.documents(s, d)),
+      MediaFixtures.table(s, d, "video_clusters"),
       maxBandBucket = 0)),
     // daily-ingest shape (video twin of q_image_neardup_inc): stored
     // side contributes only (doc_id, slot, dhash), new batch decodes
     "q_video_neardup_inc" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val media = Multimodal.syntheticVideoClusters(s, Tables.documents(s, d))
+      val media = MediaFixtures.table(s, d, "video_clusters")
       val stored = Multimodal.videoPhash(s, media.filter(col("doc_id") < 250))
         .select("doc_id", "slot", "dhash")
       Multimodal.videoNearDupIncremental(s, media.filter(col("doc_id") >= 250),
@@ -492,15 +492,15 @@ object SparkEntry {
     // which plants flat images), and decoded-PCM clipping/silence
     // counts — all-integer outputs, fully oracle-matched
     "q_image_quality" -> ((s, d) => Multimodal.imageQualityStats(s,
-      Multimodal.syntheticPngSkewed(s, Tables.documents(s, d))).orderBy("doc_id")),
+      MediaFixtures.table(s, d, "png_skewed")).orderBy("doc_id")),
     // the FUSED one-decode stage: quality stats + dHash from the same
     // decoded frame — the stage the media compositions share so the
     // corpus is decoded once (oracle = the q_image_quality arithmetic
     // joined with the dhash grid replay, flat images hashing to 0)
     "q_image_stats_dhash" -> ((s, d) => Multimodal.imageStatsDhash(s,
-      Multimodal.syntheticPngSkewed(s, Tables.documents(s, d))).orderBy("doc_id")),
+      MediaFixtures.table(s, d, "png_skewed")).orderBy("doc_id")),
     "q_audio_quality" -> ((s, d) => Multimodal.audioQualityStats(s,
-      Multimodal.syntheticWavClusters(s, Tables.documents(s, d))).orderBy("doc_id")),
+      MediaFixtures.table(s, d, "wav_clusters")).orderBy("doc_id")),
     // cross-modal composition: per-doc verdict over three independent
     // duplicate classes — canonical-URL re-crawl, byte-identical text,
     // perceptual image near-dup cluster — each planted by its own
@@ -508,7 +508,7 @@ object SparkEntry {
     "q_crossmodal_dedup" -> ((s, d) => Curation.crossModalDedup(s,
       TextOps.withSyntheticDupText(
         WebOps.withSyntheticMessyUrl(Tables.documents(s, d))),
-      Multimodal.syntheticPngClusters(s, Tables.documents(s, d)),
+      MediaFixtures.table(s, d, "png_clusters"),
       maxBandBucket = 0)),
     // the media-aware curation funnel: junk gate → URL dedup → exact
     // dedup → image near-dup components → quality, the COMPOSITION
@@ -516,7 +516,7 @@ object SparkEntry {
     "q_multimodal_funnel" -> ((s, d) => Curation.multimodalFunnel(s,
       TextOps.withSyntheticDupText(
         WebOps.withSyntheticMessyUrl(Tables.documents(s, d))),
-      Multimodal.syntheticPngSkewed(s, Tables.documents(s, d)),
+      MediaFixtures.table(s, d, "png_skewed"),
       maxBandBucket = 0)),
     // per-document audit report: every gate's verdict in one wide row
     // (the provenance artifact); skewed media so the flat gate and the
@@ -524,7 +524,7 @@ object SparkEntry {
     "q_curation_report" -> ((s, d) => Curation.curationReport(s,
       TextOps.withSyntheticDupText(
         WebOps.withSyntheticMessyUrl(Tables.documents(s, d))),
-      Multimodal.syntheticPngSkewed(s, Tables.documents(s, d)),
+      MediaFixtures.table(s, d, "png_skewed"),
       maxBandBucket = 0))
   )
 
