@@ -293,6 +293,12 @@ object SparkEntry {
       graft.ops.Sketches.dailyValueSketches(Tables.events(s, d)))),
     "q_profile" -> ((s, d) => Relational.profileOrders(Tables.orders(s, d))),
     "q_approx_profile" -> ((s, d) => Relational.approxProfile(Tables.lineitem(s, d))),
+    // the approx profile's ERROR CONTRACT under the exact oracle: per
+    // group, exact aggregates + a TRUE-iff-in-envelope boolean per
+    // estimate (the oracle asserts every bound TRUE, so a hash match
+    // certifies the estimators kept their envelopes)
+    "q_approx_profile_bounds" -> ((s, d) =>
+      Relational.approxProfileBounds(Tables.lineitem(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "q_minhash_neardup" -> ((s, d) => Dedup.minhashNearDup(Tables.documents(s, d))),
     // md5-family twin: same LSH pipeline, portable hash -> the banding,
@@ -829,6 +835,19 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
         |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the estimator audit: exact aggregates + the error-contract
+    // booleans, which the oracle asserts TRUE — a hash mismatch means
+    // an estimator broke its envelope
+    "q_approx_profile_bounds" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS exact_median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS exact_p90_qty,
+        |  TRUE AS parts_ok, TRUE AS suppliers_ok,
+        |  TRUE AS median_ok, TRUE AS p90_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_minmax_by" ->
       """SELECT o_orderpriority,

@@ -297,6 +297,46 @@ object StressBench {
           media.filter(col("doc_id") % 5 === 0), stored, maxBandBucket = 0)
         val n = p.count(); p.unpersist(false); n
       }),
+      // round-10: the same incremental skew A/B for the OTHER two
+      // modalities — the shared banding core makes image coverage
+      // suggestive, but the audio route runs through its own fixture
+      // (silent clips all sharing eHash 0) and the video route is
+      // SEPARATE code (slot-pigeonhole banding in
+      // videoNearDupIncremental, not bandedHammingPairsIncremental),
+      // so each earns its own capped-vs-uncapped row. 25% degenerate
+      // fraction, 80/20 stored/new split, as for images.
+      time("audio_neardup_inc_skew_capped", {
+        val media = ext.Multimodal.syntheticWavSkewed(spark, docs)
+        val stored = ext.Multimodal.audioEhash(spark,
+          media.filter(col("doc_id") % 5 =!= 0))
+        val p = ext.Multimodal.audioNearDupIncremental(spark,
+          media.filter(col("doc_id") % 5 === 0), stored)
+        val n = p.count(); p.unpersist(false); n
+      }),
+      time("audio_neardup_inc_skew_uncapped", {
+        val media = ext.Multimodal.syntheticWavSkewed(spark, docs)
+        val stored = ext.Multimodal.audioEhash(spark,
+          media.filter(col("doc_id") % 5 =!= 0))
+        val p = ext.Multimodal.audioNearDupIncremental(spark,
+          media.filter(col("doc_id") % 5 === 0), stored, maxBandBucket = 0)
+        val n = p.count(); p.unpersist(false); n
+      }),
+      time("video_neardup_inc_skew_capped", {
+        val media = ext.Multimodal.syntheticVideoJunk(spark, docs)
+        val stored = ext.Multimodal.videoPhash(spark,
+          media.filter(col("doc_id") % 5 =!= 0)).select("doc_id", "slot", "dhash")
+        val p = ext.Multimodal.videoNearDupIncremental(spark,
+          media.filter(col("doc_id") % 5 === 0), stored)
+        val n = p.count(); p.unpersist(false); n
+      }),
+      time("video_neardup_inc_skew_uncapped", {
+        val media = ext.Multimodal.syntheticVideoJunk(spark, docs)
+        val stored = ext.Multimodal.videoPhash(spark,
+          media.filter(col("doc_id") % 5 =!= 0)).select("doc_id", "slot", "dhash")
+        val p = ext.Multimodal.videoNearDupIncremental(spark,
+          media.filter(col("doc_id") % 5 === 0), stored, maxBandBucket = 0)
+        val n = p.count(); p.unpersist(false); n
+      }),
       // round-9: the composed curation funnel at replication scale —
       // replicated texts make exact-dedup collapse ×factor and the
       // near-dup graph maximally dense; budget scaled with the corpus

@@ -510,6 +510,45 @@ object Multimodal {
         col("doc_id").as("source_id")).as("meta"))
   }
 
+  /** [[syntheticWavClusters]] with a PLANTED DEGENERATE fraction —
+    * the audio twin of [[syntheticPngSkewed]]: every `silentEvery`-th
+    * doc_id is a SILENT clip (all-zero samples — every energy window 0,
+    * so ALL of them share the all-zeros eHash, the dead-air mass a real
+    * ingest contains). The rest follow the clustered PCM pattern. This
+    * is the skew-stress fixture for the audio band-bucket cap A/B
+    * (StressBench): with the guard off, the silent fraction piles into
+    * one (band, value) bucket per band and the join goes quadratic in
+    * it on the daily incremental path.
+    */
+  def syntheticWavSkewed(spark: SparkSession, documents: DataFrame,
+                         nClusters: Int = 50, silentEvery: Int = 4): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          if (id % silentEvery == 0) {
+            val n = 256
+            (id, WavCodec.encode(8000f, new Array[Short](n)), 8000, n)
+          } else {
+            val key = id % nClusters
+            val n = (200 + key % 100).toInt
+            val rate = (8000 + (key % 4) * 4000).toInt
+            val bump = id / nClusters
+            val samples = Array.tabulate(n) { i =>
+              val base = ((key * 31 + i.toLong * 17) % 2003) - 1001
+              (if (i == 0) base + bump else base).toShort
+            }
+            (id, WavCodec.encode(rate.toFloat, samples), rate, n)
+          }
+        }
+      }
+      .toDF("doc_id", "payload", "sample_rate", "n_samples")
+      .select(col("doc_id"), col("payload"), struct(
+        lit("audio/wav").as("media_type"),
+        col("sample_rate"), col("n_samples"),
+        col("doc_id").as("source_id")).as("meta"))
+  }
+
   /** 63-bit difference hash (dHash) of each DECODED image — the
     * classic perceptual fingerprint (Krawetz's "Kind of Like That"
     * aHash/dHash family): sample integer luma (299·R + 587·G + 114·B,

@@ -257,6 +257,42 @@ object Relational {
         .as("approx_p90_qty"))
       .orderBy("l_returnflag")
 
+  /** The [[approxProfile]] estimates AUDITED against their exact twins
+    * in one result: per group, the exact aggregates plus a pass/fail
+    * boolean per estimate (HLL distinct counts within ±15% — 3× the
+    * default 5% rsd — and approx percentiles within ±2 quantity units,
+    * generous for accuracy 10000 over this value domain). The booleans
+    * put the approximate path's ERROR CONTRACT under the DuckDB oracle
+    * (`q_approx_profile_bounds`): the oracle computes the exact columns
+    * and asserts every bound TRUE, so a hash match certifies both the
+    * exact arithmetic and that the estimators kept their envelopes —
+    * the strongest oracle an approximate-by-contract operator admits
+    * (the estimates themselves stay rows-only in `q_approx_profile`).
+    * This is also the production shape of an estimator-regression
+    * audit: run it on a sampled slice beside the full approx profile.
+    */
+  def approxProfileBounds(lineitem: DataFrame): DataFrame = {
+    val approx = approxProfile(lineitem)
+    val exact = lineitem.groupBy("l_returnflag").agg(
+      count_distinct(col("l_partkey")).as("exact_parts"),
+      count_distinct(col("l_suppkey")).as("exact_suppliers"),
+      round(percentile(col("l_quantity"), lit(0.5)), 4).as("exact_median_qty"),
+      round(percentile(col("l_quantity"), lit(0.9)), 4).as("exact_p90_qty"))
+    approx.join(exact, "l_returnflag")
+      .select(
+        col("l_returnflag"), col("n_rows"),
+        col("exact_parts"), col("exact_suppliers"),
+        col("exact_median_qty"), col("exact_p90_qty"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.15).as("parts_ok"),
+        (abs(col("approx_suppliers") - col("exact_suppliers"))
+          <= col("exact_suppliers") * 0.15).as("suppliers_ok"),
+        (abs(col("approx_median_qty") - col("exact_median_qty")) <= 2.0)
+          .as("median_ok"),
+        (abs(col("approx_p90_qty") - col("exact_p90_qty")) <= 2.0).as("p90_ok"))
+      .orderBy("l_returnflag")
+  }
+
   /** Exact percentiles (linear interpolation — same definition as
     * DuckDB's quantile_cont) per group. Exact percentile sorts the
     * group; at 100 TB swap in approx_percentile with a bounded error.

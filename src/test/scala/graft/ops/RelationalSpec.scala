@@ -95,6 +95,17 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
   }
 
+  test("approxProfileBounds: every error-contract boolean holds (the oracle's TRUE columns)") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val rows = Relational.approxProfileBounds(li).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("parts_ok", "suppliers_ok", "median_ok", "p90_ok").foreach { c =>
+        assert(r.getAs[Boolean](c), s"$c must hold for ${r.getString(0)}")
+      }
+    }
+  }
+
   test("rollup emits group rows + per-flag subtotals + grand total") {
     val n = Tables.lineitem(spark, sf).select("l_returnflag", "l_linestatus").distinct().count()
     val flags = Tables.lineitem(spark, sf).select("l_returnflag").distinct().count()
