@@ -34,6 +34,7 @@ object MediaFixtures {
     "png_skewed" -> ((s, d) => ext.Multimodal.syntheticPngSkewed(s, Tables.documents(s, d))),
     "wav" -> ((s, d) => ext.Multimodal.syntheticWavTable(s, Tables.documents(s, d))),
     "wav_clusters" -> ((s, d) => ext.Multimodal.syntheticWavClusters(s, Tables.documents(s, d))),
+    "wav_skewed" -> ((s, d) => ext.Multimodal.syntheticWavSkewed(s, Tables.documents(s, d))),
     "video" -> ((s, d) => ext.Multimodal.syntheticVideoTable(s, Tables.documents(s, d))),
     "video_scenes" -> ((s, d) => ext.Multimodal.syntheticVideoScenes(s, Tables.documents(s, d))),
     "video_junk" -> ((s, d) => ext.Multimodal.syntheticVideoJunk(s, Tables.documents(s, d))),
@@ -67,7 +68,10 @@ object MediaFixtures {
     "q_video_neardup_inc" -> Seq("video_clusters"),
     "q_crossmodal_dedup" -> Seq("png_clusters"),
     "q_multimodal_funnel" -> Seq("png_skewed"),
-    "q_curation_report" -> Seq("png_skewed"))
+    "q_curation_report" -> Seq("png_skewed"),
+    "q_audio_stats_ehash" -> Seq("wav_skewed"),
+    "q_video_stats_phash" -> Seq("video_junk"),
+    "q_media_curation_report" -> Seq("png_skewed", "wav_skewed", "video_junk"))
 
   /** Fingerprint of the current testdata generation: a cached fixture
     * is valid only for the documents file it was derived from.

@@ -531,6 +531,36 @@ object SparkEntry {
       TextOps.withSyntheticDupText(
         WebOps.withSyntheticMessyUrl(Tables.documents(s, d))),
       MediaFixtures.table(s, d, "png_skewed"),
+      maxBandBucket = 0)),
+    // the fused one-decode audio stage (quality stats + eHash from one
+    // WAV decode), on the SKEWED fixture so both flag values occur and
+    // the silent mass's all-zero eHash is visible in the fused row
+    "q_audio_stats_ehash" -> ((s, d) => Multimodal.audioStatsEhash(s,
+      MediaFixtures.table(s, d, "wav_skewed")).orderBy("doc_id")),
+    // the fused one-decode video stage: junk-gate frame stats + the
+    // k-slot signature from the SAME full decode (the gate needs every
+    // frame anyway, so the signature is free); sig projected to one
+    // column per slot for the oracle compare
+    "q_video_stats_phash" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, get, lit}
+      Multimodal.videoStatsPhash(s, MediaFixtures.table(s, d, "video_junk"))
+        .select(col("doc_id"), col("n_frames"), col("fps"),
+          col("n_flat_frames"), col("n_distinct_hashes"),
+          col("is_static"), col("is_flat"),
+          get(col("sig"), lit(0)).as("sig0"), get(col("sig"), lit(1)).as("sig1"),
+          get(col("sig"), lit(2)).as("sig2"), get(col("sig"), lit(3)).as("sig3"))
+        .orderBy("doc_id")
+    }),
+    // the FULL-modality audit: every gate and every dedup class for
+    // image + audio + video in one wide row per doc, each modality
+    // decoded exactly once (fused stages + FromHashes cluster cores);
+    // guard off on the oracle path, as for every perceptual family
+    "q_media_curation_report" -> ((s, d) => Curation.mediaCurationReport(s,
+      TextOps.withSyntheticDupText(
+        WebOps.withSyntheticMessyUrl(Tables.documents(s, d))),
+      MediaFixtures.table(s, d, "png_skewed"),
+      MediaFixtures.table(s, d, "wav_skewed"),
+      MediaFixtures.table(s, d, "video_junk"),
       maxBandBucket = 0))
   )
 
@@ -3497,6 +3527,325 @@ object SparkEntry {
         |JOIN tmin tm ON tm.text = t2.text
         |JOIN lab l ON l.doc_id = c.doc_id
         |JOIN flatdoc fd ON fd.doc_id = c.doc_id
+        |JOIN tok k ON k.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+    // fused one-decode audio stage: the q_audio_quality amplitude
+    // arithmetic + the q_audio_ehash energy-window replay over the SAME
+    // skewed fixture (silent clips: 256 zero samples -> all stats 0,
+    // is_quiet, ehash 0)
+    "q_audio_stats_ehash" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 = 0 AS silent,
+        |    doc_id % 50 AS key, doc_id // 50 AS bump FROM documents),
+        |p AS (SELECT doc_id, silent, key, bump,
+        |  CASE WHEN silent THEN 256 ELSE 200 + key % 100 END AS n FROM d),
+        |s AS (SELECT doc_id, silent, key, bump, n, unnest(range(0, n)) AS i FROM p),
+        |a AS (SELECT doc_id, n, i,
+        |  CASE WHEN silent THEN 0
+        |    ELSE (key * 31 + i * 17) % 2003 - 1001
+        |      + CASE WHEN i = 0 THEN bump ELSE 0 END END AS amp FROM s),
+        |q AS (SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(MIN(amp) AS INTEGER) AS min_amp,
+        |  CAST(MAX(amp) AS INTEGER) AS max_amp,
+        |  CAST(SUM(ABS(amp)) AS BIGINT) AS sum_abs,
+        |  CAST(SUM(CASE WHEN ABS(amp) >= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped,
+        |  CAST(SUM(CASE WHEN ABS(amp) <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_silent,
+        |  SUM(CASE WHEN ABS(amp) >= 1000 THEN 1 ELSE 0 END) > 0 AS is_clipped,
+        |  SUM(CASE WHEN ABS(amp) <= 50 THEN 1 ELSE 0 END) * 2 >= n AS is_quiet
+        |  FROM a GROUP BY doc_id, n),
+        |e AS (SELECT doc_id, (i * 64) // n AS w, SUM(amp * amp) AS energy
+        |  FROM a GROUP BY doc_id, (i * 64) // n),
+        |b AS (SELECT x.doc_id, x.w,
+        |    CASE WHEN y.energy > x.energy THEN 1 ELSE 0 END AS bit
+        |  FROM e x JOIN e y ON y.doc_id = x.doc_id AND y.w = x.w + 1
+        |  WHERE x.w < 63),
+        |h AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << w) AS BIGINT) AS ehash
+        |  FROM b GROUP BY doc_id)
+        |SELECT q.doc_id, q.n_samples, q.min_amp, q.max_amp, q.sum_abs,
+        |  q.n_clipped, q.n_silent, q.is_clipped, q.is_quiet, h.ehash
+        |FROM q JOIN h ON h.doc_id = q.doc_id ORDER BY q.doc_id""".stripMargin,
+    // fused one-decode video stage: the q_video_quality per-frame
+    // replay + the slot signature read off the SAME frame-hash table
+    // (slot j = frame (j*n)//4), pivoted to one column per slot
+    "q_video_stats_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 = 0 AS junk, 6 + doc_id % 7 AS n,
+        |    CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 8 + doc_id % 9 END AS w,
+        |    CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 8 + doc_id % 7 END AS h
+        |  FROM documents),
+        |f AS (SELECT doc_id, junk, n, w, h, unnest(range(0, n)) AS fr FROM d),
+        |sc AS (SELECT doc_id, junk, n, w, h, fr, fr // 3 AS scene FROM f),
+        |px AS (SELECT doc_id, junk, scene, fr, w, h, unnest(range(0, w)) AS x FROM sc),
+        |py AS (SELECT doc_id, junk, scene, fr, w, h, x, unnest(range(0, h)) AS y FROM px),
+        |flum AS (SELECT doc_id, fr,
+        |  CASE WHEN junk THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * ((doc_id*7 + scene*97 + x*37 + y*59 + x*y*13) % 256)
+        |      + 587 * ((doc_id*11 + scene*89 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((doc_id*13 + scene*83 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM py),
+        |flatf AS (SELECT doc_id, fr,
+        |  CASE WHEN COUNT(DISTINCT l) = 1 THEN 1 ELSE 0 END AS flat
+        |  FROM flum GROUP BY doc_id, fr),
+        |js AS (SELECT doc_id, junk, scene, fr, w, h, unnest(range(0, 7)) AS j FROM sc),
+        |g0 AS (SELECT doc_id, junk, scene, fr, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, junk, scene, fr, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, fr, j, i,
+        |  CASE WHEN junk THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * ((doc_id*7 + scene*97 + x*37 + y*59 + x*y*13) % 256)
+        |      + 587 * ((doc_id*11 + scene*89 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((doc_id*13 + scene*83 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.fr, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.fr = a.fr
+        |    AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |hsh AS (SELECT doc_id, fr,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id, fr),
+        |agg AS (SELECT d.doc_id, d.n,
+        |    (SELECT SUM(flat) FROM flatf WHERE flatf.doc_id = d.doc_id) AS n_flat,
+        |    (SELECT COUNT(DISTINCT dhash) FROM hsh WHERE hsh.doc_id = d.doc_id)
+        |      AS n_hashes
+        |  FROM d),
+        |sl AS (SELECT doc_id, n, unnest(range(0, 4)) AS sj FROM d),
+        |sig AS (SELECT sl.doc_id, sl.sj, h2.dhash
+        |  FROM sl JOIN hsh h2 ON h2.doc_id = sl.doc_id
+        |    AND h2.fr = (sl.sj * sl.n) // 4)
+        |SELECT a.doc_id, CAST(a.n AS INTEGER) AS n_frames, 12 AS fps,
+        |  CAST(a.n_flat AS INTEGER) AS n_flat_frames,
+        |  CAST(a.n_hashes AS INTEGER) AS n_distinct_hashes,
+        |  a.n_hashes = 1 AS is_static,
+        |  a.n_flat = a.n AS is_flat,
+        |  MAX(CASE WHEN s.sj = 0 THEN s.dhash END) AS sig0,
+        |  MAX(CASE WHEN s.sj = 1 THEN s.dhash END) AS sig1,
+        |  MAX(CASE WHEN s.sj = 2 THEN s.dhash END) AS sig2,
+        |  MAX(CASE WHEN s.sj = 3 THEN s.dhash END) AS sig3
+        |FROM agg a JOIN sig s ON s.doc_id = a.doc_id
+        |GROUP BY a.doc_id, a.n, a.n_flat, a.n_hashes
+        |ORDER BY a.doc_id""".stripMargin,
+    // the FULL-modality audit: the q_curation_report oracle extended
+    // with the audio block (skewed eHash replay + quiet gate +
+    // recursive walk over hamming<=6 pairs) and the video block (junk
+    // slot signatures + static gate + recursive walk over
+    // total-hamming<=3 pairs) — three independent component walks in
+    // one WITH RECURSIVE
+    "q_media_curation_report" ->
+      """WITH RECURSIVE
+        |geo AS (
+        |  SELECT doc_id, doc_id % 4 = 0 AS flat,
+        |    doc_id % 50 AS key, doc_id // 50 AS bump,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 + (doc_id % 50) % 9 END AS w,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 + (doc_id % 50) % 7 END AS h
+        |  FROM documents),
+        |qx AS (SELECT doc_id, flat, key, bump, w, h, unnest(range(0, w)) AS x FROM geo),
+        |qy AS (SELECT doc_id, flat, key, bump, w, h, x, unnest(range(0, h)) AS y FROM qx),
+        |qlum AS (SELECT doc_id,
+        |  CASE WHEN flat THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * (CASE WHEN x = 0 AND y = 0
+        |        THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |        ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |      + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM qy),
+        |flatdoc AS (SELECT doc_id, COUNT(DISTINCT l) = 1 AS flat_image
+        |  FROM qlum GROUP BY doc_id),
+        |msgurl AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |    ['News.Example.COM', 'BLOG.Example.org', 'Wiki.EXAMPLE.net',
+        |     'Forum.example.IO', 'DOCS.Example.dev'][CAST(doc_id % 5 AS INTEGER) + 1] ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |    '/p/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN '?b=' || CAST((doc_id % 100) % 7 AS VARCHAR) ||
+        |           '&utm_source=feed&a=' || CAST((doc_id % 100) % 5 AS VARCHAR)
+        |      ELSE '?a=' || CAST((doc_id % 100) % 5 AS VARCHAR) ||
+        |           '&b=' || CAST((doc_id % 100) % 7 AS VARCHAR) ||
+        |           '&gclid=g' || CAST(doc_id AS VARCHAR) END) ||
+        |    (CASE WHEN doc_id % 2 = 1
+        |      THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END) AS url
+        |  FROM documents),
+        |uq AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
+        |  FROM msgurl),
+        |ur AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS host,
+        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path0,
+        |    list_sort(list_filter(string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref|igshid)='))) AS params
+        |  FROM uq),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |    (CASE WHEN len(params) > 0
+        |      THEN '?' || array_to_string(params, '&') ELSE '' END) AS canonical_url
+        |  FROM ur),
+        |umin AS (SELECT canonical_url, MIN(doc_id) AS url_min
+        |  FROM canon GROUP BY canonical_url),
+        |txt AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 7 = 3 AND donor.text IS NOT NULL
+        |      THEN donor.text ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN documents donor
+        |    ON donor.doc_id = d.doc_id - 1),
+        |tmin AS (SELECT text, MIN(doc_id) AS text_min FROM txt GROUP BY text),
+        |js AS (SELECT doc_id, flat, key, bump, w, h, unnest(range(0, 7)) AS j FROM geo),
+        |g0 AS (SELECT doc_id, flat, key, bump, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, flat, key, bump, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, j, i,
+        |  CASE WHEN flat THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * (CASE WHEN x = 0 AND y = 0
+        |        THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |        ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |      + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |hsh AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst AS node, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        |ad AS (SELECT doc_id, doc_id % 4 = 0 AS silent,
+        |    doc_id % 50 AS akey, doc_id // 50 AS abump FROM documents),
+        |ap AS (SELECT doc_id, silent, akey, abump,
+        |  CASE WHEN silent THEN 256 ELSE 200 + akey % 100 END AS an FROM ad),
+        |asamp AS (SELECT doc_id, silent, akey, abump, an,
+        |  unnest(range(0, an)) AS ai FROM ap),
+        |aamp AS (SELECT doc_id, an, ai,
+        |  CASE WHEN silent THEN 0
+        |    ELSE (akey * 31 + ai * 17) % 2003 - 1001
+        |      + CASE WHEN ai = 0 THEN abump ELSE 0 END END AS amp FROM asamp),
+        |aquiet AS (SELECT doc_id,
+        |  SUM(CASE WHEN ABS(amp) <= 50 THEN 1 ELSE 0 END) * 2 >= an AS quiet
+        |  FROM aamp GROUP BY doc_id, an),
+        |ae AS (SELECT doc_id, (ai * 64) // an AS aw, SUM(amp * amp) AS energy
+        |  FROM aamp GROUP BY doc_id, (ai * 64) // an),
+        |ab AS (SELECT x.doc_id, x.aw,
+        |    CASE WHEN y.energy > x.energy THEN 1 ELSE 0 END AS bit
+        |  FROM ae x JOIN ae y ON y.doc_id = x.doc_id AND y.aw = x.aw + 1
+        |  WHERE x.aw < 63),
+        |ah AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << aw) AS BIGINT) AS ehash
+        |  FROM ab GROUP BY doc_id),
+        |apairs AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.ehash, b.ehash)) <= 6),
+        |aedges AS (SELECT src, dst FROM apairs UNION ALL SELECT dst, src FROM apairs),
+        |awalk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst AS node, w.label FROM awalk w JOIN aedges e ON e.src = w.node),
+        |alab AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+        |  FROM awalk GROUP BY node),
+        |vd AS (
+        |  SELECT doc_id, doc_id % 4 = 0 AS junk, 6 + doc_id % 7 AS vn,
+        |    CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 8 + doc_id % 9 END AS vw,
+        |    CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 8 + doc_id % 7 END AS vh
+        |  FROM documents),
+        |vf AS (SELECT doc_id, junk, vn, vw, vh, unnest(range(0, vn)) AS fr FROM vd),
+        |vsc AS (SELECT doc_id, junk, vn, vw, vh, fr, fr // 3 AS scene FROM vf),
+        |vjs AS (SELECT doc_id, junk, scene, fr, vw, vh, unnest(range(0, 7)) AS j FROM vsc),
+        |vg0 AS (SELECT doc_id, junk, scene, fr, vw, vh, j, unnest(range(0, 10)) AS i FROM vjs),
+        |vgrid AS (SELECT doc_id, junk, scene, fr, j, i,
+        |  ((2*i+1)*vw) // 20 AS x, ((2*j+1)*vh) // 14 AS y FROM vg0),
+        |vlum AS (SELECT doc_id, fr, j, i,
+        |  CASE WHEN junk THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * ((doc_id*7 + scene*97 + x*37 + y*59 + x*y*13) % 256)
+        |      + 587 * ((doc_id*11 + scene*89 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((doc_id*13 + scene*83 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM vgrid),
+        |vbits AS (SELECT a.doc_id, a.fr, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM vlum a JOIN vlum b ON b.doc_id = a.doc_id AND b.fr = a.fr
+        |    AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |vhsh AS (SELECT doc_id, fr,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM vbits GROUP BY doc_id, fr),
+        |vstat AS (SELECT vd.doc_id,
+        |    (SELECT COUNT(DISTINCT dhash) FROM vhsh
+        |     WHERE vhsh.doc_id = vd.doc_id) = 1 AS is_static
+        |  FROM vd),
+        |vsl AS (SELECT doc_id, vn, unnest(range(0, 4)) AS sj FROM vd),
+        |vsig AS (SELECT vsl.doc_id, vsl.sj, h2.dhash
+        |  FROM vsl JOIN vhsh h2 ON h2.doc_id = vsl.doc_id
+        |    AND h2.fr = (vsl.sj * vsl.vn) // 4),
+        |vpairs AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM vsig a JOIN vsig b ON b.doc_id > a.doc_id AND b.sj = a.sj
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING SUM(bit_count(xor(a.dhash, b.dhash))) <= 3),
+        |vedges AS (SELECT src, dst FROM vpairs UNION ALL SELECT dst, src FROM vpairs),
+        |vwalk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst AS node, w.label FROM vwalk w JOIN vedges e ON e.src = w.node),
+        |vlab AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+        |  FROM vwalk GROUP BY node),
+        |tok AS (
+        |  SELECT t.doc_id,
+        |    CAST(len(list_filter(string_split(t.text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens,
+        |    list_sum(list_transform(list_filter(string_split(t.text, ' '), x -> x <> ''),
+        |      x -> (((('0x' || substr(md5(x || chr(1) || '0'), 1, 15))::BIGINT % 1024)
+        |        * 2654435761) % 1997) - 998) ) AS sum_milli
+        |  FROM txt t)
+        |SELECT c.doc_id,
+        |  c.doc_id > u.url_min AS url_dup,
+        |  t2.doc_id > tm.text_min AS text_dup,
+        |  l.cluster_id < c.doc_id AS image_dup,
+        |  fd.flat_image,
+        |  al.cluster_id < c.doc_id AS audio_dup,
+        |  aqt.quiet AS quiet_audio,
+        |  vl.cluster_id < c.doc_id AS video_dup,
+        |  vst.is_static AS static_video,
+        |  COALESCE(k.n_tokens > 0 AND k.sum_milli >= 0, FALSE) AS quality_kept,
+        |  NOT (c.doc_id > u.url_min) AND NOT (t2.doc_id > tm.text_min)
+        |    AND NOT (l.cluster_id < c.doc_id) AND NOT fd.flat_image
+        |    AND NOT (al.cluster_id < c.doc_id) AND NOT aqt.quiet
+        |    AND NOT (vl.cluster_id < c.doc_id) AND NOT vst.is_static
+        |    AND COALESCE(k.n_tokens > 0 AND k.sum_milli >= 0, FALSE) AS keep
+        |FROM canon c
+        |JOIN umin u USING (canonical_url)
+        |JOIN txt t2 ON t2.doc_id = c.doc_id
+        |JOIN tmin tm ON tm.text = t2.text
+        |JOIN lab l ON l.doc_id = c.doc_id
+        |JOIN flatdoc fd ON fd.doc_id = c.doc_id
+        |JOIN alab al ON al.doc_id = c.doc_id
+        |JOIN aquiet aqt ON aqt.doc_id = c.doc_id
+        |JOIN vlab vl ON vl.doc_id = c.doc_id
+        |JOIN vstat vst ON vst.doc_id = c.doc_id
         |JOIN tok k ON k.doc_id = c.doc_id
         |ORDER BY c.doc_id""".stripMargin,
     // cross-modal composition: the q_url_dedup canonicalization chain

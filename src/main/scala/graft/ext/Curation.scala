@@ -243,6 +243,79 @@ object Curation {
     Dedup.scopeCaches(out, stats, verdicts)
   }
 
+  /** The FULL-modality curation audit — [[curationReport]] extended to
+    * every payload class a multimodal corpus carries: one wide row per
+    * document with
+    *
+    *   - `url_dup` / `text_dup`      (the cross-modal text signals),
+    *   - `image_dup` / `flat_image`  (perceptual dHash cluster + junk gate),
+    *   - `audio_dup` / `quiet_audio` (eHash cluster + near-silence gate),
+    *   - `video_dup` / `static_video`(slot-signature cluster + frozen-clip gate),
+    *   - `quality_kept`, and the final `keep` conjunction,
+    *
+    * so any document's exclusion is explainable from the flags alone in
+    * ANY modality. The decode discipline is the point at 100 TB: each
+    * modality's corpus is decoded EXACTLY ONCE — the fused stages
+    * ([[Multimodal.imageStatsDhash]], [[Multimodal.audioStatsEhash]],
+    * [[Multimodal.videoStatsPhash]]) emit the junk-gate stats AND the
+    * dedup fingerprints from one codec pass, and the cluster paths band
+    * precomputed hashes (`...FromHashes`). Documents missing a modality
+    * keep NULL-free flags (left joins, absent ⇒ not dup / not junk).
+    * Every flag is its standalone operator's arithmetic ⇒ the
+    * COMPOSITION is oracle-matched (`q_media_curation_report`).
+    */
+  def mediaCurationReport(spark: org.apache.spark.sql.SparkSession,
+                          documents: DataFrame, images: DataFrame,
+                          audios: DataFrame, videos: DataFrame,
+                          urlCol: String = "url", maxHamming: Int = 6,
+                          k: Int = 4, maxTotalHamming: Int = 3,
+                          maxBandBucket: Int = -1): DataFrame = {
+    val istats = Multimodal.imageStatsDhash(spark, images).persist()
+    val iclusters = Multimodal.imageClustersFromHashes(
+      istats.select("doc_id", "dhash"), maxHamming, maxBandBucket)
+    val verdicts = crossModalVerdicts(documents, iclusters, urlCol).drop("keep")
+    val astats = Multimodal.audioStatsEhash(spark, audios).persist()
+    val aclusters = Multimodal.audioClustersFromHashes(
+      astats.select("doc_id", "ehash"), maxHamming, maxBandBucket)
+      .select(col("doc_id"), col("cluster_id").as("audio_cluster"))
+    val vstats = Multimodal.videoStatsPhash(spark, videos, k).persist()
+    val vslots = vstats.select(col("doc_id"), posexplode(col("sig")))
+      .toDF("doc_id", "slot", "dhash")
+    val vclusters = Multimodal.videoClustersFromSlotHashes(vslots, k,
+      maxTotalHamming, maxBandBucket)
+      .select(col("doc_id"), col("cluster_id").as("video_cluster"))
+    val qual = TextOps.classifierQualityScore(documents)
+      .select(col("doc_id"), (col("kept") === 1).as("quality_kept"))
+    val out = verdicts
+      .join(istats.select(col("doc_id"), col("is_flat").as("flat_image")),
+        Seq("doc_id"), "left")
+      .join(aclusters, Seq("doc_id"), "left")
+      .join(astats.select(col("doc_id"), col("is_quiet").as("quiet_audio")),
+        Seq("doc_id"), "left")
+      .join(vclusters, Seq("doc_id"), "left")
+      .join(vstats.select(col("doc_id"), col("is_static").as("static_video")),
+        Seq("doc_id"), "left")
+      // zero-token docs have no classifier row: not kept
+      .join(qual, Seq("doc_id"), "left")
+      .withColumn("flat_image", coalesce(col("flat_image"), lit(false)))
+      .withColumn("audio_dup",
+        coalesce(col("audio_cluster") < col("doc_id"), lit(false)))
+      .withColumn("quiet_audio", coalesce(col("quiet_audio"), lit(false)))
+      .withColumn("video_dup",
+        coalesce(col("video_cluster") < col("doc_id"), lit(false)))
+      .withColumn("static_video", coalesce(col("static_video"), lit(false)))
+      .withColumn("quality_kept", coalesce(col("quality_kept"), lit(false)))
+      .withColumn("keep",
+        !col("url_dup") && !col("text_dup") && !col("image_dup") &&
+        !col("flat_image") && !col("audio_dup") && !col("quiet_audio") &&
+        !col("video_dup") && !col("static_video") && col("quality_kept"))
+      .select(col("doc_id"), col("url_dup"), col("text_dup"), col("image_dup"),
+        col("flat_image"), col("audio_dup"), col("quiet_audio"),
+        col("video_dup"), col("static_video"), col("quality_kept"), col("keep"))
+      .orderBy("doc_id")
+    Dedup.scopeCaches(out, istats, astats, vstats, verdicts)
+  }
+
   /** Cross-modal duplicate verdicts: one row per document combining
     * three INDEPENDENT dedup signals a multimodal corpus needs —
     *

@@ -462,8 +462,19 @@ object Multimodal {
     * modality; propagation runs over pair-participating clips only.
     */
   def audioClusters(spark: SparkSession, media: DataFrame,
-                    maxHamming: Int = 6, maxBandBucket: Int = -1): DataFrame = {
-    val pairs = audioNearDup(spark, media, maxHamming, maxBandBucket)
+                    maxHamming: Int = 6, maxBandBucket: Int = -1): DataFrame =
+    audioClustersFromHashes(audioEhash(spark, media), maxHamming, maxBandBucket)
+
+  /** [[audioClusters]] over PRECOMPUTED `(doc_id, ehash)` fingerprints —
+    * the decode-free core, for callers sharing one decode stage across
+    * the near-dup path and the quality gate ([[audioStatsEhash]]).
+    */
+  private[graft] def audioClustersFromHashes(fp: DataFrame, maxHamming: Int = 6,
+                                             maxBandBucket: Int = -1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 63,
+      s"maxHamming must be in [0, 63): $maxHamming")
+    val pairs = graft.ext.Dedup.bandedHammingPairs(
+      fp.select(col("doc_id"), col("ehash")), "ehash", 63, maxHamming, maxBandBucket)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val pairNodes = edges.select(col("src").as("doc_id"))
       .unionByName(edges.select(col("dst").as("doc_id"))).distinct()
@@ -922,6 +933,47 @@ object Multimodal {
         "n_clipped", "n_silent", "is_clipped", "is_quiet")
   }
 
+  /** ONE decode pass, every per-clip signal — the audio member of the
+    * fused-stage family ([[imageStatsDhash]], [[videoStatsPhash]]): the
+    * junk-gate amplitude stats ([[audioQualityStats]]' columns) AND the
+    * 63-bit eHash fingerprint from the same decoded PCM. The WAV codec
+    * runs once; both the quality gate and the near-dup path read this
+    * stage, so a composition needing both never decodes the clip
+    * corpus twice. One narrow `mapPartitions`; all-integer outputs ⇒
+    * DuckDB-oracle-matched (`q_audio_stats_ehash`).
+    */
+  def audioStatsEhash(spark: SparkSession, media: DataFrame,
+                      clipThreshold: Int = 1000,
+                      silenceThreshold: Int = 50): DataFrame = {
+    import spark.implicits._
+    require(clipThreshold > 0 && silenceThreshold >= 0,
+      s"bad thresholds: clip=$clipThreshold silence=$silenceThreshold")
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, wav) =>
+          val (_, samples) = WavCodec.decode(wav)
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          var sumAbs = 0L; var clipped = 0L; var silent = 0L
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toInt
+            val a = math.abs(v)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            sumAbs += a
+            if (a >= clipThreshold) clipped += 1
+            if (a <= silenceThreshold) silent += 1
+            i += 1
+          }
+          val n = samples.length.toLong
+          (id, n, mn, mx, sumAbs, clipped, silent, clipped > 0,
+            silent * 2 >= n, ehashOf(samples))
+        }
+      }
+      .toDF("doc_id", "n_samples", "min_amp", "max_amp", "sum_abs",
+        "n_clipped", "n_silent", "is_clipped", "is_quiet", "ehash")
+  }
+
   /** REAL video container tier — GVID, a motion-PNG container defined
     * by this engine (magic + fps + frame count + length-prefixed PNG
     * frames): the container parsing is real binary-format work (offset
@@ -1271,6 +1323,65 @@ object Multimodal {
         "n_distinct_hashes", "is_static", "is_flat")
   }
 
+  /** ONE decode pass, every per-video signal — the video member of the
+    * fused-stage family ([[imageStatsDhash]], [[audioStatsEhash]]): the
+    * junk-gate frame stats ([[videoQualityStats]]' columns) AND the
+    * k-slot perceptual signature ([[videoPhash]]'s hashes) from the
+    * same full decode. The gate needs every frame decoded anyway, so
+    * the slot signature is FREE here — slot j's hash is just the
+    * already-computed dHash of frame ⌊j·n/k⌋; a composition that runs
+    * both the junk gate and near-dup must use this stage, never the
+    * gate plus a second selective-decode pass. Zero-frame videos get an
+    * empty `sig` (the near-dup consumers see no slot rows — exactly
+    * [[videoPhash]]'s behavior). One narrow `mapPartitions`;
+    * all-integer outputs ⇒ DuckDB-oracle-matched
+    * (`q_video_stats_phash`).
+    */
+  def videoStatsPhash(spark: SparkSession, media: DataFrame, k: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive: $k")
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, gvid) =>
+          val (fps, frames) = VideoCodec.decode(gvid)
+          var flatFrames = 0
+          val hashes = new java.util.HashSet[Long]()
+          val frameHash = new Array[Long](frames.length)
+          var fi = 0
+          frames.foreach { png =>
+            // ONE decode serves all three signals (flatness scan, the
+            // distinct-hash census, the slot signature)
+            val img = PngCodec.decode(png)
+            val w = img.getWidth; val h = img.getHeight
+            val seen = new java.util.HashSet[Long]()
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                seen.add(299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
+                  114L * (p & 0xFF))
+                x += 1
+              }
+              y += 1
+            }
+            if (seen.size == 1) flatFrames += 1
+            val dh = dhashOfImage(img)
+            hashes.add(dh)
+            frameHash(fi) = dh
+            fi += 1
+          }
+          val n = frames.length
+          val sig = if (n == 0) Seq.empty[Long]
+            else (0 until k).map(j => frameHash(j * n / k))
+          (id, n, fps, flatFrames, hashes.size,
+            n > 0 && hashes.size == 1, n > 0 && flatFrames == n, sig)
+        }
+      }
+      .toDF("doc_id", "n_frames", "fps", "n_flat_frames",
+        "n_distinct_hashes", "is_static", "is_flat", "sig")
+  }
+
   /** Synthetic GVID table with PLANTED junk: every 4th video is a
     * STATIC FLAT clip (all frames one constant color — the all-black
     * upload; color varies per doc so the degeneracy is structural);
@@ -1336,10 +1447,23 @@ object Multimodal {
     */
   private def videoNearDupImpl(spark: SparkSession, media: DataFrame, k: Int,
                                maxTotalHamming: Int, maxBandBucket: Int,
-                               ordered: Boolean): DataFrame = {
+                               ordered: Boolean): DataFrame =
+    videoNearDupFromSlotHashes(videoPhash(spark, media, k), k,
+      maxTotalHamming, maxBandBucket, ordered)
+
+  /** The slot-banded pair join over PRECOMPUTED `(doc_id, slot, dhash)`
+    * rows — the decode-free core of [[videoNearDup]], for callers that
+    * already hold the slot signatures (the fused [[videoStatsPhash]]
+    * stage, a stored signature table). Same pigeonhole rule and
+    * safe-by-default heavy-bucket cap.
+    */
+  private[graft] def videoNearDupFromSlotHashes(sigIn: DataFrame, k: Int,
+                                                maxTotalHamming: Int,
+                                                maxBandBucket: Int,
+                                                ordered: Boolean): DataFrame = {
     require(maxTotalHamming >= 0 && maxTotalHamming < k,
       s"pigeonhole banding needs maxTotalHamming in [0, k=$k): $maxTotalHamming")
-    val sig = videoPhash(spark, media, k)
+    val sig = sigIn
       .select(col("doc_id"), col("slot"), col("dhash")).cache()
     val cap: Long =
       if (maxBandBucket > 0) maxBandBucket.toLong
@@ -1382,8 +1506,18 @@ object Multimodal {
     */
   def videoClusters(spark: SparkSession, media: DataFrame, k: Int = 4,
                     maxTotalHamming: Int = 3,
-                    maxBandBucket: Int = -1): DataFrame = {
-    val pairs = videoNearDupImpl(spark, media, k, maxTotalHamming,
+                    maxBandBucket: Int = -1): DataFrame =
+    videoClustersFromSlotHashes(videoPhash(spark, media, k), k,
+      maxTotalHamming, maxBandBucket)
+
+  /** [[videoClusters]] over PRECOMPUTED `(doc_id, slot, dhash)` rows —
+    * the decode-free core, for callers sharing one decode stage across
+    * the near-dup path and the quality gate ([[videoStatsPhash]]).
+    */
+  private[graft] def videoClustersFromSlotHashes(sig: DataFrame, k: Int = 4,
+                                                 maxTotalHamming: Int = 3,
+                                                 maxBandBucket: Int = -1): DataFrame = {
+    val pairs = videoNearDupFromSlotHashes(sig, k, maxTotalHamming,
       maxBandBucket, ordered = false)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val pairNodes = edges.select(col("src").as("doc_id"))

@@ -160,4 +160,43 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert(imageDup === imgLabels.get(id).exists(_ < id), s"doc $id vs imageClusters")
     }
   }
+
+  test("mediaCurationReport: every modality's gates and dedup classes land in their flags") {
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = TextOps.withSyntheticDupText(WebOps.withSyntheticMessyUrl(base))
+    val images = Multimodal.syntheticPngSkewed(spark, base)
+    val audios = Multimodal.syntheticWavSkewed(spark, base)
+    val videos = Multimodal.syntheticVideoJunk(spark, base)
+    val rows = Curation.mediaCurationReport(spark, d, images, audios, videos)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 10).map(r.getBoolean).toVector).toMap
+    assert(rows.size === base.count())
+    rows.foreach { case (id, flags) =>
+      val Vector(urlDup, textDup, _, flatImage, _, quietAudio,
+        _, staticVideo, qualityKept, keep) = flags
+      assert(urlDup === (id >= 100), s"doc $id url_dup")
+      assert(textDup === (id % 7 == 3 && id >= 1), s"doc $id text_dup")
+      // the three junk gates share the %4 fixture rule — a doc whose
+      // image is flat also carries silent audio and a static video
+      assert(flatImage === (id % 4 == 0), s"doc $id flat_image")
+      assert(quietAudio === (id % 4 == 0), s"doc $id quiet_audio")
+      assert(staticVideo === (id % 4 == 0), s"doc $id static_video")
+      assert(keep === (flags.slice(0, 8).forall(!_) && qualityKept),
+        s"doc $id keep conjunction")
+    }
+    // the dedup flags agree with the standalone cluster operators
+    val imgLabels = Multimodal.imageClusters(spark, images).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val audLabels = Multimodal.audioClusters(spark, audios).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val vidLabels = Multimodal.videoClusters(spark, videos).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    rows.foreach { case (id, flags) =>
+      assert(flags(2) === imgLabels.get(id).exists(_ < id), s"doc $id image_dup")
+      assert(flags(4) === audLabels.get(id).exists(_ < id), s"doc $id audio_dup")
+      assert(flags(6) === vidLabels.get(id).exists(_ < id), s"doc $id video_dup")
+    }
+    // informative on this bed: both keep values occur
+    assert(rows.values.exists(_.last) && rows.values.exists(!_.last))
+  }
 }

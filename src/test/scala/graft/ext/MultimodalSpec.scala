@@ -393,6 +393,54 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"fused scan must not shuffle:\n$plan")
   }
 
+  test("audioStatsEhash: fused one-decode stage equals quality-stats join ehash; narrow") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.syntheticWavSkewed(spark, docs)
+    val fused = Multimodal.audioStatsEhash(spark, media)
+    val expected = Multimodal.audioQualityStats(spark, media)
+      .join(Multimodal.audioEhash(spark, media), "doc_id")
+    assert(fused.collect().map(_.toSeq).toSet ===
+      expected.select(fused.columns.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq).toSet)
+    // silent clips (all-zero PCM): every window energy 0 => eHash 0 and
+    // quiet — the degenerate mass the banding cap guards against
+    fused.collect().foreach { r =>
+      if (r.getLong(0) % 4 == 0) {
+        assert(r.getBoolean(8), s"doc ${r.getLong(0)} quiet")
+        assert(r.getLong(9) === 0L, s"doc ${r.getLong(0)} ehash")
+      }
+    }
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fused scan must not shuffle:\n$plan")
+  }
+
+  test("videoStatsPhash: fused full-decode stage equals quality join phash sig; zero-frame safe") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.syntheticVideoJunk(spark, docs)
+    val fused = Multimodal.videoStatsPhash(spark, media)
+    val qual = Multimodal.videoQualityStats(spark, media)
+    assert(fused.drop("sig").collect().map(_.toSeq).toSet ===
+      qual.select(fused.drop("sig").columns.map(col): _*)
+        .collect().map(_.toSeq).toSet)
+    // the sig array IS videoPhash's slot hashes, read off the same decode
+    val slots = fused.select(col("doc_id"),
+        org.apache.spark.sql.functions.posexplode(col("sig")))
+      .toDF("doc_id", "slot", "dhash")
+    val phash = Multimodal.videoPhash(spark, media)
+      .select("doc_id", "slot", "dhash")
+    assert(slots.collect().map(_.toSeq).toSet === phash.collect().map(_.toSeq).toSet)
+    // zero-frame container => empty sig, no slot rows (mirrors videoPhash)
+    import spark.implicits._
+    val empty = Seq((999L, Multimodal.VideoCodec.encode(12, Seq.empty)))
+      .toDF("doc_id", "payload")
+    val er = Multimodal.videoStatsPhash(spark, empty)
+      .filter(expr("size(sig) = 0")).count()
+    assert(er === 1L)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fused scan must not shuffle:\n$plan")
+  }
+
   test("audioQualityStats: counts match a plain-Scala replay of the decoded samples") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.syntheticWavClusters(spark, docs)
