@@ -564,11 +564,24 @@ object Dedup {
     */
   private[ext] def bandedHammingPairs(fp0: DataFrame, fpCol: String, bits: Int,
                                       maxHamming: Int, maxBandBucket: Int): DataFrame = {
+    val fp = fp0.cache()
+    val result = bandedHammingPairsLazy(fp, fpCol, bits, maxHamming, maxBandBucket)
+      .orderBy("doc_a", "doc_b")
+    scopeCaches(result, fp)
+  }
+
+  /** The LAZY core of [[bandedHammingPairs]]: assumes `fp` is already
+    * cached by the caller and returns the unordered pair frame without
+    * materializing anything — for composed consumers (the cluster
+    * cores) that fold the pairs into a larger pipeline and must not pay
+    * an extra count-and-sort job per sub-step.
+    */
+  private[graft] def bandedHammingPairsLazy(fp: DataFrame, fpCol: String, bits: Int,
+                                            maxHamming: Int, maxBandBucket: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, $bits): $maxHamming")
     val nb = maxHamming + 1
     val bounds = (0 to nb).map(i => i * bits / nb)
-    val fp = fp0.cache()
     val cap: Long =
       if (maxBandBucket > 0) maxBandBucket.toLong
       else if (maxBandBucket == 0) 0L
@@ -593,7 +606,7 @@ object Dedup {
         .select("band_idx", "band_val")
       allBands.join(heavy, Seq("band_idx", "band_val"), "left_anti")
     }
-    val result = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -601,8 +614,6 @@ object Dedup {
         bit_count(col(s"x.$fpCol").bitwiseXOR(col(s"y.$fpCol"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
-    scopeCaches(result, fp)
   }
 
   /** Incremental twin of [[bandedHammingPairs]]: a NEW batch of

@@ -468,23 +468,17 @@ object Multimodal {
   /** [[audioClusters]] over PRECOMPUTED `(doc_id, ehash)` fingerprints —
     * the decode-free core, for callers sharing one decode stage across
     * the near-dup path and the quality gate ([[audioStatsEhash]]).
+    * Identical eHashes collapse to a star around the min-id rep before
+    * the banded join (see [[imageClustersFromHashes]]) — M silent clips
+    * cost M−1 edges, not an M²/2 clique, guard on or off.
     */
   private[graft] def audioClustersFromHashes(fp: DataFrame, maxHamming: Int = 6,
                                              maxBandBucket: Int = -1): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 63,
       s"maxHamming must be in [0, 63): $maxHamming")
-    val pairs = graft.ext.Dedup.bandedHammingPairs(
-      fp.select(col("doc_id"), col("ehash")), "ehash", 63, maxHamming, maxBandBucket)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val pairNodes = edges.select(col("src").as("doc_id"))
-      .unionByName(edges.select(col("dst").as("doc_id"))).distinct()
-    val labels = graft.ext.Dedup.connectedComponents(edges, pairNodes)
-    pairs.unpersist(false)
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .filter(col("cluster_size") > 1)
-      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
-      .orderBy("doc_id")
+    hashGroupClusters(fp.select(col("doc_id"), col("ehash")), "ehash",
+      groups => graft.ext.Dedup.bandedHammingPairsLazy(
+        groups, "ehash", 63, maxHamming, maxBandBucket))
   }
 
   /** Synthetic WAV table with PLANTED perceptual duplicates — the audio
@@ -751,21 +745,58 @@ object Multimodal {
   /** [[imageClusters]] over PRECOMPUTED `(doc_id, dhash)` fingerprints —
     * the decode-free core, for callers sharing one decode stage across
     * the near-dup path and the quality gate ([[imageStatsDhash]]).
+    *
+    * IDENTICAL fingerprints are collapsed BEFORE the banded join: docs
+    * sharing a hash are Hamming-0 duplicates by definition, so they
+    * enter the component graph as a linear star around their min-id
+    * representative, and the quadratic banded join runs over DISTINCT
+    * hashes only. Cluster labels are provably unchanged (every member
+    * connects to its rep; reps carry all cross-hash connectivity, which
+    * depends only on the hash), but an identical-content mass of M docs
+    * — the most common degeneracy in a real corpus, and exactly what a
+    * flat-image fraction produces — costs M−1 edges instead of an
+    * M²/2 clique. This makes the CLUSTER path linear in degenerate mass
+    * even with the band-bucket guard off (the oracle configuration);
+    * the cap still guards many-DISTINCT-hashes-per-bucket skew.
     */
   private[graft] def imageClustersFromHashes(fp: DataFrame, maxHamming: Int = 6,
                                              maxBandBucket: Int = -1): DataFrame = {
-    val pairs = imageNearDupFromHashes(fp, maxHamming,
-      maxBandBucket, ordered = false)
+    require(maxHamming >= 0 && maxHamming < 63,
+      s"maxHamming must be in [0, 63): $maxHamming")
+    hashGroupClusters(fp.select(col("doc_id"), col("dhash")), "dhash",
+      groups => graft.ext.Dedup.bandedHammingPairsLazy(
+        groups, "dhash", 63, maxHamming, maxBandBucket))
+  }
+
+  /** The shared collapse-then-cluster core: group identical fingerprints
+    * (star edges to the min-id rep), run the LAZY `repPairsOf` banding
+    * over the distinct-fingerprint table, connected components over
+    * star ∪ rep edges. One materialization (the edge union) feeds the
+    * component loop; the component machinery seeds its vertex set from
+    * edge endpoints itself, so no separate node table is built.
+    */
+  private def hashGroupClusters(fp: DataFrame, hashCol: String,
+                                repPairsOf: DataFrame => DataFrame): DataFrame = {
+    val f = fp.cache()
+    val groups = f.groupBy(hashCol).agg(min(col("doc_id")).as("doc_id")).cache()
+    val pairs = repPairsOf(groups)
+    val memberEdges = f.join(groups.withColumnRenamed("doc_id", "rep"), hashCol)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("src"), col("doc_id").as("dst"))
+    // materialize the edge union ONCE while f/groups are hot — the
+    // component loop's repeated actions must read a cached table, not
+    // re-run the banding and member joins
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val pairNodes = edges.select(col("src").as("doc_id"))
-      .unionByName(edges.select(col("dst").as("doc_id"))).distinct()
-    val labels = graft.ext.Dedup.connectedComponents(edges, pairNodes)
-    pairs.unpersist(false)
+      .unionByName(memberEdges).persist()
+    edges.count()
+    val noNodes = edges.select(col("src").as("doc_id")).limit(0)
+    val labels = graft.ext.Dedup.connectedComponents(edges, noNodes)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
+    val out = labels.join(sizes, "label")
       .filter(col("cluster_size") > 1)
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
+    graft.ext.Dedup.scopeCaches(out, f, groups, edges)
   }
 
   /** [[syntheticPngClusters]] with a PLANTED DEGENERATE fraction: every
@@ -1461,10 +1492,22 @@ object Multimodal {
                                                 maxTotalHamming: Int,
                                                 maxBandBucket: Int,
                                                 ordered: Boolean): DataFrame = {
+    val sig = sigIn.select(col("doc_id"), col("slot"), col("dhash")).cache()
+    val verified = videoSlotPairsLazy(sig, k, maxTotalHamming, maxBandBucket)
+    val result = if (ordered) verified.orderBy("doc_a", "doc_b") else verified
+    graft.ext.Dedup.scopeCaches(result, sig)
+  }
+
+  /** The LAZY core of the slot-banded pair join: assumes `sig` is
+    * already cached by the caller, returns the unordered verified pair
+    * frame without materializing — for composed consumers (the cluster
+    * core) that must not pay an extra job per sub-step.
+    */
+  private def videoSlotPairsLazy(sig: DataFrame, k: Int,
+                                 maxTotalHamming: Int,
+                                 maxBandBucket: Int): DataFrame = {
     require(maxTotalHamming >= 0 && maxTotalHamming < k,
       s"pigeonhole banding needs maxTotalHamming in [0, k=$k): $maxTotalHamming")
-    val sig = sigIn
-      .select(col("doc_id"), col("slot"), col("dhash")).cache()
     val cap: Long =
       if (maxBandBucket > 0) maxBandBucket.toLong
       else if (maxBandBucket == 0) 0L
@@ -1494,8 +1537,7 @@ object Multimodal {
       .agg(sum(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))))
         .cast("int").as("total_hamming"))
       .filter(col("total_hamming") <= maxTotalHamming)
-    val result = if (ordered) verified.orderBy("doc_a", "doc_b") else verified
-    graft.ext.Dedup.scopeCaches(result, sig)
+    verified
   }
 
   /** Perceptual duplicate-video clusters: connected components over the
@@ -1513,22 +1555,39 @@ object Multimodal {
   /** [[videoClusters]] over PRECOMPUTED `(doc_id, slot, dhash)` rows —
     * the decode-free core, for callers sharing one decode stage across
     * the near-dup path and the quality gate ([[videoStatsPhash]]).
+    * Identical FULL signatures (every slot hash equal — total Hamming 0
+    * by definition) collapse to a star around the min-id rep before the
+    * slot-banded join (see [[imageClustersFromHashes]]): M copies of
+    * one video cost M−1 edges, not an M²/2 clique of 4-slot verify
+    * joins.
     */
   private[graft] def videoClustersFromSlotHashes(sig: DataFrame, k: Int = 4,
                                                  maxTotalHamming: Int = 3,
                                                  maxBandBucket: Int = -1): DataFrame = {
-    val pairs = videoNearDupFromSlotHashes(sig, k, maxTotalHamming,
-      maxBandBucket, ordered = false)
+    val sigArr = sig.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("slot"), col("dhash"))))
+        .as("pairs")).cache()
+    val groups = sigArr.groupBy("pairs").agg(min(col("doc_id")).as("doc_id")).cache()
+    val repSlots = groups.select(col("doc_id"), explode(col("pairs")).as("p"))
+      .select(col("doc_id"), col("p.slot").as("slot"), col("p.dhash").as("dhash"))
+    val pairs = videoSlotPairsLazy(repSlots, k, maxTotalHamming, maxBandBucket)
+    val memberEdges = sigArr.join(groups.withColumnRenamed("doc_id", "rep"), "pairs")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("src"), col("doc_id").as("dst"))
+    // materialized once while the signature tables are hot; the
+    // component machinery seeds vertices from edge endpoints itself
+    // (see hashGroupClusters)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val pairNodes = edges.select(col("src").as("doc_id"))
-      .unionByName(edges.select(col("dst").as("doc_id"))).distinct()
-    val labels = graft.ext.Dedup.connectedComponents(edges, pairNodes)
-    pairs.unpersist(false)
+      .unionByName(memberEdges).persist()
+    edges.count()
+    val noNodes = edges.select(col("src").as("doc_id")).limit(0)
+    val labels = graft.ext.Dedup.connectedComponents(edges, noNodes)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
+    val out = labels.join(sizes, "label")
       .filter(col("cluster_size") > 1)
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
+    graft.ext.Dedup.scopeCaches(out, sigArr, groups, edges)
   }
 
   /** Incremental perceptual video dedup: a NEW batch of videos against
