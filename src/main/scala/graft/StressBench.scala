@@ -77,7 +77,7 @@ object StressBench {
     val corpusConsumers = Set("token_budget_twopass", "token_budget_window",
       "curriculum_twopass", "curriculum_window", "negative_samples_twopass",
       "negative_samples_window", "shard_manifest_export", "curation_funnel",
-      "multimodal_funnel")
+      "multimodal_funnel", "media_curation_report")
     if (only.forall(o => (o & corpusConsumers).nonEmpty)) { docsPq; () }
 
     val results = Seq(
@@ -336,6 +336,22 @@ object StressBench {
         val p = ext.Multimodal.videoNearDupIncremental(spark,
           media.filter(col("doc_id") % 5 === 0), stored, maxBandBucket = 0)
         val n = p.count(); p.unpersist(false); n
+      }),
+      // round-10: the FULL-modality audit at replication scale, on the
+      // PRODUCTION configuration (auto cap on): three fused decode
+      // stages + three collapse-then-cluster paths + the text verdicts
+      // over 50k docs per modality at x10 — the composition's scale
+      // evidence. The skewed/junk fixtures plant 25% identical-content
+      // mass per modality, which the identical-fingerprint collapse
+      // turns into linear star edges instead of M^2/2 cliques.
+      time("media_curation_report", {
+        val r = ext.Curation.mediaCurationReport(spark,
+          ext.TextOps.withSyntheticDupText(
+            ext.WebOps.withSyntheticCrawlUrl(docsPq)),
+          ext.Multimodal.syntheticPngSkewed(spark, docsPq),
+          ext.Multimodal.syntheticWavSkewed(spark, docsPq),
+          ext.Multimodal.syntheticVideoJunk(spark, docsPq))
+        val n = r.count(); r.unpersist(false); n
       }),
       // round-9: the composed curation funnel at replication scale —
       // replicated texts make exact-dedup collapse ×factor and the

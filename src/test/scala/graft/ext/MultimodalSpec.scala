@@ -441,6 +441,31 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"fused scan must not shuffle:\n$plan")
   }
 
+  test("cluster cores recover identical-content clusters even under the auto cap") {
+    import spark.implicits._
+    // 60 copies of ONE image: the banded join's zero-bucket would blow
+    // past the auto cap (and used to silently drop the cluster), but
+    // identical fingerprints now collapse to star edges BEFORE banding,
+    // so the cluster survives with the cap ON — linear in copies
+    val flat = Multimodal.PngCodec.encode(12, 12, (_, _) => 0x606060)
+    val media = (1L to 60L).map(id => (id, flat)).toDF("doc_id", "payload")
+    val clusters = Multimodal.imageClusters(spark, media).collect()
+    assert(clusters.length === 60, "every copy belongs to the cluster")
+    assert(clusters.forall(_.getAs[Long]("cluster_id") == 1L), "min-id label")
+    assert(clusters.forall(_.getAs[Long]("cluster_size") == 60L))
+    // audio twin: 60 silent clips share eHash 0
+    val wav = Multimodal.WavCodec.encode(8000f, new Array[Short](256))
+    val amedia = (1L to 60L).map(id => (id, wav)).toDF("doc_id", "payload")
+    val ac = Multimodal.audioClusters(spark, amedia).collect()
+    assert(ac.length === 60 && ac.forall(_.getAs[Long]("cluster_id") == 1L))
+    // video twin: 60 copies of one flat clip share the zero signature
+    val frame = Multimodal.PngCodec.encode(8, 8, (_, _) => 0x303030)
+    val gvid = Multimodal.VideoCodec.encode(12, Seq(frame, frame, frame, frame))
+    val vmedia = (1L to 60L).map(id => (id, gvid)).toDF("doc_id", "payload")
+    val vc = Multimodal.videoClusters(spark, vmedia).collect()
+    assert(vc.length === 60 && vc.forall(_.getAs[Long]("cluster_id") == 1L))
+  }
+
   test("audioQualityStats: counts match a plain-Scala replay of the decoded samples") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.syntheticWavClusters(spark, docs)
