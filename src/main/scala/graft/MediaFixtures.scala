@@ -71,7 +71,8 @@ object MediaFixtures {
     "q_curation_report" -> Seq("png_skewed"),
     "q_audio_stats_ehash" -> Seq("wav_skewed"),
     "q_video_stats_phash" -> Seq("video_junk"),
-    "q_media_curation_report" -> Seq("png_skewed", "wav_skewed", "video_junk"))
+    "q_media_curation_report" -> Seq("png_skewed", "wav_skewed", "video_junk"),
+    "q_media_ingest_audit" -> Seq("png_skewed", "wav_skewed", "video_junk"))
 
   /** Fingerprint of the current testdata generation: a cached fixture
     * is valid only for the documents file it was derived from.

@@ -561,7 +561,26 @@ object SparkEntry {
       MediaFixtures.table(s, d, "png_skewed"),
       MediaFixtures.table(s, d, "wav_skewed"),
       MediaFixtures.table(s, d, "video_junk"),
-      maxBandBucket = 0))
+      maxBandBucket = 0)),
+    // the DAILY-INGEST audit: per-NEW-doc verdicts against the stored
+    // fingerprint tables (stored payloads never re-decoded); stored =
+    // doc_id % 50 < 25, so half the planted cluster keys exist in the
+    // store (dup_stored) and half only within the batch (dup_new) —
+    // both flag values occur for every column
+    "q_media_ingest_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val stored = col("doc_id") % 50 < 25
+      val imgs = MediaFixtures.table(s, d, "png_skewed")
+      val auds = MediaFixtures.table(s, d, "wav_skewed")
+      val vids = MediaFixtures.table(s, d, "video_junk")
+      Curation.mediaIngestAudit(s,
+        imgs.filter(!stored), auds.filter(!stored), vids.filter(!stored),
+        Multimodal.imageDhash(s, imgs.filter(stored)),
+        Multimodal.audioEhash(s, auds.filter(stored)),
+        Multimodal.videoPhash(s, vids.filter(stored))
+          .select("doc_id", "slot", "dhash"),
+        maxBandBucket = 0)
+    })
   )
 
   /** The LSH bucketing is data-INDEPENDENT (seeded ±1 hyperplanes), so
@@ -3848,6 +3867,141 @@ object SparkEntry {
         |JOIN vstat vst ON vst.doc_id = c.doc_id
         |JOIN tok k ON k.doc_id = c.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+    // daily-ingest audit: EXISTS pair rules per modality (no component
+    // walk — the verdicts are per-NEW-doc, not transitive) over the
+    // same skewed/junk fingerprint replays; stored = doc_id % 50 < 25
+    "q_media_ingest_audit" ->
+      """WITH geo AS (
+        |  SELECT doc_id, doc_id % 4 = 0 AS flat,
+        |    doc_id % 50 AS key, doc_id // 50 AS bump,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 + (doc_id % 50) % 9 END AS w,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 + (doc_id % 50) % 7 END AS h
+        |  FROM documents),
+        |js AS (SELECT doc_id, flat, key, bump, w, h, unnest(range(0, 7)) AS j FROM geo),
+        |g0 AS (SELECT doc_id, flat, key, bump, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, flat, key, bump, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, j, i,
+        |  CASE WHEN flat THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * (CASE WHEN x = 0 AND y = 0
+        |        THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |        ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |      + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |hsh AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id),
+        |ips AS (SELECT DISTINCT n.doc_id FROM hsh n JOIN hsh o
+        |  ON n.doc_id % 50 >= 25 AND o.doc_id % 50 < 25
+        |  AND bit_count(xor(n.dhash, o.dhash)) <= 6),
+        |ipn AS (SELECT DISTINCT n.doc_id FROM hsh n JOIN hsh o
+        |  ON n.doc_id % 50 >= 25 AND o.doc_id % 50 >= 25 AND o.doc_id < n.doc_id
+        |  AND bit_count(xor(n.dhash, o.dhash)) <= 6),
+        |ad AS (SELECT doc_id, doc_id % 4 = 0 AS silent,
+        |    doc_id % 50 AS akey, doc_id // 50 AS abump FROM documents),
+        |ap AS (SELECT doc_id, silent, akey, abump,
+        |  CASE WHEN silent THEN 256 ELSE 200 + akey % 100 END AS an FROM ad),
+        |asamp AS (SELECT doc_id, silent, akey, abump, an,
+        |  unnest(range(0, an)) AS ai FROM ap),
+        |aamp AS (SELECT doc_id, an, ai,
+        |  CASE WHEN silent THEN 0
+        |    ELSE (akey * 31 + ai * 17) % 2003 - 1001
+        |      + CASE WHEN ai = 0 THEN abump ELSE 0 END END AS amp FROM asamp),
+        |aquiet AS (SELECT doc_id,
+        |  SUM(CASE WHEN ABS(amp) <= 50 THEN 1 ELSE 0 END) * 2 >= an AS quiet
+        |  FROM aamp GROUP BY doc_id, an),
+        |ae AS (SELECT doc_id, (ai * 64) // an AS aw, SUM(amp * amp) AS energy
+        |  FROM aamp GROUP BY doc_id, (ai * 64) // an),
+        |ab AS (SELECT x.doc_id, x.aw,
+        |    CASE WHEN y.energy > x.energy THEN 1 ELSE 0 END AS bit
+        |  FROM ae x JOIN ae y ON y.doc_id = x.doc_id AND y.aw = x.aw + 1
+        |  WHERE x.aw < 63),
+        |ah AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << aw) AS BIGINT) AS ehash
+        |  FROM ab GROUP BY doc_id),
+        |aps AS (SELECT DISTINCT n.doc_id FROM ah n JOIN ah o
+        |  ON n.doc_id % 50 >= 25 AND o.doc_id % 50 < 25
+        |  AND bit_count(xor(n.ehash, o.ehash)) <= 6),
+        |apn AS (SELECT DISTINCT n.doc_id FROM ah n JOIN ah o
+        |  ON n.doc_id % 50 >= 25 AND o.doc_id % 50 >= 25 AND o.doc_id < n.doc_id
+        |  AND bit_count(xor(n.ehash, o.ehash)) <= 6),
+        |vd AS (
+        |  SELECT doc_id, doc_id % 4 = 0 AS junk, 6 + doc_id % 7 AS vn,
+        |    CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 8 + doc_id % 9 END AS vw,
+        |    CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 8 + doc_id % 7 END AS vh
+        |  FROM documents),
+        |vf AS (SELECT doc_id, junk, vn, vw, vh, unnest(range(0, vn)) AS fr FROM vd),
+        |vsc AS (SELECT doc_id, junk, vn, vw, vh, fr, fr // 3 AS scene FROM vf),
+        |vjs AS (SELECT doc_id, junk, scene, fr, vw, vh, unnest(range(0, 7)) AS j FROM vsc),
+        |vg0 AS (SELECT doc_id, junk, scene, fr, vw, vh, j, unnest(range(0, 10)) AS i FROM vjs),
+        |vgrid AS (SELECT doc_id, junk, scene, fr, j, i,
+        |  ((2*i+1)*vw) // 20 AS x, ((2*j+1)*vh) // 14 AS y FROM vg0),
+        |vlum AS (SELECT doc_id, fr, j, i,
+        |  CASE WHEN junk THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * ((doc_id*7 + scene*97 + x*37 + y*59 + x*y*13) % 256)
+        |      + 587 * ((doc_id*11 + scene*89 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((doc_id*13 + scene*83 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM vgrid),
+        |vbits AS (SELECT a.doc_id, a.fr, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM vlum a JOIN vlum b ON b.doc_id = a.doc_id AND b.fr = a.fr
+        |    AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |vhsh AS (SELECT doc_id, fr,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM vbits GROUP BY doc_id, fr),
+        |vstat AS (SELECT vd.doc_id,
+        |    (SELECT COUNT(DISTINCT dhash) FROM vhsh
+        |     WHERE vhsh.doc_id = vd.doc_id) = 1 AS is_static
+        |  FROM vd),
+        |vsl AS (SELECT doc_id, vn, unnest(range(0, 4)) AS sj FROM vd),
+        |vsig AS (SELECT vsl.doc_id, vsl.sj, h2.dhash
+        |  FROM vsl JOIN vhsh h2 ON h2.doc_id = vsl.doc_id
+        |    AND h2.fr = (vsl.sj * vsl.vn) // 4),
+        |vps AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT a.doc_id, b.doc_id AS o
+        |  FROM vsig a JOIN vsig b ON a.sj = b.sj
+        |    AND a.doc_id % 50 >= 25 AND b.doc_id % 50 < 25
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING SUM(bit_count(xor(a.dhash, b.dhash))) <= 3)),
+        |vpn AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT a.doc_id, b.doc_id AS o
+        |  FROM vsig a JOIN vsig b ON a.sj = b.sj
+        |    AND a.doc_id % 50 >= 25 AND b.doc_id % 50 >= 25
+        |    AND b.doc_id < a.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING SUM(bit_count(xor(a.dhash, b.dhash))) <= 3))
+        |SELECT d.doc_id,
+        |  ips.doc_id IS NOT NULL AS image_dup_stored,
+        |  ipn.doc_id IS NOT NULL AS image_dup_new,
+        |  g.flat AS flat_image,
+        |  aps.doc_id IS NOT NULL AS audio_dup_stored,
+        |  apn.doc_id IS NOT NULL AS audio_dup_new,
+        |  aq.quiet AS quiet_audio,
+        |  vps.doc_id IS NOT NULL AS video_dup_stored,
+        |  vpn.doc_id IS NOT NULL AS video_dup_new,
+        |  vst.is_static AS static_video,
+        |  ips.doc_id IS NULL AND ipn.doc_id IS NULL AND NOT g.flat
+        |    AND aps.doc_id IS NULL AND apn.doc_id IS NULL AND NOT aq.quiet
+        |    AND vps.doc_id IS NULL AND vpn.doc_id IS NULL AND NOT vst.is_static
+        |    AS keep
+        |FROM documents d
+        |JOIN geo g ON g.doc_id = d.doc_id
+        |JOIN aquiet aq ON aq.doc_id = d.doc_id
+        |JOIN vstat vst ON vst.doc_id = d.doc_id
+        |LEFT JOIN ips ON ips.doc_id = d.doc_id
+        |LEFT JOIN ipn ON ipn.doc_id = d.doc_id
+        |LEFT JOIN aps ON aps.doc_id = d.doc_id
+        |LEFT JOIN apn ON apn.doc_id = d.doc_id
+        |LEFT JOIN vps ON vps.doc_id = d.doc_id
+        |LEFT JOIN vpn ON vpn.doc_id = d.doc_id
+        |WHERE d.doc_id % 50 >= 25
+        |ORDER BY d.doc_id""".stripMargin,
     // cross-modal composition: the q_url_dedup canonicalization chain
     // (messy-URL fixture), the planted dup-text donor join, and the
     // q_image_clusters dHash + recursive component walk, disjoined into

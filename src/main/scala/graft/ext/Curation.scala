@@ -316,6 +316,88 @@ object Curation {
     Dedup.scopeCaches(out, istats, astats, vstats, verdicts)
   }
 
+  /** The DAILY-INGEST audit — [[mediaCurationReport]]'s incremental
+    * twin, the artifact the production regime actually emits every day:
+    * one wide row per document of TODAY'S batch with, per modality,
+    *
+    *   - `<m>_dup_stored`: duplicates content already in the corpus
+    *     (the new copy should be dropped — the exemplar is ingested);
+    *   - `<m>_dup_new`: duplicates a lower-id document of the same
+    *     batch (in-batch dedup, min-id wins);
+    *   - the junk gate (`flat_image` / `quiet_audio` / `static_video`);
+    *   - and the final `keep` conjunction.
+    *
+    * Yesterday's corpus contributes ONLY its fingerprint tables
+    * (`(doc_id, dhash)`, `(doc_id, ehash)`, `(doc_id, slot, dhash)`) —
+    * stored payloads are never re-decoded, stored×stored pairs never
+    * re-reported. Today's batch is decoded EXACTLY ONCE per modality by
+    * the fused stages, which feed both the junk gates and the
+    * incremental banded joins ([[graft.ext.Dedup]]'s shared core, with
+    * the same safe-by-default heavy-bucket cap — this join runs every
+    * day). A cross pair has exactly one new side, so a new doc in any
+    * cross pair IS that side; in-batch duplicates are `doc_b` of a
+    * non-cross pair (lower id wins). Oracle-matched
+    * (`q_media_ingest_audit`) — EXISTS rules, no component walk needed.
+    */
+  def mediaIngestAudit(spark: org.apache.spark.sql.SparkSession,
+                       newImages: DataFrame, newAudios: DataFrame,
+                       newVideos: DataFrame,
+                       storedImageHashes: DataFrame,
+                       storedAudioHashes: DataFrame,
+                       storedVideoSlotHashes: DataFrame,
+                       maxHamming: Int = 6, k: Int = 4,
+                       maxTotalHamming: Int = 3,
+                       maxBandBucket: Int = -1): DataFrame = {
+    val istats = Multimodal.imageStatsDhash(spark, newImages).persist()
+    val astats = Multimodal.audioStatsEhash(spark, newAudios).persist()
+    val vstats = Multimodal.videoStatsPhash(spark, newVideos, k).persist()
+    val ipairs = Dedup.bandedHammingPairsIncremental(
+      istats.select("doc_id", "dhash"), storedImageHashes, "dhash", 63,
+      maxHamming, maxBandBucket)
+    val apairs = Dedup.bandedHammingPairsIncremental(
+      astats.select("doc_id", "ehash"), storedAudioHashes, "ehash", 63,
+      maxHamming, maxBandBucket)
+    val vslots = vstats.select(col("doc_id"), posexplode(col("sig")))
+      .toDF("doc_id", "slot", "dhash")
+    val vpairs = Multimodal.videoNearDupIncrementalFromSlotHashes(vslots,
+      storedVideoSlotHashes, k, maxTotalHamming, maxBandBucket)
+    // a cross pair has exactly one NEW side; a new doc appearing in one
+    // duplicates stored content. doc_b of a non-cross pair duplicates a
+    // lower-id batch member.
+    def dupFlags(base: DataFrame, pairs: DataFrame, pfx: String): DataFrame = {
+      val stored = pairs.filter(col("is_cross"))
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct().withColumn(s"${pfx}_dup_stored", lit(true))
+      val inBatch = pairs.filter(!col("is_cross"))
+        .select(col("doc_b").as("doc_id"))
+        .distinct().withColumn(s"${pfx}_dup_new", lit(true))
+      base.join(stored, Seq("doc_id"), "left")
+        .join(inBatch, Seq("doc_id"), "left")
+        .withColumn(s"${pfx}_dup_stored",
+          coalesce(col(s"${pfx}_dup_stored"), lit(false)))
+        .withColumn(s"${pfx}_dup_new",
+          coalesce(col(s"${pfx}_dup_new"), lit(false)))
+    }
+    val img = dupFlags(istats.select(col("doc_id"),
+      col("is_flat").as("flat_image")), ipairs, "image")
+    val aud = dupFlags(astats.select(col("doc_id"),
+      col("is_quiet").as("quiet_audio")), apairs, "audio")
+    val vid = dupFlags(vstats.select(col("doc_id"),
+      col("is_static").as("static_video")), vpairs, "video")
+    val out = img.join(aud, "doc_id").join(vid, "doc_id")
+      .withColumn("keep",
+        !col("image_dup_stored") && !col("image_dup_new") && !col("flat_image") &&
+        !col("audio_dup_stored") && !col("audio_dup_new") && !col("quiet_audio") &&
+        !col("video_dup_stored") && !col("video_dup_new") && !col("static_video"))
+      .select(col("doc_id"),
+        col("image_dup_stored"), col("image_dup_new"), col("flat_image"),
+        col("audio_dup_stored"), col("audio_dup_new"), col("quiet_audio"),
+        col("video_dup_stored"), col("video_dup_new"), col("static_video"),
+        col("keep"))
+      .orderBy("doc_id")
+    Dedup.scopeCaches(out, istats, astats, vstats, ipairs, apairs, vpairs)
+  }
+
   /** Cross-modal duplicate verdicts: one row per document combining
     * three INDEPENDENT dedup signals a multimodal corpus needs —
     *

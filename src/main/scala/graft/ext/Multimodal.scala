@@ -1606,10 +1606,20 @@ object Multimodal {
   def videoNearDupIncremental(spark: SparkSession, newMedia: DataFrame,
                               storedHashes: DataFrame, k: Int = 4,
                               maxTotalHamming: Int = 3,
-                              maxBandBucket: Int = -1): DataFrame = {
+                              maxBandBucket: Int = -1): DataFrame =
+    videoNearDupIncrementalFromSlotHashes(videoPhash(spark, newMedia, k),
+      storedHashes, k, maxTotalHamming, maxBandBucket)
+
+  /** [[videoNearDupIncremental]] over PRECOMPUTED new-batch
+    * `(doc_id, slot, dhash)` rows — for callers that already decoded
+    * the new batch once via the fused [[videoStatsPhash]] stage (the
+    * ingest audit) and must not pay a second selective-decode pass.
+    */
+  private[graft] def videoNearDupIncrementalFromSlotHashes(
+      newFp: DataFrame, storedHashes: DataFrame, k: Int = 4,
+      maxTotalHamming: Int = 3, maxBandBucket: Int = -1): DataFrame = {
     require(maxTotalHamming >= 0 && maxTotalHamming < k,
       s"pigeonhole banding needs maxTotalHamming in [0, k=$k): $maxTotalHamming")
-    val newFp = videoPhash(spark, newMedia, k)
     val all = storedHashes
       .select(col("doc_id"), col("slot"), col("dhash"), lit(false).as("is_new"))
       .unionByName(newFp

@@ -199,4 +199,42 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     // informative on this bed: both keep values occur
     assert(rows.values.exists(_.last) && rows.values.exists(!_.last))
   }
+
+  test("mediaIngestAudit: per-new-doc verdicts agree with the standalone incrementals") {
+    import org.apache.spark.sql.functions.col
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val stored = col("doc_id") % 50 < 25
+    val imgs = Multimodal.syntheticPngSkewed(spark, base)
+    val auds = Multimodal.syntheticWavSkewed(spark, base)
+    val vids = Multimodal.syntheticVideoJunk(spark, base)
+    val storedI = Multimodal.imageDhash(spark, imgs.filter(stored))
+    val storedA = Multimodal.audioEhash(spark, auds.filter(stored))
+    val storedV = Multimodal.videoPhash(spark, vids.filter(stored))
+      .select("doc_id", "slot", "dhash")
+    // guard off, as on the oracle path: the auto cap would drop the
+    // planted flat mass's cross pairs and flatten flag diversity
+    val audit = Curation.mediaIngestAudit(spark,
+      imgs.filter(!stored), auds.filter(!stored), vids.filter(!stored),
+      storedI, storedA, storedV, maxBandBucket = 0).collect()
+      .map(r => r.getLong(0) -> (1 to 10).map(r.getBoolean).toVector).toMap
+    assert(audit.keySet.forall(_ % 50 >= 25), "new docs only")
+    // image flags replay the standalone incremental's pair classes
+    val ip = Multimodal.imageNearDupIncremental(spark, imgs.filter(!stored), storedI,
+      maxBandBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val iCross = ip.filter(_._3).flatMap(p => Seq(p._1, p._2))
+      .filter(_ % 50 >= 25).toSet
+    val iNew = ip.filter(!_._3).map(_._2).toSet
+    audit.foreach { case (id, flags) =>
+      assert(flags(0) === iCross.contains(id), s"doc $id image_dup_stored")
+      assert(flags(1) === iNew.contains(id), s"doc $id image_dup_new")
+      assert(flags(2) === (id % 4 == 0), s"doc $id flat_image")
+      assert(flags.last === (flags.slice(0, 9).forall(!_)), s"doc $id keep")
+    }
+    // both values occur for every flag on this bed (informative fixture)
+    (0 until 10).foreach { i =>
+      assert(audit.values.exists(_(i)) && audit.values.exists(!_(i)),
+        s"flag $i must vary")
+    }
+  }
 }
