@@ -562,6 +562,12 @@ object SparkEntry {
       MediaFixtures.table(s, d, "wav_skewed"),
       MediaFixtures.table(s, d, "video_junk"),
       maxBandBucket = 0)),
+    // cluster canonicalization for media: keep the RICHEST member (max
+    // distinct-luma, ties min doc) per perceptual cluster — one decode
+    // serves both the clustering hash and the quality ranking; guard
+    // off on the oracle path (recursive-walk + arg-max replay)
+    "q_image_cluster_reps" -> ((s, d) => Multimodal.imageClusterRepresentatives(s,
+      MediaFixtures.table(s, d, "png_skewed"), maxBandBucket = 0)),
     // the DAILY-INGEST audit: per-NEW-doc verdicts against the stored
     // fingerprint tables (stored payloads never re-decoded); stored =
     // doc_id % 50 < 25, so half the planted cluster keys exist in the
@@ -3867,6 +3873,74 @@ object SparkEntry {
         |JOIN vstat vst ON vst.doc_id = c.doc_id
         |JOIN tok k ON k.doc_id = c.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+    // media cluster canonicalization: the skewed dhash replay + the
+    // recursive component walk + per-cluster arg-max on the replayed
+    // distinct-luma quality signal (rank: n_distinct_luma desc, doc asc)
+    "q_image_cluster_reps" ->
+      """WITH RECURSIVE
+        |geo AS (
+        |  SELECT doc_id, doc_id % 4 = 0 AS flat,
+        |    doc_id % 50 AS key, doc_id // 50 AS bump,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 + (doc_id % 50) % 9 END AS w,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 + (doc_id % 50) % 7 END AS h
+        |  FROM documents),
+        |qx AS (SELECT doc_id, flat, key, bump, w, h, unnest(range(0, w)) AS x FROM geo),
+        |qy AS (SELECT doc_id, flat, key, bump, w, h, x, unnest(range(0, h)) AS y FROM qx),
+        |qlum AS (SELECT doc_id,
+        |  CASE WHEN flat THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * (CASE WHEN x = 0 AND y = 0
+        |        THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |        ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |      + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM qy),
+        |ndl AS (SELECT doc_id, COUNT(DISTINCT l) AS n_distinct_luma
+        |  FROM qlum GROUP BY doc_id),
+        |js AS (SELECT doc_id, flat, key, bump, w, h, unnest(range(0, 7)) AS j FROM geo),
+        |g0 AS (SELECT doc_id, flat, key, bump, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, flat, key, bump, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, j, i,
+        |  CASE WHEN flat THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * (CASE WHEN x = 0 AND y = 0
+        |        THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |        ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |      + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |hsh AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst AS node, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id),
+        |mem AS (SELECT l.doc_id, l.cluster_id, cs.cluster_size,
+        |    nd.n_distinct_luma, CAST(g.w * g.h AS BIGINT) AS n_pixels
+        |  FROM lab l JOIN cs ON cs.cluster_id = l.cluster_id
+        |  JOIN ndl nd ON nd.doc_id = l.doc_id
+        |  JOIN geo g ON g.doc_id = l.doc_id
+        |  WHERE cs.cluster_size > 1),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |    ORDER BY n_distinct_luma DESC, doc_id) AS rn FROM mem)
+        |SELECT cluster_id, CAST(MAX(cluster_size) AS INTEGER) AS cluster_size,
+        |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc,
+        |  CAST(MIN(CASE WHEN rn = 1 THEN n_distinct_luma END) AS INTEGER)
+        |    AS rep_distinct_luma,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN n_pixels ELSE 0 END) AS BIGINT)
+        |    AS dropped_pixels
+        |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     // daily-ingest audit: EXISTS pair rules per modality (no component
     // walk — the verdicts are per-NEW-doc, not transitive) over the
     // same skewed/junk fingerprint replays; stored = doc_id % 50 < 25

@@ -799,6 +799,43 @@ object Multimodal {
     graft.ext.Dedup.scopeCaches(out, f, groups, edges)
   }
 
+  /** Canonicalization for perceptual image clusters — the keep-decision
+    * that turns [[imageClusters]] into an actual dedup pass (the media
+    * twin of [[graft.ext.Dedup.clusterRepresentatives]]): per
+    * multi-image cluster, KEEP the richest member — max distinct-luma
+    * count (a decoded-pixel quality signal: re-encodes and flattened
+    * copies lose tonal range), ties to the smallest doc_id — and
+    * account for what gets dropped. ONE decode serves everything: the
+    * fused [[imageStatsDhash]] stage supplies the dHash the clustering
+    * bands AND the quality signal the ranking keys on. The ranking
+    * window partitions by cluster_id — already the data's key after
+    * clustering, so no extra shuffle beyond the stats join. Emits one
+    * row per cluster; oracle-matched (`q_image_cluster_reps`).
+    */
+  def imageClusterRepresentatives(spark: SparkSession, media: DataFrame,
+                                  maxHamming: Int = 6,
+                                  maxBandBucket: Int = -1): DataFrame = {
+    val stats = imageStatsDhash(spark, media).persist()
+    val clusters = imageClustersFromHashes(
+      stats.select("doc_id", "dhash"), maxHamming, maxBandBucket)
+    val member = clusters.join(
+      stats.select(col("doc_id"), col("n_pixels"), col("n_distinct_luma")),
+      "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_distinct_luma").desc, col("doc_id"))
+    val out = member.withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id").agg(
+        max(col("cluster_size")).cast("int").as("cluster_size"),
+        min(when(col("rn") === 1, col("doc_id"))).as("rep_doc"),
+        min(when(col("rn") === 1, col("n_distinct_luma"))).cast("int")
+          .as("rep_distinct_luma"),
+        sum(when(col("rn") > 1, col("n_pixels")).otherwise(0L))
+          .as("dropped_pixels"))
+      .orderBy("cluster_id")
+    graft.ext.Dedup.scopeCaches(out, stats)
+  }
+
   /** [[syntheticPngClusters]] with a PLANTED DEGENERATE fraction: every
     * `flatEvery`-th doc_id is a constant-color image — luma is constant
     * along each row, so ALL of them share the all-zeros dHash, the

@@ -466,6 +466,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(vc.length === 60 && vc.forall(_.getAs[Long]("cluster_id") == 1L))
   }
 
+  test("imageClusterRepresentatives keeps the RICHEST member, not the min id") {
+    import spark.implicits._
+    // doc 1: constant color (1 distinct luma). doc 2: same color at
+    // every dHash GRID sample (so hamming 0 => same cluster) but with
+    // off-grid pixels varied => 4 distinct lumas. The keep-decision
+    // must pick doc 2 — a min-id-biased ranking would pick doc 1.
+    val flat = Multimodal.PngCodec.encode(16, 16, (_, _) => 0x505050)
+    val rich = Multimodal.PngCodec.encode(16, 16, (x, y) =>
+      if (y == 0 && x == 1) 0x505151
+      else if (y == 0 && x == 3) 0x515050
+      else if (y == 0 && x == 6) 0x505052
+      else 0x505050)
+    val media = Seq((1L, flat), (2L, rich)).toDF("doc_id", "payload")
+    // preconditions: identical dhash, different richness
+    val st = Multimodal.imageStatsDhash(spark, media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(10), r.getInt(8))).toMap
+    assert(st(1L)._1 === st(2L)._1, "same fingerprint (off-grid pixels only)")
+    assert(st(2L)._2 > st(1L)._2, "doc 2 is richer")
+    val reps = Multimodal.imageClusterRepresentatives(spark, media).collect()
+    assert(reps.length === 1)
+    val r = reps(0)
+    assert(r.getAs[Long]("cluster_id") === 1L, "cluster labeled by min id")
+    assert(r.getAs[Long]("rep_doc") === 2L, "but the RICHEST member is kept")
+    assert(r.getAs[Int]("rep_distinct_luma") === st(2L)._2)
+    assert(r.getAs[Long]("dropped_pixels") === 256L, "doc 1's pixels dropped")
+  }
+
   test("audioQualityStats: counts match a plain-Scala replay of the decoded samples") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.syntheticWavClusters(spark, docs)
