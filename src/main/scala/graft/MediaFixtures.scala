@@ -73,7 +73,9 @@ object MediaFixtures {
     "q_video_stats_phash" -> Seq("video_junk"),
     "q_media_curation_report" -> Seq("png_skewed", "wav_skewed", "video_junk"),
     "q_media_ingest_audit" -> Seq("png_skewed", "wav_skewed", "video_junk"),
-    "q_image_cluster_reps" -> Seq("png_skewed"))
+    "q_image_cluster_reps" -> Seq("png_skewed"),
+    "q_audio_cluster_reps" -> Seq("wav_skewed"),
+    "q_video_cluster_reps" -> Seq("video_clusters"))
 
   /** Fingerprint of the current testdata generation: a cached fixture
     * is valid only for the documents file it was derived from.

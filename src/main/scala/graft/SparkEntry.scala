@@ -568,6 +568,13 @@ object SparkEntry {
     // off on the oracle path (recursive-walk + arg-max replay)
     "q_image_cluster_reps" -> ((s, d) => Multimodal.imageClusterRepresentatives(s,
       MediaFixtures.table(s, d, "png_skewed"), maxBandBucket = 0)),
+    // the audio and video members of the keep-decision family: richest
+    // clip = max |amplitude| sum; richest video = max distinct frame
+    // hashes; both fused-stage-fed, guard off on the oracle path
+    "q_audio_cluster_reps" -> ((s, d) => Multimodal.audioClusterRepresentatives(s,
+      MediaFixtures.table(s, d, "wav_skewed"), maxBandBucket = 0)),
+    "q_video_cluster_reps" -> ((s, d) => Multimodal.videoClusterRepresentatives(s,
+      MediaFixtures.table(s, d, "video_clusters"), maxBandBucket = 0)),
     // the DAILY-INGEST audit: per-NEW-doc verdicts against the stored
     // fingerprint tables (stored payloads never re-decoded); stored =
     // doc_id % 50 < 25, so half the planted cluster keys exist in the
@@ -3940,6 +3947,119 @@ object SparkEntry {
         |    AS rep_distinct_luma,
         |  CAST(SUM(CASE WHEN rn > 1 THEN n_pixels ELSE 0 END) AS BIGINT)
         |    AS dropped_pixels
+        |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // audio cluster canonicalization: skewed eHash replay + walk +
+    // arg-max on the exact |amplitude| sum
+    "q_audio_cluster_reps" ->
+      """WITH RECURSIVE
+        |ad AS (SELECT doc_id, doc_id % 4 = 0 AS silent,
+        |    doc_id % 50 AS akey, doc_id // 50 AS abump FROM documents),
+        |ap AS (SELECT doc_id, silent, akey, abump,
+        |  CASE WHEN silent THEN 256 ELSE 200 + akey % 100 END AS an FROM ad),
+        |asamp AS (SELECT doc_id, silent, akey, abump, an,
+        |  unnest(range(0, an)) AS ai FROM ap),
+        |aamp AS (SELECT doc_id, an, ai,
+        |  CASE WHEN silent THEN 0
+        |    ELSE (akey * 31 + ai * 17) % 2003 - 1001
+        |      + CASE WHEN ai = 0 THEN abump ELSE 0 END END AS amp FROM asamp),
+        |astat AS (SELECT doc_id, CAST(an AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(amp)) AS BIGINT) AS sum_abs
+        |  FROM aamp GROUP BY doc_id, an),
+        |ae AS (SELECT doc_id, (ai * 64) // an AS aw, SUM(amp * amp) AS energy
+        |  FROM aamp GROUP BY doc_id, (ai * 64) // an),
+        |ab AS (SELECT x.doc_id, x.aw,
+        |    CASE WHEN y.energy > x.energy THEN 1 ELSE 0 END AS bit
+        |  FROM ae x JOIN ae y ON y.doc_id = x.doc_id AND y.aw = x.aw + 1
+        |  WHERE x.aw < 63),
+        |ah AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << aw) AS BIGINT) AS ehash
+        |  FROM ab GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.ehash, b.ehash)) <= 6),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst AS node, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id),
+        |mem AS (SELECT l.doc_id, l.cluster_id, cs.cluster_size,
+        |    st.n_samples, st.sum_abs
+        |  FROM lab l JOIN cs ON cs.cluster_id = l.cluster_id
+        |  JOIN astat st ON st.doc_id = l.doc_id
+        |  WHERE cs.cluster_size > 1),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |    ORDER BY sum_abs DESC, doc_id) AS rn FROM mem)
+        |SELECT cluster_id, CAST(MAX(cluster_size) AS INTEGER) AS cluster_size,
+        |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc,
+        |  CAST(MIN(CASE WHEN rn = 1 THEN sum_abs END) AS BIGINT) AS rep_sum_abs,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN n_samples ELSE 0 END) AS BIGINT)
+        |    AS dropped_samples
+        |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // video cluster canonicalization: ALL-frame hash replay (for the
+    // distinct-hash richness census) + slot-sig pair rule + walk +
+    // arg-max
+    "q_video_cluster_reps" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id, doc_id % 50 AS key, doc_id // 50 AS bump,
+        |    4 + (doc_id % 50) % 5 AS n,
+        |    8 + (doc_id % 50) % 9 AS w, 8 + (doc_id % 50) % 7 AS h
+        |  FROM documents),
+        |f AS (SELECT doc_id, key, bump, n, w, h, unnest(range(0, n)) AS fr FROM d),
+        |js AS (SELECT doc_id, key, bump, fr, w, h, unnest(range(0, 7)) AS j FROM f),
+        |g0 AS (SELECT doc_id, key, bump, fr, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, key, bump, fr, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, fr, j, i,
+        |  299 * (CASE WHEN fr = 0 AND x = 0 AND y = 0
+        |    THEN ((key*7 + fr*19 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |    ELSE (key*7 + fr*19 + x*37 + y*59 + x*y*13) % 256 END)
+        |  + 587 * ((key*11 + fr*23 + x*23 + y*41 + x*y*7) % 256)
+        |  + 114 * ((key*13 + fr*29 + x*29 + y*31 + x*y*17) % 256) AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.fr, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.fr = a.fr
+        |    AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |fh AS (SELECT doc_id, fr,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id, fr),
+        |nh AS (SELECT doc_id, COUNT(DISTINCT dhash) AS n_distinct_hashes
+        |  FROM fh GROUP BY doc_id),
+        |sl AS (SELECT doc_id, n, unnest(range(0, 4)) AS sj FROM d),
+        |vsig AS (SELECT sl.doc_id, sl.sj, h2.dhash
+        |  FROM sl JOIN fh h2 ON h2.doc_id = sl.doc_id
+        |    AND h2.fr = (sl.sj * sl.n) // 4),
+        |pairs AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM vsig a JOIN vsig b ON a.doc_id < b.doc_id AND a.sj = b.sj
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING SUM(bit_count(xor(a.dhash, b.dhash))) <= 3),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst AS node, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id),
+        |mem AS (SELECT l.doc_id, l.cluster_id, cs.cluster_size,
+        |    nh.n_distinct_hashes, d2.n
+        |  FROM lab l JOIN cs ON cs.cluster_id = l.cluster_id
+        |  JOIN nh ON nh.doc_id = l.doc_id
+        |  JOIN d d2 ON d2.doc_id = l.doc_id
+        |  WHERE cs.cluster_size > 1),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |    ORDER BY n_distinct_hashes DESC, doc_id) AS rn FROM mem)
+        |SELECT cluster_id, CAST(MAX(cluster_size) AS INTEGER) AS cluster_size,
+        |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc,
+        |  CAST(MIN(CASE WHEN rn = 1 THEN n_distinct_hashes END) AS INTEGER)
+        |    AS rep_distinct_hashes,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS dropped_frames
         |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     // daily-ingest audit: EXISTS pair rules per modality (no component
     // walk — the verdicts are per-NEW-doc, not transitive) over the

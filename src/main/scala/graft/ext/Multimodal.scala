@@ -836,6 +836,74 @@ object Multimodal {
     graft.ext.Dedup.scopeCaches(out, stats)
   }
 
+  /** Canonicalization for perceptual AUDIO clusters — the audio member
+    * of the keep-decision family ([[imageClusterRepresentatives]]):
+    * per multi-clip cluster, KEEP the member with the most signal
+    * energy (max exact |amplitude| sum — re-encodes and attenuated
+    * copies lose energy; ties to the smallest doc_id) and account for
+    * the dropped volume. ONE decode: the fused [[audioStatsEhash]]
+    * stage supplies both the eHash the clustering bands and the energy
+    * signal the ranking keys on. Oracle-matched
+    * (`q_audio_cluster_reps`).
+    */
+  def audioClusterRepresentatives(spark: SparkSession, media: DataFrame,
+                                  maxHamming: Int = 6,
+                                  maxBandBucket: Int = -1): DataFrame = {
+    val stats = audioStatsEhash(spark, media).persist()
+    val clusters = audioClustersFromHashes(
+      stats.select("doc_id", "ehash"), maxHamming, maxBandBucket)
+    val member = clusters.join(
+      stats.select(col("doc_id"), col("n_samples"), col("sum_abs")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("sum_abs").desc, col("doc_id"))
+    val out = member.withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id").agg(
+        max(col("cluster_size")).cast("int").as("cluster_size"),
+        min(when(col("rn") === 1, col("doc_id"))).as("rep_doc"),
+        min(when(col("rn") === 1, col("sum_abs"))).as("rep_sum_abs"),
+        sum(when(col("rn") > 1, col("n_samples")).otherwise(0L))
+          .as("dropped_samples"))
+      .orderBy("cluster_id")
+    graft.ext.Dedup.scopeCaches(out, stats)
+  }
+
+  /** Canonicalization for perceptual VIDEO clusters — completing the
+    * keep-decision cell for every modality: per multi-video cluster,
+    * KEEP the member with the most DISTINCT frame content (max
+    * distinct-frame-hash count — re-encodes that freeze or drop frames
+    * lose shots; ties to the smallest doc_id) and account for the
+    * dropped frames. ONE full decode: the fused [[videoStatsPhash]]
+    * stage supplies the slot signature the clustering bands AND the
+    * distinct-hash census the ranking keys on. Oracle-matched
+    * (`q_video_cluster_reps`).
+    */
+  def videoClusterRepresentatives(spark: SparkSession, media: DataFrame,
+                                  k: Int = 4, maxTotalHamming: Int = 3,
+                                  maxBandBucket: Int = -1): DataFrame = {
+    val stats = videoStatsPhash(spark, media, k).persist()
+    val vslots = stats.select(col("doc_id"), posexplode(col("sig")))
+      .toDF("doc_id", "slot", "dhash")
+    val clusters = videoClustersFromSlotHashes(vslots, k,
+      maxTotalHamming, maxBandBucket)
+    val member = clusters.join(
+      stats.select(col("doc_id"), col("n_frames"), col("n_distinct_hashes")),
+      "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_distinct_hashes").desc, col("doc_id"))
+    val out = member.withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id").agg(
+        max(col("cluster_size")).cast("int").as("cluster_size"),
+        min(when(col("rn") === 1, col("doc_id"))).as("rep_doc"),
+        min(when(col("rn") === 1, col("n_distinct_hashes"))).cast("int")
+          .as("rep_distinct_hashes"),
+        sum(when(col("rn") > 1, col("n_frames")).otherwise(0))
+          .cast("long").as("dropped_frames"))
+      .orderBy("cluster_id")
+    graft.ext.Dedup.scopeCaches(out, stats)
+  }
+
   /** [[syntheticPngClusters]] with a PLANTED DEGENERATE fraction: every
     * `flatEvery`-th doc_id is a constant-color image — luma is constant
     * along each row, so ALL of them share the all-zeros dHash, the

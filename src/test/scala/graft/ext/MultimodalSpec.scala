@@ -493,6 +493,44 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Long]("dropped_pixels") === 256L, "doc 1's pixels dropped")
   }
 
+  test("audio/video cluster representatives keep the richest member") {
+    import spark.implicits._
+    // audio: two near-dup clips (first-sample bump => eHash hamming <= 1)
+    // where the HIGHER-id copy carries more |amplitude| energy — it wins
+    def wavOf(bump: Int): Array[Byte] = {
+      val samples = Array.tabulate(210) { i =>
+        val base = ((31L + i.toLong * 17) % 2003) - 1001
+        (if (i == 0) base + bump else base).toShort
+      }
+      Multimodal.WavCodec.encode(8000f, samples)
+    }
+    // amp0 = (31%2003)-1001 = -970: a positive bump REDUCES |amp0|, so
+    // doc 1 (bump 0) is the energy-richest and doc 2 must NOT win —
+    // then swap roles with a fixture where doc 2 is richer
+    val a1 = Seq((1L, wavOf(0)), (2L, wavOf(5))).toDF("doc_id", "payload")
+    val r1 = Multimodal.audioClusterRepresentatives(spark, a1).collect()(0)
+    assert(r1.getAs[Long]("rep_doc") === 1L, "doc 1 has more energy")
+    val a2 = Seq((1L, wavOf(5)), (2L, wavOf(0))).toDF("doc_id", "payload")
+    val r2 = Multimodal.audioClusterRepresentatives(spark, a2).collect()(0)
+    assert(r2.getAs[Long]("rep_doc") === 2L,
+      "the richer HIGHER-id copy wins — not min id")
+    // video: same slot hashes (cluster), but doc 2 varies an OFF-SLOT
+    // frame => more distinct frame hashes => doc 2 is kept
+    val frameA = Multimodal.PngCodec.encode(8, 8, (x, y) => (x * 37 + y * 59) % 256)
+    val frameB = Multimodal.PngCodec.encode(8, 8, (x, y) => (x * 23 + y * 41) % 256)
+    // n=8, k=4 => slots sample frames 0,2,4,6; frames 1,3,5,7 are free
+    val vidA = Multimodal.VideoCodec.encode(12, Vector.fill(8)(frameA))
+    val vidB = Multimodal.VideoCodec.encode(12,
+      Vector(frameA, frameB, frameA, frameA, frameA, frameA, frameA, frameA))
+    val vm = Seq((1L, vidA), (2L, vidB)).toDF("doc_id", "payload")
+    val vr = Multimodal.videoClusterRepresentatives(spark, vm).collect()
+    assert(vr.length === 1)
+    assert(vr(0).getAs[Long]("cluster_id") === 1L)
+    assert(vr(0).getAs[Long]("rep_doc") === 2L,
+      "two distinct frame hashes beat one — richness, not min id")
+    assert(vr(0).getAs[Long]("dropped_frames") === 8L)
+  }
+
   test("audioQualityStats: counts match a plain-Scala replay of the decoded samples") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.syntheticWavClusters(spark, docs)
