@@ -351,39 +351,73 @@ object Curation {
     val istats = Multimodal.imageStatsDhash(spark, newImages).persist()
     val astats = Multimodal.audioStatsEhash(spark, newAudios).persist()
     val vstats = Multimodal.videoStatsPhash(spark, newVideos, k).persist()
-    val ipairs = Dedup.bandedHammingPairsIncremental(
-      istats.select("doc_id", "dhash"), storedImageHashes, "dhash", 63,
-      maxHamming, maxBandBucket)
-    val apairs = Dedup.bandedHammingPairsIncremental(
-      astats.select("doc_id", "ehash"), storedAudioHashes, "ehash", 63,
-      maxHamming, maxBandBucket)
-    val vslots = vstats.select(col("doc_id"), posexplode(col("sig")))
-      .toDF("doc_id", "slot", "dhash")
-    val vpairs = Multimodal.videoNearDupIncrementalFromSlotHashes(vslots,
-      storedVideoSlotHashes, k, maxTotalHamming, maxBandBucket)
-    // a cross pair has exactly one NEW side; a new doc appearing in one
-    // duplicates stored content. doc_b of a non-cross pair duplicates a
-    // lower-id batch member.
-    def dupFlags(base: DataFrame, pairs: DataFrame, pfx: String): DataFrame = {
-      val stored = pairs.filter(col("is_cross"))
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-        .distinct().withColumn(s"${pfx}_dup_stored", lit(true))
-      val inBatch = pairs.filter(!col("is_cross"))
-        .select(col("doc_b").as("doc_id"))
-        .distinct().withColumn(s"${pfx}_dup_new", lit(true))
-      base.join(stored, Seq("doc_id"), "left")
-        .join(inBatch, Seq("doc_id"), "left")
-        .withColumn(s"${pfx}_dup_stored",
-          coalesce(col(s"${pfx}_dup_stored"), lit(false)))
-        .withColumn(s"${pfx}_dup_new",
-          coalesce(col(s"${pfx}_dup_new"), lit(false)))
+    // Both verdicts are FINGERPRINT-GROUP properties — dup_stored
+    // depends only on a doc's hash, and dup_new is "not my group's min,
+    // OR my group's min has a lower-id neighbor group" — so both sides
+    // collapse to DISTINCT fingerprints (min-id representative) before
+    // the banded join, exactly as in the cluster cores: an
+    // identical-content mass of M stored copies and M new junk arrivals
+    // costs ONE pair, not an M² clique, and the per-doc flags are
+    // provably the same EXISTS answers:
+    //   - a new doc whose group rep sits in any cross pair duplicates
+    //     stored content (the rep and the doc share the hash);
+    //   - a doc that is not its group's min duplicates the min
+    //     (Hamming 0); a group-min doc duplicates in-batch iff its rep
+    //     appears as doc_b of a non-cross pair (reps ARE group mins, so
+    //     doc_a < doc_b order is min-id order across groups).
+    def groupFlags(newFp: DataFrame, repPairs: DataFrame => DataFrame,
+                   hashCols: Seq[String], pfx: String): DataFrame = {
+      val groups = newFp.groupBy(hashCols.map(col): _*)
+        .agg(min(col("doc_id")).as("gmin"))
+      val pairs = repPairs(groups)
+      val crossReps = pairs.filter(col("is_cross"))
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("gmin"))
+        .distinct().withColumn("g_stored", lit(true))
+      val newReps = pairs.filter(!col("is_cross"))
+        .select(col("doc_b").as("gmin"))
+        .distinct().withColumn("g_new", lit(true))
+      newFp.join(groups, hashCols)
+        .join(crossReps, Seq("gmin"), "left")
+        .join(newReps, Seq("gmin"), "left")
+        .select(col("doc_id"),
+          coalesce(col("g_stored"), lit(false)).as(s"${pfx}_dup_stored"),
+          (col("doc_id") =!= col("gmin") ||
+            coalesce(col("g_new"), lit(false))).as(s"${pfx}_dup_new"))
     }
-    val img = dupFlags(istats.select(col("doc_id"),
-      col("is_flat").as("flat_image")), ipairs, "image")
-    val aud = dupFlags(astats.select(col("doc_id"),
-      col("is_quiet").as("quiet_audio")), apairs, "audio")
-    val vid = dupFlags(vstats.select(col("doc_id"),
-      col("is_static").as("static_video")), vpairs, "video")
+    // stored sides collapse to distinct fingerprints too (min stored id)
+    val storedI = storedImageHashes.groupBy("dhash")
+      .agg(min(col("doc_id")).as("doc_id"))
+    val storedA = storedAudioHashes.groupBy("ehash")
+      .agg(min(col("doc_id")).as("doc_id"))
+    val imgFlags = groupFlags(istats.select("doc_id", "dhash"),
+      g => Dedup.bandedHammingPairsIncremental(
+        g.select(col("gmin").as("doc_id"), col("dhash")), storedI,
+        "dhash", 63, maxHamming, maxBandBucket),
+      Seq("dhash"), "image")
+    val audFlags = groupFlags(astats.select("doc_id", "ehash"),
+      g => Dedup.bandedHammingPairsIncremental(
+        g.select(col("gmin").as("doc_id"), col("ehash")), storedA,
+        "ehash", 63, maxHamming, maxBandBucket),
+      Seq("ehash"), "audio")
+    // video: the group key is the FULL signature array
+    val storedV = storedVideoSlotHashes.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("slot"), col("dhash"))))
+        .as("pairs"))
+      .groupBy("pairs").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), explode(col("pairs")).as("p"))
+      .select(col("doc_id"), col("p.slot").as("slot"), col("p.dhash").as("dhash"))
+    val vidFlags = groupFlags(vstats.select(col("doc_id"), col("sig")),
+      g => Multimodal.videoNearDupIncrementalFromSlotHashes(
+        g.select(col("gmin").as("doc_id"), posexplode(col("sig")))
+          .toDF("doc_id", "slot", "dhash"),
+        storedV, k, maxTotalHamming, maxBandBucket),
+      Seq("sig"), "video")
+    val img = istats.select(col("doc_id"), col("is_flat").as("flat_image"))
+      .join(imgFlags, "doc_id")
+    val aud = astats.select(col("doc_id"), col("is_quiet").as("quiet_audio"))
+      .join(audFlags, "doc_id")
+    val vid = vstats.select(col("doc_id"), col("is_static").as("static_video"))
+      .join(vidFlags, "doc_id")
     val out = img.join(aud, "doc_id").join(vid, "doc_id")
       .withColumn("keep",
         !col("image_dup_stored") && !col("image_dup_new") && !col("flat_image") &&
@@ -395,7 +429,7 @@ object Curation {
         col("video_dup_stored"), col("video_dup_new"), col("static_video"),
         col("keep"))
       .orderBy("doc_id")
-    Dedup.scopeCaches(out, istats, astats, vstats, ipairs, apairs, vpairs)
+    Dedup.scopeCaches(out, istats, astats, vstats)
   }
 
   /** Cross-modal duplicate verdicts: one row per document combining
