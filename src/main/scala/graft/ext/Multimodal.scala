@@ -1038,6 +1038,36 @@ object Multimodal {
     * integer comparison, no float ratio). One narrow stage; exact
     * integer outputs ⇒ DuckDB-oracle-matched (`q_audio_quality`).
     */
+  /** The amplitude-stats kernel over ALREADY-DECODED PCM — shared by
+    * [[audioQualityStats]], the fused [[audioStatsEhash]], and the
+    * streaming gate, so every consumer computes the same flags from
+    * one decode.
+    */
+  private[graft] final case class PcmStats(n: Long, minAmp: Int, maxAmp: Int,
+      sumAbs: Long, nClipped: Long, nSilent: Long) {
+    def isClipped: Boolean = nClipped > 0
+    def isQuiet: Boolean = nSilent * 2 >= n
+  }
+
+  private[graft] def statsOfSamples(samples: Array[Short],
+                                    clipThreshold: Int = 1000,
+                                    silenceThreshold: Int = 50): PcmStats = {
+    var mn = Int.MaxValue; var mx = Int.MinValue
+    var sumAbs = 0L; var clipped = 0L; var silent = 0L
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toInt
+      val a = math.abs(v)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      sumAbs += a
+      if (a >= clipThreshold) clipped += 1
+      if (a <= silenceThreshold) silent += 1
+      i += 1
+    }
+    PcmStats(samples.length.toLong, mn, mx, sumAbs, clipped, silent)
+  }
+
   def audioQualityStats(spark: SparkSession, media: DataFrame,
                         clipThreshold: Int = 1000,
                         silenceThreshold: Int = 50): DataFrame = {
@@ -1047,22 +1077,10 @@ object Multimodal {
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, wav) =>
-          val (_, samples) = WavCodec.decode(wav)
-          var mn = Int.MaxValue; var mx = Int.MinValue
-          var sumAbs = 0L; var clipped = 0L; var silent = 0L
-          var i = 0
-          while (i < samples.length) {
-            val v = samples(i).toInt
-            val a = math.abs(v)
-            if (v < mn) mn = v
-            if (v > mx) mx = v
-            sumAbs += a
-            if (a >= clipThreshold) clipped += 1
-            if (a <= silenceThreshold) silent += 1
-            i += 1
-          }
-          val n = samples.length.toLong
-          (id, n, mn, mx, sumAbs, clipped, silent, clipped > 0, silent * 2 >= n)
+          val s = statsOfSamples(WavCodec.decode(wav)._2, clipThreshold,
+            silenceThreshold)
+          (id, s.n, s.minAmp, s.maxAmp, s.sumAbs, s.nClipped, s.nSilent,
+            s.isClipped, s.isQuiet)
         }
       }
       .toDF("doc_id", "n_samples", "min_amp", "max_amp", "sum_abs",
@@ -1087,23 +1105,10 @@ object Multimodal {
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, wav) =>
-          val (_, samples) = WavCodec.decode(wav)
-          var mn = Int.MaxValue; var mx = Int.MinValue
-          var sumAbs = 0L; var clipped = 0L; var silent = 0L
-          var i = 0
-          while (i < samples.length) {
-            val v = samples(i).toInt
-            val a = math.abs(v)
-            if (v < mn) mn = v
-            if (v > mx) mx = v
-            sumAbs += a
-            if (a >= clipThreshold) clipped += 1
-            if (a <= silenceThreshold) silent += 1
-            i += 1
-          }
-          val n = samples.length.toLong
-          (id, n, mn, mx, sumAbs, clipped, silent, clipped > 0,
-            silent * 2 >= n, ehashOf(samples))
+          val samples = WavCodec.decode(wav)._2
+          val s = statsOfSamples(samples, clipThreshold, silenceThreshold)
+          (id, s.n, s.minAmp, s.maxAmp, s.sumAbs, s.nClipped, s.nSilent,
+            s.isClipped, s.isQuiet, ehashOf(samples))
         }
       }
       .toDF("doc_id", "n_samples", "min_amp", "max_amp", "sum_abs",

@@ -273,6 +273,69 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("doc_id", "stored_dup_of")
   }
 
+  /** Streaming junk-media gates — the ONLINE twins of the batch
+    * quality gates ([[graft.ext.Multimodal.imageQualityStats]] /
+    * `audioQualityStats` / `videoQualityStats`), completing the
+    * streaming × gate cell for every modality. The gates are STATELESS
+    * (each verdict is a pure function of one payload), so the batch
+    * arithmetic applies per micro-batch verbatim: one narrow decode
+    * stage per arrival, no watermark, no state store — the cheapest
+    * possible streaming operator, which is exactly why a live ingest
+    * runs the gate FIRST (junk never reaches the stateful dedup
+    * operators downstream). Emits `(doc_id, ts, …stats…, flags)`;
+    * filter on the flag to route. Payload bytes never leave the decode
+    * stage.
+    */
+  def imageQualityGateStream(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select(col("doc_id"), col("payload"), col("ts"))
+      .as[(Long, Array[Byte], Timestamp)]
+      .mapPartitions(it => it.map { case (id, png, t) =>
+        val s = graft.ext.Multimodal.statsOfImage(
+          graft.ext.Multimodal.PngCodec.decode(png))
+        (id, t, s.w, s.h, s.nDistinctLuma, s.nDistinctLuma == 1)
+      })
+      .toDF("doc_id", "ts", "width", "height", "n_distinct_luma", "is_flat")
+  }
+
+  def audioQualityGateStream(spark: SparkSession, clips: DataFrame,
+                             clipThreshold: Int = 1000,
+                             silenceThreshold: Int = 50): DataFrame = {
+    import spark.implicits._
+    clips.select(col("doc_id"), col("payload"), col("ts"))
+      .as[(Long, Array[Byte], Timestamp)]
+      .mapPartitions(it => it.map { case (id, wav, t) =>
+        val s = graft.ext.Multimodal.statsOfSamples(
+          graft.ext.Multimodal.WavCodec.decode(wav)._2,
+          clipThreshold, silenceThreshold)
+        (id, t, s.n, s.nClipped, s.nSilent, s.isClipped, s.isQuiet)
+      })
+      .toDF("doc_id", "ts", "n_samples", "n_clipped", "n_silent",
+        "is_clipped", "is_quiet")
+  }
+
+  def videoQualityGateStream(spark: SparkSession, videos: DataFrame): DataFrame = {
+    import spark.implicits._
+    videos.select(col("doc_id"), col("payload"), col("ts"))
+      .as[(Long, Array[Byte], Timestamp)]
+      .mapPartitions(it => it.map { case (id, gvid, t) =>
+        val (_, frames) = graft.ext.Multimodal.VideoCodec.decode(gvid)
+        var flatFrames = 0
+        val hashes = new java.util.HashSet[Long]()
+        frames.foreach { png =>
+          val img = graft.ext.Multimodal.PngCodec.decode(png)
+          val s = graft.ext.Multimodal.statsOfImage(img)
+          if (s.nDistinctLuma == 1) flatFrames += 1
+          hashes.add(graft.ext.Multimodal.dhashOfImage(img))
+        }
+        val n = frames.length
+        (id, t, n, flatFrames, hashes.size,
+          n > 0 && hashes.size == 1, n > 0 && flatFrames == n)
+      })
+      .toDF("doc_id", "ts", "n_frames", "n_flat_frames", "n_distinct_hashes",
+        "is_static", "is_flat")
+  }
+
   /** Stream-stream inner join with event-time bounds: match each left
     * event to right events of the same user within `windowMinutes` AFTER
     * it. Both sides are watermarked so Spark can bound the join state

@@ -445,6 +445,55 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming junk-media gates: stateless verdicts equal the batch gates") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.ext.Multimodal
+    val flatPng = Multimodal.PngCodec.encode(8, 8, (_, _) => 0x202020)
+    val richPng = Multimodal.PngCodec.encode(8, 8, (x, y) => (x * 37 + y * 59) % 256)
+    val silentWav = Multimodal.WavCodec.encode(8000f, new Array[Short](128))
+    val loudWav = Multimodal.WavCodec.encode(8000f,
+      Array.tabulate(128)(i => ((i * 997) % 2003 - 1001).toShort))
+    val staticVid = Multimodal.VideoCodec.encode(12, Vector.fill(4)(flatPng))
+    val sceneVid = Multimodal.VideoCodec.encode(12,
+      Vector(richPng, flatPng, richPng, flatPng))
+    val t0 = ts("2024-01-01 00:00:00")
+
+    val imgIn = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val qi = imageQualityGateStream(spark,
+      imgIn.toDF().toDF("doc_id", "payload", "ts")).writeStream
+      .outputMode("append").format("memory").queryName("gate_img").start()
+    val audIn = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val qa = audioQualityGateStream(spark,
+      audIn.toDF().toDF("doc_id", "payload", "ts")).writeStream
+      .outputMode("append").format("memory").queryName("gate_aud").start()
+    val vidIn = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val qv = videoQualityGateStream(spark,
+      vidIn.toDF().toDF("doc_id", "payload", "ts")).writeStream
+      .outputMode("append").format("memory").queryName("gate_vid").start()
+    try {
+      imgIn.addData((1L, flatPng, t0), (2L, richPng, t0))
+      audIn.addData((1L, silentWav, t0), (2L, loudWav, t0))
+      vidIn.addData((1L, staticVid, t0), (2L, sceneVid, t0))
+      qi.processAllAvailable(); qa.processAllAvailable(); qv.processAllAvailable()
+      val img = spark.sql("SELECT doc_id, is_flat FROM gate_img")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(img === Map(1L -> true, 2L -> false))
+      val aud = spark.sql("SELECT doc_id, is_quiet FROM gate_aud")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(aud === Map(1L -> true, 2L -> false))
+      val vid = spark.sql("SELECT doc_id, is_static, is_flat FROM gate_vid")
+        .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+      assert(vid === Map(1L -> (true, true), 2L -> (false, false)))
+      // stateless contract: verdicts equal the batch gates on the same
+      // payloads (the gate arithmetic is payload-pure)
+      val media = Seq((1L, flatPng), (2L, richPng)).toDF("doc_id", "payload")
+      val batchImg = Multimodal.imageQualityStats(spark, media)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(9)).toMap
+      assert(img === batchImg)
+    } finally { qi.stop(); qa.stop(); qv.stop() }
+  }
+
   test("dedupStream: duplicate event ids across batches emit once") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
