@@ -297,6 +297,29 @@ object StressBench {
           media.filter(col("doc_id") % 5 === 0), stored, maxBandBucket = 0)
         val n = p.count(); p.unpersist(false); n
       }),
+      // round-10: the identical-fingerprint collapse at scale — the
+      // CLUSTER path on a 25%-degenerate corpus with the guard OFF,
+      // which before the collapse was the quadratic nightmare (the
+      // round-9 pair-path A/B measured 603s at x10 for uncapped image
+      // pairs). Clusters collapse identical hashes to min-id-rep stars
+      // before banding, so the same corpus now clusters in linear time
+      // with NO cap at all; per-modality rows because the video slot
+      // variant is separate code.
+      time("image_clusters_skew_uncapped", {
+        val c = ext.Multimodal.imageClusters(spark,
+          ext.Multimodal.syntheticPngSkewed(spark, docs), maxBandBucket = 0)
+        val n = c.count(); c.unpersist(false); n
+      }),
+      time("audio_clusters_skew_uncapped", {
+        val c = ext.Multimodal.audioClusters(spark,
+          ext.Multimodal.syntheticWavSkewed(spark, docs), maxBandBucket = 0)
+        val n = c.count(); c.unpersist(false); n
+      }),
+      time("video_clusters_junk_uncapped", {
+        val c = ext.Multimodal.videoClusters(spark,
+          ext.Multimodal.syntheticVideoJunk(spark, docs), maxBandBucket = 0)
+        val n = c.count(); c.unpersist(false); n
+      }),
       // round-10: the same incremental skew A/B for the OTHER two
       // modalities — the shared banding core makes image coverage
       // suggestive, but the audio route runs through its own fixture
