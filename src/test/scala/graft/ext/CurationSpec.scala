@@ -200,6 +200,34 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(rows.values.exists(_.last) && rows.values.exists(!_.last))
   }
 
+  test("audit plan contracts: media payloads are never shuffle keys; no window anywhere") {
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = TextOps.withSyntheticDupText(WebOps.withSyntheticMessyUrl(base))
+    val imgs = Multimodal.syntheticPngSkewed(spark, base)
+    val auds = Multimodal.syntheticWavSkewed(spark, base)
+    val vids = Multimodal.syntheticVideoJunk(spark, base)
+    def check(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      val parts = "hashpartitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(parts.forall(!_.contains("payload")),
+        s"$name: payload must never be a shuffle key:\n$parts")
+      assert(!plan.contains("WindowExec"),
+        s"$name: no window operator expected:\n$plan")
+      df.unpersist(false)
+      ()
+    }
+    check(Curation.mediaCurationReport(spark, d, imgs, auds, vids),
+      "mediaCurationReport")
+    val stored = org.apache.spark.sql.functions.col("doc_id") % 50 < 25
+    check(Curation.mediaIngestAudit(spark,
+      imgs.filter(!stored), auds.filter(!stored), vids.filter(!stored),
+      Multimodal.imageDhash(spark, imgs.filter(stored)),
+      Multimodal.audioEhash(spark, auds.filter(stored)),
+      Multimodal.videoPhash(spark, vids.filter(stored))
+        .select("doc_id", "slot", "dhash")), "mediaIngestAudit")
+  }
+
   test("mediaIngestAudit: per-new-doc verdicts agree with the standalone incrementals") {
     import org.apache.spark.sql.functions.col
     val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
