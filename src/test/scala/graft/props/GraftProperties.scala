@@ -218,3 +218,51 @@ object WinnowProperties extends Properties("WinnowFps") {
       Prop(got == want) :| s"k=$k w=$w text=${s.take(40)} got=$got want=$want"
     }
 }
+
+object ClusterCollapseProperties extends Properties("ClusterCollapse") with SparkSpec {
+
+  // few distinct hash VALUES close together in Hamming space →
+  // identical-fingerprint groups AND cross-group near-dup edges both
+  // occur; random ids → the min-label arithmetic is exercised
+  val fpGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(0, 40)
+    rows <- Gen.listOfN(n, for {
+      id <- Gen.chooseNum(0L, 500L)
+      base <- Gen.oneOf(0L, 7L, 1L << 20, (1L << 40) + 5L)
+      flips <- Gen.chooseNum(0, 2)
+      bits <- Gen.listOfN(flips, Gen.chooseNum(0, 62))
+    } yield (id, bits.foldLeft(base)((h, b) => h ^ (1L << b))))
+  } yield rows.distinctBy(_._1)
+
+  /** plain union-find over ALL pairs with Hamming ≤ t — the O(n²)
+    * reference the collapsed banding core must equal
+    */
+  private def reference(rows: List[(Long, Long)], t: Int): Set[(Long, Long, Long)] = {
+    val ids = rows.map(_._1)
+    val parent = scala.collection.mutable.HashMap(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else {
+      val r = find(parent(x)); parent(x) = r; r
+    }
+    for {
+      (a, ha) <- rows; (b, hb) <- rows
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= t
+    } { val ra = find(a); val rb = find(b); if (ra != rb) parent(ra) = rb }
+    val comp = ids.groupBy(find)
+    comp.values.filter(_.size > 1).flatMap { members =>
+      val label = members.min
+      members.map(m => (m, label, members.size.toLong))
+    }.toSet
+  }
+
+  property("collapsed banded clusters equal brute-force union-find") =
+    forAll(fpGen, Gen.chooseNum(0, 6)) { (rows, t) =>
+      import spark.implicits._
+      val fp = rows.toDF("doc_id", "dhash")
+      val got = graft.ext.Multimodal
+        .imageClustersFromHashes(fp, maxHamming = t, maxBandBucket = 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = reference(rows, t)
+      Prop(got == want) :| s"t=$t got=$got want=$want"
+    }
+}
