@@ -176,6 +176,44 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
       && df1(0).isNullAt(7))
   }
 
+  test("round-10 media compositions on cold-start/degenerate input behave, not error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val M = graft.ext.Multimodal
+    val png = M.PngCodec.encode(8, 8, (x, y) => (x * 37 + y * 59) % 256)
+    val wav = M.WavCodec.encode(8000f,
+      Array.tabulate(128)(i => ((i * 997) % 2003 - 1001).toShort))
+    // distinct frames — a frozen clip would (correctly) fail the
+    // static gate and flip keep
+    val vid = M.VideoCodec.encode(12, (0 until 4).map(f =>
+      M.PngCodec.encode(8, 8, (x, y) => (f * 97 + x * 37 + y * 59) % 256)))
+    val imgs = Seq((1L, png)).toDF("doc_id", "payload")
+    val auds = Seq((1L, wav)).toDF("doc_id", "payload")
+    val vids = Seq((1L, vid)).toDF("doc_id", "payload")
+    val emptyHashes = Seq.empty[(Long, Long)].toDF("doc_id", "dhash")
+    val emptyEhashes = Seq.empty[(Long, Long)].toDF("doc_id", "ehash")
+    val emptySlots = Seq.empty[(Long, Int, Long)].toDF("doc_id", "slot", "dhash")
+    // DAY-1 COLD START: empty stored fingerprint tables — the audit
+    // must run (no dup_stored anywhere, in-batch logic intact)
+    val day1 = graft.ext.Curation.mediaIngestAudit(spark, imgs, auds, vids,
+      emptyHashes, emptyEhashes, emptySlots).collect()
+    assert(day1.length === 1)
+    val r = day1(0)
+    Seq("image_dup_stored", "audio_dup_stored", "video_dup_stored",
+      "image_dup_new", "audio_dup_new", "video_dup_new").foreach { c =>
+      assert(!r.getAs[Boolean](c), s"$c on a 1-doc day-1 batch")
+    }
+    assert(r.getAs[Boolean]("keep"))
+    // cluster representatives on a corpus with NO clusters: empty, not error
+    assert(M.imageClusterRepresentatives(spark, imgs).collect().isEmpty)
+    assert(M.audioClusterRepresentatives(spark, auds).collect().isEmpty)
+    assert(M.videoClusterRepresentatives(spark, vids).collect().isEmpty)
+    // fused stages on one row: exactly one output row each
+    assert(M.imageStatsDhash(spark, imgs).count() === 1L)
+    assert(M.audioStatsEhash(spark, auds).count() === 1L)
+    assert(M.videoStatsPhash(spark, vids).count() === 1L)
+  }
+
   test("round-8 operators on empty/degenerate input return empty, not errors") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
