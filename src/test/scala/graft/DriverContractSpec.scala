@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-contract surface, pinned as data: every oracle belongs to
+  * a real query, and every query WITHOUT an oracle is on the documented
+  * rows-only allowlist (COVERAGE.md's irreducibility table). A new
+  * query added without its DuckDB twin — or an oracle orphaned by a
+  * rename — fails here instead of silently shrinking the verified
+  * surface at the next driver run.
+  */
+class DriverContractSpec extends AnyFunSuite {
+
+  /** the 11 queries that are rows-only BY DESIGN — each carries an
+    * irreducibility argument and an exact-regime twin (COVERAGE.md)
+    */
+  private val rowsOnly = Set(
+    "q_minhash_neardup",     // xxhash64 band keys (md5 twin is oracle-matched)
+    "q_incremental_neardup", // xxhash64 signatures (md5 twin)
+    "q_simhash_neardup",     // xxhash64 bit votes (md5 twin)
+    "q_ivf_topk",            // pruned probing is approximate by contract (q_ivf_exact)
+    "q_hll_distinct",        // hash-family-specific registers
+    "q_kmv_users",           // bottom-k hash sketch
+    "q_sketch_merge",        // persisted HLL buffers
+    "q_approx_profile",      // estimator-specific (its BOUNDS twin is oracle-matched)
+    "q_compression_ratio",   // DuckDB has no zlib
+    "q_jpeg_decode",         // lossy codec output (lossless PNG twin)
+    "q_semantic_dedup")      // kmeans float iteration order (exact twin)
+
+  test("every oracle entry names a real query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("every query without an oracle is on the documented rows-only allowlist") {
+    val unversioned = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unversioned === rowsOnly,
+      s"undocumented rows-only queries: ${unversioned -- rowsOnly}; " +
+        s"stale allowlist entries: ${rowsOnly -- unversioned}")
+  }
+
+  test("every MediaFixtures query mapping names a real query and a real kind") {
+    val badQ = MediaFixtures.queryKinds.keySet -- SparkEntry.queries.keySet
+    assert(badQ.isEmpty, s"fixture mappings for unknown queries: $badQ")
+  }
+
+  test("oracle coverage tally matches COVERAGE.md's Totals line") {
+    val total = SparkEntry.queries.size
+    val oracle = (SparkEntry.queries.keySet & SparkEntry.oracleSql.keySet).size
+    val coverage = {
+      val src = scala.io.Source.fromFile("COVERAGE.md", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    assert(coverage.contains(s"**Totals**: $total driver-contract queries"),
+      s"COVERAGE.md Totals line must say $total queries")
+    assert(coverage.contains(s"$oracle DuckDB-oracle hash-matched"),
+      s"COVERAGE.md Totals line must say $oracle oracle-matched")
+  }
+}
