@@ -202,7 +202,10 @@ object Curation {
       .unionByName(stage(4, "image_neardup", s4))
       .unionByName(stage(5, "quality", s5))
       .orderBy("stage")
-    Dedup.scopeCaches(out, allTok, stats, s1, s2, s3, s4, s5)
+    // clusters is persisted+materialized by its core ("caller owns its
+    // lifetime") — release it with the other intermediates, or repeated
+    // funnel calls in a long-lived session accumulate cached tables
+    Dedup.scopeCaches(out, allTok, stats, s1, s2, s3, s4, s5, clusters)
   }
 
   /** Per-document curation AUDIT report — the provenance artifact a
@@ -227,7 +230,11 @@ object Curation {
     val stats = Multimodal.imageStatsDhash(spark, media).persist()
     val clusters = Multimodal.imageClustersFromHashes(
       stats.select("doc_id", "dhash"), maxHamming, maxBandBucket)
-    val verdicts = crossModalVerdicts(documents, clusters, urlCol).drop("keep")
+    // keep the persisted frame in hand: unpersisting a projection of a
+    // cached plan is a CacheManager no-op (sameResult match only), so
+    // releasing `.drop("keep")` would leak the verdict cache
+    val verdictsAll = crossModalVerdicts(documents, clusters, urlCol)
+    val verdicts = verdictsAll.drop("keep")
     val flat = stats.select(col("doc_id"), col("is_flat").as("flat_image"))
     val qual = TextOps.classifierQualityScore(documents)
       .select(col("doc_id"), (col("kept") === 1).as("quality_kept"))
@@ -240,7 +247,7 @@ object Curation {
         !col("url_dup") && !col("text_dup") && !col("image_dup") &&
         !col("flat_image") && col("quality_kept"))
       .orderBy("doc_id")
-    Dedup.scopeCaches(out, stats, verdicts)
+    Dedup.scopeCaches(out, stats, verdictsAll, clusters)
   }
 
   /** The FULL-modality curation audit — [[curationReport]] extended to
@@ -273,16 +280,23 @@ object Curation {
     val istats = Multimodal.imageStatsDhash(spark, images).persist()
     val iclusters = Multimodal.imageClustersFromHashes(
       istats.select("doc_id", "dhash"), maxHamming, maxBandBucket)
-    val verdicts = crossModalVerdicts(documents, iclusters, urlCol).drop("keep")
+    // persisted handle, not the projection (see curationReport)
+    val verdictsAll = crossModalVerdicts(documents, iclusters, urlCol)
+    val verdicts = verdictsAll.drop("keep")
     val astats = Multimodal.audioStatsEhash(spark, audios).persist()
-    val aclusters = Multimodal.audioClustersFromHashes(
+    // keep the persisted core results in hand (not just their column
+    // projections) so the final scopeCaches can release them — the
+    // cores return frames the caller owns
+    val aclustersAll = Multimodal.audioClustersFromHashes(
       astats.select("doc_id", "ehash"), maxHamming, maxBandBucket)
+    val aclusters = aclustersAll
       .select(col("doc_id"), col("cluster_id").as("audio_cluster"))
     val vstats = Multimodal.videoStatsPhash(spark, videos, k).persist()
     val vslots = vstats.select(col("doc_id"), posexplode(col("sig")))
       .toDF("doc_id", "slot", "dhash")
-    val vclusters = Multimodal.videoClustersFromSlotHashes(vslots, k,
+    val vclustersAll = Multimodal.videoClustersFromSlotHashes(vslots, k,
       maxTotalHamming, maxBandBucket)
+    val vclusters = vclustersAll
       .select(col("doc_id"), col("cluster_id").as("video_cluster"))
     val qual = TextOps.classifierQualityScore(documents)
       .select(col("doc_id"), (col("kept") === 1).as("quality_kept"))
@@ -313,7 +327,8 @@ object Curation {
         col("flat_image"), col("audio_dup"), col("quiet_audio"),
         col("video_dup"), col("static_video"), col("quality_kept"), col("keep"))
       .orderBy("doc_id")
-    Dedup.scopeCaches(out, istats, astats, vstats, verdicts)
+    Dedup.scopeCaches(out, istats, astats, vstats, verdictsAll,
+      iclusters, aclustersAll, vclustersAll)
   }
 
   /** The DAILY-INGEST audit — [[mediaCurationReport]]'s incremental
@@ -365,8 +380,11 @@ object Curation {
     //     (Hamming 0); a group-min doc duplicates in-batch iff its rep
     //     appears as doc_b of a non-cross pair (reps ARE group mins, so
     //     doc_a < doc_b order is min-id order across groups).
+    // returns the flags AND the persisted pair frame the banding core
+    // produced ("caller owns its lifetime") so the final scopeCaches
+    // can release it — repeated daily runs must not accumulate caches
     def groupFlags(newFp: DataFrame, repPairs: DataFrame => DataFrame,
-                   hashCols: Seq[String], pfx: String): DataFrame = {
+                   hashCols: Seq[String], pfx: String): (DataFrame, DataFrame) = {
       val groups = newFp.groupBy(hashCols.map(col): _*)
         .agg(min(col("doc_id")).as("gmin"))
       val pairs = repPairs(groups)
@@ -376,25 +394,26 @@ object Curation {
       val newReps = pairs.filter(!col("is_cross"))
         .select(col("doc_b").as("gmin"))
         .distinct().withColumn("g_new", lit(true))
-      newFp.join(groups, hashCols)
+      val flags = newFp.join(groups, hashCols)
         .join(crossReps, Seq("gmin"), "left")
         .join(newReps, Seq("gmin"), "left")
         .select(col("doc_id"),
           coalesce(col("g_stored"), lit(false)).as(s"${pfx}_dup_stored"),
           (col("doc_id") =!= col("gmin") ||
             coalesce(col("g_new"), lit(false))).as(s"${pfx}_dup_new"))
+      (flags, pairs)
     }
     // stored sides collapse to distinct fingerprints too (min stored id)
     val storedI = storedImageHashes.groupBy("dhash")
       .agg(min(col("doc_id")).as("doc_id"))
     val storedA = storedAudioHashes.groupBy("ehash")
       .agg(min(col("doc_id")).as("doc_id"))
-    val imgFlags = groupFlags(istats.select("doc_id", "dhash"),
+    val (imgFlags, ipairs) = groupFlags(istats.select("doc_id", "dhash"),
       g => Dedup.bandedHammingPairsIncremental(
         g.select(col("gmin").as("doc_id"), col("dhash")), storedI,
         "dhash", 63, maxHamming, maxBandBucket),
       Seq("dhash"), "image")
-    val audFlags = groupFlags(astats.select("doc_id", "ehash"),
+    val (audFlags, apairs) = groupFlags(astats.select("doc_id", "ehash"),
       g => Dedup.bandedHammingPairsIncremental(
         g.select(col("gmin").as("doc_id"), col("ehash")), storedA,
         "ehash", 63, maxHamming, maxBandBucket),
@@ -406,7 +425,7 @@ object Curation {
       .groupBy("pairs").agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), explode(col("pairs")).as("p"))
       .select(col("doc_id"), col("p.slot").as("slot"), col("p.dhash").as("dhash"))
-    val vidFlags = groupFlags(vstats.select(col("doc_id"), col("sig")),
+    val (vidFlags, vpairs) = groupFlags(vstats.select(col("doc_id"), col("sig")),
       g => Multimodal.videoNearDupIncrementalFromSlotHashes(
         g.select(col("gmin").as("doc_id"), posexplode(col("sig")))
           .toDF("doc_id", "slot", "dhash"),
@@ -429,7 +448,7 @@ object Curation {
         col("video_dup_stored"), col("video_dup_new"), col("static_video"),
         col("keep"))
       .orderBy("doc_id")
-    Dedup.scopeCaches(out, istats, astats, vstats)
+    Dedup.scopeCaches(out, istats, astats, vstats, ipairs, apairs, vpairs)
   }
 
   /** Cross-modal duplicate verdicts: one row per document combining
@@ -464,10 +483,14 @@ object Curation {
   def crossModalDedup(spark: org.apache.spark.sql.SparkSession,
                       documents: DataFrame, media: DataFrame,
                       urlCol: String = "url", maxHamming: Int = 6,
-                      maxBandBucket: Int = -1): DataFrame =
-    crossModalVerdicts(documents,
-      Multimodal.imageClusters(spark, media, maxHamming, maxBandBucket),
-      urlCol)
+                      maxBandBucket: Int = -1): DataFrame = {
+    val clusters = Multimodal.imageClusters(spark, media, maxHamming, maxBandBucket)
+    // crossModalVerdicts materializes its result, so the persisted
+    // cluster frame (owned by this caller) can be released immediately
+    val out = crossModalVerdicts(documents, clusters, urlCol)
+    clusters.unpersist(false)
+    out
+  }
 
   /** The verdict join of [[crossModalDedup]] over PRECOMPUTED image
     * clusters — so [[curationReport]] can feed it from the single fused

@@ -228,6 +228,45 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
         .select("doc_id", "slot", "dhash")), "mediaIngestAudit")
   }
 
+  test("composition cache hygiene: every media composition releases all its intermediates") {
+    // the compositions persist fused-stats / cluster / verdict / pair
+    // frames internally; a long-lived session (streaming daily loop,
+    // StressBench sweeps) calls them repeatedly, so anything left
+    // cached after the result is released is a leak that accumulates
+    import org.apache.spark.sql.functions.col
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = TextOps.withSyntheticDupText(WebOps.withSyntheticMessyUrl(base))
+    val imgs = Multimodal.syntheticPngSkewed(spark, base)
+    val auds = Multimodal.syntheticWavSkewed(spark, base)
+    val vids = Multimodal.syntheticVideoJunk(spark, base)
+    val stored = col("doc_id") % 50 < 25
+    val storedI = Multimodal.imageDhash(spark, imgs.filter(stored))
+    val storedA = Multimodal.audioEhash(spark, auds.filter(stored))
+    val storedV = Multimodal.videoPhash(spark, vids.filter(stored))
+      .select("doc_id", "slot", "dhash")
+    def assertNoLeak(name: String)(run: => DataFrame): Unit = {
+      // other suites share the session; assert only that THIS call
+      // adds no still-persisted RDDs of its own
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val out = run
+      out.count()
+      out.unpersist(blocking = true)
+      val leaked = spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, rdd) => before.contains(id) ||
+          rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE }
+      assert(leaked.isEmpty,
+        s"$name leaked caches: ${leaked.values.map(_.name).mkString(", ")}")
+    }
+    assertNoLeak("multimodalFunnel")(Curation.multimodalFunnel(spark, d, imgs))
+    assertNoLeak("curationReport")(Curation.curationReport(spark, d, imgs))
+    assertNoLeak("crossModalDedup")(Curation.crossModalDedup(spark, d, imgs))
+    assertNoLeak("mediaCurationReport")(
+      Curation.mediaCurationReport(spark, d, imgs, auds, vids))
+    assertNoLeak("mediaIngestAudit")(Curation.mediaIngestAudit(spark,
+      imgs.filter(!stored), auds.filter(!stored), vids.filter(!stored),
+      storedI, storedA, storedV))
+  }
+
   test("mediaIngestAudit: per-new-doc verdicts agree with the standalone incrementals") {
     import org.apache.spark.sql.functions.col
     val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
