@@ -425,7 +425,15 @@ object Curation {
       .groupBy("pairs").agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), explode(col("pairs")).as("p"))
       .select(col("doc_id"), col("p.slot").as("slot"), col("p.dhash").as("dhash"))
-    val (vidFlags, vpairs) = groupFlags(vstats.select(col("doc_id"), col("sig")),
+    // zero-frame/undecodable videos carry the EMPTY signature: they are
+    // never perceptual duplicates anywhere else in the family (batch
+    // videoPhash emits no slots and never pairs them; videoDedupStream
+    // emits nothing for them), so they must not enter the grouping —
+    // two undecodable arrivals in one batch would otherwise share the
+    // empty-sig group and the higher id would be flagged video_dup_new.
+    // They rejoin below with all-false dup flags (left join).
+    val (vidFlags, vpairs) = groupFlags(
+      vstats.filter(size(col("sig")) > 0).select(col("doc_id"), col("sig")),
       g => Multimodal.videoNearDupIncrementalFromSlotHashes(
         g.select(col("gmin").as("doc_id"), posexplode(col("sig")))
           .toDF("doc_id", "slot", "dhash"),
@@ -436,7 +444,9 @@ object Curation {
     val aud = astats.select(col("doc_id"), col("is_quiet").as("quiet_audio"))
       .join(audFlags, "doc_id")
     val vid = vstats.select(col("doc_id"), col("is_static").as("static_video"))
-      .join(vidFlags, "doc_id")
+      .join(vidFlags, Seq("doc_id"), "left")
+      .withColumn("video_dup_stored", coalesce(col("video_dup_stored"), lit(false)))
+      .withColumn("video_dup_new", coalesce(col("video_dup_new"), lit(false)))
     val out = img.join(aud, "doc_id").join(vid, "doc_id")
       .withColumn("keep",
         !col("image_dup_stored") && !col("image_dup_new") && !col("flat_image") &&

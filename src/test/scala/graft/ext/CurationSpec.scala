@@ -228,6 +228,54 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
         .select("doc_id", "slot", "dhash")), "mediaIngestAudit")
   }
 
+  test("mediaIngestAudit: zero-frame videos are never video duplicates of each other") {
+    // two undecodable (zero-frame) videos in one batch both carry the
+    // empty slot signature — the batch twin (videoPhash emits no slots)
+    // and videoDedupStream (emits nothing) never pair them, so the
+    // audit must not either: grouping by the raw sig array would form
+    // an empty-sig group and flag the higher id video_dup_new
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    import spark.implicits._
+    def vid(id: Long, frames: Seq[Array[Byte]]) =
+      (id, Multimodal.VideoCodec.encode(12, frames))
+    val realFrames = (0 until 6).map(f =>
+      Multimodal.PngCodec.encode(8, 8, (x, y) => (x * 37 + y * 59 + f * 97) % 256))
+    val newVids = Seq(
+      vid(1000L, Seq.empty), vid(1001L, Seq.empty), // both undecodable
+      vid(1002L, realFrames))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit("video/gvid").as("media_type"), lit(0).as("n_frames"),
+          col("doc_id").as("source_id")).as("meta"))
+    // minimal image/audio sides so the audit's three-way join keeps rows
+    val imgs = newVids.select(col("doc_id"),
+      lit(Multimodal.PngCodec.encode(8, 8, (x, y) => x * 41 + y * 3)).as("payload"),
+      col("meta"))
+    val auds = newVids.select(col("doc_id"),
+      lit(Multimodal.WavCodec.encode(8000f,
+        (0 until 1600).map(i => ((i * librarySeed) % 9973 - 4986).toShort).toArray))
+        .as("payload"),
+      col("meta"))
+    val emptyI = imgs.limit(0).select(col("doc_id"),
+      lit(0L).as("dhash")).limit(0)
+    val emptyA = emptyI.withColumnRenamed("dhash", "ehash")
+    val emptyV = imgs.limit(0).select(col("doc_id"), lit(0).as("slot"),
+      lit(0L).as("dhash")).limit(0)
+    val audit = Curation.mediaIngestAudit(spark, imgs, auds, newVids,
+      emptyI, emptyA, emptyV, maxBandBucket = 0)
+    val rows = audit.collect().map(r => r.getLong(0) ->
+      (r.getAs[Boolean]("video_dup_stored"), r.getAs[Boolean]("video_dup_new")))
+      .toMap
+    audit.unpersist(false)
+    assert(rows.size === 3, "every new doc keeps its audit row")
+    assert(rows(1000L) === ((false, false)), "zero-frame doc 1000 not a dup")
+    assert(rows(1001L) === ((false, false)),
+      "zero-frame doc 1001 must not be flagged dup of the other zero-frame doc")
+    assert(rows(1002L) === ((false, false)), "lone real video not a dup")
+  }
+
+  private val librarySeed = 17
+
   test("composition cache hygiene: every media composition releases all its intermediates") {
     // the compositions persist fused-stats / cluster / verdict / pair
     // frames internally; a long-lived session (streaming daily loop,
