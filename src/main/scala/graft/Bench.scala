@@ -52,8 +52,22 @@ object Bench {
     // untimed fixture materialization: the media queries read stored
     // payload tables (MediaFixtures parquet sidecars); encoding those
     // fixtures is setup, not the operator under test, so it happens
-    // here — before any timing — and the timed bodies are plain scans
+    // here — before any timing — and the timed bodies are plain scans.
+    // ensureFor also page-warms the payload bytes (a metadata-only
+    // count would leave them cold when the sidecar pre-exists).
     MediaFixtures.ensureFor(spark, sfDir, names)
+    // codec JIT warm-up: decode a handful of payloads per modality so
+    // the FIRST timed media sample measures the operator, not the
+    // interpreter-mode cost of the first-ever PNG/WAV/GVID decode
+    locally {
+      val ks = names.flatMap(MediaFixtures.queryKinds.getOrElse(_, Nil)).distinct
+      ks.find(_.startsWith("png")).foreach(k => ext.Multimodal.imageDhash(spark,
+        MediaFixtures.table(spark, sfDir, k).limit(64)).count())
+      ks.find(_.startsWith("wav")).foreach(k => ext.Multimodal.audioEhash(spark,
+        MediaFixtures.table(spark, sfDir, k).limit(64)).count())
+      ks.find(_.startsWith("video")).foreach(k => ext.Multimodal.videoPhash(spark,
+        MediaFixtures.table(spark, sfDir, k).limit(64)).count())
+    }
     // INTERLEAVED min-of-N: full passes over every query, not N
     // back-to-back runs per query. Contention on this box arrives in
     // ~minute-long windows; back-to-back runs let one window poison all

@@ -13,32 +13,55 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * operator under test ran). A real deployment reads stored payloads.
   *
   * So each fixture table is written to parquet ONCE per (testdata
-  * generation, kind) under the JVM temp dir and every later use — all
-  * bench passes, verify, repeated local runs — is a plain parquet scan,
-  * which is exactly the I/O shape the 100 TB design point has. The
-  * cache key fingerprints the `documents.parquet` file (path, mtime,
-  * size), so regenerated testdata invalidates automatically; the
-  * generators are deterministic in doc_id, so a cached table is
-  * row-identical to fresh generation and every DuckDB oracle stays
-  * valid. Writes go to a staging dir then rename, so a killed run
-  * can't leave a half-written dir that later runs mistake for a
-  * complete fixture.
+  * generation, fixture format version, kind, scale factor) under the
+  * JVM temp dir and every later use — all bench passes, verify,
+  * repeated local runs, the StressBench ×N sweeps — is a plain parquet
+  * scan, which is exactly the I/O shape the 100 TB design point has.
+  * The cache key fingerprints the `documents.parquet` file (path,
+  * mtime, size) AND [[FORMAT_VERSION]], so regenerated testdata or an
+  * edited generator invalidates automatically; the generators are
+  * deterministic in doc_id, so a cached table is row-identical to
+  * fresh generation and every DuckDB oracle stays valid. Writes go to
+  * a staging dir carrying this cache's OWN completion marker, then
+  * rename: a killed run can't leave a half-written dir that later runs
+  * mistake for a complete fixture, and completeness never depends on
+  * Spark's `_SUCCESS` setting (`mapreduce.fileoutputcommitter
+  * .marksuccessfuljobs=false` would otherwise turn the cache into a
+  * hard error). A target dir WITHOUT the marker is stale state and is
+  * removed, then regenerated.
   */
 object MediaFixtures {
 
-  /** fixture kind -> generator (all deterministic in doc_id) */
-  private val kinds: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "png" -> ((s, d) => ext.Multimodal.syntheticPngTable(s, Tables.documents(s, d))),
-    "jpeg" -> ((s, d) => ext.Multimodal.syntheticJpegTable(s, Tables.documents(s, d))),
-    "png_clusters" -> ((s, d) => ext.Multimodal.syntheticPngClusters(s, Tables.documents(s, d))),
-    "png_skewed" -> ((s, d) => ext.Multimodal.syntheticPngSkewed(s, Tables.documents(s, d))),
-    "wav" -> ((s, d) => ext.Multimodal.syntheticWavTable(s, Tables.documents(s, d))),
-    "wav_clusters" -> ((s, d) => ext.Multimodal.syntheticWavClusters(s, Tables.documents(s, d))),
-    "wav_skewed" -> ((s, d) => ext.Multimodal.syntheticWavSkewed(s, Tables.documents(s, d))),
-    "video" -> ((s, d) => ext.Multimodal.syntheticVideoTable(s, Tables.documents(s, d))),
-    "video_scenes" -> ((s, d) => ext.Multimodal.syntheticVideoScenes(s, Tables.documents(s, d))),
-    "video_junk" -> ((s, d) => ext.Multimodal.syntheticVideoJunk(s, Tables.documents(s, d))),
-    "video_clusters" -> ((s, d) => ext.Multimodal.syntheticVideoClusters(s, Tables.documents(s, d))))
+  /** Bump whenever ANY synthetic generator's output changes (pixel
+    * pattern, cluster count, silence cadence, codec layout, …): the
+    * key change makes every previously cached parquet invisible, so a
+    * stale fixture can never be silently served to a bench or verify
+    * run against the new generator semantics.
+    */
+  private val FORMAT_VERSION = 2
+
+  /** This cache's own completion marker — written into the staging dir
+    * BEFORE the atomic rename, so a renamed target is complete by
+    * construction. Underscore prefix: parquet readers ignore it.
+    */
+  private val MARKER = "_GRAFT_FIXTURE_OK"
+
+  /** fixture kind -> generator over a documents frame (all
+    * deterministic in doc_id, so the same kind over a replicated
+    * documents table is itself deterministic)
+    */
+  private val kinds: Map[String, (SparkSession, DataFrame) => DataFrame] = Map(
+    "png" -> ((s, d) => ext.Multimodal.syntheticPngTable(s, d)),
+    "jpeg" -> ((s, d) => ext.Multimodal.syntheticJpegTable(s, d)),
+    "png_clusters" -> ((s, d) => ext.Multimodal.syntheticPngClusters(s, d)),
+    "png_skewed" -> ((s, d) => ext.Multimodal.syntheticPngSkewed(s, d)),
+    "wav" -> ((s, d) => ext.Multimodal.syntheticWavTable(s, d)),
+    "wav_clusters" -> ((s, d) => ext.Multimodal.syntheticWavClusters(s, d)),
+    "wav_skewed" -> ((s, d) => ext.Multimodal.syntheticWavSkewed(s, d)),
+    "video" -> ((s, d) => ext.Multimodal.syntheticVideoTable(s, d)),
+    "video_scenes" -> ((s, d) => ext.Multimodal.syntheticVideoScenes(s, d)),
+    "video_junk" -> ((s, d) => ext.Multimodal.syntheticVideoJunk(s, d)),
+    "video_clusters" -> ((s, d) => ext.Multimodal.syntheticVideoClusters(s, d)))
 
   /** media-fixture kinds each driver query reads — so a bench run can
     * pre-materialize (untimed) exactly what its query set needs
@@ -77,8 +100,9 @@ object MediaFixtures {
     "q_audio_cluster_reps" -> Seq("wav_skewed"),
     "q_video_cluster_reps" -> Seq("video_clusters"))
 
-  /** Fingerprint of the current testdata generation: a cached fixture
-    * is valid only for the documents file it was derived from.
+  /** Fingerprint of the current testdata generation × fixture format:
+    * a cached fixture is valid only for the documents file AND the
+    * generator version it was derived from.
     */
   private def generationKey(sfDir: String): String = {
     def sig(f: java.io.File): String =
@@ -87,34 +111,44 @@ object MediaFixtures {
         s"${kids.length}:${kids.map(_.lastModified).foldLeft(0L)(math.max)}:${kids.map(_.length).sum}"
       } else s"1:${f.lastModified}:${f.length}"
     val doc = new java.io.File(sfDir, "documents.parquet")
-    val raw = s"$sfDir|${sig(doc)}"
+    val raw = s"$sfDir|v$FORMAT_VERSION|${sig(doc)}"
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(raw.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
   }
 
-  private def cacheDir(sfDir: String, kind: String): java.io.File =
+  private def cacheDir(sfDir: String, name: String): java.io.File =
     new java.io.File(new java.io.File(
       sys.props("java.io.tmpdir"), "graft_media_fixtures"),
-      s"${generationKey(sfDir)}/$kind")
+      s"${generationKey(sfDir)}/$name")
 
-  /** The fixture table for `kind` over `sfDir`'s documents —
-    * materialized to parquet on first use, a plain scan afterwards.
+  private def complete(dir: java.io.File): Boolean =
+    new java.io.File(dir, MARKER).exists()
+
+  private def rm(x: java.io.File): Unit = {
+    Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+  }
+
+  /** Materialize `gen()` to `target` parquet if no complete copy
+    * exists, then read it back. Completeness = OUR marker, written
+    * into staging before the atomic rename (never Spark's _SUCCESS).
     */
-  def table(spark: SparkSession, sfDir: String, kind: String): DataFrame = {
-    val target = cacheDir(sfDir, kind)
-    if (!new java.io.File(target, "_SUCCESS").exists()) synchronized {
-      if (!new java.io.File(target, "_SUCCESS").exists()) {
+  private def materialized(spark: SparkSession, target: java.io.File,
+                           gen: () => DataFrame): DataFrame = {
+    if (!complete(target)) synchronized {
+      if (!complete(target)) {
+        // a target without the marker is stale state (interrupted run,
+        // foreign dir) — removable, never a hard error
+        if (target.exists()) rm(target)
         val staging = new java.io.File(target.getParentFile,
           s".${target.getName}.staging-${spark.sparkContext.applicationId}")
-        kinds(kind)(spark, sfDir).write.mode("overwrite").parquet(staging.toString)
+        gen().write.mode("overwrite").parquet(staging.toString)
+        if (!new java.io.File(staging, MARKER).createNewFile())
+          throw new java.io.IOException(s"cannot write fixture marker in $staging")
         target.getParentFile.mkdirs()
         if (!staging.renameTo(target)) {
           // a concurrent run won the rename — use its table
-          if (!new java.io.File(target, "_SUCCESS").exists())
+          if (!complete(target))
             throw new java.io.IOException(s"fixture rename failed: $staging -> $target")
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
-          }
           rm(staging)
         }
       }
@@ -122,8 +156,35 @@ object MediaFixtures {
     spark.read.parquet(target.toString)
   }
 
-  /** Pre-materialize (untimed) every fixture the given queries read. */
+  /** The fixture table for `kind` over `sfDir`'s documents —
+    * materialized to parquet on first use, a plain scan afterwards.
+    */
+  def table(spark: SparkSession, sfDir: String, kind: String): DataFrame =
+    materialized(spark, cacheDir(sfDir, kind),
+      () => kinds(kind)(spark, Tables.documents(spark, sfDir)))
+
+  /** The ×`factor` replicated fixture table (disjoint doc_id ranges per
+    * replica, [[StressBench.replicate]]'s key arithmetic) — the
+    * StressBench corpora, cached under a scale-suffixed key so the
+    * stress rows scan parquet instead of re-encoding the ×N payloads
+    * inside their timed bodies.
+    */
+  def tableReplicated(spark: SparkSession, sfDir: String, kind: String,
+                      factor: Int): DataFrame =
+    if (factor <= 1) table(spark, sfDir, kind)
+    else materialized(spark, cacheDir(sfDir, s"${kind}_x$factor"),
+      () => kinds(kind)(spark,
+        StressBench.replicate(Tables.documents(spark, sfDir), factor, Seq("doc_id"))))
+
+  /** Pre-materialize (untimed) every fixture the given queries read.
+    * The warm-up is a REAL data scan — `count()` alone is answered
+    * from parquet row-group metadata without reading a payload page,
+    * so a sidecar written by an earlier process would leave its bytes
+    * cold on disk and the first TIMED sample would pay the cold read.
+    */
   def ensureFor(spark: SparkSession, sfDir: String, queryNames: Seq[String]): Unit =
-    queryNames.flatMap(queryKinds.getOrElse(_, Nil)).distinct
-      .foreach(k => table(spark, sfDir, k).count(): Unit)
+    queryNames.flatMap(queryKinds.getOrElse(_, Nil)).distinct.foreach { k =>
+      table(spark, sfDir, k).selectExpr("sum(length(payload))").collect()
+      (): Unit
+    }
 }

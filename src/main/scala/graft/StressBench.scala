@@ -66,8 +66,9 @@ object StressBench {
     // targeted re-measure pays only its own queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.trim.nonEmpty)
       .map(_.split(",").map(_.trim).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     def time(name: String, f: => Long): Option[(String, Double, Long)] =
-      if (only.exists(!_.contains(name))) None
+      if (!selected(name)) None
       else {
         val t0 = System.nanoTime()
         val n = f
@@ -79,6 +80,57 @@ object StressBench {
       "negative_samples_window", "shard_manifest_export", "curation_funnel",
       "multimodal_funnel", "media_curation_report")
     if (only.forall(o => (o & corpusConsumers).nonEmpty)) { docsPq; () }
+
+    // ×factor media corpora on parquet sidecars, pre-materialized
+    // UNTIMED — a stress row that encodes ~325k PNG frames inside its
+    // timed body measures the fixture encoder, not the operator (the
+    // encode share depressed the capped-vs-uncapped guard ratios it
+    // exists to demonstrate). A real pipeline reads stored payloads.
+    val mediaRowKinds: Map[String, Seq[String]] = Map(
+      "image_dhash" -> Seq("png_clusters"),
+      "audio_ehash" -> Seq("wav_clusters"),
+      "video_phash" -> Seq("video_clusters"),
+      "video_scenes" -> Seq("video_scenes"),
+      "multimodal_funnel" -> Seq("png_skewed"),
+      "image_neardup_skew_capped" -> Seq("png_skewed"),
+      "image_neardup_skew_uncapped" -> Seq("png_skewed"),
+      "image_neardup_inc_skew_capped" -> Seq("png_skewed"),
+      "image_neardup_inc_skew_uncapped" -> Seq("png_skewed"),
+      "image_clusters_skew_uncapped" -> Seq("png_skewed"),
+      "audio_clusters_skew_uncapped" -> Seq("wav_skewed"),
+      "video_clusters_junk_uncapped" -> Seq("video_junk"),
+      "audio_neardup_inc_skew_capped" -> Seq("wav_skewed"),
+      "audio_neardup_inc_skew_uncapped" -> Seq("wav_skewed"),
+      "video_neardup_inc_skew_capped" -> Seq("video_junk"),
+      "video_neardup_inc_skew_uncapped" -> Seq("video_junk"),
+      "media_curation_report" -> Seq("png_skewed", "wav_skewed", "video_junk"),
+      "media_ingest_chain" -> Seq("png_skewed", "wav_skewed", "video_junk"))
+    mediaRowKinds.collect { case (row, ks) if selected(row) => ks }
+      .flatten.toSeq.distinct
+      .foreach(k => MediaFixtures.tableReplicated(spark, sfDir, k, factor).count())
+    def fixture(kind: String): DataFrame =
+      MediaFixtures.tableReplicated(spark, sfDir, kind, factor)
+
+    // stored-side fingerprint tables for the incremental (daily-ingest)
+    // rows, computed UNTIMED: the incremental operators take stored
+    // HASHES as input by contract — in the daily regime yesterday's
+    // hashes are a stored table, so charging the timed body for
+    // producing its own input misstated what a day costs. 80/20
+    // stored/new split as before.
+    def prepped(f: => DataFrame): DataFrame = { val d = f.persist(); d.count(); d }
+    lazy val storedIdh = prepped(ext.Multimodal.imageDhash(spark,
+      fixture("png_skewed").filter(col("doc_id") % 5 =!= 0)))
+    lazy val storedAeh = prepped(ext.Multimodal.audioEhash(spark,
+      fixture("wav_skewed").filter(col("doc_id") % 5 =!= 0)))
+    lazy val storedVph = prepped(ext.Multimodal.videoPhash(spark,
+      fixture("video_junk").filter(col("doc_id") % 5 =!= 0))
+      .select("doc_id", "slot", "dhash"))
+    if (Seq("image_neardup_inc_skew_capped", "image_neardup_inc_skew_uncapped")
+      .exists(selected)) { storedIdh; () }
+    if (Seq("audio_neardup_inc_skew_capped", "audio_neardup_inc_skew_uncapped")
+      .exists(selected)) { storedAeh; () }
+    if (Seq("video_neardup_inc_skew_capped", "video_neardup_inc_skew_uncapped")
+      .exists(selected)) { storedVph; () }
 
     val results = Seq(
       time("star_join", ops.Relational.starJoin(li, o, Tables.part(spark, sfDir),
@@ -235,23 +287,24 @@ object StressBench {
       // round-8: perceptual image hashing — real PNG decode + dHash per
       // image, narrow end to end (the near-dup pair space on a
       // replicated corpus is fixture-quadratic, so only the linear
-      // decode+hash path is stress-relevant)
+      // decode+hash path is stress-relevant). All media rows scan the
+      // pre-materialized parquet sidecars: the timed body is decode +
+      // operator, never fixture encode.
       time("image_dhash", ext.Multimodal.imageDhash(spark,
-        ext.Multimodal.syntheticPngClusters(spark, docs)).count()),
-      // round-9: the audio twin's linear path — WAV encode + decode +
-      // energy hash per clip, narrow end to end like image_dhash
+        fixture("png_clusters")).count()),
+      // round-9: the audio twin's linear path — WAV decode + energy
+      // hash per clip, narrow end to end like image_dhash
       time("audio_ehash", ext.Multimodal.audioEhash(spark,
-        ext.Multimodal.syntheticWavClusters(spark, docs)).count()),
+        fixture("wav_clusters")).count()),
       // round-9: the video tier's linear paths (near-dup pair spaces on
       // a replicated corpus are fixture-quadratic, as for images) —
-      // container encode + header probe + SELECTIVE frame decode + per-
-      // slot dHash, narrow end to end; and the scene path, which decodes
-      // EVERY frame then pays its one exchange on doc_id for the
-      // per-video lag window
+      // header probe + SELECTIVE frame decode + per-slot dHash, narrow
+      // end to end; and the scene path, which decodes EVERY frame then
+      // pays its one exchange on doc_id for the per-video lag window
       time("video_phash", ext.Multimodal.videoPhash(spark,
-        ext.Multimodal.syntheticVideoClusters(spark, docs)).count()),
+        fixture("video_clusters")).count()),
       time("video_scenes", ext.Multimodal.videoScenes(spark,
-        ext.Multimodal.syntheticVideoScenes(spark, docs)).count()),
+        fixture("video_scenes")).count()),
       // round-9: the media-aware funnel at replication scale — the
       // skewed image fixture plants the flat junk mass at 25%, so the
       // stage-1 gate does real pruning before the banded stage-4 join
@@ -261,7 +314,7 @@ object StressBench {
         val f = ext.Curation.multimodalFunnel(spark,
           ext.TextOps.withSyntheticDupText(
             ext.WebOps.withSyntheticCrawlUrl(docsPq)),
-          ext.Multimodal.syntheticPngSkewed(spark, docsPq))
+          fixture("png_skewed"))
         val n = f.count(); f.unpersist(false); n
       }),
       // round-9: the band-bucket cap under planted skew — 25% of the
@@ -272,29 +325,23 @@ object StressBench {
       // incremental (daily-ingest) path — the route the cap was ported
       // to this round — with an 80/20 stored/new split.
       time("image_neardup_skew_capped", {
-        val p = ext.Multimodal.imageNearDup(spark,
-          ext.Multimodal.syntheticPngSkewed(spark, docs))
+        val p = ext.Multimodal.imageNearDup(spark, fixture("png_skewed"))
         val n = p.count(); p.unpersist(false); n
       }),
       time("image_neardup_skew_uncapped", {
-        val p = ext.Multimodal.imageNearDup(spark,
-          ext.Multimodal.syntheticPngSkewed(spark, docs), maxBandBucket = 0)
+        val p = ext.Multimodal.imageNearDup(spark, fixture("png_skewed"),
+          maxBandBucket = 0)
         val n = p.count(); p.unpersist(false); n
       }),
       time("image_neardup_inc_skew_capped", {
-        val media = ext.Multimodal.syntheticPngSkewed(spark, docs)
-        val stored = ext.Multimodal.imageDhash(spark,
-          media.filter(col("doc_id") % 5 =!= 0))
         val p = ext.Multimodal.imageNearDupIncremental(spark,
-          media.filter(col("doc_id") % 5 === 0), stored)
+          fixture("png_skewed").filter(col("doc_id") % 5 === 0), storedIdh)
         val n = p.count(); p.unpersist(false); n
       }),
       time("image_neardup_inc_skew_uncapped", {
-        val media = ext.Multimodal.syntheticPngSkewed(spark, docs)
-        val stored = ext.Multimodal.imageDhash(spark,
-          media.filter(col("doc_id") % 5 =!= 0))
         val p = ext.Multimodal.imageNearDupIncremental(spark,
-          media.filter(col("doc_id") % 5 === 0), stored, maxBandBucket = 0)
+          fixture("png_skewed").filter(col("doc_id") % 5 === 0), storedIdh,
+          maxBandBucket = 0)
         val n = p.count(); p.unpersist(false); n
       }),
       // round-10: the identical-fingerprint collapse at scale — the
@@ -307,17 +354,17 @@ object StressBench {
       // variant is separate code.
       time("image_clusters_skew_uncapped", {
         val c = ext.Multimodal.imageClusters(spark,
-          ext.Multimodal.syntheticPngSkewed(spark, docs), maxBandBucket = 0)
+          fixture("png_skewed"), maxBandBucket = 0)
         val n = c.count(); c.unpersist(false); n
       }),
       time("audio_clusters_skew_uncapped", {
         val c = ext.Multimodal.audioClusters(spark,
-          ext.Multimodal.syntheticWavSkewed(spark, docs), maxBandBucket = 0)
+          fixture("wav_skewed"), maxBandBucket = 0)
         val n = c.count(); c.unpersist(false); n
       }),
       time("video_clusters_junk_uncapped", {
         val c = ext.Multimodal.videoClusters(spark,
-          ext.Multimodal.syntheticVideoJunk(spark, docs), maxBandBucket = 0)
+          fixture("video_junk"), maxBandBucket = 0)
         val n = c.count(); c.unpersist(false); n
       }),
       // round-10: the same incremental skew A/B for the OTHER two
@@ -329,35 +376,25 @@ object StressBench {
       // so each earns its own capped-vs-uncapped row. 25% degenerate
       // fraction, 80/20 stored/new split, as for images.
       time("audio_neardup_inc_skew_capped", {
-        val media = ext.Multimodal.syntheticWavSkewed(spark, docs)
-        val stored = ext.Multimodal.audioEhash(spark,
-          media.filter(col("doc_id") % 5 =!= 0))
         val p = ext.Multimodal.audioNearDupIncremental(spark,
-          media.filter(col("doc_id") % 5 === 0), stored)
+          fixture("wav_skewed").filter(col("doc_id") % 5 === 0), storedAeh)
         val n = p.count(); p.unpersist(false); n
       }),
       time("audio_neardup_inc_skew_uncapped", {
-        val media = ext.Multimodal.syntheticWavSkewed(spark, docs)
-        val stored = ext.Multimodal.audioEhash(spark,
-          media.filter(col("doc_id") % 5 =!= 0))
         val p = ext.Multimodal.audioNearDupIncremental(spark,
-          media.filter(col("doc_id") % 5 === 0), stored, maxBandBucket = 0)
+          fixture("wav_skewed").filter(col("doc_id") % 5 === 0), storedAeh,
+          maxBandBucket = 0)
         val n = p.count(); p.unpersist(false); n
       }),
       time("video_neardup_inc_skew_capped", {
-        val media = ext.Multimodal.syntheticVideoJunk(spark, docs)
-        val stored = ext.Multimodal.videoPhash(spark,
-          media.filter(col("doc_id") % 5 =!= 0)).select("doc_id", "slot", "dhash")
         val p = ext.Multimodal.videoNearDupIncremental(spark,
-          media.filter(col("doc_id") % 5 === 0), stored)
+          fixture("video_junk").filter(col("doc_id") % 5 === 0), storedVph)
         val n = p.count(); p.unpersist(false); n
       }),
       time("video_neardup_inc_skew_uncapped", {
-        val media = ext.Multimodal.syntheticVideoJunk(spark, docs)
-        val stored = ext.Multimodal.videoPhash(spark,
-          media.filter(col("doc_id") % 5 =!= 0)).select("doc_id", "slot", "dhash")
         val p = ext.Multimodal.videoNearDupIncremental(spark,
-          media.filter(col("doc_id") % 5 === 0), stored, maxBandBucket = 0)
+          fixture("video_junk").filter(col("doc_id") % 5 === 0), storedVph,
+          maxBandBucket = 0)
         val n = p.count(); p.unpersist(false); n
       }),
       // round-10: the FULL-modality audit at replication scale, on the
@@ -371,9 +408,7 @@ object StressBench {
         val r = ext.Curation.mediaCurationReport(spark,
           ext.TextOps.withSyntheticDupText(
             ext.WebOps.withSyntheticCrawlUrl(docsPq)),
-          ext.Multimodal.syntheticPngSkewed(spark, docsPq),
-          ext.Multimodal.syntheticWavSkewed(spark, docsPq),
-          ext.Multimodal.syntheticVideoJunk(spark, docsPq))
+          fixture("png_skewed"), fixture("wav_skewed"), fixture("video_junk"))
         val n = r.count(); r.unpersist(false); n
       }),
       // round-9: the composed curation funnel at replication scale —
