@@ -104,7 +104,8 @@ object StressBench {
       "video_neardup_inc_skew_capped" -> Seq("video_junk"),
       "video_neardup_inc_skew_uncapped" -> Seq("video_junk"),
       "media_curation_report" -> Seq("png_skewed", "wav_skewed", "video_junk"),
-      "media_ingest_chain" -> Seq("png_skewed", "wav_skewed", "video_junk"))
+      "media_ingest_day_small_store" -> Seq("png_skewed", "wav_skewed", "video_junk"),
+      "media_ingest_day_large_store" -> Seq("png_skewed", "wav_skewed", "video_junk"))
     mediaRowKinds.collect { case (row, ks) if selected(row) => ks }
       .flatten.toSeq.distinct
       .foreach(k => MediaFixtures.tableReplicated(spark, sfDir, k, factor).count())
@@ -131,6 +132,29 @@ object StressBench {
       .exists(selected)) { storedAeh; () }
     if (Seq("video_neardup_inc_skew_capped", "video_neardup_inc_skew_uncapped")
       .exists(selected)) { storedVph; () }
+    // the daily-cadence claim, measured: the SAME new batch audited
+    // against a small store (10% of the corpus) and a 9×-larger one
+    // (90%). The audit collapses both sides to distinct fingerprints,
+    // so day-N cost must track distinct stored content, not corpus
+    // size — near-equal walls for these two rows are the evidence the
+    // multi-day chain (CurationSpec) rests on at scale.
+    def storeHashes(pred: org.apache.spark.sql.Column): (DataFrame, DataFrame, DataFrame) = (
+      prepped(ext.Multimodal.imageDhash(spark, fixture("png_skewed").filter(pred))),
+      prepped(ext.Multimodal.audioEhash(spark, fixture("wav_skewed").filter(pred))),
+      prepped(ext.Multimodal.videoPhash(spark, fixture("video_junk").filter(pred))
+        .select("doc_id", "slot", "dhash")))
+    lazy val smallStore = storeHashes(col("doc_id") % 10 === 1)
+    lazy val largeStore = storeHashes(col("doc_id") % 10 =!= 0)
+    if (selected("media_ingest_day_small_store")) { smallStore; () }
+    if (selected("media_ingest_day_large_store")) { largeStore; () }
+    def ingestDay(store: (DataFrame, DataFrame, DataFrame)): Long = {
+      val a = ext.Curation.mediaIngestAudit(spark,
+        fixture("png_skewed").filter(col("doc_id") % 10 === 0),
+        fixture("wav_skewed").filter(col("doc_id") % 10 === 0),
+        fixture("video_junk").filter(col("doc_id") % 10 === 0),
+        store._1, store._2, store._3)
+      val n = a.count(); a.unpersist(false); n
+    }
 
     val results = Seq(
       time("star_join", ops.Relational.starJoin(li, o, Tables.part(spark, sfDir),
@@ -411,6 +435,8 @@ object StressBench {
           fixture("png_skewed"), fixture("wav_skewed"), fixture("video_junk"))
         val n = r.count(); r.unpersist(false); n
       }),
+      time("media_ingest_day_small_store", ingestDay(smallStore)),
+      time("media_ingest_day_large_store", ingestDay(largeStore)),
       // round-9: the composed curation funnel at replication scale —
       // replicated texts make exact-dedup collapse ×factor and the
       // near-dup graph maximally dense; budget scaled with the corpus

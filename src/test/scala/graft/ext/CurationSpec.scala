@@ -228,6 +228,75 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
         .select("doc_id", "slot", "dhash")), "mediaIngestAudit")
   }
 
+  test("mediaIngestAudit chain: three chained days keep exactly what one batch keeps") {
+    // the operational loop the audit exists for: each day's KEPT docs'
+    // fingerprints fold into the stored tables, so a day-N arrival that
+    // duplicates a day-1 kept exemplar is dropped as dup_stored — and
+    // the end-to-end kept set must equal auditing all arrivals as ONE
+    // batch against the initial store (doc_ids are arrival-ordered, so
+    // min-id-wins picks the same exemplars in both regimes; only the
+    // stored-vs-new CLASSIFICATION of a cross-day dup legitimately
+    // differs)
+    import org.apache.spark.sql.functions.col
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val imgs = Multimodal.syntheticPngSkewed(spark, base)
+    val auds = Multimodal.syntheticWavSkewed(spark, base)
+    val vids = Multimodal.syntheticVideoJunk(spark, base)
+    def hashes(sel: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = (
+      Multimodal.imageDhash(spark, sel(imgs)),
+      Multimodal.audioEhash(spark, sel(auds)),
+      Multimodal.videoPhash(spark, sel(vids)).select("doc_id", "slot", "dhash"))
+    // initial store covers only cluster residues 0-29: residues 30-49
+    // have NO stored exemplar, so their first arrival is kept and later
+    // same-cluster arrivals exercise the fold (dup-of-kept), not just
+    // dup-of-initial-store
+    def initStore(m: DataFrame) = m.filter(col("doc_id") < 30)
+    var (sI, sA, sV) = hashes(initStore)
+    val days = Seq((30L, 200L), (200L, 350L), (350L, 500L))
+    var chainKept = Set.empty[Long]
+    val dupStoredChained = scala.collection.mutable.ArrayBuffer[Long]()
+    val dupStoredVsInit = scala.collection.mutable.ArrayBuffer[Long]()
+    for ((lo, hi) <- days) {
+      def day(m: DataFrame) = m.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val audit = Curation.mediaIngestAudit(spark, day(imgs), day(auds), day(vids),
+        sI, sA, sV, maxBandBucket = 0)
+      val rows = audit.collect()
+      audit.unpersist(false)
+      val kept = rows.filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+      chainKept ++= kept
+      dupStoredChained += rows.count(r => r.getAs[Boolean]("image_dup_stored"))
+      // the same day against the INITIAL store only — the delta is the
+      // dup-of-kept-exemplar mass only the fold can catch
+      val (iI, iA, iV) = hashes(initStore)
+      val vsInit = Curation.mediaIngestAudit(spark, day(imgs), day(auds), day(vids),
+        iI, iA, iV, maxBandBucket = 0)
+      dupStoredVsInit += vsInit.collect()
+        .count(r => r.getAs[Boolean]("image_dup_stored"))
+      vsInit.unpersist(false)
+      val keptSeq = kept.toSeq
+      def keptOnly(m: DataFrame) = m.filter(col("doc_id").isin(keptSeq: _*))
+      val (kI, kA, kV) = hashes(keptOnly)
+      sI = sI.unionByName(kI); sA = sA.unionByName(kA); sV = sV.unionByName(kV)
+    }
+    val (bI, bA, bV) = hashes(initStore)
+    def arrivals(m: DataFrame) = m.filter(col("doc_id") >= 30)
+    val batch = Curation.mediaIngestAudit(spark,
+      arrivals(imgs), arrivals(auds), arrivals(vids), bI, bA, bV,
+      maxBandBucket = 0)
+    val batchKept = batch.filter(col("keep")).collect().map(_.getLong(0)).toSet
+    batch.unpersist(false)
+    assert(chainKept === batchKept,
+      s"chained ingest must keep exactly the one-batch kept set " +
+        s"(chain-only: ${(chainKept -- batchKept).toSeq.sorted.take(10)}, " +
+        s"batch-only: ${(batchKept -- chainKept).toSeq.sorted.take(10)})")
+    assert(chainKept.nonEmpty && chainKept.size < 470, "informative bed")
+    // the fold did real work: on day 2+ some arrival was dropped as a
+    // stored-dup of a KEPT exemplar the initial store never contained
+    assert((1 until days.size).exists(d => dupStoredChained(d) > dupStoredVsInit(d)),
+      s"no day-2+ arrival was caught by a folded exemplar " +
+        s"(chained=$dupStoredChained vsInit=$dupStoredVsInit)")
+  }
+
   test("mediaIngestAudit: zero-frame videos are never video duplicates of each other") {
     // two undecodable (zero-frame) videos in one batch both carry the
     // empty slot signature — the batch twin (videoPhash emits no slots)
