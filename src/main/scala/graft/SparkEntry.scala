@@ -174,6 +174,12 @@ object SparkEntry {
     // oracle engine -> rows-only; determinism pinned in CompressionSpec
     "q_compression_ratio" -> ((s, d) =>
       graft.ext.Compression.compressionSignal(s, Tables.documents(s, d))),
+    // the zlib signal's contract under the exact oracle: the oracle has
+    // no zlib, but the invariants (bounded expansion, determinism,
+    // repetition sub-additivity) are boolean-expressible and asserted
+    // TRUE per doc — the estimator-bounds pattern for the codec tier
+    "q_compression_bounds" -> ((s, d) =>
+      graft.ext.Compression.compressionBounds(s, Tables.documents(s, d))),
     // Misra-Gries in the exact regime (capacity >= distinct tokens), so
     // the oracle is the plain token-count aggregation; requireExact
     // raises in-plan instead of hash-mismatching if a regenerated
@@ -299,6 +305,13 @@ object SparkEntry {
     // certifies the estimators kept their envelopes)
     "q_approx_profile_bounds" -> ((s, d) =>
       Relational.approxProfileBounds(Tables.lineitem(s, d))),
+    // the sketch family's error contracts under the exact oracle: per
+    // scope, the exact distinct count + TRUE-iff-held booleans for the
+    // error envelope, merge ≡ single-pass identity, and below-capacity
+    // KMV exactness — certifying what q_hll_distinct / q_kmv_users /
+    // q_sketch_merge (rows-only by necessity) contractually promise
+    "q_sketch_bounds" -> ((s, d) => graft.ops.Sketches.sketchBounds(
+      Tables.lineitem(s, d), Tables.events(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "q_minhash_neardup" -> ((s, d) => Dedup.minhashNearDup(Tables.documents(s, d))),
     // md5-family twin: same LSH pipeline, portable hash -> the banding,
@@ -911,6 +924,39 @@ object SparkEntry {
         |  TRUE AS parts_ok, TRUE AS suppliers_ok,
         |  TRUE AS median_ok, TRUE AS p90_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the sketch-family audit: exact distinct counts per scope + the
+    // three contract booleans (error envelope, merge ≡ single-pass,
+    // below-capacity KMV exactness), all asserted TRUE by the oracle —
+    // a hash mismatch means an estimator broke its contract
+    "q_sketch_bounds" ->
+      """WITH f AS (
+        |  SELECT 'hll_flag:' || l_returnflag AS scope,
+        |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_n
+        |  FROM lineitem GROUP BY l_returnflag),
+        |w AS (
+        |  SELECT 'hll_week:' ||
+        |      strftime(date_trunc('week', CAST(ts AS DATE)), '%Y-%m-%d') AS scope,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_n
+        |  FROM events GROUP BY 1),
+        |k AS (
+        |  SELECT 'kmv_week:' ||
+        |      strftime(date_trunc('week', CAST(ts AS DATE)), '%Y-%m-%d') AS scope,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_n
+        |  FROM events GROUP BY 1)
+        |SELECT scope, exact_n, TRUE AS within_envelope,
+        |  TRUE AS merge_eq_single, TRUE AS exact_when_small
+        |FROM (SELECT * FROM f UNION ALL SELECT * FROM w
+        |      UNION ALL SELECT * FROM k)
+        |ORDER BY scope""".stripMargin,
+    // the zlib-signal audit: exact UTF-8 byte counts + the codec
+    // contract booleans asserted TRUE (the deflate sizes themselves
+    // stay rows-only in q_compression_ratio — no zlib in the oracle)
+    "q_compression_bounds" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  TRUE AS size_bounded, TRUE AS deterministic,
+        |  TRUE AS repetition_subadditive
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_minmax_by" ->
       """SELECT o_orderpriority,
         |  arg_max(o_totalprice, o_orderkey) AS price_of_latest_order,

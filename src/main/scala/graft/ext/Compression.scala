@@ -63,4 +63,52 @@ object Compression {
           round(col("n_bytes_deflate").cast("double") / col("n_bytes"), 4)))
       .orderBy("doc_id")
   }
+
+  /** [[compressionSignal]]'s CONTRACT under the exact oracle
+    * (`q_compression_ratio` itself is rows-only — the oracle engine has
+    * no zlib — but the signal's invariants don't need one): per doc,
+    * the exact UTF-8 byte count plus TRUE-iff-held booleans,
+    *
+    *   - `size_bounded`: the deflated size is positive and at most
+    *     raw + 16 + raw/100 (zlib's documented worst-case expansion —
+    *     a few header bytes plus 5 per 16 KiB stored block — with
+    *     headroom);
+    *   - `deterministic`: two INDEPENDENT Deflater instances produce
+    *     identical sizes for the same input (the property that makes
+    *     the rows-only query re-runnable);
+    *   - `repetition_subadditive`: deflate(text‖text) ≤
+    *     2·deflate(text) + 16 — the redundancy-detection direction the
+    *     signal exists for (a repeated payload never costs more than
+    *     two independent copies; for text inside the 32 KiB window it
+    *     collapses to near one copy).
+    *
+    * The DuckDB oracle computes the byte counts and asserts every
+    * boolean TRUE, so a hash match certifies the codec contract —
+    * the `q_approx_profile_bounds` pattern applied to the lossless
+    * codec tier.
+    */
+  def compressionBounds(spark: SparkSession, documents: DataFrame,
+                        level: Int = Deflater.DEFAULT_COMPRESSION): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new Deflater(level)
+        val d2 = new Deflater(level)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit] { _ => d.end(); d2.end() })
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          val c1 = deflatedSize(d, raw)
+          val c2 = deflatedSize(d2, raw)
+          val doubled = deflatedSize(d, (text + text).getBytes("UTF-8"))
+          val bound = raw.length + 16 + raw.length / 100
+          (id, raw.length.toLong,
+            c1 > 0 && c1 <= bound, c1 == c2, doubled <= 2 * c1 + 16)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "size_bounded", "deterministic",
+        "repetition_subadditive")
+      .orderBy("doc_id")
+  }
 }

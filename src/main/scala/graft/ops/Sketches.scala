@@ -80,6 +80,91 @@ object Sketches {
       .orderBy("week_start")
   }
 
+  /** The sketch family's ERROR CONTRACTS audited in one result — the
+    * [[graft.ops.Relational.approxProfileBounds]] pattern applied to
+    * the HLL and KMV estimators (`q_sketch_bounds`): one row per scope
+    * with the EXACT distinct count and three TRUE-iff-contract-held
+    * booleans,
+    *
+    *   - `within_envelope`: the estimate sits inside the estimator's
+    *     documented error bound (HLL p=14 → ±15%, ~19× the 0.81% rsd;
+    *     KMV k → ±3/√(k−2), 3σ of the bottom-k estimator);
+    *   - `merge_eq_single`: merging partial sketches (by linestatus
+    *     for the flag scopes; the stored daily buffers for the weekly
+    *     scopes) yields EXACTLY the single-pass estimate — register
+    *     max / bottom-k union lose nothing to pre-aggregation;
+    *   - `exact_when_small`: below capacity the KMV estimate IS the
+    *     exact count (vacuously true for HLL scopes).
+    *
+    * The DuckDB oracle computes the exact counts and asserts every
+    * boolean TRUE, so a hash match certifies the estimators kept their
+    * envelopes AND the mergeable-table pattern's central identity —
+    * the strongest oracle the approximate family admits (the estimates
+    * themselves stay rows-only in `q_hll_distinct` / `q_kmv_users` /
+    * `q_sketch_merge`).
+    */
+  def sketchBounds(lineitem: DataFrame, events: DataFrame,
+                   kmvK: Int = 64): DataFrame = {
+    val s = lineitem.sparkSession
+    val kmvBound = 3.0 / math.sqrt(kmvK - 2.0)
+    // flag scopes: single-pass HLL vs merged per-linestatus partials
+    val flagSingle = lineitem.groupBy("l_returnflag").agg(
+      HllSketch.hll_distinct(s, col("l_partkey")).as("est"),
+      count_distinct(col("l_partkey")).as("exact_n"))
+    val flagMerged = lineitem.groupBy("l_returnflag", "l_linestatus")
+      .agg(HllSketch.hll_sketch_buffer(s, col("l_partkey")).as("sk"))
+      .groupBy("l_returnflag")
+      .agg(HllSketch.hll_merge(s, col("sk")).as("est_merged"))
+    val hllFlag = flagSingle.join(flagMerged, "l_returnflag").select(
+      concat(lit("hll_flag:"), col("l_returnflag")).as("scope"),
+      col("exact_n"),
+      (abs(col("est") - col("exact_n")) <= col("exact_n") * 0.15)
+        .as("within_envelope"),
+      (col("est") === col("est_merged")).as("merge_eq_single"),
+      lit(true).as("exact_when_small"))
+    // weekly scopes: the STORED daily-buffer range merge (the
+    // q_sketch_merge shape) vs a single pass over the week's raw rows
+    val wkSingle = events
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("wk"))
+      .agg(count_distinct(col("user_id")).as("exact_n"),
+        HllSketch.hll_distinct(s, col("user_id")).as("est_single"))
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("week_start"),
+        col("exact_n"), col("est_single"))
+    val wkMerged = weeklyDistinctUsers(dailyUserSketches(events))
+      .select(col("week_start"), col("est_users"))
+    val hllWeek = wkSingle.join(wkMerged, "week_start").select(
+      concat(lit("hll_week:"), col("week_start")).as("scope"),
+      col("exact_n"),
+      (abs(col("est_users") - col("exact_n")) <= col("exact_n") * 0.15)
+        .as("within_envelope"),
+      (col("est_users") === col("est_single")).as("merge_eq_single"),
+      lit(true).as("exact_when_small"))
+    // KMV weekly scopes at q_kmv_users' k: merged daily bottom-k
+    // buffers vs the single-pass estimate, plus the below-capacity
+    // exactness the bottom-k construction guarantees
+    val kMerged = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(KmvSketch.kmv_sketch_buffer(s, col("user_id"), kmvK).as("sk"))
+      .groupBy(date_trunc("week", col("day")).cast("date").as("wk"))
+      .agg(KmvSketch.kmv_merge_estimate(s, col("sk")).as("est_merged"))
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("week_start"),
+        col("est_merged"))
+    val kSingle = events
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("wk"))
+      .agg(KmvSketch.kmv_distinct(s, col("user_id"), kmvK).as("est_single"),
+        count_distinct(col("user_id")).as("exact_n"))
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("week_start"),
+        col("exact_n"), col("est_single"))
+    val kmvWeek = kSingle.join(kMerged, "week_start").select(
+      concat(lit("kmv_week:"), col("week_start")).as("scope"),
+      col("exact_n"),
+      (abs(col("est_merged") - col("exact_n")) <= col("exact_n") * kmvBound)
+        .as("within_envelope"),
+      (col("est_merged") === col("est_single")).as("merge_eq_single"),
+      (col("exact_n") >= kmvK || col("est_merged") === col("exact_n"))
+        .as("exact_when_small"))
+    hllFlag.unionByName(hllWeek).unionByName(kmvWeek).orderBy("scope")
+  }
+
   /** Quantile twin of [[dailyUserSketches]]: per-day
     * [[graft.functions.QuantileSketch]] buffer over the event value in
     * integer cents (the sketch keys on integral values so the hash is

@@ -12,6 +12,27 @@ class CompressionSpec extends AnyFunSuite with SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  test("compressionBounds: the codec contract holds on planted extremes") {
+    // highly repetitive, prose-like, near-random, and empty text all
+    // satisfy the three booleans the oracle asserts TRUE
+    val rnd = new scala.util.Random(7)
+    val d = docs(
+      (1L, "ab " * 2000),
+      (2L, "the quick brown fox jumps over the lazy dog " * 40),
+      (3L, Array.fill(4096)(('!' + rnd.nextInt(90)).toChar).mkString),
+      (4L, ""))
+    val rows = Compression.compressionBounds(spark, d).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("size_bounded"), s"doc ${r.getLong(0)} size bound")
+      assert(r.getAs[Boolean]("deterministic"), s"doc ${r.getLong(0)} determinism")
+      assert(r.getAs[Boolean]("repetition_subadditive"),
+        s"doc ${r.getLong(0)} sub-additivity")
+    }
+    // byte counts are the exact oracle column
+    assert(rows.find(_.getLong(0) == 4L).get.getAs[Long]("n_bytes") === 0L)
+  }
+
   test("compressionSignal: repetitive text compresses far below incompressible text") {
     val rng = new scala.util.Random(7)
     val noisy = Array.fill(1000)(rng.nextPrintableChar()).mkString

@@ -8,6 +8,22 @@ import graft.functions.HllSketch
 class SketchesSpec extends AnyFunSuite with SparkSpec {
   val sf = "/root/testdata/sf0.01"
 
+  test("sketchBounds: every contract boolean holds on the real tables") {
+    // the audit the oracle asserts TRUE-by-TRUE (q_sketch_bounds) —
+    // pinned here too so a contract break fails fast in-suite
+    val rows = Sketches.sketchBounds(Tables.lineitem(spark, sf),
+      Tables.events(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).exists(_.startsWith("hll_flag:")))
+    assert(rows.map(_.getString(0)).exists(_.startsWith("hll_week:")))
+    assert(rows.map(_.getString(0)).exists(_.startsWith("kmv_week:")))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_envelope"), s"${r.getString(0)} envelope")
+      assert(r.getAs[Boolean]("merge_eq_single"), s"${r.getString(0)} merge identity")
+      assert(r.getAs[Boolean]("exact_when_small"), s"${r.getString(0)} small-exact")
+    }
+  }
+
   test("weekly merge of stored daily sketches ≡ single-pass weekly sketch, bit-exact") {
     val ev = Tables.events(spark, sf)
     // the pattern under test: store per-day buffers (through parquet, as
