@@ -96,6 +96,9 @@ object MediaFixtures {
     "q_video_stats_phash" -> Seq("video_junk"),
     "q_media_curation_report" -> Seq("png_skewed", "wav_skewed", "video_junk"),
     "q_media_ingest_audit" -> Seq("png_skewed", "wav_skewed", "video_junk"),
+    "q_multimodal_funnel_prod" -> Seq("png_skewed"),
+    "q_media_curation_report_prod" -> Seq("png_skewed", "wav_skewed", "video_junk"),
+    "q_media_ingest_audit_prod" -> Seq("png_skewed", "wav_skewed", "video_junk"),
     "q_image_cluster_reps" -> Seq("png_skewed"),
     "q_audio_cluster_reps" -> Seq("wav_skewed"),
     "q_video_cluster_reps" -> Seq("video_clusters"))

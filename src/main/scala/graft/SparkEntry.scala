@@ -606,6 +606,37 @@ object SparkEntry {
         Multimodal.videoPhash(s, vids.filter(stored))
           .select("doc_id", "slot", "dhash"),
         maxBandBucket = 0)
+    }),
+    // PRODUCTION configurations of the heavy compositions — the auto
+    // band-bucket cap ON, the shape a cluster actually runs — so the
+    // driver's timed suite tracks both the guard-off oracle shape and
+    // the production shape (previously the production numbers lived
+    // only in StressBench). Rows-only BY DESIGN: the cap may prune
+    // degenerate band buckets, so dup flags can diverge from the exact
+    // oracle; CurationSpec pins prod dup flags ⊆ guard-off flags and
+    // junk/quality gates identical.
+    "q_multimodal_funnel_prod" -> ((s, d) => Curation.multimodalFunnel(s,
+      TextOps.withSyntheticDupText(
+        WebOps.withSyntheticMessyUrl(Tables.documents(s, d))),
+      MediaFixtures.table(s, d, "png_skewed"))),
+    "q_media_curation_report_prod" -> ((s, d) => Curation.mediaCurationReport(s,
+      TextOps.withSyntheticDupText(
+        WebOps.withSyntheticMessyUrl(Tables.documents(s, d))),
+      MediaFixtures.table(s, d, "png_skewed"),
+      MediaFixtures.table(s, d, "wav_skewed"),
+      MediaFixtures.table(s, d, "video_junk"))),
+    "q_media_ingest_audit_prod" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val stored = col("doc_id") % 50 < 25
+      val imgs = MediaFixtures.table(s, d, "png_skewed")
+      val auds = MediaFixtures.table(s, d, "wav_skewed")
+      val vids = MediaFixtures.table(s, d, "video_junk")
+      Curation.mediaIngestAudit(s,
+        imgs.filter(!stored), auds.filter(!stored), vids.filter(!stored),
+        Multimodal.imageDhash(s, imgs.filter(stored)),
+        Multimodal.audioEhash(s, auds.filter(stored)),
+        Multimodal.videoPhash(s, vids.filter(stored))
+          .select("doc_id", "slot", "dhash"))
     })
   )
 

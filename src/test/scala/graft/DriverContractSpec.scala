@@ -11,10 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class DriverContractSpec extends AnyFunSuite {
 
-  /** the 11 queries that are rows-only BY DESIGN — each carries an
+  /** the 14 queries that are rows-only BY DESIGN — each carries an
     * irreducibility argument and an exact-regime twin (COVERAGE.md)
     */
   private val rowsOnly = Set(
+    "q_multimodal_funnel_prod",      // auto cap on: may prune degenerate buckets
+    "q_media_curation_report_prod",  // (guard-off twins are oracle-matched;
+    "q_media_ingest_audit_prod",     //  prod ⊆ oracle flags spec-pinned)
     "q_minhash_neardup",     // xxhash64 band keys (md5 twin is oracle-matched)
     "q_incremental_neardup", // xxhash64 signatures (md5 twin)
     "q_simhash_neardup",     // xxhash64 bit votes (md5 twin)

@@ -228,6 +228,66 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
         .select("doc_id", "slot", "dhash")), "mediaIngestAudit")
   }
 
+  test("production (capped) compositions never flag more than the guard-off oracle shape") {
+    // the _prod driver variants run with the auto band-bucket cap ON;
+    // the cap only REMOVES candidate pairs, so every production dup
+    // flag must be a subset of the guard-off (oracle-matched) flags,
+    // and the decode-derived junk/quality gates must be identical
+    import org.apache.spark.sql.functions.col
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = TextOps.withSyntheticDupText(WebOps.withSyntheticMessyUrl(base))
+    val imgs = Multimodal.syntheticPngSkewed(spark, base)
+    val auds = Multimodal.syntheticWavSkewed(spark, base)
+    val vids = Multimodal.syntheticVideoJunk(spark, base)
+    def flags(df: DataFrame, cols: Seq[String]): Map[String, Set[Long]] = {
+      val rows = df.collect()
+      df.unpersist(false)
+      cols.map(c => c -> rows.filter(_.getAs[Boolean](c)).map(_.getLong(0)).toSet)
+        .toMap
+    }
+    val dupCols = Seq("image_dup", "audio_dup", "video_dup")
+    val gateCols = Seq("url_dup", "text_dup", "flat_image", "quiet_audio",
+      "static_video", "quality_kept")
+    val prod = flags(Curation.mediaCurationReport(spark, d, imgs, auds, vids),
+      dupCols ++ gateCols)
+    val oracle = flags(Curation.mediaCurationReport(spark, d, imgs, auds, vids,
+      maxBandBucket = 0), dupCols ++ gateCols)
+    dupCols.foreach { c =>
+      assert(prod(c).subsetOf(oracle(c)),
+        s"$c: prod-only docs ${(prod(c) -- oracle(c)).toSeq.sorted.take(5)}")
+    }
+    gateCols.foreach(c => assert(prod(c) === oracle(c), s"$c must not depend on the cap"))
+    // the ingest audit: same subset law per dup column
+    val stored = col("doc_id") % 50 < 25
+    def audit(cap: Int) = Curation.mediaIngestAudit(spark,
+      imgs.filter(!stored), auds.filter(!stored), vids.filter(!stored),
+      Multimodal.imageDhash(spark, imgs.filter(stored)),
+      Multimodal.audioEhash(spark, auds.filter(stored)),
+      Multimodal.videoPhash(spark, vids.filter(stored))
+        .select("doc_id", "slot", "dhash"),
+      maxBandBucket = cap)
+    val aCols = Seq("image_dup_stored", "image_dup_new", "audio_dup_stored",
+      "audio_dup_new", "video_dup_stored", "video_dup_new")
+    val aProd = flags(audit(-1), aCols)
+    val aOracle = flags(audit(0), aCols)
+    aCols.foreach { c =>
+      assert(aProd(c).subsetOf(aOracle(c)),
+        s"audit $c: prod-only docs ${(aProd(c) -- aOracle(c)).toSeq.sorted.take(5)}")
+    }
+    // the funnel: per-stage survivor counts — identical through the
+    // capped stage's predecessors, never smaller at or after it
+    def funnelCounts(cap: Int): Map[Int, Long] = {
+      val f = Curation.multimodalFunnel(spark, d, imgs, maxBandBucket = cap)
+      val m = f.collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      f.unpersist(false); m
+    }
+    val fProd = funnelCounts(-1)
+    val fOracle = funnelCounts(0)
+    (0 to 3).foreach(i => assert(fProd(i) === fOracle(i), s"stage $i pre-cap"))
+    (4 to 5).foreach(i => assert(fProd(i) >= fOracle(i),
+      s"stage $i: the cap can only drop dup pairs, never survivors"))
+  }
+
   test("mediaIngestAudit chain: three chained days keep exactly what one batch keeps") {
     // the operational loop the audit exists for: each day's KEPT docs'
     // fingerprints fold into the stored tables, so a day-N arrival that
