@@ -105,7 +105,9 @@ object StressBench {
       "video_neardup_inc_skew_uncapped" -> Seq("video_junk"),
       "media_curation_report" -> Seq("png_skewed", "wav_skewed", "video_junk"),
       "media_ingest_day_small_store" -> Seq("png_skewed", "wav_skewed", "video_junk"),
-      "media_ingest_day_large_store" -> Seq("png_skewed", "wav_skewed", "video_junk"))
+      "media_ingest_day_large_store" -> Seq("png_skewed", "wav_skewed", "video_junk"),
+      "media_ingest_day_exemplar_store" -> Seq("png_skewed", "wav_skewed", "video_junk"),
+      "media_ingest_day_exemplar_store_x10" -> Seq("png_skewed", "wav_skewed", "video_junk"))
     mediaRowKinds.collect { case (row, ks) if selected(row) => ks }
       .flatten.toSeq.distinct
       .foreach(k => MediaFixtures.tableReplicated(spark, sfDir, k, factor).count())
@@ -132,12 +134,28 @@ object StressBench {
       .exists(selected)) { storedAeh; () }
     if (Seq("video_neardup_inc_skew_capped", "video_neardup_inc_skew_uncapped")
       .exists(selected)) { storedVph; () }
-    // the daily-cadence claim, measured: the SAME new batch audited
-    // against a small store (10% of the corpus) and a 9×-larger one
-    // (90%). The audit collapses both sides to distinct fingerprints,
-    // so day-N cost must track distinct stored content, not corpus
-    // size — near-equal walls for these two rows are the evidence the
-    // multi-day chain (CurationSpec) rests on at scale.
+    // the daily-cadence claim, measured two ways against the SAME new
+    // batch (10% of the corpus):
+    //
+    //   raw stores (small = 10%, large = 90% of the corpus, near-dup
+    //   mass and all): the audit collapses IDENTICAL fingerprints on
+    //   both sides, but the fixture's non-flat cluster members sit 1
+    //   bit apart — distinct hashes that share 6 of 7 bands — so a
+    //   raw store pays stored×stored candidate enumeration inside the
+    //   heavy buckets (the residual is_new predicate drops the pairs
+    //   AFTER the bucket join emits them). Day cost therefore tracks
+    //   the store's NEAR-DUP structure, not its row count — the
+    //   measured small-vs-large gap is the cost of ingesting against
+    //   an undeduplicated store;
+    //
+    //   exemplar stores (x1 = batch-sized, x10 = 10× that): the store
+    //   the multi-day chain actually keeps — deduplicated exemplar
+    //   fingerprints, mutually non-near-dup (synthesized spread
+    //   hashes: that IS a deduped store's shape; stored payloads never
+    //   exist server-side, the audit takes hash tables by contract).
+    //   No heavy buckets by construction, so 10× store must cost far
+    //   less than 10× wall — the flat-day-cost evidence the chain
+    //   (CurationSpec) rests on at scale.
     def storeHashes(pred: org.apache.spark.sql.Column): (DataFrame, DataFrame, DataFrame) = (
       prepped(ext.Multimodal.imageDhash(spark, fixture("png_skewed").filter(pred))),
       prepped(ext.Multimodal.audioEhash(spark, fixture("wav_skewed").filter(pred))),
@@ -145,8 +163,24 @@ object StressBench {
         .select("doc_id", "slot", "dhash")))
     lazy val smallStore = storeHashes(col("doc_id") % 10 === 1)
     lazy val largeStore = storeHashes(col("doc_id") % 10 =!= 0)
+    def exemplarStore(n: Long): (DataFrame, DataFrame, DataFrame) = {
+      val mask = Long.MaxValue // fingerprints are 63-bit
+      val ids = spark.range(n).select((col("id") + 1000000000L).as("doc_id"))
+      (prepped(ids.select(col("doc_id"),
+          xxhash64(col("doc_id")).bitwiseAND(lit(mask)).as("dhash"))),
+        prepped(ids.select(col("doc_id"),
+          xxhash64(col("doc_id"), lit("a")).bitwiseAND(lit(mask)).as("ehash"))),
+        prepped(ids.select(col("doc_id"),
+            explode(sequence(lit(0), lit(3))).as("slot"))
+          .select(col("doc_id"), col("slot"),
+            xxhash64(col("doc_id"), col("slot")).bitwiseAND(lit(mask)).as("dhash"))))
+    }
+    lazy val exemplarX1 = exemplarStore(5000L * factor / 10)
+    lazy val exemplarX10 = exemplarStore(5000L * factor)
     if (selected("media_ingest_day_small_store")) { smallStore; () }
     if (selected("media_ingest_day_large_store")) { largeStore; () }
+    if (selected("media_ingest_day_exemplar_store")) { exemplarX1; () }
+    if (selected("media_ingest_day_exemplar_store_x10")) { exemplarX10; () }
     def ingestDay(store: (DataFrame, DataFrame, DataFrame)): Long = {
       val a = ext.Curation.mediaIngestAudit(spark,
         fixture("png_skewed").filter(col("doc_id") % 10 === 0),
@@ -437,6 +471,8 @@ object StressBench {
       }),
       time("media_ingest_day_small_store", ingestDay(smallStore)),
       time("media_ingest_day_large_store", ingestDay(largeStore)),
+      time("media_ingest_day_exemplar_store", ingestDay(exemplarX1)),
+      time("media_ingest_day_exemplar_store_x10", ingestDay(exemplarX10)),
       // round-9: the composed curation funnel at replication scale —
       // replicated texts make exact-dedup collapse ×factor and the
       // near-dup graph maximally dense; budget scaled with the corpus
