@@ -469,13 +469,22 @@ object Dedup {
     val banded = all.select(col("doc_id"), col("sig"), col("is_new"),
       posexplode(array(bandCols: _*)))
       .toDF("doc_id", "sig", "is_new", "band_idx", "band_hash")
-    val cand = banded.as("x").join(banded.as("y"),
+    // NEW × ALL, never ALL × ALL with the new-side rule as a residual
+    // predicate — a stored-heavy band bucket must cost O(new · stored),
+    // not O(stored²) enumerated-then-discarded (see
+    // bandedHammingPairsIncremental). New/new pairs arrive from both
+    // sides; the least/greatest normalization + distinct collapses them.
+    val cand = banded.filter(col("is_new")).as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") < col("y.doc_id") &&
-        (col("x.is_new") || col("y.is_new")))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"),
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        when(col("x.doc_id") < col("y.doc_id"), col("x.sig"))
+          .otherwise(col("y.sig")).as("sig_a"),
+        when(col("x.doc_id") < col("y.doc_id"), col("y.sig"))
+          .otherwise(col("x.sig")).as("sig_b"),
         (col("x.is_new") =!= col("y.is_new")).as("is_cross"))
       .distinct()
     cand.withColumn("est_jaccard", sigJaccard(col("sig_a"), col("sig_b"), numHashes))
@@ -661,12 +670,21 @@ object Dedup {
         .select("band_idx", "band_val")
       allBands.join(heavy, Seq("band_idx", "band_val"), "left_anti")
     }
-    val result = banded.as("x").join(banded.as("y"),
+    // candidate pairs require >= 1 new side, so enumerate NEW × ALL —
+    // never ALL × ALL with the new-side requirement as a residual
+    // predicate, which would enumerate every stored×stored pair inside
+    // a bucket before discarding it. In the daily regime (store >> new)
+    // that is the difference between O(S²) and O(N·S) per bucket — the
+    // join that runs every day must be bounded by the batch, not the
+    // store. A new/new pair arrives twice (once per side); the
+    // least/greatest normalization + distinct collapses it.
+    val result = banded.filter(col("is_new")).as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
-        col("x.doc_id") < col("y.doc_id") &&
-        (col("x.is_new") || col("y.is_new")))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
         bit_count(col(s"x.$fpCol").bitwiseXOR(col(s"y.$fpCol"))).as("hamming"),
         (col("x.is_new") =!= col("y.is_new")).as("is_cross"))
       .distinct()

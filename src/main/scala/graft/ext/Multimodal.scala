@@ -1751,12 +1751,18 @@ object Multimodal {
         .select("slot", "dhash")
       all.join(heavy, Seq("slot", "dhash"), "left_anti")
     }
-    val cand = buckets.as("x").join(buckets.as("y"),
+    // NEW × ALL, never ALL × ALL with the new-side rule as a residual:
+    // a stored-heavy slot bucket must cost O(new · stored), not
+    // O(stored²) enumerated-then-discarded (see
+    // Dedup.bandedHammingPairsIncremental). New/new pairs arrive from
+    // both sides; least/greatest + distinct collapses them.
+    val cand = buckets.filter(col("is_new")).as("x").join(buckets.as("y"),
         col("x.slot") === col("y.slot") &&
         col("x.dhash") === col("y.dhash") &&
-        col("x.doc_id") < col("y.doc_id") &&
-        (col("x.is_new") || col("y.is_new")))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
         (col("x.is_new") =!= col("y.is_new")).as("is_cross"))
       .distinct()
     val result = cand
