@@ -123,44 +123,42 @@ object Sketches {
       (col("est") === col("est_merged")).as("merge_eq_single"),
       lit(true).as("exact_when_small"))
     // weekly scopes: the STORED daily-buffer range merge (the
-    // q_sketch_merge shape) vs a single pass over the week's raw rows
+    // q_sketch_merge / q_kmv_users shape) vs a single pass over the
+    // week's raw rows. TWO event scans total, not one per estimator:
+    // one weekly aggregate fuses the exact count with both single-pass
+    // sketches, and one daily aggregate builds both buffer families
+    // for the merge side (the audit twin of how a production sketch
+    // table is built — every daily buffer in one pass).
     val wkSingle = events
       .groupBy(date_trunc("week", col("ts")).cast("date").as("wk"))
       .agg(count_distinct(col("user_id")).as("exact_n"),
-        HllSketch.hll_distinct(s, col("user_id")).as("est_single"))
+        HllSketch.hll_distinct(s, col("user_id")).as("hll_single"),
+        KmvSketch.kmv_distinct(s, col("user_id"), kmvK).as("kmv_single"))
       .select(date_format(col("wk"), "yyyy-MM-dd").as("week_start"),
-        col("exact_n"), col("est_single"))
-    val wkMerged = weeklyDistinctUsers(dailyUserSketches(events))
-      .select(col("week_start"), col("est_users"))
-    val hllWeek = wkSingle.join(wkMerged, "week_start").select(
+        col("exact_n"), col("hll_single"), col("kmv_single"))
+    val wkMerged = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(HllSketch.hll_sketch_buffer(s, col("user_id")).as("hsk"),
+        KmvSketch.kmv_sketch_buffer(s, col("user_id"), kmvK).as("ksk"))
+      .groupBy(date_trunc("week", col("day")).cast("date").as("wk"))
+      .agg(HllSketch.hll_merge(s, col("hsk")).as("hll_merged"),
+        KmvSketch.kmv_merge_estimate(s, col("ksk")).as("kmv_merged"))
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("week_start"),
+        col("hll_merged"), col("kmv_merged"))
+    val weekly = wkSingle.join(wkMerged, "week_start")
+    val hllWeek = weekly.select(
       concat(lit("hll_week:"), col("week_start")).as("scope"),
       col("exact_n"),
-      (abs(col("est_users") - col("exact_n")) <= col("exact_n") * 0.15)
+      (abs(col("hll_merged") - col("exact_n")) <= col("exact_n") * 0.15)
         .as("within_envelope"),
-      (col("est_users") === col("est_single")).as("merge_eq_single"),
+      (col("hll_merged") === col("hll_single")).as("merge_eq_single"),
       lit(true).as("exact_when_small"))
-    // KMV weekly scopes at q_kmv_users' k: merged daily bottom-k
-    // buffers vs the single-pass estimate, plus the below-capacity
-    // exactness the bottom-k construction guarantees
-    val kMerged = events.groupBy(to_date(col("ts")).as("day"))
-      .agg(KmvSketch.kmv_sketch_buffer(s, col("user_id"), kmvK).as("sk"))
-      .groupBy(date_trunc("week", col("day")).cast("date").as("wk"))
-      .agg(KmvSketch.kmv_merge_estimate(s, col("sk")).as("est_merged"))
-      .select(date_format(col("wk"), "yyyy-MM-dd").as("week_start"),
-        col("est_merged"))
-    val kSingle = events
-      .groupBy(date_trunc("week", col("ts")).cast("date").as("wk"))
-      .agg(KmvSketch.kmv_distinct(s, col("user_id"), kmvK).as("est_single"),
-        count_distinct(col("user_id")).as("exact_n"))
-      .select(date_format(col("wk"), "yyyy-MM-dd").as("week_start"),
-        col("exact_n"), col("est_single"))
-    val kmvWeek = kSingle.join(kMerged, "week_start").select(
+    val kmvWeek = weekly.select(
       concat(lit("kmv_week:"), col("week_start")).as("scope"),
       col("exact_n"),
-      (abs(col("est_merged") - col("exact_n")) <= col("exact_n") * kmvBound)
+      (abs(col("kmv_merged") - col("exact_n")) <= col("exact_n") * kmvBound)
         .as("within_envelope"),
-      (col("est_merged") === col("est_single")).as("merge_eq_single"),
-      (col("exact_n") >= kmvK || col("est_merged") === col("exact_n"))
+      (col("kmv_merged") === col("kmv_single")).as("merge_eq_single"),
+      (col("exact_n") >= kmvK || col("kmv_merged") === col("exact_n"))
         .as("exact_when_small"))
     hllFlag.unionByName(hllWeek).unionByName(kmvWeek).orderBy("scope")
   }
