@@ -363,6 +363,27 @@ object Curation {
                        maxHamming: Int = 6, k: Int = 4,
                        maxTotalHamming: Int = 3,
                        maxBandBucket: Int = -1): DataFrame = {
+    val (out, istats, astats, vstats, pairs) = ingestAuditCore(spark,
+      newImages, newAudios, newVideos, storedImageHashes, storedAudioHashes,
+      storedVideoSlotHashes, maxHamming, k, maxTotalHamming, maxBandBucket)
+    Dedup.scopeCaches(out, (Seq(istats, astats, vstats) ++ pairs): _*)
+  }
+
+  /** The audit pipeline WITHOUT the final cache release: returns the
+    * (unmaterialized) audit frame plus the still-cached fused stats
+    * and pair frames, so [[ingestDayFold]] can extract the kept docs'
+    * fingerprints from the SAME decode before releasing — the caller
+    * MUST release everything (directly or via scopeCaches).
+    */
+  private def ingestAuditCore(spark: org.apache.spark.sql.SparkSession,
+                              newImages: DataFrame, newAudios: DataFrame,
+                              newVideos: DataFrame,
+                              storedImageHashes: DataFrame,
+                              storedAudioHashes: DataFrame,
+                              storedVideoSlotHashes: DataFrame,
+                              maxHamming: Int, k: Int,
+                              maxTotalHamming: Int, maxBandBucket: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     val istats = Multimodal.imageStatsDhash(spark, newImages).persist()
     val astats = Multimodal.audioStatsEhash(spark, newAudios).persist()
     val vstats = Multimodal.videoStatsPhash(spark, newVideos, k).persist()
@@ -458,8 +479,73 @@ object Curation {
         col("video_dup_stored"), col("video_dup_new"), col("static_video"),
         col("keep"))
       .orderBy("doc_id")
-    Dedup.scopeCaches(out, istats, astats, vstats, ipairs, apairs, vpairs)
+    (out, istats, astats, vstats, Seq(ipairs, apairs, vpairs))
   }
+
+  /** One DAY of the operational ingest loop, one call: audit today's
+    * batch against the parquet fingerprint store, then fold the KEPT
+    * docs' fingerprints into the store for tomorrow — the loop the
+    * multi-day chain property (CurationSpec) pins, packaged.
+    *
+    *   - the store is three append-only parquet tables of HASH rows
+    *     (`image`: doc_id+dhash, `audio`: doc_id+ehash, `video`:
+    *     doc_id+slot+dhash) under `storeDir` — KiBs per thousand docs,
+    *     the sketch-table pattern: payloads never enter storage, and
+    *     day N+1 reads a plain scan;
+    *   - kept fingerprints are sliced from the SAME cached fused-stats
+    *     frames the audit decoded — the fold never re-decodes a
+    *     payload (zero-frame videos contribute no slot rows, matching
+    *     the family convention);
+    *   - returns the audit frame (caller owns it); all internal caches
+    *     are released after the store append.
+    *
+    * Seed the store once with [[ingestStoreInit]] (empty frames are
+    * fine for a cold start — day 1 then only dedups in-batch).
+    */
+  def ingestDayFold(spark: org.apache.spark.sql.SparkSession,
+                    newImages: DataFrame, newAudios: DataFrame,
+                    newVideos: DataFrame, storeDir: String,
+                    maxHamming: Int = 6, k: Int = 4,
+                    maxTotalHamming: Int = 3,
+                    maxBandBucket: Int = -1): DataFrame = {
+    val (sI, sA, sV) = ingestReadStore(spark, storeDir)
+    val (out0, istats, astats, vstats, pairs) = ingestAuditCore(spark,
+      newImages, newAudios, newVideos, sI, sA, sV,
+      maxHamming, k, maxTotalHamming, maxBandBucket)
+    // materialize the audit while the stats are still cached
+    val out = Dedup.scopeCaches(out0)
+    val keptIds = out.filter(col("keep")).select("doc_id")
+    istats.select("doc_id", "dhash").join(keptIds, "doc_id")
+      .write.mode("append").parquet(s"$storeDir/image")
+    astats.select("doc_id", "ehash").join(keptIds, "doc_id")
+      .write.mode("append").parquet(s"$storeDir/audio")
+    vstats.select(col("doc_id"), posexplode(col("sig")))
+      .toDF("doc_id", "slot", "dhash")
+      .join(keptIds, "doc_id")
+      .write.mode("append").parquet(s"$storeDir/video")
+    (Seq(istats, astats, vstats) ++ pairs).foreach(_.unpersist(false))
+    out
+  }
+
+  /** Seed (or reset) the [[ingestDayFold]] fingerprint store. */
+  def ingestStoreInit(spark: org.apache.spark.sql.SparkSession,
+                      storeDir: String,
+                      imageHashes: DataFrame, audioHashes: DataFrame,
+                      videoSlotHashes: DataFrame): Unit = {
+    imageHashes.select(col("doc_id"), col("dhash"))
+      .write.mode("overwrite").parquet(s"$storeDir/image")
+    audioHashes.select(col("doc_id"), col("ehash"))
+      .write.mode("overwrite").parquet(s"$storeDir/audio")
+    videoSlotHashes.select(col("doc_id"), col("slot"), col("dhash"))
+      .write.mode("overwrite").parquet(s"$storeDir/video")
+  }
+
+  /** The three stored fingerprint tables under `storeDir`. */
+  def ingestReadStore(spark: org.apache.spark.sql.SparkSession,
+                      storeDir: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$storeDir/image"),
+      spark.read.parquet(s"$storeDir/audio"),
+      spark.read.parquet(s"$storeDir/video"))
 
   /** Cross-modal duplicate verdicts: one row per document combining
     * three INDEPENDENT dedup signals a multimodal corpus needs —

@@ -357,6 +357,65 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
         s"(chained=$dupStoredChained vsInit=$dupStoredVsInit)")
   }
 
+  test("ingestDayFold: the packaged day loop replays the manual chain, store on parquet") {
+    // the one-call form of the chain test above: audit + fold kept
+    // fingerprints into the parquet store, three days — per-day keeps
+    // must equal the manual chained audits', the store must hold
+    // exactly initial ∪ kept fingerprints, and the fold must never
+    // re-decode (hashes come from the audit's own fused stats)
+    import org.apache.spark.sql.functions.col
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val imgs = Multimodal.syntheticPngSkewed(spark, base)
+    val auds = Multimodal.syntheticWavSkewed(spark, base)
+    val vids = Multimodal.syntheticVideoJunk(spark, base)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_ingest_store").toString
+    def initStore(m: DataFrame) = m.filter(col("doc_id") < 30)
+    Curation.ingestStoreInit(spark, storeDir,
+      Multimodal.imageDhash(spark, initStore(imgs)),
+      Multimodal.audioEhash(spark, initStore(auds)),
+      Multimodal.videoPhash(spark, initStore(vids))
+        .select("doc_id", "slot", "dhash"))
+    // manual chain for comparison (same arithmetic as the chain test)
+    var (mI, mA, mV) = (
+      Multimodal.imageDhash(spark, initStore(imgs)),
+      Multimodal.audioEhash(spark, initStore(auds)),
+      Multimodal.videoPhash(spark, initStore(vids))
+        .select("doc_id", "slot", "dhash"))
+    var foldKept = Set.empty[Long]
+    for ((lo, hi) <- Seq((30L, 200L), (200L, 350L), (350L, 500L))) {
+      def day(m: DataFrame) = m.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val folded = Curation.ingestDayFold(spark,
+        day(imgs), day(auds), day(vids), storeDir, maxBandBucket = 0)
+      val foldRows = folded.collect()
+      folded.unpersist(false)
+      val manual = Curation.mediaIngestAudit(spark,
+        day(imgs), day(auds), day(vids), mI, mA, mV, maxBandBucket = 0)
+      val manualRows = manual.collect()
+      manual.unpersist(false)
+      assert(foldRows.map(_.toSeq).toSet === manualRows.map(_.toSeq).toSet,
+        s"day [$lo,$hi) fold ≠ manual audit")
+      val kept = foldRows.filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+      foldKept ++= kept
+      val keptSeq = kept.toSeq
+      def keptOnly(m: DataFrame) = m.filter(col("doc_id").isin(keptSeq: _*))
+      mI = mI.unionByName(Multimodal.imageDhash(spark, keptOnly(imgs)))
+      mA = mA.unionByName(Multimodal.audioEhash(spark, keptOnly(auds)))
+      mV = mV.unionByName(Multimodal.videoPhash(spark, keptOnly(vids))
+        .select("doc_id", "slot", "dhash"))
+    }
+    // the parquet store holds exactly initial ∪ kept fingerprints
+    val (sI, _, sV) = Curation.ingestReadStore(spark, storeDir)
+    val storedIds = sI.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(storedIds === ((0L until 30L).toSet ++ foldKept))
+    // video store: kept docs only, 4 slots per stored video (none of
+    // the junk fixture's videos is zero-frame)
+    val vByDoc = sV.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vByDoc.keySet === storedIds)
+    assert(vByDoc.values.forall(_ === 4L))
+  }
+
   test("mediaIngestAudit: zero-frame videos are never video duplicates of each other") {
     // two undecodable (zero-frame) videos in one batch both carry the
     // empty slot signature — the batch twin (videoPhash emits no slots)
