@@ -636,7 +636,7 @@ object Dedup {
     * audio — pile into one bucket per band otherwise): `-1`
     * auto-derives from stored ∪ new size, `0` disables, `> 0` manual.
     */
-  private[ext] def bandedHammingPairsIncremental(
+  private[graft] def bandedHammingPairsIncremental(
       newFp: DataFrame, storedFp: DataFrame, fpCol: String, bits: Int,
       maxHamming: Int, maxBandBucket: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits,

@@ -266,3 +266,48 @@ object ClusterCollapseProperties extends Properties("ClusterCollapse") with Spar
       Prop(got == want) :| s"t=$t got=$got want=$want"
     }
 }
+
+object IncrementalPairProperties extends Properties("IncrementalPairs")
+    with SparkSpec {
+
+  // the ClusterCollapse generator's hash shape (few bases, 0-2 bit
+  // flips → identical groups AND near-dup neighbors), plus a random
+  // stored/new split per doc — so cross, new/new, AND stored/stored
+  // candidates all occur in the same bucket
+  val rowsGen: Gen[List[(Long, Long, Boolean)]] = for {
+    n <- Gen.chooseNum(0, 40)
+    rows <- Gen.listOfN(n, for {
+      id <- Gen.chooseNum(0L, 500L)
+      base <- Gen.oneOf(0L, 7L, 1L << 20, (1L << 40) + 5L)
+      flips <- Gen.chooseNum(0, 2)
+      bits <- Gen.listOfN(flips, Gen.chooseNum(0, 62))
+      isNew <- Gen.oneOf(true, false)
+    } yield (id, bits.foldLeft(base)((h, b) => h ^ (1L << b)), isNew))
+  } yield rows.distinctBy(_._1)
+
+  /** brute force: every a<b pair with Hamming ≤ t and ≥ 1 new side —
+    * the contract the NEW×ALL banded enumeration must reproduce
+    * exactly (stored×stored pairs excluded, new/new deduplicated)
+    */
+  private def reference(rows: List[(Long, Long, Boolean)],
+                        t: Int): Set[(Long, Long, Int, Boolean)] =
+    (for {
+      (a, ha, na) <- rows; (b, hb, nb) <- rows
+      if a < b && (na || nb) &&
+        java.lang.Long.bitCount(ha ^ hb) <= t
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb), na != nb)).toSet
+
+  property("NEW×ALL banded incremental pairs equal brute force") =
+    forAll(rowsGen, Gen.chooseNum(0, 6)) { (rows, t) =>
+      import spark.implicits._
+      val newFp = rows.filter(_._3).map(r => (r._1, r._2)).toDF("doc_id", "dhash")
+      val storedFp = rows.filterNot(_._3).map(r => (r._1, r._2)).toDF("doc_id", "dhash")
+      val res = graft.ext.Dedup.bandedHammingPairsIncremental(
+        newFp, storedFp, "dhash", 63, t, maxBandBucket = 0)
+      val got = res.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3))).toSet
+      res.unpersist(false)
+      val want = reference(rows, t)
+      Prop(got == want) :| s"t=$t got=$got want=$want"
+    }
+}
