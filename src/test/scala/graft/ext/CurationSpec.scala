@@ -416,6 +416,38 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(vByDoc.values.forall(_ === 4L))
   }
 
+  test("ingestDayFold cold start: empty store seed, day 1 dedups in-batch only") {
+    import org.apache.spark.sql.functions.col
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def day1(m: DataFrame) = m.filter(col("doc_id") < 120)
+    val imgs = Multimodal.syntheticPngSkewed(spark, base)
+    val auds = Multimodal.syntheticWavSkewed(spark, base)
+    val vids = Multimodal.syntheticVideoJunk(spark, base)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_ingest_cold").toString
+    import org.apache.spark.sql.functions.lit
+    val emptyIds = base.limit(0)
+    Curation.ingestStoreInit(spark, storeDir,
+      emptyIds.select(col("doc_id"), lit(0L).as("dhash")).limit(0),
+      emptyIds.select(col("doc_id"), lit(0L).as("ehash")).limit(0),
+      emptyIds.select(col("doc_id"), lit(0).as("slot"),
+        lit(0L).as("dhash")).limit(0))
+    val audit = Curation.ingestDayFold(spark,
+      day1(imgs), day1(auds), day1(vids), storeDir, maxBandBucket = 0)
+    val rows = audit.collect()
+    audit.unpersist(false)
+    assert(rows.length === 120)
+    // no stored content exists, so nothing is a stored-dup on day 1
+    assert(rows.forall(r => !r.getAs[Boolean]("image_dup_stored") &&
+      !r.getAs[Boolean]("audio_dup_stored") && !r.getAs[Boolean]("video_dup_stored")))
+    // in-batch dedup still fires (the planted flat mass shares hashes)
+    assert(rows.exists(_.getAs[Boolean]("image_dup_new")))
+    // the store now holds exactly day 1's kept fingerprints
+    val kept = rows.filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+    val (sI, _, _) = Curation.ingestReadStore(spark, storeDir)
+    assert(sI.select("doc_id").collect().map(_.getLong(0)).toSet === kept)
+  }
+
   test("mediaIngestAudit: zero-frame videos are never video duplicates of each other") {
     // two undecodable (zero-frame) videos in one batch both carry the
     // empty slot signature — the batch twin (videoPhash emits no slots)
