@@ -101,7 +101,8 @@ object MediaFixtures {
     "q_media_ingest_audit_prod" -> Seq("png_skewed", "wav_skewed", "video_junk"),
     "q_image_cluster_reps" -> Seq("png_skewed"),
     "q_audio_cluster_reps" -> Seq("wav_skewed"),
-    "q_video_cluster_reps" -> Seq("video_clusters"))
+    "q_video_cluster_reps" -> Seq("video_clusters"),
+    "q_store_compact" -> Seq("png_skewed", "wav_skewed", "video_junk"))
 
   /** Fingerprint of the current testdata generation × fixture format:
     * a cached fixture is valid only for the documents file AND the

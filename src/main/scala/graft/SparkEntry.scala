@@ -637,6 +637,25 @@ object SparkEntry {
         Multimodal.audioEhash(s, auds.filter(stored)),
         Multimodal.videoPhash(s, vids.filter(stored))
           .select("doc_id", "slot", "dhash"))
+    }),
+    // store-maintenance audit: what compacting the ingest fingerprint
+    // store to distinct min-id exemplars would reclaim, per modality —
+    // rows stored, exemplars kept, redundant rows dropped, and the
+    // largest identical-fingerprint group; one hash aggregate per
+    // modality over hashes only (the stored half of the skewed/junk
+    // corpora, whose planted flat/static mass is the degenerate store
+    // the audit exists to measure)
+    "q_store_compact" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val stored = col("doc_id") % 2 === 0
+      Curation.storeCompactionSummary(s,
+        Multimodal.imageDhash(s,
+          MediaFixtures.table(s, d, "png_skewed").filter(stored)),
+        Multimodal.audioEhash(s,
+          MediaFixtures.table(s, d, "wav_skewed").filter(stored)),
+        Multimodal.videoPhash(s,
+          MediaFixtures.table(s, d, "video_junk").filter(stored))
+          .select("doc_id", "slot", "dhash"))
     })
   )
 
@@ -4273,6 +4292,100 @@ object SparkEntry {
         |LEFT JOIN vpn ON vpn.doc_id = d.doc_id
         |WHERE d.doc_id % 50 >= 25
         |ORDER BY d.doc_id""".stripMargin,
+    // the same skewed-image dHash / skewed-audio eHash / junk-video
+    // slot-signature CTE blocks as q_media_ingest_audit, restricted to
+    // the stored half (even doc_ids), aggregated per fingerprint group
+    "q_store_compact" ->
+      """WITH geo AS (
+        |  SELECT doc_id, doc_id % 4 = 0 AS flat,
+        |    doc_id % 50 AS key, doc_id // 50 AS bump,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 + (doc_id % 50) % 9 END AS w,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 + (doc_id % 50) % 7 END AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |js AS (SELECT doc_id, flat, key, bump, w, h, unnest(range(0, 7)) AS j FROM geo),
+        |g0 AS (SELECT doc_id, flat, key, bump, w, h, j, unnest(range(0, 10)) AS i FROM js),
+        |grid AS (SELECT doc_id, flat, key, bump, j, i,
+        |  ((2*i+1)*w) // 20 AS x, ((2*j+1)*h) // 14 AS y FROM g0),
+        |lum AS (SELECT doc_id, j, i,
+        |  CASE WHEN flat THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * (CASE WHEN x = 0 AND y = 0
+        |        THEN ((key*7 + x*37 + y*59 + x*y*13) % 256 + bump) % 256
+        |        ELSE (key*7 + x*37 + y*59 + x*y*13) % 256 END)
+        |      + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM grid),
+        |bits AS (SELECT a.doc_id, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |hsh AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id),
+        |ad AS (SELECT doc_id, doc_id % 4 = 0 AS silent,
+        |    doc_id % 50 AS akey, doc_id // 50 AS abump
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |ap AS (SELECT doc_id, silent, akey, abump,
+        |  CASE WHEN silent THEN 256 ELSE 200 + akey % 100 END AS an FROM ad),
+        |asamp AS (SELECT doc_id, silent, akey, abump, an,
+        |  unnest(range(0, an)) AS ai FROM ap),
+        |aamp AS (SELECT doc_id, an, ai,
+        |  CASE WHEN silent THEN 0
+        |    ELSE (akey * 31 + ai * 17) % 2003 - 1001
+        |      + CASE WHEN ai = 0 THEN abump ELSE 0 END END AS amp FROM asamp),
+        |ae AS (SELECT doc_id, (ai * 64) // an AS aw, SUM(amp * amp) AS energy
+        |  FROM aamp GROUP BY doc_id, (ai * 64) // an),
+        |ab AS (SELECT x.doc_id, x.aw,
+        |    CASE WHEN y.energy > x.energy THEN 1 ELSE 0 END AS bit
+        |  FROM ae x JOIN ae y ON y.doc_id = x.doc_id AND y.aw = x.aw + 1
+        |  WHERE x.aw < 63),
+        |ah AS (SELECT doc_id,
+        |  CAST(SUM(CAST(bit AS BIGINT) << aw) AS BIGINT) AS ehash
+        |  FROM ab GROUP BY doc_id),
+        |vd AS (
+        |  SELECT doc_id, doc_id % 4 = 0 AS junk, 6 + doc_id % 7 AS vn,
+        |    CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 8 + doc_id % 9 END AS vw,
+        |    CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 8 + doc_id % 7 END AS vh
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |vf AS (SELECT doc_id, junk, vn, vw, vh, unnest(range(0, vn)) AS fr FROM vd),
+        |vsc AS (SELECT doc_id, junk, vn, vw, vh, fr, fr // 3 AS scene FROM vf),
+        |vjs AS (SELECT doc_id, junk, scene, fr, vw, vh, unnest(range(0, 7)) AS j FROM vsc),
+        |vg0 AS (SELECT doc_id, junk, scene, fr, vw, vh, j, unnest(range(0, 10)) AS i FROM vjs),
+        |vgrid AS (SELECT doc_id, junk, scene, fr, j, i,
+        |  ((2*i+1)*vw) // 20 AS x, ((2*j+1)*vh) // 14 AS y FROM vg0),
+        |vlum AS (SELECT doc_id, fr, j, i,
+        |  CASE WHEN junk THEN 1000 * ((doc_id * 31) % 256)
+        |    ELSE 299 * ((doc_id*7 + scene*97 + x*37 + y*59 + x*y*13) % 256)
+        |      + 587 * ((doc_id*11 + scene*89 + x*23 + y*41 + x*y*7) % 256)
+        |      + 114 * ((doc_id*13 + scene*83 + x*29 + y*31 + x*y*17) % 256) END AS l
+        |  FROM vgrid),
+        |vbits AS (SELECT a.doc_id, a.fr, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM vlum a JOIN vlum b ON b.doc_id = a.doc_id AND b.fr = a.fr
+        |    AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |vhsh AS (SELECT doc_id, fr,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM vbits GROUP BY doc_id, fr),
+        |vsl AS (SELECT doc_id, vn, unnest(range(0, 4)) AS sj FROM vd),
+        |vsig AS (SELECT vsl.doc_id, vsl.sj, h2.dhash
+        |  FROM vsl JOIN vhsh h2 ON h2.doc_id = vsl.doc_id
+        |    AND h2.fr = (vsl.sj * vsl.vn) // 4),
+        |ig AS (SELECT dhash, COUNT(*) AS n FROM hsh GROUP BY dhash),
+        |ag AS (SELECT ehash, COUNT(*) AS n FROM ah GROUP BY ehash),
+        |vsigl AS (SELECT doc_id, list(dhash ORDER BY sj) AS sig
+        |  FROM vsig GROUP BY doc_id),
+        |vg AS (SELECT sig, COUNT(*) AS n FROM vsigl GROUP BY sig)
+        |SELECT * FROM (
+        |  SELECT 'image' AS modality, CAST(SUM(n) AS BIGINT) AS rows_before,
+        |    COUNT(*) AS exemplars, CAST(SUM(n) - COUNT(*) AS BIGINT) AS dropped,
+        |    CAST(MAX(n) AS BIGINT) AS max_group FROM ig
+        |  UNION ALL
+        |  SELECT 'audio', CAST(SUM(n) AS BIGINT), COUNT(*),
+        |    CAST(SUM(n) - COUNT(*) AS BIGINT), CAST(MAX(n) AS BIGINT) FROM ag
+        |  UNION ALL
+        |  SELECT 'video', CAST(SUM(n) AS BIGINT), COUNT(*),
+        |    CAST(SUM(n) - COUNT(*) AS BIGINT), CAST(MAX(n) AS BIGINT) FROM vg)
+        |ORDER BY modality""".stripMargin,
     // cross-modal composition: the q_url_dedup canonicalization chain
     // (messy-URL fixture), the planted dup-text donor join, and the
     // q_image_clusters dHash + recursive component walk, disjoined into

@@ -547,6 +547,170 @@ object Curation {
       spark.read.parquet(s"$storeDir/audio"),
       spark.read.parquet(s"$storeDir/video"))
 
+  /** One micro-batch "day" of the STREAMING ingest loop — the
+    * [[ingestDayFold]] arithmetic re-keyed for exactly-once delivery
+    * under Structured Streaming's foreachBatch replay contract:
+    *
+    *   - the store is DAY-PARTITIONED (`storeDir/image/day=N/…` etc.),
+    *     and every write this call makes goes to the current day's
+    *     partition with `overwrite` — a replayed micro-batch (failure
+    *     between commit and checkpoint) REPLACES its own partial output
+    *     instead of appending a second copy;
+    *   - the stored side is read with `day < day` — partition pruning
+    *     keeps a replay from seeing its own first attempt's fold (which
+    *     would flag every kept doc as a stored-dup of itself) and makes
+    *     the audit of day N a pure function of days < N;
+    *   - per-day audit verdicts land under `auditDir/day=N` with the
+    *     same overwrite key, so the audit sink is idempotent too.
+    *
+    * Callable directly for backfill/replay of a historical day; the
+    * live loop is [[graft.streaming.StreamingOps.mediaIngestStream]],
+    * whose foreachBatch body is exactly this call with `day` =
+    * micro-batch id. Chain ≡ one-batch semantics are the same
+    * CurationSpec-pinned law as the batch fold (doc_ids arrival-
+    * ordered across days).
+    */
+  def ingestStreamDay(spark: org.apache.spark.sql.SparkSession,
+                      media: DataFrame, day: Long,
+                      storeDir: String, auditDir: String,
+                      maxHamming: Int = 6, k: Int = 4,
+                      maxTotalHamming: Int = 3,
+                      maxBandBucket: Int = -1): Unit = {
+    val b = media.persist()
+    try {
+      if (!b.isEmpty) {
+        val (sI, sA, sV) = ingestReadDayStore(spark, storeDir, day)
+        val (out0, istats, astats, vstats, pairs) = ingestAuditCore(spark,
+          b.select(col("doc_id"), col("image").as("payload")),
+          b.select(col("doc_id"), col("audio").as("payload")),
+          b.select(col("doc_id"), col("video").as("payload")),
+          sI, sA, sV, maxHamming, k, maxTotalHamming, maxBandBucket)
+        val audit = Dedup.scopeCaches(out0)
+        val keptIds = audit.filter(col("keep")).select("doc_id")
+        istats.select("doc_id", "dhash").join(keptIds, "doc_id")
+          .write.mode("overwrite").parquet(s"$storeDir/image/day=$day")
+        astats.select("doc_id", "ehash").join(keptIds, "doc_id")
+          .write.mode("overwrite").parquet(s"$storeDir/audio/day=$day")
+        vstats.select(col("doc_id"), posexplode(col("sig")))
+          .toDF("doc_id", "slot", "dhash")
+          .join(keptIds, "doc_id")
+          .write.mode("overwrite").parquet(s"$storeDir/video/day=$day")
+        audit.write.mode("overwrite").parquet(s"$auditDir/day=$day")
+        (Seq(istats, astats, vstats) ++ pairs :+ audit).foreach(_.unpersist(false))
+      }
+    } finally b.unpersist(false)
+  }
+
+  /** The day-partitioned stream store's three tables, restricted to
+    * days strictly BEFORE `beforeDay` (the point-in-time store day
+    * `beforeDay`'s audit must see). A modality with no prior day yet
+    * (cold start) reads as an empty frame of the store schema.
+    */
+  def ingestReadDayStore(spark: org.apache.spark.sql.SparkSession,
+                         storeDir: String, beforeDay: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    def rd(sub: String, schema: StructType): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a day dir is only visible once at least one prior day committed
+      if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("day=")))
+        spark.read.parquet(p.toString)
+          .filter(col("day") < lit(beforeDay))
+          .select(schema.fieldNames.map(col): _*)
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val idSchema = new StructType().add("doc_id", LongType)
+    (rd("image", idSchema.add("dhash", LongType)),
+      rd("audio", idSchema.add("ehash", LongType)),
+      rd("video", idSchema.add("slot", IntegerType).add("dhash", LongType)))
+  }
+
+  /** Compact the [[ingestDayFold]] fingerprint store to duplicate-free
+    * exemplars: one stored row per distinct fingerprint (the min-doc_id
+    * representative; for video, per distinct full slot signature). The
+    * audit ALREADY collapses the stored side to exactly this frame on
+    * every run ([[ingestAuditCore]]'s min-id group collapse), so
+    * compaction provably cannot change any audit verdict — it only
+    * removes the redundant rows the store accumulated, which is what
+    * keeps day-N scan cost tracking DISTINCT stored content (the
+    * RESULTS.md exemplar-store rows: 10× exemplars → 1.23× wall, vs
+    * raw-store rows that are pure waste). Run it at whatever cadence
+    * duplicate mass accumulates — the rewrite is three hash
+    * aggregations, staged to sibling dirs and atomically renamed in.
+    * Returns (rows_before, rows_after) per modality name.
+    */
+  /** What [[ingestStoreCompact]] WOULD reclaim, as a query — the
+    * "should I compact?" audit a store owner runs at cadence: one row
+    * per modality with the stored row count, the distinct-exemplar
+    * count compaction would keep, the redundant rows it would drop,
+    * and the largest identical-fingerprint group (the degenerate mass
+    * driving the gap). Pure aggregation over the three hash tables —
+    * one hash aggregate per modality (video groups whole slot
+    * signatures), no payloads, no joins — so it runs beside any
+    * pipeline at sketch-table cost and is DuckDB-oracle-matched
+    * (`q_store_compact`).
+    */
+  def storeCompactionSummary(spark: org.apache.spark.sql.SparkSession,
+                             imageHashes: DataFrame, audioHashes: DataFrame,
+                             videoSlotHashes: DataFrame): DataFrame = {
+    def summary(groups: DataFrame, modality: String): DataFrame =
+      groups.agg(
+        coalesce(sum(col("n")), lit(0L)).cast("long").as("rows_before"),
+        count(lit(1)).as("exemplars"),
+        coalesce(sum(col("n")) - count(lit(1)), lit(0L)).cast("long").as("dropped"),
+        coalesce(max(col("n")), lit(0L)).cast("long").as("max_group"))
+        .withColumn("modality", lit(modality))
+    val ig = imageHashes.groupBy("dhash").agg(count(lit(1)).as("n"))
+    val ag = audioHashes.groupBy("ehash").agg(count(lit(1)).as("n"))
+    val vg = videoSlotHashes.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("slot"), col("dhash")))).as("sig"))
+      .groupBy("sig").agg(count(lit(1)).as("n"))
+    summary(ig, "image").unionByName(summary(ag, "audio"))
+      .unionByName(summary(vg, "video"))
+      .select("modality", "rows_before", "exemplars", "dropped", "max_group")
+      .orderBy("modality")
+  }
+
+  def ingestStoreCompact(spark: org.apache.spark.sql.SparkSession,
+                         storeDir: String): Map[String, (Long, Long)] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def rewrite(sub: String, compact: DataFrame => DataFrame): (Long, Long) = {
+      val target = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
+      val fs = target.getFileSystem(hconf)
+      val cur = spark.read.parquet(target.toString)
+      val before = cur.count()
+      // localCheckpoint cuts the lineage off the files about to be
+      // replaced — the staged write must not re-scan the target dir
+      val out = compact(cur).localCheckpoint(true)
+      val after = out.count()
+      val staging = new org.apache.hadoop.fs.Path(
+        target.getParent, s".${target.getName}.compact-staging")
+      fs.delete(staging, true)
+      out.write.mode("overwrite").parquet(staging.toString)
+      fs.delete(target, true)
+      if (!fs.rename(staging, target))
+        throw new java.io.IOException(s"rename $staging -> $target failed")
+      (before, after)
+    }
+    Map(
+      "image" -> rewrite("image", _.groupBy("dhash")
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id", "dhash")),
+      "audio" -> rewrite("audio", _.groupBy("ehash")
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id", "ehash")),
+      // video: a stored exemplar is a whole slot SIGNATURE — keep the
+      // min-doc_id holder of each distinct (slot, dhash) array
+      "video" -> rewrite("video", v =>
+        v.groupBy("doc_id")
+          .agg(array_sort(collect_list(struct(col("slot"), col("dhash"))))
+            .as("pairs"))
+          .groupBy("pairs").agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), explode(col("pairs")).as("p"))
+          .select(col("doc_id"), col("p.slot").as("slot"),
+            col("p.dhash").as("dhash"))))
+  }
+
   /** Cross-modal duplicate verdicts: one row per document combining
     * three INDEPENDENT dedup signals a multimodal corpus needs —
     *

@@ -375,6 +375,45 @@ object StreamingOps {
     * object stores are not) this is exactly-once per micro-batch
     * combined with the checkpointed batch id.
     */
+  /** The daily media-ingest loop as a LIVE stream — the Structured-
+    * Streaming twin of [[graft.ext.Curation.ingestDayFold]]: each
+    * micro-batch of arrivals (`doc_id`, `image`, `audio`, `video`
+    * payload columns) is one "day" — audited against the fingerprints
+    * of every PRIOR day, its verdicts landed under `auditDir/day=N`,
+    * and its kept docs' fingerprints folded into the day-partitioned
+    * store for the next batch. All the work is
+    * [[graft.ext.Curation.ingestStreamDay]] with `day` = micro-batch
+    * id; this wrapper only supplies the replay contract:
+    *
+    *   - foreachBatch re-delivers a batch whose commit crashed before
+    *     the checkpoint advanced, so every write inside is keyed by
+    *     the batch id and OVERWRITES its own partition — replays
+    *     replace, never duplicate (pinned in StreamingOpsSpec by
+    *     re-running a day against its own committed output);
+    *   - the store read prunes to `day < N`, so a replay never sees
+    *     its first attempt's fold (self-dup flags) and restart-from-
+    *     checkpoint resumes with exactly the store the failed batch
+    *     saw.
+    *
+    * State lives entirely in the parquet store, not the state store —
+    * the stream restarts from checkpoint + store alone, and the store
+    * is the same artifact batch backfills ([[graft.ext.Curation.ingestStreamDay]]
+    * called directly) and compaction
+    * ([[graft.ext.Curation.ingestStoreCompact]]) operate on. Payload
+    * bytes never enter streaming state and never cross a shuffle.
+    */
+  def mediaIngestStream(media: DataFrame, storeDir: String, auditDir: String,
+                        checkpoint: String, maxHamming: Int = 6, k: Int = 4,
+                        maxTotalHamming: Int = 3, maxBandBucket: Int = -1)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, day: Long) =>
+        graft.ext.Curation.ingestStreamDay(batch.sparkSession, batch, day,
+          storeDir, auditDir, maxHamming, k, maxTotalHamming, maxBandBucket)
+      }
+      .start()
+
   def upsertParquetSink(agg: DataFrame, targetPath: String, keyCols: Seq[String],
                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     agg.writeStream.outputMode("update")

@@ -572,4 +572,95 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
         s"flag $i must vary")
     }
   }
+
+  test("ingestStoreCompact: distinct min-id exemplars; audit invariant; idempotent") {
+    import org.apache.spark.sql.functions.{col, min}
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val imgs = Multimodal.syntheticPngSkewed(spark, base)
+    val auds = Multimodal.syntheticWavSkewed(spark, base)
+    val vids = Multimodal.syntheticVideoJunk(spark, base)
+    // stored = even ids: the skewed fixtures plant identical-fingerprint
+    // mass there (every flat image shares one dhash, static videos
+    // share signatures), so the raw store carries real redundancy
+    val stored = col("doc_id") % 2 === 0
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_store_compact").toString
+    Curation.ingestStoreInit(spark, storeDir,
+      Multimodal.imageDhash(spark, imgs.filter(stored)),
+      Multimodal.audioEhash(spark, auds.filter(stored)),
+      Multimodal.videoPhash(spark, vids.filter(stored))
+        .select("doc_id", "slot", "dhash"))
+    def audit(): Set[Seq[Any]] = {
+      val (sI, sA, sV) = Curation.ingestReadStore(spark, storeDir)
+      val a = Curation.mediaIngestAudit(spark,
+        imgs.filter(!stored), auds.filter(!stored), vids.filter(!stored),
+        sI, sA, sV, maxBandBucket = 0)
+      val r = a.collect().map(_.toSeq).toSet
+      a.unpersist(false); r
+    }
+    val verdictsBefore = audit()
+    val (rawI, _, _) = Curation.ingestReadStore(spark, storeDir)
+    val rawRows = rawI.count()
+    val exemplars = rawI.groupBy("dhash").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "dhash").collect().map(_.toSeq).toSet
+    assert(exemplars.size < rawRows,
+      "the fixture must plant duplicate stored fingerprints")
+    val counts = Curation.ingestStoreCompact(spark, storeDir)
+    assert(counts("image") === ((rawRows, exemplars.size.toLong)),
+      s"image compaction counts: ${counts("image")}")
+    assert(counts.values.forall { case (b, a) => a <= b && a > 0 })
+    // what remains is exactly the min-id exemplar per fingerprint —
+    // the frame every audit collapses the stored side to anyway
+    val (cI, _, cV) = Curation.ingestReadStore(spark, storeDir)
+    assert(cI.select("doc_id", "dhash").collect().map(_.toSeq).toSet === exemplars)
+    // video exemplars keep whole signatures: every surviving doc still
+    // carries its full slot set
+    val slotsPerDoc = cV.groupBy("doc_id").count()
+      .select("count").distinct().collect().map(_.getLong(0)).toSet
+    assert(slotsPerDoc === Set(4L), s"intact signatures, got $slotsPerDoc")
+    assert(audit() === verdictsBefore,
+      "compaction must not change any audit verdict")
+    val again = Curation.ingestStoreCompact(spark, storeDir)
+    assert(again.values.forall { case (b, a) => b === a },
+      s"second compaction must be a no-op: $again")
+  }
+
+  test("storeCompactionSummary: predicts exactly what ingestStoreCompact reclaims") {
+    import org.apache.spark.sql.functions.col
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val stored = col("doc_id") % 2 === 0
+    val iH = Multimodal.imageDhash(spark,
+      Multimodal.syntheticPngSkewed(spark, base).filter(stored))
+    val aH = Multimodal.audioEhash(spark,
+      Multimodal.syntheticWavSkewed(spark, base).filter(stored))
+    val vH = Multimodal.videoPhash(spark,
+      Multimodal.syntheticVideoJunk(spark, base).filter(stored))
+      .select("doc_id", "slot", "dhash")
+    val summ = Curation.storeCompactionSummary(spark, iH, aH, vH)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(summ.keySet === Set("image", "audio", "video"))
+    summ.foreach { case (m, (before, ex, dropped, maxg)) =>
+      assert(before === ex + dropped, s"$m: rows = exemplars + dropped")
+      assert(maxg >= 1 && maxg <= before, s"$m: max_group in range")
+    }
+    // the planted flat/silent/static quarter collapses to shared
+    // fingerprints: every modality has real reclaimable mass and a
+    // degenerate group of at least the flat-mass size
+    summ.foreach { case (m, (_, _, dropped, maxg)) =>
+      assert(dropped > 0, s"$m: fixture must plant redundancy")
+      assert(maxg > 1, s"$m: fixture must plant an identical group")
+    }
+    // the summary IS the compaction arithmetic: a store built from
+    // these hashes compacts to exactly the predicted counts
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_store_summ").toString
+    Curation.ingestStoreInit(spark, storeDir, iH, aH, vH)
+    val counts = Curation.ingestStoreCompact(spark, storeDir)
+    assert(counts("image") === ((summ("image")._1, summ("image")._2)))
+    assert(counts("audio") === ((summ("audio")._1, summ("audio")._2)))
+    // the video table stores SLOT rows (4 per doc); the summary counts
+    // stored videos (signature groups)
+    assert(counts("video") === ((summ("video")._1 * 4, summ("video")._2 * 4)))
+  }
 }

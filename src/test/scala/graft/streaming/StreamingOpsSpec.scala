@@ -719,4 +719,87 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       assert(batchSpikes.contains("2024-02-01 01:00:00"))
     } finally q.stop()
   }
+
+  test("mediaIngestStream: micro-batch days replay the chained ingestDayFold; replays idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val sc = spark.sqlContext
+    import graft.ext.{Curation, Multimodal}
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 180)
+    def pay(df: org.apache.spark.sql.DataFrame): Map[Long, Array[Byte]] =
+      df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    val imgs = pay(Multimodal.syntheticPngSkewed(spark, base))
+    val auds = pay(Multimodal.syntheticWavSkewed(spark, base))
+    val vids = pay(Multimodal.syntheticVideoJunk(spark, base))
+    val days: Seq[Seq[Long]] =
+      Seq((0L until 60L).toSeq, (60L until 120L).toSeq, (120L until 180L).toSeq)
+    def rows(ids: Seq[Long]) = ids.map(i => (i, imgs(i), auds(i), vids(i)))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_stream").toString
+    val (storeDir, auditDir) = (s"$dir/store", s"$dir/audit")
+    val input = MemoryStream[(Long, Array[Byte], Array[Byte], Array[Byte])]
+    val media = input.toDF().toDF("doc_id", "image", "audio", "video")
+    val q = mediaIngestStream(media, storeDir, auditDir, s"$dir/ckpt",
+      maxBandBucket = 0)
+    try {
+      days.foreach { d => input.addData(rows(d)); q.processAllAvailable() }
+    } finally q.stop()
+
+    // batch twin: the SAME day slices through the packaged batch loop,
+    // both starting from a cold (empty) store
+    val foldDir = java.nio.file.Files.createTempDirectory("graft_ingest_fold").toString
+    val emptyIds = base.limit(0)
+    Curation.ingestStoreInit(spark, foldDir,
+      emptyIds.select(col("doc_id"), lit(0L).as("dhash")).limit(0),
+      emptyIds.select(col("doc_id"), lit(0L).as("ehash")).limit(0),
+      emptyIds.select(col("doc_id"), lit(0).as("slot"),
+        lit(0L).as("dhash")).limit(0))
+    var auditCols: Seq[String] = Nil
+    val foldAudits: Seq[Set[Seq[Any]]] = days.map { d =>
+      def m(p: Map[Long, Array[Byte]]) = d.map(i => (i, p(i))).toDF("doc_id", "payload")
+      val a = Curation.ingestDayFold(spark, m(imgs), m(auds), m(vids),
+        foldDir, maxBandBucket = 0)
+      auditCols = a.columns.toSeq
+      val r = a.collect().map(_.toSeq).toSet
+      a.unpersist(false); r
+    }
+    // per-day audit parity: the stream's day-N verdicts ARE the batch
+    // loop's day-N verdicts (day ids ascend with micro-batch order)
+    val streamAudit = spark.read.parquet(auditDir)
+    val dayIds = streamAudit.select("day").distinct().collect()
+      .map(_.get(0).toString.toLong).sorted
+    assert(dayIds.length === days.size, s"one audit partition per day: ${dayIds.toSeq}")
+    dayIds.zipWithIndex.foreach { case (dayId, i) =>
+      val got = streamAudit.filter(col("day") === dayId)
+        .select(auditCols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(got === foldAudits(i), s"day $dayId stream audit ≠ batch fold audit")
+    }
+    // store parity: the day-partitioned stream store holds exactly the
+    // flat batch store's fingerprints
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val (sI, sA, sV) = Curation.ingestReadDayStore(spark, storeDir, Long.MaxValue)
+    // collect the pre-replay store ONCE: the replay below rewrites the
+    // day partitions, so these frames' file lists go stale
+    val (setI, setA, setV) = (rowSet(sI), rowSet(sA), rowSet(sV))
+    val (fI, fA, fV) = Curation.ingestReadStore(spark, foldDir)
+    assert(setI === rowSet(fI), "image store parity")
+    assert(setA === rowSet(fA), "audio store parity")
+    assert(setV === rowSet(fV.select("doc_id", "slot", "dhash")), "video store parity")
+
+    // replay contract: re-delivering the LAST day (a foreachBatch crash
+    // between commit and checkpoint) must leave store and audit
+    // byte-identical — overwrite-by-day replaces the first attempt, and
+    // the day<N store read keeps the replay from seeing its own fold
+    val auditBefore = rowSet(streamAudit)
+    Curation.ingestStreamDay(spark,
+      rows(days.last).toDF("doc_id", "image", "audio", "video"),
+      dayIds.last, storeDir, auditDir, maxBandBucket = 0)
+    val (rI, rA, rV) = Curation.ingestReadDayStore(spark, storeDir, Long.MaxValue)
+    assert(rowSet(rI) === setI && rowSet(rA) === setA &&
+      rowSet(rV) === setV, "replayed day must not change the store")
+    assert(rowSet(spark.read.parquet(auditDir)) === auditBefore,
+      "replayed day must not change the audit")
+  }
 }
