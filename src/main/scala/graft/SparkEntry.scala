@@ -656,6 +656,32 @@ object SparkEntry {
         Multimodal.videoPhash(s,
           MediaFixtures.table(s, d, "video_junk").filter(stored))
           .select("doc_id", "slot", "dhash"))
+    }),
+    // the TEXT side's daily-ingest audit, fully oracle-matched: per
+    // new doc, stored-vs-new verdicts for canonical-URL, exact-text
+    // (md5), and md5-MinHash near-dup duplicate classes + the
+    // classifier gate; stored side is fingerprints only (canon urls,
+    // text digests, signatures), guard conventions as everywhere in
+    // the portable-hash family
+    "q_doc_ingest_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, conv, md5, substring}
+      val docs = TextOps.withSyntheticDupText(
+        WebOps.withSyntheticMessyUrl(Tables.documents(s, d)))
+      // md5-based split (~1/3 stored), genuinely pseudorandom w.r.t.
+      // the URL fixture's mod-100 canonical groups and the donor
+      // adjacency, so every stored/new flag class is reachable AND
+      // refutable: any ARITHMETIC split degenerates - %50 aligns with
+      // the URL groups (url_dup_stored can never fire), any modulus
+      // coprime with 100 visits a fixed residue progression inside
+      // every >=3-member group (a stored doc lands in each, nothing
+      // is novel). ~14 of the 100 groups end up all-new under md5
+      val stored = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+        16, 10).cast("int") % 3 === 0
+      val sDocs = docs.filter(stored)
+      Curation.docIngestAudit(s, docs.filter(!stored),
+        WebOps.canonicalizeUrl(sDocs).select("canonical_url"),
+        sDocs.select(md5(col("text")).as("text_md5")),
+        Dedup.minhashSignaturesMd5(Dedup.shingles(sDocs), numHashes = 16))
     })
   )
 
@@ -4386,6 +4412,137 @@ object SparkEntry {
         |  SELECT 'video', CAST(SUM(n) AS BIGINT), COUNT(*),
         |    CAST(SUM(n) - COUNT(*) AS BIGINT), CAST(MAX(n) AS BIGINT) FROM vg)
         |ORDER BY modality""".stripMargin,
+    // the q_url_dedup canonicalization chain + the planted dup-text
+    // donor rule + the q_incremental_neardup_md5 minhash CTEs (over
+    // stored docs ∪ one rep per distinct new text) + the classifier
+    // token replay, joined into per-new-doc stored/new verdicts
+    "q_doc_ingest_audit" ->
+      """WITH msgurl AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |    ['News.Example.COM', 'BLOG.Example.org', 'Wiki.EXAMPLE.net',
+        |     'Forum.example.IO', 'DOCS.Example.dev'][CAST(doc_id % 5 AS INTEGER) + 1] ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |    '/p/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN '?b=' || CAST((doc_id % 100) % 7 AS VARCHAR) ||
+        |           '&utm_source=feed&a=' || CAST((doc_id % 100) % 5 AS VARCHAR)
+        |      ELSE '?a=' || CAST((doc_id % 100) % 5 AS VARCHAR) ||
+        |           '&b=' || CAST((doc_id % 100) % 7 AS VARCHAR) ||
+        |           '&gclid=g' || CAST(doc_id AS VARCHAR) END) ||
+        |    (CASE WHEN doc_id % 2 = 1
+        |      THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END) AS url
+        |  FROM documents),
+        |uq AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
+        |  FROM msgurl),
+        |ur AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS host,
+        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path0,
+        |    list_sort(list_filter(string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref|igshid)='))) AS params
+        |  FROM uq),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |    (CASE WHEN len(params) > 0
+        |      THEN '?' || array_to_string(params, '&') ELSE '' END) AS canonical_url
+        |  FROM ur),
+        |scanon AS (SELECT DISTINCT canonical_url FROM canon WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER % 3 = 0),
+        |numin AS (SELECT canonical_url, MIN(doc_id) AS url_min
+        |  FROM canon WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER % 3 <> 0 GROUP BY canonical_url),
+        |txt AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 7 = 3 AND donor.text IS NOT NULL
+        |      THEN donor.text ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN documents donor
+        |    ON donor.doc_id = d.doc_id - 1),
+        |stext AS (SELECT DISTINCT text FROM txt WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER % 3 = 0),
+        |ntmin AS (SELECT text, MIN(doc_id) AS text_min
+        |  FROM txt WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER % 3 <> 0 GROUP BY text),
+        |sigdocs AS (
+        |  SELECT doc_id, text, FALSE AS is_new FROM txt WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER % 3 = 0
+        |  UNION ALL
+        |  SELECT text_min AS doc_id, text, TRUE AS is_new FROM ntmin),
+        |toks AS (SELECT doc_id, is_new, string_split(text, ' ') AS l FROM sigdocs),
+        |sh AS (
+        |  SELECT doc_id, is_new, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |    i -> array_to_string(l[i:i+4], ' ')))) AS shingle
+        |  FROM toks WHERE len(l) >= 5),
+        |mins AS (
+        |  SELECT doc_id, is_new, seeds.i,
+        |    min(('0x' || substr(md5(shingle || chr(1) || CAST(seeds.i AS VARCHAR)),
+        |      1, 15))::BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) seeds
+        |  GROUP BY doc_id, is_new, seeds.i),
+        |bands AS (
+        |  SELECT a.doc_id, a.is_new, a.i // 2 AS band_idx,
+        |    CAST(a.h AS VARCHAR) || ':' || CAST(b.h AS VARCHAR) AS band_key
+        |  FROM mins a JOIN mins b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  WHERE a.i % 2 = 0),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    x.is_new AS a_new, y.is_new AS b_new
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+        |    AND x.doc_id < y.doc_id AND (x.is_new OR y.is_new)),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b, c.a_new, c.b_new,
+        |    round(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) / 16.0, 6) AS ej
+        |  FROM cand c
+        |  JOIN mins ma ON ma.doc_id = c.doc_a
+        |  JOIN mins mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+        |  GROUP BY 1, 2, 3, 4),
+        |hits AS (SELECT * FROM est WHERE ej >= 0.5),
+        |nds AS (SELECT DISTINCT CASE WHEN a_new THEN doc_a ELSE doc_b END AS rep
+        |  FROM hits WHERE a_new <> b_new),
+        |ndn AS (SELECT DISTINCT doc_b AS rep FROM hits WHERE a_new AND b_new),
+        |tok AS (
+        |  SELECT t.doc_id,
+        |    CAST(len(list_filter(string_split(t.text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens,
+        |    list_sum(list_transform(list_filter(string_split(t.text, ' '), x -> x <> ''),
+        |      x -> (((('0x' || substr(md5(x || chr(1) || '0'), 1, 15))::BIGINT % 1024)
+        |        * 2654435761) % 1997) - 998)) AS sum_milli
+        |  FROM txt t WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 2))::INTEGER % 3 <> 0)
+        |SELECT t.doc_id,
+        |  sc.canonical_url IS NOT NULL AS url_dup_stored,
+        |  t.doc_id <> u.url_min AS url_dup_new,
+        |  stx.text IS NOT NULL AS text_dup_stored,
+        |  t.doc_id <> tm.text_min AS text_dup_new,
+        |  nds.rep IS NOT NULL AS neardup_stored,
+        |  (t.doc_id <> tm.text_min OR ndn.rep IS NOT NULL) AS neardup_new,
+        |  COALESCE(k.n_tokens > 0 AND k.sum_milli >= 0, FALSE) AS quality_kept,
+        |  sc.canonical_url IS NULL AND t.doc_id = u.url_min
+        |    AND stx.text IS NULL AND t.doc_id = tm.text_min
+        |    AND nds.rep IS NULL AND ndn.rep IS NULL AS novel,
+        |  sc.canonical_url IS NULL AND t.doc_id = u.url_min
+        |    AND stx.text IS NULL AND t.doc_id = tm.text_min
+        |    AND nds.rep IS NULL AND ndn.rep IS NULL
+        |    AND COALESCE(k.n_tokens > 0 AND k.sum_milli >= 0, FALSE) AS keep
+        |FROM txt t
+        |JOIN canon c ON c.doc_id = t.doc_id
+        |JOIN numin u ON u.canonical_url = c.canonical_url
+        |JOIN ntmin tm ON tm.text = t.text
+        |LEFT JOIN scanon sc ON sc.canonical_url = c.canonical_url
+        |LEFT JOIN stext stx ON stx.text = t.text
+        |LEFT JOIN nds ON nds.rep = tm.text_min
+        |LEFT JOIN ndn ON ndn.rep = tm.text_min
+        |LEFT JOIN tok k ON k.doc_id = t.doc_id
+        |WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 2))::INTEGER % 3 <> 0
+        |ORDER BY t.doc_id""".stripMargin,
     // cross-modal composition: the q_url_dedup canonicalization chain
     // (messy-URL fixture), the planted dup-text donor join, and the
     // q_image_clusters dHash + recursive component walk, disjoined into

@@ -512,8 +512,18 @@ object Curation {
     val (out0, istats, astats, vstats, pairs) = ingestAuditCore(spark,
       newImages, newAudios, newVideos, sI, sA, sV,
       maxHamming, k, maxTotalHamming, maxBandBucket)
-    // materialize the audit while the stats are still cached
-    val out = Dedup.scopeCaches(out0)
+    // materialize the audit (while the stats are still cached) DECOUPLED
+    // from the store files: the appends below fire refreshByPath on the
+    // store, which would invalidate a CacheManager entry and eagerly
+    // recompute the audit against the post-append store — the verdicts
+    // the caller reads must be the ones computed against the PRE-append
+    // store. (The banded pair paths happen to be fixpoint-stable under
+    // that recompute only because they exclude same-id pairs; the doc
+    // audit's id-less url/text stored sets are not — see
+    // docIngestDayFold.) localCheckpoint cuts the file lineage; its
+    // blocks are freed by the ContextCleaner once the caller drops the
+    // frame (the audit is one boolean row per new doc — tiny).
+    val out = out0.localCheckpoint(true)
     val keptIds = out.filter(col("keep")).select("doc_id")
     istats.select("doc_id", "dhash").join(keptIds, "doc_id")
       .write.mode("append").parquet(s"$storeDir/image")
@@ -585,7 +595,11 @@ object Curation {
           b.select(col("doc_id"), col("audio").as("payload")),
           b.select(col("doc_id"), col("video").as("payload")),
           sI, sA, sV, maxHamming, k, maxTotalHamming, maxBandBucket)
-        val audit = Dedup.scopeCaches(out0)
+        // pre-append materialization decoupled from the store files —
+        // see ingestDayFold; also keeps the final audit write from
+        // re-running the whole decode after the store writes refresh
+        // the path
+        val audit = out0.localCheckpoint(true)
         val keptIds = audit.filter(col("keep")).select("doc_id")
         istats.select("doc_id", "dhash").join(keptIds, "doc_id")
           .write.mode("overwrite").parquet(s"$storeDir/image/day=$day")
@@ -596,7 +610,7 @@ object Curation {
           .join(keptIds, "doc_id")
           .write.mode("overwrite").parquet(s"$storeDir/video/day=$day")
         audit.write.mode("overwrite").parquet(s"$auditDir/day=$day")
-        (Seq(istats, astats, vstats) ++ pairs :+ audit).foreach(_.unpersist(false))
+        (Seq(istats, astats, vstats) ++ pairs).foreach(_.unpersist(false))
       }
     } finally b.unpersist(false)
   }
@@ -709,6 +723,229 @@ object Curation {
           .select(col("doc_id"), explode(col("pairs")).as("p"))
           .select(col("doc_id"), col("p.slot").as("slot"),
             col("p.dhash").as("dhash"))))
+  }
+
+  /** The TEXT side's daily-ingest audit — [[mediaIngestAudit]]'s
+    * sibling for a document corpus, fully under the DuckDB oracle
+    * (`q_doc_ingest_audit`): per NEW doc, stored-vs-new duplicate
+    * verdicts for the three text duplicate classes plus the quality
+    * gate —
+    *
+    *   - `url_dup_stored` / `url_dup_new`: canonical URL already
+    *     fetched (stored set membership / lower-id new doc);
+    *   - `text_dup_stored` / `text_dup_new`: byte-identical text
+    *     (portable md5 fingerprint — the store keeps 32-hex digests,
+    *     never text);
+    *   - `neardup_stored` / `neardup_new`: md5-MinHash banded
+    *     near-dup vs stored SIGNATURES (corpus text never re-read)
+    *     and vs lower-id new docs;
+    *   - `quality_kept`: the hashing-trick classifier's verdict;
+    *   - `novel`: no duplicate flag — the docs whose fingerprints the
+    *     fold adds to the store (novelty is deliberately independent
+    *     of quality: a low-quality novel doc's fingerprints must
+    *     still be stored, or tomorrow's near-copy of it would be
+    *     re-admitted — and this independence is what makes the
+    *     chained loop ≡ the one-batch audit);
+    *   - `keep` = novel AND quality_kept.
+    *
+    * The near-dup stage banding runs over one REPRESENTATIVE per
+    * distinct new text (the identical-fingerprint collapse at the
+    * text level — sound here, unlike the df-capped shingle-jaccard
+    * path, because the md5-MinHash family has no corpus-wide df
+    * semantics: identical texts have identical signatures, so the
+    * group rule "not my group's min, or my group's min has a
+    * lower-id neighbor" gives provably the same EXISTS answers).
+    * Scale shape: two hash aggregations (canonical url, text md5),
+    * one shingle pass over distinct new texts, the NEW×ALL banded
+    * signature join, joins back on doc_id — no window, nothing
+    * quadratic in the store.
+    */
+  def docIngestAudit(spark: org.apache.spark.sql.SparkSession,
+                     newDocs: DataFrame,
+                     storedUrls: DataFrame, storedTextMd5: DataFrame,
+                     storedSigs: DataFrame,
+                     k: Int = 5, numHashes: Int = 16, numBands: Int = 8,
+                     threshold: Double = 0.5): DataFrame = {
+    val (out, docs, _, _, repSigs) = docIngestAuditCore(spark, newDocs,
+      storedUrls, storedTextMd5, storedSigs, k, numHashes, numBands, threshold)
+    Dedup.scopeCaches(out, docs, repSigs)
+  }
+
+  /** [[docIngestAudit]] WITHOUT the final cache release: returns the
+    * audit plus the persisted new-docs frame and rep signatures so
+    * [[docIngestDayFold]] can slice the novel docs' fingerprints from
+    * the SAME pass before releasing — caller MUST release everything.
+    */
+  private def docIngestAuditCore(spark: org.apache.spark.sql.SparkSession,
+                                 newDocs: DataFrame,
+                                 storedUrls: DataFrame, storedTextMd5: DataFrame,
+                                 storedSigs: DataFrame,
+                                 k: Int, numHashes: Int, numBands: Int,
+                                 threshold: Double)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val docs = newDocs.persist()
+    val canon = WebOps.canonicalizeUrl(docs)
+      .select(col("doc_id"), col("canonical_url"))
+    val su = storedUrls.select("canonical_url").distinct()
+      .withColumn("u_stored", lit(true))
+    val umin = canon.groupBy("canonical_url").agg(min(col("doc_id")).as("url_min"))
+    val urlFlags = canon.join(su, Seq("canonical_url"), "left")
+      .join(umin, "canonical_url")
+      .select(col("doc_id"),
+        coalesce(col("u_stored"), lit(false)).as("url_dup_stored"),
+        (col("doc_id") =!= col("url_min")).as("url_dup_new"))
+    val tmd5 = docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val st = storedTextMd5.select("text_md5").distinct()
+      .withColumn("t_stored", lit(true))
+    val tmin = tmd5.groupBy("text_md5").agg(min(col("doc_id")).as("text_min"))
+    val textFlags = tmd5.join(st, Seq("text_md5"), "left").join(tmin, "text_md5")
+      .select(col("doc_id"),
+        coalesce(col("t_stored"), lit(false)).as("text_dup_stored"),
+        (col("doc_id") =!= col("text_min")).as("text_dup_new"))
+    // near-dup over one rep (min id) per distinct new text; signatures
+    // computed ONCE and reused by the fold
+    val reps = docs.join(tmin.select(col("text_min").as("doc_id")), "doc_id")
+    val repSigs = Dedup.minhashSignaturesMd5(
+      Dedup.shingles(reps, k), numHashes).persist()
+    val pairs = Dedup.incrementalMinhashNearDupFromSigs(repSigs, storedSigs,
+      numHashes, numBands, threshold, portableHash = true)
+    val crossReps = pairs.filter(col("is_cross"))
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("rep_id"))
+      .distinct().withColumn("nd_stored", lit(true))
+    val newReps = pairs.filter(!col("is_cross"))
+      .select(col("doc_b").as("rep_id"))
+      .distinct().withColumn("nd_new", lit(true))
+    val ndFlags = tmd5.join(tmin, "text_md5")
+      .join(crossReps, col("text_min") === col("rep_id"), "left").drop("rep_id")
+      .join(newReps, col("text_min") === col("rep_id"), "left").drop("rep_id")
+      .select(col("doc_id"),
+        coalesce(col("nd_stored"), lit(false)).as("neardup_stored"),
+        (col("doc_id") =!= col("text_min") ||
+          coalesce(col("nd_new"), lit(false))).as("neardup_new"))
+    val quality = TextOps.classifierQualityScore(docs)
+      .select(col("doc_id"), (col("kept") === 1).as("q_kept"))
+    val out = urlFlags.join(textFlags, "doc_id").join(ndFlags, "doc_id")
+      .join(quality, Seq("doc_id"), "left")
+      .withColumn("quality_kept", coalesce(col("q_kept"), lit(false)))
+      .withColumn("novel",
+        !col("url_dup_stored") && !col("url_dup_new") &&
+        !col("text_dup_stored") && !col("text_dup_new") &&
+        !col("neardup_stored") && !col("neardup_new"))
+      .withColumn("keep", col("novel") && col("quality_kept"))
+      .select(col("doc_id"),
+        col("url_dup_stored"), col("url_dup_new"),
+        col("text_dup_stored"), col("text_dup_new"),
+        col("neardup_stored"), col("neardup_new"),
+        col("quality_kept"), col("novel"), col("keep"))
+      .orderBy("doc_id")
+    (out, docs, canon, tmd5, repSigs)
+  }
+
+  /** One DAY of the text ingest loop: audit today's batch against the
+    * parquet fingerprint store (`urls`: canonical_url, `texts`:
+    * text_md5, `sigs`: doc_id + MinHash signature — digests and
+    * signatures only, never text), then append the NOVEL docs'
+    * fingerprints for tomorrow. Novel ⊆ reps, so the appended
+    * signatures are sliced from the audit's own cached shingle pass —
+    * nothing is re-shingled. Returns the audit (caller owns it).
+    * Seed with [[docIngestStoreInit]].
+    */
+  def docIngestDayFold(spark: org.apache.spark.sql.SparkSession,
+                       newDocs: DataFrame, storeDir: String,
+                       k: Int = 5, numHashes: Int = 16, numBands: Int = 8,
+                       threshold: Double = 0.5): DataFrame = {
+    val (sU, sT, sS) = docIngestReadStore(spark, storeDir)
+    val (out0, docs, canon, tmd5, repSigs) = docIngestAuditCore(spark, newDocs,
+      sU, sT, sS, k, numHashes, numBands, threshold)
+    // pre-append materialization DECOUPLED from the store files: the
+    // appends below fire refreshByPath, which would invalidate a
+    // CacheManager entry and eagerly recompute the audit against the
+    // post-append store — and the url/text stored sets are id-less, so
+    // every novel doc would self-match its own just-folded canonical
+    // URL / text digest and flip to dup_stored. localCheckpoint cuts
+    // the file lineage; blocks are freed by the ContextCleaner once
+    // the caller drops the frame.
+    val out = out0.localCheckpoint(true)
+    val novelIds = out.filter(col("novel")).select("doc_id")
+    canon.join(novelIds, "doc_id").select("canonical_url")
+      .write.mode("append").parquet(s"$storeDir/urls")
+    tmd5.join(novelIds, "doc_id").select("text_md5")
+      .write.mode("append").parquet(s"$storeDir/texts")
+    repSigs.join(novelIds, "doc_id")
+      .write.mode("append").parquet(s"$storeDir/sigs")
+    Seq(docs, repSigs).foreach(_.unpersist(false))
+    out
+  }
+
+  /** Seed (or reset) the [[docIngestDayFold]] fingerprint store. */
+  def docIngestStoreInit(spark: org.apache.spark.sql.SparkSession,
+                         storeDir: String, urls: DataFrame,
+                         textMd5s: DataFrame, sigs: DataFrame): Unit = {
+    urls.select("canonical_url").write.mode("overwrite").parquet(s"$storeDir/urls")
+    textMd5s.select("text_md5").write.mode("overwrite").parquet(s"$storeDir/texts")
+    sigs.select("doc_id", "sig").write.mode("overwrite").parquet(s"$storeDir/sigs")
+  }
+
+  /** The three stored text-fingerprint tables under `storeDir`. */
+  def docIngestReadStore(spark: org.apache.spark.sql.SparkSession,
+                         storeDir: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$storeDir/urls"),
+      spark.read.parquet(s"$storeDir/texts"),
+      spark.read.parquet(s"$storeDir/sigs"))
+
+  /** One micro-batch "day" of the STREAMING text ingest loop — the
+    * [[ingestStreamDay]] replay contract (day-partitioned store,
+    * overwrite-by-day writes, `day < N` store reads) applied to
+    * [[docIngestDayFold]]'s arithmetic. Live loop:
+    * [[graft.streaming.StreamingOps.docIngestStream]].
+    */
+  def docIngestStreamDay(spark: org.apache.spark.sql.SparkSession,
+                         docsBatch: DataFrame, day: Long,
+                         storeDir: String, auditDir: String,
+                         k: Int = 5, numHashes: Int = 16, numBands: Int = 8,
+                         threshold: Double = 0.5): Unit = {
+    val b = docsBatch.persist()
+    try {
+      if (!b.isEmpty) {
+        val (sU, sT, sS) = docIngestReadDayStore(spark, storeDir, day)
+        val (out0, docs, canon, tmd5, repSigs) = docIngestAuditCore(spark, b,
+          sU, sT, sS, k, numHashes, numBands, threshold)
+        // pre-append materialization — see docIngestDayFold
+        val audit = out0.localCheckpoint(true)
+        val novelIds = audit.filter(col("novel")).select("doc_id")
+        canon.join(novelIds, "doc_id").select("canonical_url")
+          .write.mode("overwrite").parquet(s"$storeDir/urls/day=$day")
+        tmd5.join(novelIds, "doc_id").select("text_md5")
+          .write.mode("overwrite").parquet(s"$storeDir/texts/day=$day")
+        repSigs.join(novelIds, "doc_id").select("doc_id", "sig")
+          .write.mode("overwrite").parquet(s"$storeDir/sigs/day=$day")
+        audit.write.mode("overwrite").parquet(s"$auditDir/day=$day")
+        Seq(docs, repSigs).foreach(_.unpersist(false))
+      }
+    } finally b.unpersist(false)
+  }
+
+  /** The day-partitioned text store, restricted to days strictly
+    * before `beforeDay`; cold start reads as empty frames.
+    */
+  def docIngestReadDayStore(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String, beforeDay: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    def rd(sub: String, schema: StructType): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("day=")))
+        spark.read.parquet(p.toString)
+          .filter(col("day") < lit(beforeDay))
+          .select(schema.fieldNames.map(col): _*)
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    (rd("urls", new StructType().add("canonical_url", StringType)),
+      rd("texts", new StructType().add("text_md5", StringType)),
+      rd("sigs", new StructType().add("doc_id", LongType)
+        .add("sig", ArrayType(LongType, containsNull = false))))
   }
 
   /** Cross-modal duplicate verdicts: one row per document combining

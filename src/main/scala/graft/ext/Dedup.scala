@@ -452,13 +452,26 @@ object Dedup {
                                 k: Int = 5, numHashes: Int = 64, numBands: Int = 16,
                                 threshold: Double = 0.5,
                                 portableHash: Boolean = false): DataFrame = {
-    require(numBands > 0 && numHashes % numBands == 0,
-      s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
-    val rowsPerBand = numHashes / numBands
     val newSh = shingles(newDocs, k)
     val newSigs =
       if (portableHash) minhashSignaturesMd5(newSh, numHashes)
       else minhashSignatures(newSh, numHashes)
+    incrementalMinhashNearDupFromSigs(newSigs, storedSigs,
+      numHashes, numBands, threshold, portableHash)
+  }
+
+  /** [[incrementalMinhashNearDup]] from PRE-COMPUTED new-batch
+    * signatures — for compositions that already paid the shingle pass
+    * (the doc-ingest audit computes rep signatures once and reuses
+    * them for both the banded join and the store fold).
+    */
+  def incrementalMinhashNearDupFromSigs(newSigs: DataFrame, storedSigs: DataFrame,
+                                        numHashes: Int = 64, numBands: Int = 16,
+                                        threshold: Double = 0.5,
+                                        portableHash: Boolean = false): DataFrame = {
+    require(numBands > 0 && numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
+    val rowsPerBand = numHashes / numBands
     val all = storedSigs.select(col("doc_id"), col("sig"), lit(false).as("is_new"))
       .unionByName(newSigs.select(col("doc_id"), col("sig"), lit(true).as("is_new")))
     val bandCols = (0 until numBands).map { bnd =>

@@ -414,6 +414,27 @@ object StreamingOps {
       }
       .start()
 
+  /** The daily TEXT-ingest loop as a live stream — the document twin
+    * of [[mediaIngestStream]]: each micro-batch of arrivals (`doc_id`,
+    * `text`, `url`) is one "day", audited by
+    * [[graft.ext.Curation.docIngestStreamDay]] against the
+    * day-partitioned fingerprint store (canonical urls, text md5s,
+    * MinHash signatures — never text), with the same replay contract:
+    * overwrite-by-day writes and `day < N` store reads make foreachBatch
+    * re-deliveries replace their own partial output.
+    */
+  def docIngestStream(docs: DataFrame, storeDir: String, auditDir: String,
+                      checkpoint: String, k: Int = 5, numHashes: Int = 16,
+                      numBands: Int = 8, threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, day: Long) =>
+        graft.ext.Curation.docIngestStreamDay(batch.sparkSession, batch, day,
+          storeDir, auditDir, k, numHashes, numBands, threshold)
+      }
+      .start()
+
   def upsertParquetSink(agg: DataFrame, targetPath: String, keyCols: Seq[String],
                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     agg.writeStream.outputMode("update")

@@ -625,6 +625,173 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       s"second compaction must be a no-op: $again")
   }
 
+  /** The doc-ingest bed: messy-URL + dup-text fixtures over sf0.001
+    * documents, md5-pseudorandom ~1/3 stored split (same arithmetic as
+    * q_doc_ingest_audit).
+    */
+  def docIngestBed(): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.ext.TextOps.withSyntheticDupText(
+      graft.ext.WebOps.withSyntheticMessyUrl(
+        graft.Tables.documents(spark, "/root/testdata/sf0.001")))
+    val stored = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+      16, 10).cast("int") % 3 === 0
+    (docs, docs.filter(stored), docs.filter(!stored))
+  }
+
+  def docStoreFrames(sDocs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    (graft.ext.WebOps.canonicalizeUrl(sDocs).select("canonical_url"),
+      sDocs.select(md5(col("text")).as("text_md5")),
+      Dedup.minhashSignaturesMd5(Dedup.shingles(sDocs), numHashes = 16))
+  }
+
+  test("docIngestAudit: flags replay the standalone text operators; every flag varies") {
+    import org.apache.spark.sql.functions._
+    val (docs, sDocs, nDocs) = docIngestBed()
+    val (sU, sT, sS) = docStoreFrames(sDocs)
+    val audit = Curation.docIngestAudit(spark, nDocs, sU, sT, sS)
+    val rows = audit.collect().map(r => r.getLong(0) ->
+      (1 to 9).map(r.getBoolean).toVector).toMap
+    audit.unpersist(false)
+    // driver-side replays of each standalone rule
+    val canon = graft.ext.WebOps.canonicalizeUrl(docs)
+      .select("doc_id", "canonical_url").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val newIds = rows.keySet
+    val storedIds = canon.keySet -- newIds
+    val storedCanon = storedIds.map(canon)
+    val storedTexts = storedIds.map(texts)
+    rows.foreach { case (id, f) =>
+      assert(f(0) === storedCanon.contains(canon(id)), s"doc $id url_dup_stored")
+      assert(f(1) === newIds.exists(m => m < id && canon(m) == canon(id)),
+        s"doc $id url_dup_new")
+      assert(f(2) === storedTexts.contains(texts(id)), s"doc $id text_dup_stored")
+      assert(f(3) === newIds.exists(m => m < id && texts(m) == texts(id)),
+        s"doc $id text_dup_new")
+      assert(f(7) === !(0 to 5).exists(f), s"doc $id novel")
+      assert(f.last === (f(7) && f(6)), s"doc $id keep")
+    }
+    // near-dup flags: the group rule over the standalone incremental's
+    // pairs (reps = min-id per distinct new text)
+    val reps = newIds.groupBy(texts).map { case (_, ids) => ids.min }.toSet
+    val repDocs = nDocs.filter(col("doc_id").isin(reps.toSeq: _*))
+    val pairs = Dedup.incrementalMinhashNearDup(repDocs, sS,
+      numHashes = 16, numBands = 8, portableHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val crossReps = pairs.filter(_._3).flatMap(p => Seq(p._1, p._2)).toSet
+    val newRepsB = pairs.filter(!_._3).map(_._2).toSet
+    rows.foreach { case (id, f) =>
+      val rep = newIds.filter(m => texts(m) == texts(id)).min
+      assert(f(4) === crossReps.contains(rep), s"doc $id neardup_stored")
+      assert(f(5) === (id != rep || newRepsB.contains(rep)), s"doc $id neardup_new")
+    }
+    // quality flag replays the classifier
+    val kept = graft.ext.TextOps.classifierQualityScore(nDocs)
+      .filter(col("kept") === 1).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    rows.foreach { case (id, f) =>
+      assert(f(6) === kept.contains(id), s"doc $id quality_kept") }
+    // informative bed: every flag takes both values
+    (0 until 9).foreach { i =>
+      assert(rows.values.exists(_(i)) && rows.values.exists(!_(i)),
+        s"flag $i must vary") }
+  }
+
+  test("docIngestDayFold: chained novelty store vs one-batch audit (three days)") {
+    import org.apache.spark.sql.functions.col
+    val (_, sDocs, nDocs) = docIngestBed()
+    val (sU, sT, sS) = docStoreFrames(sDocs)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_doc_ingest").toString
+    Curation.docIngestStoreInit(spark, storeDir, sU, sT, sS)
+    var chainNovel = Set.empty[Long]
+    var chainDup = Map.empty[String, Set[Long]].withDefaultValue(Set.empty)
+    val classes = Seq("url" -> Seq(1, 2), "text" -> Seq(3, 4), "near" -> Seq(5, 6))
+    for ((lo, hi) <- Seq((0L, 170L), (170L, 340L), (340L, 500L))) {
+      val day = Curation.docIngestDayFold(spark,
+        nDocs.filter(col("doc_id") >= lo && col("doc_id") < hi), storeDir)
+      val rows = day.collect()
+      day.unpersist(false)
+      chainNovel ++= rows.filter(_.getAs[Boolean]("novel")).map(_.getLong(0))
+      classes.foreach { case (c, idx) =>
+        chainDup += c -> (chainDup(c) ++
+          rows.filter(r => idx.exists(r.getBoolean)).map(_.getLong(0)))
+      }
+    }
+    val batch = Curation.docIngestAudit(spark, nDocs, sU, sT, sS)
+    val bRows = batch.collect()
+    batch.unpersist(false)
+    val batchNovel = bRows.filter(_.getAs[Boolean]("novel")).map(_.getLong(0)).toSet
+    // universal laws of the novelty fold: a chained day sees only the
+    // initial store plus FOLDED exemplars (a subset of the lower-id new
+    // docs the one-batch audit banded against), so per duplicate class
+    // every chained flag has a one-batch witness, and one-batch novelty
+    // implies chained novelty
+    classes.foreach { case (c, idx) =>
+      val batchDup = bRows.filter(r => idx.exists(r.getBoolean))
+        .map(_.getLong(0)).toSet
+      assert(chainDup(c).subsetOf(batchDup),
+        s"$c: chain-only dups ${(chainDup(c) -- batchDup).toSeq.sorted.take(5)}")
+    }
+    assert(batchNovel.subsetOf(chainNovel),
+      s"batch-only novel ${(batchNovel -- chainNovel).toSeq.sorted.take(5)}")
+    // strict equality does NOT universally hold — a doc whose only
+    // duplicate witnesses were themselves suppressed (as dups of
+    // something the doc does not resemble) has no folded exemplar to
+    // match, so the chained regime legitimately calls it novel where
+    // the one-batch audit saw the in-batch pair. Pin the STRUCTURE of
+    // the divergence instead: every chain-only-novel doc must be a
+    // pure dup_new case in the batch (no stored-class flag — the
+    // store only grows, so any batch stored flag would re-fire in the
+    // chain), and the delta stays a sliver of the batch
+    val chainOnly = chainNovel -- batchNovel
+    val byId = bRows.map(r => r.getLong(0) -> r).toMap
+    chainOnly.foreach { id =>
+      val r = byId(id)
+      assert(Seq("url_dup_stored", "text_dup_stored", "neardup_stored")
+        .forall(c => !r.getAs[Boolean](c)),
+        s"chain-only novel $id must carry no batch stored-class flag")
+      assert(Seq("url_dup_new", "text_dup_new", "neardup_new")
+        .exists(c => r.getAs[Boolean](c)),
+        s"chain-only novel $id must be an in-batch dup_new case")
+    }
+    assert(chainOnly.size * 20 <= bRows.length,
+      s"divergence must stay a sliver: ${chainOnly.size} of ${bRows.length}")
+    assert(batchNovel.nonEmpty && batchNovel.size < nDocs.count(),
+      "informative bed")
+  }
+
+  test("docIngestDayFold cold start: empty store, day-1 flags are in-batch only") {
+    import org.apache.spark.sql.functions.{col, lit, md5}
+    val (_, _, nDocs) = docIngestBed()
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_doc_cold").toString
+    val empty = nDocs.limit(0)
+    Curation.docIngestStoreInit(spark, storeDir,
+      graft.ext.WebOps.canonicalizeUrl(empty).select("canonical_url"),
+      empty.select(md5(col("text")).as("text_md5")),
+      empty.select(col("doc_id"),
+        org.apache.spark.sql.functions.array(lit(0L)).as("sig")))
+    val day1 = Curation.docIngestDayFold(spark,
+      nDocs.filter(col("doc_id") < 170), storeDir)
+    val rows = day1.collect()
+    day1.unpersist(false)
+    assert(rows.nonEmpty)
+    Seq("url_dup_stored", "text_dup_stored", "neardup_stored").foreach { c =>
+      assert(rows.forall(!_.getAs[Boolean](c)), s"$c must be all-false on day 1")
+    }
+    assert(rows.exists(_.getAs[Boolean]("url_dup_new")), "in-batch dedup still runs")
+    // the store now holds exactly day 1's novel docs' fingerprints
+    val (_, _, sigs) = Curation.docIngestReadStore(spark, storeDir)
+    val novel = rows.filter(_.getAs[Boolean]("novel")).map(_.getLong(0)).toSet
+    val sigIds = sigs.select("doc_id").collect().map(_.getLong(0)).toSet
+    // novel docs too short to shingle have no signature row
+    assert(sigIds.nonEmpty && sigIds.subsetOf(novel))
+  }
+
   test("storeCompactionSummary: predicts exactly what ingestStoreCompact reclaims") {
     import org.apache.spark.sql.functions.col
     val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")

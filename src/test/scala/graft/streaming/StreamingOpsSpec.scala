@@ -802,4 +802,80 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rowSet(spark.read.parquet(auditDir)) === auditBefore,
       "replayed day must not change the audit")
   }
+
+  test("docIngestStream: micro-batch days replay docIngestDayFold; replays idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    implicit val sc = spark.sqlContext
+    import graft.ext.{Curation, Dedup, TextOps, WebOps}
+    val docs = TextOps.withSyntheticDupText(WebOps.withSyntheticMessyUrl(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001")))
+    val stored = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+      16, 10).cast("int") % 3 === 0
+    val sDocs = docs.filter(stored)
+    val sU = WebOps.canonicalizeUrl(sDocs).select("canonical_url")
+    val sT = sDocs.select(md5(col("text")).as("text_md5"))
+    val sS = Dedup.minhashSignaturesMd5(Dedup.shingles(sDocs), numHashes = 16)
+    val arrivals = docs.filter(!stored).select("doc_id", "text", "url")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val days = Seq(
+      arrivals.filter(_._1 < 170).toSeq,
+      arrivals.filter(t => t._1 >= 170 && t._1 < 340).toSeq,
+      arrivals.filter(_._1 >= 340).toSeq)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_doc_stream").toString
+    val (storeDir, auditDir) = (s"$dir/store", s"$dir/audit")
+    // seed the day-partitioned store with the initial corpus at day=-1
+    // (every micro-batch N reads day < N, so the seed is visible to all)
+    sU.write.parquet(s"$storeDir/urls/day=-1")
+    sT.write.parquet(s"$storeDir/texts/day=-1")
+    sS.write.parquet(s"$storeDir/sigs/day=-1")
+    val input = MemoryStream[(Long, String, String)]
+    val q = docIngestStream(input.toDF().toDF("doc_id", "text", "url"),
+      storeDir, auditDir, s"$dir/ckpt")
+    try {
+      days.foreach { d => input.addData(d); q.processAllAvailable() }
+    } finally q.stop()
+
+    // batch twin: the SAME day slices through the flat-store fold
+    val foldDir = java.nio.file.Files.createTempDirectory("graft_doc_fold").toString
+    Curation.docIngestStoreInit(spark, foldDir, sU, sT, sS)
+    var auditCols: Seq[String] = Nil
+    val foldAudits = days.map { d =>
+      val ids = d.map(_._1)
+      val a = Curation.docIngestDayFold(spark,
+        docs.filter(!stored).filter(col("doc_id").isin(ids: _*)), foldDir)
+      auditCols = a.columns.toSeq
+      val r = a.collect().map(_.toSeq).toSet
+      a.unpersist(false); r
+    }
+    val streamAudit = spark.read.parquet(auditDir)
+    val dayIds = streamAudit.select("day").distinct().collect()
+      .map(_.get(0).toString.toLong).sorted
+    assert(dayIds.length === days.size, s"one audit partition per day: ${dayIds.toSeq}")
+    dayIds.zipWithIndex.foreach { case (dayId, i) =>
+      val got = streamAudit.filter(col("day") === dayId)
+        .select(auditCols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(got === foldAudits(i), s"day $dayId stream audit ≠ batch fold audit")
+    }
+    // store parity on the fingerprint CONTENT each regime accumulated
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val (fU, fT, fS) = Curation.docIngestReadStore(spark, foldDir)
+    val (gU, gT, gS) = Curation.docIngestReadDayStore(spark, storeDir, Long.MaxValue)
+    val (setU, setT, setS) = (rowSet(gU), rowSet(gT), rowSet(gS))
+    assert(setU === rowSet(fU), "url store parity")
+    assert(setT === rowSet(fT), "text store parity")
+    assert(setS === rowSet(fS.select("doc_id", "sig")), "sig store parity")
+
+    // replay contract: re-delivering the last day replaces its output
+    val auditBefore = rowSet(streamAudit)
+    Curation.docIngestStreamDay(spark,
+      days.last.toDF("doc_id", "text", "url"), dayIds.last, storeDir, auditDir)
+    val (rU, rT, rS) = Curation.docIngestReadDayStore(spark, storeDir, Long.MaxValue)
+    assert(rowSet(rU) === setU && rowSet(rT) === setT && rowSet(rS) === setS,
+      "replayed day must not change the store")
+    assert(rowSet(spark.read.parquet(auditDir)) === auditBefore,
+      "replayed day must not change the audit")
+  }
 }
