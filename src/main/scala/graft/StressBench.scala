@@ -177,10 +177,57 @@ object StressBench {
     }
     lazy val exemplarX1 = exemplarStore(5000L * factor / 10)
     lazy val exemplarX10 = exemplarStore(5000L * factor)
+    // the compaction-payoff twin: the SAME distinct content as
+    // exemplarX1 but with every fingerprint stored 10× under distinct
+    // doc_ids — the raw store an append-only fold accumulates before
+    // ingestStoreCompact runs. The audit collapses stored sides to
+    // distinct fingerprints by contract, so the wall delta vs the
+    // exemplar row is the pure scan+collapse cost redundancy adds —
+    // i.e. what compaction reclaims per day, measured.
+    def redundantStore(n: Long, copies: Int): (DataFrame, DataFrame, DataFrame) = {
+      val mask = Long.MaxValue
+      val fan = spark.range(n).select((col("id") + 1000000000L).as("base"))
+        .withColumn("c", explode(sequence(lit(0), lit(copies - 1))))
+        .select((col("base") + col("c") * 10000000L).as("doc_id"), col("base"))
+      (prepped(fan.select(col("doc_id"),
+          xxhash64(col("base")).bitwiseAND(lit(mask)).as("dhash"))),
+        prepped(fan.select(col("doc_id"),
+          xxhash64(col("base"), lit("a")).bitwiseAND(lit(mask)).as("ehash"))),
+        prepped(fan.select(col("doc_id"), col("base"),
+            explode(sequence(lit(0), lit(3))).as("slot"))
+          .select(col("doc_id"), col("slot"),
+            xxhash64(col("base"), col("slot")).bitwiseAND(lit(mask)).as("dhash"))))
+    }
+    lazy val redundantX1x10 = redundantStore(5000L * factor / 10, 10)
+    // the TEXT ingest audit's stores (doc_ingest_day rows): canonical
+    // urls + text md5s + MinHash signatures, computed UNTIMED (stored
+    // fingerprints are a table by contract, as in the media rows).
+    // Replication preserves doc_id % 10 (KEY_OFFSET ≡ 0 mod 10), so
+    // the 10%-new batch is every replica of every %10==0 text — the
+    // identical-text collapse carries ~500 reps into the banding.
+    lazy val docsFix = prepped(ext.TextOps.withSyntheticDupText(
+      ext.WebOps.withSyntheticMessyUrl(docsPq)))
+    def docStore(pred: org.apache.spark.sql.Column)
+        : (DataFrame, DataFrame, DataFrame) = (
+      prepped(ext.WebOps.canonicalizeUrl(docsFix.filter(pred))
+        .select("canonical_url")),
+      prepped(docsFix.filter(pred).select(md5(col("text")).as("text_md5"))),
+      prepped(ext.Dedup.minhashSignaturesMd5(
+        ext.Dedup.shingles(docsFix.filter(pred)), numHashes = 16)))
+    lazy val docSmallStore = docStore(col("doc_id") % 10 === 1)
+    lazy val docLargeStore = docStore(col("doc_id") % 10 =!= 0)
+    def docIngestDay(store: (DataFrame, DataFrame, DataFrame)): Long = {
+      val a = ext.Curation.docIngestAudit(spark,
+        docsFix.filter(col("doc_id") % 10 === 0), store._1, store._2, store._3)
+      val n = a.count(); a.unpersist(false); n
+    }
     if (selected("media_ingest_day_small_store")) { smallStore; () }
     if (selected("media_ingest_day_large_store")) { largeStore; () }
     if (selected("media_ingest_day_exemplar_store")) { exemplarX1; () }
     if (selected("media_ingest_day_exemplar_store_x10")) { exemplarX10; () }
+    if (selected("media_ingest_day_redundant_store_x10")) { redundantX1x10; () }
+    if (selected("doc_ingest_day_small_store")) { docSmallStore; () }
+    if (selected("doc_ingest_day_large_store")) { docLargeStore; () }
     def ingestDay(store: (DataFrame, DataFrame, DataFrame)): Long = {
       val a = ext.Curation.mediaIngestAudit(spark,
         fixture("png_skewed").filter(col("doc_id") % 10 === 0),
@@ -473,6 +520,9 @@ object StressBench {
       time("media_ingest_day_large_store", ingestDay(largeStore)),
       time("media_ingest_day_exemplar_store", ingestDay(exemplarX1)),
       time("media_ingest_day_exemplar_store_x10", ingestDay(exemplarX10)),
+      time("media_ingest_day_redundant_store_x10", ingestDay(redundantX1x10)),
+      time("doc_ingest_day_small_store", docIngestDay(docSmallStore)),
+      time("doc_ingest_day_large_store", docIngestDay(docLargeStore)),
       // round-9: the composed curation funnel at replication scale —
       // replicated texts make exact-dedup collapse ×factor and the
       // near-dup graph maximally dense; budget scaled with the corpus
