@@ -320,18 +320,23 @@ object Similarity {
     * compare) plus reconstruction bookkeeping. Narrow projection — at
     * corpus scale this runs at scan speed and writes 1/4 the bytes.
     */
-  def quantizeInt8(embeddings: DataFrame): DataFrame = {
-    val emb = asDouble(col("embedding"))
+  /** Symmetric-per-vector int8 quantization: (scale, codes). The NaN
+    * branch maps NaN-containing embeddings to NULL scale -> all-zero
+    * codes on both engines (Spark orders NaN > 0 as false, DuckDB as
+    * true — the explicit branch removes the divergence).
+    */
+  private def int8Quant(emb: Column): (Column, Column) = {
     val mx = array_max(transform(emb, v => abs(v)))
-    // explicit NaN branch: Spark orders NaN > 0 as false while DuckDB
-    // orders NaN greater than any value — without this guard a
-    // NaN-containing embedding would quantize to zero codes here but get
-    // a non-NULL scale in the oracle. Both sides now map NaN -> NULL
-    // scale -> zero codes.
     val scale = when(isnan(mx), lit(null).cast("double"))
       .when(mx > 0, mx / 127.0)
     val q = transform(emb, v =>
       when(scale.isNull, lit(0)).otherwise(floor(v / scale + 0.5).cast("int")))
+    (scale, q)
+  }
+
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val emb = asDouble(col("embedding"))
+    val (scale, q) = int8Quant(emb)
     embeddings.select(
       col("vec_id"),
       size(emb).as("n_dims"),
@@ -339,6 +344,50 @@ object Similarity {
       concat_ws(",", q).as("qvec_csv"),
       aggregate(q, lit(0L), (acc, x) => acc + abs(x)).as("q_l1"))
       .orderBy("vec_id")
+  }
+
+  /** Quantized-scan ANN top-k: [[cosineTopK]] over int8 CODES instead
+    * of float vectors — the memory-bandwidth tier of the ANN family
+    * (brute-force float scan → THIS → IVF/LSH candidate pruning). The
+    * per-vector symmetric scales CANCEL in cosine
+    * (sa·sb·qdot / (sa·|qa|·sb·|qb|) = qdot / (|qa|·|qb|)), so the
+    * whole scan is integer arithmetic — one exact int dot product and
+    * int squared-norms per pair, 4-8× less scan bandwidth than the
+    * float form at 100 TB and SIMD-friendly codes — and therefore
+    * DETERMINISTIC: unlike trained-codebook PQ (float-iteration
+    * rows-only), the quantized ranking is DuckDB-oracle-matched
+    * (`q_quantized_topk`), with `qdot` emitted as the exact integer
+    * witness. All-zero-code vectors (zero or NaN embeddings — the
+    * [[embeddingQualityStats]] degenerate class) are excluded from
+    * both sides, as a vector store rejects them before any ANN
+    * structure. Recall vs the exact float top-k is pinned in
+    * SimilaritySpec.
+    */
+  def quantizedCosineTopK(embeddings: DataFrame, numQueries: Int = 10,
+                          k: Int = 5): DataFrame = {
+    val (_, codes) = int8Quant(asDouble(col("embedding")))
+    val qsq = aggregate(codes, lit(0L),
+      (a, x) => a + x.cast("long") * x.cast("long"))
+    val base = embeddings.select(col("vec_id"), codes.as("qv"), qsq.as("qsq"))
+      .filter(col("qsq") > 0)
+    val q = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qsq").as("sqa"))
+    val c = base
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("qsq").as("sqb"))
+    val qdot = aggregate(
+      zip_with(col("qa"), col("qb"), (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (a, x) => a + x)
+    val sims = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("qdot", qdot)
+      .withColumn("sim",
+        col("qdot") / sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("qdot"), round(col("sim"), 6).as("q_cosine"))
+      .orderBy("query_id", "rnk")
   }
 
   /** Per-vector quality signals — the junk gate for the EMBEDDING

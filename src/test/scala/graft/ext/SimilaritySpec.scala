@@ -225,4 +225,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"quality scan must not hash-shuffle:\n$plan")
   }
+
+  test("quantizedCosineTopK: high recall vs the exact float top-k; degenerates excluded") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).map { case (q, rs) =>
+          q -> rs.sortBy(_._2).map(_._3).toSeq }
+    val exact = topk(Similarity.cosineTopK(emb))
+    val quant = topk(Similarity.quantizedCosineTopK(emb))
+    assert(quant.keySet === exact.keySet, "same query set")
+    // int8 symmetric quantization at dim 64 keeps the neighborhood:
+    // recall@5 well above chance and rank-1 mostly preserved
+    val recalls = exact.keys.toSeq.map { q =>
+      (exact(q).toSet intersect quant(q).toSet).size / 5.0 }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.8, s"mean recall@5 $meanRecall, per-query $recalls")
+    val top1 = exact.keys.count(q => exact(q).head == quant(q).head)
+    assert(top1 >= exact.size / 2, s"rank-1 agreement $top1/${exact.size}")
+    // a zero vector must appear on neither side of the quantized scan
+    import spark.implicits._
+    val planted = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)),
+      (100L, Array(0.0f, 0.0f)), (101L, Array(Float.NaN, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizedCosineTopK(planted, numQueries = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val ids = out.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(!ids.contains(100L) && !ids.contains(101L),
+      "zero/NaN embeddings quantize to all-zero codes and are excluded")
+    assert(ids.contains(0L) && ids.contains(2L), "healthy vectors rank")
+  }
 }
