@@ -313,6 +313,11 @@ object StressBench {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .collect().length.toLong),
       time("cosine_topk", ext.Similarity.cosineTopK(emb).count()),
+      // quantized-scan A/B twin: int8 codes + integer dot vs the float
+      // scan above, INCLUDING the quantization pass in the timed body
+      // (production stores pre-computed codes, so this is the
+      // conservative bound on the scan win)
+      time("quantized_topk", ext.Similarity.quantizedCosineTopK(emb).count()),
       time("hll_distinct", {
         li.agg(functions.HllSketch.hll_distinct(spark, col("l_partkey"))).collect()(0).getLong(0)
       }),

@@ -104,6 +104,10 @@ object GraftFunctions {
       "unicode_normalize", UnicodeNormalize.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fps", winnowFpsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int_dot", IntDot.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_codes", Int8Codes.builder, "built-in")
   }
 
   /** `winnow_fps(text, k, w)` — k and w must be integer literals (they
@@ -166,6 +170,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       GraftFunctions.winnowFpsBuilder _))
+    e.injectFunction((
+      new FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[IntDot].getName, "int_dot"),
+      IntDot.builder _))
+    e.injectFunction((
+      new FunctionIdentifier("int8_codes"),
+      new ExpressionInfo(classOf[Int8Codes].getName, "int8_codes"),
+      Int8Codes.builder _))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectPlannerStrategy(_ => graft.plans.VectorizedCosineStrategy)
     e.injectOptimizerRule(_ => graft.plans.CollapseTopK)

@@ -762,6 +762,16 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       s"divergence must stay a sliver: ${chainOnly.size} of ${bRows.length}")
     assert(batchNovel.nonEmpty && batchNovel.size < nDocs.count(),
       "informative bed")
+    // the store is DUPLICATE-FREE BY CONSTRUCTION after any number of
+    // folds: only novel docs fold, and a doc sharing a canonical url /
+    // text with the store or with a lower-id batch member is never
+    // novel — so compaction of the text store is a no-op and day-N
+    // scan cost is bounded by distinct content with no maintenance
+    val (cU, cT, cS) = Curation.docIngestReadStore(spark, storeDir)
+    assert(cU.count() === cU.distinct().count(), "url store duplicate-free")
+    assert(cT.count() === cT.distinct().count(), "text store duplicate-free")
+    assert(cS.select("doc_id").count() ===
+      cS.select("doc_id").distinct().count(), "one signature per stored doc")
   }
 
   test("docIngestDayFold cold start: empty store, day-1 flags are in-batch only") {

@@ -257,4 +257,49 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       "zero/NaN embeddings quantize to all-zero codes and are excluded")
     assert(ids.contains(0L) && ids.contains(2L), "healthy vectors rank")
   }
+
+  test("int8_codes / int_dot: native codegen loops equal the composed twins") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.Int8Codes.int8_codes
+    import graft.functions.IntDot.int_dot
+    // real table + planted NaN / zero / negative extremes
+    val real = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "embedding")
+    val planted = Seq(
+      (9000L, Array(0.0f, 0.0f, 0.0f)),
+      (9001L, Array(Float.NaN, 1.0f, -2.0f)),
+      (9002L, Array(-127.5f, 127.5f, 1.0f)),
+      (9003L, Array(1e-30f, -1e-30f, 1e-30f)))
+      .toDF("vec_id", "embedding")
+    val df = real.unionByName(planted)
+    // codes: native expression vs quantizeInt8's composed arithmetic
+    // (its csv output is the committed oracle-matched reference)
+    val nativeCsv = df.select(col("vec_id"),
+      concat_ws(",", int8_codes(col("embedding"))).as("csv"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val composedCsv = Similarity.quantizeInt8(df)
+      .select("vec_id", "qvec_csv")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nativeCsv === composedCsv,
+      "int8_codes must equal the composed quantization bit-for-bit")
+    // dot: native vs aggregate(zip_with(...)) fold over random int pairs
+    val pairs = spark.range(200).select(
+      transform(sequence(lit(0), lit(63)),
+        i => pmod(xxhash64(col("id"), i), lit(255)).cast("int") - 127).as("a"),
+      transform(sequence(lit(0), lit(63)),
+        i => pmod(xxhash64(col("id"), i, lit(1)), lit(255)).cast("int") - 127).as("b"))
+    val both = pairs.select(
+      int_dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("long") * y.cast("long")), lit(0L), (acc, x) => acc + x)
+        .as("composed")).collect()
+    assert(both.forall(r => r.getLong(0) === r.getLong(1)),
+      "int_dot must equal the composed fold")
+    // mismatched lengths poison to NULL, like the zip_with twin
+    val mm = Seq((Seq(1, 2, 3), Seq(1, 2))).toDF("a", "b")
+      .select(int_dot(col("a"), col("b"))).collect()
+    assert(mm.head.isNullAt(0), "length mismatch must yield NULL")
+  }
 }
