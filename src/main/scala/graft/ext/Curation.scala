@@ -877,12 +877,21 @@ object Curation {
     out
   }
 
-  /** Seed (or reset) the [[docIngestDayFold]] fingerprint store. */
+  /** Seed (or reset) the [[docIngestDayFold]] fingerprint store. The
+    * url/text tables are id-less SETS, so the seed is de-duplicated on
+    * write — folds only ever append NOVEL docs' fingerprints (distinct
+    * among themselves and absent from the store by definition), so the
+    * store stays duplicate-free for its whole life: compaction is a
+    * permanent no-op here, unlike the media store whose per-doc hash
+    * rows legitimately repeat (chain-test-pinned).
+    */
   def docIngestStoreInit(spark: org.apache.spark.sql.SparkSession,
                          storeDir: String, urls: DataFrame,
                          textMd5s: DataFrame, sigs: DataFrame): Unit = {
-    urls.select("canonical_url").write.mode("overwrite").parquet(s"$storeDir/urls")
-    textMd5s.select("text_md5").write.mode("overwrite").parquet(s"$storeDir/texts")
+    urls.select("canonical_url").distinct()
+      .write.mode("overwrite").parquet(s"$storeDir/urls")
+    textMd5s.select("text_md5").distinct()
+      .write.mode("overwrite").parquet(s"$storeDir/texts")
     sigs.select("doc_id", "sig").write.mode("overwrite").parquet(s"$storeDir/sigs")
   }
 
