@@ -63,10 +63,36 @@ object Bench {
       val ks = names.flatMap(MediaFixtures.queryKinds.getOrElse(_, Nil)).distinct
       ks.find(_.startsWith("png")).foreach(k => ext.Multimodal.imageDhash(spark,
         MediaFixtures.table(spark, sfDir, k).limit(64)).count())
+      // jpeg is its own codec (lossy DCT path, not PngCodec) — the png
+      // warm-up above never selects it
+      ks.find(_ == "jpeg").foreach(k => ext.Multimodal.decodeImageFeatures(spark,
+        MediaFixtures.table(spark, sfDir, k).limit(64)).count())
       ks.find(_.startsWith("wav")).foreach(k => ext.Multimodal.audioEhash(spark,
         MediaFixtures.table(spark, sfDir, k).limit(64)).count())
       ks.find(_.startsWith("video")).foreach(k => ext.Multimodal.videoPhash(spark,
         MediaFixtures.table(spark, sfDir, k).limit(64)).count())
+    }
+    // heavy-composition warm pass: the multi-stage curation/ingest
+    // compositions build plans no other query shares (dozens of
+    // shuffle-map stages + their own codegen units), so their FIRST
+    // execution pays one-off JIT/shuffle-service warmth the r11 spreads
+    // showed as 2-3x first-sample cliffs ([7.7, 25.9] on
+    // q_media_ingest_audit_prod) — costs min-of-3 can absorb but that
+    // make the committed [min, max] spreads meaningless for exactly the
+    // queries worth watching. ONE untimed execution each, before any
+    // timing, so every timed sample measures a warm plan.
+    locally {
+      val heavy = Seq("q_media_curation_report", "q_media_curation_report_prod",
+        "q_media_ingest_audit", "q_media_ingest_audit_prod",
+        "q_multimodal_funnel", "q_multimodal_funnel_prod",
+        "q_curation_funnel", "q_curation_report", "q_doc_ingest_audit")
+      heavy.filter(names.contains).foreach { n =>
+        try {
+          val df = SparkEntry.queries(n)(spark, sfDir)
+          df.count()
+          df.unpersist(blocking = true)
+        } catch { case _: Throwable => () }
+      }
     }
     // INTERLEAVED min-of-N: full passes over every query, not N
     // back-to-back runs per query. Contention on this box arrives in

@@ -141,8 +141,12 @@ object MediaFixtures {
     if (!complete(target)) synchronized {
       if (!complete(target)) {
         // a target without the marker is stale state (interrupted run,
-        // foreign dir) — removable, never a hard error
-        if (target.exists()) rm(target)
+        // foreign dir) — removable, never a hard error. Re-check the
+        // marker IMMEDIATELY before deleting: the outer check and this
+        // rm are only JVM-locally synchronized, and a second PROCESS
+        // may have completed its atomic rename in between — deleting
+        // its fresh fixture would fail that process's concurrent read.
+        if (target.exists() && !complete(target)) rm(target)
         val staging = new java.io.File(target.getParentFile,
           s".${target.getName}.staging-${spark.sparkContext.applicationId}")
         gen().write.mode("overwrite").parquet(staging.toString)

@@ -107,10 +107,18 @@ object StressBench {
       "media_ingest_day_small_store" -> Seq("png_skewed", "wav_skewed", "video_junk"),
       "media_ingest_day_large_store" -> Seq("png_skewed", "wav_skewed", "video_junk"),
       "media_ingest_day_exemplar_store" -> Seq("png_skewed", "wav_skewed", "video_junk"),
-      "media_ingest_day_exemplar_store_x10" -> Seq("png_skewed", "wav_skewed", "video_junk"))
+      "media_ingest_day_exemplar_store_x10" -> Seq("png_skewed", "wav_skewed", "video_junk"),
+      "media_ingest_day_redundant_store_x10" -> Seq("png_skewed", "wav_skewed", "video_junk"))
+    // same warm read as MediaFixtures.ensureFor: a bare count() answers
+    // from row-group metadata and leaves pre-existing sidecars' payload
+    // pages cold, so the first timed pass would pay the cold read
     mediaRowKinds.collect { case (row, ks) if selected(row) => ks }
       .flatten.toSeq.distinct
-      .foreach(k => MediaFixtures.tableReplicated(spark, sfDir, k, factor).count())
+      .foreach { k =>
+        MediaFixtures.tableReplicated(spark, sfDir, k, factor)
+          .selectExpr("sum(length(payload))").collect()
+        (): Unit
+      }
     def fixture(kind: String): DataFrame =
       MediaFixtures.tableReplicated(spark, sfDir, kind, factor)
 

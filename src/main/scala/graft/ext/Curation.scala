@@ -703,9 +703,22 @@ object Curation {
         target.getParent, s".${target.getName}.compact-staging")
       fs.delete(staging, true)
       out.write.mode("overwrite").parquet(staging.toString)
-      fs.delete(target, true)
-      if (!fs.rename(staging, target))
+      // recoverable swap: the live store is renamed ASIDE (atomic), the
+      // compacted store renamed in, and only then is the old copy
+      // deleted — a crash at any point leaves either the old or the new
+      // store at the live path (a delete-then-rename window would leave
+      // NO live store, stranding the ingest loop's durable state in a
+      // hidden staging dir until manual recovery)
+      val old = new org.apache.hadoop.fs.Path(
+        target.getParent, s".${target.getName}.compact-old")
+      fs.delete(old, true)
+      if (!fs.rename(target, old))
+        throw new java.io.IOException(s"rename $target -> $old failed")
+      if (!fs.rename(staging, target)) {
+        fs.rename(old, target) // restore the live store before failing
         throw new java.io.IOException(s"rename $staging -> $target failed")
+      }
+      fs.delete(old, true)
       (before, after)
     }
     Map(

@@ -93,21 +93,26 @@ object GraftFunctions {
   }
 
   /** Register graft's native functions on an existing session (the
-    * runtime-equivalent of [[GraftExtensions]]).
+    * runtime-equivalent of [[GraftExtensions]]). Idempotent-QUIET:
+    * operators call this per use site, and an unconditional
+    * createOrReplaceTempFunction logs a "replaced a previously
+    * registered function" warning on every call after the first —
+    * noise that buries real warnings in a bench tail. An
+    * already-present name is ours (these names exist nowhere else), so
+    * it is skipped. The residual check-then-register race between two
+    * threads is benign: both would install the identical builder.
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", cosineSimBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "zorder", ZOrder.zorderBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "unicode_normalize", UnicodeNormalize.builder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fps", winnowFpsBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "int_dot", IntDot.builder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "int8_codes", Int8Codes.builder, "built-in")
+    val reg = spark.sessionState.functionRegistry
+    def reg1(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    reg1("cosine_sim", cosineSimBuilder)
+    reg1("zorder", ZOrder.zorderBuilder)
+    reg1("unicode_normalize", UnicodeNormalize.builder)
+    reg1("winnow_fps", winnowFpsBuilder)
+    reg1("int_dot", IntDot.builder)
+    reg1("int8_codes", Int8Codes.builder)
   }
 
   /** `winnow_fps(text, k, w)` — k and w must be integer literals (they
