@@ -357,12 +357,29 @@ object SparkEntry {
     // §2.10: similarity search
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
+    // daily-ingest shape for the embedding modality (the vector twin of
+    // q_doc_ingest_audit): md5-random stored/new split, store = int8
+    // CODE exemplars only, all verdicts exact integer arithmetic ->
+    // fully hash-matched
+    "q_embedding_neardup_inc" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, md5, substring}
+      val emb = Tables.embeddings(s, d)
+      val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+      val stored = Similarity.quantizedCodes(emb.filter(storedSide))
+        .filter(col("qsq") > 0)
+      Similarity.embeddingIngestAudit(emb.filter(!storedSide), stored)
+    }),
     "q_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // IVF with nProbe = nList IS brute force (every list probed) -> the
     // exact cosine top-k oracle applies; q_ivf_topk above stays the
     // pruned-probe demo (rows-only by design)
     "q_ivf_exact" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), nProbe = 16)),
+    // the probabilistic side of q_ivf_topk under the oracle (the
+    // bounds-twin pattern): per query, recall@k of the pruned probe vs
+    // the exact top-k >= the documented floor, as a TRUE-iff-held
+    // boolean — deterministic because ivfCentroids is
+    "q_ivf_recall" -> ((s, d) => Similarity.ivfRecall(Tables.embeddings(s, d))),
     // quantized-scan ANN: cosine top-k over int8 codes — per-vector
     // scales cancel, so the ranking is pure integer arithmetic and
     // (unlike trained-codebook PQ) exactly oracle-matched
@@ -450,6 +467,10 @@ object SparkEntry {
     // bound pinned in MultimodalSpec
     "q_jpeg_decode" -> ((s, d) => Multimodal.decodeImageFeatures(s,
       MediaFixtures.table(s, d, "jpeg")).orderBy("doc_id")),
+    // the lossy tier's CONTRACT under the oracle (bounds-twin): exact
+    // dims + TRUE-iff-held reconstruction-error/determinism booleans
+    "q_jpeg_bounds" -> ((s, d) => Multimodal.jpegBoundsAudit(s,
+      MediaFixtures.table(s, d, "jpeg"))),
     // perceptual image dedup over DECODED pixels: 63-bit dHash per
     // image (closed-form oracle — PNG lossless), then pigeonhole-banded
     // Hamming near-dup, the image twin of simhashNearDup
@@ -1071,6 +1092,63 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // the embedding daily-ingest audit replayed in ONE SQL: the
+    // q_quantized_topk quantization chain + the md5 code digest, the
+    // md5-random stored/new split, identical-code collapse to min-id
+    // reps, NEW-reps x (stored-exemplars ∪ new-reps) integer-cosine
+    // candidates, and the doc-audit flag rules — every verdict exact
+    // integer arithmetic, so the whole incremental form hash-matches
+    "q_embedding_neardup_inc" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        md5(list_aggr(list_transform(qv, x -> CAST(x AS VARCHAR)),
+        |          'string_agg', ',')) AS dig,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq,
+        |        substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS stored
+        |      FROM q0),
+        |newv AS (SELECT * FROM b WHERE NOT stored),
+        |base AS (SELECT * FROM newv WHERE qsq > 0),
+        |sb AS (SELECT * FROM b WHERE stored AND qsq > 0),
+        |gmin AS (SELECT dig, min(vec_id) AS grp_min FROM base GROUP BY dig),
+        |wm AS (SELECT base.*, grp_min FROM base JOIN gmin USING (dig)),
+        |reps AS (SELECT vec_id, qv, qsq FROM wm WHERE vec_id = grp_min),
+        |pr AS (SELECT r.vec_id AS rep_id, o.vec_id AS o_id, o.o_stored
+        |  FROM reps r JOIN (
+        |      SELECT vec_id, qv, qsq, TRUE AS o_stored FROM sb
+        |      UNION ALL SELECT vec_id, qv, qsq, FALSE FROM reps) o
+        |    ON r.vec_id <> o.vec_id AND (o.o_stored OR r.vec_id < o.vec_id)
+        |  WHERE CAST(list_sum(list_transform(range(1, len(r.qv) + 1),
+        |      i -> CAST(r.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * o.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |    / sqrt(CAST(r.qsq AS DOUBLE) * o.qsq) >= 0.35),
+        |cross_reps AS (SELECT DISTINCT rep_id FROM pr WHERE o_stored),
+        |new_reps AS (SELECT DISTINCT o_id AS rep_id FROM pr WHERE NOT o_stored),
+        |flags AS (SELECT wm.vec_id,
+        |    EXISTS (SELECT 1 FROM sb WHERE sb.dig = wm.dig) AS code_dup_stored,
+        |    wm.vec_id <> wm.grp_min AS code_dup_new,
+        |    (cr.rep_id IS NOT NULL) AS neardup_stored,
+        |    (wm.vec_id <> wm.grp_min OR nr.rep_id IS NOT NULL) AS neardup_new
+        |  FROM wm LEFT JOIN cross_reps cr ON wm.grp_min = cr.rep_id
+        |          LEFT JOIN new_reps nr ON wm.grp_min = nr.rep_id)
+        |SELECT n.vec_id, (n.qsq = 0) AS is_degenerate,
+        |  coalesce(f.code_dup_stored, FALSE) AS code_dup_stored,
+        |  coalesce(f.code_dup_new, FALSE) AS code_dup_new,
+        |  coalesce(f.neardup_stored, FALSE) AS neardup_stored,
+        |  coalesce(f.neardup_new, FALSE) AS neardup_new,
+        |  (n.qsq > 0 AND NOT coalesce(f.code_dup_stored, FALSE)
+        |    AND NOT coalesce(f.code_dup_new, FALSE)
+        |    AND NOT coalesce(f.neardup_stored, FALSE)
+        |    AND NOT coalesce(f.neardup_new, FALSE)) AS novel
+        |FROM newv n LEFT JOIN flags f ON n.vec_id = f.vec_id
+        |ORDER BY n.vec_id""".stripMargin,
     // nList=1 semantic dedup IS brute force: drop rule = "has a lower-id
     // neighbor with cosine >= 0.35"; raw-cosine filter parity with the
     // engine is the same as q_embedding_neardup's
@@ -2723,6 +2801,14 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, rnk, neighbor_id, round(sim, 6) AS cosine_sim
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // ivfCentroids is deterministic (fixed sample/init/in-order means),
+    // so per-query recall of the pruned probe is a pure function of the
+    // data; the oracle emits the contract (TRUE) and the hash compare
+    // certifies recall@5 >= 0.6 for every query — measured minima are
+    // well above the floor at sf0.001/0.01/0.1 (see SimilaritySpec)
+    "q_ivf_recall" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     // nProbe = nList probes every inverted list -> IVF degenerates to
     // brute force, so the exact cosine top-k oracle applies verbatim
     "q_ivf_exact" ->
@@ -3019,6 +3105,20 @@ object SparkEntry {
         |  CAST(SUM((doc_id * 11 + x + y * 2) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((doc_id * 13 + x * 4 + y) % 256) AS BIGINT) AS sum_b
         |FROM ys GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // the JPEG lossy tier's contract under the oracle (bounds-twin):
+    // dims are exact closed forms of doc_id; the reconstruction-error,
+    // dimension, and determinism bounds are TRUE-iff-held booleans the
+    // Spark side computes against the generator's replayed gradient —
+    // a hash match certifies every bound on every image
+    "q_jpeg_bounds" ->
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 9 AS INTEGER) AS width,
+        |  CAST(16 + doc_id % 7 AS INTEGER) AS height,
+        |  CAST((16 + doc_id % 9) * (16 + doc_id % 7) AS BIGINT) AS n_pixels,
+        |  TRUE AS width_ok, TRUE AS height_ok,
+        |  TRUE AS err_r_ok, TRUE AS err_g_ok, TRUE AS err_b_ok,
+        |  TRUE AS decode_deterministic
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // dHash twin: the decoded pixels are the closed-form cluster
     // pattern (PNG lossless), so the sample grid, integer luma, and
     // bit packing replay exactly; 63 bits keeps every shift inside

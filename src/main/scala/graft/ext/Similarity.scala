@@ -271,6 +271,35 @@ object Similarity {
     Dedup.scopeCaches(result, bucketed)
   }
 
+  /** IVF recall audit — the bounds-twin that puts the PROBABILISTIC
+    * side of `q_ivf_topk` under the DuckDB oracle, the same pattern as
+    * `q_approx_profile_bounds`/`q_sketch_bounds`: per query, recall@k
+    * of the pruned-probe IVF top-k against the exact float top-k
+    * ([[cosineTopK]]'s arithmetic, itself oracle-matched via
+    * `q_ivf_exact`), emitted as a TRUE-iff-held boolean against the
+    * documented `floor`. [[ivfCentroids]] is deterministic (fixed
+    * sample, init, and in-order means), so per-query recall is a pure
+    * function of the data and the hash compare certifies the contract:
+    * a mismatch means pruned probing broke its recall floor.
+    */
+  def ivfRecall(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                nList: Int = 16, nProbe: Int = 4, iters: Int = 2,
+                floor: Double = 0.6): DataFrame = {
+    val exact = cosineTopK(embeddings, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(embeddings, numQueries, k, nList, nProbe, iters)
+    val hits = exact.join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val out = exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k >= floor)
+          .as("recall_ok"))
+      .orderBy("query_id")
+    Dedup.scopeCaches(out, approx)
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023 "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication"):
     * cluster the embedding space with the IVF coarse quantizer, then
@@ -395,6 +424,172 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         col("qdot"), round(col("sim"), 6).as("q_cosine"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** (vec_id, qv, qsq, dig): the int8 CODE form of a vector corpus —
+    * what an embedding ingest loop actually stores (4-8× smaller than
+    * floats, integer-dot scannable, and `dig` = md5 of the code CSV is
+    * the exact-duplicate fingerprint). Both hot loops are native
+    * codegen expressions ([[graft.functions.Int8Codes]] /
+    * [[graft.functions.IntDot]]); the digest is a plain Cast +
+    * concat_ws + md5 chain (codegen'd built-ins).
+    */
+  def quantizedCodes(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    import graft.functions.Int8Codes.int8_codes
+    import graft.functions.IntDot.int_dot
+    embeddings
+      .select(col("vec_id"), int8_codes(col("embedding")).as("qv"))
+      .withColumn("qsq", int_dot(col("qv"), col("qv")))
+      .withColumn("dig", md5(concat_ws(",", col("qv").cast("array<string>"))))
+  }
+
+  /** The EMBEDDING modality's daily-ingest audit — [[graft.ext.Curation.docIngestAudit]]'s
+    * sibling for a vector corpus, fully under the DuckDB oracle
+    * (`q_embedding_neardup_inc`): per NEW vector, stored-vs-new
+    * duplicate verdicts against a store that holds int8 CODES only
+    * (floats are never stored or re-read — the quantized-scan tier of
+    * [[quantizedCosineTopK]] applied to ingest):
+    *
+    *   - `is_degenerate`: all-zero code (zero or NaN embedding) — a
+    *     vector store rejects these before any ANN structure, so they
+    *     take no other flag and are never folded;
+    *   - `code_dup_stored` / `code_dup_new`: byte-identical int8 codes
+    *     (the md5 code digest) already stored / held by a lower-id new
+    *     vector — the embedding twin of exact text dedup;
+    *   - `neardup_stored` / `neardup_new`: quantized cosine ≥
+    *     `threshold` against a stored exemplar / a lower-id new vector
+    *     (first arrival wins, so only the greater side of a new/new
+    *     pair is flagged — [[graft.ext.Curation.docIngestAudit]]'s rule);
+    *   - `novel`: non-degenerate and no duplicate flag — the vectors
+    *     whose codes the fold appends to the store.
+    *
+    * The scales cancel in cosine, so every verdict is exact integer
+    * arithmetic + one deterministic double division — which is what
+    * puts the whole incremental form under the hash-match oracle
+    * (no float-iteration escape hatch, unlike the kmeans-blocked
+    * [[semanticDedup]]).
+    *
+    * Scale shape: identical codes collapse to one min-id REP before
+    * any pair work (cosine is a function of the codes alone, so the
+    * collapse provably preserves every EXISTS answer — the
+    * identical-text collapse of the doc audit), then candidates are
+    * NEW-reps × (store ∪ new-reps) by construction — the batch side is
+    * broadcast and the int8 store streams through ONE
+    * BroadcastNestedLoopJoin scan with the native integer dot in the
+    * filter: O(batch · store) bandwidth-bound work, never O(store²).
+    * At 100 TB with large batches, IVF list blocking ([[semanticDedup]]'s
+    * machinery) composes on top: assign both sides to coarse lists and
+    * equi-join on the list id before the scan.
+    */
+  def embeddingIngestAudit(newVecs: DataFrame, storedCodes: DataFrame,
+                           threshold: Double = 0.35): DataFrame = {
+    val (out, codes) = embeddingIngestAuditCore(newVecs, storedCodes, threshold)
+    Dedup.scopeCaches(out, codes)
+  }
+
+  /** [[embeddingIngestAudit]] WITHOUT the final cache release: also
+    * returns the persisted code frame so [[embeddingIngestDayFold]]
+    * can slice the novel vectors' codes from the SAME quantization
+    * pass — caller MUST release it.
+    */
+  private def embeddingIngestAuditCore(newVecs: DataFrame, storedCodes: DataFrame,
+                                       threshold: Double)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.IntDot.int_dot
+    val codes = quantizedCodes(newVecs).persist()
+    val base = codes.filter(col("qsq") > 0)
+    val gmin = base.groupBy("dig").agg(min(col("vec_id")).as("grp_min"))
+    val withMin = base.join(gmin, "dig")
+    val sd = storedCodes.select("dig").distinct().withColumn("c_stored", lit(true))
+    val codeFlags = withMin.join(sd, Seq("dig"), "left")
+      .select(col("vec_id"),
+        coalesce(col("c_stored"), lit(false)).as("code_dup_stored"),
+        (col("vec_id") =!= col("grp_min")).as("code_dup_new"))
+    val reps = withMin.filter(col("vec_id") === col("grp_min"))
+      .select(col("vec_id").as("rep_id"), col("qv").as("rqv"), col("qsq").as("rsq"))
+    val others = storedCodes
+      .select(col("vec_id").as("o_id"), col("qv").as("oqv"),
+        col("qsq").as("osq"), lit(true).as("o_stored"))
+      .unionByName(reps.select(col("rep_id").as("o_id"), col("rqv").as("oqv"),
+        col("rsq").as("osq"), lit(false).as("o_stored")))
+    // NEW×ALL by construction: cross pairs unordered, new/new pairs
+    // enumerated once (rep < other) — no distinct pass needed
+    val pairs = others.join(broadcast(reps),
+        col("rep_id") =!= col("o_id") && (col("o_stored") || col("rep_id") < col("o_id")))
+      .withColumn("qdot", int_dot(col("rqv"), col("oqv")))
+      .filter(col("qdot").cast("double") /
+        sqrt(col("rsq").cast("double") * col("osq").cast("double")) >= threshold)
+    val crossReps = pairs.filter(col("o_stored"))
+      .select(col("rep_id")).distinct().withColumn("nd_stored", lit(true))
+    val newReps = pairs.filter(!col("o_stored"))
+      .select(col("o_id").as("rep_id")).distinct().withColumn("nd_new", lit(true))
+    val ndFlags = withMin.select(col("vec_id"), col("grp_min"))
+      .join(crossReps, col("grp_min") === col("rep_id"), "left").drop("rep_id")
+      .join(newReps, col("grp_min") === col("rep_id"), "left").drop("rep_id")
+      .select(col("vec_id"),
+        coalesce(col("nd_stored"), lit(false)).as("neardup_stored"),
+        (col("vec_id") =!= col("grp_min") ||
+          coalesce(col("nd_new"), lit(false))).as("neardup_new"))
+    val out = codes.select(col("vec_id"), (col("qsq") === 0).as("is_degenerate"))
+      .join(codeFlags, Seq("vec_id"), "left")
+      .join(ndFlags, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("is_degenerate"),
+        coalesce(col("code_dup_stored"), lit(false)).as("code_dup_stored"),
+        coalesce(col("code_dup_new"), lit(false)).as("code_dup_new"),
+        coalesce(col("neardup_stored"), lit(false)).as("neardup_stored"),
+        coalesce(col("neardup_new"), lit(false)).as("neardup_new"))
+      .withColumn("novel",
+        !col("is_degenerate") && !col("code_dup_stored") && !col("code_dup_new") &&
+        !col("neardup_stored") && !col("neardup_new"))
+      .orderBy("vec_id")
+    (out, codes)
+  }
+
+  /** Seed (or reset) the [[embeddingIngestDayFold]] code store: one
+    * min-id exemplar per DISTINCT code digest, degenerates excluded —
+    * the de-duplicated seed invariant of
+    * [[graft.ext.Curation.docIngestStoreInit]]. Folds only append
+    * NOVEL vectors' codes (distinct among themselves and absent from
+    * the store by the audit's own verdicts), so the store stays
+    * exemplar-per-digest for its whole life.
+    */
+  def embeddingIngestStoreInit(vecs: DataFrame, storeDir: String): Unit = {
+    val c = quantizedCodes(vecs).filter(col("qsq") > 0)
+    val ex = c.groupBy("dig").agg(min(col("vec_id")).as("vec_id"))
+    c.join(ex, Seq("dig", "vec_id"))
+      .select("vec_id", "qv", "qsq", "dig")
+      .write.mode("overwrite").parquet(storeDir)
+  }
+
+  /** The stored code table under `storeDir`. */
+  def embeddingIngestReadStore(spark: org.apache.spark.sql.SparkSession,
+                               storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
+
+  /** One DAY of the embedding ingest loop: audit today's batch against
+    * the parquet code store, then append the NOVEL vectors' codes for
+    * tomorrow. Novel ⊆ reps (a non-rep carries `code_dup_new`), so the
+    * appended codes are sliced from the audit's own cached quantization
+    * pass — nothing is re-quantized. Returns the audit (caller owns
+    * it). Seed with [[embeddingIngestStoreInit]].
+    */
+  def embeddingIngestDayFold(spark: org.apache.spark.sql.SparkSession,
+                             newVecs: DataFrame, storeDir: String,
+                             threshold: Double = 0.35): DataFrame = {
+    val stored = embeddingIngestReadStore(spark, storeDir)
+    val (out0, codes) = embeddingIngestAuditCore(newVecs, stored, threshold)
+    // pre-append materialization decoupled from the store files — the
+    // append fires refreshByPath and a CacheManager entry would
+    // recompute against the post-append store (novel vectors would
+    // self-match their own just-folded digests); localCheckpoint cuts
+    // the file lineage (see docIngestDayFold)
+    val out = out0.localCheckpoint(true)
+    codes.join(out.filter(col("novel")).select("vec_id"), "vec_id")
+      .select("vec_id", "qv", "qsq", "dig")
+      .write.mode("append").parquet(storeDir)
+    codes.unpersist(false)
+    out
   }
 
   /** Per-vector quality signals — the junk gate for the EMBEDDING

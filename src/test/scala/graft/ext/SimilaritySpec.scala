@@ -302,4 +302,122 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .select(int_dot(col("a"), col("b"))).collect()
     assert(mm.head.isNullAt(0), "length mismatch must yield NULL")
   }
+
+  test("embeddingIngestAudit: every duplicate class lands in its flag") {
+    import org.apache.spark.sql.functions.col
+    // stored corpus: e1 and e2 directions
+    val stored = Similarity.quantizedCodes(emb(
+      (100L, Seq(1f, 0f, 0f, 0f), 0), (101L, Seq(0f, 1f, 0f, 0f), 0)))
+    // new batch: per-class plants (threshold 0.9 keeps geometry crisp)
+    //  0: 2*e1 — same DIRECTION as stored 100, so identical int8 codes
+    //     (symmetric quantization is scale-invariant): code_dup_stored
+    //  1: e3 — novel
+    //  2: e3 again — code_dup_new (in-batch identical codes, higher id)
+    //  3: ~e3 (cos 0.96 vs vec 1) — neardup_new via the lower-id rep
+    //  4: ~e1 (cos 0.98 vs stored 100) — neardup_stored
+    //  5: zero vector — is_degenerate, no other flag, never folded
+    //  6: e4 — novel
+    val newv = emb(
+      (0L, Seq(2f, 0f, 0f, 0f), 0), (1L, Seq(0f, 0f, 1f, 0f), 0),
+      (2L, Seq(0f, 0f, 1f, 0f), 0), (3L, Seq(0f, 0f, 0.96f, 0.28f), 0),
+      (4L, Seq(0.98f, 0.2f, 0f, 0f), 0), (5L, Seq(0f, 0f, 0f, 0f), 0),
+      (6L, Seq(0f, 0f, 0f, 1f), 0))
+    val out = Similarity.embeddingIngestAudit(newv, stored, threshold = 0.9)
+    val m = out.collect().map(r => r.getLong(0) -> r).toMap
+    out.unpersist(false)
+    def b(id: Long, c: String) = m(id).getAs[Boolean](c)
+    assert(b(0, "code_dup_stored") && b(0, "neardup_stored") && !b(0, "novel"),
+      "scale-invariant codes: 2*e1 exactly matches stored e1")
+    assert(!b(0, "code_dup_new") && !b(0, "neardup_new"))
+    assert(b(1, "novel") &&
+      Seq("is_degenerate", "code_dup_stored", "code_dup_new",
+        "neardup_stored", "neardup_new").forall(c => !b(1, c)))
+    assert(b(2, "code_dup_new") && b(2, "neardup_new") && !b(2, "novel"))
+    assert(!b(2, "code_dup_stored") && !b(2, "neardup_stored"))
+    assert(b(3, "neardup_new") && !b(3, "neardup_stored") && !b(3, "novel"),
+      "near-dup of a lower-id NEW vector flags only the greater side")
+    assert(!b(1, "neardup_new"), "the lower-id side of a new/new pair stays clean")
+    // 4 is near stored e1 AND near new vec 0 (also the e1 direction,
+    // lower id) — both flags fire, independently
+    assert(b(4, "neardup_stored") && b(4, "neardup_new") && !b(4, "novel"))
+    assert(b(5, "is_degenerate") && !b(5, "novel") &&
+      Seq("code_dup_stored", "code_dup_new", "neardup_stored", "neardup_new")
+        .forall(c => !b(5, c)),
+      "degenerates take no duplicate flag")
+    assert(b(6, "novel"))
+    // informative bed: every flag takes both values
+    Seq("is_degenerate", "code_dup_stored", "code_dup_new", "neardup_stored",
+      "neardup_new", "novel").foreach { c =>
+      assert(m.values.exists(_.getAs[Boolean](c)) &&
+        m.values.exists(!_.getAs[Boolean](c)), s"flag $c must vary")
+    }
+  }
+
+  test("embeddingIngestDayFold: chained novelty store vs one-batch audit (three days)") {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val sVecs = emb.filter(storedSide)
+    val nVecs = emb.filter(!storedSide)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_emb_ingest").toString
+    Similarity.embeddingIngestStoreInit(sVecs, storeDir)
+    var chainNovel = Set.empty[Long]
+    var chainDup = Map.empty[String, Set[Long]].withDefaultValue(Set.empty)
+    val classes = Seq(
+      "code" -> Seq("code_dup_stored", "code_dup_new"),
+      "near" -> Seq("neardup_stored", "neardup_new"))
+    for ((lo, hi) <- Seq((0L, 170L), (170L, 340L), (340L, 500L))) {
+      val day = Similarity.embeddingIngestDayFold(spark,
+        nVecs.filter(col("vec_id") >= lo && col("vec_id") < hi), storeDir)
+      val rows = day.collect()
+      day.unpersist(false)
+      chainNovel ++= rows.filter(_.getAs[Boolean]("novel")).map(_.getLong(0))
+      classes.foreach { case (c, cols) =>
+        chainDup += c -> (chainDup(c) ++
+          rows.filter(r => cols.exists(r.getAs[Boolean](_))).map(_.getLong(0)))
+      }
+    }
+    val stored = Similarity.quantizedCodes(sVecs).filter(col("qsq") > 0)
+    val batch = Similarity.embeddingIngestAudit(nVecs, stored)
+    val bRows = batch.collect()
+    batch.unpersist(false)
+    val batchNovel = bRows.filter(_.getAs[Boolean]("novel")).map(_.getLong(0)).toSet
+    // universal novelty-fold laws (the docIngestDayFold pair): a chained
+    // day sees only the initial store plus FOLDED exemplars — a subset
+    // of the lower-id new vectors the one-batch audit compares against —
+    // so every chained flag has a one-batch witness per class, and
+    // one-batch novelty implies chained novelty
+    classes.foreach { case (c, cols) =>
+      val batchDup = bRows.filter(r => cols.exists(r.getAs[Boolean](_)))
+        .map(_.getLong(0)).toSet
+      assert(chainDup(c).subsetOf(batchDup),
+        s"$c: chain-only dups ${(chainDup(c) -- batchDup).toSeq.sorted.take(5)}")
+    }
+    assert(batchNovel.subsetOf(chainNovel),
+      s"batch-only novel ${(batchNovel -- chainNovel).toSeq.sorted.take(5)}")
+    // divergence structure: a chain-only-novel vector lost its only
+    // witnesses to suppression — it must carry no batch stored-class
+    // flag (the store only grows) and must be an in-batch dup_new case
+    val chainOnly = chainNovel -- batchNovel
+    val byId = bRows.map(r => r.getLong(0) -> r).toMap
+    chainOnly.foreach { id =>
+      val r = byId(id)
+      assert(Seq("code_dup_stored", "neardup_stored")
+        .forall(c => !r.getAs[Boolean](c)),
+        s"chain-only novel $id must carry no batch stored-class flag")
+      assert(Seq("code_dup_new", "neardup_new").exists(c => r.getAs[Boolean](c)),
+        s"chain-only novel $id must be an in-batch dup_new case")
+    }
+    assert(chainOnly.size * 20 <= bRows.length,
+      s"divergence must stay a sliver: ${chainOnly.size} of ${bRows.length}")
+    assert(batchNovel.nonEmpty && batchNovel.size < nVecs.count(), "informative bed")
+    // the store stays one exemplar per distinct code digest for its
+    // whole life (novel vectors are distinct-by-digest among themselves
+    // and absent from the store by their own verdicts)
+    val store = Similarity.embeddingIngestReadStore(spark, storeDir)
+    assert(store.count() === store.select("dig").distinct().count(),
+      "code store must stay exemplar-per-digest")
+    assert(store.count() === store.select("vec_id").distinct().count())
+  }
 }
