@@ -69,6 +69,7 @@ object MediaFixtures {
   val queryKinds: Map[String, Seq[String]] = Map(
     "q_png_decode" -> Seq("png"),
     "q_jpeg_decode" -> Seq("jpeg"),
+    "q_jpeg_bounds" -> Seq("jpeg"),
     "q_wav_decode" -> Seq("wav"),
     "q_audio_ehash" -> Seq("wav_clusters"),
     "q_audio_neardup" -> Seq("wav_clusters"),

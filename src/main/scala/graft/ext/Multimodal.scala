@@ -298,6 +298,77 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
   }
 
+  /** JPEG reconstruction-contract audit — the bounds-twin that puts
+    * the LOSSY tier's contract under the DuckDB oracle (the
+    * `q_compression_bounds` pattern): `q_jpeg_decode`'s aggregates are
+    * codec-defined (not SQL semantics), but the contract they must
+    * satisfy IS closed-form — dimensions survive the lossy round-trip
+    * exactly, per-channel mean reconstruction error stays within
+    * `tolerance` gray levels of the synthetic gradient's closed-form
+    * pixel sums ([[syntheticJpegTable]]'s pattern, replayed here as an
+    * independent in-pass reference, no codec), and decoding the same
+    * payload twice agrees. Emitted per image as TRUE-iff-held
+    * booleans beside the exact closed-form dims; the oracle emits the
+    * same dims and literal TRUE, so a hash match certifies every bound
+    * on every image and a broken codec surfaces as a correctness
+    * failure. Same narrow shuffle-free `mapPartitions` batch shape as
+    * [[decodeImageFeatures]].
+    */
+  def jpegBoundsAudit(spark: SparkSession, media: DataFrame,
+                      tolerance: Long = 8L): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, jpg) =>
+          def sums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            (sr, sg, sb)
+          }
+          val img = PngCodec.decode(jpg)
+          val (sr, sg, sb) = sums(img)
+          val img2 = PngCodec.decode(jpg)
+          val (sr2, sg2, sb2) = sums(img2)
+          // closed-form reference: the generator's gradient, replayed
+          // without any codec (the MultimodalSpec reference, in-pass)
+          val w = (16 + id % 9).toInt
+          val h = (16 + id % 7).toInt
+          var er = 0L; var eg = 0L; var eb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              er += ((id * 7) % 64 + x * 2 + y) % 256
+              eg += ((id * 11) % 64 + x + y * 2) % 256
+              eb += ((id * 13) % 64 + x + y) % 256
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          (id, w, h, n,
+            img.getWidth == w, img.getHeight == h,
+            math.abs(sr - er) <= tolerance * n,
+            math.abs(sg - eg) <= tolerance * n,
+            math.abs(sb - eb) <= tolerance * n,
+            img2.getWidth == img.getWidth && img2.getHeight == img.getHeight &&
+              (sr2, sg2, sb2) == ((sr, sg, sb)))
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "width_ok", "height_ok",
+        "err_r_ok", "err_g_ok", "err_b_ok", "decode_deterministic")
+      .orderBy("doc_id")
+  }
+
   /** REAL audio codec tier — WAV/PCM via `javax.sound.sampled` (pure
     * JVM, ships with the JDK, no native deps): actual audio encode and
     * decode inside the same per-partition batch stages as the PNG/JPEG

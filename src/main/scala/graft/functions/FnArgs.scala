@@ -15,6 +15,23 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType,
   */
 private[functions] object FnArgs {
 
+  /** Idempotent-QUIET temp-function registration (same argument shape
+    * as `createOrReplaceTempFunction`): operators register at every use
+    * site, and the unconditional replace logs a "replaced a previously
+    * registered function" warning per call after the first — noise that
+    * buries real warnings in long sessions. These names exist nowhere
+    * but graft, so an already-present entry is ours and is skipped; the
+    * residual check-then-register race between two threads is benign
+    * (both install the identical builder).
+    */
+  def registerQuiet(spark: org.apache.spark.sql.SparkSession)(
+      name: String, builder: Seq[Expression] => Expression,
+      source: String): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, builder, source)
+  }
+
   /** Arity gate; `expected` lists every legal argument count. */
   def arity(fn: String, exprs: Seq[Expression], expected: Seq[Int]): Seq[Expression] = {
     if (!expected.contains(exprs.length))

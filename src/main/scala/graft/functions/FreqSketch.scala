@@ -153,14 +153,14 @@ object FreqSketch {
   def register(spark: SparkSession): Unit = {
     def kOf(fn: String, exprs: Seq[Expression], default: Int): Int =
       if (exprs.length > 1) FnArgs.intLit(fn, exprs, 1, "k") else default
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "mg_topk", exprs => MgTopK(FnArgs.arity("mg_topk", exprs, Seq(1, 2)).head,
         kOf("mg_topk", exprs, 64)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "mg_sketch_buffer",
       exprs => MgSketchBuffer(FnArgs.arity("mg_sketch_buffer", exprs, Seq(1, 2)).head,
         kOf("mg_sketch_buffer", exprs, 64)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "mg_merge_topk",
       exprs => MgMergeTopK(FnArgs.arity("mg_merge_topk", exprs, Seq(1)).head), "built-in")
   }

@@ -107,17 +107,17 @@ object HllSketch {
   }
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "hll_distinct",
       exprs => HllSketch(FnArgs.arity("hll_distinct", exprs, Seq(1, 2)).head,
         if (exprs.length > 1) FnArgs.intLit("hll_distinct", exprs, 1, "p") else 14),
       "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "hll_sketch_buffer",
       exprs => HllSketchBuffer(FnArgs.arity("hll_sketch_buffer", exprs, Seq(1, 2)).head,
         if (exprs.length > 1) FnArgs.intLit("hll_sketch_buffer", exprs, 1, "p") else 14),
       "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "hll_merge",
       exprs => HllMerge(FnArgs.arity("hll_merge", exprs, Seq(1)).head), "built-in")
   }

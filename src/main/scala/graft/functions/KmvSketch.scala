@@ -132,18 +132,18 @@ object KmvSketch {
   def register(spark: SparkSession): Unit = {
     def kOf(fn: String, exprs: Seq[Expression], default: Int): Int =
       if (exprs.length > 1) FnArgs.intLit(fn, exprs, 1, "k") else default
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "kmv_distinct", exprs => KmvDistinct(FnArgs.arity("kmv_distinct", exprs, Seq(1, 2)).head,
         kOf("kmv_distinct", exprs, 256)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "kmv_sketch_buffer",
       exprs => KmvSketchBuffer(FnArgs.arity("kmv_sketch_buffer", exprs, Seq(1, 2)).head,
         kOf("kmv_sketch_buffer", exprs, 256)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "kmv_merge_estimate",
       exprs => KmvMergeEstimate(FnArgs.arity("kmv_merge_estimate", exprs, Seq(1)).head),
       "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "kmv_merge_sample",
       exprs => KmvMergeSample(FnArgs.arity("kmv_merge_sample", exprs, Seq(1)).head),
       "built-in")

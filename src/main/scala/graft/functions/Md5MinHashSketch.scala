@@ -113,7 +113,7 @@ case class Md5MinHashSketch(child: Expression, numHashes: Int,
 object Md5MinHashSketch {
   /** Register + Column form: `md5_minhash_sketch(shingleCol, numHashes)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "md5_minhash_sketch",
       exprs => Md5MinHashSketch(
         FnArgs.arity("md5_minhash_sketch", exprs, Seq(2)).head,

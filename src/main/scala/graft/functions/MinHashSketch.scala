@@ -85,7 +85,7 @@ case class MinHashSketch(child: Expression, numHashes: Int,
 object MinHashSketch {
   /** Register + Column form: `minhash_sketch(shingleCol, numHashes)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "minhash_sketch",
       exprs => MinHashSketch(
         FnArgs.arity("minhash_sketch", exprs, Seq(2)).head,

@@ -172,19 +172,19 @@ object QuantileSketch {
   }
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "qsk_quantile",
       exprs => QskQuantile(FnArgs.arity("qsk_quantile", exprs, Seq(3)).head,
         FnArgs.intLit("qsk_quantile", exprs, 1, "k"),
         FnArgs.doubleLit("qsk_quantile", exprs, 2, "p")), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "qsk_buffer", exprs => QskBuffer(FnArgs.arity("qsk_buffer", exprs, Seq(2)).head,
         FnArgs.intLit("qsk_buffer", exprs, 1, "k")), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "qsk_merge_quantile",
       exprs => QskMergeQuantile(FnArgs.arity("qsk_merge_quantile", exprs, Seq(2)).head,
         FnArgs.doubleLit("qsk_merge_quantile", exprs, 1, "p")), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "qsk_merge_total",
       exprs => QskMergeTotal(FnArgs.arity("qsk_merge_total", exprs, Seq(1)).head),
       "built-in")

@@ -79,7 +79,7 @@ case class SimHashSketch(child: Expression,
 
 object SimHashSketch {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    FnArgs.registerQuiet(spark)(
       "simhash_sketch",
       exprs => SimHashSketch(FnArgs.arity("simhash_sketch", exprs, Seq(1)).head),
       "built-in")

@@ -21,13 +21,15 @@ class DriverContractSpec extends AnyFunSuite {
     "q_minhash_neardup",     // xxhash64 band keys (md5 twin is oracle-matched)
     "q_incremental_neardup", // xxhash64 signatures (md5 twin)
     "q_simhash_neardup",     // xxhash64 bit votes (md5 twin)
-    "q_ivf_topk",            // pruned probing is approximate by contract (q_ivf_exact)
+    "q_ivf_topk",            // pruned probing is approximate by contract
+                             //   (q_ivf_exact + q_ivf_recall audit it)
     "q_hll_distinct",        // hash-family-specific registers (q_sketch_bounds audits it)
     "q_kmv_users",           // bottom-k hash sketch (q_sketch_bounds audits it)
     "q_sketch_merge",        // persisted HLL buffers (q_sketch_bounds audits it)
     "q_approx_profile",      // estimator-specific (its BOUNDS twin is oracle-matched)
     "q_compression_ratio",   // DuckDB has no zlib (q_compression_bounds audits it)
-    "q_jpeg_decode",         // lossy codec output (lossless PNG twin)
+    "q_jpeg_decode",         // lossy codec output (lossless PNG twin;
+                             //   q_jpeg_bounds audits the contract)
     "q_semantic_dedup")      // kmeans float iteration order (exact twin)
 
   test("every oracle entry names a real query") {

@@ -149,6 +149,30 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"codec pipeline must not shuffle:\n$plan")
   }
 
+  test("jpegBoundsAudit: all bounds hold on the fixture, and the bounds can bite") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 40)
+    val media = Multimodal.syntheticJpegTable(spark, docs)
+    val rows = Multimodal.jpegBoundsAudit(spark, media).collect()
+    assert(rows.length === 40)
+    val flagCols = Seq("width_ok", "height_ok", "err_r_ok", "err_g_ok",
+      "err_b_ok", "decode_deterministic")
+    rows.foreach { r =>
+      flagCols.foreach(c => assert(r.getAs[Boolean](c),
+        s"doc ${r.getLong(0)}: $c must hold at the documented tolerance"))
+      val w = (16 + r.getLong(0) % 9).toInt
+      val h = (16 + r.getLong(0) % 7).toInt
+      assert((r.getInt(1), r.getInt(2), r.getLong(3)) === ((w, h, w.toLong * h)))
+    }
+    // the error booleans are real measurements, not constants: JPEG is
+    // lossy, so a zero tolerance must falsify at least one channel bound
+    val strict = Multimodal.jpegBoundsAudit(spark, media, tolerance = 0L)
+      .collect()
+    assert(strict.exists(r => Seq("err_r_ok", "err_g_ok", "err_b_ok")
+      .exists(c => !r.getAs[Boolean](c))),
+      "zero tolerance must falsify a channel bound on a lossy codec")
+  }
+
   test("imageDhash: decoded-pixel hash matches closed form; hashing is shuffle-free") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.syntheticPngClusters(spark, docs)

@@ -303,6 +303,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(mm.head.isNullAt(0), "length mismatch must yield NULL")
   }
 
+  test("ivfRecall: measured recall clears the documented floor; the floor can bite") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // the committed contract (floor 0.6, default probe budget)
+    val ok = Similarity.ivfRecall(d)
+    val rows = ok.collect()
+    ok.unpersist(false)
+    assert(rows.length === 10)
+    assert(rows.forall(_.getAs[Boolean]("recall_ok")),
+      "every query must clear the 0.6 recall floor at the default probe budget")
+    // the boolean is a real measurement, not a constant: an impossible
+    // floor must falsify it (recall@5 of a 4-of-16-list probe < 1.0
+    // for at least one query on this data — verified by q_ivf_topk vs
+    // q_ivf_exact differing)
+    val strict = Similarity.ivfRecall(d, floor = 1.01)
+    val sRows = strict.collect()
+    strict.unpersist(false)
+    assert(sRows.forall(!_.getAs[Boolean]("recall_ok")),
+      "an unreachable floor must falsify every row")
+  }
+
   test("embeddingIngestAudit: every duplicate class lands in its flag") {
     import org.apache.spark.sql.functions.col
     // stored corpus: e1 and e2 directions
