@@ -152,11 +152,13 @@ object SparkEntry {
     "q_url_dedup" -> ((s, d) =>
       WebOps.urlDedup(WebOps.withSyntheticMessyUrl(Tables.documents(s, d)))),
     // the whole curation pipeline as one verified funnel: URL dedup ->
-    // exact dedup -> near-dup canonicalization -> quality gate ->
+    // exact dedup -> near-dup canonicalization -> SEMANTIC dedup (int8
+    // exact regime over the embeddings table) -> quality gate ->
     // decontamination (train side) -> token budget, each stage the same
     // arithmetic as its standalone operator, composition oracle-matched
     "q_curation_funnel" -> ((s, d) => Curation.curationFunnel(
-      WebOps.withSyntheticCrawlUrl(Tables.documents(s, d)), tokenBudget = 2000L)),
+      WebOps.withSyntheticCrawlUrl(Tables.documents(s, d)), tokenBudget = 2000L,
+      embeddings = Some(Tables.embeddings(s, d)))),
     "q_pmi_pairs" -> ((s, d) => TextOps.pmiPairs(Tables.documents(s, d))),
     "q_gopher_rules" -> ((s, d) => TextOps.gopherRules(Tables.documents(s, d))),
     "q_classifier_score" -> ((s, d) =>
@@ -1843,8 +1845,28 @@ object SparkEntry {
         |  SELECT e.dst AS node, w.label FROM walk w JOIN edges2 e ON e.src = w.node),
         |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
         |s3 AS (SELECT doc_id FROM lab WHERE cluster_id = doc_id),
+        |qm AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |qmx AS (SELECT vec_id, emb,
+        |  list_max(list_transform(emb, v -> abs(v))) AS mx FROM qm),
+        |qsc AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |  WHEN mx > 0 THEN mx / 127.0 END AS scale FROM qmx),
+        |qcv AS (SELECT vec_id, list_transform(emb,
+        |  v -> CASE WHEN scale IS NULL THEN 0
+        |    ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv FROM qsc),
+        |qcd AS (SELECT vec_id, qv,
+        |  list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq FROM qcv),
+        |s3v AS (SELECT s3.doc_id, qcd.qv, qcd.qsq
+        |  FROM s3 JOIN qcd ON s3.doc_id = qcd.vec_id WHERE qcd.qsq > 0),
+        |semdrop AS (
+        |  SELECT DISTINCT b.doc_id FROM s3v a JOIN s3v b ON a.doc_id < b.doc_id
+        |  WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+        |      i -> CAST(a.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * b.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |    / sqrt(CAST(a.qsq AS DOUBLE) * b.qsq) >= 0.35),
+        |s3s AS (SELECT doc_id FROM s3
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM semdrop)),
         |s4 AS (
-        |  SELECT s3.doc_id FROM s3 JOIN tokq USING (doc_id)
+        |  SELECT s3s.doc_id FROM s3s JOIN tokq USING (doc_id)
         |  WHERE n_tokens > 0 AND sum_milli >= 0),
         |sp AS (SELECT doc_id,
         |  CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train' ELSE 'eval' END AS split
@@ -1876,9 +1898,10 @@ object SparkEntry {
         |  UNION ALL SELECT 1, 'url_dedup', doc_id FROM s1
         |  UNION ALL SELECT 2, 'exact_dedup', doc_id FROM s2
         |  UNION ALL SELECT 3, 'near_dup', doc_id FROM s3
-        |  UNION ALL SELECT 4, 'quality', doc_id FROM s4
-        |  UNION ALL SELECT 5, 'decontaminate_train', doc_id FROM s5
-        |  UNION ALL SELECT 6, 'token_budget', doc_id FROM s6)
+        |  UNION ALL SELECT 4, 'semantic_dedup', doc_id FROM s3s
+        |  UNION ALL SELECT 5, 'quality', doc_id FROM s4
+        |  UNION ALL SELECT 6, 'decontaminate_train', doc_id FROM s5
+        |  UNION ALL SELECT 7, 'token_budget', doc_id FROM s6)
         |SELECT stage, stage_name, COUNT(*) AS n_docs,
         |  CAST(COALESCE(SUM(t.n_tokens), 0) AS BIGINT) AS n_tokens
         |FROM stg JOIN tokq t USING (doc_id)

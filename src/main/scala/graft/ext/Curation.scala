@@ -33,7 +33,9 @@ object Curation {
 
   def curationFunnel(documents: DataFrame, urlCol: String = "url",
                      k: Int = 5, jaccardThreshold: Double = 0.5,
-                     minShared: Int = 3, tokenBudget: Long = 5000L): DataFrame = {
+                     minShared: Int = 3, tokenBudget: Long = 5000L,
+                     embeddings: Option[DataFrame] = None,
+                     semanticThreshold: Double = 0.35): DataFrame = {
     // per-doc token counts (non-empty whitespace tokens) for the stage
     // sums; quality joins in the classifier's content-pure score
     val allTok = documents.select(col("doc_id"),
@@ -84,8 +86,36 @@ object Curation {
     val dropped = labels.filter(col("label") =!= col("doc_id")).select("doc_id")
     pairs.unpersist(false)
     val s3 = docs2.select("doc_id").join(dropped, Seq("doc_id"), "left_anti").persist()
+    // 3b (when an embedding table is supplied): SEMANTIC dedup — the
+    // SemDeDup stage token-overlap near-dup can't see (paraphrases,
+    // re-crawls, boilerplate variants). Runs AFTER MinHash-tier
+    // near-dup (cheaper signals first) in the exact int8 regime: a
+    // survivor is dropped iff a LOWER-ID survivor's vector sits at
+    // quantized cosine ≥ `semanticThreshold` (the q_quantized_topk
+    // arithmetic — scales cancel, all-integer, so the COMPOSED funnel
+    // stays DuckDB-oracle-matched; this is the guard-off oracle shape,
+    // like the stage-3 exact-jaccard pairs: at production scale the
+    // pair space is IVF-list-blocked, semanticDedup's machinery).
+    // Docs without a vector (or with a degenerate one) pass untouched —
+    // no semantic signal is not a duplicate verdict.
+    val semOpt = embeddings.map { emb =>
+      import graft.functions.IntDot.int_dot
+      val codes = Similarity.quantizedCodes(emb.select(col("vec_id"), col("embedding")))
+        .filter(col("qsq") > 0)
+      val s3v = s3.join(codes, s3("doc_id") === codes("vec_id"))
+        .select(col("doc_id"), col("qv"), col("qsq"))
+      val a = s3v.select(col("doc_id").as("da"), col("qv").as("qa"), col("qsq").as("sa"))
+      val b = s3v.select(col("doc_id").as("db"), col("qv").as("qb"), col("qsq").as("sb"))
+      val semDropped = a.join(b, col("da") < col("db"))
+        .filter(int_dot(col("qa"), col("qb")).cast("double") /
+          sqrt(col("sa").cast("double") * col("sb").cast("double"))
+          >= semanticThreshold)
+        .select(col("db").as("doc_id")).distinct()
+      s3.join(semDropped, Seq("doc_id"), "left_anti").persist()
+    }
+    val afterSem = semOpt.getOrElse(s3)
     // 4: classifier gate (kept requires n_tokens > 0 and score >= 0)
-    val s4 = s3.join(quality.filter(col("kept") === 1).select("doc_id"), "doc_id")
+    val s4 = afterSem.join(quality.filter(col("kept") === 1).select("doc_id"), "doc_id")
       .persist()
     // 5: train docs only, minus those sharing >= minShared shingles
     // with ANY eval doc of the ORIGINAL corpus (the eval set is not
@@ -119,15 +149,17 @@ object Curation {
           coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
         .select(lit(i).as("stage"), lit(name).as("stage_name"),
           col("n_docs"), col("n_tokens"))
-    val out = stage(0, "input", documents.select("doc_id"))
-      .unionByName(stage(1, "url_dedup", s1))
-      .unionByName(stage(2, "exact_dedup", s2))
-      .unionByName(stage(3, "near_dup", s3))
-      .unionByName(stage(4, "quality", s4))
-      .unionByName(stage(5, "decontaminate_train", s5))
-      .unionByName(stage(6, "token_budget", s6))
+    val stages: Seq[(String, DataFrame)] =
+      Seq("input" -> documents.select("doc_id"),
+        "url_dedup" -> s1, "exact_dedup" -> s2, "near_dup" -> s3) ++
+      semOpt.map(s => "semantic_dedup" -> s) ++
+      Seq("quality" -> s4, "decontaminate_train" -> s5, "token_budget" -> s6)
+    val out = stages.zipWithIndex
+      .map { case ((name, ids), i) => stage(i, name, ids) }
+      .reduce(_.unionByName(_))
       .orderBy("stage")
-    Dedup.scopeCaches(out, allTok, quality, docs2, s3, s4, sh, s5, s6)
+    Dedup.scopeCaches(out,
+      Seq(allTok, quality, docs2, s3, s4, sh, s5, s6) ++ semOpt: _*)
   }
 
   /** The MULTIMODAL curation funnel — the media-aware sibling of

@@ -68,6 +68,40 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(leaked.isEmpty, s"funnel leaked caches: ${leaked.values.map(_.name)}")
   }
 
+  test("curationFunnel semantic stage: drops the planted paraphrase, vectorless docs pass") {
+    import spark.implicits._
+    val d = docs(
+      (1L, base, "HTTPS://Ex.COM:443/a?x=1&utm_source=z"),
+      (2L, base, "https://ex.com/b?x=2"),
+      (3L, nearDup, "https://ex.com/c?x=3"),
+      (4L, other, "https://ex.com/a/?x=1#frag"),
+      (5L, "tiny words", "https://ex.com/e?x=5"))
+    // s3 survivors on this bed are docs {1, 5} (pinned by the planted-
+    // victims test above). Same-direction vectors = the "paraphrase"
+    // token overlap can't see: the semantic stage must drop the
+    // HIGHER-id survivor.
+    def embTab(rows: (Long, Seq[Float])*) =
+      rows.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+    val semDup = embTab(1L -> Seq(1f, 0f, 0f, 0f), 5L -> Seq(2f, 0f, 0f, 0f))
+    val out1 = Curation.curationFunnel(d, embeddings = Some(semDup))
+    val f1 = out1.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    out1.unpersist(false)
+    assert(f1("near_dup") === 2 && f1("semantic_dedup") === 1,
+      "the same-direction higher-id survivor must drop at the semantic stage")
+    // a doc with NO vector (or an orthogonal one) passes untouched —
+    // absence of semantic signal is not a duplicate verdict
+    val orthOnly = embTab(5L -> Seq(0f, 1f, 0f, 0f))
+    val out2 = Curation.curationFunnel(d, embeddings = Some(orthOnly))
+    val f2 = out2.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    out2.unpersist(false)
+    assert(f2("semantic_dedup") === 2, "no vector / no neighbor -> no drop")
+    // stage numbering: 8 rows with the semantic stage, 7 without
+    assert(f1.size === 8 && f2.size === 8)
+    val out0 = Curation.curationFunnel(d)
+    assert(out0.collect().length === 7, "no embeddings -> the original funnel")
+    out0.unpersist(false)
+  }
+
   test("multimodalFunnel: monotone stages, each gate drops exactly its planted victims") {
     val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val d = TextOps.withSyntheticDupText(WebOps.withSyntheticMessyUrl(base))
