@@ -359,6 +359,11 @@ object SparkEntry {
     // §2.10: similarity search
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
     "q_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
+    // components over the exact cosine-threshold pair graph — the
+    // duplicate-clusters cell for the embedding modality (every vector
+    // labeled min-id-of-component, singletons label themselves)
+    "q_embedding_clusters" -> ((s, d) =>
+      Similarity.embeddingClusters(Tables.embeddings(s, d))),
     // daily-ingest shape for the embedding modality (the vector twin of
     // q_doc_ingest_audit): md5-random stored/new split, store = int8
     // CODE exemplars only, all verdicts exact integer arithmetic ->
@@ -1094,6 +1099,22 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // the component labels replay with the same recursive walk as the
+    // funnel's near-dup stage; pair arithmetic is q_embedding_neardup's
+    "q_embedding_clusters" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |edges AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |walk(node, label) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT ed.dst, w.label FROM walk w JOIN edges ed ON ed.src = w.node)
+        |SELECT node AS vec_id, MIN(label) AS cluster_id,
+        |  (MIN(label) = node) AS is_rep
+        |FROM walk GROUP BY node ORDER BY vec_id""".stripMargin,
     // the embedding daily-ingest audit replayed in ONE SQL: the
     // q_quantized_topk quantization chain + the md5 code digest, the
     // md5-random stored/new split, identical-code collapse to min-id

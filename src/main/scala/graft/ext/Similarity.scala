@@ -546,6 +546,79 @@ object Similarity {
     (out, codes)
   }
 
+  /** Embedding duplicate CLUSTERS — the components cell of the modality
+    * matrix for vectors (the [[graft.ext.Multimodal.imageClusters]]
+    * shape): connected components over the exact cosine-threshold pair
+    * graph ([[embeddingNearDup]]'s arithmetic, so the same float
+    * parity that oracle-matches the pairs matches the labels), every
+    * vector labeled with its component's min vec_id (singletons label
+    * themselves), `is_rep` marking the canonical member. Exact
+    * all-pairs is the oracle regime; at scale candidates come from
+    * [[lshBuckets]] / IVF blocking and components run over pair
+    * participants only.
+    */
+  def embeddingClusters(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val pairs = embeddingNearDup(embeddings, threshold)
+    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val nodes = embeddings.select(col("vec_id").as("doc_id"))
+    Dedup.connectedComponents(edges, nodes)
+      .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
+      .withColumn("is_rep", col("vec_id") === col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  /** One micro-batch "day" of the STREAMING embedding ingest loop —
+    * the day-partitioned replay contract
+    * ([[graft.ext.Curation.ingestStreamDay]]) applied to
+    * [[embeddingIngestDayFold]]'s arithmetic: novel codes land under
+    * `storeDir/codes/day=N` with `overwrite` (a replayed micro-batch
+    * replaces its own partial output), the stored side reads `day <
+    * day` (a replay never sees its first attempt's fold), audits land
+    * under `auditDir/day=N`. Live loop:
+    * [[graft.streaming.StreamingOps.embeddingIngestStream]].
+    */
+  def embeddingIngestStreamDay(spark: org.apache.spark.sql.SparkSession,
+                               vecsBatch: DataFrame, day: Long,
+                               storeDir: String, auditDir: String,
+                               threshold: Double = 0.35): Unit = {
+    val b = vecsBatch.persist()
+    try {
+      if (!b.isEmpty) {
+        val stored = embeddingIngestReadDayStore(spark, storeDir, day)
+        val (out0, codes) = embeddingIngestAuditCore(b, stored, threshold)
+        // pre-append materialization — see embeddingIngestDayFold
+        val audit = out0.localCheckpoint(true)
+        val novelIds = audit.filter(col("novel")).select("vec_id")
+        codes.join(novelIds, "vec_id").select("vec_id", "qv", "qsq", "dig")
+          .write.mode("overwrite").parquet(s"$storeDir/codes/day=$day")
+        audit.write.mode("overwrite").parquet(s"$auditDir/day=$day")
+        codes.unpersist(false)
+      }
+    } finally b.unpersist(false)
+  }
+
+  /** The day-partitioned embedding code store, restricted to days
+    * strictly before `beforeDay`; cold start reads as an empty frame.
+    */
+  def embeddingIngestReadDayStore(spark: org.apache.spark.sql.SparkSession,
+                                  storeDir: String, beforeDay: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("vec_id", LongType)
+      .add("qv", ArrayType(IntegerType, containsNull = false))
+      .add("qsq", LongType)
+      .add("dig", StringType)
+    val p = new org.apache.hadoop.fs.Path(s"$storeDir/codes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("day=")))
+      spark.read.parquet(p.toString)
+        .filter(col("day") < lit(beforeDay))
+        .select(schema.fieldNames.map(col): _*)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** Seed (or reset) the [[embeddingIngestDayFold]] code store: one
     * min-id exemplar per DISTINCT code digest, degenerates excluded —
     * the de-duplicated seed invariant of

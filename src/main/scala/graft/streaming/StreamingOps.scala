@@ -435,6 +435,26 @@ object StreamingOps {
       }
       .start()
 
+  /** The daily EMBEDDING-ingest loop as a live stream — the vector twin
+    * of [[docIngestStream]]: each micro-batch of arrivals (`vec_id`,
+    * `embedding`) is one "day", audited by
+    * [[graft.ext.Similarity.embeddingIngestStreamDay]] against the
+    * day-partitioned int8-code store (codes, never floats), with the
+    * same replay contract: overwrite-by-day writes and `day < N` store
+    * reads make foreachBatch re-deliveries replace their own partial
+    * output.
+    */
+  def embeddingIngestStream(vecs: DataFrame, storeDir: String, auditDir: String,
+                            checkpoint: String, threshold: Double = 0.35)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, day: Long) =>
+        graft.ext.Similarity.embeddingIngestStreamDay(batch.sparkSession, batch,
+          day, storeDir, auditDir, threshold)
+      }
+      .start()
+
   def upsertParquetSink(agg: DataFrame, targetPath: String, keyCols: Seq[String],
                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     agg.writeStream.outputMode("update")

@@ -303,6 +303,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(mm.head.isNullAt(0), "length mismatch must yield NULL")
   }
 
+  test("embeddingClusters: transitive closure labels min-id, singletons label themselves") {
+    // 0 ~ 1 (same direction), 1 ~ 2 only through 0? no — chain 0-1, 1-2:
+    // 2 is 0's near-dup only transitively (via the component walk)
+    val d = emb(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.95f, 0.3f, 0f, 0f), 0),   // cos(0,1) ≈ 0.95
+      (2L, Seq(0.6f, 0.8f, 0f, 0f), 0),    // cos(1,2) ≈ 0.81, cos(0,2) = 0.6
+      (3L, Seq(0f, 0f, 1f, 0f), 0))        // orthogonal singleton
+    val rows = Similarity.embeddingClusters(d, threshold = 0.75).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows(0L) === ((0L, true)))
+    assert(rows(1L) === ((0L, false)))
+    assert(rows(2L) === ((0L, false)),
+      "2 joins via the 1-2 edge even though cos(0,2) < threshold (transitive closure)")
+    assert(rows(3L) === ((3L, true)), "singletons label themselves")
+  }
+
   test("ivfRecall: measured recall clears the documented floor; the floor can bite") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     // the committed contract (floor 0.6, default probe budget)

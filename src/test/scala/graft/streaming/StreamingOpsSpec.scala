@@ -803,6 +803,78 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       "replayed day must not change the audit")
   }
 
+  test("embeddingIngestStream: micro-batch days replay embeddingIngestDayFold; " +
+      "replays idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    implicit val sc = spark.sqlContext
+    import graft.ext.Similarity
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val sVecs = emb.filter(storedSide)
+    val arrivals = emb.filter(!storedSide).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val days = Seq(
+      arrivals.filter(_._1 < 170).toSeq,
+      arrivals.filter(t => t._1 >= 170 && t._1 < 340).toSeq,
+      arrivals.filter(_._1 >= 340).toSeq)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_stream").toString
+    val (storeDir, auditDir) = (s"$dir/store", s"$dir/audit")
+    // seed the day-partitioned store at day=-1 (visible to every batch)
+    // with the same exemplar collapse as embeddingIngestStoreInit
+    val seed = Similarity.quantizedCodes(sVecs).filter(col("qsq") > 0)
+    val seedEx = seed.groupBy("dig")
+      .agg(org.apache.spark.sql.functions.min(col("vec_id")).as("vec_id"))
+    seed.join(seedEx, Seq("dig", "vec_id"))
+      .select("vec_id", "qv", "qsq", "dig")
+      .write.parquet(s"$storeDir/codes/day=-1")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = embeddingIngestStream(input.toDF().toDF("vec_id", "embedding"),
+      storeDir, auditDir, s"$dir/ckpt")
+    try {
+      days.foreach { d => input.addData(d); q.processAllAvailable() }
+    } finally q.stop()
+
+    // batch twin: the SAME day slices through the flat-store fold
+    val foldDir = java.nio.file.Files.createTempDirectory("graft_emb_fold").toString
+    Similarity.embeddingIngestStoreInit(sVecs, foldDir)
+    var auditCols: Seq[String] = Nil
+    val foldAudits = days.map { d =>
+      val ids = d.map(_._1)
+      val a = Similarity.embeddingIngestDayFold(spark,
+        emb.filter(!storedSide).filter(col("vec_id").isin(ids: _*)), foldDir)
+      auditCols = a.columns.toSeq
+      val r = a.collect().map(_.toSeq).toSet
+      a.unpersist(false); r
+    }
+    val streamAudit = spark.read.parquet(auditDir)
+    val dayIds = streamAudit.select("day").distinct().collect()
+      .map(_.get(0).toString.toLong).sorted
+    assert(dayIds.length === days.size, s"one audit partition per day: ${dayIds.toSeq}")
+    dayIds.zipWithIndex.foreach { case (dayId, i) =>
+      val got = streamAudit.filter(col("day") === dayId)
+        .select(auditCols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(got === foldAudits(i), s"day $dayId stream audit ≠ batch fold audit")
+    }
+    // store parity on the code CONTENT each regime accumulated
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "qv", "qsq", "dig").collect().map(_.toSeq).toSet
+    val fold = Similarity.embeddingIngestReadStore(spark, foldDir)
+    val stream = Similarity.embeddingIngestReadDayStore(spark, storeDir, Long.MaxValue)
+    val streamSet = rowSet(stream)
+    assert(streamSet === rowSet(fold), "code store parity")
+
+    // replay contract: re-delivering the last day replaces its output
+    val auditBefore = streamAudit.collect().map(_.toSeq).toSet
+    Similarity.embeddingIngestStreamDay(spark,
+      days.last.toDF("vec_id", "embedding"), dayIds.last, storeDir, auditDir)
+    assert(rowSet(Similarity.embeddingIngestReadDayStore(spark, storeDir,
+      Long.MaxValue)) === streamSet, "replayed day must not change the store")
+    assert(spark.read.parquet(auditDir).collect().map(_.toSeq).toSet === auditBefore,
+      "replayed day must not change the audit")
+  }
+
   test("docIngestStream: micro-batch days replay docIngestDayFold; replays idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, conv, md5, substring}
