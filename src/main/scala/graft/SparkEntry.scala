@@ -376,6 +376,13 @@ object SparkEntry {
         .filter(col("qsq") > 0)
       Similarity.embeddingIngestAudit(emb.filter(!storedSide), stored)
     }),
+    // the CHAINED 3-day form of the audit above, still fully
+    // hash-matched: md5-assigned day batches, day k's store =
+    // seed ∪ novel(days < k) — the ingest-loop law (chain ≡
+    // sequential store folds, spec-pinned) plus cross-day novelty
+    // propagation, all under one DuckDB SQL
+    "q_embedding_ingest_chain" -> ((s, d) =>
+      Similarity.embeddingIngestChainAudit(Tables.embeddings(s, d))),
     "q_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // IVF with nProbe = nList IS brute force (every list probed) -> the
@@ -1172,6 +1179,141 @@ object SparkEntry {
         |    AND NOT coalesce(f.neardup_new, FALSE)) AS novel
         |FROM newv n LEFT JOIN flags f ON n.vec_id = f.vec_id
         |ORDER BY n.vec_id""".stripMargin,
+    // the chained 3-day ingest loop in one SQL: the day-audit block
+    // above repeated per day, each day's store = seed exemplars ∪
+    // prior days' novel codes (the fold's append contract)
+    "q_embedding_ingest_chain" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        md5(list_aggr(list_transform(qv, x -> CAST(x AS VARCHAR)),
+        |          'string_agg', ',')) AS dig,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq,
+        |        substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS seed,
+        |        CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 2, 1) < '6' THEN 1
+        |             WHEN substr(md5(CAST(vec_id AS VARCHAR)), 2, 1) < 'b' THEN 2
+        |             ELSE 3 END AS day
+        |      FROM q0),
+        |sex AS (SELECT dig, min(vec_id) AS vec_id
+        |        FROM b WHERE seed AND qsq > 0 GROUP BY dig),
+        |store1 AS (SELECT b.vec_id, b.qv, b.qsq, b.dig FROM b
+        |  JOIN sex ON b.dig = sex.dig AND b.vec_id = sex.vec_id),
+        |newv1 AS (SELECT vec_id, qv, qsq, dig FROM b WHERE NOT seed AND day = 1),
+        |base1 AS (SELECT * FROM newv1 WHERE qsq > 0),
+        |gmin1 AS (SELECT dig, min(vec_id) AS grp_min FROM base1 GROUP BY dig),
+        |wm1 AS (SELECT base1.*, grp_min FROM base1 JOIN gmin1 USING (dig)),
+        |reps1 AS (SELECT vec_id, qv, qsq FROM wm1 WHERE vec_id = grp_min),
+        |pr1 AS (SELECT r.vec_id AS rep_id, o.vec_id AS o_id, o.o_stored
+        |  FROM reps1 r JOIN (
+        |      SELECT vec_id, qv, qsq, TRUE AS o_stored FROM store1
+        |      UNION ALL SELECT vec_id, qv, qsq, FALSE FROM reps1) o
+        |    ON r.vec_id <> o.vec_id AND (o.o_stored OR r.vec_id < o.vec_id)
+        |  WHERE CAST(list_sum(list_transform(range(1, len(r.qv) + 1),
+        |      i -> CAST(r.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * o.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |    / sqrt(CAST(r.qsq AS DOUBLE) * o.qsq) >= 0.35),
+        |cr1 AS (SELECT DISTINCT rep_id FROM pr1 WHERE o_stored),
+        |nr1 AS (SELECT DISTINCT o_id AS rep_id FROM pr1 WHERE NOT o_stored),
+        |fl1 AS (SELECT wm1.vec_id,
+        |    EXISTS (SELECT 1 FROM store1 s WHERE s.dig = wm1.dig) AS code_dup_stored,
+        |    wm1.vec_id <> wm1.grp_min AS code_dup_new,
+        |    (cr.rep_id IS NOT NULL) AS neardup_stored,
+        |    (wm1.vec_id <> wm1.grp_min OR nr.rep_id IS NOT NULL) AS neardup_new
+        |  FROM wm1 LEFT JOIN cr1 cr ON wm1.grp_min = cr.rep_id
+        |          LEFT JOIN nr1 nr ON wm1.grp_min = nr.rep_id),
+        |aud1 AS (SELECT n.vec_id, (n.qsq = 0) AS is_degenerate,
+        |  coalesce(f.code_dup_stored, FALSE) AS code_dup_stored,
+        |  coalesce(f.code_dup_new, FALSE) AS code_dup_new,
+        |  coalesce(f.neardup_stored, FALSE) AS neardup_stored,
+        |  coalesce(f.neardup_new, FALSE) AS neardup_new,
+        |  (n.qsq > 0 AND NOT coalesce(f.code_dup_stored, FALSE)
+        |    AND NOT coalesce(f.code_dup_new, FALSE)
+        |    AND NOT coalesce(f.neardup_stored, FALSE)
+        |    AND NOT coalesce(f.neardup_new, FALSE)) AS novel
+        |  FROM newv1 n LEFT JOIN fl1 f ON n.vec_id = f.vec_id),
+        |store2 AS (SELECT * FROM store1 UNION ALL
+        |  SELECT n.vec_id, n.qv, n.qsq, n.dig FROM newv1 n
+        |    JOIN aud1 a ON n.vec_id = a.vec_id WHERE a.novel),
+        |newv2 AS (SELECT vec_id, qv, qsq, dig FROM b WHERE NOT seed AND day = 2),
+        |base2 AS (SELECT * FROM newv2 WHERE qsq > 0),
+        |gmin2 AS (SELECT dig, min(vec_id) AS grp_min FROM base2 GROUP BY dig),
+        |wm2 AS (SELECT base2.*, grp_min FROM base2 JOIN gmin2 USING (dig)),
+        |reps2 AS (SELECT vec_id, qv, qsq FROM wm2 WHERE vec_id = grp_min),
+        |pr2 AS (SELECT r.vec_id AS rep_id, o.vec_id AS o_id, o.o_stored
+        |  FROM reps2 r JOIN (
+        |      SELECT vec_id, qv, qsq, TRUE AS o_stored FROM store2
+        |      UNION ALL SELECT vec_id, qv, qsq, FALSE FROM reps2) o
+        |    ON r.vec_id <> o.vec_id AND (o.o_stored OR r.vec_id < o.vec_id)
+        |  WHERE CAST(list_sum(list_transform(range(1, len(r.qv) + 1),
+        |      i -> CAST(r.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * o.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |    / sqrt(CAST(r.qsq AS DOUBLE) * o.qsq) >= 0.35),
+        |cr2 AS (SELECT DISTINCT rep_id FROM pr2 WHERE o_stored),
+        |nr2 AS (SELECT DISTINCT o_id AS rep_id FROM pr2 WHERE NOT o_stored),
+        |fl2 AS (SELECT wm2.vec_id,
+        |    EXISTS (SELECT 1 FROM store2 s WHERE s.dig = wm2.dig) AS code_dup_stored,
+        |    wm2.vec_id <> wm2.grp_min AS code_dup_new,
+        |    (cr.rep_id IS NOT NULL) AS neardup_stored,
+        |    (wm2.vec_id <> wm2.grp_min OR nr.rep_id IS NOT NULL) AS neardup_new
+        |  FROM wm2 LEFT JOIN cr2 cr ON wm2.grp_min = cr.rep_id
+        |          LEFT JOIN nr2 nr ON wm2.grp_min = nr.rep_id),
+        |aud2 AS (SELECT n.vec_id, (n.qsq = 0) AS is_degenerate,
+        |  coalesce(f.code_dup_stored, FALSE) AS code_dup_stored,
+        |  coalesce(f.code_dup_new, FALSE) AS code_dup_new,
+        |  coalesce(f.neardup_stored, FALSE) AS neardup_stored,
+        |  coalesce(f.neardup_new, FALSE) AS neardup_new,
+        |  (n.qsq > 0 AND NOT coalesce(f.code_dup_stored, FALSE)
+        |    AND NOT coalesce(f.code_dup_new, FALSE)
+        |    AND NOT coalesce(f.neardup_stored, FALSE)
+        |    AND NOT coalesce(f.neardup_new, FALSE)) AS novel
+        |  FROM newv2 n LEFT JOIN fl2 f ON n.vec_id = f.vec_id),
+        |store3 AS (SELECT * FROM store2 UNION ALL
+        |  SELECT n.vec_id, n.qv, n.qsq, n.dig FROM newv2 n
+        |    JOIN aud2 a ON n.vec_id = a.vec_id WHERE a.novel),
+        |newv3 AS (SELECT vec_id, qv, qsq, dig FROM b WHERE NOT seed AND day = 3),
+        |base3 AS (SELECT * FROM newv3 WHERE qsq > 0),
+        |gmin3 AS (SELECT dig, min(vec_id) AS grp_min FROM base3 GROUP BY dig),
+        |wm3 AS (SELECT base3.*, grp_min FROM base3 JOIN gmin3 USING (dig)),
+        |reps3 AS (SELECT vec_id, qv, qsq FROM wm3 WHERE vec_id = grp_min),
+        |pr3 AS (SELECT r.vec_id AS rep_id, o.vec_id AS o_id, o.o_stored
+        |  FROM reps3 r JOIN (
+        |      SELECT vec_id, qv, qsq, TRUE AS o_stored FROM store3
+        |      UNION ALL SELECT vec_id, qv, qsq, FALSE FROM reps3) o
+        |    ON r.vec_id <> o.vec_id AND (o.o_stored OR r.vec_id < o.vec_id)
+        |  WHERE CAST(list_sum(list_transform(range(1, len(r.qv) + 1),
+        |      i -> CAST(r.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * o.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |    / sqrt(CAST(r.qsq AS DOUBLE) * o.qsq) >= 0.35),
+        |cr3 AS (SELECT DISTINCT rep_id FROM pr3 WHERE o_stored),
+        |nr3 AS (SELECT DISTINCT o_id AS rep_id FROM pr3 WHERE NOT o_stored),
+        |fl3 AS (SELECT wm3.vec_id,
+        |    EXISTS (SELECT 1 FROM store3 s WHERE s.dig = wm3.dig) AS code_dup_stored,
+        |    wm3.vec_id <> wm3.grp_min AS code_dup_new,
+        |    (cr.rep_id IS NOT NULL) AS neardup_stored,
+        |    (wm3.vec_id <> wm3.grp_min OR nr.rep_id IS NOT NULL) AS neardup_new
+        |  FROM wm3 LEFT JOIN cr3 cr ON wm3.grp_min = cr.rep_id
+        |          LEFT JOIN nr3 nr ON wm3.grp_min = nr.rep_id),
+        |aud3 AS (SELECT n.vec_id, (n.qsq = 0) AS is_degenerate,
+        |  coalesce(f.code_dup_stored, FALSE) AS code_dup_stored,
+        |  coalesce(f.code_dup_new, FALSE) AS code_dup_new,
+        |  coalesce(f.neardup_stored, FALSE) AS neardup_stored,
+        |  coalesce(f.neardup_new, FALSE) AS neardup_new,
+        |  (n.qsq > 0 AND NOT coalesce(f.code_dup_stored, FALSE)
+        |    AND NOT coalesce(f.code_dup_new, FALSE)
+        |    AND NOT coalesce(f.neardup_stored, FALSE)
+        |    AND NOT coalesce(f.neardup_new, FALSE)) AS novel
+        |  FROM newv3 n LEFT JOIN fl3 f ON n.vec_id = f.vec_id)
+        |SELECT 1 AS day, * FROM aud1
+        |UNION ALL SELECT 2 AS day, * FROM aud2
+        |UNION ALL SELECT 3 AS day, * FROM aud3
+        |ORDER BY day, vec_id""".stripMargin,
     // nList=1 semantic dedup IS brute force: drop rule = "has a lower-id
     // neighbor with cosine >= 0.35"; raw-cosine filter parity with the
     // engine is the same as q_embedding_neardup's

@@ -665,6 +665,60 @@ object Similarity {
     out
   }
 
+  /** The CHAINED multi-day ingest audit as ONE pure query — the
+    * operational loop's law, hash-certified: `days` md5-assigned
+    * micro-batches fold against an int8 code store seeded from the
+    * md5-stored half, entirely in DataFrame algebra (no store writes).
+    * Day k's audit is [[embeddingIngestAudit]] against
+    * seed ∪ novel(days < k), and the codes carried forward are exactly
+    * the audit's own `novel` slice — the [[embeddingIngestDayFold]]
+    * append contract, so the pure chain ≡ the sequential store-dir
+    * folds (pinned in SimilaritySpec), which the text/media families
+    * can pin only as specs. Here every verdict is integer arithmetic
+    * and the day assignment an md5 hex digit, so the WHOLE chain sits
+    * under the DuckDB oracle (`q_embedding_ingest_chain`) — including
+    * the cross-day propagation (a day-1 novel exemplar flagging a
+    * day-3 near-copy as `*_stored`). Scale shape per day: one
+    * quantization pass over the batch, one broadcast NEW×ALL scan of
+    * the store (store side never shuffles, grows only by novel
+    * exemplars — dig-unique for its whole life, since non-min
+    * identical codes carry `code_dup_new` and stored digs
+    * `code_dup_stored`).
+    */
+  def embeddingIngestChainAudit(vecs: DataFrame, days: Int = 3,
+                                threshold: Double = 0.35): DataFrame = {
+    val h1 = substring(md5(col("vec_id").cast("string")), 1, 1)
+    val h2 = substring(md5(col("vec_id").cast("string")), 2, 1)
+    val seedSide = h1 < "8"
+    val seedCodes = quantizedCodes(vecs.filter(seedSide)).filter(col("qsq") > 0)
+    val ex = seedCodes.groupBy("dig").agg(min(col("vec_id")).as("vec_id"))
+    var store = seedCodes.join(ex, Seq("dig", "vec_id"))
+      .select("vec_id", "qv", "qsq", "dig")
+    // hex digit 0..15 → day 1..days (floor split: days=3 gives 6/5/5)
+    val dayNum =
+      (floor(conv(h2, 16, 10).cast("int") * days / lit(16)) + 1).cast("int")
+    val rest = vecs.filter(!seedSide).withColumn("ingest_day", dayNum)
+    // keep the PERSISTED audit frames (scopeCaches unpersists by plan
+    // identity — a derived withColumn frame would silently no-op)
+    val rawAudits = Seq.newBuilder[DataFrame]
+    val audits = (1 to days).map { k =>
+      val batch = rest.filter(col("ingest_day") === k).drop("ingest_day")
+      val audit = embeddingIngestAudit(batch, store, threshold)
+      rawAudits += audit
+      val novel = quantizedCodes(batch)
+        .join(audit.filter(col("novel")).select("vec_id"), "vec_id")
+        .select("vec_id", "qv", "qsq", "dig")
+      store = store.unionByName(novel)
+      audit.withColumn("day", lit(k))
+    }
+    val out = audits.reduce(_ unionByName _)
+      .select(col("day"), col("vec_id"), col("is_degenerate"),
+        col("code_dup_stored"), col("code_dup_new"),
+        col("neardup_stored"), col("neardup_new"), col("novel"))
+      .orderBy("day", "vec_id")
+    Dedup.scopeCaches(out, rawAudits.result(): _*)
+  }
+
   /** Per-vector quality signals — the junk gate for the EMBEDDING
     * modality (completing the quality row of the modality matrix):
     * dimension, exact zero-entry and non-finite (NaN/±Inf) counts, the

@@ -457,4 +457,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       "code store must stay exemplar-per-digest")
     assert(store.count() === store.select("vec_id").distinct().count())
   }
+
+  test("embeddingIngestChainAudit: pure chain ≡ the sequential store-dir folds") {
+    import org.apache.spark.sql.functions.{col, conv, floor, lit, md5, substring}
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val chain = Similarity.embeddingIngestChainAudit(emb)
+    val chainRows = chain.collect()
+    chain.unpersist(false)
+    def flags(r: org.apache.spark.sql.Row, off: Int) =
+      (0 until 6).map(i => r.getBoolean(off + i))
+    val chainMap = chainRows.map(r => (r.getInt(0), r.getLong(1)) -> flags(r, 2)).toMap
+    // replay the identical md5 split through the OPERATIONAL loop:
+    // store init from the stored half, then one embeddingIngestDayFold
+    // per md5-assigned day batch against the REAL parquet store
+    val h1 = substring(md5(col("vec_id").cast("string")), 1, 1)
+    val h2 = substring(md5(col("vec_id").cast("string")), 2, 1)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_emb_chain").toString
+    Similarity.embeddingIngestStoreInit(emb.filter(h1 < "8"), storeDir)
+    val dayNum = (floor(conv(h2, 16, 10).cast("int") * 3 / lit(16)) + 1).cast("int")
+    val rest = emb.filter(!(h1 < "8")).withColumn("ingest_day", dayNum)
+    val foldMap = (1 to 3).flatMap { k =>
+      val day = Similarity.embeddingIngestDayFold(spark,
+        rest.filter(col("ingest_day") === k).drop("ingest_day"), storeDir)
+      val rows = day.collect()
+      day.unpersist(false)
+      rows.map(r => (k, r.getLong(0)) -> flags(r, 1))
+    }.toMap
+    assert(chainMap === foldMap,
+      "the pure chained query must equal the operational fold loop verdict-for-verdict")
+    // the final store holds exactly seed exemplars + the chain's novels
+    val seedEx = Similarity.quantizedCodes(emb.filter(h1 < "8"))
+      .filter(col("qsq") > 0).select("dig").distinct().count()
+    val novels = chainRows.count(_.getAs[Boolean]("novel"))
+    val store = Similarity.embeddingIngestReadStore(spark, storeDir)
+    assert(store.count() === seedEx + novels)
+    // informative bed: non-trivial days and at least one duplicate and
+    // one novel verdict per the whole chain
+    assert((1 to 3).forall(k => chainRows.exists(_.getInt(0) == k)))
+    assert(novels > 0 && novels < chainRows.length)
+  }
 }
