@@ -85,7 +85,8 @@ object Bench {
       val heavy = Seq("q_media_curation_report", "q_media_curation_report_prod",
         "q_media_ingest_audit", "q_media_ingest_audit_prod",
         "q_multimodal_funnel", "q_multimodal_funnel_prod",
-        "q_curation_funnel", "q_curation_report", "q_doc_ingest_audit")
+        "q_curation_funnel", "q_curation_report", "q_doc_ingest_audit",
+        "q_doc_ingest_chain", "q_embedding_ingest_chain")
       heavy.filter(names.contains).foreach { n =>
         try {
           val df = SparkEntry.queries(n)(spark, sfDir)

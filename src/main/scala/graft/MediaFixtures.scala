@@ -61,7 +61,12 @@ object MediaFixtures {
     "video" -> ((s, d) => ext.Multimodal.syntheticVideoTable(s, d)),
     "video_scenes" -> ((s, d) => ext.Multimodal.syntheticVideoScenes(s, d)),
     "video_junk" -> ((s, d) => ext.Multimodal.syntheticVideoJunk(s, d)),
-    "video_clusters" -> ((s, d) => ext.Multimodal.syntheticVideoClusters(s, d)))
+    "video_clusters" -> ((s, d) => ext.Multimodal.syntheticVideoClusters(s, d)),
+    // coprime cluster modulus: video groups cut ACROSS the mod-50
+    // image/url groups, so a video near-dup stage still has planted
+    // structure after image dedup collapses each mod-50 group
+    "video_clusters37" -> ((s, d) =>
+      ext.Multimodal.syntheticVideoClusters(s, d, nClusters = 37)))
 
   /** media-fixture kinds each driver query reads — so a bench run can
     * pre-materialize (untimed) exactly what its query set needs
@@ -91,13 +96,13 @@ object MediaFixtures {
     "q_video_clusters" -> Seq("video_clusters"),
     "q_video_neardup_inc" -> Seq("video_clusters"),
     "q_crossmodal_dedup" -> Seq("png_clusters"),
-    "q_multimodal_funnel" -> Seq("png_skewed"),
+    "q_multimodal_funnel" -> Seq("png_skewed", "video_clusters37"),
     "q_curation_report" -> Seq("png_skewed"),
     "q_audio_stats_ehash" -> Seq("wav_skewed"),
     "q_video_stats_phash" -> Seq("video_junk"),
     "q_media_curation_report" -> Seq("png_skewed", "wav_skewed", "video_junk"),
     "q_media_ingest_audit" -> Seq("png_skewed", "wav_skewed", "video_junk"),
-    "q_multimodal_funnel_prod" -> Seq("png_skewed"),
+    "q_multimodal_funnel_prod" -> Seq("png_skewed", "video_clusters37"),
     "q_media_curation_report_prod" -> Seq("png_skewed", "wav_skewed", "video_junk"),
     "q_media_ingest_audit_prod" -> Seq("png_skewed", "wav_skewed", "video_junk"),
     "q_image_cluster_reps" -> Seq("png_skewed"),

@@ -383,6 +383,23 @@ object SparkEntry {
     // propagation, all under one DuckDB SQL
     "q_embedding_ingest_chain" -> ((s, d) =>
       Similarity.embeddingIngestChainAudit(Tables.embeddings(s, d))),
+    // store-maintenance audit for the EMBEDDING code store — the
+    // compaction row's third modality family (media, text, vectors):
+    // rows stored, distinct-digest exemplars, redundant rows, largest
+    // identical-code group. The planted redundancy is the
+    // scale-invariance collapse itself: every vector is stored at
+    // ×1, ×2, and ×0.5 magnitude (exact power-of-two scalings ⇒
+    // byte-identical int8 codes ⇒ one digest group per direction)
+    "q_embedding_store_compact" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, transform}
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      def scaled(off: Long, f: Float) = emb.select(
+        (col("vec_id") + lit(off)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(f)).as("embedding"))
+      Similarity.embeddingStoreCompactionSummary(Similarity.quantizedCodes(
+        emb.unionByName(scaled(1000000L, 2.0f))
+          .unionByName(scaled(2000000L, 0.5f))))
+    }),
     "q_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // IVF with nProbe = nList IS brute force (every list probed) -> the
@@ -576,7 +593,8 @@ object SparkEntry {
       TextOps.withSyntheticDupText(
         WebOps.withSyntheticMessyUrl(Tables.documents(s, d))),
       MediaFixtures.table(s, d, "png_skewed"),
-      maxBandBucket = 0)),
+      maxBandBucket = 0,
+      videos = Some(MediaFixtures.table(s, d, "video_clusters37")))),
     // per-document audit report: every gate's verdict in one wide row
     // (the provenance artifact); skewed media so the flat gate and the
     // dhash-0 mega-cluster both appear in the flags
@@ -658,7 +676,8 @@ object SparkEntry {
     "q_multimodal_funnel_prod" -> ((s, d) => Curation.multimodalFunnel(s,
       TextOps.withSyntheticDupText(
         WebOps.withSyntheticMessyUrl(Tables.documents(s, d))),
-      MediaFixtures.table(s, d, "png_skewed"))),
+      MediaFixtures.table(s, d, "png_skewed"),
+      videos = Some(MediaFixtures.table(s, d, "video_clusters37")))),
     "q_media_curation_report_prod" -> ((s, d) => Curation.mediaCurationReport(s,
       TextOps.withSyntheticDupText(
         WebOps.withSyntheticMessyUrl(Tables.documents(s, d))),
@@ -722,7 +741,15 @@ object SparkEntry {
         WebOps.canonicalizeUrl(sDocs).select("canonical_url"),
         sDocs.select(md5(col("text")).as("text_md5")),
         Dedup.minhashSignaturesMd5(Dedup.shingles(sDocs), numHashes = 16))
-    })
+    }),
+    // the CHAINED 3-day text ingest loop under the oracle — the
+    // embedding chain's sibling: md5-assigned day batches against
+    // url/text/signature fingerprint stores, day k's store = seed ∪
+    // novel(days < k); cross-day dup_stored propagation (a day-1
+    // novel exemplar flagging a day-3 re-crawl) hash-certified
+    "q_doc_ingest_chain" -> ((s, d) => Curation.docIngestChainAudit(s,
+      TextOps.withSyntheticDupText(
+        WebOps.withSyntheticMessyUrl(Tables.documents(s, d)))))
   )
 
   /** The LSH bucketing is data-INDEPENDENT (seeded ±1 hyperplanes), so
@@ -1314,6 +1341,36 @@ object SparkEntry {
         |UNION ALL SELECT 2 AS day, * FROM aud2
         |UNION ALL SELECT 3 AS day, * FROM aud3
         |ORDER BY day, vec_id""".stripMargin,
+    // the embedding store-compaction audit: the quantization replay
+    // over the corpus ∪ its ×2 and ×0.5 magnitude twins (exact
+    // power-of-two scalings — byte-identical codes by construction on
+    // BOTH engines), then one digest-group aggregate
+    "q_embedding_store_compact" ->
+      """WITH t0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |t AS (
+        |  SELECT vec_id, emb FROM t0
+        |  UNION ALL SELECT vec_id + 1000000, list_transform(emb, v -> v * 2) FROM t0
+        |  UNION ALL SELECT vec_id + 2000000, list_transform(emb, v -> v * 0.5) FROM t0),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id,
+        |        md5(list_aggr(list_transform(qv, x -> CAST(x AS VARCHAR)),
+        |          'string_agg', ',')) AS dig,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
+        |      FROM q0),
+        |g AS (SELECT dig, COUNT(*) AS n FROM b WHERE qsq > 0 GROUP BY dig)
+        |SELECT 'embedding' AS modality,
+        |  CAST(COALESCE(SUM(n), 0) AS BIGINT) AS rows_before,
+        |  CAST(COUNT(*) AS BIGINT) AS exemplars,
+        |  CAST(COALESCE(SUM(n) - COUNT(*), 0) AS BIGINT) AS dropped,
+        |  CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_group
+        |FROM g""".stripMargin,
     // nList=1 semantic dedup IS brute force: drop rule = "has a lower-id
     // neighbor with cosine >= 0.35"; raw-cosine filter parity with the
     // engine is the same as q_embedding_neardup's
@@ -3773,7 +3830,45 @@ object SparkEntry {
         |      + 587 * ((key*11 + x*23 + y*41 + x*y*7) % 256)
         |      + 114 * ((key*13 + x*29 + y*31 + x*y*17) % 256) END AS l
         |  FROM qy),
-        |s1 AS (SELECT doc_id FROM qlum GROUP BY doc_id HAVING COUNT(DISTINCT l) > 1),
+        |vd AS (
+        |  SELECT doc_id, doc_id % 37 AS vkey, doc_id // 37 AS vbump,
+        |    4 + (doc_id % 37) % 5 AS vn,
+        |    8 + (doc_id % 37) % 9 AS vw, 8 + (doc_id % 37) % 7 AS vh
+        |  FROM documents),
+        |vf AS (SELECT doc_id, vkey, vbump, vn, vw, vh, unnest(range(0, vn)) AS fr FROM vd),
+        |vjs AS (SELECT doc_id, vkey, vbump, fr, vw, vh, unnest(range(0, 7)) AS j FROM vf),
+        |vg0 AS (SELECT doc_id, vkey, vbump, fr, vw, vh, j, unnest(range(0, 10)) AS i FROM vjs),
+        |vgrid AS (SELECT doc_id, vkey, vbump, fr, j, i,
+        |  ((2*i+1)*vw) // 20 AS x, ((2*j+1)*vh) // 14 AS y FROM vg0),
+        |vlum AS (SELECT doc_id, fr, j, i,
+        |  299 * (CASE WHEN fr = 0 AND x = 0 AND y = 0
+        |    THEN ((vkey*7 + fr*19 + x*37 + y*59 + x*y*13) % 256 + vbump) % 256
+        |    ELSE (vkey*7 + fr*19 + x*37 + y*59 + x*y*13) % 256 END)
+        |  + 587 * ((vkey*11 + fr*23 + x*23 + y*41 + x*y*7) % 256)
+        |  + 114 * ((vkey*13 + fr*29 + x*29 + y*31 + x*y*17) % 256) AS l
+        |  FROM vgrid),
+        |vbits AS (SELECT a.doc_id, a.fr, a.j, a.i,
+        |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM vlum a JOIN vlum b ON b.doc_id = a.doc_id AND b.fr = a.fr
+        |    AND b.j = a.j AND b.i = a.i + 1
+        |  WHERE a.i < 9),
+        |vhsh AS (SELECT doc_id, fr,
+        |  CAST(SUM(CAST(bit AS BIGINT) << (j*9 + i)) AS BIGINT) AS dhash
+        |  FROM vbits GROUP BY doc_id, fr),
+        |vstat AS (SELECT vd.doc_id,
+        |    (SELECT COUNT(DISTINCT dhash) FROM vhsh
+        |     WHERE vhsh.doc_id = vd.doc_id) = 1 AS is_static
+        |  FROM vd),
+        |vsl AS (SELECT doc_id, vn, unnest(range(0, 4)) AS sj FROM vd),
+        |vsig AS (SELECT vsl.doc_id, vsl.sj, h2.dhash
+        |  FROM vsl JOIN vhsh h2 ON h2.doc_id = vsl.doc_id
+        |    AND h2.fr = (vsl.sj * vsl.vn) // 4),
+        |s1 AS (
+        |  SELECT q.doc_id FROM
+        |    (SELECT doc_id FROM qlum GROUP BY doc_id
+        |     HAVING COUNT(DISTINCT l) > 1) q
+        |  JOIN vstat ON vstat.doc_id = q.doc_id
+        |  WHERE NOT vstat.is_static),
         |msgurl AS (
         |  SELECT d.doc_id,
         |    (CASE WHEN d.doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
@@ -3856,6 +3951,20 @@ object SparkEntry {
         |  SELECT e.dst AS node, w.label FROM walk w JOIN edges e ON e.src = w.node),
         |lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
         |s4 AS (SELECT doc_id FROM lab WHERE cluster_id = doc_id),
+        |vsig4 AS (SELECT v.* FROM vsig v JOIN s4 ON s4.doc_id = v.doc_id),
+        |vpairs AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM vsig4 a JOIN vsig4 b ON b.doc_id > a.doc_id AND b.sj = a.sj
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING SUM(bit_count(xor(a.dhash, b.dhash))) <= 3),
+        |vedges AS (SELECT src, dst FROM vpairs UNION ALL SELECT dst, src FROM vpairs),
+        |vwalk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM s4
+        |  UNION
+        |  SELECT e.dst AS node, w.label FROM vwalk w JOIN vedges e ON e.src = w.node),
+        |vlab AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+        |  FROM vwalk GROUP BY node),
+        |s5 AS (SELECT doc_id FROM vlab WHERE cluster_id = doc_id),
         |tok AS (
         |  SELECT t.doc_id,
         |    CAST(len(list_filter(string_split(t.text, ' '), x -> x <> '')) AS BIGINT)
@@ -3864,7 +3973,7 @@ object SparkEntry {
         |      x -> (((('0x' || substr(md5(x || chr(1) || '0'), 1, 15))::BIGINT % 1024)
         |        * 2654435761) % 1997) - 998) ) AS sum_milli
         |  FROM txt t),
-        |s5 AS (SELECT s4.doc_id FROM s4 JOIN tok USING (doc_id)
+        |s6 AS (SELECT s5.doc_id FROM s5 JOIN tok USING (doc_id)
         |       WHERE n_tokens > 0 AND sum_milli >= 0),
         |stg AS (
         |  SELECT 0 AS stage, 'input' AS stage_name, COUNT(*) AS n_docs,
@@ -3877,8 +3986,10 @@ object SparkEntry {
         |    FROM s3 JOIN tok USING (doc_id)
         |  UNION ALL SELECT 4, 'image_neardup', COUNT(*), COALESCE(SUM(n_tokens), 0)
         |    FROM s4 JOIN tok USING (doc_id)
-        |  UNION ALL SELECT 5, 'quality', COUNT(*), COALESCE(SUM(n_tokens), 0)
-        |    FROM s5 JOIN tok USING (doc_id))
+        |  UNION ALL SELECT 5, 'video_neardup', COUNT(*), COALESCE(SUM(n_tokens), 0)
+        |    FROM s5 JOIN tok USING (doc_id)
+        |  UNION ALL SELECT 6, 'quality', COUNT(*), COALESCE(SUM(n_tokens), 0)
+        |    FROM s6 JOIN tok USING (doc_id))
         |SELECT CAST(stage AS INTEGER) AS stage, stage_name,
         |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM stg ORDER BY stage""".stripMargin,
@@ -4871,6 +4982,282 @@ object SparkEntry {
         |LEFT JOIN tok k ON k.doc_id = t.doc_id
         |WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 2))::INTEGER % 3 <> 0
         |ORDER BY t.doc_id""".stripMargin,
+    // the chained 3-day text ingest loop in one SQL: the day-audit
+    // block above repeated per day, each day's stored url/text/sig
+    // sets = seed ∪ prior days' novel fingerprints (the fold's append
+    // contract). Signatures are per-doc and chain-independent, so the
+    // minhash CTEs run ONCE over seed docs + each day's text reps;
+    // only the band-join MEMBERSHIP (and its is_new labeling — a
+    // day-1 novel rep is a STORED side in days 2-3) varies per day
+    "q_doc_ingest_chain" ->
+      """WITH msgurl AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |    ['News.Example.COM', 'BLOG.Example.org', 'Wiki.EXAMPLE.net',
+        |     'Forum.example.IO', 'DOCS.Example.dev'][CAST(doc_id % 5 AS INTEGER) + 1] ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |    '/p/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN '?b=' || CAST((doc_id % 100) % 7 AS VARCHAR) ||
+        |           '&utm_source=feed&a=' || CAST((doc_id % 100) % 5 AS VARCHAR)
+        |      ELSE '?a=' || CAST((doc_id % 100) % 5 AS VARCHAR) ||
+        |           '&b=' || CAST((doc_id % 100) % 7 AS VARCHAR) ||
+        |           '&gclid=g' || CAST(doc_id AS VARCHAR) END) ||
+        |    (CASE WHEN doc_id % 2 = 1
+        |      THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END) AS url
+        |  FROM documents),
+        |uq AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
+        |  FROM msgurl),
+        |ur AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS host,
+        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path0,
+        |    list_sort(list_filter(string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref|igshid)='))) AS params
+        |  FROM uq),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |    (CASE WHEN len(params) > 0
+        |      THEN '?' || array_to_string(params, '&') ELSE '' END) AS canonical_url
+        |  FROM ur),
+        |spl AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER % 3 = 0 AS seed,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 3, 1) < '6' THEN 1
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 3, 1) < 'b' THEN 2
+        |         ELSE 3 END AS day
+        |  FROM documents),
+        |txt AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 7 = 3 AND donor.text IS NOT NULL
+        |      THEN donor.text ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN documents donor
+        |    ON donor.doc_id = d.doc_id - 1),
+        |tok AS (
+        |  SELECT t.doc_id,
+        |    CAST(len(list_filter(string_split(t.text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens,
+        |    list_sum(list_transform(list_filter(string_split(t.text, ' '), x -> x <> ''),
+        |      x -> (((('0x' || substr(md5(x || chr(1) || '0'), 1, 15))::BIGINT % 1024)
+        |        * 2654435761) % 1997) - 998)) AS sum_milli
+        |  FROM txt t JOIN spl p ON p.doc_id = t.doc_id WHERE NOT p.seed),
+        |tmin1 AS (SELECT t.text, MIN(t.doc_id) AS text_min FROM txt t
+        |  JOIN spl p ON p.doc_id = t.doc_id
+        |  WHERE NOT p.seed AND p.day = 1 GROUP BY t.text),
+        |tmin2 AS (SELECT t.text, MIN(t.doc_id) AS text_min FROM txt t
+        |  JOIN spl p ON p.doc_id = t.doc_id
+        |  WHERE NOT p.seed AND p.day = 2 GROUP BY t.text),
+        |tmin3 AS (SELECT t.text, MIN(t.doc_id) AS text_min FROM txt t
+        |  JOIN spl p ON p.doc_id = t.doc_id
+        |  WHERE NOT p.seed AND p.day = 3 GROUP BY t.text),
+        |sigdocs AS (
+        |  SELECT t.doc_id, t.text FROM txt t
+        |    JOIN spl p ON p.doc_id = t.doc_id WHERE p.seed
+        |  UNION ALL SELECT text_min AS doc_id, text FROM tmin1
+        |  UNION ALL SELECT text_min AS doc_id, text FROM tmin2
+        |  UNION ALL SELECT text_min AS doc_id, text FROM tmin3),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM sigdocs),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |    i -> array_to_string(l[i:i+4], ' ')))) AS shingle
+        |  FROM toks WHERE len(l) >= 5),
+        |mins AS (
+        |  SELECT doc_id, seeds.i,
+        |    min(('0x' || substr(md5(shingle || chr(1) || CAST(seeds.i AS VARCHAR)),
+        |      1, 15))::BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) seeds
+        |  GROUP BY doc_id, seeds.i),
+        |bands AS (
+        |  SELECT a.doc_id, a.i // 2 AS band_idx,
+        |    CAST(a.h AS VARCHAR) || ':' || CAST(b.h AS VARCHAR) AS band_key
+        |  FROM mins a JOIN mins b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  WHERE a.i % 2 = 0),
+        |scanon1 AS (SELECT DISTINCT c.canonical_url FROM canon c
+        |  JOIN spl p ON p.doc_id = c.doc_id WHERE p.seed),
+        |stext1 AS (SELECT DISTINCT t.text FROM txt t
+        |  JOIN spl p ON p.doc_id = t.doc_id WHERE p.seed),
+        |numin1 AS (SELECT c.canonical_url, MIN(c.doc_id) AS url_min FROM canon c
+        |  JOIN spl p ON p.doc_id = c.doc_id
+        |  WHERE NOT p.seed AND p.day = 1 GROUP BY c.canonical_url),
+        |mem1 AS (
+        |  SELECT doc_id, FALSE AS is_new FROM spl WHERE seed
+        |  UNION ALL SELECT text_min AS doc_id, TRUE FROM tmin1),
+        |cand1 AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    mx.is_new AS a_new, my.is_new AS b_new
+        |  FROM bands x JOIN mem1 mx ON mx.doc_id = x.doc_id
+        |  JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+        |    AND x.doc_id < y.doc_id
+        |  JOIN mem1 my ON my.doc_id = y.doc_id
+        |  WHERE mx.is_new OR my.is_new),
+        |est1 AS (
+        |  SELECT c.doc_a, c.doc_b, c.a_new, c.b_new,
+        |    round(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) / 16.0, 6) AS ej
+        |  FROM cand1 c
+        |  JOIN mins ma ON ma.doc_id = c.doc_a
+        |  JOIN mins mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+        |  GROUP BY 1, 2, 3, 4),
+        |hits1 AS (SELECT * FROM est1 WHERE ej >= 0.5),
+        |nds1 AS (SELECT DISTINCT CASE WHEN a_new THEN doc_a ELSE doc_b END AS rep
+        |  FROM hits1 WHERE a_new <> b_new),
+        |ndn1 AS (SELECT DISTINCT doc_b AS rep FROM hits1 WHERE a_new AND b_new),
+        |aud1 AS (
+        |  SELECT t.doc_id,
+        |    sc.canonical_url IS NOT NULL AS url_dup_stored,
+        |    t.doc_id <> u.url_min AS url_dup_new,
+        |    stx.text IS NOT NULL AS text_dup_stored,
+        |    t.doc_id <> tm.text_min AS text_dup_new,
+        |    nds1.rep IS NOT NULL AS neardup_stored,
+        |    (t.doc_id <> tm.text_min OR ndn1.rep IS NOT NULL) AS neardup_new,
+        |    COALESCE(k.n_tokens > 0 AND k.sum_milli >= 0, FALSE) AS quality_kept,
+        |    sc.canonical_url IS NULL AND t.doc_id = u.url_min
+        |      AND stx.text IS NULL AND t.doc_id = tm.text_min
+        |      AND nds1.rep IS NULL AND ndn1.rep IS NULL AS novel,
+        |    sc.canonical_url IS NULL AND t.doc_id = u.url_min
+        |      AND stx.text IS NULL AND t.doc_id = tm.text_min
+        |      AND nds1.rep IS NULL AND ndn1.rep IS NULL
+        |      AND COALESCE(k.n_tokens > 0 AND k.sum_milli >= 0, FALSE) AS keep
+        |  FROM txt t
+        |  JOIN spl p ON p.doc_id = t.doc_id AND NOT p.seed AND p.day = 1
+        |  JOIN canon c ON c.doc_id = t.doc_id
+        |  JOIN numin1 u ON u.canonical_url = c.canonical_url
+        |  JOIN tmin1 tm ON tm.text = t.text
+        |  LEFT JOIN scanon1 sc ON sc.canonical_url = c.canonical_url
+        |  LEFT JOIN stext1 stx ON stx.text = t.text
+        |  LEFT JOIN nds1 ON nds1.rep = tm.text_min
+        |  LEFT JOIN ndn1 ON ndn1.rep = tm.text_min
+        |  LEFT JOIN tok k ON k.doc_id = t.doc_id),
+        |nov1 AS (SELECT doc_id FROM aud1 WHERE novel),
+        |scanon2 AS (SELECT canonical_url FROM scanon1
+        |  UNION SELECT c.canonical_url FROM canon c JOIN nov1 ON nov1.doc_id = c.doc_id),
+        |stext2 AS (SELECT text FROM stext1
+        |  UNION SELECT t.text FROM txt t JOIN nov1 ON nov1.doc_id = t.doc_id),
+        |numin2 AS (SELECT c.canonical_url, MIN(c.doc_id) AS url_min FROM canon c
+        |  JOIN spl p ON p.doc_id = c.doc_id
+        |  WHERE NOT p.seed AND p.day = 2 GROUP BY c.canonical_url),
+        |mem2 AS (
+        |  SELECT doc_id, FALSE AS is_new FROM spl WHERE seed
+        |  UNION ALL SELECT doc_id, FALSE FROM nov1
+        |  UNION ALL SELECT text_min AS doc_id, TRUE FROM tmin2),
+        |cand2 AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    mx.is_new AS a_new, my.is_new AS b_new
+        |  FROM bands x JOIN mem2 mx ON mx.doc_id = x.doc_id
+        |  JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+        |    AND x.doc_id < y.doc_id
+        |  JOIN mem2 my ON my.doc_id = y.doc_id
+        |  WHERE mx.is_new OR my.is_new),
+        |est2 AS (
+        |  SELECT c.doc_a, c.doc_b, c.a_new, c.b_new,
+        |    round(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) / 16.0, 6) AS ej
+        |  FROM cand2 c
+        |  JOIN mins ma ON ma.doc_id = c.doc_a
+        |  JOIN mins mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+        |  GROUP BY 1, 2, 3, 4),
+        |hits2 AS (SELECT * FROM est2 WHERE ej >= 0.5),
+        |nds2 AS (SELECT DISTINCT CASE WHEN a_new THEN doc_a ELSE doc_b END AS rep
+        |  FROM hits2 WHERE a_new <> b_new),
+        |ndn2 AS (SELECT DISTINCT doc_b AS rep FROM hits2 WHERE a_new AND b_new),
+        |aud2 AS (
+        |  SELECT t.doc_id,
+        |    sc.canonical_url IS NOT NULL AS url_dup_stored,
+        |    t.doc_id <> u.url_min AS url_dup_new,
+        |    stx.text IS NOT NULL AS text_dup_stored,
+        |    t.doc_id <> tm.text_min AS text_dup_new,
+        |    nds2.rep IS NOT NULL AS neardup_stored,
+        |    (t.doc_id <> tm.text_min OR ndn2.rep IS NOT NULL) AS neardup_new,
+        |    COALESCE(k.n_tokens > 0 AND k.sum_milli >= 0, FALSE) AS quality_kept,
+        |    sc.canonical_url IS NULL AND t.doc_id = u.url_min
+        |      AND stx.text IS NULL AND t.doc_id = tm.text_min
+        |      AND nds2.rep IS NULL AND ndn2.rep IS NULL AS novel,
+        |    sc.canonical_url IS NULL AND t.doc_id = u.url_min
+        |      AND stx.text IS NULL AND t.doc_id = tm.text_min
+        |      AND nds2.rep IS NULL AND ndn2.rep IS NULL
+        |      AND COALESCE(k.n_tokens > 0 AND k.sum_milli >= 0, FALSE) AS keep
+        |  FROM txt t
+        |  JOIN spl p ON p.doc_id = t.doc_id AND NOT p.seed AND p.day = 2
+        |  JOIN canon c ON c.doc_id = t.doc_id
+        |  JOIN numin2 u ON u.canonical_url = c.canonical_url
+        |  JOIN tmin2 tm ON tm.text = t.text
+        |  LEFT JOIN scanon2 sc ON sc.canonical_url = c.canonical_url
+        |  LEFT JOIN stext2 stx ON stx.text = t.text
+        |  LEFT JOIN nds2 ON nds2.rep = tm.text_min
+        |  LEFT JOIN ndn2 ON ndn2.rep = tm.text_min
+        |  LEFT JOIN tok k ON k.doc_id = t.doc_id),
+        |nov2 AS (SELECT doc_id FROM aud2 WHERE novel),
+        |scanon3 AS (SELECT canonical_url FROM scanon2
+        |  UNION SELECT c.canonical_url FROM canon c JOIN nov2 ON nov2.doc_id = c.doc_id),
+        |stext3 AS (SELECT text FROM stext2
+        |  UNION SELECT t.text FROM txt t JOIN nov2 ON nov2.doc_id = t.doc_id),
+        |numin3 AS (SELECT c.canonical_url, MIN(c.doc_id) AS url_min FROM canon c
+        |  JOIN spl p ON p.doc_id = c.doc_id
+        |  WHERE NOT p.seed AND p.day = 3 GROUP BY c.canonical_url),
+        |mem3 AS (
+        |  SELECT doc_id, FALSE AS is_new FROM spl WHERE seed
+        |  UNION ALL SELECT doc_id, FALSE FROM nov1
+        |  UNION ALL SELECT doc_id, FALSE FROM nov2
+        |  UNION ALL SELECT text_min AS doc_id, TRUE FROM tmin3),
+        |cand3 AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    mx.is_new AS a_new, my.is_new AS b_new
+        |  FROM bands x JOIN mem3 mx ON mx.doc_id = x.doc_id
+        |  JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+        |    AND x.doc_id < y.doc_id
+        |  JOIN mem3 my ON my.doc_id = y.doc_id
+        |  WHERE mx.is_new OR my.is_new),
+        |est3 AS (
+        |  SELECT c.doc_a, c.doc_b, c.a_new, c.b_new,
+        |    round(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) / 16.0, 6) AS ej
+        |  FROM cand3 c
+        |  JOIN mins ma ON ma.doc_id = c.doc_a
+        |  JOIN mins mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+        |  GROUP BY 1, 2, 3, 4),
+        |hits3 AS (SELECT * FROM est3 WHERE ej >= 0.5),
+        |nds3 AS (SELECT DISTINCT CASE WHEN a_new THEN doc_a ELSE doc_b END AS rep
+        |  FROM hits3 WHERE a_new <> b_new),
+        |ndn3 AS (SELECT DISTINCT doc_b AS rep FROM hits3 WHERE a_new AND b_new),
+        |aud3 AS (
+        |  SELECT t.doc_id,
+        |    sc.canonical_url IS NOT NULL AS url_dup_stored,
+        |    t.doc_id <> u.url_min AS url_dup_new,
+        |    stx.text IS NOT NULL AS text_dup_stored,
+        |    t.doc_id <> tm.text_min AS text_dup_new,
+        |    nds3.rep IS NOT NULL AS neardup_stored,
+        |    (t.doc_id <> tm.text_min OR ndn3.rep IS NOT NULL) AS neardup_new,
+        |    COALESCE(k.n_tokens > 0 AND k.sum_milli >= 0, FALSE) AS quality_kept,
+        |    sc.canonical_url IS NULL AND t.doc_id = u.url_min
+        |      AND stx.text IS NULL AND t.doc_id = tm.text_min
+        |      AND nds3.rep IS NULL AND ndn3.rep IS NULL AS novel,
+        |    sc.canonical_url IS NULL AND t.doc_id = u.url_min
+        |      AND stx.text IS NULL AND t.doc_id = tm.text_min
+        |      AND nds3.rep IS NULL AND ndn3.rep IS NULL
+        |      AND COALESCE(k.n_tokens > 0 AND k.sum_milli >= 0, FALSE) AS keep
+        |  FROM txt t
+        |  JOIN spl p ON p.doc_id = t.doc_id AND NOT p.seed AND p.day = 3
+        |  JOIN canon c ON c.doc_id = t.doc_id
+        |  JOIN numin3 u ON u.canonical_url = c.canonical_url
+        |  JOIN tmin3 tm ON tm.text = t.text
+        |  LEFT JOIN scanon3 sc ON sc.canonical_url = c.canonical_url
+        |  LEFT JOIN stext3 stx ON stx.text = t.text
+        |  LEFT JOIN nds3 ON nds3.rep = tm.text_min
+        |  LEFT JOIN ndn3 ON ndn3.rep = tm.text_min
+        |  LEFT JOIN tok k ON k.doc_id = t.doc_id)
+        |SELECT 1 AS day, * FROM aud1
+        |UNION ALL SELECT 2 AS day, * FROM aud2
+        |UNION ALL SELECT 3 AS day, * FROM aud3
+        |ORDER BY day, doc_id""".stripMargin,
     // cross-modal composition: the q_url_dedup canonicalization chain
     // (messy-URL fixture), the planted dup-text donor join, and the
     // q_image_clusters dHash + recursive component walk, disjoined into

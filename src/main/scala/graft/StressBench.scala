@@ -236,6 +236,25 @@ object StressBench {
     if (selected("media_ingest_day_redundant_store_x10")) { redundantX1x10; () }
     if (selected("doc_ingest_day_small_store")) { docSmallStore; () }
     if (selected("doc_ingest_day_large_store")) { docLargeStore; () }
+    // the EMBEDDING ingest audit's stores (emb_ingest_day rows): int8
+    // code tables computed UNTIMED (stored codes are a table by
+    // contract — the fold writes them once; a day never re-quantizes
+    // the store). KEY_OFFSET ≡ 0 mod 10, so the 10%-new batch is every
+    // replica of every %10==0 vector; replicas share the embedding, so
+    // identical codes collapse to reps before the broadcast scan
+    lazy val embSmallCodes = prepped(ext.Similarity.quantizedCodes(
+      emb.filter(col("vec_id") % 10 === 1)).filter(col("qsq") > 0)
+      .select("vec_id", "qv", "qsq", "dig"))
+    lazy val embLargeCodes = prepped(ext.Similarity.quantizedCodes(
+      emb.filter(col("vec_id") % 10 =!= 0)).filter(col("qsq") > 0)
+      .select("vec_id", "qv", "qsq", "dig"))
+    def embIngestDay(store: DataFrame): Long = {
+      val a = ext.Similarity.embeddingIngestAudit(
+        emb.filter(col("vec_id") % 10 === 0), store)
+      val n = a.count(); a.unpersist(false); n
+    }
+    if (selected("emb_ingest_day_small_store")) { embSmallCodes; () }
+    if (selected("emb_ingest_day_large_store")) { embLargeCodes; () }
     def ingestDay(store: (DataFrame, DataFrame, DataFrame)): Long = {
       val a = ext.Curation.mediaIngestAudit(spark,
         fixture("png_skewed").filter(col("doc_id") % 10 === 0),
@@ -536,6 +555,8 @@ object StressBench {
       time("media_ingest_day_redundant_store_x10", ingestDay(redundantX1x10)),
       time("doc_ingest_day_small_store", docIngestDay(docSmallStore)),
       time("doc_ingest_day_large_store", docIngestDay(docLargeStore)),
+      time("emb_ingest_day_small_store", embIngestDay(embSmallCodes)),
+      time("emb_ingest_day_large_store", embIngestDay(embLargeCodes)),
       // round-9: the composed curation funnel at replication scale —
       // replicated texts make exact-dedup collapse ×factor and the
       // near-dup graph maximally dense; budget scaled with the corpus

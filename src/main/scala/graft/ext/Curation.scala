@@ -164,7 +164,8 @@ object Curation {
 
   /** The MULTIMODAL curation funnel — the media-aware sibling of
     * [[curationFunnel]], ordered cheapest-signal-first for a corpus
-    * where every document carries an image payload:
+    * where every document carries an image payload (and, when a video
+    * corpus is supplied, a video payload):
     *
     *   0 input
     *   1 junk-media gate   (drop flat/monochrome images —
@@ -172,24 +173,35 @@ object Curation {
     *                        distinct-luma detector; the cheapest decode-
     *                        derived signal, and it removes exactly the
     *                        mass that would pile into the near-dup
-    *                        band buckets at stage 4)
+    *                        band buckets at stage 4 — and, with videos,
+    *                        static single-hash clips too)
     *   2 URL dedup         (first fetch per canonical URL)
     *   3 exact text dedup  (min doc per byte-identical text)
     *   4 image near-dup    (dHash banding → components → keep the
     *                        min-label representative)
-    *   5 quality gate      (hashing-trick classifier, kept = score ≥ 0)
+    *   5 video near-dup    (with videos: scene-sampled k-slot signatures
+    *                        from the SAME fused decode as the stage-1
+    *                        gate, slot-pigeonhole banding → components →
+    *                        min-label representative)
+    *   5/6 quality gate    (hashing-trick classifier, kept = score ≥ 0)
     *
     * Every stage rule is its standalone operator's arithmetic, so the
     * COMPOSITION is DuckDB-expressible and oracle-verified end to end
     * (`q_multimodal_funnel`) — luma replay for the junk gate, the
     * canonicalization chain, the donor-join text groups, the recursive
-    * component walk over surviving images, and the classifier score.
-    * Returns one row per stage with surviving doc and token counts.
+    * component walks over surviving images and videos, and the
+    * classifier score. The video corpus is decoded exactly ONCE
+    * ([[Multimodal.videoStatsPhash]] feeds gate and signatures — the
+    * scene-aware sampling happens inside that fused pass, before any
+    * pair work). Returns one row per stage with surviving doc and
+    * token counts.
     */
   def multimodalFunnel(spark: org.apache.spark.sql.SparkSession,
                        documents: DataFrame, media: DataFrame,
                        urlCol: String = "url", maxHamming: Int = 6,
-                       maxBandBucket: Int = -1): DataFrame = {
+                       maxBandBucket: Int = -1,
+                       videos: Option[DataFrame] = None, k: Int = 4,
+                       maxTotalHamming: Int = 3): DataFrame = {
     val allTok = documents.select(col("doc_id"),
       size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
         .as("n_tokens")).persist()
@@ -198,8 +210,16 @@ object Curation {
     // once, where the stage-4 operator call used to decode the stage-3
     // survivors a second time
     val stats = Multimodal.imageStatsDhash(spark, media).persist()
-    // 1: junk-media gate (narrow decode + stats, no shuffle)
-    val s1 = stats.filter(!col("is_flat")).select("doc_id").persist()
+    // same one-decode discipline for the video corpus: the fused pass
+    // yields the static gate AND the scene-sampled slot signatures
+    val vstatsOpt = videos.map(v =>
+      Multimodal.videoStatsPhash(spark, v, k).persist())
+    // 1: junk-media gate (narrow decode + stats, no shuffle); a doc
+    // with no video row has no video junk signal — it passes
+    val s1img = stats.filter(!col("is_flat")).select("doc_id")
+    val s1 = vstatsOpt.fold(s1img)(vs => s1img.join(
+        vs.filter(col("is_static")).select("doc_id"),
+        Seq("doc_id"), "left_anti")).persist()
     // 2: first fetch per canonical URL among survivors
     val s2 = WebOps.canonicalizeUrl(documents.join(s1, "doc_id"), urlCol)
       .groupBy("canonical_url").agg(min(col("doc_id")).as("doc_id"))
@@ -218,8 +238,21 @@ object Curation {
     val dropped = clusters.filter(col("cluster_id") =!= col("doc_id"))
       .select("doc_id")
     val s4 = s3.join(dropped, Seq("doc_id"), "left_anti").persist()
-    // 5: classifier quality gate
-    val s5 = s4.join(TextOps.classifierQualityScore(documents)
+    // 5 (with videos): perceptual VIDEO near-dup among survivors —
+    // slot signatures sliced from the fused stage-1 decode (survivors
+    // only reach the banded join; absent/zero-frame videos survive)
+    val vstage = vstatsOpt.map { vs =>
+      val vslots = vs.select(col("doc_id"), posexplode(col("sig")))
+        .toDF("doc_id", "slot", "dhash")
+      val vclusters = Multimodal.videoClustersFromSlotHashes(
+        vslots.join(s4, "doc_id"), k, maxTotalHamming, maxBandBucket)
+      val vdropped = vclusters.filter(col("cluster_id") =!= col("doc_id"))
+        .select("doc_id")
+      (s4.join(vdropped, Seq("doc_id"), "left_anti").persist(), vclusters)
+    }
+    val preQuality = vstage.map(_._1).getOrElse(s4)
+    // final stage: classifier quality gate
+    val squal = preQuality.join(TextOps.classifierQualityScore(documents)
       .filter(col("kept") === 1).select("doc_id"), "doc_id").persist()
     def stage(i: Int, name: String, ids: DataFrame): DataFrame =
       ids.join(allTok, "doc_id")
@@ -227,17 +260,24 @@ object Curation {
           coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
         .select(lit(i).as("stage"), lit(name).as("stage_name"),
           col("n_docs"), col("n_tokens"))
+    val tail = vstage match {
+      case Some((s5, _)) =>
+        stage(5, "video_neardup", s5).unionByName(stage(6, "quality", squal))
+      case None => stage(5, "quality", squal)
+    }
     val out = stage(0, "input", documents.select("doc_id"))
       .unionByName(stage(1, "junk_media", s1))
       .unionByName(stage(2, "url_dedup", s2))
       .unionByName(stage(3, "exact_dedup", s3))
       .unionByName(stage(4, "image_neardup", s4))
-      .unionByName(stage(5, "quality", s5))
+      .unionByName(tail)
       .orderBy("stage")
     // clusters is persisted+materialized by its core ("caller owns its
     // lifetime") — release it with the other intermediates, or repeated
     // funnel calls in a long-lived session accumulate cached tables
-    Dedup.scopeCaches(out, allTok, stats, s1, s2, s3, s4, s5, clusters)
+    Dedup.scopeCaches(out,
+      Seq(allTok, stats, s1, s2, s3, s4, squal, clusters) ++
+        vstatsOpt ++ vstage.toSeq.flatMap { case (s5, vc) => Seq(s5, vc) }: _*)
   }
 
   /** Per-document curation AUDIT report — the provenance artifact a
@@ -719,40 +759,48 @@ object Curation {
       .orderBy("modality")
   }
 
+  /** Staged, crash-recoverable rewrite of one parquet store dir —
+    * shared by the media, text, and embedding compactions. Reads the
+    * live store, applies `compact`, writes the result to a staging
+    * sibling, then swaps with rename-ASIDE (live → .compact-old,
+    * staging → live, delete .compact-old): a crash at any point
+    * leaves either the old or the new store at the live path (a
+    * delete-then-rename window would leave NO live store, stranding
+    * the ingest loop's durable state in a hidden staging dir until
+    * manual recovery). Returns (rows_before, rows_after).
+    */
+  private[ext] def compactRewrite(spark: org.apache.spark.sql.SparkSession,
+                                  path: String,
+                                  compact: DataFrame => DataFrame): (Long, Long) = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = spark.read.parquet(target.toString)
+    val before = cur.count()
+    // localCheckpoint cuts the lineage off the files about to be
+    // replaced — the staged write must not re-scan the target dir
+    val out = compact(cur).localCheckpoint(true)
+    val after = out.count()
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.compact-staging")
+    fs.delete(staging, true)
+    out.write.mode("overwrite").parquet(staging.toString)
+    val old = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.compact-old")
+    fs.delete(old, true)
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"rename $target -> $old failed")
+    if (!fs.rename(staging, target)) {
+      fs.rename(old, target) // restore the live store before failing
+      throw new java.io.IOException(s"rename $staging -> $target failed")
+    }
+    fs.delete(old, true)
+    (before, after)
+  }
+
   def ingestStoreCompact(spark: org.apache.spark.sql.SparkSession,
                          storeDir: String): Map[String, (Long, Long)] = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    def rewrite(sub: String, compact: DataFrame => DataFrame): (Long, Long) = {
-      val target = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
-      val fs = target.getFileSystem(hconf)
-      val cur = spark.read.parquet(target.toString)
-      val before = cur.count()
-      // localCheckpoint cuts the lineage off the files about to be
-      // replaced — the staged write must not re-scan the target dir
-      val out = compact(cur).localCheckpoint(true)
-      val after = out.count()
-      val staging = new org.apache.hadoop.fs.Path(
-        target.getParent, s".${target.getName}.compact-staging")
-      fs.delete(staging, true)
-      out.write.mode("overwrite").parquet(staging.toString)
-      // recoverable swap: the live store is renamed ASIDE (atomic), the
-      // compacted store renamed in, and only then is the old copy
-      // deleted — a crash at any point leaves either the old or the new
-      // store at the live path (a delete-then-rename window would leave
-      // NO live store, stranding the ingest loop's durable state in a
-      // hidden staging dir until manual recovery)
-      val old = new org.apache.hadoop.fs.Path(
-        target.getParent, s".${target.getName}.compact-old")
-      fs.delete(old, true)
-      if (!fs.rename(target, old))
-        throw new java.io.IOException(s"rename $target -> $old failed")
-      if (!fs.rename(staging, target)) {
-        fs.rename(old, target) // restore the live store before failing
-        throw new java.io.IOException(s"rename $staging -> $target failed")
-      }
-      fs.delete(old, true)
-      (before, after)
-    }
+    def rewrite(sub: String, compact: DataFrame => DataFrame): (Long, Long) =
+      compactRewrite(spark, s"$storeDir/$sub", compact)
     Map(
       "image" -> rewrite("image", _.groupBy("dhash")
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id", "dhash")),
@@ -1000,6 +1048,81 @@ object Curation {
       rd("texts", new StructType().add("text_md5", StringType)),
       rd("sigs", new StructType().add("doc_id", LongType)
         .add("sig", ArrayType(LongType, containsNull = false))))
+  }
+
+  /** The CHAINED multi-day TEXT ingest audit as ONE pure query —
+    * [[graft.ext.Similarity.embeddingIngestChainAudit]]'s sibling for
+    * the document corpus: `days` md5-assigned micro-batches fold
+    * against url/text/signature fingerprint stores seeded from the
+    * md5-stored third, entirely in DataFrame algebra (no store
+    * writes). Day k audits via [[docIngestAudit]] against
+    * seed ∪ novel(days < k) fingerprints, and the fingerprints
+    * carried forward are exactly the audit's own `novel` slice — the
+    * [[docIngestDayFold]] append contract (novel docs are url/text
+    * group minima, so the stored sets stay duplicate-free for the
+    * chain's whole life). Every rule is the portable md5 family, so
+    * the WHOLE chain — cross-day dup_stored propagation included —
+    * sits under the DuckDB oracle (`q_doc_ingest_chain`); chain ≡ the
+    * sequential store-dir folds is spec-pinned in CurationSpec. Scale
+    * shape per day: one shingle pass over the batch, the NEW×ALL
+    * banded signature join, two hash aggregations, doc-id joins — the
+    * store side contributes fingerprints only and is never
+    * re-shingled (the chain re-derives novel signatures only because
+    * it is a pure query; the operational fold slices them from the
+    * audit's own cached pass).
+    */
+  def docIngestChainAudit(spark: org.apache.spark.sql.SparkSession,
+                          documents: DataFrame, days: Int = 3,
+                          k: Int = 5, numHashes: Int = 16, numBands: Int = 8,
+                          threshold: Double = 0.5): DataFrame = {
+    val hex = md5(col("doc_id").cast("string"))
+    val seedSide = conv(substring(hex, 1, 2), 16, 10).cast("int") % 3 === 0
+    // hex digit 0..15 → day 1..days (the embedding chain's floor split)
+    val dayNum =
+      (floor(conv(substring(hex, 3, 1), 16, 10).cast("int") * days / lit(16)) + 1)
+        .cast("int")
+    val sDocs = documents.filter(seedSide)
+    // every stored-set INCREMENT is persisted: the day-k audit union
+    // plan would otherwise re-derive the seed shingle/minhash pass —
+    // by far the chain's dominant cost — once per remaining day (the
+    // unions stay lazy, their leaves come from cache). Caching alone
+    // is NOT enough — see the localCheckpoint below (persist caches
+    // DATA, not the analyzed plan; measured 141s → 9.0s at sf0.1)
+    val cached = Seq.newBuilder[DataFrame]
+    def cache(df: DataFrame): DataFrame = { val c = df.persist(); cached += c; c }
+    var sU = cache(WebOps.canonicalizeUrl(sDocs).select("canonical_url").distinct())
+    var sT = cache(sDocs.select(md5(col("text")).as("text_md5")).distinct())
+    var sS = cache(Dedup.minhashSignaturesMd5(Dedup.shingles(sDocs, k), numHashes))
+    val rest = documents.filter(!seedSide).withColumn("ingest_day", dayNum)
+    val audits = (1 to days).map { d =>
+      val batch = rest.filter(col("ingest_day") === d).drop("ingest_day")
+      val audit0 = docIngestAudit(spark, batch, sU, sT, sS,
+        k, numHashes, numBands, threshold)
+      // the audit is persisted+materialized, but its LOGICAL plan still
+      // embeds every prior day's lineage — and each day references the
+      // store unions several times, so plan size compounds per day
+      // (day 3 spent minutes in Catalyst analysis at sf0.1). Cut the
+      // lineage: later days then plan against a LogicalRDD scan
+      val audit = audit0.localCheckpoint(true)
+      audit0.unpersist(false)
+      val novelDocs = batch
+        .join(audit.filter(col("novel")).select("doc_id"), "doc_id")
+      sU = sU.unionByName(
+        cache(WebOps.canonicalizeUrl(novelDocs).select("canonical_url")))
+      sT = sT.unionByName(
+        cache(novelDocs.select(md5(col("text")).as("text_md5"))))
+      sS = sS.unionByName(
+        cache(Dedup.minhashSignaturesMd5(Dedup.shingles(novelDocs, k), numHashes)))
+      audit.withColumn("day", lit(d))
+    }
+    val out = audits.reduce(_ unionByName _)
+      .select(col("day"), col("doc_id"),
+        col("url_dup_stored"), col("url_dup_new"),
+        col("text_dup_stored"), col("text_dup_new"),
+        col("neardup_stored"), col("neardup_new"),
+        col("quality_kept"), col("novel"), col("keep"))
+      .orderBy("day", "doc_id")
+    Dedup.scopeCaches(out, cached.result(): _*)
   }
 
   /** Cross-modal duplicate verdicts: one row per document combining

@@ -690,24 +690,32 @@ object Similarity {
     val h1 = substring(md5(col("vec_id").cast("string")), 1, 1)
     val h2 = substring(md5(col("vec_id").cast("string")), 2, 1)
     val seedSide = h1 < "8"
+    // every store INCREMENT is persisted (the doc-chain lesson: a lazy
+    // union plan re-derives the seed quantization once per remaining
+    // day); scopeCaches unpersists by plan identity, so the PERSISTED
+    // frames are collected, never derived ones
+    val cached = Seq.newBuilder[DataFrame]
+    def cache(df: DataFrame): DataFrame = { val c = df.persist(); cached += c; c }
     val seedCodes = quantizedCodes(vecs.filter(seedSide)).filter(col("qsq") > 0)
     val ex = seedCodes.groupBy("dig").agg(min(col("vec_id")).as("vec_id"))
-    var store = seedCodes.join(ex, Seq("dig", "vec_id"))
-      .select("vec_id", "qv", "qsq", "dig")
+    var store = cache(seedCodes.join(ex, Seq("dig", "vec_id"))
+      .select("vec_id", "qv", "qsq", "dig"))
     // hex digit 0..15 → day 1..days (floor split: days=3 gives 6/5/5)
     val dayNum =
       (floor(conv(h2, 16, 10).cast("int") * days / lit(16)) + 1).cast("int")
     val rest = vecs.filter(!seedSide).withColumn("ingest_day", dayNum)
-    // keep the PERSISTED audit frames (scopeCaches unpersists by plan
-    // identity — a derived withColumn frame would silently no-op)
-    val rawAudits = Seq.newBuilder[DataFrame]
     val audits = (1 to days).map { k =>
       val batch = rest.filter(col("ingest_day") === k).drop("ingest_day")
-      val audit = embeddingIngestAudit(batch, store, threshold)
-      rawAudits += audit
-      val novel = quantizedCodes(batch)
+      val audit0 = embeddingIngestAudit(batch, store, threshold)
+      // cut the audit's lineage (the doc-chain lesson one level up:
+      // persist caches DATA, not the analyzed plan — day k's audit
+      // plan otherwise embeds every prior day's full lineage through
+      // the store union, and planning cost compounds per day)
+      val audit = audit0.localCheckpoint(true)
+      audit0.unpersist(false)
+      val novel = cache(quantizedCodes(batch)
         .join(audit.filter(col("novel")).select("vec_id"), "vec_id")
-        .select("vec_id", "qv", "qsq", "dig")
+        .select("vec_id", "qv", "qsq", "dig"))
       store = store.unionByName(novel)
       audit.withColumn("day", lit(k))
     }
@@ -716,8 +724,56 @@ object Similarity {
         col("code_dup_stored"), col("code_dup_new"),
         col("neardup_stored"), col("neardup_new"), col("novel"))
       .orderBy("day", "vec_id")
-    Dedup.scopeCaches(out, rawAudits.result(): _*)
+    Dedup.scopeCaches(out, cached.result(): _*)
   }
+
+  /** What [[embeddingStoreCompact]] WOULD reclaim, as a query — the
+    * "should I compact?" audit for the EMBEDDING code store,
+    * completing the compaction row across all three store families
+    * (media [[graft.ext.Curation.storeCompactionSummary]], text, and
+    * now vectors): one row with the stored code count, the
+    * distinct-digest exemplar count compaction would keep, the
+    * redundant rows it would drop, and the largest identical-code
+    * group. Degenerate (all-zero) codes are excluded — the fold never
+    * stores them. Scale-invariance makes the digest a strictly
+    * stronger dedup key than byte-identical floats: `2v` and `v/2`
+    * quantize to byte-identical int8 codes, so magnitude variants of
+    * one direction land in one group (pinned in SimilaritySpec; the
+    * driver query plants exactly that redundancy). One hash aggregate
+    * over codes — no floats, no joins — so it runs beside any
+    * pipeline at sketch-table cost and is DuckDB-oracle-matched
+    * (`q_embedding_store_compact`).
+    */
+  def embeddingStoreCompactionSummary(codes: DataFrame): DataFrame =
+    codes.filter(col("qsq") > 0)
+      .groupBy("dig").agg(count(lit(1)).as("n"))
+      .agg(
+        coalesce(sum(col("n")), lit(0L)).cast("long").as("rows_before"),
+        count(lit(1)).as("exemplars"),
+        coalesce(sum(col("n")) - count(lit(1)), lit(0L)).cast("long")
+          .as("dropped"),
+        coalesce(max(col("n")), lit(0L)).cast("long").as("max_group"))
+      .select(lit("embedding").as("modality"), col("rows_before"),
+        col("exemplars"), col("dropped"), col("max_group"))
+
+  /** Compact the [[embeddingIngestDayFold]] code store to
+    * duplicate-free exemplars: one stored row per distinct code
+    * digest (the min-vec_id representative) — the embedding twin of
+    * [[graft.ext.Curation.ingestStoreCompact]], same staged
+    * rename-aside swap. The audit already collapses the stored side
+    * to distinct digests on every run, and cosine is a function of
+    * the CODES alone, so compaction provably cannot change any audit
+    * verdict (spec-pinned) — it only removes redundant rows an
+    * externally-loaded store accumulated (the fold itself appends
+    * only novel codes and never creates redundancy). Returns
+    * (rows_before, rows_after).
+    */
+  def embeddingStoreCompact(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String): (Long, Long) =
+    graft.ext.Curation.compactRewrite(spark, storeDir, { cur =>
+      val ex = cur.groupBy("dig").agg(min(col("vec_id")).as("vec_id"))
+      cur.join(ex, Seq("dig", "vec_id")).select("vec_id", "qv", "qsq", "dig")
+    })
 
   /** Per-vector quality signals — the junk gate for the EMBEDDING
     * modality (completing the quality row of the modality matrix):

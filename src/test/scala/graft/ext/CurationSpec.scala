@@ -130,6 +130,52 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     out.unpersist(blocking = true)
   }
 
+  test("multimodalFunnel with videos: gate and near-dup stages agree with the standalone operators") {
+    import org.apache.spark.sql.functions.col
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = TextOps.withSyntheticDupText(WebOps.withSyntheticMessyUrl(base))
+    val media = Multimodal.syntheticPngSkewed(spark, base)
+    val vclu = Multimodal.syntheticVideoClusters(spark, base, nClusters = 37)
+    val out = Curation.multimodalFunnel(spark, d, media, videos = Some(vclu))
+    val rows = out.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.unpersist(false)
+    assert(rows.map(_._1).toSeq === (0 to 6))
+    assert(rows.map(_._2).toSeq === Seq("input", "junk_media", "url_dedup",
+      "exact_dedup", "image_neardup", "video_neardup", "quality"))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 <= a._3 && b._4 <= a._4)
+      case _ =>
+    }
+    // the clusters corpus has no static clips -> the video gate passes
+    // everyone and stages 0-4 equal the video-less funnel exactly
+    val base0 = Curation.multimodalFunnel(spark, d, media)
+    val b0 = base0.collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+    base0.unpersist(false)
+    (0 to 4).foreach(i =>
+      assert((rows(i)._3, rows(i)._4) === b0(i), s"stage $i must match"))
+    // the video stage does real work: the mod-37 video groups cut
+    // across the mod-50 image groups, so image dedup leaves >37
+    // survivors sharing video clusters
+    assert(rows(5)._3 < rows(4)._3, "video_neardup must drop planted cluster members")
+    // and the junk corpus exercises the STATIC gate independently of
+    // the flat-image gate: with cluster images (no flats), stage 1
+    // drops exactly the static clips
+    val pclu = Multimodal.syntheticPngClusters(spark, base)
+    val vjunk = Multimodal.syntheticVideoJunk(spark, base)
+    val flatIds = Multimodal.imageStatsDhash(spark, pclu)
+      .filter(col("is_flat")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val staticIds = Multimodal.videoStatsPhash(spark, vjunk)
+      .filter(col("is_static")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((staticIds -- flatIds).nonEmpty,
+      "fixture bed: the video gate must have victims of its own")
+    val out2 = Curation.multimodalFunnel(spark, d, pclu, videos = Some(vjunk))
+    val s1count = out2.collect().find(_.getInt(0) == 1).get.getLong(2)
+    out2.unpersist(false)
+    assert(s1count === base.count() - (flatIds ++ staticIds).size,
+      "junk_media must drop exactly flat images ∪ static clips")
+  }
+
   test("curationReport: one explainable row per doc; flags agree with the standalone gates") {
     val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val d = TextOps.withSyntheticDupText(WebOps.withSyntheticMessyUrl(base))
@@ -310,15 +356,19 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
     // the funnel: per-stage survivor counts — identical through the
     // capped stage's predecessors, never smaller at or after it
+    // (the registered shape carries the video stage, so pin that form:
+    // stages 0-3 are cap-free, 4 and 5 are the banded joins, 6 follows)
+    val vclu = Multimodal.syntheticVideoClusters(spark, base, nClusters = 37)
     def funnelCounts(cap: Int): Map[Int, Long] = {
-      val f = Curation.multimodalFunnel(spark, d, imgs, maxBandBucket = cap)
+      val f = Curation.multimodalFunnel(spark, d, imgs, maxBandBucket = cap,
+        videos = Some(vclu))
       val m = f.collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
       f.unpersist(false); m
     }
     val fProd = funnelCounts(-1)
     val fOracle = funnelCounts(0)
     (0 to 3).foreach(i => assert(fProd(i) === fOracle(i), s"stage $i pre-cap"))
-    (4 to 5).foreach(i => assert(fProd(i) >= fOracle(i),
+    (4 to 6).foreach(i => assert(fProd(i) >= fOracle(i),
       s"stage $i: the cap can only drop dup pairs, never survivors"))
   }
 
@@ -873,5 +923,46 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     // the video table stores SLOT rows (4 per doc); the summary counts
     // stored videos (signature groups)
     assert(counts("video") === ((summ("video")._1 * 4, summ("video")._2 * 4)))
+  }
+
+  test("docIngestChainAudit: pure chain ≡ the sequential store-dir folds") {
+    import org.apache.spark.sql.functions.{col, conv, floor, lit, md5, substring}
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = TextOps.withSyntheticDupText(WebOps.withSyntheticMessyUrl(base))
+    val chain = Curation.docIngestChainAudit(spark, d)
+    val chainRows = chain.collect()
+    chain.unpersist(false)
+    def flags(r: org.apache.spark.sql.Row, off: Int) =
+      (0 until 9).map(i => r.getBoolean(off + i))
+    val chainMap = chainRows.map(r => (r.getInt(0), r.getLong(1)) -> flags(r, 2)).toMap
+    // replay the identical md5 split through the OPERATIONAL loop:
+    // store init from the stored third, then one docIngestDayFold per
+    // md5-assigned day batch against the REAL parquet store
+    val hex = md5(col("doc_id").cast("string"))
+    val seedSide = conv(substring(hex, 1, 2), 16, 10).cast("int") % 3 === 0
+    val sDocs = d.filter(seedSide)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_doc_chain").toString
+    Curation.docIngestStoreInit(spark, storeDir,
+      WebOps.canonicalizeUrl(sDocs).select("canonical_url"),
+      sDocs.select(md5(col("text")).as("text_md5")),
+      Dedup.minhashSignaturesMd5(Dedup.shingles(sDocs)))
+    val dayNum =
+      (floor(conv(substring(hex, 3, 1), 16, 10).cast("int") * 3 / lit(16)) + 1)
+        .cast("int")
+    val rest = d.filter(!seedSide).withColumn("ingest_day", dayNum)
+    val foldMap = (1 to 3).flatMap { kk =>
+      val day = Curation.docIngestDayFold(spark,
+        rest.filter(col("ingest_day") === kk).drop("ingest_day"), storeDir)
+      val rows = day.collect()
+      day.unpersist(false)
+      rows.map(r => (kk, r.getLong(0)) -> flags(r, 1))
+    }.toMap
+    assert(chainMap === foldMap,
+      "the pure chained query must equal the operational fold loop verdict-for-verdict")
+    // informative bed: all three days present, both novelty verdicts occur
+    assert((1 to 3).forall(kk => chainRows.exists(_.getInt(0) == kk)))
+    val novels = chainRows.count(_.getAs[Boolean]("novel"))
+    assert(novels > 0 && novels < chainRows.length)
   }
 }

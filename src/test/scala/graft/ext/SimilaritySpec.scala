@@ -497,4 +497,55 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert((1 to 3).forall(k => chainRows.exists(_.getInt(0) == k)))
     assert(novels > 0 && novels < chainRows.length)
   }
+
+  test("embeddingStoreCompact: summary arithmetic, audit-invariance, idempotence") {
+    import org.apache.spark.sql.functions.{col, lit, transform}
+    val base = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    // planted redundancy = the scale-invariance collapse itself: ×2 and
+    // ×0.5 are exact power-of-two scalings, so every direction's three
+    // magnitude variants quantize to byte-identical codes
+    def scaled(off: Long, f: Float) = base.select(
+      (col("vec_id") + lit(off)).as("vec_id"),
+      transform(col("embedding"), x => x * lit(f)).as("embedding"))
+    val codes = Similarity.quantizedCodes(
+      base.unionByName(scaled(1000000L, 2.0f)).unionByName(scaled(2000000L, 0.5f)))
+    val summ = Similarity.embeddingStoreCompactionSummary(codes).collect()(0)
+    val bs = Similarity.embeddingStoreCompactionSummary(
+      Similarity.quantizedCodes(base)).collect()(0)
+    assert(summ.getAs[Long]("rows_before") === 3 * bs.getAs[Long]("rows_before"),
+      "magnitude twins must triple stored rows")
+    assert(summ.getAs[Long]("exemplars") === bs.getAs[Long]("exemplars"),
+      "magnitude twins must create NO new digest groups")
+    assert(summ.getAs[Long]("max_group") === 3 * bs.getAs[Long]("max_group"))
+    assert(summ.getAs[Long]("dropped") ===
+      summ.getAs[Long]("rows_before") - summ.getAs[Long]("exemplars"))
+    // materialize the redundant store, audit a batch against it BEFORE
+    // compacting (and release the audit's cache before the rewrite —
+    // a live CacheManager entry over the store path could serve stale
+    // pre-compaction data to the post-compaction audit)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_emb_compact").toString
+    codes.filter(col("qsq") > 0).select("vec_id", "qv", "qsq", "dig")
+      .write.mode("overwrite").parquet(storeDir)
+    val batch = base.select((col("vec_id") + lit(5000000L)).as("vec_id"),
+      col("embedding"))
+    val audB = Similarity.embeddingIngestAudit(batch,
+      Similarity.embeddingIngestReadStore(spark, storeDir))
+    val before = audB.collect().toSeq
+    audB.unpersist(blocking = true)
+    val (b0, a0) = Similarity.embeddingStoreCompact(spark, storeDir)
+    assert(b0 === summ.getAs[Long]("rows_before"))
+    assert(a0 === summ.getAs[Long]("exemplars"))
+    // cosine is a function of the codes alone, so dropping redundant
+    // rows of an identical code cannot change any EXISTS verdict
+    val audA = Similarity.embeddingIngestAudit(batch,
+      Similarity.embeddingIngestReadStore(spark, storeDir))
+    val after = audA.collect().toSeq
+    audA.unpersist(blocking = true)
+    assert(before === after, "compaction must not change any audit verdict")
+    // idempotence: a second rewrite keeps every exemplar
+    val (b1, a1) = Similarity.embeddingStoreCompact(spark, storeDir)
+    assert(b1 === a0 && a1 === a0)
+  }
 }
