@@ -759,21 +759,94 @@ object Curation {
       .orderBy("modality")
   }
 
+  /** Repair a store dir that [[compactRewrite]] may have left
+    * mid-swap (process killed between its renames), restoring a live
+    * store at `path` without losing either the pre- or post-compaction
+    * content. The swap's crash states are fully enumerable from the
+    * three paths involved — the live target `T`, the rename-aside
+    * `.T.compact-old`, and the staged output `.T.compact-staging`
+    * (complete iff Spark's `_SUCCESS` commit marker is present):
+    *
+    *   - `T` exists → it is authoritative whatever else is on disk
+    *     (crash before the first rename, or after the second): delete
+    *     the leftover siblings → `"live"`;
+    *   - `T` missing, staging COMPLETE → the crash hit the window
+    *     between the two renames: adopt the compacted store (the
+    *     swap's intent; rename staging → `T`), drop the old copy →
+    *     `"recovered-staging"`;
+    *   - `T` missing, staging incomplete/absent, old exists → roll
+    *     back (rename old → `T`), drop the partial staging →
+    *     `"recovered-old"`;
+    *   - nothing at any path → `"absent"` (caller decides — for
+    *     [[compactRewrite]] it is an error).
+    *
+    * Idempotent (every terminal state maps to `"live"` on a second
+    * call) and audit-invariant by construction: both recovery sources
+    * hold verdict-equivalent content (compaction invariance is
+    * spec-pinned), so EITHER outcome is correct — recovery only
+    * guarantees there IS a live store again. Called automatically at
+    * the top of [[compactRewrite]], so a compaction RETRY after a
+    * crash self-heals instead of failing on the missing target;
+    * also callable directly at ingest-loop startup.
+    */
+  def storeSwapRecover(spark: org.apache.spark.sql.SparkSession,
+                       path: String): String = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.compact-staging")
+    val old = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.compact-old")
+    def stagingComplete =
+      fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+    if (fs.exists(target)) {
+      fs.delete(staging, true); fs.delete(old, true); "live"
+    } else if (fs.exists(staging) && stagingComplete) {
+      if (!fs.rename(staging, target))
+        throw new java.io.IOException(s"recovery rename $staging -> $target failed")
+      fs.delete(old, true); "recovered-staging"
+    } else if (fs.exists(old)) {
+      if (!fs.rename(old, target))
+        throw new java.io.IOException(s"recovery rename $old -> $target failed")
+      fs.delete(staging, true); "recovered-old"
+    } else "absent"
+  }
+
+  /** [[storeSwapRecover]] over every table of a media fingerprint
+    * store ([[ingestStoreCompact]]'s layout) — call at ingest-loop
+    * startup before the first [[ingestReadStore]].
+    */
+  def ingestStoreRecover(spark: org.apache.spark.sql.SparkSession,
+                         storeDir: String): Map[String, String] =
+    Seq("image", "audio", "video")
+      .map(s => s -> storeSwapRecover(spark, s"$storeDir/$s")).toMap
+
+  /** [[storeSwapRecover]] over every table of a text fingerprint
+    * store ([[docIngestStoreInit]]'s layout).
+    */
+  def docIngestStoreRecover(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String): Map[String, String] =
+    Seq("urls", "texts", "sigs")
+      .map(s => s -> storeSwapRecover(spark, s"$storeDir/$s")).toMap
+
   /** Staged, crash-recoverable rewrite of one parquet store dir —
     * shared by the media, text, and embedding compactions. Reads the
     * live store, applies `compact`, writes the result to a staging
     * sibling, then swaps with rename-ASIDE (live → .compact-old,
     * staging → live, delete .compact-old): a crash at any point
-    * leaves either the old or the new store at the live path (a
-    * delete-then-rename window would leave NO live store, stranding
-    * the ingest loop's durable state in a hidden staging dir until
-    * manual recovery). Returns (rows_before, rows_after).
+    * leaves the store recoverable ([[storeSwapRecover]], invoked
+    * automatically on entry, restores a live target from the aside or
+    * staging copy — a delete-then-rename window would instead leave
+    * NO copy outside a hidden staging dir). Returns
+    * (rows_before, rows_after).
     */
   private[ext] def compactRewrite(spark: org.apache.spark.sql.SparkSession,
                                   path: String,
                                   compact: DataFrame => DataFrame): (Long, Long) = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (storeSwapRecover(spark, path) == "absent")
+      throw new java.io.IOException(s"no store (live, old, or staged) at $target")
     val cur = spark.read.parquet(target.toString)
     val before = cur.count()
     // localCheckpoint cuts the lineage off the files about to be

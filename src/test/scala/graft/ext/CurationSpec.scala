@@ -709,6 +709,75 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       s"second compaction must be a no-op: $again")
   }
 
+  test("storeSwapRecover: every compactRewrite crash state restores a live store") {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_swap_recover").toString
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(s"$base/store")
+    val staging = new Path(base, ".store.compact-staging")
+    val old = new Path(base, ".store.compact-old")
+    def write(p: Path, ids: Seq[Long]): Unit = {
+      import spark.implicits._
+      ids.toDF("id").repartition(1).write.mode("overwrite").parquet(p.toString)
+    }
+    def readIds(): Set[Long] = spark.read.parquet(target.toString)
+      .collect().map(_.getLong(0)).toSet
+    def clean(): Unit =
+      Seq(target, staging, old).foreach(fs.delete(_, true))
+
+    // live target is authoritative whatever siblings a crash left
+    write(target, Seq(1L, 2L)); write(staging, Seq(9L)); write(old, Seq(8L))
+    assert(Curation.storeSwapRecover(spark, target.toString) === "live")
+    assert(readIds() === Set(1L, 2L))
+    assert(!fs.exists(staging) && !fs.exists(old), "stale siblings removed")
+
+    // crash BETWEEN the two renames, staged write committed: adopt it
+    clean(); write(old, Seq(1L, 2L)); write(staging, Seq(1L))
+    assert(fs.exists(new Path(staging, "_SUCCESS")),
+      "parquet commit must write the _SUCCESS marker this state keys on")
+    assert(Curation.storeSwapRecover(spark, target.toString)
+      === "recovered-staging")
+    assert(readIds() === Set(1L), "the compacted content becomes live")
+    assert(!fs.exists(staging) && !fs.exists(old))
+    // terminal states are idempotent
+    assert(Curation.storeSwapRecover(spark, target.toString) === "live")
+
+    // same window but the staged write never committed: roll back
+    clean(); write(old, Seq(1L, 2L)); write(staging, Seq(1L))
+    fs.delete(new Path(staging, "_SUCCESS"), false)
+    assert(Curation.storeSwapRecover(spark, target.toString)
+      === "recovered-old")
+    assert(readIds() === Set(1L, 2L), "the pre-compaction content survives")
+    assert(!fs.exists(staging))
+
+    // nothing anywhere — recovery reports it, compactRewrite raises
+    clean()
+    assert(Curation.storeSwapRecover(spark, target.toString) === "absent")
+    intercept[java.io.IOException] {
+      Curation.compactRewrite(spark, target.toString, identity)
+    }
+
+    // end-to-end: a compaction retry over a mid-swap media store
+    // self-heals at entry instead of failing on the missing target
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val storeDir = s"$base/media"
+    Curation.ingestStoreInit(spark, storeDir,
+      Multimodal.imageDhash(spark, Multimodal.syntheticPngSkewed(spark, docs)),
+      Multimodal.audioEhash(spark, Multimodal.syntheticWavSkewed(spark, docs)),
+      Multimodal.videoPhash(spark, Multimodal.syntheticVideoJunk(spark, docs))
+        .select("doc_id", "slot", "dhash"))
+    val first = Curation.ingestStoreCompact(spark, storeDir)
+    val imageExemplars = first("image")._2
+    fs.rename(new Path(s"$storeDir/image"),
+      new Path(storeDir, ".image.compact-old"))
+    assert(Curation.ingestStoreRecover(spark, storeDir)
+      === Map("image" -> "recovered-old", "audio" -> "live", "video" -> "live"))
+    val retry = Curation.ingestStoreCompact(spark, storeDir)
+    assert(retry("image") === ((imageExemplars, imageExemplars)),
+      s"retry after recovery is a clean no-op: ${retry("image")}")
+  }
+
   /** The doc-ingest bed: messy-URL + dup-text fixtures over sf0.001
     * documents, md5-pseudorandom ~1/3 stored split (same arithmetic as
     * q_doc_ingest_audit).
