@@ -406,6 +406,30 @@ object SparkEntry {
     // exact cosine top-k oracle applies; q_ivf_topk above stays the
     // pruned-probe demo (rows-only by design)
     "q_ivf_exact" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), nProbe = 16)),
+    // seed-code IVF: the coarse quantizer as a maintained artifact in
+    // the exact int8 regime (centroids = the nList smallest-md5 seeds'
+    // codes), which puts the whole index family — build audit,
+    // incremental assignment, pruned probe — under the hash oracle,
+    // unlike the float-kmeans q_ivf_topk
+    "q_ivf_index_build" -> ((s, d) =>
+      Similarity.ivfIndexBuildSummary(Tables.embeddings(s, d))),
+    // the index's daily-ingest cell: a NEW md5-split batch assigned
+    // against centroids built from the STORED side only — O(batch ×
+    // nList), no scan of stored assignments at all
+    "q_ivf_index_assign_inc" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, md5, substring}
+      val emb = Tables.embeddings(s, d)
+      val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+      Similarity.ivfIndexAssign(emb.filter(!storedSide),
+          Similarity.ivfSeedCentroids(emb.filter(storedSide)))
+        .select("vec_id", "centroid_id", "centroid_sim")
+        .orderBy("vec_id")
+    }),
+    // pruned-probe ANN over the seed index: deterministic end to end,
+    // so THIS pruned probe is hash-matched (nProbe = nList degenerates
+    // to q_quantized_topk row-for-row, spec-pinned)
+    "q_ivf_index_topk" -> ((s, d) =>
+      Similarity.ivfIndexTopK(Tables.embeddings(s, d))),
     // the probabilistic side of q_ivf_topk under the oracle (the
     // bounds-twin pattern): per query, recall@k of the pruned probe vs
     // the exact top-k >= the documented floor, as a TRUE-iff-held
@@ -3068,6 +3092,144 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, rnk, neighbor_id, round(sim, 6) AS cosine_sim
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // seed-code IVF build audit: the q_quantized_topk quantization
+    // chain, centroids = the 16 smallest-md5 non-degenerate seeds'
+    // codes, nearest-centroid assignment by exact integer-dot cosine
+    // (ties to the lowest centroid id) — per-list size, distinct
+    // codes, and min/max member similarity all hash-match
+    "q_ivf_index_build" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        md5(list_aggr(list_transform(qv, x -> CAST(x AS VARCHAR)),
+        |          'string_agg', ',')) AS dig,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
+        |      FROM q0),
+        |base AS (SELECT * FROM b WHERE qsq > 0),
+        |seeds AS (SELECT * FROM (
+        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS INTEGER) - 1 AS centroid_id
+        |    FROM base) WHERE centroid_id < 16),
+        |sc AS (SELECT base.vec_id, base.dig, seeds.centroid_id,
+        |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
+        |  FROM base, seeds),
+        |asg AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, centroid_id) AS rn FROM sc)
+        |  WHERE rn = 1)
+        |SELECT asg.centroid_id, seeds.seed_vec_id,
+        |  COUNT(*) AS list_size, COUNT(DISTINCT dig) AS n_codes,
+        |  min(round(sim, 6)) AS min_sim, max(round(sim, 6)) AS max_sim
+        |FROM asg JOIN seeds USING (centroid_id)
+        |GROUP BY asg.centroid_id, seeds.seed_vec_id
+        |ORDER BY centroid_id""".stripMargin,
+    // the index's incremental cell: seeds drawn from the md5-random
+    // STORED side only, the NEW batch assigned against those fixed
+    // centroids — O(batch x nList) with no stored-assignment scan
+    "q_ivf_index_assign_inc" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq,
+        |        substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS stored
+        |      FROM q0),
+        |base AS (SELECT * FROM b WHERE qsq > 0),
+        |seeds AS (SELECT * FROM (
+        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS INTEGER) - 1 AS centroid_id
+        |    FROM base WHERE stored) WHERE centroid_id < 16),
+        |nb AS (SELECT * FROM base WHERE NOT stored),
+        |sc AS (SELECT nb.vec_id, seeds.centroid_id,
+        |    CAST(list_sum(list_transform(range(1, len(nb.qv) + 1),
+        |      i -> CAST(nb.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(nb.qsq AS DOUBLE) * seeds.csq) AS sim
+        |  FROM nb, seeds),
+        |asg AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, centroid_id) AS rn FROM sc)
+        |  WHERE rn = 1)
+        |SELECT vec_id, centroid_id, round(sim, 6) AS centroid_sim
+        |FROM asg ORDER BY vec_id""".stripMargin,
+    // pruned-probe IVF top-k over the seed index: probes = each
+    // query's 4 nearest centroids, candidates = vectors assigned to
+    // those lists, ranking = the exact integer-dot cosine — the whole
+    // pruned probe is deterministic, hence hash-matched (the kmeans
+    // q_ivf_topk stays rows-only; this is its exact-regime twin)
+    "q_ivf_index_topk" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
+        |      FROM q0),
+        |base AS (SELECT * FROM b WHERE qsq > 0),
+        |seeds AS (SELECT * FROM (
+        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS INTEGER) - 1 AS centroid_id
+        |    FROM base) WHERE centroid_id < 16),
+        |sc AS (SELECT base.vec_id, seeds.centroid_id,
+        |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
+        |  FROM base, seeds),
+        |asg AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, centroid_id) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |qp AS (SELECT * FROM (
+        |    SELECT vec_id AS query_id, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, centroid_id) AS prn
+        |    FROM sc WHERE vec_id < 10) WHERE prn <= 4),
+        |qq AS (SELECT vec_id AS query_id, qv AS qa, qsq AS sqa
+        |  FROM base WHERE vec_id < 10),
+        |cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id
+        |  FROM qp JOIN asg a ON a.centroid_id = qp.centroid_id
+        |    AND a.vec_id <> qp.query_id),
+        |d AS (SELECT c.query_id, c.neighbor_id, qq.sqa, nb.qsq AS sqb,
+        |    list_sum(list_transform(range(1, len(qq.qa) + 1),
+        |      i -> CAST(qq.qa[CAST(i AS INTEGER)] AS BIGINT)
+        |        * nb.qv[CAST(i AS INTEGER)])) AS qdot
+        |  FROM cand c JOIN qq ON c.query_id = qq.query_id
+        |    JOIN base nb ON c.neighbor_id = nb.vec_id),
+        |r AS (SELECT query_id, neighbor_id, qdot,
+        |    CAST(qdot AS DOUBLE) / sqrt(CAST(sqa AS DOUBLE) * sqb) AS sim
+        |  FROM d),
+        |rr AS (SELECT query_id, neighbor_id, qdot, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+        |  FROM r)
+        |SELECT query_id, rnk, neighbor_id, CAST(qdot AS BIGINT) AS qdot,
+        |  round(sim, 6) AS q_cosine
+        |FROM rr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // the q_quantize_int8 code arithmetic + an exact integer dot
     // product (scales cancel in cosine), ranked per query — the
     // quantized ANN scan under the exact oracle

@@ -801,4 +801,227 @@ object Similarity {
       (sumSq === 0.0 || nonfinite > 0).as("is_degenerate"))
       .orderBy("vec_id")
   }
+
+  // ------------------------------------------------------------------
+  // Seed-code IVF index: the coarse quantizer as a MAINTAINED ARTIFACT
+  // ------------------------------------------------------------------
+
+  /** Deterministic IVF "training": the `nList` non-degenerate vectors
+    * with the smallest `md5(vec_id)` are the coarse centroids, and each
+    * centroid IS its seed's int8 code. Random-init IVF (no Lloyd
+    * iterations) is a standard coarse quantizer; drawing the seeds by
+    * md5 order just fixes the randomness to something both engines can
+    * compute — which moves the ENTIRE index family (build, incremental
+    * assignment, pruned probe) into the exact int8 regime and under the
+    * hash-match oracle, unlike the float-kmeans [[ivfCentroids]] path
+    * (`q_ivf_topk`, rows-only by contract).
+    *
+    * Returns (centroid_id, seed_vec_id, cv = seed int8 code, csq).
+    * The top-nList pick is a distributed TakeOrdered; only the picked
+    * nList × dim ints reach the driver (the [[ivfCentroids]] k×dim
+    * adjudication), which also assigns the rank without a
+    * partition-less window.
+    */
+  def ivfSeedCentroids(embeddings: DataFrame, nList: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val key = md5(col("vec_id").cast("string"))
+    quantizedCodes(embeddings).filter(col("qsq") > 0)
+      .select(key.as("mkey"), col("vec_id"), col("qv"), col("qsq"))
+      .orderBy("mkey", "vec_id").limit(nList)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+      .zipWithIndex
+      .map { case ((_, vid, cv, csq), i) => (i, vid, cv, csq) }
+      .toSeq.toDF("centroid_id", "seed_vec_id", "cv", "csq")
+  }
+
+  /** Bounded driver fetch of the centroid matrix (nList × dim ints —
+    * the [[ivfCentroids]] k×dim adjudication), sorted by centroid id.
+    */
+  private[ext] def collectSeedCentroids(centroids: DataFrame)
+      : Array[(Int, Seq[Int], Long)] = {
+    val seeds = centroids.select("centroid_id", "cv", "csq").collect()
+      .map(r => (r.getInt(0), r.getSeq[Int](1), r.getLong(2)))
+      .sortBy(_._1)
+    require(seeds.nonEmpty,
+      "IVF index needs at least one non-degenerate stored vector")
+    seeds
+  }
+
+  /** Per-centroid (sim, -centroid_id) scores over the literal centroid
+    * codes, UNROLLED one struct per centroid rather than a `transform`
+    * over a 2-D literal: nList is a small compile-time constant and the
+    * unrolled form keeps the native `int_dot` loops inside whole-stage
+    * codegen, where a HOF lambda would evaluate them interpreted per
+    * element (the round-11 cliff). `array_max` picks max sim, ties to
+    * the LOWEST centroid id (max of the negated id); NaN is impossible
+    * (both squared norms are > 0 by construction).
+    */
+  private def seedScoreArray(seeds: Array[(Int, Seq[Int], Long)]): Column = {
+    import graft.functions.IntDot.int_dot
+    array(seeds.map { case (cid, cv, csq) =>
+      struct(
+        (int_dot(col("qv"), typedlit(cv)).cast("double")
+          / sqrt(col("qsq").cast("double") * lit(csq.toDouble))).as("sim"),
+        lit(-cid).as("nid"))
+    }: _*)
+  }
+
+  /** Nearest-centroid assignment of a vector batch against a FIXED
+    * centroid table — the IVF index's incremental-maintenance step. The
+    * batch is quantized once ([[quantizedCodes]]); the centroid matrix
+    * is a broadcast-scale literal, so a day's assignment is O(batch ×
+    * nList) with NO scan of previously indexed vectors at all — the
+    * cheapest daily-ingest cell in the engine. Degenerate vectors
+    * (all-zero code) are excluded, as everywhere in the ANN family.
+    * Exact integer arithmetic + one double division per centroid ⇒
+    * fully hash-matched (`q_ivf_index_assign_inc`).
+    */
+  def ivfIndexAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val best = array_max(seedScoreArray(collectSeedCentroids(centroids)))
+    quantizedCodes(vecs).filter(col("qsq") > 0)
+      .withColumn("best", best)
+      .select(col("vec_id"), col("qv"), col("qsq"), col("dig"),
+        (-col("best.nid")).cast("int").as("centroid_id"),
+        round(col("best.sim"), 6).as("centroid_sim"))
+  }
+
+  /** Build-time index audit (`q_ivf_index_build`): one row per inverted
+    * list with its seed, size, distinct-code count, and the min/max
+    * member-to-centroid similarity (min/max of already-rounded exact
+    * doubles — order-independent, unlike a float mean).
+    */
+  def ivfIndexBuildSummary(embeddings: DataFrame, nList: Int = 16): DataFrame = {
+    val cents = ivfSeedCentroids(embeddings, nList)
+    ivfIndexAssign(embeddings, cents)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("list_size"),
+        countDistinct(col("dig")).as("n_codes"),
+        min(col("centroid_sim")).as("min_sim"),
+        max(col("centroid_sim")).as("max_sim"))
+      .join(cents.select("centroid_id", "seed_vec_id"), Seq("centroid_id"))
+      .select(col("centroid_id"), col("seed_vec_id"), col("list_size"),
+        col("n_codes"), col("min_sim"), col("max_sim"))
+      .orderBy("centroid_id")
+  }
+
+  /** IVF top-k over the seed-code index: queries probe their `nProbe`
+    * nearest centroids (sim DESC, centroid_id ASC — the same argmax
+    * arithmetic as assignment), candidates are ONLY the vectors
+    * assigned to those lists (shuffle on the list id, candidate work =
+    * corpus/nList × nProbe), and the final ranking is the exact
+    * integer-dot cosine of [[quantizedCosineTopK]]. Every step is
+    * deterministic, so unlike the kmeans IVF this pruned probe is
+    * itself hash-matched (`q_ivf_index_topk`) — and with nProbe = nList
+    * it equals [[quantizedCosineTopK]] row-for-row (spec-pinned).
+    */
+  def ivfIndexTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                   nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    import graft.functions.IntDot.int_dot
+    val scored = seedScoreArray(
+      collectSeedCentroids(ivfSeedCentroids(embeddings, nList)))
+    val codes = quantizedCodes(embeddings).filter(col("qsq") > 0)
+    val assigned = codes
+      .withColumn("best", array_max(scored))
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
+        col("qsq").as("sqb"), (-col("best.nid")).cast("int").as("cluster"))
+    // a query's own list is its top-1 probe, so it always probes itself;
+    // each neighbor lives in exactly ONE list, so candidates are distinct
+    val q = codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+        col("qsq").as("sqa"),
+        explode(slice(reverse(array_sort(scored)), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qa"), col("sqa"),
+        (-col("p.nid")).cast("int").as("cluster"))
+    val sims = assigned.join(broadcast(q), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qdot", int_dot(col("qb"), col("qa")))
+      .withColumn("sim",
+        col("qdot") / sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("qdot"), round(col("sim"), 6).as("q_cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Persist the index: `dir/centroids` (nList rows) and
+    * `dir/assignments` partitioned BY `centroid_id` — the inverted
+    * lists as a physical hive layout, so a probe reads ONLY its
+    * nProbe partitions (partition pruning; spec-pinned via inputFiles).
+    */
+  def ivfIndexStoreInit(embeddings: DataFrame, dir: String,
+                        nList: Int = 16): Unit = {
+    val cents = ivfSeedCentroids(embeddings, nList)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfIndexAssign(embeddings, cents).write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(s"$dir/assignments")
+  }
+
+  def ivfIndexStoreCentroids(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame =
+    spark.read.parquet(s"$dir/centroids")
+
+  def ivfIndexStoreAssignments(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): DataFrame =
+    spark.read.parquet(s"$dir/assignments")
+      .select("vec_id", "qv", "qsq", "dig", "centroid_id", "centroid_sim")
+
+  /** Incremental index maintenance: assign a NEW batch against the
+    * STORED centroids (no scan of stored assignments — O(batch ×
+    * nList)) and append it into the partitioned inverted lists.
+    * Because the centroids are fixed at init, append-then-read equals
+    * a from-scratch assignment of the union corpus under the same
+    * seeds (spec-pinned) — assignments are immutable facts, so the
+    * store is append-only with no rewrite step.
+    */
+  def ivfIndexStoreAppend(spark: org.apache.spark.sql.SparkSession,
+                          newVecs: DataFrame, dir: String): DataFrame = {
+    val assigned = ivfIndexAssign(newVecs, ivfIndexStoreCentroids(spark, dir))
+    assigned.write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$dir/assignments")
+    assigned
+  }
+
+  /** Probe the PERSISTED index: rank the stored centroids per query,
+    * collect the union of probed list ids (bounded: numQueries × nProbe
+    * ints), and read only those hive partitions of the assignment
+    * store — at a 100 TB corpus with nList lists, a probe touches
+    * nProbe/nList of the index bytes and none of the rest. Ranking is
+    * the same exact arithmetic as [[ivfIndexTopK]].
+    */
+  def ivfIndexStoreProbe(spark: org.apache.spark.sql.SparkSession,
+                         queryVecs: DataFrame, dir: String,
+                         k: Int = 5, nProbe: Int = 4): DataFrame = {
+    import graft.functions.IntDot.int_dot
+    val scored = seedScoreArray(
+      collectSeedCentroids(ivfIndexStoreCentroids(spark, dir)))
+    val q = quantizedCodes(queryVecs).filter(col("qsq") > 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+        col("qsq").as("sqa"),
+        explode(slice(reverse(array_sort(scored)), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qa"), col("sqa"),
+        (-col("p.nid")).cast("int").as("cluster"))
+    val lists = q.select("cluster").distinct().collect().map(_.getInt(0))
+    val cands = ivfIndexStoreAssignments(spark, dir)
+      .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
+        col("qsq").as("sqb"), col("centroid_id").as("cluster"))
+    val sims = cands.join(broadcast(q), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qdot", int_dot(col("qb"), col("qa")))
+      .withColumn("sim",
+        col("qdot") / sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("qdot"), round(col("sim"), 6).as("q_cosine"))
+      .orderBy("query_id", "rnk")
+  }
 }

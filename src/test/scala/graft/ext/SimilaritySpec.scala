@@ -548,4 +548,116 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val (b1, a1) = Similarity.embeddingStoreCompact(spark, storeDir)
     assert(b1 === a0 && a1 === a0)
   }
+
+  test("ivfSeedCentroids: deterministic build, 16 distinct non-degenerate seeds") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val c1 = Similarity.ivfSeedCentroids(d).collect().sortBy(_.getInt(0))
+    val c2 = Similarity.ivfSeedCentroids(d).collect().sortBy(_.getInt(0))
+    assert(c1.length === 16)
+    assert(c1.map(_.getInt(0)).toSeq === (0 until 16))
+    assert(c1.map(_.toSeq) === c2.map(_.toSeq), "two builds must be identical")
+    assert(c1.forall(_.getAs[Long]("csq") > 0), "degenerate seeds are excluded")
+    assert(c1.map(_.getAs[Long]("seed_vec_id")).distinct.length === 16)
+  }
+
+  test("ivfIndexAssign: argmax matches brute force; a seed assigns at sim 1 " +
+      "to the lowest identical-code centroid") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.ivfSeedCentroids(d)
+    val seeds = Similarity.collectSeedCentroids(cents)
+    val asg = Similarity.ivfIndexAssign(d, cents)
+      .select("vec_id", "qv", "qsq", "centroid_id", "centroid_sim").collect()
+    assert(asg.nonEmpty)
+    // brute-force argmax on the driver over the same exact arithmetic
+    asg.foreach { r =>
+      val qv = r.getSeq[Int](1); val qsq = r.getLong(2)
+      val sims = seeds.map { case (cid, cv, csq) =>
+        val dot = qv.zip(cv).map { case (a, b) => a.toLong * b }.sum
+        (dot.toDouble / math.sqrt(qsq.toDouble * csq.toDouble), cid)
+      }
+      val best = sims.maxBy { case (s, cid) => (s, -cid) }
+      assert(r.getInt(3) === best._2,
+        s"vec ${r.getLong(0)}: expected centroid ${best._2}, got ${r.getInt(3)}")
+      assert(math.abs(r.getDouble(4) - best._1) < 1e-6)
+    }
+    // each seed's nearest centroid is (an identical-code copy of) itself
+    val bySeed = asg.map(r => r.getLong(0) -> r).toMap
+    seeds.foreach { case (cid, _, _) =>
+      val seedVec = cents.filter(col("centroid_id") === cid)
+        .collect()(0).getAs[Long]("seed_vec_id")
+      val row = bySeed(seedVec)
+      assert(row.getDouble(4) === 1.0, s"seed $seedVec must score sim 1.0")
+      assert(row.getInt(3) <= cid, "ties break to the lowest centroid id")
+    }
+  }
+
+  test("ivfIndexTopK with nProbe = nList is exactly the quantized brute-force scan") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val all = Similarity.ivfIndexTopK(d, nProbe = 16).collect().map(_.toSeq)
+    val brute = Similarity.quantizedCosineTopK(d).collect().map(_.toSeq)
+    assert(all.toSeq === brute.toSeq)
+    // the pruned probe keeps per-query result shape and high overlap
+    val pruned = Similarity.ivfIndexTopK(d, nProbe = 4).collect()
+    val prunedByQ = pruned.groupBy(_.getLong(0))
+    assert(prunedByQ.values.forall(_.length <= 5))
+    val bruteByQ = brute.groupBy(_.head.asInstanceOf[Long])
+    val recalls = bruteByQ.map { case (q, rows) =>
+      val exact = rows.map(_(2).asInstanceOf[Long]).toSet
+      val got = prunedByQ.getOrElse(q, Array.empty).map(_.getLong(2)).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    assert(recalls.sum / recalls.size >= 0.5,
+      s"mean recall@5 of the 4/16-probe index fell to ${recalls.sum / recalls.size}")
+  }
+
+  test("ivfIndexStore: append ≡ batch assignment under the stored seeds; " +
+      "a probe prunes to its probed hive partitions") {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val stored = d.filter(storedSide); val fresh = d.filter(!storedSide)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_store").toString
+    Similarity.ivfIndexStoreInit(stored, dir)
+    Similarity.ivfIndexStoreAppend(spark, fresh, dir)
+    val afterAppend = Similarity.ivfIndexStoreAssignments(spark, dir)
+      .select("vec_id", "centroid_id", "centroid_sim")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = Similarity.ivfIndexAssign(d,
+        Similarity.ivfIndexStoreCentroids(spark, dir))
+      .select("vec_id", "centroid_id", "centroid_sim")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(afterAppend.toSeq === batch.toSeq,
+      "incremental append must equal the one-batch assignment (fixed seeds)")
+    // the assignment store IS the inverted file: hive layout by list id,
+    // and a list filter scans only its partitions
+    val lists = new java.io.File(s"$dir/assignments").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName)
+    assert(lists.length > 1, "expected one hive partition per inverted list")
+    // inputFiles reports the whole FileIndex; the files the executed
+    // scan actually READS show the partition pruning
+    val readFiles = spark.read.parquet(s"$dir/assignments")
+      .filter(col("centroid_id").isin(0, 1))
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0))
+    assert(readFiles.nonEmpty)
+    assert(readFiles.forall(f =>
+      f.contains("centroid_id=0") || f.contains("centroid_id=1")),
+      "probe scan must prune to the probed lists' partitions")
+    // the persisted-index probe with every list probed IS brute force:
+    // a full-corpus store + nProbe = nList reproduces the quantized
+    // scan row-for-row, through the hive layout and the pruning path
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    Similarity.ivfIndexStoreInit(d, fullDir)
+    val queries = d.filter(col("vec_id") < 10)
+    val viaStore = Similarity.ivfIndexStoreProbe(spark, queries, fullDir,
+      nProbe = 16).collect().map(_.toSeq)
+    val brute = Similarity.quantizedCosineTopK(d).collect().map(_.toSeq)
+    assert(viaStore.toSeq === brute.toSeq)
+    // and the pruned store probe matches the in-memory pruned index
+    val prunedStore = Similarity.ivfIndexStoreProbe(spark, queries, fullDir)
+      .collect().map(_.toSeq)
+    val prunedMem = Similarity.ivfIndexTopK(d).collect().map(_.toSeq)
+    assert(prunedStore.toSeq === prunedMem.toSeq)
+  }
 }
