@@ -255,6 +255,13 @@ object StressBench {
     }
     if (selected("emb_ingest_day_small_store")) { embSmallCodes; () }
     if (selected("emb_ingest_day_large_store")) { embLargeCodes; () }
+    // seed-code IVF index: the stored side's centroids are a persisted
+    // artifact (ivfIndexStoreInit writes them once), so the incremental
+    // day row builds them UNTIMED — the timed body is exactly what a
+    // day pays: quantize the batch + one O(batch × nList) argmax
+    lazy val ivfDayCents =
+      ext.Similarity.ivfSeedCentroids(emb.filter(col("vec_id") % 10 =!= 0))
+    if (selected("ivf_index_assign_day")) { ivfDayCents; () }
     def ingestDay(store: (DataFrame, DataFrame, DataFrame)): Long = {
       val a = ext.Curation.mediaIngestAudit(spark,
         fixture("png_skewed").filter(col("doc_id") % 10 === 0),
@@ -345,6 +352,16 @@ object StressBench {
       // (production stores pre-computed codes, so this is the
       // conservative bound on the scan win)
       time("quantized_topk", ext.Similarity.quantizedCosineTopK(emb).count()),
+      // round-12: the seed-code IVF index at scale. The pruned probe's
+      // A/B is quantized_topk above (same exact arithmetic over 4/16 of
+      // the candidate space); build = the full-corpus assignment
+      // (corpus × nList integer dots); the day row is the incremental
+      // cell — a 10% batch against FIXED stored-side centroids,
+      // independent of everything already indexed
+      time("ivf_index_topk", ext.Similarity.ivfIndexTopK(emb).count()),
+      time("ivf_index_build", ext.Similarity.ivfIndexBuildSummary(emb).count()),
+      time("ivf_index_assign_day", ext.Similarity.ivfIndexAssign(
+        emb.filter(col("vec_id") % 10 === 0), ivfDayCents).count()),
       time("hll_distinct", {
         li.agg(functions.HllSketch.hll_distinct(spark, col("l_partkey"))).collect()(0).getLong(0)
       }),

@@ -822,11 +822,18 @@ object Similarity {
     * adjudication), which also assigns the rank without a
     * partition-less window.
     */
-  def ivfSeedCentroids(embeddings: DataFrame, nList: Int = 16): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
+  def ivfSeedCentroids(embeddings: DataFrame, nList: Int = 16): DataFrame =
+    seedsToDf(embeddings.sparkSession,
+      seedPickFromCodes(quantizedCodes(embeddings).filter(col("qsq") > 0), nList))
+
+  /** The seed draw over an existing non-degenerate code frame — lets
+    * [[ivfIndexBuildSummary]]/[[ivfIndexTopK]] reuse ONE quantization
+    * pass for the seed pick, the assignment, and the query side.
+    */
+  private def seedPickFromCodes(codes: DataFrame, nList: Int)
+      : Array[(Int, Long, Seq[Int], Long)] = {
     val key = md5(col("vec_id").cast("string"))
-    quantizedCodes(embeddings).filter(col("qsq") > 0)
+    codes
       .select(key.as("mkey"), col("vec_id"), col("qv"), col("qsq"))
       .orderBy("mkey", "vec_id").limit(nList)
       .collect()
@@ -834,7 +841,12 @@ object Similarity {
       .sortBy(t => (t._1, t._2))
       .zipWithIndex
       .map { case ((_, vid, cv, csq), i) => (i, vid, cv, csq) }
-      .toSeq.toDF("centroid_id", "seed_vec_id", "cv", "csq")
+  }
+
+  private def seedsToDf(spark: org.apache.spark.sql.SparkSession,
+                        picked: Array[(Int, Long, Seq[Int], Long)]): DataFrame = {
+    import spark.implicits._
+    picked.toSeq.toDF("centroid_id", "seed_vec_id", "cv", "csq")
   }
 
   /** Bounded driver fetch of the centroid matrix (nList × dim ints —
@@ -894,8 +906,15 @@ object Similarity {
     * doubles — order-independent, unlike a float mean).
     */
   def ivfIndexBuildSummary(embeddings: DataFrame, nList: Int = 16): DataFrame = {
-    val cents = ivfSeedCentroids(embeddings, nList)
-    ivfIndexAssign(embeddings, cents)
+    val codes = quantizedCodes(embeddings).filter(col("qsq") > 0).persist()
+    val picked = seedPickFromCodes(codes, nList)
+    val best = array_max(seedScoreArray(picked.map { case (cid, _, cv, csq) =>
+      (cid, cv, csq) }))
+    val cents = seedsToDf(codes.sparkSession, picked)
+    val out = codes
+      .withColumn("best", best)
+      .select(col("dig"), (-col("best.nid")).cast("int").as("centroid_id"),
+        round(col("best.sim"), 6).as("centroid_sim"))
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("list_size"),
         countDistinct(col("dig")).as("n_codes"),
@@ -905,6 +924,7 @@ object Similarity {
       .select(col("centroid_id"), col("seed_vec_id"), col("list_size"),
         col("n_codes"), col("min_sim"), col("max_sim"))
       .orderBy("centroid_id")
+    Dedup.scopeCaches(out, codes)
   }
 
   /** IVF top-k over the seed-code index: queries probe their `nProbe`
@@ -920,9 +940,9 @@ object Similarity {
   def ivfIndexTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
                    nList: Int = 16, nProbe: Int = 4): DataFrame = {
     import graft.functions.IntDot.int_dot
-    val scored = seedScoreArray(
-      collectSeedCentroids(ivfSeedCentroids(embeddings, nList)))
-    val codes = quantizedCodes(embeddings).filter(col("qsq") > 0)
+    val codes = quantizedCodes(embeddings).filter(col("qsq") > 0).persist()
+    val scored = seedScoreArray(seedPickFromCodes(codes, nList)
+      .map { case (cid, _, cv, csq) => (cid, cv, csq) })
     val assigned = codes
       .withColumn("best", array_max(scored))
       .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
@@ -942,11 +962,12 @@ object Similarity {
         col("qdot") / sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rnk", row_number().over(w))
+    val out = sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         col("qdot"), round(col("sim"), 6).as("q_cosine"))
       .orderBy("query_id", "rnk")
+    Dedup.scopeCaches(out, codes)
   }
 
   /** Persist the index: `dir/centroids` (nList rows) and
