@@ -376,6 +376,18 @@ object SparkEntry {
         .filter(col("qsq") > 0)
       Similarity.embeddingIngestAudit(emb.filter(!storedSide), stored)
     }),
+    // the IVF-list-blocked form of the audit above — the production
+    // pair space (equi-join on the probed list ids instead of the
+    // broadcast full-store scan). Seed-code centroids are
+    // deterministic, so even the pruned candidate set hash-matches
+    "q_embedding_neardup_blocked" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, md5, substring}
+      val emb = Tables.embeddings(s, d)
+      val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+      val cents = Similarity.ivfSeedCentroids(emb.filter(storedSide))
+      Similarity.embeddingIngestAuditBlocked(emb.filter(!storedSide),
+        Similarity.ivfIndexAssign(emb.filter(storedSide), cents), cents)
+    }),
     // the CHAINED 3-day form of the audit above, still fully
     // hash-matched: md5-assigned day batches, day k's store =
     // seed ∪ novel(days < k) — the ingest-loop law (chain ≡
@@ -1212,6 +1224,91 @@ object SparkEntry {
         |    / sqrt(CAST(r.qsq AS DOUBLE) * o.qsq) >= 0.35),
         |cross_reps AS (SELECT DISTINCT rep_id FROM pr WHERE o_stored),
         |new_reps AS (SELECT DISTINCT o_id AS rep_id FROM pr WHERE NOT o_stored),
+        |flags AS (SELECT wm.vec_id,
+        |    EXISTS (SELECT 1 FROM sb WHERE sb.dig = wm.dig) AS code_dup_stored,
+        |    wm.vec_id <> wm.grp_min AS code_dup_new,
+        |    (cr.rep_id IS NOT NULL) AS neardup_stored,
+        |    (wm.vec_id <> wm.grp_min OR nr.rep_id IS NOT NULL) AS neardup_new
+        |  FROM wm LEFT JOIN cross_reps cr ON wm.grp_min = cr.rep_id
+        |          LEFT JOIN new_reps nr ON wm.grp_min = nr.rep_id)
+        |SELECT n.vec_id, (n.qsq = 0) AS is_degenerate,
+        |  coalesce(f.code_dup_stored, FALSE) AS code_dup_stored,
+        |  coalesce(f.code_dup_new, FALSE) AS code_dup_new,
+        |  coalesce(f.neardup_stored, FALSE) AS neardup_stored,
+        |  coalesce(f.neardup_new, FALSE) AS neardup_new,
+        |  (n.qsq > 0 AND NOT coalesce(f.code_dup_stored, FALSE)
+        |    AND NOT coalesce(f.code_dup_new, FALSE)
+        |    AND NOT coalesce(f.neardup_stored, FALSE)
+        |    AND NOT coalesce(f.neardup_new, FALSE)) AS novel
+        |FROM newv n LEFT JOIN flags f ON n.vec_id = f.vec_id
+        |ORDER BY n.vec_id""".stripMargin,
+    // the blocked audit: same flag rules, but near-dup candidates are
+    // only the members of the 4 lists each new rep probes (seed-code
+    // centroids from the stored side). Deterministic seeds make even
+    // the pruned candidate set hash-matchable
+    "q_embedding_neardup_blocked" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        md5(list_aggr(list_transform(qv, x -> CAST(x AS VARCHAR)),
+        |          'string_agg', ',')) AS dig,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq,
+        |        substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS stored
+        |      FROM q0),
+        |allb AS (SELECT * FROM b WHERE qsq > 0),
+        |seeds AS (SELECT * FROM (
+        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS INTEGER) - 1 AS centroid_id
+        |    FROM allb WHERE stored) WHERE centroid_id < 16),
+        |sc AS (SELECT allb.vec_id, seeds.centroid_id,
+        |    CAST(list_sum(list_transform(range(1, len(allb.qv) + 1),
+        |      i -> CAST(allb.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(allb.qsq AS DOUBLE) * seeds.csq) AS sim
+        |  FROM allb, seeds),
+        |asg AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, centroid_id) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |newv AS (SELECT * FROM b WHERE NOT stored),
+        |base AS (SELECT * FROM newv WHERE qsq > 0),
+        |sb AS (SELECT * FROM b WHERE stored AND qsq > 0),
+        |gmin AS (SELECT dig, min(vec_id) AS grp_min FROM base GROUP BY dig),
+        |wm AS (SELECT base.*, grp_min FROM base JOIN gmin USING (dig)),
+        |reps AS (SELECT vec_id, qv, qsq FROM wm WHERE vec_id = grp_min),
+        |probes AS (SELECT * FROM (
+        |    SELECT sc.vec_id AS rep_id, sc.centroid_id,
+        |      row_number() OVER (PARTITION BY sc.vec_id
+        |        ORDER BY sim DESC, centroid_id) AS prn
+        |    FROM sc JOIN reps ON sc.vec_id = reps.vec_id) WHERE prn <= 4),
+        |others AS (
+        |  SELECT sb.vec_id AS o_id, sb.qv AS oqv, sb.qsq AS osq,
+        |    a.centroid_id AS cluster, TRUE AS o_stored
+        |  FROM sb JOIN asg a ON sb.vec_id = a.vec_id
+        |  UNION ALL
+        |  SELECT r.vec_id, r.qv, r.qsq, a.centroid_id, FALSE
+        |  FROM reps r JOIN asg a ON r.vec_id = a.vec_id),
+        |pr AS (SELECT p.rep_id, o.o_id, o.o_stored,
+        |    r.qv AS rqv, r.qsq AS rsq, o.oqv, o.osq
+        |  FROM probes p
+        |  JOIN others o ON o.cluster = p.centroid_id AND p.rep_id <> o.o_id
+        |  JOIN reps r ON r.vec_id = p.rep_id),
+        |hits AS (SELECT rep_id, o_id, o_stored FROM pr
+        |  WHERE CAST(list_sum(list_transform(range(1, len(rqv) + 1),
+        |      i -> CAST(rqv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * oqv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |    / sqrt(CAST(rsq AS DOUBLE) * osq) >= 0.35),
+        |cross_reps AS (SELECT DISTINCT rep_id FROM hits WHERE o_stored),
+        |new_reps AS (SELECT DISTINCT greatest(rep_id, o_id) AS rep_id
+        |  FROM hits WHERE NOT o_stored),
         |flags AS (SELECT wm.vec_id,
         |    EXISTS (SELECT 1 FROM sb WHERE sb.dig = wm.dig) AS code_dup_stored,
         |    wm.vec_id <> wm.grp_min AS code_dup_new,

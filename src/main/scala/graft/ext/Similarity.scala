@@ -546,6 +546,93 @@ object Similarity {
     (out, codes)
   }
 
+  /** The IVF-list-blocked form of [[embeddingIngestAudit]] — the
+    * production pair space at 100 TB, where even ONE bandwidth-bound
+    * scan of the stored codes per day is too much. The stored side
+    * arrives WITH its inverted-list assignment (the
+    * [[ivfIndexStoreAssignments]] table — at scale the dedup store and
+    * the ANN index are the same artifact); each new rep probes its
+    * `nProbe` nearest lists, and near-dup candidates are only the
+    * members of probed lists — an EQUI-JOIN on the list id (shuffle-
+    * partitionable, candidate volume = Σ_list probers × list size)
+    * instead of the broadcast full-store scan. Exact-duplicate flags
+    * (code digests) are list-independent and identical to the
+    * unblocked audit's.
+    *
+    * Because the seed-code centroids are deterministic, the blocked
+    * approximation is itself hash-matched (`q_embedding_neardup_blocked`)
+    * — the pruned candidate set is a pure function of the data, unlike
+    * a kmeans blocking. Contract: a new/new pair is a candidate iff
+    * EITHER member's assigned list is probed by the other (the flag
+    * lands on the greater id — first arrival wins); a new/stored pair
+    * iff the stored member's list is probed by the new rep. With
+    * nProbe = nList every list is probed and the audit equals
+    * [[embeddingIngestAudit]] row-for-row; with fewer probes its flags
+    * are a subset and `novel` a superset (both spec-pinned).
+    */
+  def embeddingIngestAuditBlocked(newVecs: DataFrame, storedAssigned: DataFrame,
+                                  centroids: DataFrame, threshold: Double = 0.35,
+                                  nProbe: Int = 4): DataFrame = {
+    import graft.functions.IntDot.int_dot
+    val scored = seedScoreArray(collectSeedCentroids(centroids))
+    val codes = quantizedCodes(newVecs).persist()
+    val base = codes.filter(col("qsq") > 0)
+    val gmin = base.groupBy("dig").agg(min(col("vec_id")).as("grp_min"))
+    val withMin = base.join(gmin, "dig")
+    val sd = storedAssigned.select("dig").distinct().withColumn("c_stored", lit(true))
+    val codeFlags = withMin.join(sd, Seq("dig"), "left")
+      .select(col("vec_id"),
+        coalesce(col("c_stored"), lit(false)).as("code_dup_stored"),
+        (col("vec_id") =!= col("grp_min")).as("code_dup_new"))
+    val repsBase = withMin.filter(col("vec_id") === col("grp_min"))
+      .select(col("vec_id").as("rep_id"), col("qv"), col("qsq"))
+    val repProbes = repsBase
+      .select(col("rep_id"), col("qv").as("rqv"), col("qsq").as("rsq"),
+        explode(slice(reverse(array_sort(scored)), 1, nProbe)).as("p"))
+      .select(col("rep_id"), col("rqv"), col("rsq"),
+        (-col("p.nid")).cast("int").as("cluster"))
+    val repAssigned = repsBase
+      .withColumn("best", array_max(scored))
+      .select(col("rep_id").as("o_id"), col("qv").as("oqv"),
+        col("qsq").as("osq"), (-col("best.nid")).cast("int").as("cluster"),
+        lit(false).as("o_stored"))
+    val others = storedAssigned
+      .select(col("vec_id").as("o_id"), col("qv").as("oqv"),
+        col("qsq").as("osq"), col("centroid_id").as("cluster"),
+        lit(true).as("o_stored"))
+      .unionByName(repAssigned)
+    val pairs = others.join(broadcast(repProbes), Seq("cluster"))
+      .filter(col("rep_id") =!= col("o_id"))
+      .withColumn("qdot", int_dot(col("rqv"), col("oqv")))
+      .filter(col("qdot").cast("double") /
+        sqrt(col("rsq").cast("double") * col("osq").cast("double")) >= threshold)
+    val crossReps = pairs.filter(col("o_stored"))
+      .select(col("rep_id")).distinct().withColumn("nd_stored", lit(true))
+    val newReps = pairs.filter(!col("o_stored"))
+      .select(greatest(col("rep_id"), col("o_id")).as("rep_id"))
+      .distinct().withColumn("nd_new", lit(true))
+    val ndFlags = withMin.select(col("vec_id"), col("grp_min"))
+      .join(crossReps, col("grp_min") === col("rep_id"), "left").drop("rep_id")
+      .join(newReps, col("grp_min") === col("rep_id"), "left").drop("rep_id")
+      .select(col("vec_id"),
+        coalesce(col("nd_stored"), lit(false)).as("neardup_stored"),
+        (col("vec_id") =!= col("grp_min") ||
+          coalesce(col("nd_new"), lit(false))).as("neardup_new"))
+    val out = codes.select(col("vec_id"), (col("qsq") === 0).as("is_degenerate"))
+      .join(codeFlags, Seq("vec_id"), "left")
+      .join(ndFlags, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("is_degenerate"),
+        coalesce(col("code_dup_stored"), lit(false)).as("code_dup_stored"),
+        coalesce(col("code_dup_new"), lit(false)).as("code_dup_new"),
+        coalesce(col("neardup_stored"), lit(false)).as("neardup_stored"),
+        coalesce(col("neardup_new"), lit(false)).as("neardup_new"))
+      .withColumn("novel",
+        !col("is_degenerate") && !col("code_dup_stored") && !col("code_dup_new") &&
+        !col("neardup_stored") && !col("neardup_new"))
+      .orderBy("vec_id")
+    Dedup.scopeCaches(out, codes)
+  }
+
   /** Embedding duplicate CLUSTERS — the components cell of the modality
     * matrix for vectors (the [[graft.ext.Multimodal.imageClusters]]
     * shape): connected components over the exact cosine-threshold pair

@@ -549,6 +549,42 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(b1 === a0 && a1 === a0)
   }
 
+  test("embeddingIngestAuditBlocked: nProbe = nList equals the unblocked audit; " +
+      "pruned probes flag a subset, code flags invariant") {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val stored = d.filter(storedSide); val fresh = d.filter(!storedSide)
+    val cents = Similarity.ivfSeedCentroids(stored)
+    val storedAssigned = Similarity.ivfIndexAssign(stored, cents)
+    val full = Similarity.embeddingIngestAudit(fresh,
+      storedAssigned.select("vec_id", "qv", "qsq", "dig"))
+    val fullRows = full.collect().map(r => r.getLong(0) -> r).toMap
+    full.unpersist(blocking = true)
+    val allProbe = Similarity.embeddingIngestAuditBlocked(fresh, storedAssigned,
+      cents, nProbe = 16)
+    val allRows = allProbe.collect().map(_.toSeq)
+    allProbe.unpersist(blocking = true)
+    assert(allRows.toSeq === fullRows.keys.toSeq.sorted.map(fullRows(_).toSeq),
+      "probing every list must reproduce the unblocked audit row-for-row")
+    val pruned = Similarity.embeddingIngestAuditBlocked(fresh, storedAssigned,
+      cents, nProbe = 1)
+    val prunedRows = pruned.collect()
+    pruned.unpersist(blocking = true)
+    assert(prunedRows.nonEmpty)
+    prunedRows.foreach { r =>
+      val f = fullRows(r.getLong(0))
+      // exact-duplicate verdicts don't depend on the probe set
+      assert(r.getBoolean(1) === f.getBoolean(1))
+      assert(r.getBoolean(2) === f.getBoolean(2), "code_dup_stored invariant")
+      assert(r.getBoolean(3) === f.getBoolean(3), "code_dup_new invariant")
+      // near-dup verdicts only shrink under pruning; novel only grows
+      assert(!r.getBoolean(4) || f.getBoolean(4), "neardup_stored subset")
+      assert(!r.getBoolean(5) || f.getBoolean(5), "neardup_new subset")
+      assert(!f.getBoolean(6) || r.getBoolean(6), "novel superset")
+    }
+  }
+
   test("ivfSeedCentroids: deterministic build, 16 distinct non-degenerate seeds") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val c1 = Similarity.ivfSeedCentroids(d).collect().sortBy(_.getInt(0))
