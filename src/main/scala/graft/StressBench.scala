@@ -262,6 +262,26 @@ object StressBench {
     lazy val ivfDayCents =
       ext.Similarity.ivfSeedCentroids(emb.filter(col("vec_id") % 10 =!= 0))
     if (selected("ivf_index_assign_day")) { ivfDayCents; () }
+    // the production QUERY path: the index is a persisted artifact
+    // (built once, untimed); the timed body is what a query batch
+    // pays — rank 16 centroids, then read ONLY the probed hive
+    // partitions of the assignment store. Its A/B twin is the brute
+    // quantized scan over a MATERIALIZED parquet corpus — against the
+    // replicate() explode lineage the brute side would read a 2k-row
+    // parquet and re-derive 200k rows for free, a fixture artifact no
+    // real pipeline enjoys (the corpus is bytes on disk either way)
+    lazy val embPq = {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_stress_emb"
+      emb.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    lazy val ivfStoreDir = {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_stress_ivf_store"
+      ext.Similarity.ivfIndexStoreInit(embPq, p)
+      p
+    }
+    if (selected("ivf_store_probe")) { ivfStoreDir; () }
+    if (selected("quantized_scan_stored")) { embPq; () }
     def ingestDay(store: (DataFrame, DataFrame, DataFrame)): Long = {
       val a = ext.Curation.mediaIngestAudit(spark,
         fixture("png_skewed").filter(col("doc_id") % 10 === 0),
@@ -362,6 +382,10 @@ object StressBench {
       time("ivf_index_build", ext.Similarity.ivfIndexBuildSummary(emb).count()),
       time("ivf_index_assign_day", ext.Similarity.ivfIndexAssign(
         emb.filter(col("vec_id") % 10 === 0), ivfDayCents).count()),
+      time("quantized_scan_stored",
+        ext.Similarity.quantizedCosineTopK(embPq).count()),
+      time("ivf_store_probe", ext.Similarity.ivfIndexStoreProbe(spark,
+        emb.filter(col("vec_id") < 10), ivfStoreDir).count()),
       time("hll_distinct", {
         li.agg(functions.HllSketch.hll_distinct(spark, col("l_partkey"))).collect()(0).getLong(0)
       }),
