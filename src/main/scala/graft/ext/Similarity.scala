@@ -1132,4 +1132,53 @@ object Similarity {
         col("qdot"), round(col("sim"), 6).as("q_cosine"))
       .orderBy("query_id", "rnk")
   }
+
+  /** One streamed DAY of inverted-file maintenance: the micro-batch is
+    * assigned against the index's FIXED centroid table and written to
+    * `indexDir/day_assignments/day=N` (then hive-partitioned by list
+    * id, so probes prune across days and lists alike). Exactly-once is
+    * one notch simpler here than in the dedup loops: an assignment is
+    * a pure per-vector fact under fixed centroids — a day reads NO
+    * store at all, so a foreachBatch replay overwrites its own
+    * partition with bytes that cannot disagree with what they replace
+    * (no `day < N` read discipline needed; spec-pinned).
+    */
+  def ivfIndexStreamDay(spark: org.apache.spark.sql.SparkSession,
+                        vecsBatch: DataFrame, day: Long,
+                        indexDir: String): Unit = {
+    val b = vecsBatch.persist()
+    try {
+      if (!b.isEmpty) {
+        ivfIndexAssign(b, ivfIndexStoreCentroids(spark, indexDir))
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$indexDir/day_assignments/day=$day")
+      }
+    } finally b.unpersist(false)
+  }
+
+  /** All streamed day assignments (empty-safe on a cold index),
+    * assignment columns only — unioned with
+    * [[ivfIndexStoreAssignments]] this is the probe's candidate set
+    * for an index maintained by [[ivfIndexStreamDay]].
+    */
+  def ivfIndexReadDayAssignments(spark: org.apache.spark.sql.SparkSession,
+                                 indexDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cols = Seq("vec_id", "qv", "qsq", "dig", "centroid_id", "centroid_sim")
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/day_assignments")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("day=")))
+      spark.read.parquet(p.toString).select(cols.map(col): _*)
+    else {
+      val schema = new StructType()
+        .add("vec_id", LongType)
+        .add("qv", ArrayType(IntegerType, containsNull = false))
+        .add("qsq", LongType)
+        .add("dig", StringType)
+        .add("centroid_id", IntegerType)
+        .add("centroid_sim", DoubleType)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
 }

@@ -455,6 +455,24 @@ object StreamingOps {
       }
       .start()
 
+  /** Live maintenance of the IVF inverted file
+    * ([[graft.ext.Similarity.ivfIndexStreamDay]] per micro-batch day):
+    * the only state a day touches is the nList-row centroid table, so
+    * the stream is exactly-once with NO store reads — replays rewrite
+    * their own day partition with identical facts. The probe path
+    * unions [[graft.ext.Similarity.ivfIndexStoreAssignments]] with
+    * [[graft.ext.Similarity.ivfIndexReadDayAssignments]].
+    */
+  def ivfIndexIngestStream(vecs: DataFrame, indexDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, day: Long) =>
+        graft.ext.Similarity.ivfIndexStreamDay(batch.sparkSession, batch,
+          day, indexDir)
+      }
+      .start()
+
   def upsertParquetSink(agg: DataFrame, targetPath: String, keyCols: Seq[String],
                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     agg.writeStream.outputMode("update")

@@ -950,4 +950,52 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rowSet(spark.read.parquet(auditDir)) === auditBefore,
       "replayed day must not change the audit")
   }
+
+  test("ivfIndexIngestStream: streamed day assignments equal the batch " +
+      "assignment under fixed centroids; replays idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    implicit val sc = spark.sqlContext
+    import graft.ext.Similarity
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val arrivals = emb.filter(!storedSide).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val days = Seq(
+      arrivals.filter(_._1 < 170).toSeq,
+      arrivals.filter(t => t._1 >= 170 && t._1 < 340).toSeq,
+      arrivals.filter(_._1 >= 340).toSeq)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    Similarity.ivfIndexStoreInit(emb.filter(storedSide), dir)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = ivfIndexIngestStream(input.toDF().toDF("vec_id", "embedding"),
+      dir, s"$dir/ckpt")
+    try {
+      days.foreach { d => input.addData(d); q.processAllAvailable() }
+    } finally q.stop()
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // fixed centroids make the streamed union EQUAL the one-batch
+    // assignment — an identity, not a fold law
+    val streamed = Similarity.ivfIndexReadDayAssignments(spark, dir)
+    val streamedSet = rowSet(streamed)
+    val batch = Similarity.ivfIndexAssign(emb.filter(!storedSide),
+      Similarity.ivfIndexStoreCentroids(spark, dir))
+    assert(streamedSet === rowSet(batch),
+      "streamed days must equal the batch assignment")
+    assert(streamedSet.nonEmpty)
+    // probes prune by list id ACROSS day partitions
+    val probed = spark.read.parquet(s"$dir/day_assignments")
+      .filter(col("centroid_id") === 0)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0))
+    probed.foreach(f => assert(f.contains("centroid_id=0"),
+      s"day-layered probe must prune to the probed list: $f"))
+    // replay contract: a day reads no store, so re-delivery rewrites
+    // its own partition with identical facts
+    Similarity.ivfIndexStreamDay(spark,
+      days.last.toDF("vec_id", "embedding"), 2L, dir)
+    assert(rowSet(Similarity.ivfIndexReadDayAssignments(spark, dir)) === streamedSet,
+      "replayed day must not change the index")
+  }
 }
