@@ -255,26 +255,29 @@ object StressBench {
     }
     if (selected("emb_ingest_day_small_store")) { embSmallCodes; () }
     if (selected("emb_ingest_day_large_store")) { embLargeCodes; () }
-    // seed-code IVF index: the stored side's centroids are a persisted
-    // artifact (ivfIndexStoreInit writes them once), so the incremental
-    // day row builds them UNTIMED — the timed body is exactly what a
-    // day pays: quantize the batch + one O(batch × nList) argmax
-    lazy val ivfDayCents =
-      ext.Similarity.ivfSeedCentroids(emb.filter(col("vec_id") % 10 =!= 0))
-    if (selected("ivf_index_assign_day")) { ivfDayCents; () }
-    // the production QUERY path: the index is a persisted artifact
-    // (built once, untimed); the timed body is what a query batch
-    // pays — rank 16 centroids, then read ONLY the probed hive
-    // partitions of the assignment store. Its A/B twin is the brute
-    // quantized scan over a MATERIALIZED parquet corpus — against the
-    // replicate() explode lineage the brute side would read a 2k-row
-    // parquet and re-derive 200k rows for free, a fixture artifact no
-    // real pipeline enjoys (the corpus is bytes on disk either way)
+    // the IVF index rows run over a MATERIALIZED parquet corpus: the
+    // index paths persist their one quantization pass, and against the
+    // replicate() explode lineage a persist only adds cost (recompute
+    // is free there — a fixture artifact; production corpora are bytes
+    // on disk). quantized_scan_stored is their brute A/B on the same
+    // corpus form.
     lazy val embPq = {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_stress_emb"
       emb.write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }
+    // seed-code IVF index: the stored side's centroids are a persisted
+    // artifact (ivfIndexStoreInit writes them once), so the incremental
+    // day row builds them UNTIMED — the timed body is exactly what a
+    // day pays: quantize the batch + one O(batch × nList) argmax
+    lazy val ivfDayCents =
+      ext.Similarity.ivfSeedCentroids(embPq.filter(col("vec_id") % 10 =!= 0))
+    if (selected("ivf_index_assign_day")) { ivfDayCents; () }
+    if (selected("ivf_index_topk") || selected("ivf_index_build")) { embPq; () }
+    // the production QUERY path: the index is a persisted artifact
+    // (built once, untimed); the timed body is what a query batch
+    // pays — rank 16 centroids, then read ONLY the probed hive
+    // partitions of the assignment store
     lazy val ivfStoreDir = {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_stress_ivf_store"
       ext.Similarity.ivfIndexStoreInit(embPq, p)
@@ -372,16 +375,20 @@ object StressBench {
       // (production stores pre-computed codes, so this is the
       // conservative bound on the scan win)
       time("quantized_topk", ext.Similarity.quantizedCosineTopK(emb).count()),
-      // round-12: the seed-code IVF index at scale. The pruned probe's
-      // A/B is quantized_topk above (same exact arithmetic over 4/16 of
-      // the candidate space); build = the full-corpus assignment
-      // (corpus × nList integer dots); the day row is the incremental
-      // cell — a 10% batch against FIXED stored-side centroids,
-      // independent of everything already indexed
-      time("ivf_index_topk", ext.Similarity.ivfIndexTopK(emb).count()),
-      time("ivf_index_build", ext.Similarity.ivfIndexBuildSummary(emb).count()),
+      // round-12: the seed-code IVF index at scale, over the
+      // MATERIALIZED corpus (embPq) — the index paths persist their
+      // one quantization pass, and against the replicate() explode
+      // lineage a persist only adds cost (recompute is free there, a
+      // fixture artifact; production corpora are bytes on disk). Their
+      // A/B is quantized_scan_stored below (same corpus form); build =
+      // the full-corpus assignment (corpus × nList integer dots); the
+      // day row is the incremental cell — a 10% batch against FIXED
+      // stored-side centroids, independent of everything already
+      // indexed
+      time("ivf_index_topk", ext.Similarity.ivfIndexTopK(embPq).count()),
+      time("ivf_index_build", ext.Similarity.ivfIndexBuildSummary(embPq).count()),
       time("ivf_index_assign_day", ext.Similarity.ivfIndexAssign(
-        emb.filter(col("vec_id") % 10 === 0), ivfDayCents).count()),
+        embPq.filter(col("vec_id") % 10 === 0), ivfDayCents).count()),
       time("quantized_scan_stored",
         ext.Similarity.quantizedCosineTopK(embPq).count()),
       time("ivf_store_probe", ext.Similarity.ivfIndexStoreProbe(spark,

@@ -444,6 +444,20 @@ object Similarity {
       .withColumn("dig", md5(concat_ws(",", col("qv").cast("array<string>"))))
   }
 
+  /** [[quantizedCodes]] WITHOUT the md5 code digest — paths that never
+    * look at exact duplicates (the IVF seed pick, the index top-k, a
+    * probe's query side) skip the per-row string-cast → concat → md5
+    * chain they'd otherwise pay for nothing.
+    */
+  private def quantizedQv(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    import graft.functions.Int8Codes.int8_codes
+    import graft.functions.IntDot.int_dot
+    embeddings
+      .select(col("vec_id"), int8_codes(col("embedding")).as("qv"))
+      .withColumn("qsq", int_dot(col("qv"), col("qv")))
+  }
+
   /** The EMBEDDING modality's daily-ingest audit — [[graft.ext.Curation.docIngestAudit]]'s
     * sibling for a vector corpus, fully under the DuckDB oracle
     * (`q_embedding_neardup_inc`): per NEW vector, stored-vs-new
@@ -590,11 +604,11 @@ object Similarity {
       .select(col("rep_id"), col("qv").as("rqv"), col("qsq").as("rsq"),
         explode(slice(reverse(array_sort(scored)), 1, nProbe)).as("p"))
       .select(col("rep_id"), col("rqv"), col("rsq"),
-        (-col("p.nid")).cast("int").as("cluster"))
+        listIdOf(col("p.nid")).as("cluster"))
     val repAssigned = repsBase
       .withColumn("best", array_max(scored))
       .select(col("rep_id").as("o_id"), col("qv").as("oqv"),
-        col("qsq").as("osq"), (-col("best.nid")).cast("int").as("cluster"),
+        col("qsq").as("osq"), listIdOf(col("best.nid")).as("cluster"),
         lit(false).as("o_stored"))
     val others = storedAssigned
       .select(col("vec_id").as("o_id"), col("qv").as("oqv"),
@@ -911,7 +925,7 @@ object Similarity {
     */
   def ivfSeedCentroids(embeddings: DataFrame, nList: Int = 16): DataFrame =
     seedsToDf(embeddings.sparkSession,
-      seedPickFromCodes(quantizedCodes(embeddings).filter(col("qsq") > 0), nList))
+      seedPickFromCodes(quantizedQv(embeddings).filter(col("qsq") > 0), nList))
 
   /** The seed draw over an existing non-degenerate code frame — lets
     * [[ivfIndexBuildSummary]]/[[ivfIndexTopK]] reuse ONE quantization
@@ -968,6 +982,19 @@ object Similarity {
     }: _*)
   }
 
+  /** The list id off a scored struct's `nid`, as a NON-NULLABLE int.
+    * The coalesce matters: array_max is conservatively nullable, so an
+    * equi-join on a plain `-nid` key infers isnotnull(cluster), pushes
+    * the whole inlined 16-struct score array into a pre-join Filter
+    * (re-evaluated per input row), and the blown-up stage loses
+    * whole-stage codegen — measured 11.6s vs 0.3s for a 16×16-row join
+    * at StressBench ×10. With a provably non-null key the inferred
+    * check folds to TRUE and vanishes. -1 is unreachable (the seed
+    * array is non-empty by construction).
+    */
+  private def listIdOf(nid: Column): Column =
+    coalesce((-nid).cast("int"), lit(-1))
+
   /** Nearest-centroid assignment of a vector batch against a FIXED
     * centroid table — the IVF index's incremental-maintenance step. The
     * batch is quantized once ([[quantizedCodes]]); the centroid matrix
@@ -983,7 +1010,7 @@ object Similarity {
     quantizedCodes(vecs).filter(col("qsq") > 0)
       .withColumn("best", best)
       .select(col("vec_id"), col("qv"), col("qsq"), col("dig"),
-        (-col("best.nid")).cast("int").as("centroid_id"),
+        listIdOf(col("best.nid")).as("centroid_id"),
         round(col("best.sim"), 6).as("centroid_sim"))
   }
 
@@ -993,25 +1020,28 @@ object Similarity {
     * doubles — order-independent, unlike a float mean).
     */
   def ivfIndexBuildSummary(embeddings: DataFrame, nList: Int = 16): DataFrame = {
-    val codes = quantizedCodes(embeddings).filter(col("qsq") > 0).persist()
+    val codes = quantizedCodes(embeddings).filter(col("qsq") > 0)
     val picked = seedPickFromCodes(codes, nList)
     val best = array_max(seedScoreArray(picked.map { case (cid, _, cv, csq) =>
       (cid, cv, csq) }))
-    val cents = seedsToDf(codes.sparkSession, picked)
-    val out = codes
+    // ONE pass: the non-nullable list id ([[listIdOf]]) keeps any
+    // inferred null check foldable, and the seed lookup is a literal
+    // map instead of a join, so nothing pushes the argmax below the
+    // aggregate — no cache needed
+    val seedById = typedlit(picked.map { case (cid, vid, _, _) => cid -> vid }.toMap)
+    codes
       .withColumn("best", best)
-      .select(col("dig"), (-col("best.nid")).cast("int").as("centroid_id"),
+      .select(col("dig"), listIdOf(col("best.nid")).as("centroid_id"),
         round(col("best.sim"), 6).as("centroid_sim"))
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("list_size"),
         countDistinct(col("dig")).as("n_codes"),
         min(col("centroid_sim")).as("min_sim"),
         max(col("centroid_sim")).as("max_sim"))
-      .join(cents.select("centroid_id", "seed_vec_id"), Seq("centroid_id"))
-      .select(col("centroid_id"), col("seed_vec_id"), col("list_size"),
-        col("n_codes"), col("min_sim"), col("max_sim"))
+      .select(col("centroid_id"),
+        element_at(seedById, col("centroid_id")).as("seed_vec_id"),
+        col("list_size"), col("n_codes"), col("min_sim"), col("max_sim"))
       .orderBy("centroid_id")
-    Dedup.scopeCaches(out, codes)
   }
 
   /** IVF top-k over the seed-code index: queries probe their `nProbe`
@@ -1027,13 +1057,13 @@ object Similarity {
   def ivfIndexTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
                    nList: Int = 16, nProbe: Int = 4): DataFrame = {
     import graft.functions.IntDot.int_dot
-    val codes = quantizedCodes(embeddings).filter(col("qsq") > 0).persist()
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0)
     val scored = seedScoreArray(seedPickFromCodes(codes, nList)
       .map { case (cid, _, cv, csq) => (cid, cv, csq) })
     val assigned = codes
       .withColumn("best", array_max(scored))
       .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
-        col("qsq").as("sqb"), (-col("best.nid")).cast("int").as("cluster"))
+        col("qsq").as("sqb"), listIdOf(col("best.nid")).as("cluster"))
     // a query's own list is its top-1 probe, so it always probes itself;
     // each neighbor lives in exactly ONE list, so candidates are distinct
     val q = codes.filter(col("vec_id") < numQueries)
@@ -1041,7 +1071,7 @@ object Similarity {
         col("qsq").as("sqa"),
         explode(slice(reverse(array_sort(scored)), 1, nProbe)).as("p"))
       .select(col("query_id"), col("qa"), col("sqa"),
-        (-col("p.nid")).cast("int").as("cluster"))
+        listIdOf(col("p.nid")).as("cluster"))
     val sims = assigned.join(broadcast(q), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("qdot", int_dot(col("qb"), col("qa")))
@@ -1049,12 +1079,11 @@ object Similarity {
         col("qdot") / sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    val out = sims.withColumn("rnk", row_number().over(w))
+    sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         col("qdot"), round(col("sim"), 6).as("q_cosine"))
       .orderBy("query_id", "rnk")
-    Dedup.scopeCaches(out, codes)
   }
 
   /** Persist the index: `dir/centroids` (nList rows) and
@@ -1108,12 +1137,12 @@ object Similarity {
     import graft.functions.IntDot.int_dot
     val scored = seedScoreArray(
       collectSeedCentroids(ivfIndexStoreCentroids(spark, dir)))
-    val q = quantizedCodes(queryVecs).filter(col("qsq") > 0)
+    val q = quantizedQv(queryVecs).filter(col("qsq") > 0)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"),
         col("qsq").as("sqa"),
         explode(slice(reverse(array_sort(scored)), 1, nProbe)).as("p"))
       .select(col("query_id"), col("qa"), col("sqa"),
-        (-col("p.nid")).cast("int").as("cluster"))
+        listIdOf(col("p.nid")).as("cluster"))
     val lists = q.select("cluster").distinct().collect().map(_.getInt(0))
     val cands = ivfIndexStoreAssignments(spark, dir)
       .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*))
