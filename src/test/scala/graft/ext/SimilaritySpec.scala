@@ -585,6 +585,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("IVF index plans: no inferred null check re-inlines the argmax into a Filter") {
+    // the 25× regression this pins: joining on a list id DERIVED from
+    // the argmax made constraint inference push
+    // isnotnull(<whole 16-struct score array>) below the aggregate as a
+    // per-input-row Filter, and the blown-up stage fell out of
+    // whole-stage codegen. listIdOf's non-null coalesce folds the
+    // check away — no physical Filter may contain the score array.
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val cents = Similarity.ivfSeedCentroids(d.filter(storedSide))
+    def filtersOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+      }
+    val plans = Seq(
+      "build" -> filtersOf(Similarity.ivfIndexBuildSummary(d)),
+      "topk" -> filtersOf(Similarity.ivfIndexTopK(d)),
+      "blocked" -> filtersOf(Similarity.embeddingIngestAuditBlocked(
+        d.filter(!storedSide), Similarity.ivfIndexAssign(d.filter(storedSide), cents),
+        cents)))
+    plans.foreach { case (name, conds) =>
+      conds.foreach(c => assert(!c.contains("array_max"),
+        s"$name: a Filter re-inlines the argmax score array: ${c.take(200)}"))
+    }
+  }
+
   test("ivfSeedCentroids: deterministic build, 16 distinct non-degenerate seeds") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val c1 = Similarity.ivfSeedCentroids(d).collect().sortBy(_.getInt(0))
