@@ -596,16 +596,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
     val cents = Similarity.ivfSeedCentroids(d.filter(storedSide))
-    def filtersOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.queryExecution.executedPlan.collect {
+    // plain .collect is blind behind AQE / query-stage / cache
+    // boundaries (AdaptiveSparkPlanExec's inner plan is not a child) —
+    // walk through them or the pin passes vacuously
+    def filtersOf(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      import org.apache.spark.sql.execution.SparkPlan
+      def walk(p: SparkPlan): Seq[SparkPlan] = {
+        val inner: Seq[SparkPlan] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            Seq(c.relation.cachedPlan)
+          case _ => Nil
+        }
+        p +: (p.children ++ inner).flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan).collect {
         case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
       }
+    }
     val plans = Seq(
       "build" -> filtersOf(Similarity.ivfIndexBuildSummary(d)),
       "topk" -> filtersOf(Similarity.ivfIndexTopK(d)),
       "blocked" -> filtersOf(Similarity.embeddingIngestAuditBlocked(
         d.filter(!storedSide), Similarity.ivfIndexAssign(d.filter(storedSide), cents),
         cents)))
+    assert(plans.exists(_._2.nonEmpty),
+      "traversal must see at least one Filter or the pin is vacuous")
     plans.foreach { case (name, conds) =>
       conds.foreach(c => assert(!c.contains("array_max"),
         s"$name: a Filter re-inlines the argmax score array: ${c.take(200)}"))
