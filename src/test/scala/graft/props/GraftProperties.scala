@@ -311,3 +311,79 @@ object IncrementalPairProperties extends Properties("IncrementalPairs")
       Prop(got == want) :| s"t=$t got=$got want=$want"
     }
 }
+
+/** Seed-code IVF assignment vs an independent driver reference: the
+  * int8 quantization, the integer-dot cosine, and the
+  * sim-DESC-then-lowest-id tie rule re-implemented from the spec, on
+  * corpora nobody hand-picked — duplicate vectors force exact ties,
+  * zero vectors force the degenerate path, power-of-two scalings force
+  * identical codes across distinct vectors.
+  */
+object IvfAssignProperties extends Properties("IvfAssign") with SparkSpec {
+
+  val corpusGen: Gen[List[(Long, Seq[Float])]] = for {
+    dim <- Gen.chooseNum(3, 6)
+    n <- Gen.chooseNum(2, 24)
+    base <- Gen.listOfN(n, Gen.listOfN(dim,
+      Gen.oneOf(-2f, -1f, -0.5f, 0f, 0.5f, 1f, 2f)))
+    // duplicates + ×2 scalings: tie and identical-code pressure
+    dups <- Gen.someOf(base)
+  } yield (base ++ dups.map(_.map(_ * 2f))).zipWithIndex
+    .map { case (v, i) => (i.toLong, v: Seq[Float]) }
+
+  private def quant(v: Seq[Float]): Array[Int] = {
+    val d = v.map(_.toDouble)
+    val mx = d.map(math.abs).max
+    if (mx.isNaN || mx == 0) Array.fill(v.size)(0)
+    else { val s = mx / 127.0; d.map(x => math.floor(x / s + 0.5).toInt).toArray }
+  }
+
+  property("assignment equals a driver re-implementation of the spec") =
+    forAll(corpusGen, Gen.chooseNum(1, 5)) { (rows, nList) =>
+      import spark.implicits._
+      val anyGood = rows.exists(r => quant(r._2).exists(_ != 0))
+      if (!anyGood) Prop.passed else {
+        val df = rows.toDF("vec_id", "embedding")
+        val cents = graft.ext.Similarity.ivfSeedCentroids(df, nList)
+        val seeds = cents.select("centroid_id", "cv", "csq").collect()
+          .map(r => (r.getInt(0), r.getSeq[Int](1).toArray, r.getLong(2)))
+          .sortBy(_._1)
+        val got = graft.ext.Similarity.ivfIndexAssign(df, cents)
+          .select("vec_id", "centroid_id").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val want = rows.flatMap { case (id, v) =>
+          val qv = quant(v)
+          val qsq = qv.map(x => x.toLong * x).sum
+          if (qsq == 0) None
+          else {
+            val best = seeds.map { case (cid, cv, csq) =>
+              val dot = qv.zip(cv).map { case (a, b) => a.toLong * b }.sum
+              (dot.toDouble / math.sqrt(qsq.toDouble * csq.toDouble), cid)
+            }.maxBy { case (s, cid) => (s, -cid) }
+            Some(id -> best._2)
+          }
+        }.toMap
+        Prop(got == want) :| s"nList=$nList got=$got want=$want"
+      }
+    }
+
+  property("assignment is stateless: union splits freely across batches") =
+    forAll(corpusGen) { rows =>
+      import spark.implicits._
+      val anyGood = rows.exists(r => quant(r._2).exists(_ != 0))
+      if (!anyGood) Prop.passed else {
+        val df = rows.toDF("vec_id", "embedding")
+        val cents = graft.ext.Similarity.ivfSeedCentroids(df)
+        def asg(d: org.apache.spark.sql.DataFrame) =
+          graft.ext.Similarity.ivfIndexAssign(d, cents)
+            .select("vec_id", "centroid_id", "centroid_sim")
+            .collect().map(_.toSeq).toSet
+        val (a, b) = rows.partition(_._1 % 2 == 0)
+        val whole = asg(df)
+        val parts =
+          (if (a.nonEmpty) asg(a.toDF("vec_id", "embedding")) else Set.empty) ++
+          (if (b.nonEmpty) asg(b.toDF("vec_id", "embedding")) else Set.empty)
+        Prop(whole == parts) :| s"whole=$whole parts=$parts"
+      }
+    }
+}
