@@ -452,6 +452,11 @@ object SparkEntry {
     // (unlike trained-codebook PQ) exactly oracle-matched
     "q_quantized_topk" -> ((s, d) =>
       Similarity.quantizedCosineTopK(Tables.embeddings(s, d))),
+    // the PACKED-codes twin: binary codes (1 byte/element vs
+    // array<int>'s 4 — the store/scan-bandwidth form), identical
+    // values, same oracle SQL
+    "q_quantized_topk_bytes" -> ((s, d) =>
+      Similarity.quantizedCosineTopKBytes(Tables.embeddings(s, d))),
     "q_centroid_outliers" -> ((s, d) => Similarity.centroidSim(Tables.embeddings(s, d))),
     // SemDeDup: cluster-blocked semantic near-dup drop (rows-only —
     // cluster boundaries are kmeans-dependent); the nList=1 regime below
@@ -856,6 +861,45 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared by q_quantized_topk and its packed-codes twin: byte codes
+    * equal int codes element-wise (spec-pinned), so both compute the
+    * identical values and one SQL is both oracles.
+    */
+  private val QUANTIZED_TOPK_SQL: String =
+    """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |m AS (SELECT vec_id, emb,
+      |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+      |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+      |        WHEN mx > 0 THEN mx / 127.0 END AS scale
+      |      FROM m),
+      |q0 AS (SELECT vec_id,
+      |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+      |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+      |      FROM s),
+      |b AS (SELECT vec_id, qv,
+      |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
+      |      FROM q0),
+      |base AS (SELECT * FROM b WHERE qsq > 0),
+      |qs AS (SELECT vec_id AS query_id, qv AS qa, qsq AS sqa
+      |  FROM base WHERE vec_id < 10),
+      |cs AS (SELECT vec_id AS neighbor_id, qv AS qb, qsq AS sqb FROM base),
+      |d AS (SELECT query_id, neighbor_id, sqa, sqb,
+      |    list_sum(list_transform(range(1, len(qa) + 1),
+      |      i -> CAST(qa[CAST(i AS INTEGER)] AS BIGINT)
+      |        * qb[CAST(i AS INTEGER)])) AS qdot
+      |  FROM qs, cs WHERE neighbor_id <> query_id),
+      |r AS (SELECT query_id, neighbor_id, qdot,
+      |    CAST(qdot AS DOUBLE) / sqrt(CAST(sqa AS DOUBLE) * CAST(sqb AS DOUBLE))
+      |      AS sim
+      |  FROM d),
+      |rr AS (SELECT query_id, neighbor_id, qdot, sim,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+      |  FROM r)
+      |SELECT query_id, rnk, neighbor_id, CAST(qdot AS BIGINT) AS qdot,
+      |  round(sim, 6) AS q_cosine
+      |FROM rr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_lsh_topk" -> lshTopKOracle,
     "q_zorder_layout" -> zorderOracle,
@@ -3329,41 +3373,11 @@ object SparkEntry {
         |FROM rr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // the q_quantize_int8 code arithmetic + an exact integer dot
     // product (scales cancel in cosine), ranked per query — the
-    // quantized ANN scan under the exact oracle
-    "q_quantized_topk" ->
-      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |m AS (SELECT vec_id, emb,
-        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
-        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
-        |        WHEN mx > 0 THEN mx / 127.0 END AS scale
-        |      FROM m),
-        |q0 AS (SELECT vec_id,
-        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
-        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
-        |      FROM s),
-        |b AS (SELECT vec_id, qv,
-        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
-        |      FROM q0),
-        |base AS (SELECT * FROM b WHERE qsq > 0),
-        |qs AS (SELECT vec_id AS query_id, qv AS qa, qsq AS sqa
-        |  FROM base WHERE vec_id < 10),
-        |cs AS (SELECT vec_id AS neighbor_id, qv AS qb, qsq AS sqb FROM base),
-        |d AS (SELECT query_id, neighbor_id, sqa, sqb,
-        |    list_sum(list_transform(range(1, len(qa) + 1),
-        |      i -> CAST(qa[CAST(i AS INTEGER)] AS BIGINT)
-        |        * qb[CAST(i AS INTEGER)])) AS qdot
-        |  FROM qs, cs WHERE neighbor_id <> query_id),
-        |r AS (SELECT query_id, neighbor_id, qdot,
-        |    CAST(qdot AS DOUBLE) / sqrt(CAST(sqa AS DOUBLE) * CAST(sqb AS DOUBLE))
-        |      AS sim
-        |  FROM d),
-        |rr AS (SELECT query_id, neighbor_id, qdot, sim,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
-        |  FROM r)
-        |SELECT query_id, rnk, neighbor_id, CAST(qdot AS BIGINT) AS qdot,
-        |  round(sim, 6) AS q_cosine
-        |FROM rr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // quantized ANN scan under the exact oracle. The PACKED-codes twin
+    // computes the identical values from binary codes (byte ≡ int
+    // codes element-wise, spec-pinned), so the same SQL is its oracle
+    "q_quantized_topk_bytes" -> QUANTIZED_TOPK_SQL,
+    "q_quantized_topk" -> QUANTIZED_TOPK_SQL,
     // same arithmetic whether the columnar-fused exec or the row
     // fallback runs (plan-shape-independent, tested) — so it can be
     // oracle-matched even though it is a custom physical operator

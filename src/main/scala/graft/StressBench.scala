@@ -285,6 +285,22 @@ object StressBench {
     }
     if (selected("ivf_store_probe")) { ivfStoreDir; () }
     if (selected("quantized_scan_stored")) { embPq; () }
+    // stored-code scan A/B: the same brute top-k from a code TABLE in
+    // both physical forms — array<int> vs packed binary (1 byte per
+    // element). Stores written untimed (codes are written once by the
+    // ingest fold); the timed body is purely the scan + integer dots,
+    // so the delta is the bandwidth the packing saves
+    lazy val codeStores = {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stress_codes"
+      ext.Similarity.quantizedCodes(embPq).filter(col("qsq") > 0)
+        .select("vec_id", "qv", "qsq")
+        .write.mode("overwrite").parquet(s"$base/ints")
+      ext.Similarity.quantizedByteCodes(embPq).filter(col("qsq") > 0)
+        .write.mode("overwrite").parquet(s"$base/bytes")
+      base
+    }
+    if (selected("quantized_store_scan_ints") ||
+      selected("quantized_store_scan_bytes")) { codeStores; () }
     def ingestDay(store: (DataFrame, DataFrame, DataFrame)): Long = {
       val a = ext.Curation.mediaIngestAudit(spark,
         fixture("png_skewed").filter(col("doc_id") % 10 === 0),
@@ -391,6 +407,10 @@ object StressBench {
         embPq.filter(col("vec_id") % 10 === 0), ivfDayCents).count()),
       time("quantized_scan_stored",
         ext.Similarity.quantizedCosineTopK(embPq).count()),
+      time("quantized_store_scan_ints", ext.Similarity.storedCodesTopK(
+        spark.read.parquet(s"$codeStores/ints")).count()),
+      time("quantized_store_scan_bytes", ext.Similarity.storedCodesTopK(
+        spark.read.parquet(s"$codeStores/bytes")).count()),
       time("ivf_store_probe", ext.Similarity.ivfIndexStoreProbe(spark,
         emb.filter(col("vec_id") < 10), ivfStoreDir).count()),
       time("hll_distinct", {

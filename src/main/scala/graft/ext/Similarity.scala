@@ -458,6 +458,67 @@ object Similarity {
       .withColumn("qsq", int_dot(col("qv"), col("qv")))
   }
 
+  /** The PACKED code form: (vec_id, qb binary, qsq) — one byte per
+    * element instead of `array<int>`'s four, so a persisted code store
+    * (the IVF index, the ingest exemplars) shrinks ~4× on disk and a
+    * scan reads ~4× fewer bytes. The byte codes equal the int codes
+    * element-wise and `int_dot_bytes` equals `int_dot` bit-for-bit
+    * (both spec-pinned), so every value downstream — and therefore
+    * every DuckDB oracle — is unchanged.
+    */
+  def quantizedByteCodes(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    import graft.functions.Int8Bytes.int8_bytes
+    import graft.functions.IntDotBytes.int_dot_bytes
+    embeddings
+      .select(col("vec_id"), int8_bytes(col("embedding")).as("qb"))
+      .withColumn("qsq", int_dot_bytes(col("qb"), col("qb")))
+  }
+
+  /** [[quantizedCosineTopK]] over the PACKED codes — identical output
+    * (`q_quantized_topk`'s oracle SQL applies verbatim to
+    * `q_quantized_topk_bytes`); the scan moves 1 byte/element instead
+    * of 4.
+    */
+  def quantizedCosineTopKBytes(embeddings: DataFrame, numQueries: Int = 10,
+                               k: Int = 5): DataFrame =
+    storedCodesTopK(quantizedByteCodes(embeddings).filter(col("qsq") > 0),
+      numQueries, k)
+
+  /** Brute quantized top-k over an EXISTING code table — the scan a
+    * production store actually runs (codes are written once by the
+    * ingest fold; a query never re-quantizes the corpus). Accepts both
+    * code forms: `qv array<int>` (int_dot) or `qb binary`
+    * (int_dot_bytes); rows must already be non-degenerate.
+    */
+  def storedCodesTopK(codes: DataFrame, numQueries: Int = 10,
+                      k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(codes.sparkSession)
+    import graft.functions.IntDot.int_dot
+    import graft.functions.IntDotBytes.int_dot_bytes
+    val packed = codes.columns.contains("qb")
+    val codeCol = if (packed) "qb" else "qv"
+    def dot(a: Column, b: Column) =
+      if (packed) int_dot_bytes(a, b) else int_dot(a, b)
+    val q = codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col(codeCol).as("qa"),
+        col("qsq").as("sqa"))
+    val c = codes
+      .select(col("vec_id").as("neighbor_id"), col(codeCol).as("qb2"),
+        col("qsq").as("sqb"))
+    val sims = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("qdot", dot(col("qb2"), col("qa")))
+      .withColumn("sim",
+        col("qdot") / sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("qdot"), round(col("sim"), 6).as("q_cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** The EMBEDDING modality's daily-ingest audit — [[graft.ext.Curation.docIngestAudit]]'s
     * sibling for a vector corpus, fully under the DuckDB oracle
     * (`q_embedding_neardup_inc`): per NEW vector, stored-vs-new

@@ -113,6 +113,8 @@ object GraftFunctions {
     reg1("winnow_fps", winnowFpsBuilder)
     reg1("int_dot", IntDot.builder)
     reg1("int8_codes", Int8Codes.builder)
+    reg1("int8_bytes", Int8Bytes.builder)
+    reg1("int_dot_bytes", IntDotBytes.builder)
   }
 
   /** `winnow_fps(text, k, w)` — k and w must be integer literals (they
@@ -183,6 +185,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("int8_codes"),
       new ExpressionInfo(classOf[Int8Codes].getName, "int8_codes"),
       Int8Codes.builder _))
+    e.injectFunction((
+      new FunctionIdentifier("int8_bytes"),
+      new ExpressionInfo(classOf[Int8Bytes].getName, "int8_bytes"),
+      Int8Bytes.builder _))
+    e.injectFunction((
+      new FunctionIdentifier("int_dot_bytes"),
+      new ExpressionInfo(classOf[IntDotBytes].getName, "int_dot_bytes"),
+      IntDotBytes.builder _))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectPlannerStrategy(_ => graft.plans.VectorizedCosineStrategy)
     e.injectOptimizerRule(_ => graft.plans.CollapseTopK)

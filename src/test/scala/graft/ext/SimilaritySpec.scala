@@ -585,6 +585,48 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("packed int8 codes: bytes equal ints element-wise, dots bit-for-bit, " +
+      "top-k row-for-row") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.Int8Codes.int8_codes
+    import graft.functions.IntDot.int_dot
+    import graft.functions.Int8Bytes.int8_bytes
+    import graft.functions.IntDotBytes.int_dot_bytes
+    graft.functions.GraftFunctions.register(spark)
+    // real corpus + planted degenerates (zero vector, NaN element)
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+      .unionByName(emb((900001L, Seq(0f, 0f, 0f, 0f), 0),
+        (900002L, Seq(1f, Float.NaN, 0f, 0f), 0)).select("vec_id", "embedding"))
+    val rows = d.select(col("vec_id"),
+        int8_codes(col("embedding")).as("qv"),
+        int8_bytes(col("embedding")).as("qb"))
+      .withColumn("di", int_dot(col("qv"), col("qv")))
+      .withColumn("db", int_dot_bytes(col("qb"), col("qb")))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qv = r.getSeq[Int](1)
+      val qb = r.getAs[Array[Byte]](2)
+      assert(qv.length === qb.length)
+      qv.zip(qb).foreach { case (i, b) =>
+        assert(i === b.toInt, s"vec ${r.getLong(0)}: code $i != byte $b") }
+      assert(r.getLong(3) === r.getLong(4),
+        s"vec ${r.getLong(0)}: int_dot != int_dot_bytes")
+    }
+    // mismatched lengths poison to NULL, mirroring int_dot
+    val mm = spark.range(1).select(
+      int_dot_bytes(lit(Array[Byte](1, 2)), lit(Array[Byte](1, 2, 3))).as("x"))
+      .collect()(0)
+    assert(mm.isNullAt(0))
+    // the packed scan is the same ANN answer
+    val ints = Similarity.quantizedCosineTopK(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001")).collect().map(_.toSeq)
+    val bytes = Similarity.quantizedCosineTopKBytes(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001")).collect().map(_.toSeq)
+    assert(bytes.toSeq === ints.toSeq)
+  }
+
   test("IVF index plans: no inferred null check re-inlines the argmax into a Filter") {
     // the 25× regression this pins: joining on a list id DERIVED from
     // the argmax made constraint inference push
