@@ -973,8 +973,13 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
     try {
       days.foreach { d => input.addData(d); q.processAllAvailable() }
     } finally q.stop()
+    // the store holds PACKED codes (qb binary) — byte arrays compare by
+    // reference in Row.toSeq sets, so parity is checked on the
+    // non-binary columns, with dig (the md5 code digest) standing in
+    // for the code content
     def rowSet(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(_.toSeq).toSet
+      df.select("vec_id", "qsq", "dig", "centroid_id", "centroid_sim")
+        .collect().map(_.toSeq).toSet
     // fixed centroids make the streamed union EQUAL the one-batch
     // assignment — an identity, not a fold law
     val streamed = Similarity.ivfIndexReadDayAssignments(spark, dir)
