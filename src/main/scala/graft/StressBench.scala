@@ -52,11 +52,16 @@ object StressBench {
     val docs = replicate(Tables.documents(spark, sfDir), factor, Seq("doc_id"))
     val emb = replicate(Tables.embeddings(spark, sfDir), factor, Seq("vec_id"))
     def ev = replicate(Tables.events(spark, sfDir), factor, Seq("event_id", "user_id"))
-    val sketchDir = s"${System.getProperty("java.io.tmpdir")}/graft_stress_sketches"
+    // per-run staging root: suffixed with the applicationId so two
+    // concurrent StressBench runs on one host never scan each other's
+    // half-written parquet (the MediaFixtures staging discipline)
+    def stressTmp(name: String): String =
+      s"${System.getProperty("java.io.tmpdir")}/${name}_${spark.sparkContext.applicationId}"
+    val sketchDir = stressTmp("graft_stress_sketches")
     // materialized replicated corpus (see the global-order A/B below);
     // lazy so runs that filter those queries out never pay the write
     lazy val docsPq = {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_stress_docs"
+      val p = stressTmp("graft_stress_docs")
       docs.write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }
@@ -262,7 +267,7 @@ object StressBench {
     // on disk). quantized_scan_stored is their brute A/B on the same
     // corpus form.
     lazy val embPq = {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_stress_emb"
+      val p = stressTmp("graft_stress_emb")
       emb.write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }
@@ -279,7 +284,7 @@ object StressBench {
     // pays — rank 16 centroids, then read ONLY the probed hive
     // partitions of the assignment store
     lazy val ivfStoreDir = {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_stress_ivf_store"
+      val p = stressTmp("graft_stress_ivf_store")
       ext.Similarity.ivfIndexStoreInit(embPq, p)
       p
     }
@@ -291,7 +296,7 @@ object StressBench {
     // ingest fold); the timed body is purely the scan + integer dots,
     // so the delta is the bandwidth the packing saves
     lazy val codeStores = {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stress_codes"
+      val base = stressTmp("graft_stress_codes")
       ext.Similarity.quantizedCodes(embPq).filter(col("qsq") > 0)
         .select("vec_id", "qv", "qsq")
         .write.mode("overwrite").parquet(s"$base/ints")
@@ -637,7 +642,7 @@ object StressBench {
       // ordinal + closed-form shard + dynamic partitionBy write + manifest
       // read-back) — the write path's scale evidence
       time("shard_manifest_export", {
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft_stress_shards"
+        val out = stressTmp("graft_stress_shards")
         val m = ops.Layout.writeShardsManifest(docsPq, out, "doc_id",
           numShards = 32, maxRecordsPerFile = 5000)
         m.count()

@@ -749,13 +749,16 @@ object Similarity {
       if (!b.isEmpty) {
         val stored = embeddingIngestReadDayStore(spark, storeDir, day)
         val (out0, codes) = embeddingIngestAuditCore(b, stored, threshold)
-        // pre-append materialization — see embeddingIngestDayFold
-        val audit = out0.localCheckpoint(true)
-        val novelIds = audit.filter(col("novel")).select("vec_id")
-        codes.join(novelIds, "vec_id").select("vec_id", "qv", "qsq", "dig")
-          .write.mode("overwrite").parquet(s"$storeDir/codes/day=$day")
-        audit.write.mode("overwrite").parquet(s"$auditDir/day=$day")
-        codes.unpersist(false)
+        // unpersist in finally: a failed append must not leak the
+        // cached codes frame for the session's lifetime
+        try {
+          // pre-append materialization — see embeddingIngestDayFold
+          val audit = out0.localCheckpoint(true)
+          val novelIds = audit.filter(col("novel")).select("vec_id")
+          codes.join(novelIds, "vec_id").select("vec_id", "qv", "qsq", "dig")
+            .write.mode("overwrite").parquet(s"$storeDir/codes/day=$day")
+          audit.write.mode("overwrite").parquet(s"$auditDir/day=$day")
+        } finally codes.unpersist(false)
       }
     } finally b.unpersist(false)
   }
@@ -815,17 +818,18 @@ object Similarity {
                              threshold: Double = 0.35): DataFrame = {
     val stored = embeddingIngestReadStore(spark, storeDir)
     val (out0, codes) = embeddingIngestAuditCore(newVecs, stored, threshold)
-    // pre-append materialization decoupled from the store files — the
-    // append fires refreshByPath and a CacheManager entry would
-    // recompute against the post-append store (novel vectors would
-    // self-match their own just-folded digests); localCheckpoint cuts
-    // the file lineage (see docIngestDayFold)
-    val out = out0.localCheckpoint(true)
-    codes.join(out.filter(col("novel")).select("vec_id"), "vec_id")
-      .select("vec_id", "qv", "qsq", "dig")
-      .write.mode("append").parquet(storeDir)
-    codes.unpersist(false)
-    out
+    try {
+      // pre-append materialization decoupled from the store files — the
+      // append fires refreshByPath and a CacheManager entry would
+      // recompute against the post-append store (novel vectors would
+      // self-match their own just-folded digests); localCheckpoint cuts
+      // the file lineage (see docIngestDayFold)
+      val out = out0.localCheckpoint(true)
+      codes.join(out.filter(col("novel")).select("vec_id"), "vec_id")
+        .select("vec_id", "qv", "qsq", "dig")
+        .write.mode("append").parquet(storeDir)
+      out
+    } finally codes.unpersist(false)
   }
 
   /** The CHAINED multi-day ingest audit as ONE pure query — the
@@ -1225,7 +1229,7 @@ object Similarity {
       collectSeedCentroids(ivfIndexStoreCentroids(spark, dir)))
     // the probe ranks centroids off the int codes (qv — the scored
     // array's form) but dots candidates in the store's PACKED form
-    val q = {
+    val q0 = {
       import graft.functions.Int8Codes.int8_codes
       import graft.functions.IntDot.int_dot
       queryVecs
@@ -1239,7 +1243,20 @@ object Similarity {
         .select(col("query_id"), col("qa"), col("sqa"),
           listIdOf(col("p.nid")).as("cluster"))
     }
-    val lists = q.select("cluster").distinct().collect().map(_.getInt(0))
+    // ONE evaluation of the query-side quantization + centroid ranking:
+    // the probe frame is bounded (numQueries × nProbe rows), and the
+    // partition-pruning list ids need a driver fetch anyway — so fetch
+    // the whole frame and feed the join from a local relation instead
+    // of recomputing the probe subtree on the join side
+    val probeRows = {
+      import spark.implicits._
+      q0.as[(Long, Array[Byte], Long, Int)].collect()
+    }
+    val lists = probeRows.map(_._4).distinct
+    val q = {
+      import spark.implicits._
+      probeRows.toSeq.toDF("query_id", "qa", "sqa", "cluster")
+    }
     val cands = ivfIndexStoreAssignments(spark, dir)
       .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*))
       .select(col("vec_id").as("neighbor_id"), col("qb"),

@@ -93,28 +93,23 @@ object GraftFunctions {
   }
 
   /** Register graft's native functions on an existing session (the
-    * runtime-equivalent of [[GraftExtensions]]). Idempotent-QUIET:
-    * operators call this per use site, and an unconditional
-    * createOrReplaceTempFunction logs a "replaced a previously
-    * registered function" warning on every call after the first —
-    * noise that buries real warnings in a bench tail. An
-    * already-present name is ours (these names exist nowhere else), so
-    * it is skipped. The residual check-then-register race between two
-    * threads is benign: both would install the identical builder.
+    * runtime-equivalent of [[GraftExtensions]]). Idempotent-QUIET via
+    * [[FnArgs.registerQuiet]]: operators call this per use site; an
+    * already-present entry is skipped only when its `ExpressionInfo`
+    * names a graft class, and a foreign same-named temp function is
+    * replaced so graft operators never silently resolve someone else's
+    * implementation.
     */
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    def reg1(name: String, builder: Seq[Expression] => Expression): Unit =
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "built-in")
-    reg1("cosine_sim", cosineSimBuilder)
-    reg1("zorder", ZOrder.zorderBuilder)
-    reg1("unicode_normalize", UnicodeNormalize.builder)
-    reg1("winnow_fps", winnowFpsBuilder)
-    reg1("int_dot", IntDot.builder)
-    reg1("int8_codes", Int8Codes.builder)
-    reg1("int8_bytes", Int8Bytes.builder)
-    reg1("int_dot_bytes", IntDotBytes.builder)
+    val reg1 = FnArgs.registerQuiet(spark) _
+    reg1("cosine_sim", cosineSimBuilder, classOf[CosineSimilarity])
+    reg1("zorder", ZOrder.zorderBuilder, classOf[ZOrder])
+    reg1("unicode_normalize", UnicodeNormalize.builder, classOf[UnicodeNormalize])
+    reg1("winnow_fps", winnowFpsBuilder, classOf[WinnowFps])
+    reg1("int_dot", IntDot.builder, classOf[IntDot])
+    reg1("int8_codes", Int8Codes.builder, classOf[Int8Codes])
+    reg1("int8_bytes", Int8Bytes.builder, classOf[Int8Bytes])
+    reg1("int_dot_bytes", IntDotBytes.builder, classOf[IntDotBytes])
   }
 
   /** `winnow_fps(text, k, w)` — k and w must be integer literals (they

@@ -15,21 +15,30 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType,
   */
 private[functions] object FnArgs {
 
-  /** Idempotent-QUIET temp-function registration (same argument shape
-    * as `createOrReplaceTempFunction`): operators register at every use
-    * site, and the unconditional replace logs a "replaced a previously
-    * registered function" warning per call after the first — noise that
-    * buries real warnings in long sessions. These names exist nowhere
-    * but graft, so an already-present entry is ours and is skipped; the
-    * residual check-then-register race between two threads is benign
-    * (both install the identical builder).
+  /** Idempotent-QUIET temp-function registration: operators register at
+    * every use site, and an unconditional replace logs a "replaced a
+    * previously registered function" warning per call after the first —
+    * noise that buries real warnings in long sessions. Registration
+    * records the graft expression class in the `ExpressionInfo`, and a
+    * present entry is skipped ONLY when that class check says it is
+    * ours — a user session that registered its own temp function under
+    * one of these names gets REPLACED (with Spark's one replace warning
+    * as the correct signal), so graft operators never silently resolve
+    * a foreign implementation. The residual check-then-register race
+    * between two threads is benign (both install the identical builder).
     */
   def registerQuiet(spark: org.apache.spark.sql.SparkSession)(
       name: String, builder: Seq[Expression] => Expression,
-      source: String): Unit = {
+      owner: Class[_]): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-      reg.createOrReplaceTempFunction(name, builder, source)
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    val ours = reg.lookupFunction(ident)
+      .exists(_.getClassName.startsWith("graft."))
+    if (!ours)
+      reg.registerFunction(ident,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          owner.getName, name),
+        builder)
   }
 
   /** Arity gate; `expected` lists every legal argument count. */

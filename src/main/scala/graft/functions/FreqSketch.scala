@@ -155,14 +155,14 @@ object FreqSketch {
       if (exprs.length > 1) FnArgs.intLit(fn, exprs, 1, "k") else default
     FnArgs.registerQuiet(spark)(
       "mg_topk", exprs => MgTopK(FnArgs.arity("mg_topk", exprs, Seq(1, 2)).head,
-        kOf("mg_topk", exprs, 64)), "built-in")
+        kOf("mg_topk", exprs, 64)), classOf[MgTopK])
     FnArgs.registerQuiet(spark)(
       "mg_sketch_buffer",
       exprs => MgSketchBuffer(FnArgs.arity("mg_sketch_buffer", exprs, Seq(1, 2)).head,
-        kOf("mg_sketch_buffer", exprs, 64)), "built-in")
+        kOf("mg_sketch_buffer", exprs, 64)), classOf[MgSketchBuffer])
     FnArgs.registerQuiet(spark)(
       "mg_merge_topk",
-      exprs => MgMergeTopK(FnArgs.arity("mg_merge_topk", exprs, Seq(1)).head), "built-in")
+      exprs => MgMergeTopK(FnArgs.arity("mg_merge_topk", exprs, Seq(1)).head), classOf[MgMergeTopK])
   }
 
   def mg_topk(spark: SparkSession, c: Column, k: Int = 64): Column = {

@@ -111,15 +111,15 @@ object HllSketch {
       "hll_distinct",
       exprs => HllSketch(FnArgs.arity("hll_distinct", exprs, Seq(1, 2)).head,
         if (exprs.length > 1) FnArgs.intLit("hll_distinct", exprs, 1, "p") else 14),
-      "built-in")
+      classOf[HllSketch])
     FnArgs.registerQuiet(spark)(
       "hll_sketch_buffer",
       exprs => HllSketchBuffer(FnArgs.arity("hll_sketch_buffer", exprs, Seq(1, 2)).head,
         if (exprs.length > 1) FnArgs.intLit("hll_sketch_buffer", exprs, 1, "p") else 14),
-      "built-in")
+      classOf[HllSketchBuffer])
     FnArgs.registerQuiet(spark)(
       "hll_merge",
-      exprs => HllMerge(FnArgs.arity("hll_merge", exprs, Seq(1)).head), "built-in")
+      exprs => HllMerge(FnArgs.arity("hll_merge", exprs, Seq(1)).head), classOf[HllMerge])
   }
 
   def hll_distinct(spark: SparkSession, c: Column, p: Int = 14): Column = {

@@ -134,19 +134,19 @@ object KmvSketch {
       if (exprs.length > 1) FnArgs.intLit(fn, exprs, 1, "k") else default
     FnArgs.registerQuiet(spark)(
       "kmv_distinct", exprs => KmvDistinct(FnArgs.arity("kmv_distinct", exprs, Seq(1, 2)).head,
-        kOf("kmv_distinct", exprs, 256)), "built-in")
+        kOf("kmv_distinct", exprs, 256)), classOf[KmvDistinct])
     FnArgs.registerQuiet(spark)(
       "kmv_sketch_buffer",
       exprs => KmvSketchBuffer(FnArgs.arity("kmv_sketch_buffer", exprs, Seq(1, 2)).head,
-        kOf("kmv_sketch_buffer", exprs, 256)), "built-in")
+        kOf("kmv_sketch_buffer", exprs, 256)), classOf[KmvSketchBuffer])
     FnArgs.registerQuiet(spark)(
       "kmv_merge_estimate",
       exprs => KmvMergeEstimate(FnArgs.arity("kmv_merge_estimate", exprs, Seq(1)).head),
-      "built-in")
+      classOf[KmvMergeEstimate])
     FnArgs.registerQuiet(spark)(
       "kmv_merge_sample",
       exprs => KmvMergeSample(FnArgs.arity("kmv_merge_sample", exprs, Seq(1)).head),
-      "built-in")
+      classOf[KmvMergeSample])
   }
 
   def kmv_distinct(spark: SparkSession, c: Column, k: Int = 256): Column = {

@@ -118,7 +118,7 @@ object Md5MinHashSketch {
       exprs => Md5MinHashSketch(
         FnArgs.arity("md5_minhash_sketch", exprs, Seq(2)).head,
         FnArgs.intLit("md5_minhash_sketch", exprs, 1, "numHashes")),
-      "built-in")
+      classOf[Md5MinHashSketch])
 
   def md5_minhash_sketch(spark: SparkSession, shingle: Column, numHashes: Int): Column = {
     register(spark)

@@ -90,7 +90,7 @@ object MinHashSketch {
       exprs => MinHashSketch(
         FnArgs.arity("minhash_sketch", exprs, Seq(2)).head,
         FnArgs.intLit("minhash_sketch", exprs, 1, "numHashes")),
-      "built-in")
+      classOf[MinHashSketch])
 
   def minhash_sketch(spark: SparkSession, shingle: Column, numHashes: Int): Column = {
     register(spark)

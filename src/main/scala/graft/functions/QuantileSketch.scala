@@ -176,18 +176,18 @@ object QuantileSketch {
       "qsk_quantile",
       exprs => QskQuantile(FnArgs.arity("qsk_quantile", exprs, Seq(3)).head,
         FnArgs.intLit("qsk_quantile", exprs, 1, "k"),
-        FnArgs.doubleLit("qsk_quantile", exprs, 2, "p")), "built-in")
+        FnArgs.doubleLit("qsk_quantile", exprs, 2, "p")), classOf[QskQuantile])
     FnArgs.registerQuiet(spark)(
       "qsk_buffer", exprs => QskBuffer(FnArgs.arity("qsk_buffer", exprs, Seq(2)).head,
-        FnArgs.intLit("qsk_buffer", exprs, 1, "k")), "built-in")
+        FnArgs.intLit("qsk_buffer", exprs, 1, "k")), classOf[QskBuffer])
     FnArgs.registerQuiet(spark)(
       "qsk_merge_quantile",
       exprs => QskMergeQuantile(FnArgs.arity("qsk_merge_quantile", exprs, Seq(2)).head,
-        FnArgs.doubleLit("qsk_merge_quantile", exprs, 1, "p")), "built-in")
+        FnArgs.doubleLit("qsk_merge_quantile", exprs, 1, "p")), classOf[QskMergeQuantile])
     FnArgs.registerQuiet(spark)(
       "qsk_merge_total",
       exprs => QskMergeTotal(FnArgs.arity("qsk_merge_total", exprs, Seq(1)).head),
-      "built-in")
+      classOf[QskMergeTotal])
   }
 
   def qsk_quantile(spark: SparkSession, c: Column, k: Int, p: Double): Column = {

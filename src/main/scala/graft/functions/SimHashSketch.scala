@@ -82,7 +82,7 @@ object SimHashSketch {
     FnArgs.registerQuiet(spark)(
       "simhash_sketch",
       exprs => SimHashSketch(FnArgs.arity("simhash_sketch", exprs, Seq(1)).head),
-      "built-in")
+      classOf[SimHashSketch])
 
   def simhash_sketch(spark: SparkSession, token: Column): Column = {
     register(spark)
