@@ -54,9 +54,15 @@ object StressBench {
     def ev = replicate(Tables.events(spark, sfDir), factor, Seq("event_id", "user_id"))
     // per-run staging root: suffixed with the applicationId so two
     // concurrent StressBench runs on one host never scan each other's
-    // half-written parquet (the MediaFixtures staging discipline)
-    def stressTmp(name: String): String =
-      s"${System.getProperty("java.io.tmpdir")}/${name}_${spark.sparkContext.applicationId}"
+    // half-written parquet (the MediaFixtures staging discipline), and
+    // registered for shutdown deletion so repeated runs don't
+    // accumulate replicated corpora in tmpdir unboundedly
+    def stressTmp(name: String): String = {
+      val p =
+        s"${System.getProperty("java.io.tmpdir")}/${name}_${spark.sparkContext.applicationId}"
+      Tables.deleteOnExit(p)
+      p
+    }
     val sketchDir = stressTmp("graft_stress_sketches")
     // materialized replicated corpus (see the global-order A/B below);
     // lazy so runs that filter those queries out never pay the write
@@ -289,6 +295,24 @@ object StressBench {
       p
     }
     if (selected("ivf_store_probe")) { ivfStoreDir; () }
+    // centroid-scoring A/B setup (shared, untimed): seed matrices at
+    // the production nList (16) and at the size that killed the
+    // unrolled form (256); the timed bodies run the full-corpus argmax
+    lazy val cents16 =
+      ext.Similarity.collectSeedCentroids(ext.Similarity.ivfSeedCentroids(embPq, 16))
+    lazy val cents256 =
+      ext.Similarity.collectSeedCentroids(ext.Similarity.ivfSeedCentroids(embPq, 256))
+    Seq("centroid_score_native_16", "centroid_score_unrolled_16").foreach(n =>
+      if (selected(n)) { cents16; () })
+    Seq("centroid_score_native_256", "centroid_score_unrolled_256").foreach(n =>
+      if (selected(n)) { cents256; () })
+    // the sum over best.sim/nid forces the score loop on every row —
+    // a bare count would let column pruning skip the computation
+    def centroidArgmaxSum(score: org.apache.spark.sql.Column): Long = {
+      val best = ext.Similarity.quantizedCodes(embPq).filter(col("qsq") > 0)
+        .select(array_max(score).as("best"))
+      best.agg(sum(col("best.nid"))).collect()(0).getLong(0)
+    }
     if (selected("quantized_scan_stored")) { embPq; () }
     // stored-code scan A/B: the same brute top-k from a code TABLE in
     // both physical forms — array<int> vs packed binary (1 byte per
@@ -410,6 +434,24 @@ object StressBench {
       time("ivf_index_build", ext.Similarity.ivfIndexBuildSummary(embPq).count()),
       time("ivf_index_assign_day", ext.Similarity.ivfIndexAssign(
         embPq.filter(col("vec_id") % 10 === 0), ivfDayCents).count()),
+      // round-14: batched centroid scoring A/B — the native
+      // constant-size codegen loop (centroid_scores over a flat packed
+      // matrix) vs the literal-unrolled per-centroid structs it
+      // replaced. At nList=16 the two are equal; at nList=256 the
+      // unrolled form's generated code outgrows JIT/Janino method
+      // budgets (the scale boundary the native loop removes) while the
+      // native row scales only in arithmetic. Timed body = full-corpus
+      // argmax with the score forced per row (sum over best.sim so
+      // column pruning can't skip the loop); the seed pick is shared
+      // setup, untimed.
+      time("centroid_score_native_16",
+        centroidArgmaxSum(ext.Similarity.seedScoreArray(cents16))),
+      time("centroid_score_unrolled_16",
+        centroidArgmaxSum(ext.Similarity.seedScoreArrayUnrolled(cents16))),
+      time("centroid_score_native_256",
+        centroidArgmaxSum(ext.Similarity.seedScoreArray(cents256))),
+      time("centroid_score_unrolled_256",
+        centroidArgmaxSum(ext.Similarity.seedScoreArrayUnrolled(cents256))),
       time("quantized_scan_stored",
         ext.Similarity.quantizedCosineTopK(embPq).count()),
       time("quantized_store_scan_ints", ext.Similarity.storedCodesTopK(

@@ -569,30 +569,36 @@ object DataPrep {
     * integer c — no float boundary ambiguity, and the bucketing
     * arithmetic is the same IEEE double in any engine).
     *
-    * Scale shape: one hash aggregation over the scored corpus into at
-    * most 21 bucket rows; the cumulative window then runs over those
-    * ≤21 rows — a global window over a CONSTANT-size table, not the
-    * corpus (the usual single-reducer concern does not apply).
+    * Scale shape: ONE hash aggregation over the scored corpus into at
+    * most 21 bucket rows (the score range [-1, 1] bounds ⌊10·score⌋ to
+    * [-10, 10]); the cumulative sums then run on the DRIVER over that
+    * constant-size result. The earlier partition-less-window form was
+    * equally bounded but still planned a WindowExec with its
+    * single-partition WARN on every run — over ≤21 rows, a driver fold
+    * is the honest shape (exact long arithmetic, order-independent, no
+    * window machinery). The collect is bounded by CONSTRUCTION, not by
+    * data: 21 rows whatever the corpus size.
     */
   def qualityRetentionCurve(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
     val scored = TextOps.classifierQualityScore(documents)
-    val bucketed = scored
+    val buckets = scored
       .groupBy(floor(col("quality_score") * 10).cast("int").as("cutoff10"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_toks"))
-    val fromTop = Window.orderBy(col("cutoff10").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    bucketed
-      .select(col("cutoff10"),
-        sum(col("n_docs")).over(fromTop).as("docs_retained"),
-        sum(col("n_toks")).over(fromTop).as("tokens_retained"),
-        sum(col("n_docs")).over(whole).as("total_docs"),
-        sum(col("n_toks")).over(whole).as("total_toks"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    var d = 0L; var t = 0L
+    val cum = buckets.map { case (c, nd, nt) =>
+      d += nd; t += nt; (c, d, t)
+    }
+    val (totalD, totalT) = (d, t)
+    import spark.implicits._
+    cum.toSeq.toDF("cutoff10", "docs_retained", "tokens_retained")
       .select(col("cutoff10"), col("docs_retained"), col("tokens_retained"),
-        round(col("docs_retained").cast("double") / col("total_docs"), 6)
+        round(col("docs_retained").cast("double") / lit(totalD), 6)
           .as("doc_fraction"),
-        round(col("tokens_retained").cast("double") / col("total_toks"), 6)
+        round(col("tokens_retained").cast("double") / lit(totalT), 6)
           .as("token_fraction"))
       .orderBy("cutoff10")
   }

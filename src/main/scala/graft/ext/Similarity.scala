@@ -1019,7 +1019,7 @@ object Similarity {
   /** Bounded driver fetch of the centroid matrix (nList × dim ints —
     * the [[ivfCentroids]] k×dim adjudication), sorted by centroid id.
     */
-  private[ext] def collectSeedCentroids(centroids: DataFrame)
+  private[graft] def collectSeedCentroids(centroids: DataFrame)
       : Array[(Int, Seq[Int], Long)] = {
     val seeds = centroids.select("centroid_id", "cv", "csq").collect()
       .map(r => (r.getInt(0), r.getSeq[Int](1), r.getLong(2)))
@@ -1029,16 +1029,47 @@ object Similarity {
     seeds
   }
 
-  /** Per-centroid (sim, -centroid_id) scores over the literal centroid
-    * codes, UNROLLED one struct per centroid rather than a `transform`
-    * over a 2-D literal: nList is a small compile-time constant and the
-    * unrolled form keeps the native `int_dot` loops inside whole-stage
-    * codegen, where a HOF lambda would evaluate them interpreted per
-    * element (the round-11 cliff). `array_max` picks max sim, ties to
-    * the LOWEST centroid id (max of the negated id); NaN is impossible
-    * (both squared norms are > 0 by construction).
+  /** Per-centroid (sim, -centroid_id) scores over the centroid codes as
+    * ONE native codegen loop ([[graft.functions.CentroidScores]]) over
+    * a flat packed byte matrix: generated-code size is CONSTANT in
+    * nList (the unrolled-literal twin below grows linearly and decays
+    * past Janino/JIT method limits in the hundreds; the HOF `transform`
+    * form is constant-size but interpreted — the round-11 cliff).
+    * `array_max` picks max sim, ties to the LOWEST centroid id (max of
+    * the negated id); NaN is impossible (both squared norms are > 0 by
+    * construction). Element-for-element ≡ the unrolled twin is
+    * spec-pinned (IvfIndexSpec).
     */
-  private def seedScoreArray(seeds: Array[(Int, Seq[Int], Long)]): Column = {
+  private[graft] def seedScoreArray(seeds: Array[(Int, Seq[Int], Long)]): Column = {
+    import graft.functions.CentroidScores.centroid_scores
+    val dim = seeds.head._2.length
+    require(seeds.forall(_._2.length == dim),
+      "centroid codes must share one dimensionality")
+    val matrix = new Array[Byte](seeds.length * dim)
+    seeds.zipWithIndex.foreach { case ((_, cv, _), c) =>
+      var i = 0
+      while (i < dim) {
+        val v = cv(i)
+        // int8 quantization guarantees [-127, 127]; the byte pack is lossless
+        require(v >= -127 && v <= 127, s"non-int8 centroid code $v")
+        matrix(c * dim + i) = v.toByte
+        i += 1
+      }
+    }
+    centroid_scores(col("qv"), col("qsq"), matrix,
+      seeds.map(_._3).toSeq, seeds.map(_._1).toSeq)
+  }
+
+  /** The UNROLLED twin of [[seedScoreArray]] — one
+    * `struct(int_dot(qv, lit(cv)) / sqrt(...), -cid)` per centroid.
+    * Kept as the reference implementation for the native≡unrolled spec
+    * pin and the StressBench codegen-size A/B: at small nList the two
+    * plans are equally fast; past a few hundred centroids the unrolled
+    * generated code outgrows JIT/Janino method budgets while the native
+    * loop stays flat.
+    */
+  private[graft] def seedScoreArrayUnrolled(
+      seeds: Array[(Int, Seq[Int], Long)]): Column = {
     import graft.functions.IntDot.int_dot
     array(seeds.map { case (cid, cv, csq) =>
       struct(
@@ -1247,16 +1278,18 @@ object Similarity {
     // the probe frame is bounded (numQueries × nProbe rows), and the
     // partition-pruning list ids need a driver fetch anyway — so fetch
     // the whole frame and feed the join from a local relation instead
-    // of recomputing the probe subtree on the join side
-    val probeRows = {
-      import spark.implicits._
-      q0.as[(Long, Array[Byte], Long, Int)].collect()
-    }
-    val lists = probeRows.map(_._4).distinct
-    val q = {
-      import spark.implicits._
-      probeRows.toSeq.toDF("query_id", "qa", "sqa", "cluster")
-    }
+    // of recomputing the probe subtree on the join side. Collected as
+    // Rows rebuilt under q0's own schema, so a caller whose vec_id is
+    // a string (or any other type) keeps that type through the probe —
+    // pinning `.as[(Long, ...)]` here would reject it at analysis.
+    // NOTE: this makes the probe execute ONE bounded Spark job eagerly
+    // at call time (the partition-pruning list ids cannot exist
+    // without it); the candidate scan + ranking stay lazy.
+    val probeRows = q0.collect()
+    val clusterIdx = q0.schema.fieldIndex("cluster")
+    val lists = probeRows.map(_.getInt(clusterIdx)).distinct
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), q0.schema)
     val cands = ivfIndexStoreAssignments(spark, dir)
       .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*))
       .select(col("vec_id").as("neighbor_id"), col("qb"),

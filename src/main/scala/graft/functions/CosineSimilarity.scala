@@ -110,6 +110,7 @@ object GraftFunctions {
     reg1("int8_codes", Int8Codes.builder, classOf[Int8Codes])
     reg1("int8_bytes", Int8Bytes.builder, classOf[Int8Bytes])
     reg1("int_dot_bytes", IntDotBytes.builder, classOf[IntDotBytes])
+    reg1("centroid_scores", CentroidScores.builder, classOf[CentroidScores])
   }
 
   /** `winnow_fps(text, k, w)` — k and w must be integer literals (they
@@ -188,6 +189,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("int_dot_bytes"),
       new ExpressionInfo(classOf[IntDotBytes].getName, "int_dot_bytes"),
       IntDotBytes.builder _))
+    e.injectFunction((
+      new FunctionIdentifier("centroid_scores"),
+      new ExpressionInfo(classOf[CentroidScores].getName, "centroid_scores"),
+      CentroidScores.builder _))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectPlannerStrategy(_ => graft.plans.VectorizedCosineStrategy)
     e.injectOptimizerRule(_ => graft.plans.CollapseTopK)

@@ -32,13 +32,29 @@ private[functions] object FnArgs {
       owner: Class[_]): Unit = {
     val reg = spark.sessionState.functionRegistry
     val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
-    val ours = reg.lookupFunction(ident)
-      .exists(_.getClassName.startsWith("graft."))
-    if (!ours)
+    // getClassName can be null (e.g. a registration path that derived
+    // it from an anonymous class's getCanonicalName) — a null entry is
+    // foreign by definition, never a crash
+    val existing = reg.lookupFunction(ident)
+    val ours = existing
+      .exists(i => Option(i.getClassName).exists(_.startsWith("graft.")))
+    if (!ours) {
+      // name the displaced function explicitly — Spark's generic
+      // "replaced a previously registered function" line doesn't say
+      // WHOSE entry was clobbered, and the takeover is the one session
+      // state change graft operators make as a side effect
+      existing.foreach { i =>
+        org.slf4j.LoggerFactory.getLogger("graft.functions.FnArgs").warn(
+          s"replacing non-graft temp function `$name` " +
+            s"(was ${Option(i.getClassName).getOrElse("<unknown class>")}) " +
+            "with the graft built-in; the previous definition is gone for " +
+            "this session")
+      }
       reg.registerFunction(ident,
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           owner.getName, name),
         builder)
+    }
   }
 
   /** Arity gate; `expected` lists every legal argument count. */

@@ -784,4 +784,50 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val prunedMem = Similarity.ivfIndexTopK(d).collect().map(_.toSeq)
     assert(prunedStore.toSeq === prunedMem.toSeq)
   }
+
+  test("centroid_scores: native batched loop ≡ unrolled per-centroid structs, " +
+      "element-for-element, and stays native at nList far past the unroll budget") {
+    import org.apache.spark.sql.functions.{col, not}
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val codes = Similarity.quantizedCodes(d).filter(col("qsq") > 0)
+    val seeds = Similarity.collectSeedCentroids(Similarity.ivfSeedCentroids(d))
+    // full-array equality (sims are the same double arithmetic in the
+    // same order → bitwise equal, not approximately equal)
+    val both = codes.select(
+      Similarity.seedScoreArray(seeds).as("native"),
+      Similarity.seedScoreArrayUnrolled(seeds).as("unrolled"))
+    assert(both.filter(not(col("native") <=> col("unrolled"))).count() === 0L)
+    // non-consecutive / shuffled centroid ids keep their own nids
+    val oddSeeds = seeds.take(3).zip(Seq(7, 2, 19)).map {
+      case ((_, cv, csq), cid) => (cid, cv, csq) }
+    val bothOdd = codes.select(
+      Similarity.seedScoreArray(oddSeeds).as("native"),
+      Similarity.seedScoreArrayUnrolled(oddSeeds).as("unrolled"))
+    assert(bothOdd.filter(not(col("native") <=> col("unrolled"))).count() === 0L)
+    // a big synthetic centroid set: the unrolled form at this size would
+    // emit thousands of codegen branches; the native loop is one body.
+    // Correctness pin: argmax over 512 centroids matches a driver loop.
+    val dim = seeds.head._2.length
+    val bigSeeds = Array.tabulate(512) { c =>
+      val cv = Seq.tabulate(dim)(i => ((c * 31 + i * 7) % 255) - 127)
+      (c, cv, cv.map(v => v.toLong * v).sum)
+    }.filter(_._3 > 0)
+    val scoredBig = codes.limit(50).select(col("qv"), col("qsq"),
+      org.apache.spark.sql.functions.array_max(
+        Similarity.seedScoreArray(bigSeeds)).as("best")).collect()
+    scoredBig.foreach { r =>
+      val qv = r.getSeq[Int](0); val qsq = r.getLong(1)
+      val best = r.getStruct(2)
+      val expected = bigSeeds.map { case (cid, cv, csq) =>
+        val dot = qv.zip(cv).map { case (a, b) => a.toLong * b }.sum
+        (dot.toDouble / math.sqrt(qsq.toDouble * csq.toDouble), -cid)
+      }.max
+      assert((best.getDouble(0), best.getInt(1)) === expected)
+    }
+    // dimension mismatch: whole-array NULL (documented divergence from
+    // the unrolled twin's per-struct null sims)
+    val short = seeds.map { case (c, cv, csq) => (c, cv.take(dim - 1), csq) }
+    assert(codes.select(Similarity.seedScoreArray(short).as("s"))
+      .filter(col("s").isNull).count() === codes.count())
+  }
 }
