@@ -12,7 +12,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver parses this process's output for the
+    // one metric JSON line, and stray WARN lines (a BlockManager
+    // re-add, a large-task-binary note) have broken that parse before.
+    // The operators themselves are WARN-clean (verified per round); the
+    // bench stream stays machine-readable regardless.
+    spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup: JIT + codegen caches + file-system cache, so the
     // first timed query doesn't absorb JVM start-up costs. The synthetic
     // query touches the machinery the real queries use (broadcast join,

@@ -26,6 +26,9 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(q => wanted(q._1)).foreach { case (name, fn) =>
+      // start marker (stderr): lets a log reader attribute any Spark
+      // WARN lines to the query that produced them
+      System.err.println(s"[verify] $name start")
       try {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")

@@ -265,13 +265,22 @@ object Dedup {
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIters: Int = 20,
                           localEdgeThreshold: Long = 500000L): DataFrame = {
-    val e = edges.persist()
-    val n = nodes.persist()
+    // persist only what the CALLER hasn't: most cluster operators hand
+    // in an edge union they already persisted and counted — persisting
+    // the same plan again fired CacheManager's "already cached" WARN on
+    // every clustering query, and the matching unpersist here DROPPED
+    // the caller's cache entry out from under its later reads
+    // (storageLevel is a CacheManager lookup, so it sees the caller's
+    // persist even though this is a different Dataset object)
+    val eCached = edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val nCached = nodes.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val e = if (eCached) edges else edges.persist()
+    val n = if (nCached) nodes else nodes.persist()
     val small = e.count() <= localEdgeThreshold && n.count() <= localEdgeThreshold
     val out = if (small) connectedComponentsLocal(e, n)
               else connectedComponentsDistributed(e, n, maxIters)
-    e.unpersist(false)
-    n.unpersist(false)
+    if (!eCached) e.unpersist(false)
+    if (!nCached) n.unpersist(false)
     out
   }
 
@@ -380,10 +389,12 @@ object Dedup {
     */
   def dedupClusters(documents: DataFrame, k: Int = 5,
                     threshold: Double = 0.5): DataFrame = {
-    // persist: the edge table feeds EVERY label-propagation round (plus
-    // the node-set build) — unpersisted, each round would re-run the
-    // whole shingle self-join pipeline through the lineage
-    val pairs = ngramJaccard(documents, k, threshold).persist()
+    // the edge table feeds EVERY label-propagation round (plus the
+    // node-set build); [[ngramJaccard]] already returns it persisted
+    // AND materialized (scopeCaches contract) — re-persisting the same
+    // plan here was a no-op that fired CacheManager's "already cached"
+    // WARN on every clustering query
+    val pairs = ngramJaccard(documents, k, threshold)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // only pair-participating docs can land in a multi-doc cluster, and
     // singletons are filtered below — propagate over the (much smaller)

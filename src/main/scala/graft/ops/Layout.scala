@@ -15,7 +15,7 @@ import graft.functions.{GraftFunctions, ZOrder}
   *
   * [[zorderFileStats]] simulates the layout: rank by z, cut into
   * `rowsPerFile` chunks ("files"), report each file's bounding box.
-  * The ranking window is a global sort here (fine for a stats report);
+  * The ranking runs the two-pass range-partitioned global ordinal;
   * the production write path is `df.repartitionByRange(z).sortWithin
   * Partitions(z).write` — same curve, fully distributed.
   *
@@ -45,10 +45,16 @@ object Layout {
   def zorderFileStats(orders: DataFrame, rowsPerFile: Int = 1000): DataFrame = {
     val day = datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01")))
     val z = zorderCol(orders, col("o_custkey"), day)
-    val ranked = orders
+    // two-pass range-partitioned global ordinal (GlobalOrder) instead
+    // of a partition-less row_number window: same 0-based rank, no
+    // single-reducer sort, no WindowExec WARN — the stats report now
+    // runs the same distributed shape as the production write path
+    val projected = orders
       .select(col("o_orderkey"), col("o_custkey"), day.as("day"), z.as("z"))
-      .withColumn("file_id",
-        expr(s"(row_number() OVER (ORDER BY z, o_orderkey) - 1) div $rowsPerFile"))
+    val ordered = GlobalOrder.withOrdinal(projected,
+      Seq(col("z"), col("o_orderkey")))
+    val ranked = ordered.df
+      .withColumn("file_id", expr(s"ord div $rowsPerFile"))
     ranked.groupBy("file_id").agg(
       count(lit(1)).as("n_rows"),
       min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
