@@ -34,6 +34,8 @@ object SparkEntry {
     "q_filter_sentinel" -> ((s, d) => Relational.filterSentinel(Tables.orders(s, d))),
     "q_regexp_replace" -> ((s, d) => Relational.regexpNormalize(Tables.part(s, d))),
     "q_split_parts" -> ((s, d) => Relational.splitParts(Tables.part(s, d))),
+    "q_capstone_fact" -> ((s, d) => graft.pipeline.CapstoneEtl.capstoneFactFromTestdata(
+      s, Tables.orders(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_sas_date" -> ((s, d) => Dates.sasDateConvert(Tables.lineitem(s, d))),
     "q_sas_date_udf" -> ((s, d) => Dates.sasDateConvert(Tables.lineitem(s, d), useUdf = true)),
     "q_window_topk" -> ((s, d) => Relational.windowTopK(Tables.orders(s, d))),
@@ -903,6 +905,59 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_lsh_topk" -> lshTopKOracle,
     "q_zorder_layout" -> zorderOracle,
+    // q_capstone_fact: the reference pipeline's own fact query
+    // (etl.py:159-191) — fact input derived from orders, dims from
+    // nation/region + the real mode/visa label rows; joins, WHERE, and
+    // the SAS-day arrival conversion mirror CapstoneEtl.immigrationFact
+    "q_capstone_fact" ->
+      """WITH imm AS (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS DOUBLE) AS i94yr,
+        |    CAST(month(CAST(o_orderdate AS DATE)) AS DOUBLE) AS i94mon,
+        |    CAST(o_custkey % 26 AS DOUBLE) AS i94res,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'XXX'
+        |      ELSE 'P' || CAST(o_orderkey % 25 AS VARCHAR) END AS i94port,
+        |    CAST(CASE WHEN o_orderkey % 5 = 3 THEN 9 WHEN o_orderkey % 5 = 4 THEN 7
+        |      ELSE o_orderkey % 5 + 1 END AS DOUBLE) AS i94mode,
+        |    CAST(o_custkey % 6 AS VARCHAR) AS i94addr,
+        |    CAST(o_orderkey % 5 + 1 AS DOUBLE) AS i94visa,
+        |    CAST(datediff('day', DATE '1960-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS arrdate,
+        |    CAST(datediff('day', DATE '1960-01-01', CAST(o_orderdate AS DATE)) + 7 AS DOUBLE) AS depdate,
+        |    CAST(o_custkey % 80 AS DOUBLE) AS i94bir,
+        |    CAST(2016 - o_custkey % 80 AS DOUBLE) AS biryear,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN CAST(NULL AS VARCHAR)
+        |      ELSE 'OCC' || CAST(o_orderkey % 11 AS VARCHAR) END AS occup,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'M' ELSE 'F' END AS gender,
+        |    CAST(o_orderkey % 30 AS VARCHAR) AS dtaddto,
+        |    'AL' || CAST(o_orderkey % 9 AS VARCHAR) AS airline,
+        |    CAST(o_orderkey AS DOUBLE) AS admnum,
+        |    CAST(o_orderkey % 1000 AS VARCHAR) AS fltno
+        |  FROM orders),
+        |lu_countries AS (SELECT CAST(n_nationkey AS VARCHAR) AS code FROM nation),
+        |lu_ports AS (SELECT 'P' || CAST(n_nationkey AS VARCHAR) AS code FROM nation),
+        |lu_states AS (SELECT CAST(r_regionkey AS VARCHAR) AS code FROM region),
+        |lu_modes AS (SELECT * FROM (VALUES ('1'), ('2'), ('3'), ('9')) AS t(code)),
+        |lu_visa_types AS (SELECT * FROM (VALUES ('1', 'Business'), ('2', 'Pleasure'),
+        |  ('3', 'Student')) AS t(code, visa_type))
+        |SELECT tid.i94yr AS year, tid.i94mon AS month,
+        |  lc.code AS residence_country, lp.code AS port,
+        |  CASE WHEN tid.arrdate IS NULL OR tid.arrdate = 0 THEN NULL
+        |    ELSE strftime(DATE '1960-01-01' + CAST(tid.arrdate AS INTEGER), '%Y-%m-%d')
+        |    END AS arrival_date,
+        |  lm.code AS mode, ls.code AS state_code,
+        |  tid.depdate AS departure_date, tid.i94bir AS age,
+        |  lvt.code AS visa_type_code, tid.occup AS occupation,
+        |  tid.gender, lvt.visa_type, tid.biryear AS birth_year,
+        |  tid.dtaddto AS allowed_date, tid.airline,
+        |  tid.admnum AS admission_number, tid.fltno AS flight_number
+        |FROM imm tid
+        |LEFT JOIN lu_countries lc ON lc.code = CAST(CAST(tid.i94res AS INT) AS VARCHAR)
+        |LEFT JOIN lu_ports lp ON lp.code = tid.i94port
+        |LEFT JOIN lu_modes lm ON lm.code = CAST(CAST(tid.i94mode AS INT) AS VARCHAR)
+        |LEFT JOIN lu_states ls ON ls.code = tid.i94addr
+        |LEFT JOIN lu_visa_types lvt ON lvt.code = CAST(CAST(tid.i94visa AS INT) AS VARCHAR)
+        |WHERE lp.code IS NOT NULL AND lc.code IS NOT NULL AND lm.code IS NOT NULL
+        |  AND ls.code IS NOT NULL AND lvt.code IS NOT NULL
+        |ORDER BY admission_number""".stripMargin,
     "q_star_join" ->
       """SELECT l.l_orderkey AS order_key, l.l_linenumber AS line_number,
         |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,

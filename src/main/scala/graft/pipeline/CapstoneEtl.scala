@@ -145,6 +145,58 @@ object CapstoneEtl {
         ON lower(td.city) = lower(lp.city) AND td.state_code = lp.state_code""")
   }
 
+  /** Driver-contract twin of [[immigrationFact]] (`q_capstone_fact`):
+    * runs the reference's OWN fact query — the exact temp-view SQL of
+    * `etl.py:159-191`, five LEFT joins collapsed to inner by the
+    * null-rejecting WHERE, SAS-day arrival conversion — under the
+    * DuckDB hash-match oracle. The binary SAS immigration source and
+    * the SAS label dictionary can't reach DuckDB, so the fact input is
+    * DERIVED deterministically from `orders` (every i94 column a pure
+    * arithmetic projection, with deliberate non-matching codes so the
+    * WHERE actually eliminates rows) and the dims from `nation`
+    * (countries, ports), `region` (states), and the reference's real
+    * mode/visa label rows. Same join keys, same double-typed i94
+    * columns, same CAST(CAST(x AS INT) AS STRING) key derivations —
+    * the SQL under test is byte-identical to the pipeline's.
+    */
+  def capstoneFactFromTestdata(spark: SparkSession, orders: DataFrame,
+                               nation: DataFrame, region: DataFrame): DataFrame = {
+    import spark.implicits._
+    val immigration = orders.selectExpr(
+      "CAST(year(CAST(o_orderdate AS DATE)) AS DOUBLE) AS i94yr",
+      "CAST(month(CAST(o_orderdate AS DATE)) AS DOUBLE) AS i94mon",
+      "CAST(o_custkey % 26 AS DOUBLE) AS i94res",
+      "CASE WHEN o_orderkey % 7 = 0 THEN 'XXX' " +
+        "ELSE CONCAT('P', CAST(o_orderkey % 25 AS STRING)) END AS i94port",
+      "CAST(CASE WHEN o_orderkey % 5 = 3 THEN 9 WHEN o_orderkey % 5 = 4 THEN 7 " +
+        "ELSE o_orderkey % 5 + 1 END AS DOUBLE) AS i94mode",
+      "CAST(o_custkey % 6 AS STRING) AS i94addr",
+      "CAST(o_orderkey % 5 + 1 AS DOUBLE) AS i94visa",
+      "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1960-01-01') AS DOUBLE) AS arrdate",
+      "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1960-01-01') + 7 AS DOUBLE) AS depdate",
+      "CAST(o_custkey % 80 AS DOUBLE) AS i94bir",
+      "CAST(2016 - o_custkey % 80 AS DOUBLE) AS biryear",
+      "CASE WHEN o_orderkey % 11 = 0 THEN CAST(NULL AS STRING) " +
+        "ELSE CONCAT('OCC', CAST(o_orderkey % 11 AS STRING)) END AS occup",
+      "CASE WHEN o_orderkey % 2 = 0 THEN 'M' ELSE 'F' END AS gender",
+      "CAST(o_orderkey % 30 AS STRING) AS dtaddto",
+      "CONCAT('AL', CAST(o_orderkey % 9 AS STRING)) AS airline",
+      "CAST(o_orderkey AS DOUBLE) AS admnum",
+      "CAST(o_orderkey % 1000 AS STRING) AS fltno")
+    val country = nation.selectExpr("CAST(n_nationkey AS STRING) AS code",
+      "n_name AS country_name")
+    val port = nation.selectExpr("CONCAT('P', CAST(n_nationkey AS STRING)) AS code",
+      "n_name AS city")
+    val state = region.selectExpr("CAST(r_regionkey AS STRING) AS code",
+      "r_name AS state_name")
+    val mode = Seq(("1", "Air"), ("2", "Sea"), ("3", "Land"),
+      ("9", "Not reported")).toDF("code", "mode")
+    val visa = Seq(("1", "Business"), ("2", "Pleasure"),
+      ("3", "Student")).toDF("code", "visa_type")
+    immigrationFact(spark, immigration, country, port, state, mode, visa)
+      .orderBy("admission_number")
+  }
+
   /** E2 done right: the reference's `count() > 0` quality gate, raising
     * on violation (the reference built the Exception but never threw it,
     * `etl.py:253-257`).

@@ -97,4 +97,32 @@ class CapstoneEtlSpec extends AnyFunSuite with SparkSpec {
     assert(was.getAs[String]("city") === "WASHINGTON DC")
     assert(was.getAs[String]("state_code") === null)
   }
+
+  test("capstoneFactFromTestdata: the fact WHERE eliminates every non-matching " +
+      "code and keeps every fully-matching row (q_capstone_fact's shape)") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.Tables.orders(spark, sf)
+    val fact = CapstoneEtl.capstoneFactFromTestdata(spark, orders,
+      graft.Tables.nation(spark, sf), graft.Tables.region(spark, sf))
+    val rows = fact.collect()
+    assert(rows.nonEmpty)
+    // a surviving row's codes all resolved: res 0..24, port P-prefixed,
+    // mode in {1,2,3,9}, state 0..4, visa 1..3
+    rows.foreach { r =>
+      assert(r.getAs[String]("port").startsWith("P"))
+      assert(Set("1", "2", "3", "9").contains(r.getAs[String]("mode")))
+      assert(r.getAs[String]("state_code").toInt < 5)
+      assert(Set("Business", "Pleasure", "Student")
+        .contains(r.getAs[String]("visa_type")))
+      assert(r.getAs[String]("arrival_date").matches("\\d{4}-\\d{2}-\\d{2}"))
+    }
+    // the WHERE really eliminated the planted non-matching codes: the
+    // survivor count equals the driver-computed conjunction over orders
+    val expected = orders.selectExpr("o_orderkey AS k", "o_custkey AS c").collect()
+      .count { r =>
+        val k = r.getLong(0); val c = r.getLong(1)
+        c % 26 < 25 && k % 7 != 0 && k % 5 != 4 && c % 6 < 5 && k % 5 + 1 <= 3
+      }
+    assert(rows.length === expected)
+  }
 }
