@@ -444,6 +444,38 @@ object SparkEntry {
     // to q_quantized_topk row-for-row, spec-pinned)
     "q_ivf_index_topk" -> ((s, d) =>
       Similarity.ivfIndexTopK(Tables.embeddings(s, d))),
+    // lifecycle audit of the PERSISTED index: init on the md5-stored
+    // side, append the drifted rest under the FIXED day-0 seeds, then
+    // read the hive store's per-list occupancy — counts are exact
+    // integers, so the drifted skew itself is hash-matched
+    "q_ivf_store_occupancy" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, md5, substring}
+      val emb = Tables.embeddings(s, d)
+      val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_occ_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb.filter(storedSide), dir)
+      Similarity.ivfIndexStoreAppend(s, emb.filter(!storedSide), dir)
+      Similarity.ivfIndexStoreOccupancy(s, dir)
+    }),
+    // the rebalance step: same drifted store, re-seeded from the FULL
+    // stored codes (packed bytes unpacked; embeddings never re-read)
+    // through the rename-aside swap — the post-reseed occupancy equals
+    // a fresh build's, which is what the oracle computes
+    "q_ivf_store_reseed" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, md5, substring}
+      val emb = Tables.embeddings(s, d)
+      val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_reseed_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb.filter(storedSide), dir)
+      Similarity.ivfIndexStoreAppend(s, emb.filter(!storedSide), dir)
+      Similarity.ivfIndexStoreReseed(s, dir)
+    }),
     // the probabilistic side of q_ivf_topk under the oracle (the
     // bounds-twin pattern): per query, recall@k of the pruned probe vs
     // the exact top-k >= the documented floor, as a TRUE-iff-held
@@ -3366,6 +3398,90 @@ object SparkEntry {
         |  WHERE rn = 1)
         |SELECT vec_id, centroid_id, round(sim, 6) AS centroid_sim
         |FROM asg ORDER BY vec_id""".stripMargin,
+    // occupancy of the drifted store: seeds from the md5-stored side
+    // only (the store's FIXED day-0 centroids), every vector (stored +
+    // appended) assigned against them, exact counts + share per list
+    "q_ivf_store_occupancy" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        md5(list_aggr(list_transform(qv, x -> CAST(x AS VARCHAR)),
+        |          'string_agg', ',')) AS dig,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq,
+        |        substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS stored
+        |      FROM q0),
+        |base AS (SELECT * FROM b WHERE qsq > 0),
+        |seeds AS (SELECT * FROM (
+        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS INTEGER) - 1 AS centroid_id
+        |    FROM base WHERE stored) WHERE centroid_id < 16),
+        |sc AS (SELECT base.vec_id, base.dig, seeds.centroid_id,
+        |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
+        |  FROM base, seeds),
+        |asg AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, centroid_id) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |per AS (SELECT centroid_id, COUNT(*) AS list_size,
+        |    COUNT(DISTINCT dig) AS n_codes FROM asg GROUP BY centroid_id),
+        |tot AS (SELECT SUM(list_size) AS total FROM per)
+        |SELECT per.centroid_id, seeds.seed_vec_id, per.list_size, per.n_codes,
+        |  round(CAST(per.list_size AS DOUBLE) / tot.total, 6) AS share
+        |FROM per, tot
+        |JOIN seeds ON seeds.centroid_id = per.centroid_id
+        |ORDER BY per.centroid_id""".stripMargin,
+    // post-reseed occupancy ≡ a fresh build's: seeds from ALL
+    // non-degenerate codes, every vector re-assigned, same aggregation
+    "q_ivf_store_reseed" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        md5(list_aggr(list_transform(qv, x -> CAST(x AS VARCHAR)),
+        |          'string_agg', ',')) AS dig,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
+        |      FROM q0),
+        |base AS (SELECT * FROM b WHERE qsq > 0),
+        |seeds AS (SELECT * FROM (
+        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS INTEGER) - 1 AS centroid_id
+        |    FROM base) WHERE centroid_id < 16),
+        |sc AS (SELECT base.vec_id, base.dig, seeds.centroid_id,
+        |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
+        |  FROM base, seeds),
+        |asg AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, centroid_id) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |per AS (SELECT centroid_id, COUNT(*) AS list_size,
+        |    COUNT(DISTINCT dig) AS n_codes FROM asg GROUP BY centroid_id),
+        |tot AS (SELECT SUM(list_size) AS total FROM per)
+        |SELECT per.centroid_id, seeds.seed_vec_id, per.list_size, per.n_codes,
+        |  round(CAST(per.list_size AS DOUBLE) / tot.total, 6) AS share
+        |FROM per, tot
+        |JOIN seeds ON seeds.centroid_id = per.centroid_id
+        |ORDER BY per.centroid_id""".stripMargin,
     // pruned-probe IVF top-k over the seed index: probes = each
     // query's 4 nearest centroids, candidates = vectors assigned to
     // those lists, ranking = the exact integer-dot cosine — the whole

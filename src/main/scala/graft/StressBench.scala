@@ -295,6 +295,22 @@ object StressBench {
       p
     }
     if (selected("ivf_store_probe")) { ivfStoreDir; () }
+    // DELIBERATELY skewed persisted index (untimed setup): seeds drawn
+    // from the replicas of just TWO base vectors — most seeds carry an
+    // identical code, ties break to the lowest centroid id, so the
+    // whole corpus crowds into ~2 giant lists (max share ≈ 0.5). The
+    // probe/reseed rows below price that skew and its repair.
+    lazy val ivfSkewDir = {
+      val p = stressTmp("graft_stress_ivf_skew")
+      ext.Similarity.ivfIndexStoreInit(
+        emb.filter(col("vec_id") % KEY_OFFSET <= 1), p)
+      ext.Similarity.ivfIndexStoreAppend(spark,
+        emb.filter(col("vec_id") % KEY_OFFSET > 1), p)
+      p
+    }
+    Seq("ivf_store_probe_skewed", "ivf_store_occupancy_skewed",
+      "ivf_store_reseed", "ivf_store_probe_reseeded").foreach(n =>
+      if (selected(n)) { ivfSkewDir; () })
     // centroid-scoring A/B setup (shared, untimed): seed matrices at
     // the production nList (16) and at the size that killed the
     // unrolled form (256); the timed bodies run the full-corpus argmax
@@ -460,6 +476,19 @@ object StressBench {
         spark.read.parquet(s"$codeStores/bytes")).count()),
       time("ivf_store_probe", ext.Similarity.ivfIndexStoreProbe(spark,
         emb.filter(col("vec_id") < 10), ivfStoreDir).count()),
+      // skew → reseed → repair arc (rows run IN ORDER; the reseed row
+      // mutates the store between the two probes). Occupancy rows
+      // return the MAX list size — the number probe cost follows.
+      time("ivf_store_probe_skewed", ext.Similarity.ivfIndexStoreProbe(spark,
+        emb.filter(col("vec_id") < 10), ivfSkewDir).count()),
+      time("ivf_store_occupancy_skewed",
+        ext.Similarity.ivfIndexStoreOccupancy(spark, ivfSkewDir)
+          .agg(max(col("list_size"))).collect()(0).getLong(0)),
+      time("ivf_store_reseed",
+        ext.Similarity.ivfIndexStoreReseed(spark, ivfSkewDir)
+          .agg(max(col("list_size"))).collect()(0).getLong(0)),
+      time("ivf_store_probe_reseeded", ext.Similarity.ivfIndexStoreProbe(spark,
+        emb.filter(col("vec_id") < 10), ivfSkewDir).count()),
       time("hll_distinct", {
         li.agg(functions.HllSketch.hll_distinct(spark, col("l_partkey"))).collect()(0).getLong(0)
       }),

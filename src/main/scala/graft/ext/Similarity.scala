@@ -1107,20 +1107,29 @@ object Similarity {
     import graft.functions.Int8Codes.int8_codes
     import graft.functions.Int8Bytes.int8_bytes
     import graft.functions.IntDot.int_dot
-    val best = array_max(seedScoreArray(collectSeedCentroids(centroids)))
     // qb rides along so the store writers can persist the PACKED form
     // (1 byte/element) while in-memory consumers keep the qv ints
-    vecs
+    val codes = vecs
       .select(col("vec_id"), int8_codes(col("embedding")).as("qv"),
         int8_bytes(col("embedding")).as("qb"))
       .withColumn("qsq", int_dot(col("qv"), col("qv")))
       .withColumn("dig", md5(concat_ws(",", col("qv").cast("array<string>"))))
       .filter(col("qsq") > 0)
-      .withColumn("best", best)
+    assignCodes(codes, collectSeedCentroids(centroids))
+  }
+
+  /** The assignment tail over an EXISTING non-degenerate code frame
+    * (vec_id, qv, qb, qsq, dig) — shared by [[ivfIndexAssign]] (fresh
+    * quantization) and [[ivfIndexStoreReseed]] (codes recovered from
+    * store bytes; the float embeddings are never re-read).
+    */
+  private def assignCodes(codes: DataFrame,
+                          seeds: Array[(Int, Seq[Int], Long)]): DataFrame =
+    codes
+      .withColumn("best", array_max(seedScoreArray(seeds)))
       .select(col("vec_id"), col("qv"), col("qb"), col("qsq"), col("dig"),
         listIdOf(col("best.nid")).as("centroid_id"),
         round(col("best.sim"), 6).as("centroid_sim"))
-  }
 
   /** Build-time index audit (`q_ivf_index_build`): one row per inverted
     * list with its seed, size, distinct-code count, and the min/max
@@ -1356,5 +1365,103 @@ object Similarity {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+  }
+
+  /** Occupancy audit of a PERSISTED index (`q_ivf_store_occupancy`):
+    * one row per inverted list — its seed, member count, distinct-code
+    * count, and corpus share. The operational dashboard for the
+    * append-only store's one failure mode: centroids are fixed at init,
+    * so a drifted ingest skews list occupancy and probe cost follows
+    * the heaviest probed list. Reads BOTH the batch lists and any
+    * streamed day partitions (what a probe reads is what the audit
+    * counts). ONE corpus scan: the per-list aggregate is ≤ nList rows
+    * by construction, so the share denominator folds on the driver —
+    * the [[graft.ext.DataPrep.qualityRetentionCurve]] shape, not a
+    * second scan or a partition-less window. Exact integer counts ⇒
+    * hash-matched.
+    */
+  def ivfIndexStoreOccupancy(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame = {
+    import spark.implicits._
+    val seedById = ivfIndexStoreCentroids(spark, dir)
+      .select("centroid_id", "seed_vec_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val per = ivfIndexStoreAssignments(spark, dir)
+      .unionByName(ivfIndexReadDayAssignments(spark, dir))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("dig")).as("nc"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val total = per.map(_._2).sum
+    per.map { case (cid, n, nc) =>
+      (cid, seedById(cid), n, nc,
+        BigDecimal(n.toDouble / total).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
+      .toDF("centroid_id", "seed_vec_id", "list_size", "n_codes", "share")
+      .orderBy("centroid_id")
+  }
+
+  /** Re-seed + re-assign the PERSISTED index in place — the lifecycle
+    * step the append-only store eventually needs: after enough drifted
+    * ingest, fresh seeds are drawn from the CURRENT corpus (the same
+    * md5-ordered deterministic pick as [[ivfSeedCentroids]], off the
+    * stored codes — the float embeddings are never re-read; the int
+    * form is recovered from store bytes by `int8_unpack`), every stored
+    * vector is re-assigned, and the new centroids + inverted lists
+    * replace the old through the compaction swap's rename-aside
+    * discipline ([[graft.ext.Curation.storeSwapRecover]] is called
+    * first, and its staging/old naming + `_SUCCESS` completeness marker
+    * are reused verbatim, so a crash at ANY point self-heals on the
+    * next reseed or recover call). Streamed day partitions are folded
+    * into the consolidated lists (a reseed is also a day-compaction);
+    * the swap retires them with the old root.
+    *
+    * Re-seeding a store whose content equals a fresh corpus yields
+    * byte-identical centroids and assignments to [[ivfIndexStoreInit]]
+    * on that corpus, and a second reseed is a no-op relabeling — both
+    * spec-pinned. Cost: two scans of the packed store (seed pick,
+    * re-assign) + one partitioned write; O(corpus × nList) integer
+    * dots, the same cell as a full build, amortized over however many
+    * drifted days made it necessary.
+    */
+  def ivfIndexStoreReseed(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, nList: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.Int8Unpack.int8_unpack
+    if (Curation.storeSwapRecover(spark, dir) == "absent")
+      throw new java.io.IOException(
+        s"no IVF index store (live, old, or staged) at $dir")
+    val codes = ivfIndexStoreAssignments(spark, dir)
+      .unionByName(ivfIndexReadDayAssignments(spark, dir))
+      .select(col("vec_id"), int8_unpack(col("qb")).as("qv"), col("qb"),
+        col("qsq"), col("dig"))
+    val picked = seedPickFromCodes(codes, nList)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.compact-staging")
+    val old = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.compact-old")
+    fs.delete(staging, true)
+    // both staged writes read the still-live target and complete before
+    // any rename — no lineage reaches the swapped paths afterwards
+    seedsToDf(spark, picked).write.parquet(s"$staging/centroids")
+    assignCodes(codes, picked.map { case (cid, _, cv, csq) => (cid, cv, csq) })
+      .select((STORE_COLS :+ "centroid_id").map(col): _*)
+      .write.partitionBy("centroid_id").parquet(s"$staging/assignments")
+    // root-level completeness marker LAST: storeSwapRecover adopts a
+    // headless staging dir only when this file exists
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")).close()
+    fs.delete(old, true)
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"rename $target -> $old failed")
+    if (!fs.rename(staging, target)) {
+      fs.rename(old, target) // restore the live store before failing
+      throw new java.io.IOException(s"rename $staging -> $target failed")
+    }
+    fs.delete(old, true)
+    ivfIndexStoreOccupancy(spark, dir)
   }
 }

@@ -111,6 +111,7 @@ object GraftFunctions {
     reg1("int8_bytes", Int8Bytes.builder, classOf[Int8Bytes])
     reg1("int_dot_bytes", IntDotBytes.builder, classOf[IntDotBytes])
     reg1("centroid_scores", CentroidScores.builder, classOf[CentroidScores])
+    reg1("int8_unpack", Int8Unpack.builder, classOf[Int8Unpack])
   }
 
   /** `winnow_fps(text, k, w)` — k and w must be integer literals (they
@@ -193,6 +194,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("centroid_scores"),
       new ExpressionInfo(classOf[CentroidScores].getName, "centroid_scores"),
       CentroidScores.builder _))
+    e.injectFunction((
+      new FunctionIdentifier("int8_unpack"),
+      new ExpressionInfo(classOf[Int8Unpack].getName, "int8_unpack"),
+      Int8Unpack.builder _))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectPlannerStrategy(_ => graft.plans.VectorizedCosineStrategy)
     e.injectOptimizerRule(_ => graft.plans.CollapseTopK)

@@ -150,3 +150,52 @@ object IntDotBytes {
   def int_dot_bytes(a: Column, b: Column): Column =
     call_function("int_dot_bytes", a, b)
 }
+
+/** [[Int8Bytes]]'s inverse (`int8_unpack(binary) -> array<int>`):
+  * sign-extends each packed byte code back to the `array<int>` form —
+  * `int8_unpack(int8_bytes(e)) ≡ int8_codes(e)` element-wise
+  * (spec-pinned), since the byte narrowing was lossless in [-127, 127].
+  * This is what lets a consumer that needs the int form (a re-seed of
+  * the persisted IVF index, whose store carries ONLY packed codes)
+  * recover it from store bytes without re-reading the float embeddings.
+  */
+case class Int8Unpack(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "int8_unpack"
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val out = new Array[Int](b.length)
+    var i = 0
+    while (i < b.length) { out(i) = b(i).toInt; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $b.length;
+         |int[] $out = new int[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (int) $b[$i];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Int8Unpack {
+  def builder(exprs: Seq[Expression]): Expression = {
+    FnArgs.arity("int8_unpack", exprs, Seq(1))
+    Int8Unpack(Cast(exprs(0), BinaryType))
+  }
+
+  def int8_unpack(a: Column): Column = call_function("int8_unpack", a)
+}

@@ -785,6 +785,70 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(prunedStore.toSeq === prunedMem.toSeq)
   }
 
+  test("ivfIndexStoreReseed: unpack inverts pack; reseed ≡ fresh init; " +
+      "idempotent; day partitions folded; mid-swap crash self-heals") {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    import graft.functions.Int8Bytes.int8_bytes
+    import graft.functions.Int8Codes.int8_codes
+    import graft.functions.Int8Unpack.int8_unpack
+    graft.functions.GraftFunctions.register(spark)
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // unpack ≡ codes, element-wise over the real corpus
+    val mism = d.select(int8_unpack(int8_bytes(col("embedding"))).as("u"),
+      int8_codes(col("embedding")).as("c"))
+      .filter(!(col("u") <=> col("c"))).count()
+    assert(mism === 0L)
+    // drifted store: init on the md5-stored side, append + stream the rest
+    val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val newSide = d.filter(!storedSide)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_reseed").toString + "/idx"
+    Similarity.ivfIndexStoreInit(d.filter(storedSide), dir)
+    Similarity.ivfIndexStoreAppend(spark, newSide.filter(col("vec_id") % 2 === 0), dir)
+    Similarity.ivfIndexStreamDay(spark, newSide.filter(col("vec_id") % 2 === 1), 1L, dir)
+    // occupancy counts batch lists AND streamed days (what a probe reads)
+    val occBefore = Similarity.ivfIndexStoreOccupancy(spark, dir)
+    val nonDegen = Similarity.quantizedCodes(d).filter(col("qsq") > 0).count()
+    assert(occBefore.agg(org.apache.spark.sql.functions.sum("list_size"))
+      .collect()(0).getLong(0) === nonDegen)
+    val summary = Similarity.ivfIndexStoreReseed(spark, dir)
+    // reseed ≡ fresh init on the union corpus: same centroids, same
+    // assignments (row-sets compared on all columns)
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_ivf_fresh").toString + "/idx"
+    Similarity.ivfIndexStoreInit(d, freshDir)
+    def rows(dirr: String, sub: String) =
+      spark.read.parquet(s"$dirr/$sub").collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.mkString("[", ",", "]")
+        case x => x
+      }.toString).sorted.toSeq
+    assert(rows(dir, "centroids") === rows(freshDir, "centroids"))
+    assert(rows(dir, "assignments") === rows(freshDir, "assignments"))
+    // day partitions were folded and retired by the swap
+    assert(!new java.io.File(s"$dir/day_assignments").exists())
+    assert(summary.collect().map(_.getLong(2)).sum === nonDegen)
+    // idempotence: a second reseed re-derives the same content
+    Similarity.ivfIndexStoreReseed(spark, dir)
+    assert(rows(dir, "assignments") === rows(freshDir, "assignments"))
+    // mid-swap crash: target renamed aside, staging complete → recover
+    // adopts the staged store and the index is live again
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.compact-staging")
+    fs.mkdirs(staging)
+    // simulate: completed staging (copy of live) + vanished target
+    org.apache.hadoop.fs.FileUtil.copy(fs, target, fs, staging, false,
+      spark.sparkContext.hadoopConfiguration)
+    // FileUtil.copy(target -> staging) nests target's name under staging
+    val nested = new org.apache.hadoop.fs.Path(staging, target.getName)
+    fs.listStatus(nested).foreach(st =>
+      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(staging, st.getPath.getName)))
+    fs.delete(nested, true)
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")).close()
+    fs.delete(target, true)
+    assert(Curation.storeSwapRecover(spark, dir) === "recovered-staging")
+    assert(rows(dir, "assignments") === rows(freshDir, "assignments"))
+  }
+
   test("centroid_scores: native batched loop ≡ unrolled per-centroid structs, " +
       "element-for-element, and stays native at nList far past the unroll budget") {
     import org.apache.spark.sql.functions.{col, not}
