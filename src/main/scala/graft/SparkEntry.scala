@@ -481,6 +481,12 @@ object SparkEntry {
     // the exact top-k >= the documented floor, as a TRUE-iff-held
     // boolean — deterministic because ivfCentroids is
     "q_ivf_recall" -> ((s, d) => Similarity.ivfRecall(Tables.embeddings(s, d))),
+    // SOAR-style spilled assignment A/B: each vector indexed under its
+    // top-2 centroids; per query at EQUAL nProbe, candidate count and
+    // exact-top-k hits for single vs spilled — fully deterministic int8
+    // arithmetic, so the recall/cost trade-off is itself hash-matched
+    "q_ivf_spilled_recall" -> ((s, d) =>
+      Similarity.ivfIndexSpilledRecall(Tables.embeddings(s, d))),
     // quantized-scan ANN: cosine top-k over int8 codes — per-vector
     // scales cancel, so the ranking is pure integer arithmetic and
     // (unlike trained-codebook PQ) exactly oracle-matched
@@ -3398,6 +3404,102 @@ object SparkEntry {
         |  WHERE rn = 1)
         |SELECT vec_id, centroid_id, round(sim, 6) AS centroid_sim
         |FROM asg ORDER BY vec_id""".stripMargin,
+    // spilled-assignment recall/cost A/B: asg1 = primary-only index,
+    // asg2 = top-2 spilled index; candidates distinct per (query,
+    // neighbor); exact baseline = brute top-k over all codes; hit
+    // counts vs that baseline at equal probe width
+    "q_ivf_spilled_recall" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
+        |      FROM q0),
+        |base AS (SELECT * FROM b WHERE qsq > 0),
+        |seeds AS (SELECT * FROM (
+        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS INTEGER) - 1 AS centroid_id
+        |    FROM base) WHERE centroid_id < 16),
+        |sc AS (SELECT base.vec_id, seeds.centroid_id,
+        |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
+        |  FROM base, seeds),
+        |scr AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, centroid_id) AS rn FROM sc),
+        |asg1 AS (SELECT vec_id, centroid_id FROM scr WHERE rn = 1),
+        |asg2 AS (SELECT vec_id, centroid_id FROM scr WHERE rn <= 2),
+        |qp AS (SELECT vec_id AS query_id, centroid_id FROM scr
+        |  WHERE vec_id < 10 AND rn <= 4),
+        |qq AS (SELECT vec_id AS query_id, qv AS qa, qsq AS sqa
+        |  FROM base WHERE vec_id < 10),
+        |cand1 AS (SELECT DISTINCT qp.query_id, a.vec_id AS neighbor_id
+        |  FROM qp JOIN asg1 a ON a.centroid_id = qp.centroid_id
+        |    AND a.vec_id <> qp.query_id),
+        |cand2 AS (SELECT DISTINCT qp.query_id, a.vec_id AS neighbor_id
+        |  FROM qp JOIN asg2 a ON a.centroid_id = qp.centroid_id
+        |    AND a.vec_id <> qp.query_id),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT qq.query_id, nb.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, len(qq.qa) + 1),
+        |          i -> CAST(qq.qa[CAST(i AS INTEGER)] AS BIGINT)
+        |            * nb.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |          / sqrt(CAST(qq.sqa AS DOUBLE) * nb.qsq) DESC,
+        |        nb.vec_id) AS rnk
+        |    FROM qq JOIN base nb ON nb.vec_id <> qq.query_id)
+        |  WHERE rnk <= 5),
+        |t1 AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT c.query_id, c.neighbor_id,
+        |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, len(qq.qa) + 1),
+        |          i -> CAST(qq.qa[CAST(i AS INTEGER)] AS BIGINT)
+        |            * nb.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |          / sqrt(CAST(qq.sqa AS DOUBLE) * nb.qsq) DESC,
+        |        c.neighbor_id) AS rnk
+        |    FROM cand1 c JOIN qq ON c.query_id = qq.query_id
+        |      JOIN base nb ON c.neighbor_id = nb.vec_id)
+        |  WHERE rnk <= 5),
+        |t2 AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT c.query_id, c.neighbor_id,
+        |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, len(qq.qa) + 1),
+        |          i -> CAST(qq.qa[CAST(i AS INTEGER)] AS BIGINT)
+        |            * nb.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |          / sqrt(CAST(qq.sqa AS DOUBLE) * nb.qsq) DESC,
+        |        c.neighbor_id) AS rnk
+        |    FROM cand2 c JOIN qq ON c.query_id = qq.query_id
+        |      JOIN base nb ON c.neighbor_id = nb.vec_id)
+        |  WHERE rnk <= 5),
+        |c1 AS (SELECT query_id, COUNT(*) AS cand_single FROM cand1 GROUP BY query_id),
+        |c2 AS (SELECT query_id, COUNT(*) AS cand_spilled FROM cand2 GROUP BY query_id),
+        |h1 AS (SELECT ex.query_id, COUNT(*) AS hits_single
+        |  FROM ex JOIN t1 ON ex.query_id = t1.query_id
+        |    AND ex.neighbor_id = t1.neighbor_id GROUP BY ex.query_id),
+        |h2 AS (SELECT ex.query_id, COUNT(*) AS hits_spilled
+        |  FROM ex JOIN t2 ON ex.query_id = t2.query_id
+        |    AND ex.neighbor_id = t2.neighbor_id GROUP BY ex.query_id)
+        |SELECT qq.query_id,
+        |  COALESCE(c1.cand_single, 0) AS cand_single,
+        |  COALESCE(c2.cand_spilled, 0) AS cand_spilled,
+        |  COALESCE(h1.hits_single, 0) AS hits_single,
+        |  COALESCE(h2.hits_spilled, 0) AS hits_spilled,
+        |  COALESCE(h2.hits_spilled, 0) >= COALESCE(h1.hits_single, 0)
+        |    AS spill_no_worse
+        |FROM qq
+        |LEFT JOIN c1 ON qq.query_id = c1.query_id
+        |LEFT JOIN c2 ON qq.query_id = c2.query_id
+        |LEFT JOIN h1 ON qq.query_id = h1.query_id
+        |LEFT JOIN h2 ON qq.query_id = h2.query_id
+        |ORDER BY qq.query_id""".stripMargin,
     // occupancy of the drifted store: seeds from the md5-stored side
     // only (the store's FIXED day-0 centroids), every vector (stored +
     // appended) assigned against them, exact counts + share per list

@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
   *      FLAT as the store grows, because the stored side is hashes
   *      only and the banded join is NEW×ALL.
   *
+  *   C. IVF-index ingest loop: [[graft.streaming.StreamingOps
+  *      .ivfIndexIngestStream]] driven over N micro-batch days against
+  *      a day-0-seeded persisted index. Records per-day wall (claim: a
+  *      day is O(batch × nList) against FIXED centroids — it reads NO
+  *      store at all, so day-N wall is flat in the indexed-store size)
+  *      and the store probe's latency after each day (claim: probe
+  *      cost grows only with the probed lists' member count —
+  *      corpus/nList × nProbe — not with day count; day files are
+  *      partition-pruned like batch lists). A closing
+  *      [[graft.ext.Similarity.ivfIndexStoreReseed]] folds the day
+  *      partitions and re-prices the probe over the consolidated
+  *      balanced lists.
+  *
   *   B. Compaction-cadence A/B on the batch fold loop (the SAME day
   *      arithmetic — stream-day ≡ chained-fold is spec-pinned in
   *      StreamingOpsSpec, so the A/B transfers): two dirs seeded with
@@ -108,6 +121,59 @@ object StreamStress {
         }
       } finally q.stop()
       sb.append(s""""live_stream":[${rows.mkString(",")}]""")
+    }
+
+    // ---- C: IVF index ingest loop — flat day cost, probe vs day count ----
+    locally {
+      val indexDir = s"$root/ivf/index"
+      // ×factor corpus materialized to parquet UNTIMED (replicate()'s
+      // explode lineage would otherwise re-run inside every timed body)
+      val corpusPq = {
+        val p = s"$root/ivf/corpus"
+        StressBench.replicate(Tables.embeddings(spark, sfDir), factor, Seq("vec_id"))
+          .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+      def embDay(d: Int): DataFrame =
+        corpusPq.filter(col("vec_id") % (nDays + 1) === d)
+      val queries = corpusPq.filter(col("vec_id") < 10)
+      // day 0 seeds + initial lists; days 1..N stream in
+      ext.Similarity.ivfIndexStoreInit(embDay(0), indexDir)
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.StreamingOps.ivfIndexIngestStream(
+        input.toDF().toDF("vec_id", "embedding"), indexDir, s"$root/ivf/ckpt")
+      val rows = try {
+        (1 to nDays).map { d =>
+          val batch = embDay(d).select("vec_id", "embedding").collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          val bytesBefore = dirBytes(indexDir)
+          input.addData(batch.toSeq)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val p0 = System.nanoTime()
+          val nProbe = ext.Similarity.ivfIndexStoreProbe(
+            spark, queries, indexDir).count()
+          val probeWall = (System.nanoTime() - p0) / 1e9
+          System.err.println(f"[ivf] day $d: ingest $wall%.2fs, " +
+            f"probe $probeWall%.2fs ($nProbe rows), index $bytesBefore b")
+          s"""{"day":$d,"wall":$wall,"probe_wall":$probeWall,""" +
+            s""""index_bytes_before":$bytesBefore,"batch_vecs":${batch.length}}"""
+        }
+      } finally q.stop()
+      val r0 = System.nanoTime()
+      val occ = ext.Similarity.ivfIndexStoreReseed(spark, indexDir)
+      val maxList = occ.agg(max(col("list_size"))).collect()(0).getLong(0)
+      val reseedWall = (System.nanoTime() - r0) / 1e9
+      val p0 = System.nanoTime()
+      ext.Similarity.ivfIndexStoreProbe(spark, queries, indexDir).count()
+      val probeAfter = (System.nanoTime() - p0) / 1e9
+      System.err.println(f"[ivf] reseed $reseedWall%.2fs, " +
+        f"probe after $probeAfter%.2fs, max list $maxList")
+      sb.append(s""","ivf_stream":[${rows.mkString(",")}]""")
+      sb.append(s""","ivf_reseed":{"wall":$reseedWall,""" +
+        s""""probe_wall_after":$probeAfter,"max_list":$maxList}""")
     }
 
     // ---- B: batch-fold compaction A/B over identical redundant seeds ----

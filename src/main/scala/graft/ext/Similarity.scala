@@ -1299,7 +1299,12 @@ object Similarity {
     val lists = probeRows.map(_.getInt(clusterIdx)).distinct
     val q = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), q0.schema)
+    // candidates = batch lists ∪ streamed day partitions (empty-safe on
+    // a batch-only index): what the index HOLDS is what a probe reads —
+    // an index maintained by ivfIndexStreamDay answers from day files
+    // until a reseed folds them into the consolidated lists
     val cands = ivfIndexStoreAssignments(spark, dir)
+      .unionByName(ivfIndexReadDayAssignments(spark, dir))
       .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*))
       .select(col("vec_id").as("neighbor_id"), col("qb"),
         col("qsq").as("sqb"), col("centroid_id").as("cluster"))
@@ -1365,6 +1370,86 @@ object Similarity {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+  }
+
+  /** SOAR-style SPILLED assignment A/B (`q_ivf_spilled_recall`): assign
+    * each vector to its top-`spill` centroids instead of one — the
+    * redundancy trades index size (×spill) for recall at EQUAL probe
+    * width, because a neighbor whose primary list the query missed can
+    * still surface through its spill list. Per query, at the same
+    * nProbe: candidate count and exact-top-k hit count for the
+    * single-assignment index vs the spilled one, plus the containment
+    * invariant (the spilled candidate set is a SUPERSET of the single
+    * one — the primary assignment is rank 1 of the spill — so
+    * `hits_spilled >= hits_single` always; what varies is how much the
+    * extra candidates buy). Everything is the deterministic int8 seed
+    * arithmetic, so the whole A/B is hash-matched — recall@k of an ANN
+    * variant measured exactly, no sampling.
+    */
+  def ivfIndexSpilledRecall(embeddings: DataFrame, numQueries: Int = 10,
+                            k: Int = 5, nList: Int = 16, nProbe: Int = 4,
+                            spill: Int = 2): DataFrame = {
+    import graft.functions.IntDot.int_dot
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
+    val ranked = reverse(array_sort(seedScoreArray(
+      seedPickFromCodes(codes, nList).map { case (cid, _, cv, csq) => (cid, cv, csq) })))
+    val qcodes = codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+        col("qsq").as("sqa"))
+    // probes computed over `codes` directly — `ranked` scores the
+    // qv/qsq columns, which qcodes renames away
+    val probes = codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(slice(ranked, 1, nProbe)).as("p"))
+      .select(col("query_id"), listIdOf(col("p.nid")).as("cluster"))
+    // candidate pair sets at spill widths 1 (single) and `spill`;
+    // distinct because a pair can meet through several shared lists
+    def candPairs(width: Int): DataFrame = codes
+      .select(col("vec_id").as("neighbor_id"),
+        explode(slice(ranked, 1, width)).as("p"))
+      .select(col("neighbor_id"), listIdOf(col("p.nid")).as("cluster"))
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    // rank a candidate set by the exact integer-dot cosine, keep top k
+    def topK(cands: DataFrame): DataFrame = {
+      val sims = cands
+        .join(qcodes, Seq("query_id"))
+        .join(codes.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
+          col("qsq").as("sqb")), Seq("neighbor_id"))
+        .withColumn("sim", int_dot(col("qb"), col("qa")) /
+          sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .select("query_id", "neighbor_id")
+    }
+    // exact baseline: brute top-k over ALL non-degenerate codes
+    val allPairs = codes.select(col("vec_id").as("neighbor_id"))
+      .crossJoin(broadcast(qcodes.select("query_id")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val exact = topK(allPairs)
+    val single = candPairs(1)
+    val spilled = candPairs(spill)
+    def hitCount(approx: DataFrame, name: String): DataFrame =
+      exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as(name))
+    def candCount(cands: DataFrame, name: String): DataFrame =
+      cands.groupBy("query_id").agg(count(lit(1)).as(name))
+    val out = qcodes.select("query_id")
+      .join(candCount(single, "cand_single"), Seq("query_id"), "left")
+      .join(candCount(spilled, "cand_spilled"), Seq("query_id"), "left")
+      .join(hitCount(topK(single), "hits_single"), Seq("query_id"), "left")
+      .join(hitCount(topK(spilled), "hits_spilled"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("cand_single"), lit(0L)).as("cand_single"),
+        coalesce(col("cand_spilled"), lit(0L)).as("cand_spilled"),
+        coalesce(col("hits_single"), lit(0L)).as("hits_single"),
+        coalesce(col("hits_spilled"), lit(0L)).as("hits_spilled"),
+        (coalesce(col("hits_spilled"), lit(0L)) >=
+          coalesce(col("hits_single"), lit(0L))).as("spill_no_worse"))
+      .orderBy("query_id")
+    Dedup.scopeCaches(out, codes)
   }
 
   /** Occupancy audit of a PERSISTED index (`q_ivf_store_occupancy`):

@@ -785,6 +785,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(prunedStore.toSeq === prunedMem.toSeq)
   }
 
+  test("ivfIndexSpilledRecall: spilled candidates are a superset of single, " +
+      "hits never worse, and at spill = nList every probe is exhaustive") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Similarity.ivfIndexSpilledRecall(d).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cand_spilled") >= r.getAs[Long]("cand_single"),
+        "top-2 assignment can only add candidates")
+      assert(r.getAs[Boolean]("spill_no_worse"),
+        "ranking a candidate superset can't lose exact-top-k hits")
+    }
+    // degenerate regime: spill = nList puts every vector in every
+    // PROBED list's reach → candidates = corpus - self, hits = k
+    val full = Similarity.ivfIndexSpilledRecall(d, spill = 16).collect()
+    val nonDegen = Similarity.quantizedCodes(d)
+      .filter(org.apache.spark.sql.functions.col("qsq") > 0).count()
+    full.foreach { r =>
+      assert(r.getAs[Long]("cand_spilled") === nonDegen - 1)
+      assert(r.getAs[Long]("hits_spilled") === 5L)
+    }
+  }
+
   test("ivfIndexStoreReseed: unpack inverts pack; reseed ≡ fresh init; " +
       "idempotent; day partitions folded; mid-swap crash self-heals") {
     import org.apache.spark.sql.functions.{col, md5, substring}
