@@ -497,6 +497,23 @@ object SparkEntry {
     // values, same oracle SQL
     "q_quantized_topk_bytes" -> ((s, d) =>
       Similarity.quantizedCosineTopKBytes(Tables.embeddings(s, d))),
+    // product quantization with a SEED-drawn (md5-ranked) codebook
+    // instead of trained kmeans: encoding, distortion, and ADC rankings
+    // are exact integer arithmetic, so — unlike classical trained PQ —
+    // the whole lossy tier sits under the hash oracle. Storage ladder:
+    // float 256 B/vec → int8 64 B → PQ 8 B (nSub bytes)
+    "q_pq_encode" -> ((s, d) =>
+      Similarity.pqEncodeSummary(Tables.embeddings(s, d))),
+    // ADC top-k: per-query integer lookup table, nSub adds per pair —
+    // 8× less bandwidth AND arithmetic than the int8 scan
+    "q_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
+    // exact per-query hit counts of the ADC ranking vs the int8-exact
+    // top-k — the lossy tier's recall audited under the oracle
+    "q_pq_recall" -> ((s, d) => Similarity.pqRecall(Tables.embeddings(s, d))),
+    // IVF+PQ (Jégou et al., TPAMI 2011): coarse seed-IVF pruning over
+    // nSub-byte ADC candidates — the composed production architecture,
+    // deterministic end to end (nProbe = nList ≡ q_pq_topk, spec-pinned)
+    "q_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d))),
     "q_centroid_outliers" -> ((s, d) => Similarity.centroidSim(Tables.embeddings(s, d))),
     // SemDeDup: cluster-blocked semantic near-dup drop (rows-only —
     // cluster boundaries are kmeans-dependent); the nList=1 regime below
@@ -939,6 +956,81 @@ object SparkEntry {
       |SELECT query_id, rnk, neighbor_id, CAST(qdot AS BIGINT) AS qdot,
       |  round(sim, 6) AS q_cosine
       |FROM rr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** The PQ family's shared prefix: the q_quantized_topk int8 chain,
+    * the 16 md5-ranked seeds (serving as BOTH the coarse IVF centroids
+    * and the per-subspace codebook — the same deterministic draw as
+    * q_ivf_index_build), per-(vector, subspace) exact integer argmin
+    * over the codebook slices (ties to the lowest entry id), and the
+    * chosen entries with their slices — everything q_pq_encode /
+    * q_pq_topk / q_pq_recall / q_ivfpq_topk read.
+    */
+  private val PQ_CHAIN: String =
+    """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |m AS (SELECT vec_id, emb,
+      |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+      |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+      |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+      |q0 AS (SELECT vec_id,
+      |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+      |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+      |      FROM s),
+      |b AS (SELECT vec_id, qv,
+      |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
+      |      FROM q0),
+      |base AS (SELECT * FROM b WHERE qsq > 0),
+      |seeds AS (SELECT * FROM (
+      |    SELECT vec_id AS seed_vec_id, qv AS cv,
+      |      list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS csq,
+      |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+      |        vec_id) AS INTEGER) - 1 AS centroid_id
+      |    FROM base) WHERE centroid_id < 16),
+      |subs AS (SELECT CAST(j AS INTEGER) AS j FROM range(8) r(j)),
+      |dists AS (
+      |  SELECT base.vec_id, subs.j, seeds.centroid_id,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> CAST(base.qv[subs.j * 8 + CAST(i AS INTEGER)]
+      |             - seeds.cv[subs.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+      |           * (base.qv[subs.j * 8 + CAST(i AS INTEGER)]
+      |             - seeds.cv[subs.j * 8 + CAST(i AS INTEGER)]))) AS d
+      |  FROM base, seeds, subs),
+      |pick AS (SELECT vec_id, j, centroid_id, d FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+      |      ORDER BY d, centroid_id) AS rn FROM dists)
+      |  WHERE rn = 1),
+      |chosen AS (SELECT pick.vec_id, pick.j, pick.centroid_id, pick.d, seeds.cv
+      |  FROM pick JOIN seeds USING (centroid_id)),
+      |rsqs AS (SELECT vec_id,
+      |    CAST(sum(list_sum(list_transform(range(1, 9),
+      |      i -> CAST(cv[j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+      |           * cv[j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS rsq
+      |  FROM chosen GROUP BY vec_id)""".stripMargin
+
+  /** The ADC ranking tail over a candidate CTE named `cands(query_id,
+    * neighbor_id)` — shared by the brute scan (all pairs) and the
+    * IVF-pruned form.
+    */
+  private val PQ_ADC_TAIL: String =
+    """adc AS (
+      |  SELECT cands.query_id, c.vec_id AS neighbor_id,
+      |    CAST(sum(list_sum(list_transform(range(1, 9),
+      |      i -> CAST(q.qv[c.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+      |           * c.cv[c.j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS adc_dot
+      |  FROM cands
+      |  JOIN base q ON cands.query_id = q.vec_id
+      |  JOIN chosen c ON cands.neighbor_id = c.vec_id
+      |  GROUP BY cands.query_id, c.vec_id),
+      |sims AS (
+      |  SELECT adc.query_id, adc.neighbor_id, adc.adc_dot,
+      |    CASE WHEN r.rsq = 0 THEN 0.0
+      |         ELSE CAST(adc.adc_dot AS DOUBLE)
+      |           / sqrt(CAST(q.qsq AS DOUBLE) * r.rsq) END AS sim
+      |  FROM adc JOIN rsqs r ON adc.neighbor_id = r.vec_id
+      |  JOIN base q ON adc.query_id = q.vec_id),
+      |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk FROM sims)
+      |SELECT query_id, rnk, neighbor_id, adc_dot, round(sim, 6) AS pq_sim
+      |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_lsh_topk" -> lshTopKOracle,
@@ -3651,6 +3743,88 @@ object SparkEntry {
     // codes element-wise, spec-pinned), so the same SQL is its oracle
     "q_quantized_topk_bytes" -> QUANTIZED_TOPK_SQL,
     "q_quantized_topk" -> QUANTIZED_TOPK_SQL,
+    // seed-codebook product quantization: per-(vector, subspace) exact
+    // integer argmin over the 16 md5-ranked seeds' slices — code ids,
+    // summed distortion, and the reconstruction's squared norm are all
+    // integers, so the lossy encoding itself hash-matches
+    "q_pq_encode" -> (PQ_CHAIN +
+      """,
+        |enc AS (SELECT vec_id,
+        |    string_agg(CAST(centroid_id AS VARCHAR), ',' ORDER BY j) AS pq_csv,
+        |    CAST(sum(d) AS BIGINT) AS pq_dist
+        |  FROM chosen GROUP BY vec_id)
+        |SELECT enc.vec_id, pq_csv, pq_dist, rsqs.rsq AS recon_sq
+        |FROM enc JOIN rsqs USING (vec_id) ORDER BY vec_id""".stripMargin),
+    // brute ADC scan: candidates = all non-degenerate pairs
+    "q_pq_topk" -> (PQ_CHAIN +
+      """,
+        |cands AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM base q, base c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |""".stripMargin + PQ_ADC_TAIL),
+    // exact hit count of the ADC ranking against the int8-exact top-k
+    "q_pq_recall" -> (PQ_CHAIN +
+      """,
+        |exact0 AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * c.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(q.qsq AS DOUBLE) * c.qsq) AS sim
+        |  FROM base q, base c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rnk FROM exact0)
+        |  WHERE rnk <= 5),
+        |adc0 AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(q.qv[c.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+        |           * c.cv[c.j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS adc_dot
+        |  FROM base q, chosen c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, c.vec_id),
+        |adcsim AS (
+        |  SELECT a.query_id, a.neighbor_id,
+        |    CASE WHEN r.rsq = 0 THEN 0.0
+        |         ELSE CAST(a.adc_dot AS DOUBLE)
+        |           / sqrt(CAST(q.qsq AS DOUBLE) * r.rsq) END AS sim
+        |  FROM adc0 a JOIN rsqs r ON a.neighbor_id = r.vec_id
+        |  JOIN base q ON a.query_id = q.vec_id),
+        |adctop AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rnk FROM adcsim)
+        |  WHERE rnk <= 5),
+        |hits AS (SELECT e.query_id, count(*) AS n
+        |  FROM exact e JOIN adctop a
+        |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |  GROUP BY e.query_id)
+        |SELECT q.vec_id AS query_id,
+        |  CAST(COALESCE(h.n, 0) AS BIGINT) AS pq_hits,
+        |  round(CAST(COALESCE(h.n, 0) AS DOUBLE) / 5.0, 6) AS pq_recall
+        |FROM base q LEFT JOIN hits h ON q.vec_id = h.query_id
+        |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin),
+    // IVF+PQ: coarse nearest-seed lists prune the pair space (each
+    // corpus vector sits in exactly ONE list, so probe ∩ assignment
+    // yields each candidate at most once), then the ADC tail ranks
+    "q_ivfpq_topk" -> (PQ_CHAIN +
+      """,
+        |coarse AS (SELECT base.vec_id, seeds.centroid_id,
+        |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
+        |  FROM base, seeds),
+        |asg AS (SELECT vec_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, centroid_id) AS rn FROM coarse)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, centroid_id) AS rn
+        |    FROM coarse WHERE vec_id < 10) WHERE rn <= 4),
+        |cands AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN asg a USING (centroid_id)
+        |  WHERE a.vec_id <> p.query_id),
+        |""".stripMargin + PQ_ADC_TAIL),
     // same arithmetic whether the columnar-fused exec or the row
     // fallback runs (plan-shape-independent, tested) — so it can be
     // oracle-matched even though it is a custom physical operator

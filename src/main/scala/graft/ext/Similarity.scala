@@ -1549,4 +1549,184 @@ object Similarity {
     fs.delete(old, true)
     ivfIndexStoreOccupancy(spark, dir)
   }
+
+  // ───────────────────── product-quantization (PQ) tier ─────────────────────
+
+  /** Flat `K × dim` byte codebook for the PQ family: entry `c` is the
+    * `c`-th md5-ranked non-degenerate vector's int8 codes (the seed-IVF
+    * centroid draw); subspace `j`'s codebook is the `j`-th slice of
+    * every entry. Seed-drawn rather than kmeans-trained, so encoding,
+    * distortion, and ADC rankings are all exact integer arithmetic —
+    * the property that puts the PQ tier under the DuckDB hash oracle
+    * (trained-codebook PQ's float iteration would be rows-only). K is
+    * capped at 127 so a code byte never wraps.
+    */
+  private def pqPackSeeds(seeds: Array[(Int, Long, Seq[Int], Long)]): Array[Byte] = {
+    require(seeds.nonEmpty, "PQ codebook needs at least one seed")
+    require(seeds.length <= 127, s"PQ codebook capped at 127 entries, got ${seeds.length}")
+    val dim = seeds.head._3.length
+    require(seeds.forall(_._3.length == dim),
+      "PQ seed codes must share one dimensionality")
+    val matrix = new Array[Byte](seeds.length * dim)
+    seeds.foreach { case (cid, _, cv, _) =>
+      var i = 0
+      while (i < dim) {
+        val v = cv(i)
+        require(v >= -127 && v <= 127, s"non-int8 seed code $v")
+        matrix(cid * dim + i) = v.toByte
+        i += 1
+      }
+    }
+    matrix
+  }
+
+  /** Per-vector PQ encoding audit (`q_pq_encode`): the code ids, the
+    * exact summed distortion (the build-quality number — what a real
+    * pipeline tracks to size nBook/nSub), and the reconstruction's
+    * squared norm (the ADC cosine denominator, computed once at encode
+    * time so probes never re-touch the codebook for the corpus side).
+    * One scan; the codebook is a broadcast-scale literal inside ONE
+    * constant-size codegen loop ([[graft.functions.PqEncode]] — the
+    * [[graft.functions.CentroidScores]] discipline, so production
+    * nBook never outgrows Janino). Storage story at 100 TB: nSub bytes
+    * per vector (8 here) vs dim int8 bytes (64) vs 4·dim float bytes
+    * (256) — a 1000-executor ADC scan reads 32× less than the float
+    * scan and 8× less than the int8 scan.
+    */
+  def pqEncodeSummary(embeddings: DataFrame, nBook: Int = 16,
+                      nSub: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    import graft.functions.PqCodes.pq_encode
+    import graft.functions.Int8Unpack.int8_unpack
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0)
+    val matrix = pqPackSeeds(seedPickFromCodes(codes, nBook))
+    codes
+      .select(col("vec_id"), pq_encode(col("qv"), matrix, nSub).as("pq"))
+      .select(col("vec_id"),
+        concat_ws(",", int8_unpack(col("pq.codes")).cast("array<string>"))
+          .as("pq_csv"),
+        col("pq.dist").as("pq_dist"), col("pq.rsq").as("recon_sq"))
+      .orderBy("vec_id")
+  }
+
+  /** ADC (asymmetric-distance) top-k over PQ codes (`q_pq_topk`): the
+    * corpus side is scanned as nSub-byte codes; each query precomputes
+    * ONE `nSub × nBook` integer lookup table ([[graft.functions.PqLut]])
+    * and a pair costs nSub table adds ([[graft.functions.PqAdc]]) —
+    * PQ's scan trick: at dim=64/nSub=8, 8× less bandwidth AND 8× less
+    * arithmetic than the int8 scan, the tier below it in the ladder
+    * (float scan → int8 scan → THIS → IVF pruning → IVF+PQ). The ADC
+    * similarity is `adc / sqrt(q_sq · recon_sq)` — the exact cosine
+    * of the query against the RECONSTRUCTION (`pq_adc ≡ int_dot(q,
+    * pq_recon(codes))`, spec-pinned), so every value is deterministic
+    * and the approximate ranking itself hash-matches. A zero
+    * reconstruction (possible only when every chosen codebook slice is
+    * all-zero) scores 0 by definition on both engines.
+    */
+  def pqTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+             nBook: Int = 16, nSub: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    import graft.functions.PqCodes.{pq_encode, pq_lut, pq_adc}
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0)
+    val matrix = pqPackSeeds(seedPickFromCodes(codes, nBook))
+    val corpus = codes
+      .select(col("vec_id").as("neighbor_id"),
+        pq_encode(col("qv"), matrix, nSub).as("pq"))
+      .select(col("neighbor_id"), col("pq.codes").as("pcodes"),
+        col("pq.rsq").as("rsq"))
+    val q = codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"),
+        pq_lut(col("qv"), matrix, nSub).as("lut"), col("qsq").as("sqa"))
+    val sims = corpus.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dot", pq_adc(col("lut"), col("pcodes")))
+      .withColumn("sim", when(col("rsq") === 0, lit(0.0))
+        .otherwise(col("adc_dot") /
+          sqrt(col("sqa").cast("double") * col("rsq").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("adc_dot"), round(col("sim"), 6).as("pq_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** PQ recall audit (`q_pq_recall`): per query, the exact number of
+    * the int8-exact top-k recovered by the ADC ranking — deterministic
+    * integer counts, so the lossy tier's recall/compression trade-off
+    * sits under the hash oracle with no sampling (the
+    * [[ivfIndexSpilledRecall]] discipline applied to quantization loss
+    * instead of probe width).
+    */
+  def pqRecall(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+               nBook: Int = 16, nSub: Int = 8): DataFrame = {
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
+    val exact = storedCodesTopK(codes, numQueries, k)
+      .select("query_id", "neighbor_id")
+    val approx = pqTopK(embeddings, numQueries, k, nBook, nSub)
+      .select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("pq_hits"))
+    val out = codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("pq_hits"), lit(0L)).as("pq_hits"),
+        round(coalesce(col("pq_hits"), lit(0L)) / lit(k.toDouble), 6)
+          .as("pq_recall"))
+      .orderBy("query_id")
+    Dedup.scopeCaches(out, codes)
+  }
+
+  /** IVF+PQ top-k (`q_ivfpq_topk`) — the composed production
+    * architecture (Jégou et al., TPAMI 2011; FAISS's IVFPQ): coarse
+    * seed-IVF lists prune the candidate space to `nProbe` lists
+    * (corpus/nList × nProbe candidates, shuffle on the list id), and
+    * the surviving candidates are ranked by the ADC similarity off
+    * nSub-byte codes. At 100 TB both factors compound: probe cost is
+    * decoupled from corpus size by partition pruning AND each probed
+    * byte row is 8× narrower than int8 — while every step (integer
+    * centroid argmax, integer sub-quantizer argmin, integer lookup
+    * adds, one double division) stays deterministic, so the full
+    * composed index is hash-matched. With nProbe = nList it equals
+    * [[pqTopK]] row-for-row (spec-pinned) — pruning changes candidates,
+    * never scores.
+    */
+  def ivfPqTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                nList: Int = 16, nProbe: Int = 4, nBook: Int = 16,
+                nSub: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    import graft.functions.PqCodes.{pq_encode, pq_lut, pq_adc}
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
+    val seeds = seedPickFromCodes(codes, nList)
+    val scored = seedScoreArray(seeds.map { case (cid, _, cv, csq) => (cid, cv, csq) })
+    val matrix = pqPackSeeds(seedPickFromCodes(codes, nBook))
+    // corpus: one pass emits the coarse list id AND the PQ codes
+    val assigned = codes
+      .withColumn("best", array_max(scored))
+      .withColumn("pq", pq_encode(col("qv"), matrix, nSub))
+      .select(col("vec_id").as("neighbor_id"),
+        listIdOf(col("best.nid")).as("cluster"),
+        col("pq.codes").as("pcodes"), col("pq.rsq").as("rsq"))
+    // queries: ranked probe lists + the ADC lookup table, both bounded
+    val q = codes.filter(col("vec_id") < numQueries)
+      .withColumn("probe", slice(reverse(array_sort(scored)), 1, nProbe))
+      .select(col("vec_id").as("query_id"),
+        explode(col("probe")).as("p"),
+        pq_lut(col("qv"), matrix, nSub).as("lut"), col("qsq").as("sqa"))
+      .select(col("query_id"), listIdOf(col("p.nid")).as("cluster"),
+        col("lut"), col("sqa"))
+    val sims = assigned.join(broadcast(q), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dot", pq_adc(col("lut"), col("pcodes")))
+      .withColumn("sim", when(col("rsq") === 0, lit(0.0))
+        .otherwise(col("adc_dot") /
+          sqrt(col("sqa").cast("double") * col("rsq").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val out = sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("adc_dot"), round(col("sim"), 6).as("pq_sim"))
+      .orderBy("query_id", "rnk")
+    Dedup.scopeCaches(out, codes)
+  }
 }

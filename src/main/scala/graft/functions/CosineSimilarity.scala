@@ -112,6 +112,10 @@ object GraftFunctions {
     reg1("int_dot_bytes", IntDotBytes.builder, classOf[IntDotBytes])
     reg1("centroid_scores", CentroidScores.builder, classOf[CentroidScores])
     reg1("int8_unpack", Int8Unpack.builder, classOf[Int8Unpack])
+    reg1("pq_encode", PqCodes.encodeBuilder, classOf[PqEncode])
+    reg1("pq_lut", PqCodes.lutBuilder, classOf[PqLut])
+    reg1("pq_adc", PqCodes.adcBuilder, classOf[PqAdc])
+    reg1("pq_recon", PqCodes.reconBuilder, classOf[PqRecon])
   }
 
   /** `winnow_fps(text, k, w)` — k and w must be integer literals (they
@@ -198,6 +202,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("int8_unpack"),
       new ExpressionInfo(classOf[Int8Unpack].getName, "int8_unpack"),
       Int8Unpack.builder _))
+    e.injectFunction((
+      new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      PqCodes.encodeBuilder _))
+    e.injectFunction((
+      new FunctionIdentifier("pq_lut"),
+      new ExpressionInfo(classOf[PqLut].getName, "pq_lut"),
+      PqCodes.lutBuilder _))
+    e.injectFunction((
+      new FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      PqCodes.adcBuilder _))
+    e.injectFunction((
+      new FunctionIdentifier("pq_recon"),
+      new ExpressionInfo(classOf[PqRecon].getName, "pq_recon"),
+      PqCodes.reconBuilder _))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectPlannerStrategy(_ => graft.plans.VectorizedCosineStrategy)
     e.injectOptimizerRule(_ => graft.plans.CollapseTopK)

@@ -1,0 +1,198 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The product-quantization tier: expression-level pins (encode argmin
+  * vs an independent Scala reference, the ADC ≡ reconstruction-dot
+  * identity) and operator-level laws (perfect-codebook exactness,
+  * IVF+PQ ≡ PQ at full probe width, recall bounds).
+  */
+class PqSpec extends AnyFunSuite with SparkSpec {
+
+  private def emb(rows: (Long, Seq[Float], Int)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  private def sf(dir: String) = graft.Tables.embeddings(spark, s"/root/testdata/$dir")
+
+  // ── expression-level pins ─────────────────────────────────────────
+
+  /** independent reference: per-subspace argmin over the codebook */
+  private def refEncode(qv: Array[Int], matrix: Array[Byte],
+                        nSub: Int): (Array[Int], Long, Long) = {
+    val dim = qv.length; val sub = dim / nSub; val k = matrix.length / dim
+    val codes = new Array[Int](nSub)
+    var dist = 0L; var rsq = 0L
+    for (j <- 0 until nSub) {
+      val cand = (0 until k).map { c =>
+        val d = (0 until sub).map { i =>
+          val diff = qv(j * sub + i).toLong - matrix(c * dim + j * sub + i)
+          diff * diff
+        }.sum
+        (d, c)
+      }.min // (dist, entry) lexicographic: min dist, ties to lowest entry
+      codes(j) = cand._2
+      dist += cand._1
+      rsq += (0 until sub).map { i =>
+        val v = matrix(cand._2 * dim + j * sub + i).toLong; v * v
+      }.sum
+    }
+    (codes, dist, rsq)
+  }
+
+  test("pq_encode matches an independent argmin reference on deterministic pseudo-random codes") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(20260815L)
+    val dim = 16; val nSub = 4; val k = 5
+    val matrix = Array.fill(k * dim)((rnd.nextInt(255) - 127).toByte)
+    val vecs = (0 until 40).map(_ => Array.fill(dim)(rnd.nextInt(255) - 127))
+    import spark.implicits._
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "qv")
+    val got = df.select(col("vec_id"),
+        graft.functions.PqCodes.pq_encode(col("qv"), matrix, nSub).as("pq"))
+      .select(col("vec_id"),
+        graft.functions.Int8Unpack.int8_unpack(col("pq.codes")).as("codes"),
+        col("pq.dist"), col("pq.rsq"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toArray, r.getLong(2), r.getLong(3)))).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val (codes, dist, rsq) = refEncode(v, matrix, nSub)
+      val (gc, gd, gr) = got(i.toLong)
+      assert(gc.toSeq === codes.toSeq, s"codes diverge for vec $i")
+      assert(gd === dist, s"distortion diverges for vec $i")
+      assert(gr === rsq, s"recon_sq diverges for vec $i")
+    }
+  }
+
+  test("pq_adc equals int_dot(query, pq_recon(codes)) and rsq equals the recon self-dot") {
+    graft.functions.GraftFunctions.register(spark)
+    val d = sf("sf0.001")
+    import graft.functions.PqCodes.{pq_encode, pq_lut, pq_adc, pq_recon}
+    import graft.functions.IntDot.int_dot
+    import graft.functions.Int8Codes.int8_codes
+    val nSub = 8; val nBook = 16
+    val codes = d.select(col("vec_id"), int8_codes(col("embedding")).as("qv"))
+      .withColumn("qsq", int_dot(col("qv"), col("qv")))
+      .filter(col("qsq") > 0)
+    // codebook drawn exactly as the operators draw it
+    val seeds = codes
+      .select(md5(col("vec_id").cast("string")).as("mkey"), col("vec_id"), col("qv"))
+      .orderBy("mkey", "vec_id").limit(nBook).collect()
+      .sortBy(r => (r.getString(0), r.getLong(1)))
+    val dim = seeds.head.getSeq[Int](2).length
+    val matrix = new Array[Byte](seeds.length * dim)
+    seeds.zipWithIndex.foreach { case (r, c) =>
+      r.getSeq[Int](2).zipWithIndex.foreach { case (v, i) =>
+        matrix(c * dim + i) = v.toByte }
+    }
+    val q = codes.limit(5)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+        pq_lut(col("qv"), matrix, nSub).as("lut"))
+    val rows = codes
+      .select(col("vec_id"), col("qv"),
+        pq_encode(col("qv"), matrix, nSub).as("pq"))
+      .withColumn("recon", pq_recon(col("pq.codes"), matrix, nBook))
+      .crossJoin(broadcast(q))
+      .select(
+        pq_adc(col("lut"), col("pq.codes")).as("adc"),
+        int_dot(col("qa"), col("recon")).as("direct"),
+        col("pq.rsq").as("rsq"),
+        int_dot(col("recon"), col("recon")).as("rself"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), "ADC must equal the reconstruction dot")
+      assert(r.getLong(2) === r.getLong(3), "rsq must equal the recon self-dot")
+    }
+  }
+
+  // ── operator-level laws ───────────────────────────────────────────
+
+  test("perfect codebook: corpus within the seeds has zero distortion and exact ADC ranking") {
+    // 6 non-degenerate vectors, nBook covers all of them → every
+    // subspace reconstructs losslessly, so PQ degenerates to the exact
+    // int8 scan and the recall audit must be perfect
+    val d = emb(
+      (0L, Seq(1f, 0f, 2f, -1f), 0), (1L, Seq(0f, 3f, 1f, 1f), 0),
+      (2L, Seq(-2f, 1f, 0f, 4f), 0), (3L, Seq(5f, -1f, 2f, 0f), 0),
+      (4L, Seq(1f, 1f, -3f, 2f), 0), (5L, Seq(0f, -2f, 0f, 1f), 0))
+    val enc = Similarity.pqEncodeSummary(d, nBook = 6, nSub = 2).collect()
+    assert(enc.length === 6)
+    enc.foreach(r => assert(r.getLong(2) === 0L,
+      s"vec ${r.getLong(0)}: distortion must be 0 when the corpus is the codebook"))
+    val rec = Similarity.pqRecall(d, numQueries = 3, k = 2, nBook = 6, nSub = 2)
+      .collect()
+    rec.foreach { r =>
+      assert(r.getLong(1) === 2L, "lossless reconstruction ⇒ perfect recall")
+      assert(r.getDouble(2) === 1.0)
+    }
+  }
+
+  test("ivfPqTopK with nProbe = nList equals pqTopK row-for-row") {
+    val d = sf("sf0.001")
+    val full = Similarity.ivfPqTopK(d, numQueries = 5, k = 4,
+      nList = 8, nProbe = 8, nBook = 16, nSub = 8).collect().toSeq
+    val brute = Similarity.pqTopK(d, numQueries = 5, k = 4,
+      nBook = 16, nSub = 8).collect().toSeq
+    assert(full === brute,
+      "probing every list must degenerate to the brute ADC scan")
+  }
+
+  test("pqRecall on real data: hits bounded by k, recall consistent, and the ADC ranking is non-trivial") {
+    val d = sf("sf0.001")
+    val k = 5
+    val rows = Similarity.pqRecall(d, numQueries = 8, k = k).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val hits = r.getLong(1)
+      assert(hits >= 0L && hits <= k.toLong)
+      assert(math.abs(r.getDouble(2) - hits.toDouble / k) < 1e-9)
+    }
+    // isotropic random embeddings are PQ's adversarial case (no cluster
+    // structure for the codebook to exploit), so no fixed recall floor
+    // is honest here beyond non-collapse; the actual recall numbers are
+    // what the oracle-matched q_pq_recall certifies per-query
+    val total = rows.map(_.getLong(1)).sum
+    assert(total >= 1L, s"ADC recall collapsed to zero: $total/40 exact hits")
+    // finer subspaces must not lose to coarser ones on aggregate:
+    // nSub=16 halves each sub-quantizer's dimensionality, strictly
+    // reducing per-subspace distortion, and measured recall rises
+    val finer = Similarity.pqRecall(d, numQueries = 8, k = k, nSub = 16)
+      .collect().map(_.getLong(1)).sum
+    assert(finer >= total,
+      s"doubling subspaces reduced recall: $finer < $total")
+  }
+
+  test("pqTopK output shape and determinism") {
+    val d = sf("sf0.001")
+    val a = Similarity.pqTopK(d, numQueries = 4, k = 3).collect().toSeq
+    val b = Similarity.pqTopK(d, numQueries = 4, k = 3).collect().toSeq
+    assert(a === b, "seed codebook + integer arithmetic ⇒ bit-stable reruns")
+    assert(a.map(r => (r.getLong(0), r.getInt(1))).distinct.size === a.size)
+    a.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val sims = g.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(sims === sims.sorted.reverse, "rank follows descending ADC sim")
+    }
+  }
+
+  test("degenerate vectors are excluded from corpus, queries, and the codebook") {
+    val d = emb(
+      (0L, Seq(0f, 0f, 0f, 0f), 0),           // zero → degenerate
+      (1L, Seq(Float.NaN, 1f, 0f, 0f), 0),    // NaN → degenerate
+      (2L, Seq(1f, 2f, 0f, 1f), 0), (3L, Seq(0f, 1f, 3f, -1f), 0),
+      (4L, Seq(2f, 0f, 1f, 1f), 0))
+    val enc = Similarity.pqEncodeSummary(d, nBook = 3, nSub = 2).collect()
+    assert(enc.map(_.getLong(0)).toSet === Set(2L, 3L, 4L))
+    val top = Similarity.pqTopK(d, numQueries = 3, k = 2, nBook = 3, nSub = 2)
+      .collect()
+    assert(top.map(_.getLong(0)).toSet === Set(2L),
+      "only non-degenerate vec_ids below numQueries may query")
+    assert(!top.map(_.getLong(2)).toSet.exists(Set(0L, 1L)),
+      "degenerate vectors never appear as neighbors")
+  }
+}
