@@ -514,6 +514,11 @@ object SparkEntry {
     // nSub-byte ADC candidates — the composed production architecture,
     // deterministic end to end (nProbe = nList ≡ q_pq_topk, spec-pinned)
     "q_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d))),
+    // two-stage retrieval: ADC shortlist (8-byte reads) → exact int8
+    // rerank of the top-20 only → final top-k by exact similarity,
+    // with the ADC rank riding along as the reorder witness
+    "q_ivfpq_rerank" -> ((s, d) =>
+      Similarity.ivfPqRerankTopK(Tables.embeddings(s, d))),
     "q_centroid_outliers" -> ((s, d) => Similarity.centroidSim(Tables.embeddings(s, d))),
     // SemDeDup: cluster-blocked semantic near-dup drop (rows-only —
     // cluster boundaries are kmeans-dependent); the nList=1 regime below
@@ -3825,6 +3830,65 @@ object SparkEntry {
         |  FROM probes p JOIN asg a USING (centroid_id)
         |  WHERE a.vec_id <> p.query_id),
         |""".stripMargin + PQ_ADC_TAIL),
+    // two-stage retrieval: the q_ivfpq_topk candidate machinery, ADC
+    // shortlist capped at 20 per query, exact int8 rerank of ONLY the
+    // shortlist, final top-5 by exact similarity
+    "q_ivfpq_rerank" -> (PQ_CHAIN +
+      """,
+        |coarse AS (SELECT base.vec_id, seeds.centroid_id,
+        |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
+        |  FROM base, seeds),
+        |asg AS (SELECT vec_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, centroid_id) AS rn FROM coarse)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, centroid_id) AS rn
+        |    FROM coarse WHERE vec_id < 10) WHERE rn <= 4),
+        |cands AS (SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN asg a USING (centroid_id)
+        |  WHERE a.vec_id <> p.query_id),
+        |adc AS (
+        |  SELECT cands.query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(q.qv[c.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+        |           * c.cv[c.j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS adc_dot
+        |  FROM cands
+        |  JOIN base q ON cands.query_id = q.vec_id
+        |  JOIN chosen c ON cands.neighbor_id = c.vec_id
+        |  GROUP BY cands.query_id, c.vec_id),
+        |adcsim AS (
+        |  SELECT adc.query_id, adc.neighbor_id,
+        |    CASE WHEN r.rsq = 0 THEN 0.0
+        |         ELSE CAST(adc.adc_dot AS DOUBLE)
+        |           / sqrt(CAST(q.qsq AS DOUBLE) * r.rsq) END AS sim
+        |  FROM adc JOIN rsqs r ON adc.neighbor_id = r.vec_id
+        |  JOIN base q ON adc.query_id = q.vec_id),
+        |shortlist AS (SELECT query_id, neighbor_id, adc_rnk FROM (
+        |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS adc_rnk
+        |    FROM adcsim) WHERE adc_rnk <= 20),
+        |exact AS (
+        |  SELECT s.query_id, s.neighbor_id, s.adc_rnk,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * c.qv[CAST(i AS INTEGER)])) AS BIGINT) AS qdot,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * c.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(q.qsq AS DOUBLE) * c.qsq) AS esim
+        |  FROM shortlist s
+        |  JOIN base q ON s.query_id = q.vec_id
+        |  JOIN base c ON s.neighbor_id = c.vec_id),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY esim DESC, neighbor_id) AS INTEGER) AS rnk FROM exact)
+        |SELECT query_id, rnk, neighbor_id, adc_rnk, qdot,
+        |  round(esim, 6) AS q_cosine
+        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     // same arithmetic whether the columnar-fused exec or the row
     // fallback runs (plan-shape-independent, tested) — so it can be
     // oracle-matched even though it is a custom physical operator

@@ -346,6 +346,28 @@ object StressBench {
     }
     if (selected("quantized_store_scan_ints") ||
       selected("quantized_store_scan_bytes")) { codeStores; () }
+    // PQ tier of the same A/B: an ADC scan reads nSub bytes + one long
+    // per vector (vs the int8 store's dim bytes) and pays nSub lookup
+    // adds per pair (vs dim multiply-adds). Codebook + codes written
+    // untimed (a persisted PQ index encodes once at ingest); the timed
+    // body is the asymmetric scan — float queries quantize on the
+    // bounded side only
+    lazy val pqStore = {
+      val base = stressTmp("graft_stress_pq")
+      val matrix = ext.Similarity.pqCodebookFromEmbeddings(embPq)
+      ext.Similarity.pqCodesFrame(embPq, matrix)
+        .write.mode("overwrite").parquet(s"$base/codes")
+      (base, matrix)
+    }
+    if (selected("pq_store_scan")) { pqStore; () }
+    // the native centroid loop at PRODUCTION nList: 4096 lists is the
+    // real coarse-quantizer size for a 100 TB corpus (FAISS-style
+    // sqrt(N) sizing); the unrolled twin is not even attempted there —
+    // its generated code died past a few hundred. The row exists to
+    // show the native loop's cost scales only in arithmetic.
+    lazy val cents4096 =
+      ext.Similarity.collectSeedCentroids(ext.Similarity.ivfSeedCentroids(embPq, 4096))
+    if (selected("centroid_score_native_4096")) { cents4096; () }
     def ingestDay(store: (DataFrame, DataFrame, DataFrame)): Long = {
       val a = ext.Curation.mediaIngestAudit(spark,
         fixture("png_skewed").filter(col("doc_id") % 10 === 0),
@@ -474,6 +496,10 @@ object StressBench {
         spark.read.parquet(s"$codeStores/ints")).count()),
       time("quantized_store_scan_bytes", ext.Similarity.storedCodesTopK(
         spark.read.parquet(s"$codeStores/bytes")).count()),
+      time("pq_store_scan", ext.Similarity.pqStoredTopK(
+        spark.read.parquet(s"${pqStore._1}/codes"), embPq, pqStore._2).count()),
+      time("centroid_score_native_4096",
+        centroidArgmaxSum(ext.Similarity.seedScoreArray(cents4096))),
       time("ivf_store_probe", ext.Similarity.ivfIndexStoreProbe(spark,
         emb.filter(col("vec_id") < 10), ivfStoreDir).count()),
       // skew → reseed → repair arc (rows run IN ORDER; the reseed row

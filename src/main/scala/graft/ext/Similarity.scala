@@ -1580,6 +1580,59 @@ object Similarity {
     matrix
   }
 
+  /** The PQ codebook off a float corpus — what a persisted PQ index
+    * stores next to its codes (the IVF store's `centroids/` discipline
+    * applied to sub-quantizers). Bounded driver fetch: nBook × dim
+    * bytes.
+    */
+  def pqCodebookFromEmbeddings(embeddings: DataFrame, nBook: Int = 16): Array[Byte] =
+    pqPackSeeds(seedPickFromCodes(
+      quantizedQv(embeddings).filter(col("qsq") > 0), nBook))
+
+  /** The storable PQ code form: (vec_id, pcodes binary, rsq) — nSub
+    * bytes per vector plus one long; what an ADC scan reads instead of
+    * the int8 store's dim bytes (8× narrower at dim=64/nSub=8, 32× vs
+    * floats).
+    */
+  def pqCodesFrame(embeddings: DataFrame, matrix: Array[Byte],
+                   nSub: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    import graft.functions.PqCodes.pq_encode
+    quantizedQv(embeddings).filter(col("qsq") > 0)
+      .select(col("vec_id"), pq_encode(col("qv"), matrix, nSub).as("pq"))
+      .select(col("vec_id"), col("pq.codes").as("pcodes"), col("pq.rsq").as("rsq"))
+  }
+
+  /** ADC top-k over an EXISTING PQ code store — the scan a persisted
+    * PQ index actually runs (codes + rsq written once; queries arrive
+    * as floats and quantize on the bounded side only). The corpus-side
+    * read is nSub bytes + one long per vector; per pair, nSub lookup
+    * adds off the per-query table.
+    */
+  def pqStoredTopK(pqCodes: DataFrame, queryVecs: DataFrame,
+                   matrix: Array[Byte], nSub: Int = 8,
+                   numQueries: Int = 10, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(pqCodes.sparkSession)
+    import graft.functions.PqCodes.{pq_lut, pq_adc}
+    val q = quantizedQv(queryVecs).filter(col("qsq") > 0)
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"),
+        pq_lut(col("qv"), matrix, nSub).as("lut"), col("qsq").as("sqa"))
+    val sims = pqCodes
+      .select(col("vec_id").as("neighbor_id"), col("pcodes"), col("rsq"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dot", pq_adc(col("lut"), col("pcodes")))
+      .withColumn("sim", when(col("rsq") === 0, lit(0.0))
+        .otherwise(col("adc_dot") /
+          sqrt(col("sqa").cast("double") * col("rsq").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("adc_dot"), round(col("sim"), 6).as("pq_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Per-vector PQ encoding audit (`q_pq_encode`): the code ids, the
     * exact summed distortion (the build-quality number — what a real
     * pipeline tracks to size nBook/nSub), and the reconstruction's
@@ -1694,9 +1747,27 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
                 nList: Int = 16, nProbe: Int = 4, nBook: Int = 16,
                 nSub: Int = 8): DataFrame = {
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    import graft.functions.PqCodes.{pq_encode, pq_lut, pq_adc}
     val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
+    val sims = ivfPqAdcSims(codes, numQueries, nList, nProbe, nBook, nSub)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val out = sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("adc_dot"), round(col("sim"), 6).as("pq_sim"))
+      .orderBy("query_id", "rnk")
+    Dedup.scopeCaches(out, codes)
+  }
+
+  /** The shared IVF+PQ candidate machinery: coarse seed-IVF probe
+    * lists equi-joined against the one-pass (list id, PQ codes)
+    * corpus, ADC-scored. Returns the unranked per-pair frame
+    * (query_id, neighbor_id, adc_dot, sim); `codes` must be the
+    * caller-persisted non-degenerate code frame.
+    */
+  private def ivfPqAdcSims(codes: DataFrame, numQueries: Int, nList: Int,
+                           nProbe: Int, nBook: Int, nSub: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(codes.sparkSession)
+    import graft.functions.PqCodes.{pq_encode, pq_lut, pq_adc}
     val seeds = seedPickFromCodes(codes, nList)
     val scored = seedScoreArray(seeds.map { case (cid, _, cv, csq) => (cid, cv, csq) })
     val matrix = pqPackSeeds(seedPickFromCodes(codes, nBook))
@@ -1715,17 +1786,57 @@ object Similarity {
         pq_lut(col("qv"), matrix, nSub).as("lut"), col("qsq").as("sqa"))
       .select(col("query_id"), listIdOf(col("p.nid")).as("cluster"),
         col("lut"), col("sqa"))
-    val sims = assigned.join(broadcast(q), Seq("cluster"))
+    assigned.join(broadcast(q), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc_dot", pq_adc(col("lut"), col("pcodes")))
       .withColumn("sim", when(col("rsq") === 0, lit(0.0))
         .otherwise(col("adc_dot") /
           sqrt(col("sqa").cast("double") * col("rsq").cast("double"))))
-    val w = Window.partitionBy(col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc_dot"), col("sim"))
+  }
+
+  /** Two-stage IVF+PQ retrieval (`q_ivfpq_rerank`) — the standard
+    * production pipeline: the ADC stage ranks the IVF-pruned
+    * candidates off 8-byte codes and keeps the top `rerank` per query;
+    * ONLY those survivors are re-scored with the exact int8 dot (the
+    * 8× wider read happens for `rerank` rows per query, not the whole
+    * probed space), and the final top-k is ranked by the exact
+    * similarity. At 100 TB this is the shape that makes PQ usable with
+    * zero ranking loss inside the rerank window: the wide scan cost is
+    * O(queries × rerank), decoupled from both corpus and probe width.
+    * `adc_rnk` rides along as the witness of the reorder. Deterministic
+    * end to end — integer ADC, integer rerank dot, fixed tie-breaks —
+    * so the composed two-stage retrieval hash-matches. With rerank ≥
+    * the probed candidate count AND nProbe = nList it equals the brute
+    * int8 exact top-k row-for-row (spec-pinned).
+    */
+  def ivfPqRerankTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                      nList: Int = 16, nProbe: Int = 4, nBook: Int = 16,
+                      nSub: Int = 8, rerank: Int = 20): DataFrame = {
+    import graft.functions.IntDot.int_dot
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
+    val sims = ivfPqAdcSims(codes, numQueries, nList, nProbe, nBook, nSub)
+    val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    val out = sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        col("adc_dot"), round(col("sim"), 6).as("pq_sim"))
+    val shortlist = sims.withColumn("adc_rnk", row_number().over(wAdc))
+      .filter(col("adc_rnk") <= rerank)
+      .select("query_id", "neighbor_id", "adc_rnk")
+    val q = codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+        col("qsq").as("sqa"))
+    val exact = shortlist
+      .join(broadcast(q), Seq("query_id"))
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
+        col("qsq").as("sqb")), Seq("neighbor_id"))
+      .withColumn("qdot", int_dot(col("qb"), col("qa")))
+      .withColumn("esim", col("qdot") /
+        sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("esim").desc, col("neighbor_id"))
+    val out = exact.withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adc_rnk"),
+        col("qdot"), round(col("esim"), 6).as("q_cosine"))
       .orderBy("query_id", "rnk")
     Dedup.scopeCaches(out, codes)
   }

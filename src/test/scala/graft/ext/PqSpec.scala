@@ -180,6 +180,32 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ivfPqRerankTopK at full probe width and corpus-wide rerank equals the exact int8 top-k") {
+    val d = sf("sf0.001")
+    // nProbe = nList → every candidate survives pruning; rerank larger
+    // than the corpus → the exact stage sees every candidate: the
+    // two-stage retrieval must reproduce the brute exact scan
+    val reranked = Similarity.ivfPqRerankTopK(d, numQueries = 5, k = 4,
+      nList = 8, nProbe = 8, rerank = 100000)
+      .select("query_id", "rnk", "neighbor_id", "qdot", "q_cosine")
+      .collect().toSeq
+    val exact = Similarity.quantizedCosineTopK(d, numQueries = 5, k = 4)
+      .collect().toSeq
+    assert(reranked === exact,
+      "full-width two-stage retrieval must equal the brute exact scan")
+  }
+
+  test("ivfPqRerankTopK: exact sims non-increasing, shortlist discipline held") {
+    val d = sf("sf0.001")
+    val rows = Similarity.ivfPqRerankTopK(d, numQueries = 5, k = 4).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val sims = g.sortBy(_.getInt(1)).map(_.getDouble(5)).toSeq
+      assert(sims === sims.sorted.reverse, "final rank follows exact sim")
+    }
+    rows.foreach(r => assert(r.getInt(3) <= 20,
+      "every survivor must come from the ADC top-20 shortlist"))
+  }
+
   test("degenerate vectors are excluded from corpus, queries, and the codebook") {
     val d = emb(
       (0L, Seq(0f, 0f, 0f, 0f), 0),           // zero → degenerate
