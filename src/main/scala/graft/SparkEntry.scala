@@ -519,6 +519,22 @@ object SparkEntry {
     // with the ADC rank riding along as the reorder witness
     "q_ivfpq_rerank" -> ((s, d) =>
       Similarity.ivfPqRerankTopK(Tables.embeddings(s, d))),
+    // the PERSISTED composed index: hive store + PQ sidecar (codebook
+    // drawn from the stored codes, pq_codes partitioned by the same
+    // list ids), ADC probe reads only the probed partitions at nSub
+    // bytes/row — on a static store ≡ q_ivfpq_topk, so it shares that
+    // oracle (the q_quantized_topk_bytes discipline)
+    "q_ivfpq_store_probe" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfpq_store_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb, dir)
+      Similarity.ivfIndexStorePqBuild(s, dir)
+      Similarity.ivfIndexStorePqProbe(s, emb.filter(col("vec_id") < 10), dir)
+    }),
     "q_centroid_outliers" -> ((s, d) => Similarity.centroidSim(Tables.embeddings(s, d))),
     // SemDeDup: cluster-blocked semantic near-dup drop (rows-only —
     // cluster boundaries are kmeans-dependent); the nList=1 regime below
@@ -1036,6 +1052,32 @@ object SparkEntry {
       |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk FROM sims)
       |SELECT query_id, rnk, neighbor_id, adc_dot, round(sim, 6) AS pq_sim
       |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** Shared by q_ivfpq_topk and the persisted-store twin
+    * q_ivfpq_store_probe: on a static store the sidecar's codebook and
+    * the coarse lists are the same md5 draws over the same codes, so
+    * both compute identical values and one SQL is both oracles.
+    */
+  private val IVFPQ_TOPK_SQL: String = PQ_CHAIN +
+    """,
+      |coarse AS (SELECT base.vec_id, seeds.centroid_id,
+      |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+      |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+      |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
+      |  FROM base, seeds),
+      |asg AS (SELECT vec_id, centroid_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY sim DESC, centroid_id) AS rn FROM coarse)
+      |  WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY sim DESC, centroid_id) AS rn
+      |    FROM coarse WHERE vec_id < 10) WHERE rn <= 4),
+      |cands AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN asg a USING (centroid_id)
+      |  WHERE a.vec_id <> p.query_id),
+      |""".stripMargin + PQ_ADC_TAIL
 
   def oracleSql: Map[String, String] = Map(
     "q_lsh_topk" -> lshTopKOracle,
@@ -3809,27 +3851,11 @@ object SparkEntry {
         |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin),
     // IVF+PQ: coarse nearest-seed lists prune the pair space (each
     // corpus vector sits in exactly ONE list, so probe ∩ assignment
-    // yields each candidate at most once), then the ADC tail ranks
-    "q_ivfpq_topk" -> (PQ_CHAIN +
-      """,
-        |coarse AS (SELECT base.vec_id, seeds.centroid_id,
-        |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
-        |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
-        |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
-        |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
-        |  FROM base, seeds),
-        |asg AS (SELECT vec_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY sim DESC, centroid_id) AS rn FROM coarse)
-        |  WHERE rn = 1),
-        |probes AS (SELECT vec_id AS query_id, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY sim DESC, centroid_id) AS rn
-        |    FROM coarse WHERE vec_id < 10) WHERE rn <= 4),
-        |cands AS (SELECT p.query_id, a.vec_id AS neighbor_id
-        |  FROM probes p JOIN asg a USING (centroid_id)
-        |  WHERE a.vec_id <> p.query_id),
-        |""".stripMargin + PQ_ADC_TAIL),
+    // yields each candidate at most once), then the ADC tail ranks.
+    // The persisted-store twin computes identical values off the hive
+    // sidecar, so one SQL is both oracles.
+    "q_ivfpq_topk" -> IVFPQ_TOPK_SQL,
+    "q_ivfpq_store_probe" -> IVFPQ_TOPK_SQL,
     // two-stage retrieval: the q_ivfpq_topk candidate machinery, ADC
     // shortlist capped at 20 per query, exact int8 rerank of ONLY the
     // shortlist, final top-5 by exact similarity

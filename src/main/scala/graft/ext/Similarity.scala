@@ -1795,6 +1795,132 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adc_dot"), col("sim"))
   }
 
+  /** Build the persisted index's PQ SIDECAR — the derived artifact
+    * that makes the hive store ADC-scannable: `dir/pq_codebook` (the
+    * nBook md5-ranked STORED vectors' codes + nSub, the reseed
+    * discipline applied to sub-quantizers) and `dir/pq_codes`
+    * (vec_id, pcodes, rsq) hive-partitioned BY THE SAME list ids as
+    * the assignments, so an ADC probe partition-prunes exactly like
+    * the int8 probe while reading nSub-byte rows instead of dim-byte
+    * ones. Everything derives from store bytes (`int8_unpack`) — the
+    * float embeddings are never re-read. Rebuildable at will (derived
+    * artifact); appends encode against the FIXED stored codebook via
+    * [[ivfIndexStorePqAppend]].
+    */
+  def ivfIndexStorePqBuild(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, nBook: Int = 16,
+                           nSub: Int = 8): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.Int8Unpack.int8_unpack
+    import graft.functions.PqCodes.pq_encode
+    val codes = ivfIndexStoreAssignments(spark, dir)
+      .unionByName(ivfIndexReadDayAssignments(spark, dir))
+      .select(col("vec_id"), int8_unpack(col("qb")).as("qv"), col("qsq"),
+        col("centroid_id"))
+    val picked = seedPickFromCodes(codes, nBook)
+    val matrix = pqPackSeeds(picked)
+    seedsToDf(spark, picked).withColumn("n_sub", lit(nSub))
+      .write.mode("overwrite").parquet(s"$dir/pq_codebook")
+    codes
+      .select(col("vec_id"), pq_encode(col("qv"), matrix, nSub).as("pq"),
+        col("centroid_id"))
+      .select(col("vec_id"), col("pq.codes").as("pcodes"),
+        col("pq.rsq").as("rsq"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/pq_codes")
+  }
+
+  /** The stored PQ codebook: (flat byte matrix, nSub). Bounded driver
+    * fetch (nBook × dim bytes), the probe/append-side twin of
+    * [[collectSeedCentroids]].
+    */
+  private[graft] def ivfIndexStorePqCodebook(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[Byte], Int) = {
+    val rows = spark.read.parquet(s"$dir/pq_codebook")
+      .select("centroid_id", "seed_vec_id", "cv", "csq", "n_sub").collect()
+    require(rows.nonEmpty, s"empty PQ codebook at $dir/pq_codebook")
+    val picked = rows.map(r => (r.getInt(0), r.getLong(1),
+      r.getSeq[Int](2), r.getLong(3))).sortBy(_._1)
+    (pqPackSeeds(picked), rows.head.getInt(4))
+  }
+
+  /** Encode an appended batch into the PQ sidecar under the FIXED
+    * stored codebook (sub-quantizer twin of the fixed-centroid append
+    * rule: codes are pure per-vector facts once the codebook is
+    * pinned, so append-then-read equals encoding the union corpus with
+    * that codebook). `assigned` is [[ivfIndexStoreAppend]]'s return —
+    * the batch's (vec_id, qv, qsq, centroid_id) after assignment.
+    */
+  def ivfIndexStorePqAppend(spark: org.apache.spark.sql.SparkSession,
+                            assigned: DataFrame, dir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.PqCodes.pq_encode
+    val (matrix, nSub) = ivfIndexStorePqCodebook(spark, dir)
+    assigned
+      .select(col("vec_id"), pq_encode(col("qv"), matrix, nSub).as("pq"),
+        col("centroid_id"))
+      .select(col("vec_id"), col("pq.codes").as("pcodes"),
+        col("pq.rsq").as("rsq"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$dir/pq_codes")
+  }
+
+  /** ADC probe of the PERSISTED index's PQ sidecar
+    * (`q_ivfpq_store_probe`): rank the stored centroids per query,
+    * read ONLY the probed hive partitions of `pq_codes`, and rank the
+    * candidates by the ADC similarity off nSub-byte rows — the
+    * [[ivfIndexStoreProbe]] partition-pruning arc with the wide-code
+    * read replaced by lookup adds. On a static store this equals
+    * [[ivfPqTopK]] over the same corpus row-for-row (spec-pinned;
+    * same SQL oracle), because the sidecar's codebook is drawn from
+    * the same md5 rule over the same stored codes.
+    */
+  def ivfIndexStorePqProbe(spark: org.apache.spark.sql.SparkSession,
+                           queryVecs: DataFrame, dir: String,
+                           k: Int = 5, nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.Int8Codes.int8_codes
+    import graft.functions.IntDot.int_dot
+    import graft.functions.PqCodes.{pq_lut, pq_adc}
+    val scored = seedScoreArray(
+      collectSeedCentroids(ivfIndexStoreCentroids(spark, dir)))
+    val (matrix, nSub) = ivfIndexStorePqCodebook(spark, dir)
+    // the ivfIndexStoreProbe discipline: ONE bounded evaluation of the
+    // query-side quantization + centroid ranking + lookup tables,
+    // re-fed as a local relation (numQueries × nProbe rows)
+    val q0 = queryVecs
+      .select(col("vec_id"), int8_codes(col("embedding")).as("qv"))
+      .withColumn("qsq", int_dot(col("qv"), col("qv")))
+      .filter(col("qsq") > 0)
+      .select(col("vec_id").as("query_id"),
+        pq_lut(col("qv"), matrix, nSub).as("lut"), col("qsq").as("sqa"),
+        explode(slice(reverse(array_sort(scored)), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("lut"), col("sqa"),
+        listIdOf(col("p.nid")).as("cluster"))
+    val probeRows = q0.collect()
+    val clusterIdx = q0.schema.fieldIndex("cluster")
+    val lists = probeRows.map(_.getInt(clusterIdx)).distinct
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), q0.schema)
+    val cands = spark.read.parquet(s"$dir/pq_codes")
+      .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("neighbor_id"), col("pcodes"), col("rsq"),
+        col("centroid_id").as("cluster"))
+    val sims = cands.join(broadcast(q), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dot", pq_adc(col("lut"), col("pcodes")))
+      .withColumn("sim", when(col("rsq") === 0, lit(0.0))
+        .otherwise(col("adc_dot") /
+          sqrt(col("sqa").cast("double") * col("rsq").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("adc_dot"), round(col("sim"), 6).as("pq_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Two-stage IVF+PQ retrieval (`q_ivfpq_rerank`) — the standard
     * production pipeline: the ADC stage ranks the IVF-pruned
     * candidates off 8-byte codes and keeps the top `rerank` per query;

@@ -206,6 +206,48 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       "every survivor must come from the ADC top-20 shortlist"))
   }
 
+  test("persisted PQ sidecar: static-store ADC probe equals ivfPqTopK row-for-row") {
+    val d = sf("sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString + "/idx"
+    Similarity.ivfIndexStoreInit(d, dir)
+    Similarity.ivfIndexStorePqBuild(spark, dir)
+    val probe = Similarity.ivfIndexStorePqProbe(spark,
+      d.filter(col("vec_id") < 6), dir, k = 4).collect().toSeq
+    val direct = Similarity.ivfPqTopK(d, numQueries = 6, k = 4).collect().toSeq
+    assert(probe === direct,
+      "the sidecar probe must reproduce the in-memory IVF+PQ ranking")
+  }
+
+  test("persisted PQ sidecar: appends encode under the FIXED stored codebook and probes answer complete") {
+    val d = sf("sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString + "/idx"
+    val storedSide = md5(col("vec_id").cast("string")).substr(1, 1) < "8"
+    Similarity.ivfIndexStoreInit(d.filter(storedSide), dir)
+    Similarity.ivfIndexStorePqBuild(spark, dir)
+    val assigned = Similarity.ivfIndexStoreAppend(spark, d.filter(!storedSide), dir)
+    Similarity.ivfIndexStorePqAppend(spark, assigned, dir)
+    // 1. complete: every non-degenerate vector has a PQ code row
+    val nCodes = spark.read.parquet(s"$dir/pq_codes").count()
+    val nAll = Similarity.ivfIndexStoreAssignments(spark, dir).count()
+    assert(nCodes === nAll, "every stored vector must be ADC-scannable")
+    // 2. fixed-codebook law: the appended rows equal a direct encode of
+    // the batch under the codebook drawn at build time (stored side)
+    val (matrix, nSub) = Similarity.ivfIndexStorePqCodebook(spark, dir)
+    val expected = Similarity.pqCodesFrame(d.filter(!storedSide), matrix, nSub)
+      .orderBy("vec_id").collect().toSeq
+    val appendedIds = expected.map(_.getLong(0)).toSet
+    val got = spark.read.parquet(s"$dir/pq_codes")
+      .filter(col("vec_id").isInCollection(appendedIds))
+      .select("vec_id", "pcodes", "rsq").orderBy("vec_id").collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getLong(2))) ===
+      expected.map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getLong(2))))
+    // 3. the probe sees appended vectors as candidates
+    val probed = Similarity.ivfIndexStorePqProbe(spark,
+      d.filter(col("vec_id") < 3), dir, k = 5, nProbe = 16)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(probed.exists(appendedIds), "appended vectors must be probe-visible")
+  }
+
   test("degenerate vectors are excluded from corpus, queries, and the codebook") {
     val d = emb(
       (0L, Seq(0f, 0f, 0f, 0f), 0),           // zero → degenerate
