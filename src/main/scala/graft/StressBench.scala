@@ -295,6 +295,16 @@ object StressBench {
       p
     }
     if (selected("ivf_store_probe")) { ivfStoreDir; () }
+    // the same persisted index with its PQ sidecar built (untimed —
+    // a derived artifact written once); the timed row is the ADC probe
+    // that reads the SAME probed partitions at 8 bytes/row instead of
+    // the int8 probe's 64
+    lazy val ivfPqStoreDir = {
+      val p = ivfStoreDir
+      ext.Similarity.ivfIndexStorePqBuild(spark, p)
+      p
+    }
+    if (selected("ivfpq_store_probe")) { ivfPqStoreDir; () }
     // DELIBERATELY skewed persisted index (untimed setup): seeds drawn
     // from the replicas of just TWO base vectors — most seeds carry an
     // identical code, ties break to the lowest centroid id, so the
@@ -502,6 +512,8 @@ object StressBench {
         centroidArgmaxSum(ext.Similarity.seedScoreArray(cents4096))),
       time("ivf_store_probe", ext.Similarity.ivfIndexStoreProbe(spark,
         emb.filter(col("vec_id") < 10), ivfStoreDir).count()),
+      time("ivfpq_store_probe", ext.Similarity.ivfIndexStorePqProbe(spark,
+        emb.filter(col("vec_id") < 10), ivfPqStoreDir).count()),
       // skew → reseed → repair arc (rows run IN ORDER; the reseed row
       // mutates the store between the two probes). Occupancy rows
       // return the MAX list size — the number probe cost follows.
