@@ -524,6 +524,14 @@ object SparkEntry {
     // list ids), ADC probe reads only the probed partitions at nSub
     // bytes/row — on a static store ≡ q_ivfpq_topk, so it shares that
     // oracle (the q_quantized_topk_bytes discipline)
+    // IVFADC (residual quantization — the faithful Jégou et al. cell):
+    // vectors PQ-encoded as residuals against their coarse centroid,
+    // codebook = the md5 ranks 16..31's own residuals (disjoint from
+    // the seeds, whose residuals are zero); all-integer, hash-matched
+    "q_ivfadc_topk" -> ((s, d) => Similarity.ivfAdcTopK(Tables.embeddings(s, d))),
+    // residual-vs-raw recall A/B at equal probe width and equal bytes —
+    // exact hit counts per query against the int8-exact top-k
+    "q_ivfadc_recall" -> ((s, d) => Similarity.ivfAdcRecall(Tables.embeddings(s, d))),
     "q_ivfpq_store_probe" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, d)
@@ -1078,6 +1086,90 @@ object SparkEntry {
       |  FROM probes p JOIN asg a USING (centroid_id)
       |  WHERE a.vec_id <> p.query_id),
       |""".stripMargin + PQ_ADC_TAIL
+
+  /** The residual-quantization (IVFADC) fragment over PQ_CHAIN's
+    * names: coarse assignment, per-vector residuals, the residual
+    * codebook at md5 ranks 16..31, residual argmin, and the
+    * reconstruction `w = cv + r̂` with its exact squared norm. The
+    * raw-PQ CTEs of PQ_CHAIN (dists/pick/chosen/rsqs) stay available
+    * for the recall A/B; DuckDB leaves unused CTEs unexecuted.
+    */
+  private val IVFADC_FRAG: String =
+    """ranked AS (
+      |    SELECT vec_id AS seed_vec_id, qv AS cv,
+      |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+      |        vec_id) AS INTEGER) - 1 AS rank_id
+      |    FROM base),
+      |coarse AS (SELECT base.vec_id, seeds.centroid_id,
+      |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+      |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+      |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
+      |  FROM base, seeds),
+      |asg AS (SELECT vec_id, centroid_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY sim DESC, centroid_id) AS rn FROM coarse)
+      |  WHERE rn = 1),
+      |resid AS (
+      |  SELECT base.vec_id, asg.centroid_id,
+      |    list_transform(range(1, len(base.qv) + 1),
+      |      i -> base.qv[CAST(i AS INTEGER)] - seeds.cv[CAST(i AS INTEGER)]) AS rv
+      |  FROM base JOIN asg USING (vec_id)
+      |  JOIN seeds ON asg.centroid_id = seeds.centroid_id),
+      |rbook AS (
+      |  SELECT CAST(ranked.rank_id - 16 AS INTEGER) AS entry_id, resid.rv AS ev
+      |  FROM ranked JOIN resid ON ranked.seed_vec_id = resid.vec_id
+      |  WHERE ranked.rank_id >= 16 AND ranked.rank_id < 32),
+      |rdists AS (
+      |  SELECT resid.vec_id, subs.j, rbook.entry_id,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> CAST(resid.rv[subs.j * 8 + CAST(i AS INTEGER)]
+      |             - rbook.ev[subs.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+      |           * (resid.rv[subs.j * 8 + CAST(i AS INTEGER)]
+      |             - rbook.ev[subs.j * 8 + CAST(i AS INTEGER)]))) AS d
+      |  FROM resid, rbook, subs),
+      |rpick AS (SELECT vec_id, j, entry_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+      |      ORDER BY d, entry_id) AS rn FROM rdists)
+      |  WHERE rn = 1),
+      |rrecon AS (
+      |  SELECT rpick.vec_id, rpick.j,
+      |    list_transform(range(1, 9),
+      |      i -> rbook.ev[rpick.j * 8 + CAST(i AS INTEGER)]) AS rhat
+      |  FROM rpick JOIN rbook USING (entry_id)),
+      |w AS (
+      |  SELECT resid.vec_id,
+      |    list_transform(range(1, len(seeds.cv) + 1),
+      |      i -> seeds.cv[CAST(i AS INTEGER)]
+      |        + flat.rhat_full[CAST(i AS INTEGER)]) AS wv
+      |  FROM resid
+      |  JOIN seeds ON resid.centroid_id = seeds.centroid_id
+      |  JOIN (SELECT vec_id, flatten(list(rhat ORDER BY j)) AS rhat_full
+      |        FROM rrecon GROUP BY vec_id) flat ON resid.vec_id = flat.vec_id),
+      |wsq AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(wv, x -> CAST(x AS BIGINT) * x))
+      |      AS BIGINT) AS wsq,
+      |    wv FROM w),
+      |probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY sim DESC, centroid_id) AS rn
+      |    FROM coarse WHERE vec_id < 10) WHERE rn <= 4),
+      |cands AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN asg a USING (centroid_id)
+      |  WHERE a.vec_id <> p.query_id),
+      |adcres AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |      i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+      |        * ww.wv[CAST(i AS INTEGER)])) AS BIGINT) AS adc_dot,
+      |    CASE WHEN ww.wsq = 0 THEN 0.0
+      |         ELSE CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |             i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+      |               * ww.wv[CAST(i AS INTEGER)])) AS DOUBLE)
+      |           / sqrt(CAST(q.qsq AS DOUBLE) * ww.wsq) END AS sim
+      |  FROM cands c
+      |  JOIN base q ON c.query_id = q.vec_id
+      |  JOIN wsq ww ON c.neighbor_id = ww.vec_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_lsh_topk" -> lshTopKOracle,
@@ -3856,6 +3948,65 @@ object SparkEntry {
     // sidecar, so one SQL is both oracles.
     "q_ivfpq_topk" -> IVFPQ_TOPK_SQL,
     "q_ivfpq_store_probe" -> IVFPQ_TOPK_SQL,
+    // residual IVFADC: same probe discipline, ADC dot = q·(cv + r̂)
+    "q_ivfadc_topk" -> (PQ_CHAIN + ",\n" + IVFADC_FRAG +
+      """,
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk FROM adcres)
+        |SELECT query_id, rnk, neighbor_id, adc_dot, round(sim, 6) AS ivfadc_sim
+        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    // residual-vs-raw recall A/B at equal probe width: exact top-5 ∩
+    // each ADC ranking, counted per query
+    "q_ivfadc_recall" -> (PQ_CHAIN + ",\n" + IVFADC_FRAG +
+      """,
+        |restop AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rnk FROM adcres)
+        |  WHERE rnk <= 5),
+        |rawadc AS (
+        |  SELECT cands.query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(q.qv[c.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+        |           * c.cv[c.j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS adc_dot
+        |  FROM cands
+        |  JOIN base q ON cands.query_id = q.vec_id
+        |  JOIN chosen c ON cands.neighbor_id = c.vec_id
+        |  GROUP BY cands.query_id, c.vec_id),
+        |rawsim AS (
+        |  SELECT a.query_id, a.neighbor_id,
+        |    CASE WHEN r.rsq = 0 THEN 0.0
+        |         ELSE CAST(a.adc_dot AS DOUBLE)
+        |           / sqrt(CAST(q.qsq AS DOUBLE) * r.rsq) END AS sim
+        |  FROM rawadc a JOIN rsqs r ON a.neighbor_id = r.vec_id
+        |  JOIN base q ON a.query_id = q.vec_id),
+        |rawtop AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rnk FROM rawsim)
+        |  WHERE rnk <= 5),
+        |exact0 AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * c.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(q.qsq AS DOUBLE) * c.qsq) AS sim
+        |  FROM base q, base c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rnk FROM exact0)
+        |  WHERE rnk <= 5),
+        |hraw AS (SELECT e.query_id, count(*) AS n FROM exact e
+        |  JOIN rawtop a ON e.query_id = a.query_id
+        |    AND e.neighbor_id = a.neighbor_id GROUP BY e.query_id),
+        |hres AS (SELECT e.query_id, count(*) AS n FROM exact e
+        |  JOIN restop a ON e.query_id = a.query_id
+        |    AND e.neighbor_id = a.neighbor_id GROUP BY e.query_id)
+        |SELECT q.vec_id AS query_id,
+        |  CAST(COALESCE(hraw.n, 0) AS BIGINT) AS hits_pq,
+        |  CAST(COALESCE(hres.n, 0) AS BIGINT) AS hits_ivfadc
+        |FROM base q
+        |LEFT JOIN hraw ON q.vec_id = hraw.query_id
+        |LEFT JOIN hres ON q.vec_id = hres.query_id
+        |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin),
     // two-stage retrieval: the q_ivfpq_topk candidate machinery, ADC
     // shortlist capped at 20 per query, exact int8 rerank of ONLY the
     // shortlist, final top-5 by exact similarity

@@ -116,6 +116,8 @@ object GraftFunctions {
     reg1("pq_lut", PqCodes.lutBuilder, classOf[PqLut])
     reg1("pq_adc", PqCodes.adcBuilder, classOf[PqAdc])
     reg1("pq_recon", PqCodes.reconBuilder, classOf[PqRecon])
+    reg1("int_vec_add", PqCodes.vecAddBuilder, classOf[IntVecOp])
+    reg1("int_vec_sub", PqCodes.vecSubBuilder, classOf[IntVecOp])
   }
 
   /** `winnow_fps(text, k, w)` — k and w must be integer literals (they
@@ -218,6 +220,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("pq_recon"),
       new ExpressionInfo(classOf[PqRecon].getName, "pq_recon"),
       PqCodes.reconBuilder _))
+    e.injectFunction((
+      new FunctionIdentifier("int_vec_add"),
+      new ExpressionInfo(classOf[IntVecOp].getName, "int_vec_add"),
+      PqCodes.vecAddBuilder _))
+    e.injectFunction((
+      new FunctionIdentifier("int_vec_sub"),
+      new ExpressionInfo(classOf[IntVecOp].getName, "int_vec_sub"),
+      PqCodes.vecSubBuilder _))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectPlannerStrategy(_ => graft.plans.VectorizedCosineStrategy)
     e.injectOptimizerRule(_ => graft.plans.CollapseTopK)

@@ -31,13 +31,13 @@ import org.apache.spark.sql.types._
   * computed here once so the probe never re-touches the codebook for
   * the corpus side.
   *
-  * The codebook is a flat `K × dim` byte matrix reference object
+  * The codebook is a flat `K × dim` int matrix reference object
   * ([[CentroidScores]]'s packing: entry-major, `cb(c)[i] =
   * matrix[c·dim + i]`); `nsub` is an integer literal. A dimension
   * mismatch (`matrix.length % dim != 0` or `dim % nsub != 0`) yields
   * NULL. K is capped at 127 so a code byte never wraps.
   */
-case class PqEncode(child: Expression, matrix: IndexedSeq[Byte], nSub: Int)
+case class PqEncode(child: Expression, matrix: IndexedSeq[Int], nSub: Int)
     extends UnaryExpression {
 
   require(nSub > 0, "pq_encode: nsub must be positive")
@@ -52,7 +52,7 @@ case class PqEncode(child: Expression, matrix: IndexedSeq[Byte], nSub: Int)
   override def prettyName: String = "pq_encode"
   override def nullable: Boolean = true
 
-  @transient private lazy val matrixArr: Array[Byte] = matrix.toArray
+  @transient private lazy val matrixArr: Array[Int] = matrix.toArray
 
   override def nullSafeEval(input: Any): Any = {
     val qv = input.asInstanceOf[ArrayData]
@@ -97,7 +97,7 @@ case class PqEncode(child: Expression, matrix: IndexedSeq[Byte], nSub: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mRef = ctx.addReferenceObj("pqCodebook", matrixArr, "byte[]")
+    val mRef = ctx.addReferenceObj("pqCodebook", matrixArr, "int[]")
     nullSafeCodeGen(ctx, ev, qv => {
       val dim = ctx.freshName("dim"); val sub = ctx.freshName("sub")
       val k = ctx.freshName("k"); val codes = ctx.freshName("codes")
@@ -162,7 +162,7 @@ case class PqEncode(child: Expression, matrix: IndexedSeq[Byte], nSub: Int)
   * at dim=64 cuts both scan bandwidth (8 code bytes/vector) and
   * per-pair arithmetic 8×.
   */
-case class PqLut(child: Expression, matrix: IndexedSeq[Byte], nSub: Int)
+case class PqLut(child: Expression, matrix: IndexedSeq[Int], nSub: Int)
     extends UnaryExpression {
 
   require(nSub > 0, "pq_lut: nsub must be positive")
@@ -172,7 +172,7 @@ case class PqLut(child: Expression, matrix: IndexedSeq[Byte], nSub: Int)
   override def prettyName: String = "pq_lut"
   override def nullable: Boolean = true
 
-  @transient private lazy val matrixArr: Array[Byte] = matrix.toArray
+  @transient private lazy val matrixArr: Array[Int] = matrix.toArray
 
   override def nullSafeEval(input: Any): Any = {
     val qv = input.asInstanceOf[ArrayData]
@@ -203,7 +203,7 @@ case class PqLut(child: Expression, matrix: IndexedSeq[Byte], nSub: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mRef = ctx.addReferenceObj("pqCodebook", matrixArr, "byte[]")
+    val mRef = ctx.addReferenceObj("pqCodebook", matrixArr, "int[]")
     nullSafeCodeGen(ctx, ev, qv => {
       val dim = ctx.freshName("dim"); val sub = ctx.freshName("sub")
       val k = ctx.freshName("k"); val lut = ctx.freshName("lut")
@@ -302,7 +302,7 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
   * layout mismatch (dim not divisible by the code count, or a code
   * byte ≥ k).
   */
-case class PqRecon(child: Expression, matrix: IndexedSeq[Byte], k: Int)
+case class PqRecon(child: Expression, matrix: IndexedSeq[Int], k: Int)
     extends UnaryExpression {
 
   require(k > 0, "pq_recon: k must be positive")
@@ -313,7 +313,7 @@ case class PqRecon(child: Expression, matrix: IndexedSeq[Byte], k: Int)
   override def prettyName: String = "pq_recon"
   override def nullable: Boolean = true
 
-  @transient private lazy val matrixArr: Array[Byte] = matrix.toArray
+  @transient private lazy val matrixArr: Array[Int] = matrix.toArray
   private def dim: Int = matrix.length / k
 
   override def nullSafeEval(input: Any): Any = {
@@ -329,7 +329,7 @@ case class PqRecon(child: Expression, matrix: IndexedSeq[Byte], k: Int)
         if (c >= k) return null
         val base = c * dim + j * sub
         var i = 0
-        while (i < sub) { out(j * sub + i) = matrixArr(base + i).toInt; i += 1 }
+        while (i < sub) { out(j * sub + i) = matrixArr(base + i); i += 1 }
         j += 1
       }
       new GenericArrayData(out)
@@ -337,7 +337,7 @@ case class PqRecon(child: Expression, matrix: IndexedSeq[Byte], k: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mRef = ctx.addReferenceObj("pqCodebook", matrixArr, "byte[]")
+    val mRef = ctx.addReferenceObj("pqCodebook", matrixArr, "int[]")
     nullSafeCodeGen(ctx, ev, codes => {
       val m = ctx.freshName("m"); val sub = ctx.freshName("sub")
       val out = ctx.freshName("out"); val j = ctx.freshName("j")
@@ -374,19 +374,72 @@ case class PqRecon(child: Expression, matrix: IndexedSeq[Byte], k: Int)
     copy(child = newChild)
 }
 
+/** Elementwise integer vector arithmetic (`int_vec_add` /
+  * `int_vec_sub`: `(array<int>, array<int>) → array<int>`) — the
+  * residual algebra of the IVFADC family: `r = qv − cv(assigned)` and
+  * `w = cv + r̂` stay exact 32-bit integers (int8 inputs bound every
+  * sum/difference far below overflow), keeping the residual-quantized
+  * index inside the hash-oracle regime. NULL on length mismatch,
+  * mirroring [[IntDot]].
+  */
+case class IntVecOp(left: Expression, right: Expression, sub: Boolean)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = if (sub) "int_vec_sub" else "int_vec_add"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      val out = new Array[Int](n)
+      var i = 0
+      if (sub) while (i < n) { out(i) = x.getInt(i) - y.getInt(i); i += 1 }
+      else while (i < n) { out(i) = x.getInt(i) + y.getInt(i); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val op = if (sub) "-" else "+"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $out = new int[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = $a.getInt($i) $op $b.getInt($i);
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object PqCodes {
   private val arrInt = ArrayType(IntegerType)
 
   private def codebookLit(fn: String, exprs: Seq[Expression],
-                          idx: Int): Array[Byte] = {
+                          idx: Int): Array[Int] = {
     val e = exprs(idx)
-    val v = if (e.resolved && e.foldable) e.eval() else null
+    val cast = Cast(e, ArrayType(IntegerType, containsNull = false))
+    val v = if (e.resolved && e.foldable) cast.eval() else null
     if (v == null)
       throw new org.apache.spark.sql.AnalysisException(
         "NON_FOLDABLE_ARGUMENT", Map(
           "funcName" -> s"`$fn`", "paramName" -> "`codebook`",
-          "paramType" -> "\"BINARY\""))
-    v.asInstanceOf[Array[Byte]]
+          "paramType" -> "\"ARRAY<INT>\""))
+    v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
   }
 
   def encodeBuilder(exprs: Seq[Expression]): Expression = {
@@ -415,15 +468,34 @@ object PqCodes {
       FnArgs.intLit("pq_recon", exprs, 2, "k"))
   }
 
-  def pq_encode(qv: Column, codebook: Array[Byte], nSub: Int): Column =
-    call_function("pq_encode", qv, lit(codebook), lit(nSub))
+  def vecAddBuilder(exprs: Seq[Expression]): Expression = {
+    FnArgs.arity("int_vec_add", exprs, Seq(2))
+    IntVecOp(Cast(exprs(0), arrInt), Cast(exprs(1), arrInt), sub = false)
+  }
 
-  def pq_lut(qv: Column, codebook: Array[Byte], nSub: Int): Column =
-    call_function("pq_lut", qv, lit(codebook), lit(nSub))
+  def vecSubBuilder(exprs: Seq[Expression]): Expression = {
+    FnArgs.arity("int_vec_sub", exprs, Seq(2))
+    IntVecOp(Cast(exprs(0), arrInt), Cast(exprs(1), arrInt), sub = true)
+  }
+
+  def pq_encode(qv: Column, codebook: Array[Int], nSub: Int): Column =
+    call_function("pq_encode", qv,
+      org.apache.spark.sql.functions.typedlit(codebook.toSeq), lit(nSub))
+
+  def pq_lut(qv: Column, codebook: Array[Int], nSub: Int): Column =
+    call_function("pq_lut", qv,
+      org.apache.spark.sql.functions.typedlit(codebook.toSeq), lit(nSub))
 
   def pq_adc(lut: Column, codes: Column): Column =
     call_function("pq_adc", lut, codes)
 
-  def pq_recon(codes: Column, codebook: Array[Byte], k: Int): Column =
-    call_function("pq_recon", codes, lit(codebook), lit(k))
+  def pq_recon(codes: Column, codebook: Array[Int], k: Int): Column =
+    call_function("pq_recon", codes,
+      org.apache.spark.sql.functions.typedlit(codebook.toSeq), lit(k))
+
+  def int_vec_add(a: Column, b: Column): Column =
+    call_function("int_vec_add", a, b)
+
+  def int_vec_sub(a: Column, b: Column): Column =
+    call_function("int_vec_sub", a, b)
 }

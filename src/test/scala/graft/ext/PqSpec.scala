@@ -22,7 +22,7 @@ class PqSpec extends AnyFunSuite with SparkSpec {
   // ── expression-level pins ─────────────────────────────────────────
 
   /** independent reference: per-subspace argmin over the codebook */
-  private def refEncode(qv: Array[Int], matrix: Array[Byte],
+  private def refEncode(qv: Array[Int], matrix: Array[Int],
                         nSub: Int): (Array[Int], Long, Long) = {
     val dim = qv.length; val sub = dim / nSub; val k = matrix.length / dim
     val codes = new Array[Int](nSub)
@@ -48,7 +48,7 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     graft.functions.GraftFunctions.register(spark)
     val rnd = new scala.util.Random(20260815L)
     val dim = 16; val nSub = 4; val k = 5
-    val matrix = Array.fill(k * dim)((rnd.nextInt(255) - 127).toByte)
+    val matrix = Array.fill(k * dim)(rnd.nextInt(255) - 127)
     val vecs = (0 until 40).map(_ => Array.fill(dim)(rnd.nextInt(255) - 127))
     import spark.implicits._
     val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
@@ -85,10 +85,10 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       .orderBy("mkey", "vec_id").limit(nBook).collect()
       .sortBy(r => (r.getString(0), r.getLong(1)))
     val dim = seeds.head.getSeq[Int](2).length
-    val matrix = new Array[Byte](seeds.length * dim)
+    val matrix = new Array[Int](seeds.length * dim)
     seeds.zipWithIndex.foreach { case (r, c) =>
       r.getSeq[Int](2).zipWithIndex.foreach { case (v, i) =>
-        matrix(c * dim + i) = v.toByte }
+        matrix(c * dim + i) = v }
     }
     val q = codes.limit(5)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"),
@@ -204,6 +204,65 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     }
     rows.foreach(r => assert(r.getInt(3) <= 20,
       "every survivor must come from the ADC top-20 shortlist"))
+  }
+
+  test("ivfAdcTopK: deterministic, ranked, and codebook-resident neighbors score EXACTLY") {
+    val d = sf("sf0.001")
+    val a = Similarity.ivfAdcTopK(d, numQueries = 6, k = 4,
+      nList = 8, nProbe = 8, nBook = 16).collect().toSeq
+    val b = Similarity.ivfAdcTopK(d, numQueries = 6, k = 4,
+      nList = 8, nProbe = 8, nBook = 16).collect().toSeq
+    assert(a === b, "seed residual codebook + integers ⇒ bit-stable reruns")
+    a.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val sims = g.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(sims === sims.sorted.reverse)
+    }
+    // the residual-codebook vectors (md5 ranks nList..nList+nBook,
+    // recomputed here independently) reconstruct LOSSLESSLY (their own
+    // residual is a codebook entry ⇒ distortion 0 ⇒ w = qv), so
+    // whenever one appears as a neighbor its ADC sim IS the exact int8
+    // cosine — cross-checked against the exact scan's scores
+    import graft.functions.Int8Codes.int8_codes
+    import graft.functions.IntDot.int_dot
+    graft.functions.GraftFunctions.register(spark)
+    val codes = d.select(col("vec_id"), int8_codes(col("embedding")).as("qv"))
+      .withColumn("qsq", int_dot(col("qv"), col("qv"))).filter(col("qsq") > 0)
+    val rankedIds = codes
+      .select(md5(col("vec_id").cast("string")).as("mkey"), col("vec_id"))
+      .orderBy("mkey", "vec_id").limit(8 + 16).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(identity)
+      .drop(8).map(_._2).toSet
+    val exactSims = Similarity.quantizedCosineTopK(d, numQueries = 6, k = 49)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(4)).toMap
+    val hit = a.filter(r => rankedIds(r.getLong(2)))
+    assert(hit.nonEmpty, "expected at least one codebook-resident neighbor in the top-4s")
+    hit.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(exactSims.contains(key) && exactSims(key) === r.getDouble(4),
+        s"lossless residual ⇒ ADC sim must equal the exact cosine for $key")
+    }
+  }
+
+  test("ivfAdcRecall: hit counts bounded and consistent with the rankings it audits") {
+    val d = sf("sf0.001")
+    val k = 5
+    val rec = Similarity.ivfAdcRecall(d, numQueries = 8, k = k).collect()
+    assert(rec.length === 8)
+    rec.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= k)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= k)
+    }
+    // recompute both intersections independently from the rankings
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = ids(Similarity.quantizedCosineTopK(d, numQueries = 8, k = k))
+    val raw = ids(Similarity.ivfPqTopK(d, numQueries = 8, k = k))
+    val res = ids(Similarity.ivfAdcTopK(d, numQueries = 8, k = k))
+    rec.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getLong(1) === exact.count(p => p._1 == q && raw(p)).toLong)
+      assert(r.getLong(2) === exact.count(p => p._1 == q && res(p)).toLong)
+    }
   }
 
   test("persisted PQ sidecar: static-store ADC probe equals ivfPqTopK row-for-row") {
