@@ -35,7 +35,8 @@ import org.apache.spark.sql.types._
   * ([[CentroidScores]]'s packing: entry-major, `cb(c)[i] =
   * matrix[c·dim + i]`); `nsub` is an integer literal. A dimension
   * mismatch (`matrix.length % dim != 0` or `dim % nsub != 0`) yields
-  * NULL. K is capped at 127 so a code byte never wraps.
+  * NULL, as does a codebook wider than 255 entries (a code BYTE
+  * addresses at most 256 — wrapping would corrupt silently).
   */
 case class PqEncode(child: Expression, matrix: IndexedSeq[Int], nSub: Int)
     extends UnaryExpression {
@@ -57,7 +58,10 @@ case class PqEncode(child: Expression, matrix: IndexedSeq[Int], nSub: Int)
   override def nullSafeEval(input: Any): Any = {
     val qv = input.asInstanceOf[ArrayData]
     val dim = qv.numElements()
-    if (dim == 0 || dim % nSub != 0 || matrixArr.length % dim != 0) null
+    // the > 255 guard: a code BYTE addresses at most 256 entries — a
+    // larger codebook would wrap silently, so it is rejected as NULL
+    if (dim == 0 || dim % nSub != 0 || matrixArr.length % dim != 0 ||
+        matrixArr.length / dim > 255) null
     else {
       val sub = dim / nSub
       val k = matrixArr.length / dim
@@ -110,7 +114,8 @@ case class PqEncode(child: Expression, matrix: IndexedSeq[Int], nSub: Int)
       val row = ctx.freshName("row")
       s"""
          |int $dim = $qv.numElements();
-         |if ($dim == 0 || $dim % ${nSub} != 0 || $mRef.length % $dim != 0) {
+         |if ($dim == 0 || $dim % ${nSub} != 0 || $mRef.length % $dim != 0
+         |    || $mRef.length / $dim > 255) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $sub = $dim / ${nSub};
@@ -261,7 +266,12 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
       val k = lut.numElements() / m
       var adc = 0L; var j = 0
       while (j < m) {
-        adc += lut.getLong(j * k + (codes(j) & 0xff))
+        val c = codes(j) & 0xff
+        // a code byte past the table's per-subspace width means the
+        // codes came from a DIFFERENT (larger) codebook than the lut —
+        // NULL, never an index crash on malformed pairings
+        if (c >= k) return null
+        adc += lut.getLong(j * k + c)
         j += 1
       }
       adc
@@ -272,6 +282,7 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
     nullSafeCodeGen(ctx, ev, (lut, codes) => {
       val m = ctx.freshName("m"); val k = ctx.freshName("k")
       val adc = ctx.freshName("adc"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val bad = ctx.freshName("bad")
       s"""
          |int $m = $codes.length;
          |if ($m == 0 || $lut.numElements() % $m != 0) {
@@ -279,10 +290,17 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
          |} else {
          |  int $k = $lut.numElements() / $m;
          |  long $adc = 0L;
+         |  boolean $bad = false;
          |  for (int $j = 0; $j < $m; $j++) {
-         |    $adc += $lut.getLong($j * $k + ($codes[$j] & 0xff));
+         |    int $c = $codes[$j] & 0xff;
+         |    if ($c >= $k) { $bad = true; break; }
+         |    $adc += $lut.getLong($j * $k + $c);
          |  }
-         |  ${ev.value} = $adc;
+         |  if ($bad) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $adc;
+         |  }
          |}
        """.stripMargin
     })

@@ -111,6 +111,22 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("malformed pairings go NULL, never crash: foreign codes vs a smaller lut, oversized codebook") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.PqCodes.{pq_adc, pq_encode}
+    import spark.implicits._
+    // lut of 2 subspaces × 4 entries; a code byte 7 points past k=4
+    val df = Seq((Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+      Array[Byte](1, 7))).toDF("lut", "codes")
+    val r = df.select(pq_adc(col("lut"), col("codes")).as("adc")).collect()
+    assert(r.head.isNullAt(0), "out-of-book code byte must yield NULL, not an index crash")
+    // a 256-entry codebook cannot be addressed by a code byte
+    val wide = Array.fill(256 * 4)(1)
+    val e = Seq((0L, Seq(1, 2, 3, 4))).toDF("vec_id", "qv")
+      .select(pq_encode(col("qv"), wide, 2).as("pq")).collect()
+    assert(e.head.isNullAt(0), "codebook wider than 255 entries must yield NULL")
+  }
+
   // ── operator-level laws ───────────────────────────────────────────
 
   test("perfect codebook: corpus within the seeds has zero distortion and exact ADC ranking") {
