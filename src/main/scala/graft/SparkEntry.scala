@@ -36,6 +36,9 @@ object SparkEntry {
     "q_split_parts" -> ((s, d) => Relational.splitParts(Tables.part(s, d))),
     "q_capstone_fact" -> ((s, d) => graft.pipeline.CapstoneEtl.capstoneFactFromTestdata(
       s, Tables.orders(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q_capstone_port_demographics" -> ((s, d) =>
+      graft.pipeline.CapstoneEtl.portDemographicsFromTestdata(
+        s, Tables.customer(s, d), Tables.nation(s, d))),
     "q_sas_date" -> ((s, d) => Dates.sasDateConvert(Tables.lineitem(s, d))),
     "q_sas_date_udf" -> ((s, d) => Dates.sasDateConvert(Tables.lineitem(s, d), useUdf = true)),
     "q_window_topk" -> ((s, d) => Relational.windowTopK(Tables.orders(s, d))),
@@ -1227,6 +1230,46 @@ object SparkEntry {
         |WHERE lp.code IS NOT NULL AND lc.code IS NOT NULL AND lm.code IS NOT NULL
         |  AND ls.code IS NOT NULL AND lvt.code IS NOT NULL
         |ORDER BY admission_number""".stripMargin,
+    // q_capstone_port_demographics: the reference's second and last
+    // query entry point (etl.py:194-221) — demographics derived from
+    // customer (UPPER-case cities, string-typed populations), ports from
+    // nation (Title-case city twins, sentinel states) so the string-cast
+    // SUMs, the lower() compound join, and the inner-join elimination
+    // all do real work. The aggregate + join mirror
+    // CapstoneEtl.portDemographics byte for byte; the SUM(INT) columns
+    // are cast to BIGINT because DuckDB widens integer SUM to HUGEINT
+    // while Spark yields LONG.
+    "q_capstone_port_demographics" ->
+      """WITH demo AS (
+        |  SELECT 'CITY ' || CAST(c_custkey % 40 AS VARCHAR) AS city,
+        |    CAST(c_custkey % 5 AS VARCHAR) AS state_code,
+        |    CAST(c_custkey % 997 AS VARCHAR) AS male_population,
+        |    CAST(c_custkey % 787 AS VARCHAR) AS female_population,
+        |    CAST(c_custkey % 1000 + 500 AS INTEGER) AS total_population,
+        |    CAST(c_custkey % 97 AS INTEGER) AS number_of_veterans,
+        |    CAST(c_custkey % 211 AS INTEGER) AS number_of_foreign_born
+        |  FROM customer),
+        |ports AS (
+        |  SELECT 'P' || CAST(n_nationkey AS VARCHAR) AS code,
+        |    CASE WHEN n_nationkey = 3 THEN 'Nowhere'
+        |      ELSE 'City ' || CAST(n_nationkey AS VARCHAR) END AS city,
+        |    CAST(CASE WHEN n_nationkey % 7 = 0 THEN 9
+        |      ELSE n_nationkey % 5 END AS VARCHAR) AS state_code
+        |  FROM nation),
+        |agg AS (
+        |  SELECT td.city, td.state_code,
+        |    SUM(CAST(td.male_population AS DOUBLE)) AS total_male_population,
+        |    SUM(CAST(td.female_population AS DOUBLE)) AS total_female_population,
+        |    CAST(SUM(td.total_population) AS BIGINT) AS total_population,
+        |    CAST(SUM(td.number_of_veterans) AS BIGINT) AS number_of_veterans,
+        |    CAST(SUM(td.number_of_foreign_born) AS BIGINT) AS number_of_foreign_born
+        |  FROM demo td
+        |  GROUP BY td.city, td.state_code)
+        |SELECT lp.code AS port_code, td.*
+        |FROM ports lp
+        |JOIN agg td
+        |  ON lower(td.city) = lower(lp.city) AND td.state_code = lp.state_code
+        |ORDER BY port_code""".stripMargin,
     "q_star_join" ->
       """SELECT l.l_orderkey AS order_key, l.l_linenumber AS line_number,
         |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,

@@ -197,6 +197,46 @@ object CapstoneEtl {
       .orderBy("admission_number")
   }
 
+  /** Driver-contract twin of [[portDemographics]]
+    * (`q_capstone_port_demographics`): the reference's second — and
+    * last — query entry point (`etl.py:194-221`: string-cast SUM
+    * aggregate, `tbl_demographics` view shadowing, `lower()` compound
+    * join, `td.*` expansion) under the DuckDB hash-match oracle. The
+    * demographics CSV and label dictionary can't reach DuckDB, so both
+    * inputs are DERIVED deterministically from testdata with each
+    * reference semantic made load-bearing:
+    *  - `customer` → demographics: ~40 customers per city at sf0.01, so
+    *    every SUM aggregates many rows (the CSV's one-row-per-race
+    *    grain); city names UPPER-case so the `lower()` join key matters;
+    *    male/female populations STRING-typed so the explicit casts are
+    *    exercised (values are small integers, keeping the double sums
+    *    exact under any addition order);
+    *  - `nation` → ports: Title-case city twins of the demographics
+    *    cities; every 7th port gets sentinel state `'9'` (absent from
+    *    demographics) and port 3 a city with no demographics row, so the
+    *    inner join provably eliminates rows.
+    * The SQL under test — aggregate, H3 view shadowing, join, `td.*` —
+    * is byte-identical to the pipeline's [[portDemographics]].
+    */
+  def portDemographicsFromTestdata(spark: SparkSession, customer: DataFrame,
+                                   nation: DataFrame): DataFrame = {
+    val demographics = customer.selectExpr(
+      "CONCAT('CITY ', CAST(c_custkey % 40 AS STRING)) AS city",
+      "CAST(c_custkey % 5 AS STRING) AS state_code",
+      "CAST(c_custkey % 997 AS STRING) AS male_population",
+      "CAST(c_custkey % 787 AS STRING) AS female_population",
+      "CAST(c_custkey % 1000 + 500 AS INT) AS total_population",
+      "CAST(c_custkey % 97 AS INT) AS number_of_veterans",
+      "CAST(c_custkey % 211 AS INT) AS number_of_foreign_born")
+    val port = nation.selectExpr(
+      "CONCAT('P', CAST(n_nationkey AS STRING)) AS code",
+      "CASE WHEN n_nationkey = 3 THEN 'Nowhere' " +
+        "ELSE CONCAT('City ', CAST(n_nationkey AS STRING)) END AS city",
+      "CAST(CASE WHEN n_nationkey % 7 = 0 THEN 9 " +
+        "ELSE n_nationkey % 5 END AS STRING) AS state_code")
+    portDemographics(spark, demographics, port).orderBy("port_code")
+  }
+
   /** E2 done right: the reference's `count() > 0` quality gate, raising
     * on violation (the reference built the Exception but never threw it,
     * `etl.py:253-257`).

@@ -49,6 +49,21 @@ class DriverContractSpec extends AnyFunSuite {
     assert(badQ.isEmpty, s"fixture mappings for unknown queries: $badQ")
   }
 
+  test("every driver-contract query is documented in COVERAGE.md") {
+    // COVERAGE.md is the judge's line-by-line inventory; a query that is
+    // registered but undocumented silently shrinks the graded surface
+    // (r14 shipped three hash-matched IVF-store queries no document
+    // mentioned). Substring match: a name may appear in a table row or
+    // in the narrative — either keeps the bijection.
+    val coverage = {
+      val src = scala.io.Source.fromFile("COVERAGE.md", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val undocumented = SparkEntry.queries.keySet.filterNot(coverage.contains)
+    assert(undocumented.isEmpty,
+      s"queries missing from COVERAGE.md: ${undocumented.toSeq.sorted}")
+  }
+
   test("oracle coverage tally matches COVERAGE.md's Totals line") {
     val total = SparkEntry.queries.size
     val oracle = (SparkEntry.queries.keySet & SparkEntry.oracleSql.keySet).size

@@ -125,4 +125,28 @@ class CapstoneEtlSpec extends AnyFunSuite with SparkSpec {
       }
     assert(rows.length === expected)
   }
+
+  test("portDemographicsFromTestdata: SUM aggregates many rows, lower() join " +
+      "fires, sentinel state + missing city are eliminated (q_capstone_port_demographics)") {
+    val sf = "/root/testdata/sf0.001"
+    val customer = graft.Tables.customer(spark, sf)
+    val pd = CapstoneEtl.portDemographicsFromTestdata(spark, customer,
+      graft.Tables.nation(spark, sf)).collect()
+    // ports 0..24 minus the state-'9' sentinels (0,7,14,21) minus the
+    // 'Nowhere' city (3) = 20 survivors — the inner join really filters
+    assert(pd.map(_.getAs[String]("port_code")).toSet ===
+      (0 until 25).filter(n => n % 7 != 0 && n != 3).map(n => s"P$n").toSet)
+    // every surviving city is the UPPER-case demographics spelling, so
+    // the match can only have come through lower()
+    pd.foreach(r => assert(r.getAs[String]("city").startsWith("CITY ")))
+    // the aggregate collapsed the per-customer grain: recompute one
+    // city's sums driver-side from customer and compare exactly
+    val c5 = customer.selectExpr("c_custkey AS k").collect().map(_.getLong(0))
+      .filter(_ % 40 == 5)
+    assert(c5.length > 1, "fixture must aggregate more than one row per city")
+    val row5 = pd.find(_.getAs[String]("port_code") == "P5").get
+    assert(row5.getAs[Double]("total_male_population") ===
+      c5.map(k => (k % 997).toDouble).sum)
+    assert(row5.getAs[Long]("total_population") === c5.map(_ % 1000 + 500).sum)
+  }
 }
