@@ -114,8 +114,14 @@ case class PqEncode(child: Expression, matrix: IndexedSeq[Int], nSub: Int)
       val row = ctx.freshName("row")
       s"""
          |int $dim = $qv.numElements();
-         |if ($dim == 0 || $dim % ${nSub} != 0 || $mRef.length % $dim != 0
-         |    || $mRef.length / $dim > 255) {
+         |// NEVER start a generated line with '|': Spark's enclosing
+         |// codegen templates apply .stripMargin to the ASSEMBLED source
+         |// (CodegenSupport et al.), so a leading "||" loses one pipe per
+         |// enclosing template and Janino fails -> silent interpreted
+         |// fallback for every plan containing this expression (r14's
+         |// bench-tail ERROR). Operators go at the END of the line.
+         |if ($dim == 0 || $dim % ${nSub} != 0 || $mRef.length % $dim != 0 ||
+         |    $mRef.length / $dim > 255) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $sub = $dim / ${nSub};
