@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses `sbt "runMain graft.Bench"` output for the
+// one metric JSON line. sbt's default LoggedOutput strategy relays the
+// forked JVM's stdout as `[info] ...` and its stderr as `[error] ...`
+// lines — so the JSON was never parseable bare and every Spark log
+// line (whatever its level) masqueraded as a build error. StdoutOutput
+// passes the forked process's streams through untouched: stdout stays
+// machine-readable, stderr keeps its real log levels.
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

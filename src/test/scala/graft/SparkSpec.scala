@@ -21,6 +21,24 @@ object SparkSpec {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Run `body` with WindowExec's logger raised to ERROR — for the
+    * DELIBERATE partition-less global-window oracle twins some specs
+    * compare against (tiny N, one reducer by design). Scoped to the
+    * body so a REGRESSION's "No Partition Defined" WARN anywhere else
+    * stays visible in the test log.
+    */
+  def expectGlobalWindow[T](body: => T): T = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val names = Seq(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      "org.apache.spark.sql.execution.window.WindowGroupLimitExec")
+    val prev = names.map(n => n -> LogManager.getLogger(n).getLevel)
+    names.foreach(Configurator.setLevel(_, Level.ERROR))
+    try body
+    finally prev.foreach { case (n, l) => Configurator.setLevel(n, l) }
+  }
 }
 
 trait SparkSpec {

@@ -230,19 +230,23 @@ class DataPrepSpec extends AnyFunSuite with SparkSpec {
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
     for ((bed, np) <- Seq((corpus, 0), (corpus, 7), (ties, 64))) {
       assert(DataPrep.tokenBudgetSelect(bed, 2000L, np).collect().toSeq ===
-        DataPrep.tokenBudgetSelectWindow(bed, 2000L).collect().toSeq,
+        SparkSpec.expectGlobalWindow(
+          DataPrep.tokenBudgetSelectWindow(bed, 2000L).collect().toSeq),
         s"tokenBudgetSelect two-pass vs window (np=$np)")
       assert(DataPrep.negativeSamples(bed, 3, np).collect().toSeq ===
-        DataPrep.negativeSamplesWindow(bed, 3).collect().toSeq,
+        SparkSpec.expectGlobalWindow(
+          DataPrep.negativeSamplesWindow(bed, 3).collect().toSeq),
         s"negativeSamples two-pass vs window (np=$np)")
       assert(DataPrep.curriculumDeciles(bed, 10, np).collect().toSeq ===
-        DataPrep.curriculumDecilesWindow(bed, 10).collect().toSeq,
+        SparkSpec.expectGlobalWindow(
+          DataPrep.curriculumDecilesWindow(bed, 10).collect().toSeq),
         s"curriculumDeciles two-pass vs window (np=$np)")
     }
     // uneven ntile split: 40 rows into 7 buckets -> first 5 buckets of 6,
     // then 5+5 (rem = 40 % 7 = 5) — pinned against the closed form
     assert(DataPrep.curriculumDeciles(ties, 7, 3).collect().map(_.getLong(1)).toSeq ===
-      DataPrep.curriculumDecilesWindow(ties, 7).collect().map(_.getLong(1)).toSeq)
+      SparkSpec.expectGlobalWindow(
+        DataPrep.curriculumDecilesWindow(ties, 7).collect().map(_.getLong(1)).toSeq))
   }
 
   test("negativeSamples: k non-self partners per doc, deterministic, all ids real") {

@@ -27,9 +27,9 @@ class GlobalOrderSpec extends AnyFunSuite with SparkSpec {
                     numPartitions: Int): Unit = {
     val got = GlobalOrder.withOrdinal(df, order, valueCol = Some("v"),
         numPartitions = numPartitions)
-    val exp = windowForm(df, order)
+    val exp = graft.SparkSpec.expectGlobalWindow(windowForm(df, order)
       .select((df.columns.map(col) :+ col("ord") :+ col("cum_value")).toSeq: _*)
-      .collect().map(_.toSeq).toSeq
+      .collect().map(_.toSeq).toSeq)
     val gotRows = got.df.orderBy(col("ord")).collect().map(_.toSeq).toSeq
     assert(gotRows === exp, s"two-pass must equal the window form (np=$numPartitions)")
     assert(got.totalRows === df.count())
