@@ -19,7 +19,6 @@ run / fork := true
 // passes the forked process's streams through untouched: stdout stays
 // machine-readable, stderr keeps its real log levels.
 Compile / run / outputStrategy := Some(StdoutOutput)
-Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
