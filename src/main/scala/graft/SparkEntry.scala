@@ -535,6 +535,12 @@ object SparkEntry {
     // residual-vs-raw recall A/B at equal probe width and equal bytes —
     // exact hit counts per query against the int8-exact top-k
     "q_ivfadc_recall" -> ((s, d) => Similarity.ivfAdcRecall(Tables.embeddings(s, d))),
+    // the SAME A/B over a planted-cluster corpus (8 separated integer
+    // centers + per-(vector,dim) jitter, derived from vec_ids alone) —
+    // the clustered regime the IVFADC literature assumes, vs
+    // q_ivfadc_recall's near-isotropic testdata regime
+    "q_ivfadc_recall_clustered" -> ((s, d) => Similarity.ivfAdcRecall(
+      Similarity.plantedClusterEmbeddings(Tables.embeddings(s, d)))),
     "q_ivfpq_store_probe" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, d)
@@ -1173,6 +1179,79 @@ object SparkEntry {
       |  FROM cands c
       |  JOIN base q ON c.query_id = q.vec_id
       |  JOIN wsq ww ON c.neighbor_id = ww.vec_id)""".stripMargin
+
+  /** PQ_CHAIN with the corpus swapped for the planted-cluster fixture
+    * ([[graft.ext.Similarity.plantedClusterEmbeddings]]): 8 separated
+    * integer centers + a distinct-per-vector jitter, computed from
+    * vec_ids alone so DuckDB reproduces the floats exactly (all values
+    * are small integers — exact in FLOAT, DOUBLE, and the int8 step).
+    * The replace is pinned non-vacuous below.
+    */
+  private val PLANTED_PQ_CHAIN: String = PQ_CHAIN.replace(
+    "WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+    """WITH t AS (SELECT vec_id,
+      |    list_transform(range(1, 65), i -> CAST(
+      |      CASE WHEN (vec_id % 8 + i) % 8 = 0 THEN 80 ELSE -10 END
+      |      + (vec_id * 37 + i * 101) % 9973 % 5 - 2 AS DOUBLE)) AS emb
+      |  FROM embeddings)""".stripMargin)
+  require(PLANTED_PQ_CHAIN != PQ_CHAIN,
+    "PLANTED_PQ_CHAIN replace matched nothing — PQ_CHAIN's corpus CTE changed")
+
+  /** The recall-A/B tail over IVFADC_FRAG's names (adcres, cands, base,
+    * chosen, rsqs): residual top-5, raw-ADC top-5 over the same pruned
+    * candidates, the exact int8 top-5, and per-query hit counts —
+    * shared verbatim by q_ivfadc_recall and its planted-cluster twin.
+    */
+  private val IVFADC_RECALL_TAIL: String =
+    """,
+      |restop AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id) AS rnk FROM adcres)
+      |  WHERE rnk <= 5),
+      |rawadc AS (
+      |  SELECT cands.query_id, c.vec_id AS neighbor_id,
+      |    CAST(sum(list_sum(list_transform(range(1, 9),
+      |      i -> CAST(q.qv[c.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+      |           * c.cv[c.j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS adc_dot
+      |  FROM cands
+      |  JOIN base q ON cands.query_id = q.vec_id
+      |  JOIN chosen c ON cands.neighbor_id = c.vec_id
+      |  GROUP BY cands.query_id, c.vec_id),
+      |rawsim AS (
+      |  SELECT a.query_id, a.neighbor_id,
+      |    CASE WHEN r.rsq = 0 THEN 0.0
+      |         ELSE CAST(a.adc_dot AS DOUBLE)
+      |           / sqrt(CAST(q.qsq AS DOUBLE) * r.rsq) END AS sim
+      |  FROM rawadc a JOIN rsqs r ON a.neighbor_id = r.vec_id
+      |  JOIN base q ON a.query_id = q.vec_id),
+      |rawtop AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id) AS rnk FROM rawsim)
+      |  WHERE rnk <= 5),
+      |exact0 AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |      i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+      |        * c.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(q.qsq AS DOUBLE) * c.qsq) AS sim
+      |  FROM base q, base c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |exact AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id) AS rnk FROM exact0)
+      |  WHERE rnk <= 5),
+      |hraw AS (SELECT e.query_id, count(*) AS n FROM exact e
+      |  JOIN rawtop a ON e.query_id = a.query_id
+      |    AND e.neighbor_id = a.neighbor_id GROUP BY e.query_id),
+      |hres AS (SELECT e.query_id, count(*) AS n FROM exact e
+      |  JOIN restop a ON e.query_id = a.query_id
+      |    AND e.neighbor_id = a.neighbor_id GROUP BY e.query_id)
+      |SELECT q.vec_id AS query_id,
+      |  CAST(COALESCE(hraw.n, 0) AS BIGINT) AS hits_pq,
+      |  CAST(COALESCE(hres.n, 0) AS BIGINT) AS hits_ivfadc
+      |FROM base q
+      |LEFT JOIN hraw ON q.vec_id = hraw.query_id
+      |LEFT JOIN hres ON q.vec_id = hres.query_id
+      |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_lsh_topk" -> lshTopKOracle,
@@ -4000,56 +4079,11 @@ object SparkEntry {
         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     // residual-vs-raw recall A/B at equal probe width: exact top-5 ∩
     // each ADC ranking, counted per query
-    "q_ivfadc_recall" -> (PQ_CHAIN + ",\n" + IVFADC_FRAG +
-      """,
-        |restop AS (SELECT query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id) AS rnk FROM adcres)
-        |  WHERE rnk <= 5),
-        |rawadc AS (
-        |  SELECT cands.query_id, c.vec_id AS neighbor_id,
-        |    CAST(sum(list_sum(list_transform(range(1, 9),
-        |      i -> CAST(q.qv[c.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
-        |           * c.cv[c.j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS adc_dot
-        |  FROM cands
-        |  JOIN base q ON cands.query_id = q.vec_id
-        |  JOIN chosen c ON cands.neighbor_id = c.vec_id
-        |  GROUP BY cands.query_id, c.vec_id),
-        |rawsim AS (
-        |  SELECT a.query_id, a.neighbor_id,
-        |    CASE WHEN r.rsq = 0 THEN 0.0
-        |         ELSE CAST(a.adc_dot AS DOUBLE)
-        |           / sqrt(CAST(q.qsq AS DOUBLE) * r.rsq) END AS sim
-        |  FROM rawadc a JOIN rsqs r ON a.neighbor_id = r.vec_id
-        |  JOIN base q ON a.query_id = q.vec_id),
-        |rawtop AS (SELECT query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id) AS rnk FROM rawsim)
-        |  WHERE rnk <= 5),
-        |exact0 AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
-        |      i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
-        |        * c.qv[CAST(i AS INTEGER)])) AS DOUBLE)
-        |      / sqrt(CAST(q.qsq AS DOUBLE) * c.qsq) AS sim
-        |  FROM base q, base c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
-        |exact AS (SELECT query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id) AS rnk FROM exact0)
-        |  WHERE rnk <= 5),
-        |hraw AS (SELECT e.query_id, count(*) AS n FROM exact e
-        |  JOIN rawtop a ON e.query_id = a.query_id
-        |    AND e.neighbor_id = a.neighbor_id GROUP BY e.query_id),
-        |hres AS (SELECT e.query_id, count(*) AS n FROM exact e
-        |  JOIN restop a ON e.query_id = a.query_id
-        |    AND e.neighbor_id = a.neighbor_id GROUP BY e.query_id)
-        |SELECT q.vec_id AS query_id,
-        |  CAST(COALESCE(hraw.n, 0) AS BIGINT) AS hits_pq,
-        |  CAST(COALESCE(hres.n, 0) AS BIGINT) AS hits_ivfadc
-        |FROM base q
-        |LEFT JOIN hraw ON q.vec_id = hraw.query_id
-        |LEFT JOIN hres ON q.vec_id = hres.query_id
-        |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin),
+    "q_ivfadc_recall" -> (PQ_CHAIN + ",\n" + IVFADC_FRAG + IVFADC_RECALL_TAIL),
+    // the same A/B over the planted-cluster corpus — only the input
+    // CTE differs; the entire index + recall machinery is shared
+    "q_ivfadc_recall_clustered" ->
+      (PLANTED_PQ_CHAIN + ",\n" + IVFADC_FRAG + IVFADC_RECALL_TAIL),
     // two-stage retrieval: the q_ivfpq_topk candidate machinery, ADC
     // shortlist capped at 20 per query, exact int8 rerank of ONLY the
     // shortlist, final top-5 by exact similarity

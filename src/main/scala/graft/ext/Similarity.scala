@@ -2027,6 +2027,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adc_dot"), col("sim"))
   }
 
+  /** Planted-cluster embedding fixture (`q_ivfadc_recall_clustered`'s
+    * input): 8 well-separated integer centers — cluster `c = vec_id % 8`
+    * puts 80 on the 8 dims where `(c + i) % 8 == 0` and −10 elsewhere,
+    * so any two clusters differ by 90 on 16 dims (inter-cluster cosine
+    * ≈ −0.14) — plus a small deterministic per-(vector, dim) jitter in
+    * [−2, 2]. The jitter mixer runs mod 9973 (prime > any testdata
+    * vec_id) before the final mod 5, so every vector's jitter pattern
+    * is distinct — a short-period mixer would leave exact duplicates
+    * whose recall A/B collapses into tie-breaking. Derived from
+    * `embeddings`' vec_ids alone (the media planted-cluster
+    * discipline), exactly reproducible in the DuckDB oracle, and
+    * integer-valued so the float→int8 step is noise-free. This is the
+    * corpus regime the IVFADC literature assumes: the coarse pass
+    * lands each vector on a same-cluster centroid, residuals collapse
+    * to jitter scale, and the residual codebook's entries are ALL
+    * viable for every vector — unlike the raw codebook, where only the
+    * same-cluster entries' slices are close enough to matter.
+    */
+  def plantedClusterEmbeddings(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      expr("""transform(sequence(1, 64), i -> CAST(
+          CASE WHEN (vec_id % 8 + i) % 8 = 0 THEN 80 ELSE -10 END
+          + (vec_id * 37 + i * 101) % 9973 % 5 - 2 AS FLOAT))""").as("embedding"))
+
   /** Residual-vs-raw recall A/B (`q_ivfadc_recall`): per query at the
     * SAME probe width and the SAME stored bytes, the exact number of
     * int8-exact top-k neighbors recovered by the raw-PQ ADC ranking
