@@ -522,6 +522,11 @@ object SparkEntry {
     // with the ADC rank riding along as the reorder witness
     "q_ivfpq_rerank" -> ((s, d) =>
       Similarity.ivfPqRerankTopK(Tables.embeddings(s, d))),
+    // recall-vs-cost calibration of the two-stage retrieval: exact hit
+    // counts + candidate counts over the (nProbe × rerank) grid at
+    // FIXED stored bytes — the two query-time knobs, hash-certified
+    "q_ivfpq_tradeoff" -> ((s, d) =>
+      Similarity.ivfPqTradeoff(Tables.embeddings(s, d))),
     // the PERSISTED composed index: hive store + PQ sidecar (codebook
     // drawn from the stored codes, pq_codes partitioned by the same
     // list ids), ADC probe reads only the probed partitions at nSub
@@ -4084,6 +4089,99 @@ object SparkEntry {
     // CTE differs; the entire index + recall machinery is shared
     "q_ivfadc_recall_clustered" ->
       (PLANTED_PQ_CHAIN + ",\n" + IVFADC_FRAG + IVFADC_RECALL_TAIL),
+    // recall-vs-cost grid: ONE candidate pass at the widest probe
+    // width with each pair's admitting probe rank (one list per
+    // corpus vector ⇒ probe_rnk <= p IS the nProbe=p candidate set),
+    // both scores per pair, then each (nProbe, rerank) cell read off
+    // as a filtered re-ranking of the same frame
+    "q_ivfpq_tradeoff" -> (PQ_CHAIN +
+      """,
+        |coarse AS (SELECT base.vec_id, seeds.centroid_id,
+        |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
+        |  FROM base, seeds),
+        |asg AS (SELECT vec_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, centroid_id) AS rn FROM coarse)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, centroid_id,
+        |    CAST(rn AS INTEGER) AS probe_rnk FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, centroid_id) AS rn
+        |    FROM coarse WHERE vec_id < 10) WHERE rn <= 8),
+        |cands AS (SELECT p.query_id, a.vec_id AS neighbor_id, p.probe_rnk
+        |  FROM probes p JOIN asg a USING (centroid_id)
+        |  WHERE a.vec_id <> p.query_id),
+        |adc AS (
+        |  SELECT cands.query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(q.qv[c.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+        |           * c.cv[c.j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS adc_dot
+        |  FROM cands
+        |  JOIN base q ON cands.query_id = q.vec_id
+        |  JOIN chosen c ON cands.neighbor_id = c.vec_id
+        |  GROUP BY cands.query_id, c.vec_id),
+        |adcsim AS (
+        |  SELECT a.query_id, a.neighbor_id,
+        |    CASE WHEN r.rsq = 0 THEN 0.0
+        |         ELSE CAST(a.adc_dot AS DOUBLE)
+        |           / sqrt(CAST(q.qsq AS DOUBLE) * r.rsq) END AS sim
+        |  FROM adc a JOIN rsqs r ON a.neighbor_id = r.vec_id
+        |  JOIN base q ON a.query_id = q.vec_id),
+        |exd AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * n.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(q.qsq AS DOUBLE) * n.qsq) AS esim
+        |  FROM cands c JOIN base q ON c.query_id = q.vec_id
+        |  JOIN base n ON c.neighbor_id = n.vec_id),
+        |pairs AS (SELECT c.query_id, c.neighbor_id, c.probe_rnk,
+        |    s.sim, e.esim
+        |  FROM cands c
+        |  JOIN adcsim s ON c.query_id = s.query_id
+        |    AND c.neighbor_id = s.neighbor_id
+        |  JOIN exd e ON c.query_id = e.query_id
+        |    AND c.neighbor_id = e.neighbor_id),
+        |grid AS (SELECT np, rr
+        |  FROM (VALUES (1), (2), (4), (8)) AS p(np)
+        |  CROSS JOIN (VALUES (5), (10), (20)) AS r(rr)),
+        |adcrnk AS (SELECT g.np, g.rr, p.query_id, p.neighbor_id, p.esim,
+        |    row_number() OVER (PARTITION BY g.np, g.rr, p.query_id
+        |      ORDER BY p.sim DESC, p.neighbor_id) AS adc_rnk
+        |  FROM grid g JOIN pairs p ON p.probe_rnk <= g.np),
+        |finrnk AS (SELECT np, rr, query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY np, rr, query_id
+        |      ORDER BY esim DESC, neighbor_id) AS rnk
+        |  FROM adcrnk WHERE adc_rnk <= rr),
+        |fin AS (SELECT np, rr, query_id, neighbor_id FROM finrnk
+        |  WHERE rnk <= 5),
+        |exact0 AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * c.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(q.qsq AS DOUBLE) * c.qsq) AS sim
+        |  FROM base q, base c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rnk FROM exact0)
+        |  WHERE rnk <= 5),
+        |h AS (SELECT f.np, f.rr, count(*) AS hits FROM fin f
+        |  JOIN exact e ON f.query_id = e.query_id
+        |    AND f.neighbor_id = e.neighbor_id
+        |  GROUP BY f.np, f.rr),
+        |nc AS (SELECT g.np, g.rr, count(*) AS n_cands
+        |  FROM grid g JOIN pairs p ON p.probe_rnk <= g.np
+        |  GROUP BY g.np, g.rr)
+        |SELECT nc.np AS n_probe, nc.rr AS rerank,
+        |  CAST(nc.n_cands AS BIGINT) AS n_cands,
+        |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |  round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / 50.0, 6) AS recall
+        |FROM nc LEFT JOIN h ON nc.np = h.np AND nc.rr = h.rr
+        |ORDER BY n_probe, rerank""".stripMargin),
     // two-stage retrieval: the q_ivfpq_topk candidate machinery, ADC
     // shortlist capped at 20 per query, exact int8 rerank of ONLY the
     // shortlist, final top-5 by exact similarity

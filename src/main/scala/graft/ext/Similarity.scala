@@ -2137,4 +2137,89 @@ object Similarity {
       .orderBy("query_id", "rnk")
     Dedup.scopeCaches(out, codes)
   }
+
+  /** Recall-vs-cost calibration of the two-stage IVF+PQ retrieval
+    * (`q_ivfpq_tradeoff`) — the [[lshTopK]] recall-curve discipline
+    * applied to the composed index: ONE candidate pass at the WIDEST
+    * probe width with each pair's admitting probe rank attached (each
+    * corpus vector lives in exactly one list and a query's probe
+    * lists are distinct, so `probe_rnk <= p` reproduces the nProbe=p
+    * candidate set row-for-row), both scores computed per pair (the
+    * ADC lookup-add AND the exact int8 dot the rerank stage would
+    * pay), then the (nProbe × rerank-width) grid read off as filtered
+    * re-rankings of that same frame. Stored bytes are FIXED across
+    * the grid — nSub codes + one long per vector — so the two knobs
+    * measured are exactly the two a deployment can turn at query time
+    * without re-encoding. Per cell: candidate pairs (the probe-cost
+    * axis: corpus reads scale with it), exact-top-k hits across the
+    * query set, and recall. All counts are exact integer arithmetic
+    * off deterministic rankings, so the calibration table itself
+    * hash-matches. 12 rows.
+    */
+  def ivfPqTradeoff(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                    nList: Int = 16, nBook: Int = 16, nSub: Int = 8,
+                    probeGrid: Seq[Int] = Seq(1, 2, 4, 8),
+                    rerankGrid: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    import graft.functions.PqCodes.{pq_encode, pq_lut, pq_adc}
+    import graft.functions.IntDot.int_dot
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
+    val seeds = seedPickFromCodes(codes, nList)
+    val scored = seedScoreArray(seeds.map { case (cid, _, cv, csq) => (cid, cv, csq) })
+    val matrix = pqPackSeeds(seedPickFromCodes(codes, nBook))
+    val maxProbe = probeGrid.max
+    // corpus: one pass — coarse list id, PQ codes, and the int8 codes
+    // the rerank stage reads
+    val assigned = codes
+      .withColumn("best", array_max(scored))
+      .withColumn("pq", pq_encode(col("qv"), matrix, nSub))
+      .select(col("vec_id").as("neighbor_id"),
+        listIdOf(col("best.nid")).as("cluster"),
+        col("pq.codes").as("pcodes"), col("pq.rsq").as("rsq"),
+        col("qv").as("qb"), col("qsq").as("sqb"))
+    // queries: probe lists at the WIDEST width, each with its rank
+    val q = codes.filter(col("vec_id") < numQueries)
+      .withColumn("probe", slice(reverse(array_sort(scored)), 1, maxProbe))
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("probe")).as(Seq("pos", "p")),
+        pq_lut(col("qv"), matrix, nSub).as("lut"), col("qsq").as("sqa"),
+        col("qv").as("qa"))
+      .select(col("query_id"), (col("pos") + 1).as("probe_rnk"),
+        listIdOf(col("p.nid")).as("cluster"), col("lut"), col("sqa"),
+        col("qa"))
+    val pairs = assigned.join(broadcast(q), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dot", pq_adc(col("lut"), col("pcodes")))
+      .withColumn("sim", when(col("rsq") === 0, lit(0.0))
+        .otherwise(col("adc_dot") /
+          sqrt(col("sqa").cast("double") * col("rsq").cast("double"))))
+      .withColumn("esim", int_dot(col("qb"), col("qa")) /
+        sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
+      .select(col("query_id"), col("neighbor_id"), col("probe_rnk"),
+        col("sim"), col("esim"))
+      .persist()
+    val exact = storedCodesTopK(codes, numQueries, k)
+      .select("query_id", "neighbor_id")
+    val cells = for (p <- probeGrid; r <- rerankGrid) yield {
+      val cp = pairs.filter(col("probe_rnk") <= p)
+      val nCands = cp.agg(count(lit(1)).as("n_cands"))
+      val ranked = cp.withColumn("adc_rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("adc_rnk") <= r)
+      val fin = ranked.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("esim").desc, col("neighbor_id"))))
+        .filter(col("rnk") <= k)
+        .select("query_id", "neighbor_id")
+      val hits = fin.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+      hits.crossJoin(nCands).select(
+        lit(p).as("n_probe"), lit(r).as("rerank"), col("n_cands"),
+        col("hits"),
+        round(col("hits") / lit((numQueries * k).toDouble), 6).as("recall"))
+    }
+    val out = cells.reduce(_.unionByName(_)).orderBy("n_probe", "rerank")
+    Dedup.scopeCaches(out, codes, pairs)
+  }
 }
