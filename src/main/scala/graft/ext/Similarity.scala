@@ -1559,7 +1559,12 @@ object Similarity {
     * distortion, and ADC rankings are all exact integer arithmetic —
     * the property that puts the PQ tier under the DuckDB hash oracle
     * (trained-codebook PQ's float iteration would be rows-only). K is
-    * capped at 127 so a code byte never wraps.
+    * capped at 127 — NOT the byte's 255 ceiling ([[graft.functions
+    * .PqEncode]] accepts up to 255 entries) but the SIGNED decode's:
+    * [[pqEncodeSummary]] renders stored code bytes through the
+    * sign-extending `int8_unpack`, which would print entry ids >= 128
+    * as negatives. Raising the cap requires an unsigned decode there
+    * first.
     */
   private def pqPackSeeds(seeds: Array[(Int, Long, Seq[Int], Long)]): Array[Int] = {
     require(seeds.nonEmpty, "PQ codebook needs at least one seed")
@@ -1672,10 +1677,19 @@ object Similarity {
     * all-zero) scores 0 by definition on both engines.
     */
   def pqTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
-             nBook: Int = 16, nSub: Int = 8): DataFrame = {
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+             nBook: Int = 16, nSub: Int = 8): DataFrame =
+    pqTopKFromCodes(quantizedQv(embeddings).filter(col("qsq") > 0),
+      numQueries, k, nBook, nSub)
+
+  /** [[pqTopK]] over an EXISTING non-degenerate code frame — lets
+    * recall audits thread ONE persisted quantization pass into the
+    * exact scan and the ADC ranking instead of re-quantizing per
+    * ranking (the `ivfPqAdcSims` discipline).
+    */
+  private def pqTopKFromCodes(codes: DataFrame, numQueries: Int, k: Int,
+                              nBook: Int, nSub: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(codes.sparkSession)
     import graft.functions.PqCodes.{pq_encode, pq_lut, pq_adc}
-    val codes = quantizedQv(embeddings).filter(col("qsq") > 0)
     val matrix = pqPackSeeds(seedPickFromCodes(codes, nBook))
     val corpus = codes
       .select(col("vec_id").as("neighbor_id"),
@@ -1710,7 +1724,7 @@ object Similarity {
     val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
     val exact = storedCodesTopK(codes, numQueries, k)
       .select("query_id", "neighbor_id")
-    val approx = pqTopK(embeddings, numQueries, k, nBook, nSub)
+    val approx = pqTopKFromCodes(codes, numQueries, k, nBook, nSub)
       .select("query_id", "neighbor_id")
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("pq_hits"))
@@ -1743,14 +1757,25 @@ object Similarity {
                 nList: Int = 16, nProbe: Int = 4, nBook: Int = 16,
                 nSub: Int = 8): DataFrame = {
     val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
+    val out = ivfPqTopKFromCodes(codes, numQueries, k, nList, nProbe,
+      nBook, nSub)
+    Dedup.scopeCaches(out, codes)
+  }
+
+  /** [[ivfPqTopK]]'s ranking over an EXISTING code frame (the caller
+    * owns the persist) — recall audits thread one quantization pass
+    * into every ranking they compare.
+    */
+  private def ivfPqTopKFromCodes(codes: DataFrame, numQueries: Int, k: Int,
+                                 nList: Int, nProbe: Int, nBook: Int,
+                                 nSub: Int): DataFrame = {
     val sims = ivfPqAdcSims(codes, numQueries, nList, nProbe, nBook, nSub)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    val out = sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         col("adc_dot"), round(col("sim"), 6).as("pq_sim"))
       .orderBy("query_id", "rnk")
-    Dedup.scopeCaches(out, codes)
   }
 
   /** The shared IVF+PQ candidate machinery: coarse seed-IVF probe
@@ -1956,14 +1981,24 @@ object Similarity {
                  nList: Int = 16, nProbe: Int = 4, nBook: Int = 16,
                  nSub: Int = 8): DataFrame = {
     val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
+    val out = ivfAdcTopKFromCodes(codes, numQueries, k, nList, nProbe,
+      nBook, nSub)
+    Dedup.scopeCaches(out, codes)
+  }
+
+  /** [[ivfAdcTopK]]'s ranking over an EXISTING code frame (the caller
+    * owns the persist).
+    */
+  private def ivfAdcTopKFromCodes(codes: DataFrame, numQueries: Int, k: Int,
+                                  nList: Int, nProbe: Int, nBook: Int,
+                                  nSub: Int): DataFrame = {
     val sims = ivfAdcSims(codes, numQueries, nList, nProbe, nBook, nSub)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    val out = sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         col("adc_dot"), round(col("sim"), 6).as("ivfadc_sim"))
       .orderBy("query_id", "rnk")
-    Dedup.scopeCaches(out, codes)
   }
 
   /** The unranked residual-ADC pair frame (query_id, neighbor_id,
@@ -2074,10 +2109,10 @@ object Similarity {
     val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
     val exact = storedCodesTopK(codes, numQueries, k)
       .select("query_id", "neighbor_id")
-    val raw = ivfPqTopK(embeddings, numQueries, k, nList, nProbe, nBook, nSub)
-      .select("query_id", "neighbor_id")
-    val res = ivfAdcTopK(embeddings, numQueries, k, nList, nProbe, nBook, nSub)
-      .select("query_id", "neighbor_id")
+    val raw = ivfPqTopKFromCodes(codes, numQueries, k, nList, nProbe,
+      nBook, nSub).select("query_id", "neighbor_id")
+    val res = ivfAdcTopKFromCodes(codes, numQueries, k, nList, nProbe,
+      nBook, nSub).select("query_id", "neighbor_id")
     def hits(approx: DataFrame, name: String): DataFrame =
       exact.join(approx, Seq("query_id", "neighbor_id"))
         .groupBy("query_id").agg(count(lit(1)).as(name))

@@ -175,13 +175,25 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     // what the oracle-matched q_pq_recall certifies per-query
     val total = rows.map(_.getLong(1)).sum
     assert(total >= 1L, s"ADC recall collapsed to zero: $total/40 exact hits")
-    // finer subspaces must not lose to coarser ones on aggregate:
-    // nSub=16 halves each sub-quantizer's dimensionality, strictly
-    // reducing per-subspace distortion, and measured recall rises
-    val finer = Similarity.pqRecall(d, numQueries = 8, k = k, nSub = 16)
-      .collect().map(_.getLong(1)).sum
-    assert(finer >= total,
-      s"doubling subspaces reduced recall: $finer < $total")
+    // What IS a theorem: per-vector encoding distortion is non-
+    // increasing in nSub — a finer partition lets every 4-dim cell
+    // pick its codebook slice independently where the coarser 8-dim
+    // subspace forced both halves onto one entry, so each vector's
+    // summed argmin distance can only shrink. (Recall is NOT monotone
+    // in distortion — lower distortion can reorder near-ties either
+    // way — so no recall inequality is asserted across nSub; the
+    // recall numbers themselves are what q_pq_recall hash-certifies.)
+    val d8 = Similarity.pqEncodeSummary(d, nSub = 8)
+      .select("vec_id", "pq_dist").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d16 = Similarity.pqEncodeSummary(d, nSub = 16)
+      .select("vec_id", "pq_dist").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d8.keySet === d16.keySet)
+    d8.foreach { case (vid, dist8) =>
+      assert(d16(vid) <= dist8,
+        s"vec $vid: finer subspaces RAISED distortion: ${d16(vid)} > $dist8")
+    }
   }
 
   test("pqTopK output shape and determinism") {
