@@ -1739,6 +1739,68 @@ object Similarity {
     Dedup.scopeCaches(out, codes)
   }
 
+  /** OPQ-lite's seed-derived coordinate permutation: dims `1..dim`
+    * ordered by `(md5(i.toString), i)` — the seed-draw discipline
+    * applied to coordinates. Deterministic, engine-portable (DuckDB's
+    * `ORDER BY md5(CAST(i AS VARCHAR)), i` yields the identical
+    * order: lowercase-hex strings compare byte-lexicographically on
+    * both engines), and a pure relabeling — dot products, norms, and
+    * the per-vector symmetric quantization are all permutation-
+    * equivariant, so ONLY the subspace grouping changes.
+    */
+  private[ext] def opqPermutation(dim: Int): Seq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to dim).sortBy { i =>
+      val h = md.digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (h, i)
+    }
+  }
+
+  /** OPQ-lite recall A/B (`q_pq_recall_opq`): per query at EQUAL
+    * stored bytes (same nBook, same nSub), the exact int8-top-k hit
+    * counts of the raw-layout ADC ranking vs the ranking after a
+    * seed-derived coordinate permutation ahead of `pq_encode` — the
+    * cheapest member of the OPQ family (Ge et al., CVPR 2013 train a
+    * rotation; a permutation is the rotation that stays in exact
+    * integers and therefore under the hash oracle). Sub-quantizer
+    * alignment is the binding constraint PQ recall measured in round
+    * 14; this instrument measures whether a re-grouping of
+    * coordinates moves recall on a given corpus BEFORE a deployment
+    * commits a layout. The permuted arm permutes the ALREADY-
+    * quantized codes (per-vector symmetric quantization is
+    * permutation-equivariant — spec-pinned), so one quantization pass
+    * feeds the exact scan and both ADC arms.
+    */
+  def pqRecallOpq(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                  nBook: Int = 16, nSub: Int = 8): DataFrame = {
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
+    val dim = 64
+    val perm = opqPermutation(dim)
+    val permuted = codes.select(col("vec_id"),
+      expr(s"transform(array(${perm.mkString(", ")}), p -> get(qv, p - 1))")
+        .as("qv"),
+      col("qsq"))
+    val exact = storedCodesTopK(codes, numQueries, k)
+      .select("query_id", "neighbor_id")
+    val raw = pqTopKFromCodes(codes, numQueries, k, nBook, nSub)
+      .select("query_id", "neighbor_id")
+    val opq = pqTopKFromCodes(permuted, numQueries, k, nBook, nSub)
+      .select("query_id", "neighbor_id")
+    def hits(approx: DataFrame, name: String): DataFrame =
+      exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as(name))
+    val out = codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"))
+      .join(hits(raw, "hits_pq"), Seq("query_id"), "left")
+      .join(hits(opq, "hits_opq"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits_pq"), lit(0L)).as("hits_pq"),
+        coalesce(col("hits_opq"), lit(0L)).as("hits_opq"))
+      .orderBy("query_id")
+    Dedup.scopeCaches(out, codes)
+  }
+
   /** IVF+PQ top-k (`q_ivfpq_topk`) — the composed production
     * architecture (Jégou et al., TPAMI 2011; FAISS's IVFPQ): coarse
     * seed-IVF lists prune the candidate space to `nProbe` lists

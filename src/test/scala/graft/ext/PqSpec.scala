@@ -196,6 +196,43 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("opqPermutation is a true permutation and quantization is permutation-equivariant") {
+    val perm = Similarity.opqPermutation(64)
+    assert(perm.sorted === (1 to 64), "must be a bijection on 1..64")
+    assert(perm !== (1 to 64).toSeq, "md5 order coinciding with identity would void the A/B")
+    // the law pqRecallOpq's single-quantization-pass design rests on:
+    // quantize-then-permute ≡ permute-then-quantize (the per-vector
+    // max-abs scale sees the same multiset of values either way)
+    val d = sf("sf0.001").limit(64)
+    val permuteEmb = s"transform(array(${perm.mkString(", ")}), p -> get(embedding, p - 1))"
+    val permuteQv = s"transform(array(${perm.mkString(", ")}), p -> get(qv, p - 1))"
+    val quantThenPerm = Similarity.quantizedCodes(d)
+      .select(col("vec_id"), expr(permuteQv).as("qv"), col("qsq"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getLong(2))).toMap
+    val permThenQuant = Similarity.quantizedCodes(
+        d.select(col("vec_id"), expr(permuteEmb).as("embedding")))
+      .select("vec_id", "qv", "qsq")
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getLong(2))).toMap
+    assert(quantThenPerm === permThenQuant)
+  }
+
+  test("pqRecallOpq: shape, bounds, and equal-stored-bytes symmetry") {
+    val d = sf("sf0.001")
+    val rows = Similarity.pqRecallOpq(d, numQueries = 6, k = 5).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 5L)
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 5L)
+    }
+    // the raw arm must equal pqRecall's hits exactly — same codes,
+    // same codebook draw, same ranking
+    val base = Similarity.pqRecall(d, numQueries = 6, k = 5)
+      .select("query_id", "pq_hits").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) === base(r.getLong(0)),
+      s"raw arm diverged from pqRecall for query ${r.getLong(0)}"))
+  }
+
   test("pqTopK output shape and determinism") {
     val d = sf("sf0.001")
     val a = Similarity.pqTopK(d, numQueries = 4, k = 3).collect().toSeq
