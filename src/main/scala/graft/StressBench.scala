@@ -32,6 +32,13 @@ object StressBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // A/B mode: SPARK_GRAFT_AB_REF=<gitref> turns this run into the
+    // same-epoch old-code experiment (see [[AbBench]]) — build the
+    // ref's classes aside, alternate fresh-JVM probe runs, emit the
+    // paired table. No Spark session in this process.
+    if (sys.env.get("SPARK_GRAFT_AB_REF").exists(_.trim.nonEmpty)) {
+      AbBench.main(args); return
+    }
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -514,6 +521,13 @@ object StressBench {
         emb.filter(col("vec_id") < 10), ivfStoreDir).count()),
       time("ivfpq_store_probe", ext.Similarity.ivfIndexStorePqProbe(spark,
         emb.filter(col("vec_id") < 10), ivfPqStoreDir).count()),
+      // q_ivfpq_tradeoff's cost axis, proven on stored bytes: the SAME
+      // sidecar probed at nProbe=1 vs 8 — partition-pruned reads (and
+      // the candidate volume the grid counts) scale with probe width
+      time("ivfpq_store_probe_w1", ext.Similarity.ivfIndexStorePqProbe(spark,
+        emb.filter(col("vec_id") < 10), ivfPqStoreDir, nProbe = 1).count()),
+      time("ivfpq_store_probe_w8", ext.Similarity.ivfIndexStorePqProbe(spark,
+        emb.filter(col("vec_id") < 10), ivfPqStoreDir, nProbe = 8).count()),
       // skew → reseed → repair arc (rows run IN ORDER; the reseed row
       // mutates the store between the two probes). Occupancy rows
       // return the MAX list size — the number probe cost follows.
