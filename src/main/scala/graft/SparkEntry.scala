@@ -533,6 +533,12 @@ object SparkEntry {
     // recall on this corpus before a deployment commits a layout
     "q_pq_recall_opq" -> ((s, d) =>
       Similarity.pqRecallOpq(Tables.embeddings(s, d))),
+    // the same layout A/B on the planted-cluster corpus, where the
+    // identity layout is peak-ALIGNED (one peak per subspace) and the
+    // codebook co-permutes with the data — measures the permutation's
+    // effect when cluster alignment is preserved by construction
+    "q_pq_recall_opq_clustered" -> ((s, d) => Similarity.pqRecallOpq(
+      Similarity.plantedClusterEmbeddings(Tables.embeddings(s, d)))),
     // the PERSISTED composed index: hive store + PQ sidecar (codebook
     // drawn from the stored codes, pq_codes partitioned by the same
     // list ids), ADC probe reads only the probed partitions at nSub
@@ -1263,6 +1269,102 @@ object SparkEntry {
       |LEFT JOIN hraw ON q.vec_id = hraw.query_id
       |LEFT JOIN hres ON q.vec_id = hres.query_id
       |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin
+
+  /** The OPQ-lite A/B tail over PQ_CHAIN's names (base/seeds/subs/
+    * chosen/rsqs): the md5 coordinate order, the permuted encode arm,
+    * both ADC top-5s, the exact top-5, and per-query hit counts —
+    * shared verbatim by q_pq_recall_opq and its planted-cluster twin.
+    */
+  private val OPQ_RECALL_TAIL: String =
+    """,
+        |permc AS (SELECT list(CAST(i AS INTEGER)
+        |    ORDER BY md5(CAST(i AS VARCHAR)), i) AS pm
+        |  FROM range(1, 65) AS r(i)),
+        |pbase AS (SELECT vec_id, list_transform(pm, p -> qv[p]) AS qv, qsq
+        |  FROM base, permc),
+        |pseeds AS (SELECT seed_vec_id,
+        |    list_transform(pm, p -> cv[p]) AS cv, csq, centroid_id
+        |  FROM seeds, permc),
+        |pdists AS (
+        |  SELECT pbase.vec_id, subs.j, pseeds.centroid_id,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> CAST(pbase.qv[subs.j * 8 + CAST(i AS INTEGER)]
+        |             - pseeds.cv[subs.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+        |           * (pbase.qv[subs.j * 8 + CAST(i AS INTEGER)]
+        |             - pseeds.cv[subs.j * 8 + CAST(i AS INTEGER)]))) AS d
+        |  FROM pbase, pseeds, subs),
+        |ppick AS (SELECT vec_id, j, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+        |      ORDER BY d, centroid_id) AS rn FROM pdists)
+        |  WHERE rn = 1),
+        |pchosen AS (SELECT ppick.vec_id, ppick.j, ppick.centroid_id,
+        |    pseeds.cv
+        |  FROM ppick JOIN pseeds USING (centroid_id)),
+        |prsqs AS (SELECT vec_id,
+        |    CAST(sum(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(cv[j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+        |           * cv[j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS rsq
+        |  FROM pchosen GROUP BY vec_id),
+        |adc0 AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(q.qv[c.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+        |           * c.cv[c.j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS adc_dot
+        |  FROM base q, chosen c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, c.vec_id),
+        |adcsim AS (
+        |  SELECT a.query_id, a.neighbor_id,
+        |    CASE WHEN r.rsq = 0 THEN 0.0
+        |         ELSE CAST(a.adc_dot AS DOUBLE)
+        |           / sqrt(CAST(q.qsq AS DOUBLE) * r.rsq) END AS sim
+        |  FROM adc0 a JOIN rsqs r ON a.neighbor_id = r.vec_id
+        |  JOIN base q ON a.query_id = q.vec_id),
+        |adctop AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rnk FROM adcsim)
+        |  WHERE rnk <= 5),
+        |padc0 AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum(list_sum(list_transform(range(1, 9),
+        |      i -> CAST(q.qv[c.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+        |           * c.cv[c.j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS adc_dot
+        |  FROM pbase q, pchosen c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, c.vec_id),
+        |padcsim AS (
+        |  SELECT a.query_id, a.neighbor_id,
+        |    CASE WHEN r.rsq = 0 THEN 0.0
+        |         ELSE CAST(a.adc_dot AS DOUBLE)
+        |           / sqrt(CAST(q.qsq AS DOUBLE) * r.rsq) END AS sim
+        |  FROM padc0 a JOIN prsqs r ON a.neighbor_id = r.vec_id
+        |  JOIN pbase q ON a.query_id = q.vec_id),
+        |padctop AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rnk FROM padcsim)
+        |  WHERE rnk <= 5),
+        |exact0 AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * c.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(q.qsq AS DOUBLE) * c.qsq) AS sim
+        |  FROM base q, base c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rnk FROM exact0)
+        |  WHERE rnk <= 5),
+        |hraw AS (SELECT e.query_id, count(*) AS n FROM exact e
+        |  JOIN adctop a ON e.query_id = a.query_id
+        |    AND e.neighbor_id = a.neighbor_id GROUP BY e.query_id),
+        |hopq AS (SELECT e.query_id, count(*) AS n FROM exact e
+        |  JOIN padctop a ON e.query_id = a.query_id
+        |    AND e.neighbor_id = a.neighbor_id GROUP BY e.query_id)
+        |SELECT q.vec_id AS query_id,
+        |  CAST(COALESCE(hraw.n, 0) AS BIGINT) AS hits_pq,
+        |  CAST(COALESCE(hopq.n, 0) AS BIGINT) AS hits_opq
+        |FROM base q
+        |LEFT JOIN hraw ON q.vec_id = hraw.query_id
+        |LEFT JOIN hopq ON q.vec_id = hopq.query_id
+        |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_lsh_topk" -> lshTopKOracle,
@@ -4078,96 +4180,13 @@ object SparkEntry {
     // relabels coordinates by the md5 order (a pure permutation —
     // quantization and exact sims are equivariant, only the subspace
     // grouping changes) and re-runs the identical encode + ADC
-    "q_pq_recall_opq" -> (PQ_CHAIN +
-      """,
-        |permc AS (SELECT list(CAST(i AS INTEGER)
-        |    ORDER BY md5(CAST(i AS VARCHAR)), i) AS pm
-        |  FROM range(1, 65) AS r(i)),
-        |pbase AS (SELECT vec_id, list_transform(pm, p -> qv[p]) AS qv, qsq
-        |  FROM base, permc),
-        |pseeds AS (SELECT seed_vec_id,
-        |    list_transform(pm, p -> cv[p]) AS cv, csq, centroid_id
-        |  FROM seeds, permc),
-        |pdists AS (
-        |  SELECT pbase.vec_id, subs.j, pseeds.centroid_id,
-        |    list_sum(list_transform(range(1, 9),
-        |      i -> CAST(pbase.qv[subs.j * 8 + CAST(i AS INTEGER)]
-        |             - pseeds.cv[subs.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
-        |           * (pbase.qv[subs.j * 8 + CAST(i AS INTEGER)]
-        |             - pseeds.cv[subs.j * 8 + CAST(i AS INTEGER)]))) AS d
-        |  FROM pbase, pseeds, subs),
-        |ppick AS (SELECT vec_id, j, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
-        |      ORDER BY d, centroid_id) AS rn FROM pdists)
-        |  WHERE rn = 1),
-        |pchosen AS (SELECT ppick.vec_id, ppick.j, ppick.centroid_id,
-        |    pseeds.cv
-        |  FROM ppick JOIN pseeds USING (centroid_id)),
-        |prsqs AS (SELECT vec_id,
-        |    CAST(sum(list_sum(list_transform(range(1, 9),
-        |      i -> CAST(cv[j * 8 + CAST(i AS INTEGER)] AS BIGINT)
-        |           * cv[j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS rsq
-        |  FROM pchosen GROUP BY vec_id),
-        |adc0 AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    CAST(sum(list_sum(list_transform(range(1, 9),
-        |      i -> CAST(q.qv[c.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
-        |           * c.cv[c.j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS adc_dot
-        |  FROM base q, chosen c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
-        |  GROUP BY q.vec_id, c.vec_id),
-        |adcsim AS (
-        |  SELECT a.query_id, a.neighbor_id,
-        |    CASE WHEN r.rsq = 0 THEN 0.0
-        |         ELSE CAST(a.adc_dot AS DOUBLE)
-        |           / sqrt(CAST(q.qsq AS DOUBLE) * r.rsq) END AS sim
-        |  FROM adc0 a JOIN rsqs r ON a.neighbor_id = r.vec_id
-        |  JOIN base q ON a.query_id = q.vec_id),
-        |adctop AS (SELECT query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id) AS rnk FROM adcsim)
-        |  WHERE rnk <= 5),
-        |padc0 AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    CAST(sum(list_sum(list_transform(range(1, 9),
-        |      i -> CAST(q.qv[c.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
-        |           * c.cv[c.j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS adc_dot
-        |  FROM pbase q, pchosen c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
-        |  GROUP BY q.vec_id, c.vec_id),
-        |padcsim AS (
-        |  SELECT a.query_id, a.neighbor_id,
-        |    CASE WHEN r.rsq = 0 THEN 0.0
-        |         ELSE CAST(a.adc_dot AS DOUBLE)
-        |           / sqrt(CAST(q.qsq AS DOUBLE) * r.rsq) END AS sim
-        |  FROM padc0 a JOIN prsqs r ON a.neighbor_id = r.vec_id
-        |  JOIN pbase q ON a.query_id = q.vec_id),
-        |padctop AS (SELECT query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id) AS rnk FROM padcsim)
-        |  WHERE rnk <= 5),
-        |exact0 AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
-        |      i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
-        |        * c.qv[CAST(i AS INTEGER)])) AS DOUBLE)
-        |      / sqrt(CAST(q.qsq AS DOUBLE) * c.qsq) AS sim
-        |  FROM base q, base c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
-        |exact AS (SELECT query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id) AS rnk FROM exact0)
-        |  WHERE rnk <= 5),
-        |hraw AS (SELECT e.query_id, count(*) AS n FROM exact e
-        |  JOIN adctop a ON e.query_id = a.query_id
-        |    AND e.neighbor_id = a.neighbor_id GROUP BY e.query_id),
-        |hopq AS (SELECT e.query_id, count(*) AS n FROM exact e
-        |  JOIN padctop a ON e.query_id = a.query_id
-        |    AND e.neighbor_id = a.neighbor_id GROUP BY e.query_id)
-        |SELECT q.vec_id AS query_id,
-        |  CAST(COALESCE(hraw.n, 0) AS BIGINT) AS hits_pq,
-        |  CAST(COALESCE(hopq.n, 0) AS BIGINT) AS hits_opq
-        |FROM base q
-        |LEFT JOIN hraw ON q.vec_id = hraw.query_id
-        |LEFT JOIN hopq ON q.vec_id = hopq.query_id
-        |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin),
+    "q_pq_recall_opq" -> (PQ_CHAIN + OPQ_RECALL_TAIL),
+    // the same layout A/B over the planted-cluster corpus: the
+    // codebook co-permutes with the data, so this measures whether a
+    // re-grouping moves recall even when cluster alignment is
+    // preserved — only the input CTE differs
+    "q_pq_recall_opq_clustered" ->
+      (PLANTED_PQ_CHAIN + OPQ_RECALL_TAIL),
     // IVF+PQ: coarse nearest-seed lists prune the pair space (each
     // corpus vector sits in exactly ONE list, so probe ∩ assignment
     // yields each candidate at most once), then the ADC tail ranks.
