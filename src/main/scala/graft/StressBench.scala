@@ -311,7 +311,8 @@ object StressBench {
       ext.Similarity.ivfIndexStorePqBuild(spark, p)
       p
     }
-    if (selected("ivfpq_store_probe")) { ivfPqStoreDir; () }
+    if (Seq("ivfpq_store_probe", "ivfpq_store_probe_w1",
+        "ivfpq_store_probe_w8").exists(selected)) { ivfPqStoreDir; () }
     // DELIBERATELY skewed persisted index (untimed setup): seeds drawn
     // from the replicas of just TWO base vectors — most seeds carry an
     // identical code, ties break to the lowest centroid id, so the
