@@ -1209,7 +1209,8 @@ object SparkEntry {
     """WITH t AS (SELECT vec_id,
       |    list_transform(range(1, 65), i -> CAST(
       |      CASE WHEN (vec_id % 8 + i) % 8 = 0 THEN 80 ELSE -10 END
-      |      + (vec_id * 37 + i * 101) % 9973 % 5 - 2 AS DOUBLE)) AS emb
+      |      + ascii(substr(md5(CAST(vec_id * 64 + i AS VARCHAR)), 1, 1)) % 5 - 2
+      |      AS DOUBLE)) AS emb
       |  FROM embeddings)""".stripMargin)
   require(PLANTED_PQ_CHAIN != PQ_CHAIN,
     "PLANTED_PQ_CHAIN replace matched nothing — PQ_CHAIN's corpus CTE changed")

@@ -2129,10 +2129,14 @@ object Similarity {
     * puts 80 on the 8 dims where `(c + i) % 8 == 0` and −10 elsewhere,
     * so any two clusters differ by 90 on 16 dims (inter-cluster cosine
     * ≈ −0.14) — plus a small deterministic per-(vector, dim) jitter in
-    * [−2, 2]. The jitter mixer runs mod 9973 (prime > any testdata
-    * vec_id) before the final mod 5, so every vector's jitter pattern
-    * is distinct — a short-period mixer would leave exact duplicates
-    * whose recall A/B collapses into tie-breaking. Derived from
+    * [−2, 2]. The jitter is drawn per (vector, dim) from
+    * `md5(vec_id·64 + i)`'s first hex char — inputs are globally
+    * unique, so every vector's 64-dim jitter pattern is distinct
+    * (spec-pinned on the testdata) and the recall A/B never collapses
+    * into tie-breaking. (A linear mixer mod a prime was tried first
+    * and left 153/500 duplicate vectors: the final mod 5 erases
+    * residue differences ≡ 0 (mod 5) unless a modular wrap separates
+    * the pair inside the 64-dim window.) Derived from
     * `embeddings`' vec_ids alone (the media planted-cluster
     * discipline), exactly reproducible in the DuckDB oracle, and
     * integer-valued so the float→int8 step is noise-free. This is the
@@ -2146,7 +2150,8 @@ object Similarity {
     embeddings.select(col("vec_id"),
       expr("""transform(sequence(1, 64), i -> CAST(
           CASE WHEN (vec_id % 8 + i) % 8 = 0 THEN 80 ELSE -10 END
-          + (vec_id * 37 + i * 101) % 9973 % 5 - 2 AS FLOAT))""").as("embedding"))
+          + ascii(substr(md5(CAST(vec_id * 64 + i AS STRING)), 1, 1)) % 5 - 2
+          AS FLOAT))""").as("embedding"))
 
   /** Residual-vs-raw recall A/B (`q_ivfadc_recall`): per query at the
     * SAME probe width and the SAME stored bytes, the exact number of

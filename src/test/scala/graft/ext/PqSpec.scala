@@ -196,6 +196,63 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ivfPqTradeoff cross-law: the (nProbe=4, rerank=20) cell IS ivfPqRerankTopK's hit count") {
+    val d = sf("sf0.001")
+    val grid = Similarity.ivfPqTradeoff(d).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(3)).toMap
+    // the grid cell and the production two-stage operator must count
+    // the same hits — they are the same retrieval by construction
+    val rer = Similarity.ivfPqRerankTopK(d, numQueries = 10, k = 5,
+      nList = 16, nProbe = 4, rerank = 20)
+      .select("query_id", "neighbor_id")
+    val exact = Similarity.quantizedCosineTopK(d, numQueries = 10, k = 5)
+      .select("query_id", "neighbor_id")
+    val hits = rer.join(exact, Seq("query_id", "neighbor_id")).count()
+    assert(grid((4, 20)) === hits,
+      s"grid cell (4,20)=${grid((4, 20))} != two-stage operator hits $hits")
+    // rerank-axis monotonicity IS a theorem at fixed nProbe: a wider
+    // shortlist is a superset, and hits = |shortlist ∩ exact-top-5|
+    // (any global-top-5 member in the shortlist survives the exact
+    // rerank). The nProbe axis is NOT monotone at small rerank —
+    // measured non-monotone at sf0.1 — so nothing is asserted there.
+    for (np <- Seq(1, 2, 4, 8)) {
+      val byRr = Seq(5, 10, 20).map(rr => grid((np, rr)))
+      assert(byRr === byRr.sorted,
+        s"hits not monotone in rerank at nProbe=$np: $byRr")
+    }
+    // candidate count is independent of rerank and monotone in nProbe
+    val cands = Similarity.ivfPqTradeoff(d).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (np <- Seq(1, 2, 4, 8))
+      assert(Seq(5, 10, 20).map(rr => cands((np, rr))).distinct.size === 1)
+    val byNp = Seq(1, 2, 4, 8).map(np => cands((np, 5)))
+    assert(byNp === byNp.sorted, s"candidates not monotone in nProbe: $byNp")
+  }
+
+  test("plantedClusterEmbeddings: deterministic, tie-free, all 8 clusters seeded") {
+    val d = Similarity.plantedClusterEmbeddings(sf("sf0.001"))
+    val rows = d.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(rows.length === 500)
+    // every vector distinct (the prime-modulus jitter mixer's job —
+    // a short-period mixer would collapse the recall A/B into ties)
+    assert(rows.map(_._2).distinct.length === rows.length)
+    rows.foreach { case (vid, v) =>
+      assert(v.length === 64)
+      val c = (vid % 8).toInt
+      v.zipWithIndex.foreach { case (x, i0) =>
+        val peak = (c + i0 + 1) % 8 == 0
+        if (peak) assert(x >= 78f && x <= 82f, s"vec $vid dim $i0: $x")
+        else assert(x >= -12f && x <= -8f, s"vec $vid dim $i0: $x")
+      }
+    }
+    // the md5 seed draw at nList=16 must cover all 8 clusters — the
+    // coarse-pass property the clustered regime rests on
+    val seeds = Similarity.ivfSeedCentroids(d, nList = 16)
+      .select("seed_vec_id").collect().map(_.getLong(0) % 8).toSet
+    assert(seeds === (0L to 7L).toSet,
+      s"seed draw missed clusters: ${(0L to 7L).toSet -- seeds}")
+  }
+
   test("opqPermutation is a true permutation and quantization is permutation-equivariant") {
     val perm = Similarity.opqPermutation(64)
     assert(perm.sorted === (1 to 64), "must be a bijection on 1..64")
