@@ -2302,26 +2302,37 @@ object Similarity {
       .persist()
     val exact = storedCodesTopK(codes, numQueries, k)
       .select("query_id", "neighbor_id")
-    val cells = for (p <- probeGrid; r <- rerankGrid) yield {
+    // the ADC ranking depends on the probe width only — rank ONCE per
+    // width, cap at the widest rerank, and PERSIST that shortlist
+    // (numQueries × max-rerank rows) so the per-cell re-rankings read
+    // a tiny cached frame instead of re-windowing the pair space
+    val shortlists = probeGrid.map { p =>
       val cp = pairs.filter(col("probe_rnk") <= p)
-      val nCands = cp.agg(count(lit(1)).as("n_cands"))
       val ranked = cp.withColumn("adc_rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id"))))
-        .filter(col("adc_rnk") <= r)
-      val fin = ranked.withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("esim").desc, col("neighbor_id"))))
-        .filter(col("rnk") <= k)
-        .select("query_id", "neighbor_id")
-      val hits = fin.join(exact, Seq("query_id", "neighbor_id"))
-        .agg(count(lit(1)).as("hits"))
-      hits.crossJoin(nCands).select(
-        lit(p).as("n_probe"), lit(r).as("rerank"), col("n_cands"),
-        col("hits"),
-        round(col("hits") / lit((numQueries * k).toDouble), 6).as("recall"))
+        .filter(col("adc_rnk") <= rerankGrid.max)
+        .select("query_id", "neighbor_id", "adc_rnk", "esim")
+        .persist()
+      (p, cp.agg(count(lit(1)).as("n_cands")), ranked)
+    }
+    val cells = shortlists.flatMap { case (p, nCands, ranked) =>
+      rerankGrid.map { r =>
+        val fin = ranked.filter(col("adc_rnk") <= r)
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("esim").desc, col("neighbor_id"))))
+          .filter(col("rnk") <= k)
+          .select("query_id", "neighbor_id")
+        val hits = fin.join(exact, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+        hits.crossJoin(nCands).select(
+          lit(p).as("n_probe"), lit(r).as("rerank"), col("n_cands"),
+          col("hits"),
+          round(col("hits") / lit((numQueries * k).toDouble), 6).as("recall"))
+      }
     }
     val out = cells.reduce(_.unionByName(_)).orderBy("n_probe", "rerank")
-    Dedup.scopeCaches(out, codes, pairs)
+    Dedup.scopeCaches(out, codes +: pairs +: shortlists.map(_._3): _*)
   }
 }
