@@ -569,6 +569,22 @@ object SparkEntry {
       Similarity.ivfIndexStorePqBuild(s, dir)
       Similarity.ivfIndexStorePqProbe(s, emb.filter(col("vec_id") < 10), dir)
     }),
+    // the layout-recording store: same lifecycle with the OPQ-lite
+    // permutation RECORDED in the codebook, so the probe encodes its
+    // lookup tables under the stored layout with no caller re-supply;
+    // the coarse tier stays on raw codes (layout-invariant)
+    "q_ivfpq_store_probe_opq" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfpq_store_opq_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb, dir)
+      Similarity.ivfIndexStorePqBuild(s, dir,
+        layout = Similarity.opqPermutation(64))
+      Similarity.ivfIndexStorePqProbe(s, emb.filter(col("vec_id") < 10), dir)
+    }),
     "q_centroid_outliers" -> ((s, d) => Similarity.centroidSim(Tables.embeddings(s, d))),
     // SemDeDup: cluster-blocked semantic near-dup drop (rows-only —
     // cluster boundaries are kmeans-dependent); the nList=1 regime below
@@ -1276,9 +1292,13 @@ object SparkEntry {
     * both ADC top-5s, the exact top-5, and per-query hit counts —
     * shared verbatim by q_pq_recall_opq and its planted-cluster twin.
     */
-  private val OPQ_RECALL_TAIL: String =
-    """,
-        |permc AS (SELECT list(CAST(i AS INTEGER)
+  /** The permuted-encode fragment over PQ_CHAIN's names: the md5
+    * coordinate order, the permuted base/seeds, and the permuted
+    * subspace argmin chain (pdists/ppick/pchosen/prsqs) — shared by
+    * the OPQ recall A/Bs and the layout-recording store probe.
+    */
+  private val PERM_ENCODE_FRAG: String =
+    """permc AS (SELECT list(CAST(i AS INTEGER)
         |    ORDER BY md5(CAST(i AS VARCHAR)), i) AS pm
         |  FROM range(1, 65) AS r(i)),
         |pbase AS (SELECT vec_id, list_transform(pm, p -> qv[p]) AS qv, qsq
@@ -1305,7 +1325,13 @@ object SparkEntry {
         |    CAST(sum(list_sum(list_transform(range(1, 9),
         |      i -> CAST(cv[j * 8 + CAST(i AS INTEGER)] AS BIGINT)
         |           * cv[j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS rsq
-        |  FROM pchosen GROUP BY vec_id),
+        |  FROM pchosen GROUP BY vec_id)""".stripMargin
+
+  /** The OPQ recall-A/B tail over PQ_CHAIN + PERM_ENCODE_FRAG's names:
+    * both ADC top-5s, the exact top-5, per-query hit counts.
+    */
+  private val OPQ_RECALL_TAIL: String = ",\n" + PERM_ENCODE_FRAG +
+    """,
         |adc0 AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    CAST(sum(list_sum(list_transform(range(1, 9),
@@ -1366,6 +1392,51 @@ object SparkEntry {
         |LEFT JOIN hraw ON q.vec_id = hraw.query_id
         |LEFT JOIN hopq ON q.vec_id = hopq.query_id
         |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin
+
+  /** The layout-recording store probe's oracle: raw coarse pruning
+    * (layout-invariant) over the permuted encode — PQ_CHAIN +
+    * PERM_ENCODE_FRAG + the IVFPQ candidate block + a permuted ADC
+    * tail (pbase/pchosen/prsqs in place of base/chosen/rsqs).
+    */
+  private val IVFPQ_OPQ_SQL: String = PQ_CHAIN + ",\n" + PERM_ENCODE_FRAG +
+    """,
+      |coarse AS (SELECT base.vec_id, seeds.centroid_id,
+      |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+      |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+      |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
+      |  FROM base, seeds),
+      |asg AS (SELECT vec_id, centroid_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY sim DESC, centroid_id) AS rn FROM coarse)
+      |  WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY sim DESC, centroid_id) AS rn
+      |    FROM coarse WHERE vec_id < 10) WHERE rn <= 4),
+      |cands AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN asg a USING (centroid_id)
+      |  WHERE a.vec_id <> p.query_id),
+      |adcp AS (
+      |  SELECT cands.query_id, c.vec_id AS neighbor_id,
+      |    CAST(sum(list_sum(list_transform(range(1, 9),
+      |      i -> CAST(q.qv[c.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+      |           * c.cv[c.j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS adc_dot
+      |  FROM cands
+      |  JOIN pbase q ON cands.query_id = q.vec_id
+      |  JOIN pchosen c ON cands.neighbor_id = c.vec_id
+      |  GROUP BY cands.query_id, c.vec_id),
+      |simsp AS (
+      |  SELECT a.query_id, a.neighbor_id, a.adc_dot,
+      |    CASE WHEN r.rsq = 0 THEN 0.0
+      |         ELSE CAST(a.adc_dot AS DOUBLE)
+      |           / sqrt(CAST(q.qsq AS DOUBLE) * r.rsq) END AS sim
+      |  FROM adcp a JOIN prsqs r ON a.neighbor_id = r.vec_id
+      |  JOIN pbase q ON a.query_id = q.vec_id),
+      |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk FROM simsp)
+      |SELECT query_id, rnk, neighbor_id, adc_dot, round(sim, 6) AS pq_sim
+      |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_lsh_topk" -> lshTopKOracle,
@@ -4195,6 +4266,8 @@ object SparkEntry {
     // sidecar, so one SQL is both oracles.
     "q_ivfpq_topk" -> IVFPQ_TOPK_SQL,
     "q_ivfpq_store_probe" -> IVFPQ_TOPK_SQL,
+    // the layout-recording store probe: raw coarse + permuted encode
+    "q_ivfpq_store_probe_opq" -> IVFPQ_OPQ_SQL,
     // residual IVFADC: same probe discipline, ADC dot = q·(cv + r̂)
     "q_ivfadc_topk" -> (PQ_CHAIN + ",\n" + IVFADC_FRAG +
       """,

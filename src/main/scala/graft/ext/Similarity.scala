@@ -1748,7 +1748,7 @@ object Similarity {
     * the per-vector symmetric quantization are all permutation-
     * equivariant, so ONLY the subspace grouping changes.
     */
-  private[ext] def opqPermutation(dim: Int): Seq[Int] = {
+  def opqPermutation(dim: Int): Seq[Int] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (1 to dim).sortBy { i =>
       val h = md.digest(i.toString.getBytes("UTF-8"))
@@ -1877,6 +1877,16 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adc_dot"), col("sim"))
   }
 
+  /** Apply a stored coordinate LAYOUT (OPQ-lite's permutation, 1-based
+    * positions) to a code array; the empty layout is the identity. A
+    * pure relabeling: dots, norms, and the per-vector quantization are
+    * unchanged — only the subspace grouping the PQ encode sees.
+    */
+  private def applyLayout(qv: Column, layout: Seq[Int]): Column =
+    if (layout.isEmpty) qv
+    else transform(array(layout.map(i => lit(i)): _*),
+      p => get(qv, p - lit(1)))
+
   /** Build the persisted index's PQ SIDECAR — the derived artifact
     * that makes the hive store ADC-scannable: `dir/pq_codebook` (the
     * nBook md5-ranked STORED vectors' codes + nSub, the reseed
@@ -1888,20 +1898,32 @@ object Similarity {
     * float embeddings are never re-read. Rebuildable at will (derived
     * artifact); appends encode against the FIXED stored codebook via
     * [[ivfIndexStorePqAppend]].
+    *
+    * `layout` (optional — [[opqPermutation]] or any bijection on
+    * 1..dim) is the OPQ-lite coordinate re-grouping applied ahead of
+    * subspacing, and it is RECORDED IN THE STORE: a layout is part of
+    * the index's identity (codes encoded under one grouping are
+    * gibberish to a probe using another), so probes and appends read
+    * it back from `pq_codebook` instead of trusting the caller to
+    * re-supply it. The coarse tier is layout-invariant (centroid dots
+    * are permutation-equivariant) and stays on raw stored codes.
     */
   def ivfIndexStorePqBuild(spark: org.apache.spark.sql.SparkSession,
                            dir: String, nBook: Int = 16,
-                           nSub: Int = 8): Unit = {
+                           nSub: Int = 8,
+                           layout: Seq[Int] = Nil): Unit = {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.Int8Unpack.int8_unpack
     import graft.functions.PqCodes.pq_encode
     val codes = ivfIndexStoreAssignments(spark, dir)
       .unionByName(ivfIndexReadDayAssignments(spark, dir))
-      .select(col("vec_id"), int8_unpack(col("qb")).as("qv"), col("qsq"),
+      .select(col("vec_id"),
+        applyLayout(int8_unpack(col("qb")), layout).as("qv"), col("qsq"),
         col("centroid_id"))
     val picked = seedPickFromCodes(codes, nBook)
     val matrix = pqPackSeeds(picked)
     seedsToDf(spark, picked).withColumn("n_sub", lit(nSub))
+      .withColumn("perm", typedLit(layout))
       .write.mode("overwrite").parquet(s"$dir/pq_codebook")
     codes
       .select(col("vec_id"), pq_encode(col("qv"), matrix, nSub).as("pq"),
@@ -1912,19 +1934,20 @@ object Similarity {
       .parquet(s"$dir/pq_codes")
   }
 
-  /** The stored PQ codebook: (flat byte matrix, nSub). Bounded driver
-    * fetch (nBook × dim bytes), the probe/append-side twin of
+  /** The stored PQ codebook: (flat byte matrix, nSub, layout). Bounded
+    * driver fetch (nBook × dim bytes), the probe/append-side twin of
     * [[collectSeedCentroids]].
     */
   private[graft] def ivfIndexStorePqCodebook(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Array[Int], Int) = {
+      dir: String): (Array[Int], Int, Seq[Int]) = {
     val rows = spark.read.parquet(s"$dir/pq_codebook")
-      .select("centroid_id", "seed_vec_id", "cv", "csq", "n_sub").collect()
+      .select("centroid_id", "seed_vec_id", "cv", "csq", "n_sub", "perm")
+      .collect()
     require(rows.nonEmpty, s"empty PQ codebook at $dir/pq_codebook")
     val picked = rows.map(r => (r.getInt(0), r.getLong(1),
       r.getSeq[Int](2), r.getLong(3))).sortBy(_._1)
-    (pqPackSeeds(picked), rows.head.getInt(4))
+    (pqPackSeeds(picked), rows.head.getInt(4), rows.head.getSeq[Int](5))
   }
 
   /** Encode an appended batch into the PQ sidecar under the FIXED
@@ -1938,9 +1961,10 @@ object Similarity {
                             assigned: DataFrame, dir: String): Unit = {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.PqCodes.pq_encode
-    val (matrix, nSub) = ivfIndexStorePqCodebook(spark, dir)
+    val (matrix, nSub, layout) = ivfIndexStorePqCodebook(spark, dir)
     assigned
-      .select(col("vec_id"), pq_encode(col("qv"), matrix, nSub).as("pq"),
+      .select(col("vec_id"),
+        pq_encode(applyLayout(col("qv"), layout), matrix, nSub).as("pq"),
         col("centroid_id"))
       .select(col("vec_id"), col("pq.codes").as("pcodes"),
         col("pq.rsq").as("rsq"), col("centroid_id"))
@@ -1967,16 +1991,19 @@ object Similarity {
     import graft.functions.PqCodes.{pq_lut, pq_adc}
     val scored = seedScoreArray(
       collectSeedCentroids(ivfIndexStoreCentroids(spark, dir)))
-    val (matrix, nSub) = ivfIndexStorePqCodebook(spark, dir)
+    val (matrix, nSub, layout) = ivfIndexStorePqCodebook(spark, dir)
     // the ivfIndexStoreProbe discipline: ONE bounded evaluation of the
     // query-side quantization + centroid ranking + lookup tables,
-    // re-fed as a local relation (numQueries × nProbe rows)
+    // re-fed as a local relation (numQueries × nProbe rows). The
+    // centroid ranking reads RAW codes (the coarse tier is layout-
+    // invariant); the lookup table reads the STORED layout's grouping.
     val q0 = queryVecs
       .select(col("vec_id"), int8_codes(col("embedding")).as("qv"))
       .withColumn("qsq", int_dot(col("qv"), col("qv")))
       .filter(col("qsq") > 0)
       .select(col("vec_id").as("query_id"),
-        pq_lut(col("qv"), matrix, nSub).as("lut"), col("qsq").as("sqa"),
+        pq_lut(applyLayout(col("qv"), layout), matrix, nSub).as("lut"),
+        col("qsq").as("sqa"),
         explode(slice(reverse(array_sort(scored)), 1, nProbe)).as("p"))
       .select(col("query_id"), col("lut"), col("sqa"),
         listIdOf(col("p.nid")).as("cluster"))

@@ -413,7 +413,8 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(nCodes === nAll, "every stored vector must be ADC-scannable")
     // 2. fixed-codebook law: the appended rows equal a direct encode of
     // the batch under the codebook drawn at build time (stored side)
-    val (matrix, nSub) = Similarity.ivfIndexStorePqCodebook(spark, dir)
+    val (matrix, nSub, layout) = Similarity.ivfIndexStorePqCodebook(spark, dir)
+    assert(layout.isEmpty, "default build records the identity layout")
     val expected = Similarity.pqCodesFrame(d.filter(!storedSide), matrix, nSub)
       .orderBy("vec_id").collect().toSeq
     val appendedIds = expected.map(_.getLong(0)).toSet
@@ -427,6 +428,36 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       d.filter(col("vec_id") < 3), dir, k = 5, nProbe = 16)
       .select("neighbor_id").collect().map(_.getLong(0)).toSet
     assert(probed.exists(appendedIds), "appended vectors must be probe-visible")
+  }
+
+  test("persisted PQ sidecar RECORDS its layout: appends encode under the stored permutation") {
+    val d = sf("sf0.001")
+    val perm = Similarity.opqPermutation(64)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_opq").toString + "/idx"
+    val storedSide = md5(col("vec_id").cast("string")).substr(1, 1) < "8"
+    Similarity.ivfIndexStoreInit(d.filter(storedSide), dir)
+    Similarity.ivfIndexStorePqBuild(spark, dir, layout = perm)
+    // the layout round-trips through the store — a probe or append
+    // never needs the caller to re-supply it
+    val (matrix, nSub, stored) = Similarity.ivfIndexStorePqCodebook(spark, dir)
+    assert(stored === perm)
+    val assigned = Similarity.ivfIndexStoreAppend(spark, d.filter(!storedSide), dir)
+    Similarity.ivfIndexStorePqAppend(spark, assigned, dir)
+    // appended rows equal a direct encode of the PERMUTED batch under
+    // the stored codebook (quantize-then-permute ≡ permute-then-
+    // quantize carries the float-side permutation to the code side)
+    val permuteEmb =
+      s"transform(array(${perm.mkString(", ")}), p -> get(embedding, p - 1))"
+    val expected = Similarity.pqCodesFrame(
+        d.filter(!storedSide).select(col("vec_id"),
+          expr(permuteEmb).as("embedding")), matrix, nSub)
+      .orderBy("vec_id").collect().toSeq
+    val appendedIds = expected.map(_.getLong(0)).toSet
+    val got = spark.read.parquet(s"$dir/pq_codes")
+      .filter(col("vec_id").isInCollection(appendedIds))
+      .select("vec_id", "pcodes", "rsq").orderBy("vec_id").collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getLong(2))) ===
+      expected.map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getLong(2))))
   }
 
   test("degenerate vectors are excluded from corpus, queries, and the codebook") {
