@@ -490,6 +490,27 @@ object SparkEntry {
     // arithmetic, so the recall/cost trade-off is itself hash-matched
     "q_ivf_spilled_recall" -> ((s, d) =>
       Similarity.ivfIndexSpilledRecall(Tables.embeddings(s, d))),
+    // distributed Lloyd training in the exact int8 regime: per-epoch
+    // per-list size, moved-member count, exact centroid checksums, and
+    // min/max member sim — integer mean updates (floor(mean + 1/2)),
+    // so the whole k-means loop is hash-matched, unlike the driver-
+    // sampled float path behind q_ivf_topk
+    "q_kmeans_refine" -> ((s, d) =>
+      Similarity.kmeansRefineSummary(Tables.embeddings(s, d))),
+    // does training the coarse quantizer pay? seed (epoch-0) vs
+    // Lloyd-refined (epoch-2) index at EQUAL probe width and bytes:
+    // per query, candidate count and exact-top-k hits for both —
+    // no invariant column because there is no theorem (rounded-integer
+    // Lloyd CAN lose recall; that is why it is measured)
+    "q_ivf_trained_recall" -> ((s, d) =>
+      Similarity.ivfTrainedRecall(Tables.embeddings(s, d))),
+    // the same A/B on the planted-cluster corpus — where a coarse
+    // quantizer has real structure to learn (measured: training lifts
+    // recall to the ceiling at sf0.1, vs ~neutral on the isotropic
+    // corpus — the corpus-specificity lesson of the OPQ A/B again)
+    "q_ivf_trained_recall_clustered" -> ((s, d) =>
+      Similarity.ivfTrainedRecall(
+        Similarity.plantedClusterEmbeddings(Tables.embeddings(s, d)))),
     // quantized-scan ANN: cosine top-k over int8 codes — per-vector
     // scales cancel, so the ranking is pure integer arithmetic and
     // (unlike trained-codebook PQ) exactly oracle-matched
@@ -527,6 +548,25 @@ object SparkEntry {
     // FIXED stored bytes — the two query-time knobs, hash-certified
     "q_ivfpq_tradeoff" -> ((s, d) =>
       Similarity.ivfPqTradeoff(Tables.embeddings(s, d))),
+    // per-subspace Lloyd codebook training in the exact integer
+    // regime: per round, total/max PQ distortion — integer sums, and
+    // the descent is a THEOREM here (rounded mean = closest integer
+    // vector to the true mean; re-encode is an argmin), so the
+    // monotone collapse is itself hash-certified
+    "q_pq_train_distortion" -> ((s, d) =>
+      Similarity.pqTrainDistortion(Tables.embeddings(s, d))),
+    // does training the PQ codebook pay? seed vs 2-round-Lloyd ADC
+    // recall at equal stored bytes — measured, never assumed
+    "q_pq_trained_recall" -> ((s, d) =>
+      Similarity.pqTrainedRecall(Tables.embeddings(s, d))),
+    // the cautionary instrument: on the planted-cluster corpus
+    // training collapses distortion ~200x yet recall CRATERS — a
+    // distortion-optimal codebook reconstructs cluster-mates
+    // identically, so raw ADC order loses within-cluster resolution
+    // (the measured case FOR exact rerank / residual encoding)
+    "q_pq_trained_recall_clustered" -> ((s, d) =>
+      Similarity.pqTrainedRecall(
+        Similarity.plantedClusterEmbeddings(Tables.embeddings(s, d)))),
     // OPQ-lite A/B: raw-layout ADC recall vs recall after a seed-
     // derived coordinate permutation ahead of pq_encode, at equal
     // stored bytes — measures whether re-grouping coordinates moves
@@ -1437,6 +1477,377 @@ object SparkEntry {
       |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk FROM simsp)
       |SELECT query_id, rnk, neighbor_id, adc_dot, round(sim, 6) AS pq_sim
       |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** One nearest-centroid assignment CTE over `base` against centroid
+    * table `cents` (columns centroid_id/cv/csq) — the q_ivf_index_build
+    * scoring block parameterized by training epoch, for the Lloyd
+    * chain below.
+    */
+  private def lloydAsgCte(out: String, cents: String): String =
+    s"""$out AS (SELECT vec_id, qv, qsq, centroid_id, sim FROM (
+       |    SELECT base.vec_id, base.qv, base.qsq, c.centroid_id,
+       |      CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+       |        i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+       |          * c.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+       |        / sqrt(CAST(base.qsq AS DOUBLE) * c.csq) AS sim,
+       |      row_number() OVER (PARTITION BY base.vec_id ORDER BY
+       |        CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+       |          i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+       |            * c.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+       |          / sqrt(CAST(base.qsq AS DOUBLE) * c.csq) DESC,
+       |        c.centroid_id) AS rn
+       |    FROM base, $cents c) WHERE rn = 1)""".stripMargin
+
+  /** One Lloyd mean-update CTE block: per-dimension HALF-UP integer
+    * mean of `asg`'s members — floor((2·sum + n) / (2·n)) computed as a
+    * double floor over exact integer operands (2·sum + n ≤ 2·127·N, so
+    * the quotient is ≥ 1/(2n) away from any integer it doesn't equal;
+    * a correctly-rounded double division can never bridge that gap —
+    * the same value Math.floorDiv yields on the Spark side). Empty
+    * clusters and all-zero rounded means carry the previous epoch's
+    * centroid, mirroring [[graft.ext.Similarity]]'s lloydUpdate.
+    */
+  private def lloydUpdCte(out: String, asg: String, prev: String): String =
+    s"""${out}_cells AS (SELECT centroid_id,
+       |      unnest(range(1, len(qv) + 1)) AS pos, unnest(qv) AS v
+       |    FROM $asg),
+       |${out}_u AS (SELECT centroid_id,
+       |      list(CAST(floor(CAST(2 * s + n AS DOUBLE) / (2 * n)) AS INTEGER)
+       |        ORDER BY pos) AS cv
+       |    FROM (SELECT centroid_id, pos, SUM(CAST(v AS BIGINT)) AS s,
+       |            COUNT(*) AS n
+       |          FROM ${out}_cells GROUP BY centroid_id, pos)
+       |    GROUP BY centroid_id),
+       |${out}_n AS (SELECT centroid_id, cv,
+       |      CAST(list_sum(list_transform(cv, x -> CAST(x AS BIGINT) * x))
+       |        AS BIGINT) AS csq
+       |    FROM ${out}_u),
+       |$out AS (SELECT p.centroid_id,
+       |      CASE WHEN u.csq IS NULL OR u.csq = 0 THEN p.cv ELSE u.cv END AS cv,
+       |      CAST(CASE WHEN u.csq IS NULL OR u.csq = 0 THEN p.csq ELSE u.csq END
+       |        AS BIGINT) AS csq
+       |    FROM $prev p LEFT JOIN ${out}_n u USING (centroid_id))""".stripMargin
+
+  /** The distributed-Lloyd chain: the q_quantized_topk quantization
+    * CTEs, the md5 seed draw as epoch-0 centroids (ce0), then two
+    * assign→integer-mean-update rounds (asg0→ce1→asg1→ce2→asg2) — the
+    * exact-integer k-means loop behind q_kmeans_refine and
+    * q_ivf_trained_recall.
+    */
+  private val LLOYD_CHAIN: String =
+    """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |m AS (SELECT vec_id, emb,
+      |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+      |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+      |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+      |q0 AS (SELECT vec_id,
+      |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+      |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+      |      FROM s),
+      |b AS (SELECT vec_id, qv,
+      |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
+      |      FROM q0),
+      |base AS (SELECT * FROM b WHERE qsq > 0),
+      |ce0 AS (SELECT centroid_id, cv, CAST(csq AS BIGINT) AS csq FROM (
+      |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+      |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+      |        vec_id) AS INTEGER) - 1 AS centroid_id
+      |    FROM base) WHERE centroid_id < 16),
+      |""".stripMargin +
+    lloydAsgCte("asg0", "ce0") + ",\n" +
+    lloydUpdCte("ce1", "asg0", "ce0") + ",\n" +
+    lloydAsgCte("asg1", "ce1") + ",\n" +
+    lloydUpdCte("ce2", "asg1", "ce1") + ",\n" +
+    lloydAsgCte("asg2", "ce2")
+
+  /** Per-epoch training-audit tail over LLOYD_CHAIN's names: list
+    * sizes, moved-member counts vs the previous epoch's assignment,
+    * exact centroid checksums, min/max member sim (rounded before
+    * min/max).
+    */
+  private val LLOYD_REFINE_SQL: String = LLOYD_CHAIN + """,
+    |e0 AS (SELECT 0 AS epoch, centroid_id, COUNT(*) AS list_size,
+    |    CAST(0 AS BIGINT) AS n_moved,
+    |    min(round(sim, 6)) AS min_sim, max(round(sim, 6)) AS max_sim
+    |  FROM asg0 GROUP BY centroid_id),
+    |e1 AS (SELECT 1 AS epoch, a.centroid_id, COUNT(*) AS list_size,
+    |    CAST(SUM(CASE WHEN a.centroid_id <> p.centroid_id THEN 1 ELSE 0 END)
+    |      AS BIGINT) AS n_moved,
+    |    min(round(a.sim, 6)) AS min_sim, max(round(a.sim, 6)) AS max_sim
+    |  FROM asg1 a JOIN asg0 p USING (vec_id) GROUP BY a.centroid_id),
+    |e2 AS (SELECT 2 AS epoch, a.centroid_id, COUNT(*) AS list_size,
+    |    CAST(SUM(CASE WHEN a.centroid_id <> p.centroid_id THEN 1 ELSE 0 END)
+    |      AS BIGINT) AS n_moved,
+    |    min(round(a.sim, 6)) AS min_sim, max(round(a.sim, 6)) AS max_sim
+    |  FROM asg2 a JOIN asg1 p USING (vec_id) GROUP BY a.centroid_id),
+    |st AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1
+    |  UNION ALL SELECT * FROM e2),
+    |cent AS (SELECT 0 AS epoch, centroid_id, cv, csq FROM ce0
+    |  UNION ALL SELECT 1 AS epoch, centroid_id, cv, csq FROM ce1
+    |  UNION ALL SELECT 2 AS epoch, centroid_id, cv, csq FROM ce2)
+    |SELECT st.epoch, st.centroid_id, st.list_size, st.n_moved,
+    |  CAST(list_sum(list_transform(c.cv, x -> CAST(x AS BIGINT))) AS BIGINT)
+    |    AS cv_sum,
+    |  c.csq, st.min_sim, st.max_sim
+    |FROM st JOIN cent c ON st.epoch = c.epoch
+    |  AND st.centroid_id = c.centroid_id
+    |ORDER BY st.epoch, st.centroid_id""".stripMargin
+
+  /** Seed-vs-trained recall tail over LLOYD_CHAIN's names: probe ranks
+    * per epoch (nProbe = 2), candidate sets off each epoch's
+    * single-assignment index, exact brute top-5 baseline, per-query
+    * candidate and hit counts for both sides.
+    */
+  private val LLOYD_RECALL_SQL: String = LLOYD_CHAIN + """,
+    |qq AS (SELECT vec_id AS query_id, qv AS qa, qsq AS sqa
+    |  FROM base WHERE vec_id < 10),
+    |pr0 AS (SELECT query_id, centroid_id FROM (
+    |    SELECT qq.query_id, c.centroid_id,
+    |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+    |        CAST(list_sum(list_transform(range(1, len(qq.qa) + 1),
+    |          i -> CAST(qq.qa[CAST(i AS INTEGER)] AS BIGINT)
+    |            * c.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+    |          / sqrt(CAST(qq.sqa AS DOUBLE) * c.csq) DESC,
+    |        c.centroid_id) AS rn
+    |    FROM qq, ce0 c) WHERE rn <= 2),
+    |pr2 AS (SELECT query_id, centroid_id FROM (
+    |    SELECT qq.query_id, c.centroid_id,
+    |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+    |        CAST(list_sum(list_transform(range(1, len(qq.qa) + 1),
+    |          i -> CAST(qq.qa[CAST(i AS INTEGER)] AS BIGINT)
+    |            * c.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+    |          / sqrt(CAST(qq.sqa AS DOUBLE) * c.csq) DESC,
+    |        c.centroid_id) AS rn
+    |    FROM qq, ce2 c) WHERE rn <= 2),
+    |cand0 AS (SELECT p.query_id, a.vec_id AS neighbor_id
+    |  FROM pr0 p JOIN asg0 a ON a.centroid_id = p.centroid_id
+    |    AND a.vec_id <> p.query_id),
+    |cand2 AS (SELECT p.query_id, a.vec_id AS neighbor_id
+    |  FROM pr2 p JOIN asg2 a ON a.centroid_id = p.centroid_id
+    |    AND a.vec_id <> p.query_id),
+    |ex AS (SELECT query_id, neighbor_id FROM (
+    |    SELECT qq.query_id, nb.vec_id AS neighbor_id,
+    |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+    |        CAST(list_sum(list_transform(range(1, len(qq.qa) + 1),
+    |          i -> CAST(qq.qa[CAST(i AS INTEGER)] AS BIGINT)
+    |            * nb.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+    |          / sqrt(CAST(qq.sqa AS DOUBLE) * nb.qsq) DESC,
+    |        nb.vec_id) AS rnk
+    |    FROM qq JOIN base nb ON nb.vec_id <> qq.query_id)
+    |  WHERE rnk <= 5),
+    |tk0 AS (SELECT query_id, neighbor_id FROM (
+    |    SELECT c.query_id, c.neighbor_id,
+    |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+    |        CAST(list_sum(list_transform(range(1, len(qq.qa) + 1),
+    |          i -> CAST(qq.qa[CAST(i AS INTEGER)] AS BIGINT)
+    |            * nb.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+    |          / sqrt(CAST(qq.sqa AS DOUBLE) * nb.qsq) DESC,
+    |        c.neighbor_id) AS rnk
+    |    FROM cand0 c JOIN qq ON c.query_id = qq.query_id
+    |      JOIN base nb ON c.neighbor_id = nb.vec_id)
+    |  WHERE rnk <= 5),
+    |tk2 AS (SELECT query_id, neighbor_id FROM (
+    |    SELECT c.query_id, c.neighbor_id,
+    |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+    |        CAST(list_sum(list_transform(range(1, len(qq.qa) + 1),
+    |          i -> CAST(qq.qa[CAST(i AS INTEGER)] AS BIGINT)
+    |            * nb.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+    |          / sqrt(CAST(qq.sqa AS DOUBLE) * nb.qsq) DESC,
+    |        c.neighbor_id) AS rnk
+    |    FROM cand2 c JOIN qq ON c.query_id = qq.query_id
+    |      JOIN base nb ON c.neighbor_id = nb.vec_id)
+    |  WHERE rnk <= 5),
+    |cc0 AS (SELECT query_id, COUNT(*) AS cand_seed FROM cand0 GROUP BY query_id),
+    |cc2 AS (SELECT query_id, COUNT(*) AS cand_trained FROM cand2 GROUP BY query_id),
+    |h0 AS (SELECT ex.query_id, COUNT(*) AS hits_seed
+    |  FROM ex JOIN tk0 ON ex.query_id = tk0.query_id
+    |    AND ex.neighbor_id = tk0.neighbor_id GROUP BY ex.query_id),
+    |h2 AS (SELECT ex.query_id, COUNT(*) AS hits_trained
+    |  FROM ex JOIN tk2 ON ex.query_id = tk2.query_id
+    |    AND ex.neighbor_id = tk2.neighbor_id GROUP BY ex.query_id)
+    |SELECT qq.query_id,
+    |  COALESCE(cc0.cand_seed, 0) AS cand_seed,
+    |  COALESCE(cc2.cand_trained, 0) AS cand_trained,
+    |  COALESCE(h0.hits_seed, 0) AS hits_seed,
+    |  COALESCE(h2.hits_trained, 0) AS hits_trained
+    |FROM qq
+    |LEFT JOIN cc0 ON qq.query_id = cc0.query_id
+    |LEFT JOIN cc2 ON qq.query_id = cc2.query_id
+    |LEFT JOIN h0 ON qq.query_id = h0.query_id
+    |LEFT JOIN h2 ON qq.query_id = h2.query_id
+    |ORDER BY qq.query_id""".stripMargin
+
+  /** LLOYD_RECALL_SQL over the planted-cluster corpus — the same
+    * corpus-CTE swap (and non-vacuousness pin) as PLANTED_PQ_CHAIN.
+    */
+  private val PLANTED_LLOYD_RECALL_SQL: String = LLOYD_RECALL_SQL.replace(
+    "WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+    """WITH t AS (SELECT vec_id,
+      |    list_transform(range(1, 65), i -> CAST(
+      |      CASE WHEN (vec_id % 8 + i) % 8 = 0 THEN 80 ELSE -10 END
+      |      + ascii(substr(md5(CAST(vec_id * 64 + i AS VARCHAR)), 1, 1)) % 5 - 2
+      |      AS DOUBLE)) AS emb
+      |  FROM embeddings)""".stripMargin)
+  require(PLANTED_LLOYD_RECALL_SQL != LLOYD_RECALL_SQL,
+    "PLANTED_LLOYD_RECALL_SQL replace matched nothing — LLOYD_CHAIN's corpus CTE changed")
+
+  /** One per-subspace Lloyd mean-update over PQ_CHAIN's names: the
+    * lloydUpdCte arithmetic keyed by (subspace j, codebook entry),
+    * slices re-listed in coordinate order, empty entries carrying the
+    * previous codebook's slice.
+    */
+  private def pqUpdCte(out: String, pick: String, prevcb: String): String =
+    s"""${out}_cells AS (SELECT p.j, p.centroid_id,
+       |      unnest(range(1, 9)) AS spos,
+       |      unnest(list_transform(range(1, 9),
+       |        i -> b.qv[p.j * 8 + CAST(i AS INTEGER)])) AS v
+       |    FROM $pick p JOIN base b USING (vec_id)),
+       |${out}_u AS (SELECT j, centroid_id,
+       |      list(CAST(floor(CAST(2 * s + n AS DOUBLE) / (2 * n)) AS INTEGER)
+       |        ORDER BY spos) AS sub_cv
+       |    FROM (SELECT j, centroid_id, spos, SUM(CAST(v AS BIGINT)) AS s,
+       |            COUNT(*) AS n
+       |          FROM ${out}_cells GROUP BY j, centroid_id, spos)
+       |    GROUP BY j, centroid_id),
+       |$out AS (SELECT pc.centroid_id, pc.j,
+       |      COALESCE(u.sub_cv, pc.sub_cv) AS sub_cv
+       |    FROM $prevcb pc LEFT JOIN ${out}_u u
+       |      ON pc.centroid_id = u.centroid_id AND pc.j = u.j)""".stripMargin
+
+  /** Per-(vector, subspace) exact integer argmin re-encode against a
+    * slice-form codebook `cb(centroid_id, j, sub_cv)` — PQ_CHAIN's
+    * dists/pick block parameterized by training round.
+    */
+  private def pqPickCte(out: String, cb: String): String =
+    s"""${out}_d AS (SELECT b.vec_id, c.j, c.centroid_id,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> CAST(b.qv[c.j * 8 + CAST(i AS INTEGER)]
+       |             - c.sub_cv[CAST(i AS INTEGER)] AS BIGINT)
+       |           * (b.qv[c.j * 8 + CAST(i AS INTEGER)]
+       |             - c.sub_cv[CAST(i AS INTEGER)]))) AS d
+       |  FROM base b, $cb c),
+       |$out AS (SELECT vec_id, j, centroid_id, d FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |      ORDER BY d, centroid_id) AS rn FROM ${out}_d) WHERE rn = 1)""".stripMargin
+
+  /** PQ_CHAIN extended with two per-subspace Lloyd training rounds:
+    * cb0 = the seed codebook in slice form, then
+    * pick→cb1→pk1→cb2→pk2 (PQ_CHAIN's own `pick` IS the round-0
+    * assignment — same argmin, same tie rule).
+    */
+  private val PQ_TRAIN_CHAIN: String = PQ_CHAIN + ",\n" +
+    """cb0 AS (SELECT s.centroid_id, subs.j,
+      |    list_transform(range(1, 9),
+      |      i -> s.cv[subs.j * 8 + CAST(i AS INTEGER)]) AS sub_cv
+      |  FROM seeds s, subs)""".stripMargin + ",\n" +
+    pqUpdCte("cb1", "pick", "cb0") + ",\n" + pqPickCte("pk1", "cb1") + ",\n" +
+    pqUpdCte("cb2", "pk1", "cb1") + ",\n" + pqPickCte("pk2", "cb2")
+
+  /** Per-round distortion audit tail: exact integer totals — the
+    * monotone-descent theorem made visible in the certified artifact.
+    */
+  private val PQ_TRAIN_DIST_SQL: String = PQ_TRAIN_CHAIN + """,
+    |rounds AS (
+    |  SELECT 0 AS round, vec_id, CAST(SUM(d) AS BIGINT) AS dist
+    |    FROM pick GROUP BY vec_id
+    |  UNION ALL SELECT 1 AS round, vec_id, CAST(SUM(d) AS BIGINT) AS dist
+    |    FROM pk1 GROUP BY vec_id
+    |  UNION ALL SELECT 2 AS round, vec_id, CAST(SUM(d) AS BIGINT) AS dist
+    |    FROM pk2 GROUP BY vec_id)
+    |SELECT round, CAST(SUM(dist) AS BIGINT) AS total_dist,
+    |  CAST(MAX(dist) AS BIGINT) AS max_dist, COUNT(*) AS n_vec
+    |FROM rounds GROUP BY round ORDER BY round""".stripMargin
+
+  /** Seed-vs-trained ADC recall tail: the q_pq_recall exact/ADC blocks
+    * for the seed arm (chosen/rsqs are the seed-codebook forms), the
+    * same ranking under the round-2 codebook (chosen2/rsq2/tadc), hit
+    * counts per side.
+    */
+  private val PQ_TRAINED_RECALL_SQL: String = PQ_TRAIN_CHAIN + """,
+    |exact0 AS (
+    |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+    |      i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+    |        * c.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+    |      / sqrt(CAST(q.qsq AS DOUBLE) * c.qsq) AS sim
+    |  FROM base q, base c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    |exact AS (SELECT query_id, neighbor_id FROM (
+    |    SELECT *, row_number() OVER (PARTITION BY query_id
+    |      ORDER BY sim DESC, neighbor_id) AS rnk FROM exact0)
+    |  WHERE rnk <= 5),
+    |adc0 AS (
+    |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    |    CAST(sum(list_sum(list_transform(range(1, 9),
+    |      i -> CAST(q.qv[c.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+    |           * c.cv[c.j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS adc_dot
+    |  FROM base q, chosen c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    |  GROUP BY q.vec_id, c.vec_id),
+    |adcsim AS (
+    |  SELECT a.query_id, a.neighbor_id,
+    |    CASE WHEN r.rsq = 0 THEN 0.0
+    |         ELSE CAST(a.adc_dot AS DOUBLE)
+    |           / sqrt(CAST(q.qsq AS DOUBLE) * r.rsq) END AS sim
+    |  FROM adc0 a JOIN rsqs r ON a.neighbor_id = r.vec_id
+    |  JOIN base q ON a.query_id = q.vec_id),
+    |adctop AS (SELECT query_id, neighbor_id FROM (
+    |    SELECT *, row_number() OVER (PARTITION BY query_id
+    |      ORDER BY sim DESC, neighbor_id) AS rnk FROM adcsim)
+    |  WHERE rnk <= 5),
+    |chosen2 AS (SELECT p.vec_id, p.j, c.sub_cv
+    |  FROM pk2 p JOIN cb2 c ON p.centroid_id = c.centroid_id AND p.j = c.j),
+    |rsq2 AS (SELECT vec_id,
+    |    CAST(sum(list_sum(list_transform(range(1, 9),
+    |      i -> CAST(sub_cv[CAST(i AS INTEGER)] AS BIGINT)
+    |           * sub_cv[CAST(i AS INTEGER)]))) AS BIGINT) AS rsq
+    |  FROM chosen2 GROUP BY vec_id),
+    |tadc0 AS (
+    |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    |    CAST(sum(list_sum(list_transform(range(1, 9),
+    |      i -> CAST(q.qv[c.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+    |           * c.sub_cv[CAST(i AS INTEGER)]))) AS BIGINT) AS adc_dot
+    |  FROM base q, chosen2 c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    |  GROUP BY q.vec_id, c.vec_id),
+    |tadcsim AS (
+    |  SELECT a.query_id, a.neighbor_id,
+    |    CASE WHEN r.rsq = 0 THEN 0.0
+    |         ELSE CAST(a.adc_dot AS DOUBLE)
+    |           / sqrt(CAST(q.qsq AS DOUBLE) * r.rsq) END AS sim
+    |  FROM tadc0 a JOIN rsq2 r ON a.neighbor_id = r.vec_id
+    |  JOIN base q ON a.query_id = q.vec_id),
+    |tadctop AS (SELECT query_id, neighbor_id FROM (
+    |    SELECT *, row_number() OVER (PARTITION BY query_id
+    |      ORDER BY sim DESC, neighbor_id) AS rnk FROM tadcsim)
+    |  WHERE rnk <= 5),
+    |h0 AS (SELECT e.query_id, count(*) AS n
+    |  FROM exact e JOIN adctop a
+    |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    |  GROUP BY e.query_id),
+    |h2 AS (SELECT e.query_id, count(*) AS n
+    |  FROM exact e JOIN tadctop a
+    |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    |  GROUP BY e.query_id)
+    |SELECT q.vec_id AS query_id,
+    |  CAST(COALESCE(h0.n, 0) AS BIGINT) AS hits_seed,
+    |  CAST(COALESCE(h2.n, 0) AS BIGINT) AS hits_trained
+    |FROM base q
+    |LEFT JOIN h0 ON q.vec_id = h0.query_id
+    |LEFT JOIN h2 ON q.vec_id = h2.query_id
+    |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin
+
+  /** The trained-recall A/B over the planted-cluster corpus — the
+    * PLANTED_PQ_CHAIN swap applied to the training chain.
+    */
+  private val PLANTED_PQ_TRAINED_RECALL_SQL: String =
+    PQ_TRAINED_RECALL_SQL.replace(
+      "WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+      """WITH t AS (SELECT vec_id,
+        |    list_transform(range(1, 65), i -> CAST(
+        |      CASE WHEN (vec_id % 8 + i) % 8 = 0 THEN 80 ELSE -10 END
+        |      + ascii(substr(md5(CAST(vec_id * 64 + i AS VARCHAR)), 1, 1)) % 5 - 2
+        |      AS DOUBLE)) AS emb
+        |  FROM embeddings)""".stripMargin)
+  require(PLANTED_PQ_TRAINED_RECALL_SQL != PQ_TRAINED_RECALL_SQL,
+    "PLANTED_PQ_TRAINED_RECALL_SQL replace matched nothing — PQ_CHAIN's corpus CTE changed")
 
   def oracleSql: Map[String, String] = Map(
     "q_lsh_topk" -> lshTopKOracle,
@@ -4038,6 +4449,15 @@ object SparkEntry {
         |LEFT JOIN h1 ON qq.query_id = h1.query_id
         |LEFT JOIN h2 ON qq.query_id = h2.query_id
         |ORDER BY qq.query_id""".stripMargin,
+    // distributed Lloyd in the exact int8 regime: two assign→integer-
+    // mean-update rounds off the md5 seed draw; per (epoch, centroid)
+    // sizes, moved counts, exact checksums, min/max member sim
+    "q_kmeans_refine" -> LLOYD_REFINE_SQL,
+    // seed-vs-Lloyd-trained index recall at equal probe width —
+    // candidate and exact-top-k hit counts per query, both epochs
+    "q_ivf_trained_recall" -> LLOYD_RECALL_SQL,
+    // the same A/B where the corpus HAS learnable cluster structure
+    "q_ivf_trained_recall_clustered" -> PLANTED_LLOYD_RECALL_SQL,
     // occupancy of the drifted store: seeds from the md5-stored side
     // only (the store's FIXED day-0 centroids), every vector (stored +
     // appended) assigned against them, exact counts + share per list
@@ -4248,6 +4668,14 @@ object SparkEntry {
         |  round(CAST(COALESCE(h.n, 0) AS DOUBLE) / 5.0, 6) AS pq_recall
         |FROM base q LEFT JOIN hits h ON q.vec_id = h.query_id
         |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin),
+    // per-subspace Lloyd training: per round, exact integer distortion
+    // totals — the monotone descent certified in the artifact itself
+    "q_pq_train_distortion" -> PQ_TRAIN_DIST_SQL,
+    // seed-vs-trained ADC recall at equal stored bytes
+    "q_pq_trained_recall" -> PQ_TRAINED_RECALL_SQL,
+    // the cautionary planted-cluster variant (distortion collapses,
+    // recall craters — the case FOR rerank/residuals, measured)
+    "q_pq_trained_recall_clustered" -> PLANTED_PQ_TRAINED_RECALL_SQL,
     // OPQ-lite A/B: the raw arm IS q_pq_recall's; the permuted arm
     // relabels coordinates by the md5 order (a pure permutation —
     // quantization and exact sims are equivariant, only the subspace

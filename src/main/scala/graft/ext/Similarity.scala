@@ -1452,6 +1452,192 @@ object Similarity {
     Dedup.scopeCaches(out, codes)
   }
 
+  // ------------------------------------------------------------------
+  // Lloyd-refined centroids: distributed k-means in the exact int8 regime
+  // ------------------------------------------------------------------
+
+  /** One distributed Lloyd update over the int8 code space: assign
+    * every code to its nearest current centroid (one corpus scan
+    * through the constant-size [[seedScoreArray]] codegen argmax), then
+    * recompute each centroid as the per-dimension HALF-UP integer mean
+    * of its members — `floorDiv(2·sum + n, 2·n)` = `floor(mean + ½)`,
+    * EXACT integer arithmetic with no float accumulation order
+    * anywhere, so the refined centroids are engine-independent and the
+    * whole training loop stays under the hash-match oracle. This
+    * extends to Lloyd training the property [[ivfSeedCentroids]] bought
+    * for random-init; the float [[ivfCentroids]] path trains on a
+    * driver-local `trainSample` cap, while this one trains on the FULL
+    * corpus distributed.
+    *
+    * Scale shape per iteration: the `posexplode` blows each code into
+    * `dim` tiny int rows, but the hash-aggregate's map-side combine
+    * collapses them before the exchange — shuffle volume is
+    * nPartitions × nList × dim cells regardless of corpus size, and the
+    * driver fetch is the bounded nList × dim centroid matrix (the
+    * [[ivfCentroids]] k×dim adjudication). Empty clusters, and clusters
+    * whose rounded mean is the zero vector (csq = 0 would NaN every
+    * cosine), keep their previous centroid — deterministic in both
+    * engines. The rounded mean of int8 codes stays in [-127, 127]
+    * (a convex combination rounds within the hull), so the byte pack
+    * stays lossless.
+    */
+  private[ext] def lloydUpdate(codes: DataFrame,
+                          current: Array[(Int, Seq[Int], Long)])
+      : Array[(Int, Seq[Int], Long)] = {
+    val cells = codes
+      .withColumn("best", array_max(seedScoreArray(current)))
+      .select(listIdOf(col("best.nid")).as("cluster"),
+        posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val byCluster = cells.groupBy(_.getInt(0))
+    current.map { case (cid, oldCv, oldCsq) =>
+      byCluster.get(cid) match {
+        case None => (cid, oldCv, oldCsq) // empty list keeps its centroid
+        case Some(rows) =>
+          val cv = new Array[Int](oldCv.length)
+          rows.foreach { r =>
+            cv(r.getInt(1)) = Math.floorDiv(2L * r.getLong(2) + r.getLong(3),
+              2L * r.getLong(3)).toInt
+          }
+          val csq = cv.map(x => x.toLong * x).sum
+          if (csq == 0L) (cid, oldCv, oldCsq) else (cid, cv.toSeq, csq)
+      }
+    }
+  }
+
+  /** Centroid epochs 0..`iters`: epoch 0 is the md5 seed draw
+    * ([[seedPickFromCodes]]), each later epoch one [[lloydUpdate]] under
+    * the previous epoch's centroids.
+    */
+  private[ext] def lloydEpochs(codes: DataFrame, nList: Int, iters: Int)
+      : IndexedSeq[Array[(Int, Seq[Int], Long)]] = {
+    val seeds = seedPickFromCodes(codes, nList)
+      .map { case (cid, _, cv, csq) => (cid, cv, csq) }
+    (1 to iters).scanLeft(seeds)((cur, _) => lloydUpdate(codes, cur))
+  }
+
+  /** Training audit (`q_kmeans_refine`): per (epoch, centroid) — list
+    * size, how many members MOVED in from a different epoch-(t−1) list
+    * (the integer convergence signal Lloyd dashboards watch), the exact
+    * centroid coordinate sum and squared norm, and the min/max member
+    * similarity (each sim rounded BEFORE min/max — order-independent,
+    * unlike a float mean). After the `iters` bounded training actions,
+    * ONE final corpus pass scores every epoch side by side: each
+    * epoch's centroids are a fixed literal matrix, so the pass is
+    * iters+1 constant-size codegen argmaxes, not iters+1 scans.
+    * NOT pinned as a theorem anywhere: neither n_moved nor min_sim is
+    * monotone in the epoch under rounded-integer updates — the audit
+    * measures convergence, it does not assume it.
+    */
+  def kmeansRefineSummary(embeddings: DataFrame, nList: Int = 16,
+                          iters: Int = 2): DataFrame = {
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
+    val epochs = lloydEpochs(codes, nList, iters)
+    val withBest = codes.select(
+      (0 to iters).map(t => array_max(seedScoreArray(epochs(t))).as(s"b$t")): _*)
+    val epochStructs = array((0 to iters).map { t =>
+      val prev = col(s"b${math.max(t - 1, 0)}.nid")
+      struct(lit(t).as("epoch"),
+        listIdOf(col(s"b$t.nid")).as("centroid_id"),
+        round(col(s"b$t.sim"), 6).as("sim"),
+        (col(s"b$t.nid") =!= prev).as("moved"))
+    }: _*)
+    // exact per-epoch centroid metadata as a literal lookup (epoch*nList
+    // + cid keys — both ints by construction)
+    val meta = typedlit(epochs.zipWithIndex.flatMap { case (e, t) =>
+      e.map { case (cid, cv, csq) => (t * nList + cid, (cv.map(_.toLong).sum, csq)) }
+    }.toMap)
+    val out = withBest.select(explode(epochStructs).as("e"))
+      .select(col("e.epoch").as("epoch"), col("e.centroid_id").as("centroid_id"),
+        col("e.sim").as("sim"), col("e.moved").as("moved"))
+      .groupBy("epoch", "centroid_id")
+      .agg(count(lit(1)).as("list_size"),
+        sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"),
+        min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim"))
+      .withColumn("m", element_at(meta,
+        (col("epoch") * nList + col("centroid_id")).cast("int")))
+      .select(col("epoch"), col("centroid_id"), col("list_size"),
+        col("n_moved"), col("m._1").as("cv_sum"), col("m._2").as("csq"),
+        col("min_sim"), col("max_sim"))
+      .orderBy("epoch", "centroid_id")
+    Dedup.scopeCaches(out, codes)
+  }
+
+  /** Trained-vs-seed recall A/B (`q_ivf_trained_recall`): at EQUAL
+    * probe width and EQUAL index bytes, candidate count and
+    * exact-top-k hit count for the epoch-0 seed index vs the
+    * Lloyd-refined epoch-`iters` one — the measured answer to "does
+    * training the coarse quantizer pay?", per query, in exact integers
+    * (the [[ivfIndexSpilledRecall]] discipline applied to the training
+    * axis). No invariant column on purpose: unlike spill-containment
+    * there is NO theorem here — rounded-integer Lloyd can lose recall
+    * on a given corpus, which is exactly why it must be measured.
+    */
+  def ivfTrainedRecall(embeddings: DataFrame, numQueries: Int = 10,
+                       k: Int = 5, nList: Int = 16, nProbe: Int = 2,
+                       iters: Int = 2): DataFrame = {
+    import graft.functions.IntDot.int_dot
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
+    val epochs = lloydEpochs(codes, nList, iters)
+    val qcodes = codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+        col("qsq").as("sqa"))
+    // candidate pairs of the single-assignment index built on `cents`;
+    // a vector lives in exactly one list and a query's probe lists are
+    // distinct, so pairs are distinct without a shuffle
+    def candPairs(cents: Array[(Int, Seq[Int], Long)]): DataFrame = {
+      val ranked = reverse(array_sort(seedScoreArray(cents)))
+      val probes = codes.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"),
+          explode(slice(ranked, 1, nProbe)).as("p"))
+        .select(col("query_id"), listIdOf(col("p.nid")).as("cluster"))
+      codes
+        .select(col("vec_id").as("neighbor_id"),
+          listIdOf(array_max(seedScoreArray(cents)).getField("nid"))
+            .as("cluster"))
+        .join(broadcast(probes), Seq("cluster"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id")
+    }
+    def topK(cands: DataFrame): DataFrame = {
+      val sims = cands
+        .join(qcodes, Seq("query_id"))
+        .join(codes.select(col("vec_id").as("neighbor_id"),
+          col("qv").as("qb"), col("qsq").as("sqb")), Seq("neighbor_id"))
+        .withColumn("sim", int_dot(col("qb"), col("qa")) /
+          sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .select("query_id", "neighbor_id")
+    }
+    val allPairs = codes.select(col("vec_id").as("neighbor_id"))
+      .crossJoin(broadcast(qcodes.select("query_id")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val exact = topK(allPairs)
+    val seedCands = candPairs(epochs.head)
+    val trainedCands = candPairs(epochs.last)
+    def hitCount(approx: DataFrame, name: String): DataFrame =
+      exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as(name))
+    def candCount(cands: DataFrame, name: String): DataFrame =
+      cands.groupBy("query_id").agg(count(lit(1)).as(name))
+    val out = qcodes.select("query_id")
+      .join(candCount(seedCands, "cand_seed"), Seq("query_id"), "left")
+      .join(candCount(trainedCands, "cand_trained"), Seq("query_id"), "left")
+      .join(hitCount(topK(seedCands), "hits_seed"), Seq("query_id"), "left")
+      .join(hitCount(topK(trainedCands), "hits_trained"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("cand_seed"), lit(0L)).as("cand_seed"),
+        coalesce(col("cand_trained"), lit(0L)).as("cand_trained"),
+        coalesce(col("hits_seed"), lit(0L)).as("hits_seed"),
+        coalesce(col("hits_trained"), lit(0L)).as("hits_trained"))
+      .orderBy("query_id")
+    Dedup.scopeCaches(out, codes)
+  }
+
   /** Occupancy audit of a PERSISTED index (`q_ivf_store_occupancy`):
     * one row per inverted list — its seed, member count, distinct-code
     * count, and corpus share. The operational dashboard for the
@@ -1687,10 +1873,20 @@ object Similarity {
     * ranking (the `ivfPqAdcSims` discipline).
     */
   private def pqTopKFromCodes(codes: DataFrame, numQueries: Int, k: Int,
-                              nBook: Int, nSub: Int): DataFrame = {
+                              nBook: Int, nSub: Int): DataFrame =
+    pqTopKWithMatrix(codes, pqPackSeeds(seedPickFromCodes(codes, nBook)),
+      numQueries, k, nSub)
+
+  /** The ADC ranking under a CALLER-SUPPLIED flat codebook — the
+    * seed-drawn and Lloyd-trained arms of the training A/B share this
+    * one ranking body, so the comparison can only differ in the
+    * codebook.
+    */
+  private def pqTopKWithMatrix(codes: DataFrame, matrix: Array[Int],
+                               numQueries: Int, k: Int,
+                               nSub: Int): DataFrame = {
     graft.functions.GraftFunctions.register(codes.sparkSession)
     import graft.functions.PqCodes.{pq_encode, pq_lut, pq_adc}
-    val matrix = pqPackSeeds(seedPickFromCodes(codes, nBook))
     val corpus = codes
       .select(col("vec_id").as("neighbor_id"),
         pq_encode(col("qv"), matrix, nSub).as("pq"))
@@ -1797,6 +1993,125 @@ object Similarity {
       .select(col("query_id"),
         coalesce(col("hits_pq"), lit(0L)).as("hits_pq"),
         coalesce(col("hits_opq"), lit(0L)).as("hits_opq"))
+      .orderBy("query_id")
+    Dedup.scopeCaches(out, codes)
+  }
+
+  /** One per-subspace Lloyd round over a flat PQ codebook: encode the
+    * corpus under `matrix` (one [[graft.functions.PqCodes]] codegen
+    * pass), then recompute each (subspace, entry) codeword slice as the
+    * per-coordinate HALF-UP integer mean of its assigned sub-vectors —
+    * the [[lloydUpdate]] arithmetic applied one level down. The
+    * rounded mean is the CLOSEST integer vector to the true mean
+    * (componentwise nearest-integer minimizes Σ(xᵢ−c)² over integer c),
+    * and the old codeword is also an integer vector, so the update
+    * never increases within-entry distortion; the re-encode is an
+    * argmin, so it never increases it either — total PQ distortion is
+    * monotone NON-INCREASING across rounds even in the rounded-integer
+    * regime (a theorem here, unlike the cosine-metric IVF Lloyd, where
+    * the mean is not the metric's minimizer — and unlike RECALL, which
+    * is measured, never asserted). Entries that attract no sub-vectors
+    * keep their slice (the clone starts from `matrix`, so carry-over is
+    * free). Scale shape: map-side combine collapses the posexplode to
+    * nSub × nBook × subDim cells before the exchange; the driver fetch
+    * is the bounded codebook itself.
+    */
+  private[ext] def pqLloydCodebook(codes: DataFrame, matrix: Array[Int],
+                                   nBook: Int, nSub: Int): Array[Int] = {
+    graft.functions.GraftFunctions.register(codes.sparkSession)
+    import graft.functions.PqCodes.pq_encode
+    import graft.functions.Int8Unpack.int8_unpack
+    val dim = matrix.length / nBook
+    val subDim = dim / nSub
+    val cells = codes
+      .select(posexplode(col("qv")).as(Seq("pos", "v")),
+        // entry ids are <= 126 by the pqPackSeeds cap, so the
+        // sign-extending unpack renders them faithfully
+        int8_unpack(pq_encode(col("qv"), matrix, nSub)
+          .getField("codes")).as("ents"))
+      .select((col("pos") / subDim).cast("int").as("j"),
+        (col("pos") % subDim).cast("int").as("spos"), col("v"), col("ents"))
+      .select(col("j"), element_at(col("ents"), col("j") + 1).as("entry"),
+        col("spos"), col("v"))
+      .groupBy("j", "entry", "spos")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val out = matrix.clone()
+    cells.foreach { r =>
+      val j = r.getInt(0); val entry = r.getInt(1); val spos = r.getInt(2)
+      out(entry * dim + j * subDim + spos) =
+        Math.floorDiv(2L * r.getLong(3) + r.getLong(4),
+          2L * r.getLong(4)).toInt
+    }
+    out
+  }
+
+  /** Codebook epochs 0..`iters`: epoch 0 the md5 seed draw, each later
+    * epoch one [[pqLloydCodebook]] round.
+    */
+  private def pqLloydEpochs(codes: DataFrame, nBook: Int, nSub: Int,
+                            iters: Int): IndexedSeq[Array[Int]] =
+    (1 to iters).scanLeft(pqPackSeeds(seedPickFromCodes(codes, nBook)))(
+      (m, _) => pqLloydCodebook(codes, m, nBook, nSub))
+
+  /** Codebook-training distortion audit (`q_pq_train_distortion`): per
+    * training round, the exact total and max per-vector PQ distortion
+    * and the encoded count — integer sums, order-independent, so the
+    * monotone descent is itself hash-certified. ONE final corpus pass
+    * scores every round's codebook side by side (each is a fixed
+    * literal inside the constant-size `pq_encode` loop).
+    */
+  def pqTrainDistortion(embeddings: DataFrame, nBook: Int = 16,
+                        nSub: Int = 8, iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    import graft.functions.PqCodes.pq_encode
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
+    val mats = pqLloydEpochs(codes, nBook, nSub, iters)
+    val perRound = array(mats.zipWithIndex.map { case (m, t) =>
+      struct(lit(t).as("round"),
+        pq_encode(col("qv"), m, nSub).getField("dist").as("dist"))
+    }: _*)
+    val out = codes.select(explode(perRound).as("r"))
+      .select(col("r.round").as("round"), col("r.dist").as("dist"))
+      .groupBy("round")
+      .agg(sum(col("dist")).as("total_dist"), max(col("dist")).as("max_dist"),
+        count(lit(1)).as("n_vec"))
+      .orderBy("round")
+    Dedup.scopeCaches(out, codes)
+  }
+
+  /** Codebook-training recall A/B (`q_pq_trained_recall`): per query at
+    * EQUAL stored bytes, exact int8-top-k hit counts of the ADC ranking
+    * under the seed codebook vs the Lloyd-trained one. Measured, not
+    * assumed — and the planted-cluster variant is the cautionary
+    * instrument: training collapses distortion ~200× there yet recall
+    * CRATERS, because a distortion-optimal codebook reconstructs every
+    * cluster-mate identically and the ADC ranking loses within-cluster
+    * resolution — the measured reason production retrieval reranks
+    * exactly ([[ivfPqRerankTopK]]) or encodes residuals ([[ivfAdcTopK]])
+    * instead of trusting raw ADC order on clustered corpora.
+    */
+  def pqTrainedRecall(embeddings: DataFrame, numQueries: Int = 10,
+                      k: Int = 5, nBook: Int = 16, nSub: Int = 8,
+                      iters: Int = 2): DataFrame = {
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
+    val mats = pqLloydEpochs(codes, nBook, nSub, iters)
+    val exact = storedCodesTopK(codes, numQueries, k)
+      .select("query_id", "neighbor_id")
+    val seed = pqTopKWithMatrix(codes, mats.head, numQueries, k, nSub)
+      .select("query_id", "neighbor_id")
+    val trained = pqTopKWithMatrix(codes, mats.last, numQueries, k, nSub)
+      .select("query_id", "neighbor_id")
+    def hits(approx: DataFrame, name: String): DataFrame =
+      exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as(name))
+    val out = codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"))
+      .join(hits(seed, "hits_seed"), Seq("query_id"), "left")
+      .join(hits(trained, "hits_trained"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits_seed"), lit(0L)).as("hits_seed"),
+        coalesce(col("hits_trained"), lit(0L)).as("hits_trained"))
       .orderBy("query_id")
     Dedup.scopeCaches(out, codes)
   }

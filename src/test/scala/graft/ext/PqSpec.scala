@@ -460,6 +460,64 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       expected.map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getLong(2))))
   }
 
+  test("pqLloydCodebook: half-up slice means both signs, untouched " +
+    "entries carry over verbatim") {
+    import spark.implicits._
+    // dim = 4, nSub = 2 (2-wide slices), nBook = 2. Subspace 0: both
+    // vectors pick entry 0 (closer than entry 1), mean of (100, 91) =
+    // 95.5 → 96 and mean of (0, 0) = 0; subspace 1: both pick entry 0,
+    // mean of (-100, -91) = -95.5 → -95 (half-up is toward +inf, NOT
+    // symmetric). Entry 1 attracts nothing in either subspace → its
+    // slices must survive verbatim.
+    val codes = Seq(
+      (0L, Seq(100, 0, -100, 0), 20000L),
+      (1L, Seq(91, 0, -91, 0), 16562L)).toDF("vec_id", "qv", "qsq")
+    val matrix = Array(
+      90, 0, -90, 0, // entry 0
+      -50, 50, 50, -50) // entry 1
+    val trained = Similarity.pqLloydCodebook(codes, matrix, nBook = 2, nSub = 2)
+    assert(trained.toSeq === Seq(96, 0, -95, 0, -50, 50, 50, -50))
+    // the input matrix is not mutated (clone semantics)
+    assert(matrix.toSeq === Seq(90, 0, -90, 0, -50, 50, 50, -50))
+  }
+
+  test("pqTrainDistortion: total distortion is monotone non-increasing " +
+    "— the rounded-integer Lloyd theorem, on both corpora") {
+    // THE theorem of the integer regime: the half-up rounded mean is a
+    // closest integer vector to the true mean, the old codeword is also
+    // an integer vector, so the update never increases within-entry
+    // SSE; the re-encode is an argmin. RECALL carries no such theorem
+    // and is deliberately never asserted (ADVICE round-14).
+    Seq(sf("sf0.001"),
+      Similarity.plantedClusterEmbeddings(sf("sf0.001"))).foreach { d =>
+      val rows = Similarity.pqTrainDistortion(d).collect().sortBy(_.getInt(0))
+      assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1, 2))
+      val totals = rows.map(_.getLong(1))
+      assert(totals(1) <= totals(0) && totals(2) <= totals(1),
+        s"distortion must descend: ${totals.toSeq}")
+      assert(rows.map(_.getLong(3)).distinct.length === 1,
+        "every round encodes the same corpus")
+      // trained codebooks stay int8-packable (convexity of the mean)
+      val codes = Similarity.quantizedCodes(d).filter(col("qsq") > 0)
+      val m0 = Similarity.pqCodebookFromEmbeddings(d)
+      val m1 = Similarity.pqLloydCodebook(codes, m0, 16, 8)
+      assert(m1.forall(v => v >= -127 && v <= 127))
+    }
+  }
+
+  test("pqTrainedRecall: bounded hits; iters = 0 degenerates to a " +
+    "symmetric A/B (both arms the seed codebook)") {
+    val d = sf("sf0.001")
+    val rows = Similarity.pqTrainedRecall(d).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= 5 && r.getLong(2) <= 5)
+    }
+    val same = Similarity.pqTrainedRecall(d, iters = 0).collect()
+    same.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      "with no training rounds the two arms are the same ranking"))
+  }
+
   test("degenerate vectors are excluded from corpus, queries, and the codebook") {
     val d = emb(
       (0L, Seq(0f, 0f, 0f, 0f), 0),           // zero → degenerate

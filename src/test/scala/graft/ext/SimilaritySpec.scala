@@ -916,4 +916,81 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(codes.select(Similarity.seedScoreArray(short).as("s"))
       .filter(col("s").isNull).count() === codes.count())
   }
+
+  test("lloydUpdate: half-up integer mean both signs, exact csq, " +
+    "empty-cluster carry-over") {
+    import spark.implicits._
+    // c0's members average 95.5 per the first coord (rounds UP to 96:
+    // floor(mean + 1/2)), c1's average -95.5 (rounds toward +inf to
+    // -95 — half-up is NOT symmetric, which is why both signs are
+    // pinned), c2 attracts nobody and must keep its centroid verbatim
+    val codes = Seq(
+      (0L, Seq(100, 0), 10000L), (1L, Seq(91, 0), 8281L),
+      (2L, Seq(-100, 0), 10000L), (3L, Seq(-91, 0), 8281L))
+      .toDF("vec_id", "qv", "qsq")
+    val current = Array(
+      (0, Seq(100, 0), 10000L), (1, Seq(-100, 0), 10000L),
+      (2, Seq(0, 100), 10000L))
+    val updated = Similarity.lloydUpdate(codes, current).sortBy(_._1)
+    assert(updated(0) === ((0, Seq(96, 0), 96L * 96)))
+    assert(updated(1) === ((1, Seq(-95, 0), 95L * 95)))
+    assert(updated(2) === ((2, Seq(0, 100), 10000L)),
+      "empty cluster keeps its previous centroid")
+    // all-zero rounded mean: members cancel → mean (0, 0) → csq 0 →
+    // carry-over, never a NaN-producing zero centroid
+    val cancel = Seq((0L, Seq(1, 50), 2501L), (1L, Seq(-1, -50), 2501L))
+      .toDF("vec_id", "qv", "qsq")
+    val kept = Similarity.lloydUpdate(cancel, Array((0, Seq(1, 50), 2501L)))
+    assert(kept(0) === ((0, Seq(1, 50), 2501L)),
+      "zero-vector rounded mean carries the previous centroid")
+  }
+
+  test("lloydEpochs + kmeansRefineSummary: partition and bookkeeping " +
+    "invariants on real data") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Similarity.kmeansRefineSummary(d).collect()
+    val byEpoch = rows.groupBy(_.getInt(0))
+    assert(byEpoch.keySet === Set(0, 1, 2))
+    // every epoch's lists partition the same non-degenerate corpus
+    val sizes = byEpoch.view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(sizes(0) === sizes(1) && sizes(1) === sizes(2))
+    // epoch 0 is the seed assignment — nothing has moved yet
+    assert(byEpoch(0).forall(_.getLong(3) === 0L))
+    rows.foreach { r =>
+      assert(r.getLong(5) > 0L, "every reported centroid has csq > 0")
+      assert(r.getDouble(6) <= r.getDouble(7), "min_sim <= max_sim")
+    }
+    // refined coordinates stay int8-packable (convexity of the mean):
+    // every epoch's centroid matrix must survive seedScoreArray's
+    // [-127, 127] require — exercised by construction in the summary,
+    // pinned here directly on the epoch matrices
+    val codes = Similarity.quantizedCodes(d)
+      .filter(org.apache.spark.sql.functions.col("qsq") > 0)
+    Similarity.lloydEpochs(codes, 16, 2).foreach(_.foreach { case (_, cv, csq) =>
+      assert(cv.forall(v => v >= -127 && v <= 127))
+      assert(csq === cv.map(v => v.toLong * v).sum, "csq is exact")
+    })
+  }
+
+  test("ivfTrainedRecall: structural bounds; degenerates to exact at " +
+    "full probe width on BOTH epochs") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Similarity.ivfTrainedRecall(d).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= 5 && r.getLong(4) <= 5, "hits bounded by k")
+      assert(r.getLong(1) >= r.getLong(3) && r.getLong(2) >= r.getLong(4),
+        "hits come from candidates")
+    }
+    // probe width = nList ⇒ both indexes enumerate the full corpus, so
+    // both sides ARE the exact top-k — trained and seed agree at 5/5
+    val n = Similarity.quantizedCodes(d)
+      .filter(org.apache.spark.sql.functions.col("qsq") > 0).count()
+    val full = Similarity.ivfTrainedRecall(d, nProbe = 16).collect()
+    full.foreach { r =>
+      assert(r.getLong(1) === n - 1 && r.getLong(2) === n - 1,
+        "full probe width reads every other vector on both epochs")
+      assert(r.getLong(3) === 5L && r.getLong(4) === 5L)
+    }
+  }
 }
