@@ -144,6 +144,11 @@ object SparkEntry {
     "q_repetition_ratio" -> ((s, d) => TextOps.repetitionRatio(Tables.documents(s, d))),
     "q_pii_redact" -> ((s, d) => TextOps.piiRedact(TextOps.withSyntheticPii(Tables.documents(s, d)))),
     "q_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(Tables.documents(s, d))),
+    // Okapi BM25 (Robertson & Zaragoza 2009) — the lexical-retrieval
+    // ranker of hybrid search: top-3 docs per top-10 corpus term, with
+    // the smooth Lucene idf; every constant the same literal on both
+    // engines, avgdl one exact-long division, so scores hash-match
+    "q_bm25" -> ((s, d) => TextOps.bm25TopDocs(Tables.documents(s, d))),
     "q_token_map" -> ((s, d) => TextOps.repeatedTokenMap(Tables.documents(s, d))),
     "q_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(Tables.documents(s, d))),
     "q_ngram_lm" -> ((s, d) => TextOps.bigramLmScore(Tables.documents(s, d))),
@@ -3030,6 +3035,31 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, rnk, token, tfidf FROM ranked WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+    // Okapi BM25 over the same whitespace tokens as q_tfidf: top-3
+    // docs per top-10 df term; k1 = 1.2, b = 0.75, Lucene smooth idf
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |terms AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 10),
+        |scored AS (
+        |  SELECT tf.token, tf.doc_id, tf.tf, dl.dl,
+        |    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf * 2.2)
+        |      / (tf + 1.2 * (1.0 - 0.75
+        |          + 0.75 * dl / (CAST(total_len AS DOUBLE) / n_docs))), 6)
+        |      AS bm25
+        |  FROM tf JOIN terms USING (token) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats),
+        |ranked AS (
+        |  SELECT token, doc_id, tf, dl, bm25,
+        |    CAST(row_number() OVER (PARTITION BY token ORDER BY bm25 DESC, doc_id)
+        |      AS INTEGER) AS rnk
+        |  FROM scored)
+        |SELECT token, rnk, doc_id, tf, dl, bm25 FROM ranked WHERE rnk <= 3
+        |ORDER BY token, rnk""".stripMargin,
     "q_vocab_coverage" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |vocab AS (

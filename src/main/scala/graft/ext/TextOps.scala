@@ -229,6 +229,51 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Okapi BM25 ranking (`q_bm25`) — the standard lexical-retrieval
+    * scorer (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+    * Framework: BM25 and Beyond"), and the classic pre-filter in front
+    * of embedding retrieval in hybrid search stacks. For each of the
+    * `nTerms` most-document-frequent tokens (ties lexicographic — the
+    * deterministic "query set"), the top-`topK` documents by
+    * `idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` with the smooth
+    * Lucene idf `ln((N−df+0.5)/(df+0.5) + 1)`.
+    *
+    * Scale shape: tf/df/dl are token-key hash-aggregates with map-side
+    * combine; the query-term table and the (n_docs, total_len) stats
+    * are broadcast-scale, so scoring is one selective broadcast join
+    * off tf — no shuffle grows with `nTerms`. avgdl is computed as
+    * exact-long `total_len / n_docs` in ONE double division (never an
+    * incremental float mean), and every constant is the same literal on
+    * both engines, so the scores hash-match.
+    */
+  def bm25TopDocs(documents: DataFrame, nTerms: Int = 10,
+                  topK: Int = 3): DataFrame = {
+    val tok = documents.select(col("doc_id"),
+      explode(wsTokens(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val terms = dfreq.orderBy(col("df").desc, col("token")).limit(nTerms)
+    val scored = tf.join(broadcast(terms), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .withColumn("bm25", round(col("idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("token"), col("rnk"), col("doc_id"), col("tf"), col("dl"),
+        col("bm25"))
+      .orderBy("token", "rnk")
+  }
+
   /** Vocabulary coverage: build the top-`vocabSize` corpus vocabulary
     * (by occurrence count, lexicographic tie-break) and report each
     * document's out-of-vocabulary token rate — the standard check that

@@ -113,6 +113,38 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(d3.map(_._2).toSeq === Seq("alpha", "beta"), "equal scores break on token order")
   }
 
+  test("bm25TopDocs: hand-computed scores, df-ranked term set, " +
+    "saturation orders short docs above long ones at equal tf") {
+    // corpus: 'a' appears in all three docs (the top-df query term);
+    // doc 10 and doc 12 both have tf(a) = 1 but different lengths —
+    // BM25's length normalization must rank the SHORTER doc higher
+    // (same numerator, larger denominator for the long doc)
+    val d = docs(
+      (10L, "a b", "en"),
+      (11L, "a a c", "en"),
+      (12L, "a x y z w v", "en"))
+    val rows = TextOps.bm25TopDocs(d, nTerms = 1, topK = 3).collect()
+    assert(rows.map(_.getString(0)).distinct.toSeq === Seq("a"),
+      "top-1 df term is 'a' (df = 3)")
+    // independent reference: N = 3, df = 3, avgdl = (2 + 3 + 6) / 3
+    val idf = math.log((3 - 3 + 0.5) / (3 + 0.5) + 1.0)
+    def ref(tf: Long, dl: Long): Double = {
+      val avgdl = 11.0 / 3
+      val raw = idf * (tf * 2.2) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byDoc = rows.map(r => r.getLong(2) ->
+      (r.getInt(1), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(byDoc(10L)._4 === ref(1, 2))
+    assert(byDoc(11L)._4 === ref(2, 3))
+    assert(byDoc(12L)._4 === ref(1, 6))
+    // tf wins (doc 11, tf = 2, rank 1); then the shorter of the tf = 1
+    // docs (doc 10 over doc 12)
+    assert(rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq ===
+      Seq(11L, 10L, 12L))
+  }
+
   test("vocabCoverage: OOV rate against the top-V corpus vocabulary") {
     // vocab size 2 → {'a' (4 occ), 'b' (2 occ)}; 'z','q' are OOV
     val d = docs((1L, "a a b z", "en"), (2L, "a a b q", "en"))
