@@ -53,6 +53,23 @@ object PlanAudit {
           if (hits.nonEmpty && c.length > 150)
             println(s"[audit] $name len=${c.length} hits=${hits.mkString(",")} :: ${c.take(160)}")
         }
+        // the Generate variant of the same cliff (round 15): a heavy
+        // expression in the Project directly ABOVE a Generate re-runs
+        // once per EXPLODED row (dim x per vector for a posexplode) —
+        // a select that mixes a generator with heavy expressions puts
+        // them there. Measured 64 encodes/vector = 20x a Lloyd round
+        // before the pqLloydCodebook fix. Flag heavy projections over
+        // Generate for adjudication (attribute pass-throughs are fine).
+        walk(df.queryExecution.executedPlan).foreach {
+          case pe: org.apache.spark.sql.execution.ProjectExec
+              if pe.child.isInstanceOf[org.apache.spark.sql.execution.GenerateExec] =>
+            pe.projectList.map(_.toString).foreach { p =>
+              val hits = heavy.filter(p.contains)
+              if (hits.nonEmpty && p.length > 150)
+                println(s"[audit-gen] $name len=${p.length} hits=${hits.mkString(",")} :: ${p.take(160)}")
+            }
+          case _ =>
+        }
       } catch {
         case e: Throwable => println(s"[audit-err] $name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
       }

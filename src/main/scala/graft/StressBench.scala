@@ -488,6 +488,17 @@ object StressBench {
       // indexed
       time("ivf_index_topk", ext.Similarity.ivfIndexTopK(embPq).count()),
       time("ivf_index_build", ext.Similarity.ivfIndexBuildSummary(embPq).count()),
+      // round-15: the trained-quantizer rows. Each Lloyd epoch is one
+      // corpus scan through the constant-size codegen argmax plus a
+      // map-side-combined nList × dim cell aggregate, so training cost
+      // must scale like the build row times the epoch count — these
+      // rows pin that (a super-linear drift here means the posexplode
+      // combine stopped collapsing). kmeans_refine = 2 epochs (2
+      // update scans) + the one side-by-side audit scan;
+      // pq_train_distortion likewise at the sub-quantizer level.
+      time("kmeans_refine", ext.Similarity.kmeansRefineSummary(embPq).count()),
+      time("pq_train_distortion",
+        ext.Similarity.pqTrainDistortion(embPq).count()),
       time("ivf_index_assign_day", ext.Similarity.ivfIndexAssign(
         embPq.filter(col("vec_id") % 10 === 0), ivfDayCents).count()),
       // round-14: batched centroid scoring A/B — the native

@@ -2023,12 +2023,20 @@ object Similarity {
     import graft.functions.Int8Unpack.int8_unpack
     val dim = matrix.length / nBook
     val subDim = dim / nSub
+    // the encode MUST be its own projection BELOW the explode: a
+    // select that mixes a generator with a heavy expression puts that
+    // expression in the Project ABOVE the Generate, where it re-runs
+    // once per EXPLODED row — measured 64 encodes/vector, 30s vs 2s a
+    // round at StressBench ×100 (the round-12 re-evaluation cliff, the
+    // Generate variant). As a pass-through column the entry ids are
+    // computed once per vector and only COPIED per row.
     val cells = codes
-      .select(posexplode(col("qv")).as(Seq("pos", "v")),
+      .select(col("qv"),
         // entry ids are <= 126 by the pqPackSeeds cap, so the
         // sign-extending unpack renders them faithfully
         int8_unpack(pq_encode(col("qv"), matrix, nSub)
           .getField("codes")).as("ents"))
+      .select(col("ents"), posexplode(col("qv")).as(Seq("pos", "v")))
       .select((col("pos") / subDim).cast("int").as("j"),
         (col("pos") % subDim).cast("int").as("spos"), col("v"), col("ents"))
       .select(col("j"), element_at(col("ents"), col("j") + 1).as("entry"),
