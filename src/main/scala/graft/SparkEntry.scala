@@ -484,6 +484,23 @@ object SparkEntry {
       Similarity.ivfIndexStoreAppend(s, emb.filter(!storedSide), dir)
       Similarity.ivfIndexStoreReseed(s, dir)
     }),
+    // the deploy step of the trained-quantizer tier: init + drifted
+    // append, then TRAIN the store in place (fresh seeds off the full
+    // stored codes + 2 integer Lloyd epochs, rename-aside swap) — the
+    // post-train occupancy equals the trained assignment of the full
+    // corpus, which is what the oracle computes
+    "q_ivf_store_trained_occupancy" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, md5, substring}
+      val emb = Tables.embeddings(s, d)
+      val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_train_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb.filter(storedSide), dir)
+      Similarity.ivfIndexStoreAppend(s, emb.filter(!storedSide), dir)
+      Similarity.ivfIndexStoreTrain(s, dir)
+    }),
     // the probabilistic side of q_ivf_topk under the oracle (the
     // bounds-twin pattern): per query, recall@k of the pruned probe vs
     // the exact top-k >= the documented floor, as a TRUE-iff-held
@@ -1550,10 +1567,12 @@ object SparkEntry {
       |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
       |      FROM s),
       |b AS (SELECT vec_id, qv,
+      |        md5(list_aggr(list_transform(qv, x -> CAST(x AS VARCHAR)),
+      |          'string_agg', ',')) AS dig,
       |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
       |      FROM q0),
       |base AS (SELECT * FROM b WHERE qsq > 0),
-      |ce0 AS (SELECT centroid_id, cv, CAST(csq AS BIGINT) AS csq FROM (
+      |ce0 AS (SELECT centroid_id, seed_vec_id, cv, CAST(csq AS BIGINT) AS csq FROM (
       |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
       |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
       |        vec_id) AS INTEGER) - 1 AS centroid_id
@@ -1681,6 +1700,23 @@ object SparkEntry {
     |LEFT JOIN h0 ON qq.query_id = h0.query_id
     |LEFT JOIN h2 ON qq.query_id = h2.query_id
     |ORDER BY qq.query_id""".stripMargin
+
+  /** Post-train store occupancy over LLOYD_CHAIN's names: training the
+    * persisted store re-draws seeds from the FULL stored codes then
+    * refines them two epochs, so the store's lists equal asg2's — the
+    * q_ivf_store_occupancy aggregation over the trained assignment,
+    * with each list's epoch-0 ancestor seed as lineage.
+    */
+  private val LLOYD_STORE_OCC_SQL: String = LLOYD_CHAIN + """,
+    |per AS (SELECT a.centroid_id, COUNT(*) AS list_size,
+    |    COUNT(DISTINCT b.dig) AS n_codes
+    |  FROM asg2 a JOIN base b USING (vec_id) GROUP BY a.centroid_id),
+    |tot AS (SELECT SUM(list_size) AS total FROM per)
+    |SELECT per.centroid_id, c.seed_vec_id, per.list_size, per.n_codes,
+    |  round(CAST(per.list_size AS DOUBLE) / tot.total, 6) AS share
+    |FROM per, tot
+    |JOIN ce0 c ON c.centroid_id = per.centroid_id
+    |ORDER BY per.centroid_id""".stripMargin
 
   /** LLOYD_RECALL_SQL over the planted-cluster corpus — the same
     * corpus-CTE swap (and non-vacuousness pin) as PLANTED_PQ_CHAIN.
@@ -4486,6 +4522,9 @@ object SparkEntry {
     // seed-vs-Lloyd-trained index recall at equal probe width —
     // candidate and exact-top-k hit counts per query, both epochs
     "q_ivf_trained_recall" -> LLOYD_RECALL_SQL,
+    // post-train store occupancy ≡ the trained assignment of the full
+    // corpus (seeds re-drawn from all stored codes, 2 Lloyd epochs)
+    "q_ivf_store_trained_occupancy" -> LLOYD_STORE_OCC_SQL,
     // the same A/B where the corpus HAS learnable cluster structure
     "q_ivf_trained_recall_clustered" -> PLANTED_LLOYD_RECALL_SQL,
     // occupancy of the drifted store: seeds from the md5-stored side

@@ -1736,6 +1736,68 @@ object Similarity {
     ivfIndexStoreOccupancy(spark, dir)
   }
 
+  /** TRAIN the persisted index in place — the deploy step of the
+    * round-15 trained-quantizer tier, completing the lifecycle the
+    * recall A/B justified (training lifted clustered-corpus recall to
+    * the ceiling at equal probe width): fresh seeds are drawn from the
+    * CURRENT stored codes exactly as [[ivfIndexStoreReseed]] does, then
+    * `iters` integer [[lloydUpdate]] epochs refine them, every stored
+    * vector is re-assigned under the trained centroids, and the new
+    * store replaces the old through the same rename-aside swap (crash
+    * at any point self-heals via [[graft.ext.Curation.storeSwapRecover]]).
+    * Each trained centroid keeps its epoch-0 ancestor's `seed_vec_id`
+    * as lineage, so the store schema — and every existing reader — is
+    * unchanged. With `iters = 0` this IS the reseed (byte-identical
+    * store, spec-pinned); the embeddings are never re-read (int codes
+    * recovered from store bytes), and cost is reseed + iters scans of
+    * the packed store. Returns the post-train occupancy — the balance
+    * dashboard trained centroids exist to improve.
+    */
+  def ivfIndexStoreTrain(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, nList: Int = 16,
+                         iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.Int8Unpack.int8_unpack
+    if (Curation.storeSwapRecover(spark, dir) == "absent")
+      throw new java.io.IOException(
+        s"no IVF index store (live, old, or staged) at $dir")
+    val codes = ivfIndexStoreAssignments(spark, dir)
+      .unionByName(ivfIndexReadDayAssignments(spark, dir))
+      .select(col("vec_id"), int8_unpack(col("qb")).as("qv"), col("qb"),
+        col("qsq"), col("dig"))
+      .persist()
+    val seeds0 = seedPickFromCodes(codes, nList)
+    val trained = (1 to iters).scanLeft(
+      seeds0.map { case (cid, _, cv, csq) => (cid, cv, csq) })(
+      (cur, _) => lloydUpdate(codes, cur)).last
+    // lineage: trained centroid i descends from seed i
+    val picked = trained.zip(seeds0).map {
+      case ((cid, cv, csq), (_, vid, _, _)) => (cid, vid, cv, csq)
+    }
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.compact-staging")
+    val old = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.compact-old")
+    fs.delete(staging, true)
+    seedsToDf(spark, picked).write.parquet(s"$staging/centroids")
+    assignCodes(codes, trained)
+      .select((STORE_COLS :+ "centroid_id").map(col): _*)
+      .write.partitionBy("centroid_id").parquet(s"$staging/assignments")
+    codes.unpersist(blocking = false)
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")).close()
+    fs.delete(old, true)
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"rename $target -> $old failed")
+    if (!fs.rename(staging, target)) {
+      fs.rename(old, target) // restore the live store before failing
+      throw new java.io.IOException(s"rename $staging -> $target failed")
+    }
+    fs.delete(old, true)
+    ivfIndexStoreOccupancy(spark, dir)
+  }
+
   // ───────────────────── product-quantization (PQ) tier ─────────────────────
 
   /** Flat `K × dim` byte codebook for the PQ family: entry `c` is the

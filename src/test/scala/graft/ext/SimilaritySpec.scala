@@ -871,6 +871,47 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(rows(dir, "assignments") === rows(freshDir, "assignments"))
   }
 
+  test("ivfIndexStoreTrain: iters = 0 IS the reseed; training preserves " +
+      "the partition; the trained store still probes complete") {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    graft.functions.GraftFunctions.register(spark)
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    def freshStore(tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString + "/idx"
+      Similarity.ivfIndexStoreInit(d.filter(storedSide), dir)
+      Similarity.ivfIndexStoreAppend(spark, d.filter(!storedSide), dir)
+      dir
+    }
+    def rows(dirr: String, sub: String) =
+      spark.read.parquet(s"$dirr/$sub").collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.mkString("[", ",", "]")
+        case x => x
+      }.toString).sorted.toSeq
+    // iters = 0 degenerates to the reseed byte-for-byte (seed re-draw
+    // off the full stored codes, no refinement)
+    val a = freshStore("graft_train0"); val b = freshStore("graft_reseed")
+    Similarity.ivfIndexStoreTrain(spark, a, iters = 0)
+    Similarity.ivfIndexStoreReseed(spark, b)
+    assert(rows(a, "centroids") === rows(b, "centroids"))
+    assert(rows(a, "assignments") === rows(b, "assignments"))
+    // real training: the store still holds every non-degenerate vector
+    // exactly once, and lineage seeds are the epoch-0 draw's vids
+    val c = freshStore("graft_train2")
+    val occ = Similarity.ivfIndexStoreTrain(spark, c).collect()
+    val nonDegen = Similarity.quantizedCodes(d).filter(col("qsq") > 0).count()
+    assert(occ.map(_.getLong(2)).sum === nonDegen)
+    val seedVids = Similarity.ivfSeedCentroids(d).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    occ.foreach(r => assert(r.getLong(1) === seedVids(r.getInt(0)),
+      "trained centroid keeps its epoch-0 ancestor's seed_vec_id"))
+    // the trained store answers probes complete (k rows per query)
+    val probed = Similarity.ivfIndexStoreProbe(spark,
+      d.filter(col("vec_id") < 10), c)
+    assert(probed.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) === 5L))
+  }
+
   test("centroid_scores: native batched loop ≡ unrolled per-centroid structs, " +
       "element-for-element, and stays native at nList far past the unroll budget") {
     import org.apache.spark.sql.functions.{col, not}
