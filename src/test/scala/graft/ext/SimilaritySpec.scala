@@ -1013,6 +1013,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("lloydEpochs: the epoch map is a deterministic function — any " +
+    "repeated state is periodic, and a fixpoint absorbs") {
+    // Monotone convergence is NOT a theorem under cosine assignment
+    // with integer means (and indeed 16 centroids on this 50-vector
+    // corpus do not settle in 8 epochs). What IS one: each epoch is a
+    // pure function of the previous centroids, so state_i == state_j
+    // forces state_{i+k} == state_{j+k} forever (fixpoints are the
+    // period-1 case). Pin periodicity if a repeat shows up in the
+    // budget; pin replay-determinism of the whole trajectory always.
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val codes = Similarity.quantizedCodes(d).filter(col("qsq") > 0)
+    val epochs = Similarity.lloydEpochs(codes, 16, 8).map(_.toSeq)
+    val replay = Similarity.lloydEpochs(codes, 16, 8).map(_.toSeq)
+    assert(epochs === replay, "the trajectory must replay identically")
+    val repeat = (for {
+      i <- epochs.indices
+      j <- (i + 1) until epochs.length
+      if epochs(i) == epochs(j)
+    } yield (i, j)).headOption
+    repeat.foreach { case (i, j) =>
+      var k = 0
+      while (j + k < epochs.length) {
+        assert(epochs(i + k) === epochs(j + k),
+          s"repeat at ($i,$j) must be periodic; diverged at offset $k")
+        k += 1
+      }
+    }
+  }
+
   test("ivfTrainedRecall: structural bounds; degenerates to exact at " +
     "full probe width on BOTH epochs") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
