@@ -519,6 +519,14 @@ object SparkEntry {
     // sampled float path behind q_ivf_topk
     "q_kmeans_refine" -> ((s, d) =>
       Similarity.kmeansRefineSummary(Tables.embeddings(s, d))),
+    // the day-ingest cell of training: stored-side sufficient stats
+    // (retained at train time) + ONE O(batch) scan of the new batch,
+    // merged by addition — EXACTLY the union update (integer sums are
+    // sufficient statistics); the oracle computes the union form while
+    // Spark computes the split-merge, so the hash match certifies the
+    // exactness theorem cross-engine
+    "q_kmeans_update_inc" -> ((s, d) =>
+      Similarity.kmeansUpdateIncSummary(Tables.embeddings(s, d))),
     // does training the coarse quantizer pay? seed (epoch-0) vs
     // Lloyd-refined (epoch-2) index at EQUAL probe width and bytes:
     // per query, candidate count and exact-top-k hits for both —
@@ -4519,6 +4527,70 @@ object SparkEntry {
     // mean-update rounds off the md5 seed draw; per (epoch, centroid)
     // sizes, moved counts, exact checksums, min/max member sim
     "q_kmeans_refine" -> LLOYD_REFINE_SQL,
+    // the incremental update's oracle is the UNION one-epoch update —
+    // seeds from the md5-stored side, every vector assigned, one
+    // integer-mean round; Spark computes the split-stats merge, so the
+    // hash match IS the sufficient-statistics exactness theorem
+    "q_kmeans_update_inc" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq,
+        |        substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS stored
+        |      FROM q0),
+        |base AS (SELECT * FROM b WHERE qsq > 0),
+        |ce0 AS (SELECT centroid_id, cv, CAST(csq AS BIGINT) AS csq FROM (
+        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS INTEGER) - 1 AS centroid_id
+        |    FROM base WHERE stored) WHERE centroid_id < 16),
+        |asg AS (SELECT vec_id, stored, centroid_id FROM (
+        |    SELECT base.vec_id, base.stored, c.centroid_id,
+        |      row_number() OVER (PARTITION BY base.vec_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |          i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |            * c.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |          / sqrt(CAST(base.qsq AS DOUBLE) * c.csq) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM base, ce0 c) WHERE rn = 1),
+        |cells AS (SELECT a.centroid_id,
+        |      unnest(range(1, len(b2.qv) + 1)) AS pos, unnest(b2.qv) AS v
+        |    FROM asg a JOIN base b2 USING (vec_id)),
+        |u AS (SELECT centroid_id,
+        |      list(CAST(floor(CAST(2 * s + n AS DOUBLE) / (2 * n)) AS INTEGER)
+        |        ORDER BY pos) AS cv
+        |    FROM (SELECT centroid_id, pos, SUM(CAST(v AS BIGINT)) AS s,
+        |            COUNT(*) AS n
+        |          FROM cells GROUP BY centroid_id, pos)
+        |    GROUP BY centroid_id),
+        |un AS (SELECT centroid_id, cv,
+        |      CAST(list_sum(list_transform(cv, x -> CAST(x AS BIGINT) * x))
+        |        AS BIGINT) AS csq
+        |    FROM u),
+        |ce1 AS (SELECT p.centroid_id,
+        |      CASE WHEN n.csq IS NULL OR n.csq = 0 THEN p.cv ELSE n.cv END AS cv,
+        |      CAST(CASE WHEN n.csq IS NULL OR n.csq = 0 THEN p.csq ELSE n.csq END
+        |        AS BIGINT) AS csq
+        |    FROM ce0 p LEFT JOIN un n USING (centroid_id)),
+        |counts AS (SELECT centroid_id,
+        |      CAST(SUM(CASE WHEN stored THEN 1 ELSE 0 END) AS BIGINT) AS n_stored,
+        |      CAST(SUM(CASE WHEN stored THEN 0 ELSE 1 END) AS BIGINT) AS n_batch
+        |    FROM asg GROUP BY centroid_id)
+        |SELECT c.centroid_id,
+        |  COALESCE(k.n_stored, 0) AS n_stored,
+        |  COALESCE(k.n_batch, 0) AS n_batch,
+        |  CAST(list_sum(list_transform(c.cv, x -> CAST(x AS BIGINT))) AS BIGINT)
+        |    AS cv_sum,
+        |  c.csq
+        |FROM ce1 c LEFT JOIN counts k USING (centroid_id)
+        |ORDER BY c.centroid_id""".stripMargin,
     // seed-vs-Lloyd-trained index recall at equal probe width —
     // candidate and exact-top-k hit counts per query, both epochs
     "q_ivf_trained_recall" -> LLOYD_RECALL_SQL,

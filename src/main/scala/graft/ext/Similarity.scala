@@ -1483,26 +1483,54 @@ object Similarity {
     */
   private[ext] def lloydUpdate(codes: DataFrame,
                           current: Array[(Int, Seq[Int], Long)])
-      : Array[(Int, Seq[Int], Long)] = {
-    val cells = codes
+      : Array[(Int, Seq[Int], Long)] =
+    lloydCentroidsFromStats(current, lloydStats(codes, current))
+
+  /** The sufficient statistics of one Lloyd update under FIXED
+    * centroids: per (cluster, position) the exact integer member sum
+    * and count. Additive across any partition of the corpus — which is
+    * what makes the O(batch) incremental update below EXACT, not
+    * approximate. Bounded driver fetch: nList × dim cells.
+    */
+  private[ext] def lloydStats(codes: DataFrame,
+                              current: Array[(Int, Seq[Int], Long)])
+      : Map[(Int, Int), (Long, Long)] = {
+    codes
       .withColumn("best", array_max(seedScoreArray(current)))
       .select(listIdOf(col("best.nid")).as("cluster"),
         posexplode(col("qv")).as(Seq("pos", "v")))
       .groupBy("cluster", "pos")
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
       .collect()
-    val byCluster = cells.groupBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  /** Merge additive Lloyd statistics (the incremental-ingest cell). */
+  private[ext] def lloydMergeStats(a: Map[(Int, Int), (Long, Long)],
+                                   b: Map[(Int, Int), (Long, Long)])
+      : Map[(Int, Int), (Long, Long)] =
+    (a.keySet ++ b.keySet).iterator.map { k =>
+      val (sa, na) = a.getOrElse(k, (0L, 0L))
+      val (sb, nb) = b.getOrElse(k, (0L, 0L))
+      k -> (sa + sb, na + nb)
+    }.toMap
+
+  /** Rounded-integer centroids off the statistics: half-up mean per
+    * cell, previous centroid carried for empty or zero-mean clusters.
+    */
+  private[ext] def lloydCentroidsFromStats(
+      current: Array[(Int, Seq[Int], Long)],
+      stats: Map[(Int, Int), (Long, Long)]): Array[(Int, Seq[Int], Long)] = {
     current.map { case (cid, oldCv, oldCsq) =>
-      byCluster.get(cid) match {
-        case None => (cid, oldCv, oldCsq) // empty list keeps its centroid
-        case Some(rows) =>
-          val cv = new Array[Int](oldCv.length)
-          rows.foreach { r =>
-            cv(r.getInt(1)) = Math.floorDiv(2L * r.getLong(2) + r.getLong(3),
-              2L * r.getLong(3)).toInt
-          }
-          val csq = cv.map(x => x.toLong * x).sum
-          if (csq == 0L) (cid, oldCv, oldCsq) else (cid, cv.toSeq, csq)
+      if (!stats.contains((cid, 0))) (cid, oldCv, oldCsq) // empty list
+      else {
+        val cv = Array.tabulate(oldCv.length) { pos =>
+          val (s, n) = stats((cid, pos))
+          Math.floorDiv(2L * s + n, 2L * n).toInt
+        }
+        val csq = cv.map(x => x.toLong * x).sum
+        if (csq == 0L) (cid, oldCv, oldCsq) else (cid, cv.toSeq, csq)
       }
     }
   }
@@ -1563,6 +1591,46 @@ object Similarity {
         col("min_sim"), col("max_sim"))
       .orderBy("epoch", "centroid_id")
     Dedup.scopeCaches(out, codes)
+  }
+
+  /** Incremental centroid maintenance (`q_kmeans_update_inc`): the
+    * day-ingest cell of the training lifecycle. At train time the
+    * index retains its [[lloydStats]] (nList × dim exact integer sums
+    * and counts — additive sufficient statistics); when a batch
+    * arrives, ONE O(batch × nList) scan of the batch produces its own
+    * stats, the two merge by addition, and the rounded means are
+    * recomputed — with NO rescan of the stored corpus and NO
+    * approximation: a one-epoch update from merged statistics is
+    * EXACTLY the one-epoch update over the union corpus (integer sums
+    * are sufficient statistics; spec-pinned, and the DuckDB oracle
+    * certifies it cross-engine by computing the UNION update while the
+    * Spark side computes the split-merge). Multi-epoch retraining
+    * still needs the full scans — this is the cheap cell between
+    * retrains, the [[ivfIndexAssign]] O(batch) discipline applied to
+    * centroid maintenance itself.
+    */
+  def kmeansUpdateIncSummary(embeddings: DataFrame,
+                             nList: Int = 16): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0)
+    val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val stored = codes.filter(storedSide).persist()
+    val batch = codes.filter(!storedSide)
+    val seeds = seedPickFromCodes(stored, nList)
+      .map { case (cid, _, cv, csq) => (cid, cv, csq) }
+    val statsStored = lloydStats(stored, seeds)
+    val statsBatch = lloydStats(batch, seeds)
+    val merged = lloydCentroidsFromStats(seeds,
+      lloydMergeStats(statsStored, statsBatch))
+    val rows = merged.map { case (cid, cv, csq) =>
+      (cid,
+        statsStored.get((cid, 0)).map(_._2).getOrElse(0L),
+        statsBatch.get((cid, 0)).map(_._2).getOrElse(0L),
+        cv.map(_.toLong).sum, csq)
+    }.toSeq
+    stored.unpersist(blocking = false)
+    rows.toDF("centroid_id", "n_stored", "n_batch", "cv_sum", "csq")
+      .orderBy("centroid_id")
   }
 
   /** Trained-vs-seed recall A/B (`q_ivf_trained_recall`): at EQUAL

@@ -1013,6 +1013,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("lloydStats merge: split-stats update ≡ union update EXACTLY " +
+    "(integer sums are sufficient statistics), any split, empty side ok") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val codes = Similarity.quantizedCodes(d).filter(col("qsq") > 0)
+    val seeds = Similarity.collectSeedCentroids(Similarity.ivfSeedCentroids(d))
+    val full = Similarity.lloydUpdate(codes, seeds).toSeq
+    // an arbitrary 3-way split merges back to the identical centroids
+    val parts = Seq(0, 1, 2).map(r => codes.filter(col("vec_id") % 3 === r))
+    val merged = Similarity.lloydCentroidsFromStats(seeds,
+      parts.map(Similarity.lloydStats(_, seeds))
+        .reduce(Similarity.lloydMergeStats))
+    assert(merged.toSeq === full, "sufficient-statistics merge is exact")
+    // empty batch: merging nothing changes nothing
+    val statsAll = Similarity.lloydStats(codes, seeds)
+    val statsEmpty = Similarity.lloydStats(
+      codes.filter(col("vec_id") < 0), seeds)
+    assert(statsEmpty.isEmpty)
+    assert(Similarity.lloydCentroidsFromStats(seeds,
+      Similarity.lloydMergeStats(statsAll, statsEmpty)).toSeq === full)
+  }
+
   test("lloydEpochs: the epoch map is a deterministic function — any " +
     "repeated state is periodic, and a fixpoint absorbs") {
     // Monotone convergence is NOT a theorem under cosine assignment
