@@ -60,9 +60,19 @@ object PlanAudit {
         // them there. Measured 64 encodes/vector = 20x a Lloyd round
         // before the pqLloydCodebook fix. Flag heavy projections over
         // Generate for adjudication (attribute pass-throughs are fine).
+        // a codegen boundary (InputAdapter / WholeStageCodegenExec) may
+        // sit between the Project and the Generate — unwrap transparent
+        // wrappers so the pattern is caught in codegen-disabled runs too
+        def unwrapped(p: org.apache.spark.sql.execution.SparkPlan)
+            : org.apache.spark.sql.execution.SparkPlan = p match {
+          case w: org.apache.spark.sql.execution.InputAdapter => unwrapped(w.child)
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => unwrapped(w.child)
+          case other => other
+        }
         walk(df.queryExecution.executedPlan).foreach {
           case pe: org.apache.spark.sql.execution.ProjectExec
-              if pe.child.isInstanceOf[org.apache.spark.sql.execution.GenerateExec] =>
+              if unwrapped(pe.child)
+                .isInstanceOf[org.apache.spark.sql.execution.GenerateExec] =>
             pe.projectList.map(_.toString).foreach { p =>
               val hits = heavy.filter(p.contains)
               if (hits.nonEmpty && p.length > 150)

@@ -81,7 +81,7 @@ object SparkEntry {
     "q_distinct" -> ((s, d) => Relational.distinctSegments(Tables.customer(s, d))),
     "q_semi_join" -> ((s, d) => Relational.semiJoin(Tables.customer(s, d), Tables.orders(s, d))),
     "q_intersect" -> ((s, d) => Relational.intersectKeys(Tables.customer(s, d), Tables.supplier(s, d))),
-    "q_except" -> ((s, d) => Relational.exceptKeys(Tables.customer(s, d), Tables.supplier(s, d))),
+    "q_except" -> ((s, d) => Relational.exceptKeys(Tables.orders(s, d), Tables.customer(s, d))),
     "q_scalar_subquery" -> ((s, d) => Relational.scalarSubquery(s, Tables.orders(s, d))),
     "q_lateral_topn" -> ((s, d) => Relational.lateralTopPerGroup(s,
       Tables.customer(s, d), Tables.nation(s, d))),
@@ -501,6 +501,27 @@ object SparkEntry {
       Similarity.ivfIndexStoreAppend(s, emb.filter(!storedSide), dir)
       Similarity.ivfIndexStoreTrain(s, dir)
     }),
+    // O(batch) centroid maintenance WIRED INTO THE ARTIFACT (round 16):
+    // init persists the stored side's Lloyd sufficient statistics as a
+    // store sidecar, the append merges the batch's stats by addition,
+    // and the update recomputes the rounded means off the sidecar alone
+    // — NO stored-corpus rescan at any size. The oracle computes the
+    // union one-epoch update, so the hash match certifies the
+    // sufficient-statistics exactness theorem against the PERSISTED
+    // store lifecycle, not just the in-memory split of
+    // q_kmeans_update_inc
+    "q_ivf_store_update_inc" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, md5, substring}
+      val emb = Tables.embeddings(s, d)
+      val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_upd_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb.filter(storedSide), dir)
+      Similarity.ivfIndexStoreAppend(s, emb.filter(!storedSide), dir)
+      Similarity.ivfIndexStoreUpdateCentroids(s, dir)
+    }),
     // the probabilistic side of q_ivf_topk under the oracle (the
     // bounds-twin pattern): per query, recall@k of the pruned probe vs
     // the exact top-k >= the documented floor, as a TRUE-iff-held
@@ -628,6 +649,19 @@ object SparkEntry {
     // q_ivfadc_recall's near-isotropic testdata regime
     "q_ivfadc_recall_clustered" -> ((s, d) => Similarity.ivfAdcRecall(
       Similarity.plantedClusterEmbeddings(Tables.embeddings(s, d)))),
+    // the COMPOSED trained configuration (round 16): coarse centroids
+    // Lloyd-trained AND the residual codebook Lloyd-trained on the
+    // residuals under them — all-seed vs all-trained IVFADC at equal
+    // probe width and bytes, per query in exact hit counts
+    "q_ivfadc_trained_recall" -> ((s, d) =>
+      Similarity.ivfAdcTrainedRecall(Tables.embeddings(s, d))),
+    // the same composition on the planted-cluster corpus — the sharp
+    // question: q_pq_trained_recall_clustered measured raw-PQ training
+    // CRATERING clustered recall (5→1); does residual training under
+    // trained centroids recover it?
+    "q_ivfadc_trained_recall_clustered" -> ((s, d) =>
+      Similarity.ivfAdcTrainedRecall(
+        Similarity.plantedClusterEmbeddings(Tables.embeddings(s, d)))),
     "q_ivfpq_store_probe" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, d)
@@ -643,6 +677,23 @@ object SparkEntry {
     // permutation RECORDED in the codebook, so the probe encodes its
     // lookup tables under the stored layout with no caller re-supply;
     // the coarse tier stays on raw codes (layout-invariant)
+    // the PQ-sidecar LIFECYCLE pin (round 16): build the sidecar, TRAIN
+    // the store in place (rebuild-in-swap keeps the codebook verbatim
+    // and re-partitions the codes under the trained lists), then ADC-
+    // probe the retrained store — before this round the swap silently
+    // dropped the sidecar and this probe failed on a missing path
+    "q_ivfpq_store_probe_trained" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfpq_store_tr_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb, dir)
+      Similarity.ivfIndexStorePqBuild(s, dir)
+      Similarity.ivfIndexStoreTrain(s, dir)
+      Similarity.ivfIndexStorePqProbe(s, emb.filter(col("vec_id") < 10), dir)
+    }),
     "q_ivfpq_store_probe_opq" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, d)
@@ -1106,6 +1157,35 @@ object SparkEntry {
     * chosen entries with their slices — everything q_pq_encode /
     * q_pq_topk / q_pq_recall / q_ivfpq_topk read.
     */
+  /** The seed-codebook PQ encode block over CTEs named `base` (the
+    * non-degenerate int8 codes) and `seeds` (the 16-entry codebook):
+    * per-(vector, subspace) exact integer argmin, the chosen slices,
+    * and the reconstruction norms — shared by PQ_CHAIN and the
+    * trained-store probe oracle (whose coarse tier trains but whose
+    * codebook stays the same md5 draw).
+    */
+  private val PQ_ENCODE_BLOCK: String =
+    """subs AS (SELECT CAST(j AS INTEGER) AS j FROM range(8) r(j)),
+      |dists AS (
+      |  SELECT base.vec_id, subs.j, seeds.centroid_id,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> CAST(base.qv[subs.j * 8 + CAST(i AS INTEGER)]
+      |             - seeds.cv[subs.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+      |           * (base.qv[subs.j * 8 + CAST(i AS INTEGER)]
+      |             - seeds.cv[subs.j * 8 + CAST(i AS INTEGER)]))) AS d
+      |  FROM base, seeds, subs),
+      |pick AS (SELECT vec_id, j, centroid_id, d FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+      |      ORDER BY d, centroid_id) AS rn FROM dists)
+      |  WHERE rn = 1),
+      |chosen AS (SELECT pick.vec_id, pick.j, pick.centroid_id, pick.d, seeds.cv
+      |  FROM pick JOIN seeds USING (centroid_id)),
+      |rsqs AS (SELECT vec_id,
+      |    CAST(sum(list_sum(list_transform(range(1, 9),
+      |      i -> CAST(cv[j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+      |           * cv[j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS rsq
+      |  FROM chosen GROUP BY vec_id)""".stripMargin
+
   private val PQ_CHAIN: String =
     """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |m AS (SELECT vec_id, emb,
@@ -1126,26 +1206,7 @@ object SparkEntry {
       |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
       |        vec_id) AS INTEGER) - 1 AS centroid_id
       |    FROM base) WHERE centroid_id < 16),
-      |subs AS (SELECT CAST(j AS INTEGER) AS j FROM range(8) r(j)),
-      |dists AS (
-      |  SELECT base.vec_id, subs.j, seeds.centroid_id,
-      |    list_sum(list_transform(range(1, 9),
-      |      i -> CAST(base.qv[subs.j * 8 + CAST(i AS INTEGER)]
-      |             - seeds.cv[subs.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
-      |           * (base.qv[subs.j * 8 + CAST(i AS INTEGER)]
-      |             - seeds.cv[subs.j * 8 + CAST(i AS INTEGER)]))) AS d
-      |  FROM base, seeds, subs),
-      |pick AS (SELECT vec_id, j, centroid_id, d FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
-      |      ORDER BY d, centroid_id) AS rn FROM dists)
-      |  WHERE rn = 1),
-      |chosen AS (SELECT pick.vec_id, pick.j, pick.centroid_id, pick.d, seeds.cv
-      |  FROM pick JOIN seeds USING (centroid_id)),
-      |rsqs AS (SELECT vec_id,
-      |    CAST(sum(list_sum(list_transform(range(1, 9),
-      |      i -> CAST(cv[j * 8 + CAST(i AS INTEGER)] AS BIGINT)
-      |           * cv[j * 8 + CAST(i AS INTEGER)]))) AS BIGINT) AS rsq
-      |  FROM chosen GROUP BY vec_id)""".stripMargin
+      |""".stripMargin + PQ_ENCODE_BLOCK
 
   /** The ADC ranking tail over a candidate CTE named `cands(query_id,
     * neighbor_id)` — shared by the brute scan (all pairs) and the
@@ -1722,8 +1783,9 @@ object SparkEntry {
     |tot AS (SELECT SUM(list_size) AS total FROM per)
     |SELECT per.centroid_id, c.seed_vec_id, per.list_size, per.n_codes,
     |  round(CAST(per.list_size AS DOUBLE) / tot.total, 6) AS share
-    |FROM per, tot
+    |FROM per
     |JOIN ce0 c ON c.centroid_id = per.centroid_id
+    |CROSS JOIN tot
     |ORDER BY per.centroid_id""".stripMargin
 
   /** LLOYD_RECALL_SQL over the planted-cluster corpus — the same
@@ -1739,6 +1801,183 @@ object SparkEntry {
       |  FROM embeddings)""".stripMargin)
   require(PLANTED_LLOYD_RECALL_SQL != LLOYD_RECALL_SQL,
     "PLANTED_LLOYD_RECALL_SQL replace matched nothing — LLOYD_CHAIN's corpus CTE changed")
+
+  /** The RETRAINED store's ADC probe (`q_ivfpq_store_probe_trained`):
+    * coarse pruning under the trained (2-epoch) centroids and their
+    * re-assigned lists (LLOYD_CHAIN's ce2/asg2), ADC scoring under the
+    * UNCHANGED md5-drawn codebook — exactly the state the
+    * rebuild-in-swap guarantees (codebook copied verbatim, per-vector
+    * codes identical, partitioning moved to the trained lists).
+    */
+  private val TRAINED_IVFPQ_PROBE_SQL: String = LLOYD_CHAIN + """,
+    |seeds AS (SELECT seed_vec_id, cv, csq, centroid_id FROM ce0),
+    |""".stripMargin + PQ_ENCODE_BLOCK + """,
+    |probes AS (SELECT query_id, centroid_id FROM (
+    |    SELECT base.vec_id AS query_id, c.centroid_id,
+    |      row_number() OVER (PARTITION BY base.vec_id ORDER BY
+    |        CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+    |          i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+    |            * c.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+    |          / sqrt(CAST(base.qsq AS DOUBLE) * c.csq) DESC,
+    |        c.centroid_id) AS rn
+    |    FROM base, ce2 c WHERE base.vec_id < 10) WHERE rn <= 4),
+    |cands AS (SELECT p.query_id, a.vec_id AS neighbor_id
+    |  FROM probes p JOIN asg2 a USING (centroid_id)
+    |  WHERE a.vec_id <> p.query_id),
+    |""".stripMargin + PQ_ADC_TAIL
+
+  /** One per-subspace Lloyd round on the RESIDUAL codebook: argmin
+    * assignment of every residual's subspace slice to `inBook`, then
+    * per-(subspace, entry) HALF-UP integer slice means with untouched
+    * slices carried verbatim — [[graft.ext.Similarity.pqLloydCodebook]]
+    * run on the residual frame (`tresid`), entry ids in rank order.
+    */
+  private def resPqRound(pick: String, inBook: String,
+                         outBook: String): String =
+    s"""$pick AS (SELECT vec_id, j, entry_id FROM (
+       |    SELECT r.vec_id, subs.j, b.entry_id,
+       |      row_number() OVER (PARTITION BY r.vec_id, subs.j ORDER BY
+       |        list_sum(list_transform(range(1, 9),
+       |          i -> CAST(r.rv[subs.j * 8 + CAST(i AS INTEGER)]
+       |                 - b.ev[subs.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+       |               * (r.rv[subs.j * 8 + CAST(i AS INTEGER)]
+       |                 - b.ev[subs.j * 8 + CAST(i AS INTEGER)]))),
+       |        b.entry_id) AS rn
+       |    FROM tresid r, $inBook b, subs) WHERE rn = 1),
+       |${outBook}_cells AS (SELECT p.j, p.entry_id,
+       |      unnest(range(1, 9)) AS spos,
+       |      unnest(list_transform(range(1, 9),
+       |        i -> r.rv[p.j * 8 + CAST(i AS INTEGER)])) AS v
+       |    FROM $pick p JOIN tresid r ON p.vec_id = r.vec_id),
+       |${outBook}_u AS (SELECT j, entry_id,
+       |      list(CAST(floor(CAST(2 * s + n AS DOUBLE) / (2 * n)) AS INTEGER)
+       |        ORDER BY spos) AS sub_ev
+       |    FROM (SELECT j, entry_id, spos, SUM(CAST(v AS BIGINT)) AS s,
+       |            COUNT(*) AS n
+       |          FROM ${outBook}_cells GROUP BY j, entry_id, spos)
+       |    GROUP BY j, entry_id),
+       |$outBook AS (
+       |  SELECT b.entry_id,
+       |    flatten(list(COALESCE(u.sub_ev,
+       |        list_transform(range(1, 9),
+       |          i -> b.ev[sj.j * 8 + CAST(i AS INTEGER)]))
+       |      ORDER BY sj.j)) AS ev
+       |  FROM $inBook b CROSS JOIN subs sj
+       |  LEFT JOIN ${outBook}_u u ON u.j = sj.j AND u.entry_id = b.entry_id
+       |  GROUP BY b.entry_id)""".stripMargin
+
+  /** The trained-IVFADC arm + recall tail over PQ_CHAIN + IVFADC_FRAG's
+    * names: coarse centroids refined two exact-integer Lloyd epochs
+    * (tce0 → tasg2, the LLOYD_CHAIN arithmetic rebased on the PQ
+    * chain's seeds), residuals re-taken under the TRAINED centroids,
+    * the residual codebook (md5 ranks 16..31's trained-residuals)
+    * refined two per-subspace Lloyd rounds, the trained encode /
+    * probe / ADC ranking, and per-query hit counts of the all-seed
+    * IVFADC (IVFADC_FRAG's `adcres`) vs the all-trained one against
+    * the exact int8 top-5.
+    */
+  private val TRAINED_IVFADC_TAIL: String = ",\n" +
+    "tce0 AS (SELECT centroid_id, cv, CAST(csq AS BIGINT) AS csq FROM seeds),\n" +
+    lloydAsgCte("tasg0", "tce0") + ",\n" +
+    lloydUpdCte("tce1", "tasg0", "tce0") + ",\n" +
+    lloydAsgCte("tasg1", "tce1") + ",\n" +
+    lloydUpdCte("tce2", "tasg1", "tce1") + ",\n" +
+    lloydAsgCte("tasg2", "tce2") + ",\n" +
+    """tresid AS (SELECT a.vec_id, a.centroid_id,
+      |    list_transform(range(1, len(a.qv) + 1),
+      |      i -> a.qv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS rv
+      |  FROM tasg2 a JOIN tce2 c USING (centroid_id)),
+      |trbook0 AS (SELECT CAST(ranked.rank_id - 16 AS INTEGER) AS entry_id,
+      |    r.rv AS ev
+      |  FROM ranked JOIN tresid r ON ranked.seed_vec_id = r.vec_id
+      |  WHERE ranked.rank_id >= 16 AND ranked.rank_id < 32),
+      |""".stripMargin +
+    resPqRound("trpick1", "trbook0", "trbook1") + ",\n" +
+    resPqRound("trpick2", "trbook1", "trbook2") + ",\n" +
+    """trpick AS (SELECT vec_id, j, entry_id FROM (
+      |    SELECT r.vec_id, subs.j, b.entry_id,
+      |      row_number() OVER (PARTITION BY r.vec_id, subs.j ORDER BY
+      |        list_sum(list_transform(range(1, 9),
+      |          i -> CAST(r.rv[subs.j * 8 + CAST(i AS INTEGER)]
+      |                 - b.ev[subs.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+      |               * (r.rv[subs.j * 8 + CAST(i AS INTEGER)]
+      |                 - b.ev[subs.j * 8 + CAST(i AS INTEGER)]))),
+      |        b.entry_id) AS rn
+      |    FROM tresid r, trbook2 b, subs) WHERE rn = 1),
+      |trrecon AS (SELECT p.vec_id, p.j,
+      |    list_transform(range(1, 9),
+      |      i -> b.ev[p.j * 8 + CAST(i AS INTEGER)]) AS rhat
+      |  FROM trpick p JOIN trbook2 b USING (entry_id)),
+      |tw AS (SELECT r.vec_id,
+      |    list_transform(range(1, len(c.cv) + 1),
+      |      i -> c.cv[CAST(i AS INTEGER)] + f.rhat_full[CAST(i AS INTEGER)]) AS wv
+      |  FROM tresid r
+      |  JOIN tce2 c ON r.centroid_id = c.centroid_id
+      |  JOIN (SELECT vec_id, flatten(list(rhat ORDER BY j)) AS rhat_full
+      |        FROM trrecon GROUP BY vec_id) f ON r.vec_id = f.vec_id),
+      |twsq AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(wv, x -> CAST(x AS BIGINT) * x))
+      |      AS BIGINT) AS wsq,
+      |    wv FROM tw),
+      |tprobes AS (SELECT query_id, centroid_id FROM (
+      |    SELECT base.vec_id AS query_id, c.centroid_id,
+      |      row_number() OVER (PARTITION BY base.vec_id ORDER BY
+      |        CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+      |          i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+      |            * c.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+      |          / sqrt(CAST(base.qsq AS DOUBLE) * c.csq) DESC,
+      |        c.centroid_id) AS rn
+      |    FROM base, tce2 c WHERE base.vec_id < 10) WHERE rn <= 4),
+      |tcands AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM tprobes p JOIN tasg2 a USING (centroid_id)
+      |  WHERE a.vec_id <> p.query_id),
+      |tadc AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    CASE WHEN ww.wsq = 0 THEN 0.0
+      |         ELSE CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |             i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+      |               * ww.wv[CAST(i AS INTEGER)])) AS DOUBLE)
+      |           / sqrt(CAST(q.qsq AS DOUBLE) * ww.wsq) END AS sim
+      |  FROM tcands c
+      |  JOIN base q ON c.query_id = q.vec_id
+      |  JOIN twsq ww ON c.neighbor_id = ww.vec_id),
+      |trestop AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id) AS rnk FROM tadc)
+      |  WHERE rnk <= 5),
+      |srestop AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id) AS rnk FROM adcres)
+      |  WHERE rnk <= 5),
+      |texact0 AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |      i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+      |        * c.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(q.qsq AS DOUBLE) * c.qsq) AS sim
+      |  FROM base q, base c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |texact AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id) AS rnk FROM texact0)
+      |  WHERE rnk <= 5),
+      |hseed AS (SELECT e.query_id, count(*) AS n FROM texact e
+      |  JOIN srestop a ON e.query_id = a.query_id
+      |    AND e.neighbor_id = a.neighbor_id GROUP BY e.query_id),
+      |htr AS (SELECT e.query_id, count(*) AS n FROM texact e
+      |  JOIN trestop a ON e.query_id = a.query_id
+      |    AND e.neighbor_id = a.neighbor_id GROUP BY e.query_id)
+      |SELECT q.vec_id AS query_id,
+      |  CAST(COALESCE(hseed.n, 0) AS BIGINT) AS hits_seed,
+      |  CAST(COALESCE(htr.n, 0) AS BIGINT) AS hits_trained
+      |FROM base q
+      |LEFT JOIN hseed ON q.vec_id = hseed.query_id
+      |LEFT JOIN htr ON q.vec_id = htr.query_id
+      |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin
+
+  private val TRAINED_IVFADC_RECALL_SQL: String =
+    PQ_CHAIN + ",\n" + IVFADC_FRAG + TRAINED_IVFADC_TAIL
+  private val PLANTED_TRAINED_IVFADC_RECALL_SQL: String =
+    PLANTED_PQ_CHAIN + ",\n" + IVFADC_FRAG + TRAINED_IVFADC_TAIL
 
   /** One per-subspace Lloyd mean-update over PQ_CHAIN's names: the
     * lloydUpdCte arithmetic keyed by (subspace j, codebook entry),
@@ -2663,11 +2902,15 @@ object SparkEntry {
         |INTERSECT
         |SELECT s_nationkey AS nation_key FROM supplier
         |ORDER BY nation_key""".stripMargin,
+    // non-empty at every test SF, with heavy left-side multiplicity —
+    // the match certifies EXCEPT's dedup-on-survivors semantics on
+    // real rows (the prior pair matched on an empty result)
     "q_except" ->
-      """SELECT c_nationkey AS nation_key FROM customer
+      """SELECT o_custkey AS customer_key FROM orders
         |EXCEPT
-        |SELECT s_nationkey AS nation_key FROM supplier
-        |ORDER BY nation_key""".stripMargin,
+        |SELECT c_custkey AS customer_key FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY customer_key""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT o.o_orderkey AS order_key, o.o_custkey AS customer_key,
         |  o.o_totalprice AS total_price
@@ -4591,6 +4834,69 @@ object SparkEntry {
         |  c.csq
         |FROM ce1 c LEFT JOIN counts k USING (centroid_id)
         |ORDER BY c.centroid_id""".stripMargin,
+    // the PERSISTED-store form of the same theorem: Spark computes
+    // init-stats + batch-stats merged in the store sidecar and updates
+    // centroids off the sidecar alone; the oracle computes the union
+    // one-epoch update under the stored-side seeds — identical numbers
+    // iff integer sums are sufficient statistics AND the store's
+    // sidecar discipline (init write, append merge) holds
+    "q_ivf_store_update_inc" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq,
+        |        substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS stored
+        |      FROM q0),
+        |base AS (SELECT * FROM b WHERE qsq > 0),
+        |ce0 AS (SELECT centroid_id, cv, CAST(csq AS BIGINT) AS csq FROM (
+        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS INTEGER) - 1 AS centroid_id
+        |    FROM base WHERE stored) WHERE centroid_id < 16),
+        |asg AS (SELECT vec_id, centroid_id FROM (
+        |    SELECT base.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY base.vec_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |          i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |            * c.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |          / sqrt(CAST(base.qsq AS DOUBLE) * c.csq) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM base, ce0 c) WHERE rn = 1),
+        |cells AS (SELECT a.centroid_id,
+        |      unnest(range(1, len(b2.qv) + 1)) AS pos, unnest(b2.qv) AS v
+        |    FROM asg a JOIN base b2 USING (vec_id)),
+        |u AS (SELECT centroid_id,
+        |      list(CAST(floor(CAST(2 * s + n AS DOUBLE) / (2 * n)) AS INTEGER)
+        |        ORDER BY pos) AS cv
+        |    FROM (SELECT centroid_id, pos, SUM(CAST(v AS BIGINT)) AS s,
+        |            COUNT(*) AS n
+        |          FROM cells GROUP BY centroid_id, pos)
+        |    GROUP BY centroid_id),
+        |un AS (SELECT centroid_id, cv,
+        |      CAST(list_sum(list_transform(cv, x -> CAST(x AS BIGINT) * x))
+        |        AS BIGINT) AS csq
+        |    FROM u),
+        |ce1 AS (SELECT p.centroid_id,
+        |      CASE WHEN n.csq IS NULL OR n.csq = 0 THEN p.cv ELSE n.cv END AS cv,
+        |      CAST(CASE WHEN n.csq IS NULL OR n.csq = 0 THEN p.csq ELSE n.csq END
+        |        AS BIGINT) AS csq
+        |    FROM ce0 p LEFT JOIN un n USING (centroid_id)),
+        |counts AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        |    FROM asg GROUP BY centroid_id)
+        |SELECT c.centroid_id,
+        |  COALESCE(k.n_members, 0) AS n_members,
+        |  CAST(list_sum(list_transform(c.cv, x -> CAST(x AS BIGINT))) AS BIGINT)
+        |    AS cv_sum,
+        |  c.csq
+        |FROM ce1 c LEFT JOIN counts k USING (centroid_id)
+        |ORDER BY c.centroid_id""".stripMargin,
     // seed-vs-Lloyd-trained index recall at equal probe width —
     // candidate and exact-top-k hit counts per query, both epochs
     "q_ivf_trained_recall" -> LLOYD_RECALL_SQL,
@@ -4835,6 +5141,8 @@ object SparkEntry {
     // sidecar, so one SQL is both oracles.
     "q_ivfpq_topk" -> IVFPQ_TOPK_SQL,
     "q_ivfpq_store_probe" -> IVFPQ_TOPK_SQL,
+    // the retrained store: trained coarse pruning, unchanged codebook
+    "q_ivfpq_store_probe_trained" -> TRAINED_IVFPQ_PROBE_SQL,
     // the layout-recording store probe: raw coarse + permuted encode
     "q_ivfpq_store_probe_opq" -> IVFPQ_OPQ_SQL,
     // residual IVFADC: same probe discipline, ADC dot = q·(cv + r̂)
@@ -4851,6 +5159,10 @@ object SparkEntry {
     // CTE differs; the entire index + recall machinery is shared
     "q_ivfadc_recall_clustered" ->
       (PLANTED_PQ_CHAIN + ",\n" + IVFADC_FRAG + IVFADC_RECALL_TAIL),
+    // trained-IVFADC A/B: both quantizer levels Lloyd-trained (coarse
+    // epochs + residual-codebook rounds), vs the all-seed configuration
+    "q_ivfadc_trained_recall" -> TRAINED_IVFADC_RECALL_SQL,
+    "q_ivfadc_trained_recall_clustered" -> PLANTED_TRAINED_IVFADC_RECALL_SQL,
     // recall-vs-cost grid: ONE candidate pass at the widest probe
     // width with each pair's admitting probe rank (one list per
     // corpus vector ⇒ probe_rnk <= p IS the nProbe=p candidate set),

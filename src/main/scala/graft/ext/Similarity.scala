@@ -1224,6 +1224,12 @@ object Similarity {
       .select((STORE_COLS :+ "centroid_id").map(col): _*)
       .write.mode("overwrite")
       .partitionBy("centroid_id").parquet(s"$dir/assignments")
+    // the sufficient-statistics sidecar (see [[ivfIndexStoreLloydStats]]):
+    // aggregated off the just-written bytes — a cheap scan with no
+    // second argmax pass over the corpus
+    val spark = embeddings.sparkSession
+    writeLloydStats(spark, dir,
+      collectAssignmentStats(spark, s"$dir/assignments"))
   }
 
   def ivfIndexStoreCentroids(spark: org.apache.spark.sql.SparkSession,
@@ -1234,6 +1240,132 @@ object Similarity {
                                dir: String): DataFrame =
     spark.read.parquet(s"$dir/assignments")
       .select("vec_id", "qb", "qsq", "dig", "centroid_id", "centroid_sim")
+
+  /** The store's LLOYD-STATISTICS SIDECAR (`dir/lloyd_stats`): per
+    * (inverted list, coordinate) the EXACT integer sum and count of
+    * the list's member codes — the additive sufficient statistics of
+    * one centroid mean-update ([[lloydStats]]'s cells, persisted).
+    * The invariant every writer maintains: the sidecar equals the
+    * per-cell aggregate of the CONSOLIDATED assignment rows (streamed
+    * day partitions join it when a reseed/train folds them in, the
+    * same moment they join the consolidated lists). Because a member's
+    * contribution is a pure additive fact of its assignment row, the
+    * sidecar stays exact under appends (merge by addition), under
+    * centroid updates (member sums don't move when a centroid does),
+    * and under replays (a replayed append doubles assignment rows and
+    * sidecar contributions TOGETHER, preserving the invariant).
+    * Bounded everywhere: nList × dim cells.
+    */
+  private[ext] def ivfIndexStoreLloydStats(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[(Int, Int), (Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/lloyd_stats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new java.io.IOException(
+        s"no Lloyd-statistics sidecar at $p — the store predates the " +
+          "round-16 layout; re-init, reseed, or train it to create one")
+    spark.read.parquet(p.toString)
+      .select("cluster", "pos", "s", "n").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  /** The per-cell statistics of stored assignment rows, read back from
+    * store bytes (`int8_unpack` recovers the int codes) — one cheap
+    * scan of the written files, no argmax. The unpack is the
+    * generator's INPUT, so it runs once per row, not once per exploded
+    * cell (the round-15 Generate discipline).
+    */
+  private def collectAssignmentStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[(Int, Int), (Long, Long)] = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.Int8Unpack.int8_unpack
+    spark.read.parquet(path)
+      .select(col("centroid_id").as("cluster"),
+        posexplode(int8_unpack(col("qb"))).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  /** The statistics of an in-flight assigned batch (the [[assignCodes]]
+    * output shape: qv + centroid_id present) — O(batch × nList), the
+    * append-side half of the sidecar merge.
+    */
+  private def lloydStatsOf(assigned: DataFrame): Map[(Int, Int), (Long, Long)] =
+    assigned
+      .select(col("centroid_id").as("cluster"),
+        posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+  /** Persist a statistics map as the sidecar. The rows are written
+    * from a driver-local sequence (the map is nList × dim bounded), so
+    * an overwrite never races its own read lineage.
+    */
+  private def writeLloydStats(spark: org.apache.spark.sql.SparkSession,
+                              dir: String,
+                              stats: Map[(Int, Int), (Long, Long)]): Unit = {
+    import spark.implicits._
+    stats.toSeq.map { case ((c, p), (s, n)) => (c, p, s, n) }
+      .sortBy(t => (t._1, t._2))
+      .toDF("cluster", "pos", "s", "n")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/lloyd_stats")
+  }
+
+  /** O(batch) CENTROID MAINTENANCE of the persisted index
+    * (`q_ivf_store_update_inc`) — the day-ingest cell the
+    * sufficient-statistics theorem exists for: recompute every
+    * centroid as the HALF-UP integer mean of its CURRENT member list,
+    * reading ONLY the sidecar and the centroid table (nList × dim
+    * cells — NO scan of the stored corpus at any size). Because
+    * [[ivfIndexStoreAppend]] merges each batch's statistics by
+    * addition, init + appends + THIS equals the one-epoch Lloyd
+    * update of the union corpus under the init centroids EXACTLY
+    * (integer sums are sufficient statistics — the
+    * [[kmeansUpdateIncSummary]] theorem, now wired into the
+    * artifact; the DuckDB oracle certifies it cross-engine by
+    * computing the union form). Empty lists and zero-norm means carry
+    * the current centroid, so the call is idempotent (same sidecar →
+    * same means). Assignments stay as-assigned — the standard IVF
+    * maintenance posture: lists drift around their moving centroid
+    * until a reseed/train re-partitions them, and the sidecar stays
+    * exact throughout because member sums don't move when a centroid
+    * does. Returns one row per centroid: member count, exact updated
+    * coordinate sum, and squared norm.
+    */
+  def ivfIndexStoreUpdateCentroids(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): DataFrame = {
+    import spark.implicits._
+    val current = ivfIndexStoreCentroids(spark, dir)
+      .select("centroid_id", "seed_vec_id", "cv", "csq").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2), r.getLong(3)))
+      .sortBy(_._1)
+    require(current.nonEmpty, s"empty centroid table at $dir/centroids")
+    val stats = ivfIndexStoreLloydStats(spark, dir)
+    val updated = lloydCentroidsFromStats(
+      current.map { case (cid, _, cv, csq) => (cid, cv, csq) }, stats)
+    // lineage: the updated centroid keeps its ancestor's seed_vec_id,
+    // so the store schema — and every existing reader — is unchanged
+    val picked = updated.zip(current).map {
+      case ((cid, cv, csq), (_, vid, _, _)) => (cid, vid, cv, csq)
+    }
+    seedsToDf(spark, picked).write.mode("overwrite").parquet(s"$dir/centroids")
+    updated.map { case (cid, cv, csq) =>
+      (cid, stats.get((cid, 0)).map(_._2).getOrElse(0L),
+        cv.map(_.toLong).sum, csq)
+    }.toSeq
+      .toDF("centroid_id", "n_members", "cv_sum", "csq")
+      .orderBy("centroid_id")
+  }
 
   /** Incremental index maintenance: assign a NEW batch against the
     * STORED centroids (no scan of stored assignments — O(batch ×
@@ -1249,6 +1381,14 @@ object Similarity {
     assigned.select((STORE_COLS :+ "centroid_id").map(col): _*)
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$dir/assignments")
+    // merge the batch's additive statistics into the sidecar — ONE
+    // O(batch × nList) pass over the batch (the same cost class as the
+    // assignment itself), keeping the sidecar ≡ per-cell aggregate of
+    // the consolidated lists so [[ivfIndexStoreUpdateCentroids]] never
+    // needs a stored-corpus rescan
+    writeLloydStats(spark, dir,
+      lloydMergeStats(ivfIndexStoreLloydStats(spark, dir),
+        lloydStatsOf(assigned)))
     assigned
   }
 
@@ -1766,43 +1906,11 @@ object Similarity {
     * drifted days made it necessary.
     */
   def ivfIndexStoreReseed(spark: org.apache.spark.sql.SparkSession,
-                          dir: String, nList: Int = 16): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    import graft.functions.Int8Unpack.int8_unpack
-    if (Curation.storeSwapRecover(spark, dir) == "absent")
-      throw new java.io.IOException(
-        s"no IVF index store (live, old, or staged) at $dir")
-    val codes = ivfIndexStoreAssignments(spark, dir)
-      .unionByName(ivfIndexReadDayAssignments(spark, dir))
-      .select(col("vec_id"), int8_unpack(col("qb")).as("qv"), col("qb"),
-        col("qsq"), col("dig"))
-    val picked = seedPickFromCodes(codes, nList)
-    val target = new org.apache.hadoop.fs.Path(dir)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(
-      target.getParent, s".${target.getName}.compact-staging")
-    val old = new org.apache.hadoop.fs.Path(
-      target.getParent, s".${target.getName}.compact-old")
-    fs.delete(staging, true)
-    // both staged writes read the still-live target and complete before
-    // any rename — no lineage reaches the swapped paths afterwards
-    seedsToDf(spark, picked).write.parquet(s"$staging/centroids")
-    assignCodes(codes, picked.map { case (cid, _, cv, csq) => (cid, cv, csq) })
-      .select((STORE_COLS :+ "centroid_id").map(col): _*)
-      .write.partitionBy("centroid_id").parquet(s"$staging/assignments")
-    // root-level completeness marker LAST: storeSwapRecover adopts a
-    // headless staging dir only when this file exists
-    fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")).close()
-    fs.delete(old, true)
-    if (!fs.rename(target, old))
-      throw new java.io.IOException(s"rename $target -> $old failed")
-    if (!fs.rename(staging, target)) {
-      fs.rename(old, target) // restore the live store before failing
-      throw new java.io.IOException(s"rename $staging -> $target failed")
-    }
-    fs.delete(old, true)
-    ivfIndexStoreOccupancy(spark, dir)
-  }
+                          dir: String, nList: Int = 16): DataFrame =
+    // a reseed IS a zero-epoch train: fresh seeds, full re-assignment,
+    // same staged swap — one copy of the crash-recovery protocol
+    // instead of two that could drift (ADVICE round-15)
+    ivfIndexStoreTrain(spark, dir, nList, iters = 0)
 
   /** TRAIN the persisted index in place — the deploy step of the
     * round-15 trained-quantizer tier, completing the lifecycle the
@@ -1826,6 +1934,7 @@ object Similarity {
                          iters: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.Int8Unpack.int8_unpack
+    import graft.functions.PqCodes.pq_encode
     if (Curation.storeSwapRecover(spark, dir) == "absent")
       throw new java.io.IOException(
         s"no IVF index store (live, old, or staged) at $dir")
@@ -1849,11 +1958,44 @@ object Similarity {
     val old = new org.apache.hadoop.fs.Path(
       target.getParent, s".${target.getName}.compact-old")
     fs.delete(staging, true)
+    // every staged write reads the still-live target (or staging files
+    // already completed) and finishes before any rename — no lineage
+    // reaches the swapped paths afterwards
     seedsToDf(spark, picked).write.parquet(s"$staging/centroids")
     assignCodes(codes, trained)
       .select((STORE_COLS :+ "centroid_id").map(col): _*)
       .write.partitionBy("centroid_id").parquet(s"$staging/assignments")
     codes.unpersist(blocking = false)
+    // the statistics sidecar, under the NEW centroids/lists: aggregated
+    // off the staged bytes (cheap scan, no extra argmax) — train is the
+    // moment the sidecar re-bases, and day partitions fold in here
+    writeLloydStats(spark, staging.toString,
+      collectAssignmentStats(spark, s"$staging/assignments"))
+    // PQ-sidecar REBUILD-IN-SWAP (round-16 lifecycle pin): if the live
+    // store carries a PQ sidecar, the trained store keeps it usable —
+    // the codebook is copied VERBATIM (its md5 draw reads vec_ids,
+    // which training never changes, and a pinned codebook keeps every
+    // already-issued code byte valid), and pq_codes are re-encoded off
+    // the staged assignment bytes so they land partitioned by the NEW
+    // list ids. Per-vector (pcodes, rsq) are unchanged by construction
+    // (same codebook, same codes — spec-pinned); only the hive
+    // partitioning moves. Without this, the swap silently dropped the
+    // sidecar and the next ADC probe failed on a missing path.
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codebook"))) {
+      val (matrix, nSub, layout) = ivfIndexStorePqCodebook(spark, dir)
+      spark.read.parquet(s"$dir/pq_codebook")
+        .write.parquet(s"$staging/pq_codebook")
+      spark.read.parquet(s"$staging/assignments")
+        .select(col("vec_id"),
+          pq_encode(applyLayout(int8_unpack(col("qb")), layout),
+            matrix, nSub).as("pq"),
+          col("centroid_id"))
+        .select(col("vec_id"), col("pq.codes").as("pcodes"),
+          col("pq.rsq").as("rsq"), col("centroid_id"))
+        .write.partitionBy("centroid_id").parquet(s"$staging/pq_codes")
+    }
+    // root-level completeness marker LAST: storeSwapRecover adopts a
+    // headless staging dir only when this file exists
     fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")).close()
     fs.delete(old, true)
     if (!fs.rename(target, old))
@@ -1875,16 +2017,17 @@ object Similarity {
     * distortion, and ADC rankings are all exact integer arithmetic —
     * the property that puts the PQ tier under the DuckDB hash oracle
     * (trained-codebook PQ's float iteration would be rows-only). K is
-    * capped at 127 — NOT the byte's 255 ceiling ([[graft.functions
-    * .PqEncode]] accepts up to 255 entries) but the SIGNED decode's:
-    * [[pqEncodeSummary]] renders stored code bytes through the
-    * sign-extending `int8_unpack`, which would print entry ids >= 128
-    * as negatives. Raising the cap requires an unsigned decode there
-    * first.
+    * capped at 255 — the byte's full addressing ceiling
+    * ([[graft.functions.PqEncode]] rejects wider codebooks as NULL):
+    * every entry-id decode goes through the UNSIGNED `uint8_unpack`
+    * ([[pqEncodeSummary]], [[pqLloydCodebook]]), so ids >= 128 render
+    * and index faithfully (the signed decode that capped the tier at
+    * 127 entries was replaced in round 16; spec-pinned with a
+    * 200-entry codebook in PqSpec).
     */
   private def pqPackSeeds(seeds: Array[(Int, Long, Seq[Int], Long)]): Array[Int] = {
     require(seeds.nonEmpty, "PQ codebook needs at least one seed")
-    require(seeds.length <= 127, s"PQ codebook capped at 127 entries, got ${seeds.length}")
+    require(seeds.length <= 255, s"PQ codebook capped at 255 entries, got ${seeds.length}")
     val dim = seeds.head._3.length
     require(seeds.forall(_._3.length == dim),
       "PQ seed codes must share one dimensionality")
@@ -1966,13 +2109,15 @@ object Similarity {
                       nSub: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     import graft.functions.PqCodes.pq_encode
-    import graft.functions.Int8Unpack.int8_unpack
+    import graft.functions.Uint8Unpack.uint8_unpack
     val codes = quantizedQv(embeddings).filter(col("qsq") > 0)
     val matrix = pqPackSeeds(seedPickFromCodes(codes, nBook))
     codes
       .select(col("vec_id"), pq_encode(col("qv"), matrix, nSub).as("pq"))
       .select(col("vec_id"),
-        concat_ws(",", int8_unpack(col("pq.codes")).cast("array<string>"))
+        // UNSIGNED decode: the bytes are codebook ENTRY IDS (0..254),
+        // not int8 codes — sign extension would print >= 128 negative
+        concat_ws(",", uint8_unpack(col("pq.codes")).cast("array<string>"))
           .as("pq_csv"),
         col("pq.dist").as("pq_dist"), col("pq.rsq").as("recon_sq"))
       .orderBy("vec_id")
@@ -2150,7 +2295,7 @@ object Similarity {
                                    nBook: Int, nSub: Int): Array[Int] = {
     graft.functions.GraftFunctions.register(codes.sparkSession)
     import graft.functions.PqCodes.pq_encode
-    import graft.functions.Int8Unpack.int8_unpack
+    import graft.functions.Uint8Unpack.uint8_unpack
     val dim = matrix.length / nBook
     val subDim = dim / nSub
     // the encode MUST be its own projection BELOW the explode: a
@@ -2162,9 +2307,10 @@ object Similarity {
     // computed once per vector and only COPIED per row.
     val cells = codes
       .select(col("qv"),
-        // entry ids are <= 126 by the pqPackSeeds cap, so the
-        // sign-extending unpack renders them faithfully
-        int8_unpack(pq_encode(col("qv"), matrix, nSub)
+        // UNSIGNED decode: the bytes are entry ids (0..254) used as
+        // array indices below — sign extension would index negatively
+        // for codebooks past 128 entries
+        uint8_unpack(pq_encode(col("qv"), matrix, nSub)
           .getField("codes")).as("ents"))
       .select(col("ents"), posexplode(col("qv")).as(Seq("pos", "v")))
       .select((col("pos") / subDim).cast("int").as("j"),
@@ -2548,16 +2694,43 @@ object Similarity {
     * caller-persisted non-degenerate code frame.
     */
   private def ivfAdcSims(codes: DataFrame, numQueries: Int, nList: Int,
-                         nProbe: Int, nBook: Int, nSub: Int): DataFrame = {
+                         nProbe: Int, nBook: Int, nSub: Int): DataFrame =
+    ivfAdcSimsWith(codes,
+      seedPickFromCodes(codes, nList).map { case (cid, _, cv, csq) => (cid, cv, csq) },
+      numQueries, nProbe, nBook, nSub, pqIters = 0)
+
+  /** [[ivfAdcSims]] under CALLER-SUPPLIED coarse centroids and
+    * `pqIters` per-subspace Lloyd rounds on the RESIDUAL codebook —
+    * the generalization that lets the trained-IVFADC A/B differ from
+    * the seed arm ONLY in what was trained. `cents` is any centroid
+    * matrix in [[collectSeedCentroids]]'s shape (the seed draw, a
+    * Lloyd epoch, or a store's table); the residual codebook's epoch 0
+    * is the md5 ranks [cents.length, cents.length + nBook)'s own
+    * residuals UNDER those centroids (the disjoint-draw rule), and
+    * each Lloyd round is [[pqLloydCodebook]] run on the residual frame
+    * (residuals are plain int vectors, so the sub-quantizer trainer
+    * applies unchanged — this is "PQ trained on residuals", the
+    * production IVFADC configuration of Jégou et al.). Scale shape per
+    * round: one argmin encode pass over the residuals + the map-side-
+    * combined nSub × nBook × subDim cell aggregate — the coarse
+    * [[lloydEpochs]] cost class one level down.
+    */
+  private def ivfAdcSimsWith(codes: DataFrame,
+                             cents: Array[(Int, Seq[Int], Long)],
+                             numQueries: Int, nProbe: Int, nBook: Int,
+                             nSub: Int, pqIters: Int): DataFrame = {
     graft.functions.GraftFunctions.register(codes.sparkSession)
     import graft.functions.PqCodes.{pq_encode, pq_lut, pq_adc, pq_recon,
       int_vec_add, int_vec_sub}
     import graft.functions.IntDot.int_dot
     val spark = codes.sparkSession
-    val seeds = seedPickFromCodes(codes, nList)
-    val scored = seedScoreArray(seeds.map { case (cid, _, cv, csq) => (cid, cv, csq) })
-    val centDf = seedsToDf(spark, seeds)
-      .select(col("centroid_id").as("cluster"), col("cv"))
+    val nList = cents.length
+    val scored = seedScoreArray(cents)
+    val centDf = {
+      import spark.implicits._
+      cents.toSeq.map { case (cid, cv, _) => (cid, cv) }
+        .toDF("cluster", "cv")
+    }
     // one pass: coarse list id + residual against the assigned centroid
     val assigned = codes
       .withColumn("best", array_max(scored))
@@ -2572,8 +2745,17 @@ object Similarity {
       .filter(col("vec_id").isInCollection(rbookIds.map(java.lang.Long.valueOf)))
       .select("vec_id", "rv").collect()
       .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
-    val rMatrix = pqPackSeeds(rbookIds.zipWithIndex.map { case (vid, idx) =>
+    val rMatrix0 = pqPackSeeds(rbookIds.zipWithIndex.map { case (vid, idx) =>
       (idx, vid, rvById(vid), 0L) })
+    // `pqIters` per-subspace Lloyd rounds ON THE RESIDUALS: the
+    // sub-quantizer trainer applied to the residual frame (rv rides in
+    // as the trainer's qv) — residual codes concentrate near zero, so
+    // this is where a trained codebook has real structure to spend its
+    // entries on (the distortion-descent theorem holds unchanged)
+    val rMatrix = (1 to pqIters).foldLeft(rMatrix0) { (m, _) =>
+      pqLloydCodebook(assigned.select(col("vec_id"), col("rv").as("qv")),
+        m, nBook, nSub)
+    }
     // encode: residual codes + the reconstruction w = cv + r̂ and its
     // exact squared norm (the ADC cosine denominator, stored per row)
     val enc = assigned
@@ -2670,6 +2852,58 @@ object Similarity {
       .select(col("query_id"),
         coalesce(col("hits_pq"), lit(0L)).as("hits_pq"),
         coalesce(col("hits_ivfadc"), lit(0L)).as("hits_ivfadc"))
+      .orderBy("query_id")
+    Dedup.scopeCaches(out, codes)
+  }
+
+  /** Trained-IVFADC recall A/B (`q_ivfadc_trained_recall[_clustered]`)
+    * — the COMPOSITION of the two trained quantizer levels, i.e. the
+    * production index configuration (Jégou et al.'s IVFADC with both
+    * the coarse quantizer and the residual codebook k-means-trained):
+    * coarse centroids refined by `iters` exact-integer Lloyd epochs
+    * ([[lloydEpochs]]), residuals re-taken under the TRAINED centroids,
+    * and the residual codebook refined by `pqIters` per-subspace Lloyd
+    * rounds ([[pqLloydCodebook]] on the residual frame). Per query at
+    * EQUAL probe width and EQUAL stored bytes: exact int8-top-k hit
+    * counts for the all-seed IVFADC vs the all-trained one. The
+    * measured question is sharp: `q_pq_trained_recall_clustered`
+    * showed distortion-optimal RAW-PQ training CRATERS clustered
+    * recall (5→1 — every cluster-mate reconstructs identically);
+    * residual training is the textbook fix (residuals are
+    * within-cluster offsets, so codebook entries spend capacity on
+    * exactly the resolution raw training erased) — and this A/B
+    * certifies whether it actually recovers it, in exact integers
+    * under the hash oracle, before a deployment commits the
+    * configuration.
+    */
+  def ivfAdcTrainedRecall(embeddings: DataFrame, numQueries: Int = 10,
+                          k: Int = 5, nList: Int = 16, nProbe: Int = 4,
+                          nBook: Int = 16, nSub: Int = 8, iters: Int = 2,
+                          pqIters: Int = 2): DataFrame = {
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
+    def rank(sims: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .select("query_id", "neighbor_id")
+    }
+    val exact = storedCodesTopK(codes, numQueries, k)
+      .select("query_id", "neighbor_id")
+    val epochs = lloydEpochs(codes, nList, iters)
+    val seedArm = rank(ivfAdcSimsWith(codes, epochs.head, numQueries,
+      nProbe, nBook, nSub, pqIters = 0))
+    val trainedArm = rank(ivfAdcSimsWith(codes, epochs.last, numQueries,
+      nProbe, nBook, nSub, pqIters))
+    def hits(approx: DataFrame, name: String): DataFrame =
+      exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as(name))
+    val out = codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"))
+      .join(hits(seedArm, "hits_seed"), Seq("query_id"), "left")
+      .join(hits(trainedArm, "hits_trained"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits_seed"), lit(0L)).as("hits_seed"),
+        coalesce(col("hits_trained"), lit(0L)).as("hits_trained"))
       .orderBy("query_id")
     Dedup.scopeCaches(out, codes)
   }

@@ -112,6 +112,7 @@ object GraftFunctions {
     reg1("int_dot_bytes", IntDotBytes.builder, classOf[IntDotBytes])
     reg1("centroid_scores", CentroidScores.builder, classOf[CentroidScores])
     reg1("int8_unpack", Int8Unpack.builder, classOf[Int8Unpack])
+    reg1("uint8_unpack", Uint8Unpack.builder, classOf[Uint8Unpack])
     reg1("pq_encode", PqCodes.encodeBuilder, classOf[PqEncode])
     reg1("pq_lut", PqCodes.lutBuilder, classOf[PqLut])
     reg1("pq_adc", PqCodes.adcBuilder, classOf[PqAdc])
@@ -204,6 +205,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("int8_unpack"),
       new ExpressionInfo(classOf[Int8Unpack].getName, "int8_unpack"),
       Int8Unpack.builder _))
+    e.injectFunction((
+      new FunctionIdentifier("uint8_unpack"),
+      new ExpressionInfo(classOf[Uint8Unpack].getName, "uint8_unpack"),
+      Uint8Unpack.builder _))
     e.injectFunction((
       new FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),

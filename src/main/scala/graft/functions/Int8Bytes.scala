@@ -199,3 +199,53 @@ object Int8Unpack {
 
   def int8_unpack(a: Column): Column = call_function("int8_unpack", a)
 }
+
+/** UNSIGNED byte decode (`uint8_unpack(binary) -> array<int>`, each
+  * byte as `b & 0xff` in [0, 255]) — the decode for byte payloads that
+  * are ENTRY IDS rather than int8 codes: a PQ code byte addresses up
+  * to 256 codebook entries, so ids >= 128 rendered through the
+  * sign-extending [[Int8Unpack]] would print as negatives (the
+  * rendering bug that capped the PQ codebook at 127 entries before
+  * round 16). `uint8_unpack(bytes)[i] ≡ int8_unpack(bytes)[i] & 0xff`
+  * element-wise (spec-pinned).
+  */
+case class Uint8Unpack(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "uint8_unpack"
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val out = new Array[Int](b.length)
+    var i = 0
+    while (i < b.length) { out(i) = b(i) & 0xff; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $b.length;
+         |int[] $out = new int[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $b[$i] & 0xff;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Uint8Unpack {
+  def builder(exprs: Seq[Expression]): Expression = {
+    FnArgs.arity("uint8_unpack", exprs, Seq(1))
+    Uint8Unpack(Cast(exprs(0), BinaryType))
+  }
+
+  def uint8_unpack(a: Column): Column = call_function("uint8_unpack", a)
+}

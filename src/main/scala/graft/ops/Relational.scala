@@ -347,11 +347,19 @@ object Relational {
       .intersect(supplier.select(col("s_nationkey").as("nation_key")))
       .orderBy("nation_key")
 
-  /** EXCEPT (distinct): nations with customers but no suppliers. */
-  def exceptKeys(customer: DataFrame, supplier: DataFrame): DataFrame =
-    customer.select(col("c_nationkey").as("nation_key"))
-      .except(supplier.select(col("s_nationkey").as("nation_key")))
-      .orderBy("nation_key")
+  /** EXCEPT (distinct): customers who placed orders, minus the
+    * BUILDING-segment customer keys. The left side carries heavy
+    * multiplicity (a customer places many orders) and the difference
+    * is non-empty at every test SF, so the oracle match certifies
+    * EXCEPT's dedup-on-survivors semantics on real rows — the prior
+    * customer-nations-minus-supplier-nations pair matched on an EMPTY
+    * result at the test SFs, the weakest possible instrument.
+    */
+  def exceptKeys(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.select(col("o_custkey").as("customer_key"))
+      .except(customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("customer_key")))
+      .orderBy("customer_key")
 
   /** Correlated scalar subqueries (SQL path): orders priced above their
     * customer's average. The comparison is done entirely in integer

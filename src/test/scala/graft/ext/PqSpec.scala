@@ -387,6 +387,24 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ivfAdcTrainedRecall: bounded hits, zero-round degeneracy, and the " +
+    "seed arm IS the untrained IVFADC arm") {
+    val d = sf("sf0.001")
+    val rows = Similarity.ivfAdcTrainedRecall(d).collect()
+    assert(rows.length === 10)
+    rows.foreach(r => assert(r.getLong(1) <= 5 && r.getLong(2) <= 5))
+    // with no training anywhere the two arms are the same ranking
+    val same = Similarity.ivfAdcTrainedRecall(d, iters = 0, pqIters = 0).collect()
+    same.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      "zero coarse epochs + zero codebook rounds must be symmetric"))
+    // cross-law: hits_seed equals ivfAdcRecall's residual arm (same
+    // seed centroids, same rank-16..31 residual codebook, same probe)
+    val ab = Similarity.ivfAdcRecall(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach(r => assert(r.getLong(1) === ab(r.getLong(0)),
+      "hits_seed must equal q_ivfadc_recall's hits_ivfadc"))
+  }
+
   test("persisted PQ sidecar: static-store ADC probe equals ivfPqTopK row-for-row") {
     val d = sf("sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString + "/idx"
@@ -516,6 +534,46 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     val same = Similarity.pqTrainedRecall(d, iters = 0).collect()
     same.foreach(r => assert(r.getLong(1) === r.getLong(2),
       "with no training rounds the two arms are the same ranking"))
+  }
+
+  test("codebooks past 127 entries: unsigned entry-id decode renders and " +
+    "indexes faithfully (the round-16 cap lift)") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    import graft.functions.PqCodes.pq_encode
+    import graft.functions.Int8Unpack.int8_unpack
+    import graft.functions.Uint8Unpack.uint8_unpack
+    val rnd = new scala.util.Random(20260816L)
+    val dim = 16; val nSub = 4; val k = 200
+    val matrix = Array.fill(k * dim)(rnd.nextInt(255) - 127)
+    val vecs = (0 until 60).map(_ => Array.fill(dim)(rnd.nextInt(255) - 127))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "qv")
+    val got = df.select(col("vec_id"),
+        pq_encode(col("qv"), matrix, nSub).as("pq"))
+      .select(col("vec_id"),
+        uint8_unpack(col("pq.codes")).as("uids"),
+        int8_unpack(col("pq.codes")).as("sids"))
+      .collect()
+    // non-vacuous: ids past the old signed boundary must actually occur
+    val allIds = got.flatMap(_.getSeq[Int](1))
+    assert(allIds.exists(_ >= 128),
+      "fixture too tame: no entry id >= 128 chosen — widen k or reseed")
+    assert(allIds.forall(id => id >= 0 && id < k))
+    // uint8 ≡ int8 & 0xff element-wise, and both match the reference argmin
+    got.foreach { r =>
+      val u = r.getSeq[Int](1); val s = r.getSeq[Int](2)
+      assert(u === s.map(_ & 0xff))
+      val (ref, _, _) = refEncode(vecs(r.getLong(0).toInt), matrix, nSub)
+      assert(u.toSeq === ref.toSeq, s"entry ids diverge for vec ${r.getLong(0)}")
+    }
+    // the Lloyd round indexes entries unsigned too: one update over the
+    // wide codebook must neither throw nor write outside its 200 entries
+    val codes = df.withColumn("qsq",
+      graft.functions.IntDot.int_dot(col("qv"), col("qv")))
+    val trained = Similarity.pqLloydCodebook(codes, matrix, nBook = k, nSub = nSub)
+    assert(trained.length === matrix.length)
+    assert(trained.forall(v => v >= -127 && v <= 127))
   }
 
   test("degenerate vectors are excluded from corpus, queries, and the codebook") {

@@ -912,6 +912,96 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .forall(_.getLong(1) === 5L))
   }
 
+  test("lloyd_stats sidecar: init writes it, append merges it, and the " +
+      "O(batch) centroid update equals the union one-epoch Lloyd update") {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    graft.functions.GraftFunctions.register(spark)
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val dir = java.nio.file.Files.createTempDirectory("graft_lloyd_sc").toString + "/idx"
+    Similarity.ivfIndexStoreInit(d.filter(storedSide), dir)
+    val seeds = Similarity.collectSeedCentroids(
+      Similarity.ivfIndexStoreCentroids(spark, dir))
+    // init: the sidecar IS the stored side's sufficient statistics
+    // under the init centroids
+    val storedCodes = Similarity.quantizedCodes(d.filter(storedSide))
+      .filter(col("qsq") > 0)
+    assert(Similarity.ivfIndexStoreLloydStats(spark, dir) ===
+      Similarity.lloydStats(storedCodes, seeds))
+    // append: the sidecar becomes the UNION corpus's statistics under
+    // the same (fixed) centroids — merge by addition, no rescan
+    Similarity.ivfIndexStoreAppend(spark, d.filter(!storedSide), dir)
+    val unionCodes = Similarity.quantizedCodes(d).filter(col("qsq") > 0)
+    assert(Similarity.ivfIndexStoreLloydStats(spark, dir) ===
+      Similarity.lloydStats(unionCodes, seeds))
+    // the O(batch) update ≡ the one-epoch Lloyd update of the union
+    // corpus (the sufficient-statistics theorem, on the ARTIFACT)
+    val summary = Similarity.ivfIndexStoreUpdateCentroids(spark, dir).collect()
+    val expected = Similarity.lloydUpdate(unionCodes, seeds)
+    val got = Similarity.collectSeedCentroids(
+      Similarity.ivfIndexStoreCentroids(spark, dir))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === expected.toSeq)
+    // summary bookkeeping: member counts cover every stored row once
+    assert(summary.map(_.getLong(1)).sum === unionCodes.count())
+    summary.zip(expected).foreach { case (r, (cid, cv, csq)) =>
+      assert(r.getInt(0) === cid)
+      assert(r.getLong(2) === cv.map(_.toLong).sum)
+      assert(r.getLong(3) === csq)
+    }
+    // idempotent: same sidecar → same means; the sidecar itself is
+    // untouched by a centroid move (member sums don't move)
+    val statsAfter = Similarity.ivfIndexStoreLloydStats(spark, dir)
+    val summary2 = Similarity.ivfIndexStoreUpdateCentroids(spark, dir).collect()
+    assert(summary2.map(_.toSeq).toSeq === summary.map(_.toSeq).toSeq)
+    assert(Similarity.ivfIndexStoreLloydStats(spark, dir) === statsAfter)
+    // train re-bases the sidecar under the NEW lists: counts equal the
+    // post-train list sizes
+    val occ = Similarity.ivfIndexStoreTrain(spark, dir).collect()
+    val rebased = Similarity.ivfIndexStoreLloydStats(spark, dir)
+    occ.foreach { r =>
+      assert(rebased((r.getInt(0), 0))._2 === r.getLong(2),
+        "sidecar counts must equal the trained list sizes")
+    }
+  }
+
+  test("PQ sidecar survives a retrain: codebook verbatim, per-vector codes " +
+      "unchanged, partitioning follows the trained lists, probe still answers") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_swap").toString + "/idx"
+    Similarity.ivfIndexStoreInit(d, dir)
+    Similarity.ivfIndexStorePqBuild(spark, dir)
+    def pqRows() = spark.read.parquet(s"$dir/pq_codes")
+      .select("vec_id", "pcodes", "rsq").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getLong(2)))
+      .sortBy(_._1).toSeq
+    def cbRows() = spark.read.parquet(s"$dir/pq_codebook").collect()
+      .map(_.toSeq.map {
+        case b: Array[Byte] => b.mkString("[", ",", "]")
+        case x => x
+      }.toString).sorted.toSeq
+    val pqBefore = pqRows(); val cbBefore = cbRows()
+    Similarity.ivfIndexStoreTrain(spark, dir)
+    // rebuild-in-swap: same codebook, same per-vector (pcodes, rsq) —
+    // only the hive partitioning moved with the trained lists
+    assert(cbRows() === cbBefore)
+    assert(pqRows() === pqBefore)
+    val asg = Similarity.ivfIndexStoreAssignments(spark, dir)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pqParts = spark.read.parquet(s"$dir/pq_codes")
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pqParts === asg,
+      "every PQ code row must live in its vector's TRAINED list partition")
+    // the retrained store's ADC probe answers complete
+    val probed = Similarity.ivfIndexStorePqProbe(spark,
+      d.filter(col("vec_id") < 10), dir)
+    assert(probed.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) === 5L))
+  }
+
   test("centroid_scores: native batched loop ≡ unrolled per-centroid structs, " +
       "element-for-element, and stays native at nList far past the unroll budget") {
     import org.apache.spark.sql.functions.{col, not}
