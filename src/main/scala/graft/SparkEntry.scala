@@ -149,6 +149,12 @@ object SparkEntry {
     // the smooth Lucene idf; every constant the same literal on both
     // engines, avgdl one exact-long division, so scores hash-match
     "q_bm25" -> ((s, d) => TextOps.bm25TopDocs(Tables.documents(s, d))),
+    // hybrid retrieval (round 16): doc-as-query BM25 + exact int8
+    // cosine, fused by reciprocal rank (1/(60+rank) per arm) — rank-
+    // only fusion over integer-micro lexical sums, so the composed
+    // two-arm retrieval itself hash-matches
+    "q_hybrid_rrf" -> ((s, d) => TextOps.hybridRrfTopDocs(
+      Tables.documents(s, d), Tables.embeddings(s, d))),
     "q_token_map" -> ((s, d) => TextOps.repeatedTokenMap(Tables.documents(s, d))),
     "q_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(Tables.documents(s, d))),
     "q_ngram_lm" -> ((s, d) => TextOps.bigramLmScore(Tables.documents(s, d))),
@@ -3347,6 +3353,71 @@ object SparkEntry {
         |  FROM scored)
         |SELECT token, rnk, doc_id, tf, dl, bm25 FROM ranked WHERE rnk <= 3
         |ORDER BY token, rnk""".stripMargin,
+    // hybrid RRF: doc-as-query BM25 (per-term contributions rounded to
+    // integer micros BEFORE the per-doc sum — float-sum order is
+    // engine-dependent, integer sums are not) + the exact int8 cosine
+    // arm, fused by 1/(60+rank) per arm, ranks only
+    "q_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |qtok AS (SELECT DISTINCT doc_id AS query_id, token FROM tok WHERE doc_id < 10),
+        |contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (1.0 - 0.75
+        |          + 0.75 * dl.dl / (CAST(total_len AS DOUBLE) / n_docs)))
+        |      * 1000000.0) AS BIGINT) AS cm
+        |  FROM tf JOIN qtok q USING (token) JOIN dfreq USING (token)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        |  WHERE tf.doc_id <> q.query_id),
+        |lex AS (SELECT query_id, doc_id, CAST(SUM(cm) AS BIGINT) AS lex_micro
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |lexarm AS (SELECT query_id, doc_id, lex_rnk FROM (
+        |    SELECT query_id, doc_id,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY lex_micro DESC, doc_id) AS INTEGER) AS lex_rnk
+        |    FROM lex) WHERE lex_rnk <= 10),
+        |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
+        |      FROM q0),
+        |base AS (SELECT * FROM b WHERE qsq > 0),
+        |qs AS (SELECT vec_id AS query_id, qv AS qa, qsq AS sqa
+        |  FROM base WHERE vec_id < 10),
+        |embarm AS (SELECT query_id, neighbor_id, emb_rnk FROM (
+        |    SELECT qs.query_id, nb.vec_id AS neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY qs.query_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, len(qs.qa) + 1),
+        |          i -> CAST(qs.qa[CAST(i AS INTEGER)] AS BIGINT)
+        |            * nb.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |          / sqrt(CAST(qs.sqa AS DOUBLE) * nb.qsq) DESC,
+        |        nb.vec_id) AS INTEGER) AS emb_rnk
+        |    FROM qs JOIN base nb ON nb.vec_id <> qs.query_id)
+        |  WHERE emb_rnk <= 10),
+        |fused AS (
+        |  SELECT COALESCE(l.query_id, e.query_id) AS query_id,
+        |    COALESCE(l.doc_id, e.neighbor_id) AS doc_id,
+        |    l.lex_rnk, e.emb_rnk,
+        |    round(COALESCE(1.0 / (60 + l.lex_rnk), 0.0) +
+        |          COALESCE(1.0 / (60 + e.emb_rnk), 0.0), 6) AS rrf_score
+        |  FROM lexarm l FULL OUTER JOIN embarm e
+        |    ON l.query_id = e.query_id AND l.doc_id = e.neighbor_id),
+        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rnk FROM fused)
+        |SELECT query_id, rnk, doc_id, lex_rnk, emb_rnk, rrf_score
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_vocab_coverage" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |vocab AS (

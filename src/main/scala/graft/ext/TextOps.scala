@@ -274,6 +274,88 @@ object TextOps {
       .orderBy("token", "rnk")
   }
 
+  /** Hybrid retrieval (`q_hybrid_rrf`): BM25 lexical ranking fused
+    * with the exact int8-cosine embedding ranking by RECIPROCAL-RANK
+    * FUSION (Cormack, Clarke & Büttcher, SIGIR 2009: `score(d) =
+    * Σ_arms 1/(rrfK + rank_arm(d))`, rrfK = 60) — the standard
+    * production shape for "lexical recall + semantic recall" stacks,
+    * and deliberately RANK-ONLY: fusion never compares the two arms'
+    * incommensurable scores, which is what makes it robust AND
+    * hash-matchable (ranks are exact integers; `1/(60+r)` is one
+    * correctly-rounded double op per arm).
+    *
+    * Queries are the documents with `doc_id < numQueries`, joined to
+    * their embeddings by id. The lexical arm scores every corpus doc
+    * against the query doc's DISTINCT tokens with the `q_bm25`
+    * arithmetic (Lucene smooth idf, k1 = 1.2, b = 0.75); because a
+    * doc-level score SUMS per-term contributions and float-sum order
+    * is engine-dependent, each term's contribution is rounded to
+    * integer MICROS first and the sum runs in exact integers —
+    * order-independent, so the lexical ranking hash-matches. The
+    * embedding arm is the exact int8 scan ([[graft.ext.Similarity
+    * .quantizedCosineTopK]]). Top-`arm` per arm enter the fusion; a
+    * doc absent from one arm contributes 0 from it (its rank column
+    * stays NULL as the witness). Output: fused top-`k` per query with
+    * both per-arm ranks — the fusion is auditable row by row.
+    *
+    * Scale shape: the query-side token table and its df/idf rows are
+    * broadcast-bounded (numQueries docs' vocab); the one corpus-keyed
+    * shuffle is the tf aggregate the BM25 family already pays; the
+    * integer-micro sum is a hash-aggregate with map-side combine; the
+    * embedding arm is the quantized scan. Nothing grows with `arm`
+    * but two bounded windows.
+    */
+  def hybridRrfTopDocs(documents: DataFrame, embeddings: DataFrame,
+                       numQueries: Int = 10, k: Int = 5, arm: Int = 10,
+                       rrfK: Int = 60): DataFrame = {
+    val tok = documents.select(col("doc_id"),
+      explode(wsTokens(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val qtok = tok.filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("query_id"), col("token")).distinct()
+    // per-query-term df — bounded by the query vocab, broadcast back
+    val qdf = dfreq.join(qtok.select("token").distinct(), Seq("token"))
+    val contrib = tf
+      .join(broadcast(qtok), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(qdf), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))
+      .withColumn("c",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)) * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+      // integer micros BEFORE the sum: float-sum order is engine-
+      // dependent; an integer sum is not (the lloydStats discipline)
+      .withColumn("cm", round(col("c") * lit(1000000.0), 0).cast("long"))
+    val lex = contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("cm")).as("lex_micro"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("lex_micro").desc, col("doc_id"))
+    val lexArm = lex.withColumn("lex_rnk", row_number().over(wl))
+      .filter(col("lex_rnk") <= arm)
+      .select("query_id", "doc_id", "lex_rnk")
+    val embArm = graft.ext.Similarity
+      .quantizedCosineTopK(embeddings, numQueries, arm)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("emb_rnk"))
+    val fused = lexArm.join(embArm, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("emb_rnk")), lit(0.0)), 6))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(wf)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("lex_rnk"), col("emb_rnk"), col("rrf_score"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Vocabulary coverage: build the top-`vocabSize` corpus vocabulary
     * (by occurrence count, lexicographic tie-break) and report each
     * document's out-of-vocabulary token rate — the standard check that

@@ -145,6 +145,71 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       Seq(11L, 10L, 12L))
   }
 
+  test("hybridRrfTopDocs: hand-computed two-arm fusion — symmetric ranks " +
+    "tie and break on doc_id, single-arm docs carry a NULL witness") {
+    import spark.implicits._
+    // query doc 0 ("apple banana"). Lexical: doc 1 (tf(apple)=2) ranks
+    // 1, doc 2 (tf(banana)=1) ranks 2, doc 3 shares nothing. Embedding:
+    // doc 2 nearly parallel (rank 1), doc 1 orthogonal (rank 2), doc 3
+    // opposite (rank 3). Fusion: doc 1 = 1/61 + 1/62 and doc 2 =
+    // 1/62 + 1/61 — EQUAL (RRF is arm-symmetric), so doc_id breaks the
+    // tie; doc 3 is embedding-only (lex_rnk NULL, score 1/63).
+    val d = docs(
+      (0L, "apple banana", "en"), (1L, "apple apple", "en"),
+      (2L, "banana cherry", "en"), (3L, "x y z", "en"))
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(0f, 1f, 0f, 0f), 0),
+      (2L, Seq(1f, 0.1f, 0f, 0f), 0), (3L, Seq(-1f, 0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rows = TextOps.hybridRrfTopDocs(d, emb, numQueries = 1, k = 3, arm = 3)
+      .collect()
+    assert(rows.map(r => (r.getInt(1), r.getLong(2))).toSeq ===
+      Seq((1, 1L), (2, 2L), (3, 3L)))
+    val byDoc = rows.map(r => r.getLong(2) -> r).toMap
+    def rrf(l: Option[Int], e: Option[Int]): Double = BigDecimal(
+      l.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        e.map(r => 1.0 / (60 + r)).getOrElse(0.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byDoc(1L).getInt(3) === 1 && byDoc(1L).getInt(4) === 2)
+    assert(byDoc(2L).getInt(3) === 2 && byDoc(2L).getInt(4) === 1)
+    assert(byDoc(1L).getDouble(5) === byDoc(2L).getDouble(5),
+      "RRF is arm-symmetric: (lex 1, emb 2) ties (lex 2, emb 1)")
+    assert(byDoc(1L).getDouble(5) === rrf(Some(1), Some(2)))
+    assert(byDoc(3L).isNullAt(3) && byDoc(3L).getInt(4) === 3,
+      "an embedding-only doc keeps a NULL lexical rank as the witness")
+    assert(byDoc(3L).getDouble(5) === rrf(None, Some(3)))
+  }
+
+  test("hybridRrfTopDocs on the real corpus: complete per query, fused " +
+    "score recomputable from the rank witnesses, ordering consistent") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = TextOps.hybridRrfTopDocs(d, emb).collect()
+    assert(rows.length === 50, "10 queries x fused top-5")
+    def rankOpt(r: org.apache.spark.sql.Row, i: Int): Option[Int] =
+      if (r.isNullAt(i)) None else Some(r.getInt(i))
+    rows.foreach { r =>
+      val expect = BigDecimal(
+        rankOpt(r, 3).map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+          rankOpt(r, 4).map(x => 1.0 / (60 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) === expect, s"rrf mismatch at $r")
+    }
+    // per query: scores non-increasing in fused rank, ties broken by id
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(5) > b.getDouble(5) ||
+            (a.getDouble(5) == b.getDouble(5) && a.getLong(2) < b.getLong(2)))
+        case _ =>
+      }
+    }
+    // the fusion is non-trivially two-armed on this corpus
+    assert(rows.exists(r => !r.isNullAt(3) && !r.isNullAt(4)),
+      "no doc surfaced by both arms — fixture too tame for the fusion")
+  }
+
   test("vocabCoverage: OOV rate against the top-V corpus vocabulary") {
     // vocab size 2 → {'a' (4 occ), 'b' (2 occ)}; 'z','q' are OOV
     val d = docs((1L, "a a b z", "en"), (2L, "a a b q", "en"))
