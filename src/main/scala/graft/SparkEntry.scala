@@ -646,6 +646,24 @@ object SparkEntry {
     // codebook = the md5 ranks 16..31's own residuals (disjoint from
     // the seeds, whose residuals are zero); all-integer, hash-matched
     "q_ivfadc_topk" -> ((s, d) => Similarity.ivfAdcTopK(Tables.embeddings(s, d))),
+    // the residual (IVFADC) sidecar as a MAINTAINED ARTIFACT (round
+    // 16): pq_codes hold residual encodings with |cv + r̂|² as the
+    // stored denominator, the codebook records residual-ness like the
+    // layout, and the probe adds the bounded per-(query, list) q·cv
+    // term — on a static store ≡ q_ivfadc_topk row-for-row (same
+    // oracle; the q_ivfpq_store_probe discipline applied to the
+    // residual configuration)
+    "q_ivfadc_store_probe" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfadc_store_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb, dir)
+      Similarity.ivfIndexStorePqBuild(s, dir, residual = true)
+      Similarity.ivfIndexStorePqProbe(s, emb.filter(col("vec_id") < 10), dir)
+    }),
     // residual-vs-raw recall A/B at equal probe width and equal bytes —
     // exact hit counts per query against the int8-exact top-k
     "q_ivfadc_recall" -> ((s, d) => Similarity.ivfAdcRecall(Tables.embeddings(s, d))),
@@ -1979,6 +1997,16 @@ object SparkEntry {
       |LEFT JOIN hseed ON q.vec_id = hseed.query_id
       |LEFT JOIN htr ON q.vec_id = htr.query_id
       |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin
+
+  /** Shared by q_ivfadc_topk and the persisted residual-sidecar twin
+    * q_ivfadc_store_probe (static store ≡ in-memory IVFADC).
+    */
+  private val IVFADC_TOPK_SQL: String = PQ_CHAIN + ",\n" + IVFADC_FRAG +
+    """,
+      |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk FROM adcres)
+      |SELECT query_id, rnk, neighbor_id, adc_dot, round(sim, 6) AS ivfadc_sim
+      |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   private val TRAINED_IVFADC_RECALL_SQL: String =
     PQ_CHAIN + ",\n" + IVFADC_FRAG + TRAINED_IVFADC_TAIL
@@ -5217,12 +5245,11 @@ object SparkEntry {
     // the layout-recording store probe: raw coarse + permuted encode
     "q_ivfpq_store_probe_opq" -> IVFPQ_OPQ_SQL,
     // residual IVFADC: same probe discipline, ADC dot = q·(cv + r̂)
-    "q_ivfadc_topk" -> (PQ_CHAIN + ",\n" + IVFADC_FRAG +
-      """,
-        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk FROM adcres)
-        |SELECT query_id, rnk, neighbor_id, adc_dot, round(sim, 6) AS ivfadc_sim
-        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    "q_ivfadc_topk" -> IVFADC_TOPK_SQL,
+    // the persisted residual sidecar: static store ≡ the in-memory
+    // IVFADC (same seed draws over the same stored codes), so one SQL
+    // is both oracles — the q_ivfpq_store_probe sharing discipline
+    "q_ivfadc_store_probe" -> IVFADC_TOPK_SQL,
     // residual-vs-raw recall A/B at equal probe width: exact top-5 ∩
     // each ADC ranking, counted per query
     "q_ivfadc_recall" -> (PQ_CHAIN + ",\n" + IVFADC_FRAG + IVFADC_RECALL_TAIL),

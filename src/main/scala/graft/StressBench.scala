@@ -540,6 +540,20 @@ object StressBench {
         emb.filter(col("vec_id") < 10), ivfPqStoreDir, nProbe = 1).count()),
       time("ivfpq_store_probe_w8", ext.Similarity.ivfIndexStorePqProbe(spark,
         emb.filter(col("vec_id") < 10), ivfPqStoreDir, nProbe = 8).count()),
+      // round-16: the sidecar-maintenance cells. The centroid update
+      // reads ONLY the lloyd_stats sidecar + centroid table (nList ×
+      // dim cells) — cost FLAT in store size by construction, and this
+      // row pins it at ×factor (compare with ivf_store_reseed, the
+      // full-rescan alternative it replaces between retrains). The
+      // append row pays the batch assignment + the O(batch) stats
+      // merge — the whole day-ingest bill. Both run AFTER every other
+      // ivfStoreDir consumer (they mutate the store).
+      time("ivf_store_update_centroids",
+        ext.Similarity.ivfIndexStoreUpdateCentroids(spark, ivfStoreDir).count()),
+      time("ivf_store_append_day", ext.Similarity.ivfIndexStoreAppend(spark,
+        embPq.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(2000000000L)),
+        ivfStoreDir).count()),
       // skew → reseed → repair arc (rows run IN ORDER; the reseed row
       // mutates the store between the two probes). Occupancy rows
       // return the MAX list size — the number probe cost follows.

@@ -1982,17 +1982,45 @@ object Similarity {
     // partitioning moves. Without this, the swap silently dropped the
     // sidecar and the next ADC probe failed on a missing path.
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codebook"))) {
-      val (matrix, nSub, layout) = ivfIndexStorePqCodebook(spark, dir)
+      val (matrix, nSub, layout, residual) = ivfIndexStorePqCodebook(spark, dir)
       spark.read.parquet(s"$dir/pq_codebook")
         .write.parquet(s"$staging/pq_codebook")
-      spark.read.parquet(s"$staging/assignments")
-        .select(col("vec_id"),
-          pq_encode(applyLayout(int8_unpack(col("qb")), layout),
-            matrix, nSub).as("pq"),
+      val back = spark.read.parquet(s"$staging/assignments")
+        .select(col("vec_id"), int8_unpack(col("qb")).as("qv"),
           col("centroid_id"))
-        .select(col("vec_id"), col("pq.codes").as("pcodes"),
-          col("pq.rsq").as("rsq"), col("centroid_id"))
-        .write.partitionBy("centroid_id").parquet(s"$staging/pq_codes")
+      val rebuilt =
+        if (!residual)
+          back.select(col("vec_id"),
+            pq_encode(applyLayout(col("qv"), layout), matrix, nSub).as("pq"),
+            col("centroid_id"))
+            .select(col("vec_id"), col("pq.codes").as("pcodes"),
+              col("pq.rsq").as("rsq"), col("centroid_id"))
+        else {
+          // residual sidecar: residuals are RE-TAKEN under the TRAINED
+          // centroids (they changed — a residual is not a per-vector
+          // fact across a retrain, unlike raw codes) while the stored
+          // codebook stays verbatim (any pinned integer matrix is a
+          // valid codebook; its entries just stop being self-residuals)
+          import graft.functions.PqCodes.{pq_recon, int_vec_add,
+            int_vec_sub}
+          import graft.functions.IntDot.int_dot
+          val nBook = matrix.length / trained.head._2.length
+          val centDf = {
+            import spark.implicits._
+            trained.toSeq.map { case (cid, cv, _) => (cid, cv) }
+              .toDF("centroid_id", "cv")
+          }
+          back.join(broadcast(centDf), Seq("centroid_id"))
+            .select(col("vec_id"), col("centroid_id"),
+              applyLayout(int_vec_sub(col("qv"), col("cv")), layout).as("rv"),
+              applyLayout(col("cv"), layout).as("cvl"))
+            .withColumn("pq", pq_encode(col("rv"), matrix, nSub))
+            .withColumn("wv", int_vec_add(col("cvl"),
+              pq_recon(col("pq.codes"), matrix, nBook)))
+            .select(col("vec_id"), col("pq.codes").as("pcodes"),
+              int_dot(col("wv"), col("wv")).as("rsq"), col("centroid_id"))
+        }
+      rebuilt.write.partitionBy("centroid_id").parquet(s"$staging/pq_codes")
     }
     // root-level completeness marker LAST: storeSwapRecover adopts a
     // headless staging dir only when this file exists
@@ -2506,47 +2534,108 @@ object Similarity {
     * it back from `pq_codebook` instead of trusting the caller to
     * re-supply it. The coarse tier is layout-invariant (centroid dots
     * are permutation-equivariant) and stays on raw stored codes.
+    *
+    * `residual = true` builds the IVFADC sidecar instead (round 16 —
+    * the [[ivfAdcTopK]] configuration as a maintained artifact):
+    * vectors PQ-encode their RESIDUAL against their assigned stored
+    * centroid, the codebook is the md5 ranks [nCoarse, nCoarse+nBook)'s
+    * own residuals (the disjoint-draw rule — a coarse seed's
+    * self-residual is zero), and `rsq` stores the squared norm of the
+    * full reconstruction `w = cv + r̂` (the ADC cosine denominator).
+    * Residual-ness is RECORDED in the codebook like the layout — it is
+    * equally part of the index's identity. A probe then pays the same
+    * nSub-byte partition-pruned scan, plus one bounded per-(query,
+    * probed-list) centroid dot. On a static store the residual probe ≡
+    * [[ivfAdcTopK]] row-for-row (spec-pinned; shares its oracle).
+    * Layout and residual compose: the layout permutes the RESIDUAL
+    * space (norms and dots are permutation-invariant, so `rsq` and the
+    * centroid dot stay raw-space exact).
     */
   def ivfIndexStorePqBuild(spark: org.apache.spark.sql.SparkSession,
                            dir: String, nBook: Int = 16,
                            nSub: Int = 8,
-                           layout: Seq[Int] = Nil): Unit = {
+                           layout: Seq[Int] = Nil,
+                           residual: Boolean = false): Unit = {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.Int8Unpack.int8_unpack
-    import graft.functions.PqCodes.pq_encode
-    val codes = ivfIndexStoreAssignments(spark, dir)
+    import graft.functions.PqCodes.{pq_encode, pq_recon, int_vec_add,
+      int_vec_sub}
+    import graft.functions.IntDot.int_dot
+    val raw = ivfIndexStoreAssignments(spark, dir)
       .unionByName(ivfIndexReadDayAssignments(spark, dir))
-      .select(col("vec_id"),
-        applyLayout(int8_unpack(col("qb")), layout).as("qv"), col("qsq"),
+      .select(col("vec_id"), int8_unpack(col("qb")).as("qv"), col("qsq"),
         col("centroid_id"))
-    val picked = seedPickFromCodes(codes, nBook)
-    val matrix = pqPackSeeds(picked)
-    seedsToDf(spark, picked).withColumn("n_sub", lit(nSub))
-      .withColumn("perm", typedLit(layout))
-      .write.mode("overwrite").parquet(s"$dir/pq_codebook")
-    codes
-      .select(col("vec_id"), pq_encode(col("qv"), matrix, nSub).as("pq"),
+    if (!residual) {
+      val codes = raw.select(col("vec_id"),
+        applyLayout(col("qv"), layout).as("qv"), col("qsq"),
         col("centroid_id"))
-      .select(col("vec_id"), col("pq.codes").as("pcodes"),
-        col("pq.rsq").as("rsq"), col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$dir/pq_codes")
+      val picked = seedPickFromCodes(codes, nBook)
+      val matrix = pqPackSeeds(picked)
+      seedsToDf(spark, picked).withColumn("n_sub", lit(nSub))
+        .withColumn("perm", typedLit(layout))
+        .withColumn("residual", lit(false))
+        .write.mode("overwrite").parquet(s"$dir/pq_codebook")
+      codes
+        .select(col("vec_id"), pq_encode(col("qv"), matrix, nSub).as("pq"),
+          col("centroid_id"))
+        .select(col("vec_id"), col("pq.codes").as("pcodes"),
+          col("pq.rsq").as("rsq"), col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$dir/pq_codes")
+    } else {
+      val cents = collectSeedCentroids(ivfIndexStoreCentroids(spark, dir))
+      val centDf = {
+        import spark.implicits._
+        cents.toSeq.map { case (cid, cv, _) => (cid, cv) }
+          .toDF("centroid_id", "cv")
+      }
+      // residuals in LAYOUT space; cv is layouted too so w = cv + r̂
+      // adds componentwise in one space (norms are permutation-
+      // invariant, so rsq equals the raw-space |cv + r̂|²)
+      val resid = raw.join(broadcast(centDf), Seq("centroid_id"))
+        .select(col("vec_id"), col("centroid_id"),
+          applyLayout(int_vec_sub(col("qv"), col("cv")), layout).as("rv"),
+          applyLayout(col("cv"), layout).as("cvl"))
+      val rbookIds = rankedVecIds(raw, cents.length, nBook)
+      val rvById = resid
+        .filter(col("vec_id").isInCollection(rbookIds.map(java.lang.Long.valueOf)))
+        .select("vec_id", "rv").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val picked = rbookIds.zipWithIndex.map { case (vid, idx) =>
+        (idx, vid, rvById(vid), rvById(vid).map(v => v.toLong * v).sum)
+      }
+      val matrix = pqPackSeeds(picked)
+      seedsToDf(spark, picked).withColumn("n_sub", lit(nSub))
+        .withColumn("perm", typedLit(layout))
+        .withColumn("residual", lit(true))
+        .write.mode("overwrite").parquet(s"$dir/pq_codebook")
+      resid
+        .withColumn("pq", pq_encode(col("rv"), matrix, nSub))
+        .withColumn("wv", int_vec_add(col("cvl"),
+          pq_recon(col("pq.codes"), matrix, nBook)))
+        .select(col("vec_id"), col("pq.codes").as("pcodes"),
+          int_dot(col("wv"), col("wv")).as("rsq"), col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$dir/pq_codes")
+    }
   }
 
-  /** The stored PQ codebook: (flat byte matrix, nSub, layout). Bounded
-    * driver fetch (nBook × dim bytes), the probe/append-side twin of
-    * [[collectSeedCentroids]].
+  /** The stored PQ codebook: (flat matrix, nSub, layout, residual).
+    * Bounded driver fetch (nBook × dim ints), the probe/append-side
+    * twin of [[collectSeedCentroids]].
     */
   private[graft] def ivfIndexStorePqCodebook(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Array[Int], Int, Seq[Int]) = {
+      dir: String): (Array[Int], Int, Seq[Int], Boolean) = {
     val rows = spark.read.parquet(s"$dir/pq_codebook")
-      .select("centroid_id", "seed_vec_id", "cv", "csq", "n_sub", "perm")
+      .select("centroid_id", "seed_vec_id", "cv", "csq", "n_sub", "perm",
+        "residual")
       .collect()
     require(rows.nonEmpty, s"empty PQ codebook at $dir/pq_codebook")
     val picked = rows.map(r => (r.getInt(0), r.getLong(1),
       r.getSeq[Int](2), r.getLong(3))).sortBy(_._1)
-    (pqPackSeeds(picked), rows.head.getInt(4), rows.head.getSeq[Int](5))
+    (pqPackSeeds(picked), rows.head.getInt(4), rows.head.getSeq[Int](5),
+      rows.head.getBoolean(6))
   }
 
   /** Encode an appended batch into the PQ sidecar under the FIXED
@@ -2559,15 +2648,38 @@ object Similarity {
   def ivfIndexStorePqAppend(spark: org.apache.spark.sql.SparkSession,
                             assigned: DataFrame, dir: String): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    import graft.functions.PqCodes.pq_encode
-    val (matrix, nSub, layout) = ivfIndexStorePqCodebook(spark, dir)
-    assigned
-      .select(col("vec_id"),
-        pq_encode(applyLayout(col("qv"), layout), matrix, nSub).as("pq"),
-        col("centroid_id"))
-      .select(col("vec_id"), col("pq.codes").as("pcodes"),
-        col("pq.rsq").as("rsq"), col("centroid_id"))
-      .write.mode("append").partitionBy("centroid_id")
+    import graft.functions.PqCodes.{pq_encode, pq_recon, int_vec_add,
+      int_vec_sub}
+    import graft.functions.IntDot.int_dot
+    val (matrix, nSub, layout, residual) = ivfIndexStorePqCodebook(spark, dir)
+    val rows =
+      if (!residual)
+        assigned.select(col("vec_id"),
+          pq_encode(applyLayout(col("qv"), layout), matrix, nSub).as("pq"),
+          col("centroid_id"))
+          .select(col("vec_id"), col("pq.codes").as("pcodes"),
+            col("pq.rsq").as("rsq"), col("centroid_id"))
+      else {
+        // the batch's residuals against the FIXED stored centroids —
+        // still pure per-vector facts, so the append rule is unchanged
+        val cents = collectSeedCentroids(ivfIndexStoreCentroids(spark, dir))
+        val centDf = {
+          import spark.implicits._
+          cents.toSeq.map { case (cid, cv, _) => (cid, cv) }
+            .toDF("centroid_id", "cv")
+        }
+        val nBook = matrix.length / cents.head._2.length
+        assigned.join(broadcast(centDf), Seq("centroid_id"))
+          .select(col("vec_id"), col("centroid_id"),
+            applyLayout(int_vec_sub(col("qv"), col("cv")), layout).as("rv"),
+            applyLayout(col("cv"), layout).as("cvl"))
+          .withColumn("pq", pq_encode(col("rv"), matrix, nSub))
+          .withColumn("wv", int_vec_add(col("cvl"),
+            pq_recon(col("pq.codes"), matrix, nBook)))
+          .select(col("vec_id"), col("pq.codes").as("pcodes"),
+            int_dot(col("wv"), col("wv")).as("rsq"), col("centroid_id"))
+      }
+    rows.write.mode("append").partitionBy("centroid_id")
       .parquet(s"$dir/pq_codes")
   }
 
@@ -2588,24 +2700,32 @@ object Similarity {
     import graft.functions.Int8Codes.int8_codes
     import graft.functions.IntDot.int_dot
     import graft.functions.PqCodes.{pq_lut, pq_adc}
-    val scored = seedScoreArray(
-      collectSeedCentroids(ivfIndexStoreCentroids(spark, dir)))
-    val (matrix, nSub, layout) = ivfIndexStorePqCodebook(spark, dir)
+    val cents = collectSeedCentroids(ivfIndexStoreCentroids(spark, dir))
+    val scored = seedScoreArray(cents)
+    val (matrix, nSub, layout, residual) = ivfIndexStorePqCodebook(spark, dir)
     // the ivfIndexStoreProbe discipline: ONE bounded evaluation of the
     // query-side quantization + centroid ranking + lookup tables,
     // re-fed as a local relation (numQueries × nProbe rows). The
     // centroid ranking reads RAW codes (the coarse tier is layout-
     // invariant); the lookup table reads the STORED layout's grouping.
+    // On a residual sidecar the frame also carries the exact per-
+    // (query, probed list) centroid dot — the `q·cv` half of the
+    // IVFADC score (`q·w = q·cv + q·r̂`), bounded like everything else
+    // on this side. `cdot` is raw-space (dots are layout-invariant).
+    val centMap = typedlit(cents.map { case (cid, cv, _) => cid -> cv }.toMap)
     val q0 = queryVecs
       .select(col("vec_id"), int8_codes(col("embedding")).as("qv"))
       .withColumn("qsq", int_dot(col("qv"), col("qv")))
       .filter(col("qsq") > 0)
       .select(col("vec_id").as("query_id"),
         pq_lut(applyLayout(col("qv"), layout), matrix, nSub).as("lut"),
-        col("qsq").as("sqa"),
+        col("qsq").as("sqa"), col("qv"),
         explode(slice(reverse(array_sort(scored)), 1, nProbe)).as("p"))
       .select(col("query_id"), col("lut"), col("sqa"),
-        listIdOf(col("p.nid")).as("cluster"))
+        listIdOf(col("p.nid")).as("cluster"),
+        (if (residual)
+           int_dot(col("qv"), element_at(centMap, listIdOf(col("p.nid"))))
+         else lit(0L)).as("cdot"))
     val probeRows = q0.collect()
     val clusterIdx = q0.schema.fieldIndex("cluster")
     val lists = probeRows.map(_.getInt(clusterIdx)).distinct
@@ -2617,15 +2737,16 @@ object Similarity {
         col("centroid_id").as("cluster"))
     val sims = cands.join(broadcast(q), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc_dot", pq_adc(col("lut"), col("pcodes")))
+      .withColumn("adc_dot", col("cdot") + pq_adc(col("lut"), col("pcodes")))
       .withColumn("sim", when(col("rsq") === 0, lit(0.0))
         .otherwise(col("adc_dot") /
           sqrt(col("sqa").cast("double") * col("rsq").cast("double"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
+    val simCol = if (residual) "ivfadc_sim" else "pq_sim"
     sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        col("adc_dot"), round(col("sim"), 6).as("pq_sim"))
+        col("adc_dot"), round(col("sim"), 6).as(simCol))
       .orderBy("query_id", "rnk")
   }
 

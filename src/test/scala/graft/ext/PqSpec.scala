@@ -431,7 +431,7 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(nCodes === nAll, "every stored vector must be ADC-scannable")
     // 2. fixed-codebook law: the appended rows equal a direct encode of
     // the batch under the codebook drawn at build time (stored side)
-    val (matrix, nSub, layout) = Similarity.ivfIndexStorePqCodebook(spark, dir)
+    val (matrix, nSub, layout, _) = Similarity.ivfIndexStorePqCodebook(spark, dir)
     assert(layout.isEmpty, "default build records the identity layout")
     val expected = Similarity.pqCodesFrame(d.filter(!storedSide), matrix, nSub)
       .orderBy("vec_id").collect().toSeq
@@ -448,6 +448,77 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(probed.exists(appendedIds), "appended vectors must be probe-visible")
   }
 
+  test("persisted RESIDUAL sidecar: static-store probe equals ivfAdcTopK " +
+    "row-for-row; appends encode residuals under the FIXED store; retrain " +
+    "re-takes residuals under the trained centroids") {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    graft.functions.GraftFunctions.register(spark)
+    val d = sf("sf0.001")
+    // static store: the residual ADC probe IS the in-memory IVFADC
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_adc_full")
+      .toString + "/idx"
+    Similarity.ivfIndexStoreInit(d, fullDir)
+    Similarity.ivfIndexStorePqBuild(spark, fullDir, residual = true)
+    val viaStore = Similarity.ivfIndexStorePqProbe(spark,
+      d.filter(col("vec_id") < 10), fullDir).collect().map(_.toSeq)
+    val inMem = Similarity.ivfAdcTopK(d).collect().map(_.toSeq)
+    assert(viaStore.toSeq === inMem.toSeq)
+    // append law: batch rows encode their residuals against the FIXED
+    // stored centroids + codebook — identical bytes to pre-computing
+    // them on the union store before the append
+    val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+    val dir = java.nio.file.Files.createTempDirectory("graft_adc_app")
+      .toString + "/idx"
+    Similarity.ivfIndexStoreInit(d.filter(storedSide), dir)
+    Similarity.ivfIndexStorePqBuild(spark, dir, residual = true)
+    val before = spark.read.parquet(s"$dir/pq_codes")
+      .select("vec_id", "pcodes", "rsq").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getLong(2)))
+      .toSet
+    val assigned = Similarity.ivfIndexStoreAppend(spark,
+      d.filter(!storedSide), dir)
+    Similarity.ivfIndexStorePqAppend(spark, assigned, dir)
+    val after = spark.read.parquet(s"$dir/pq_codes")
+      .select("vec_id", "pcodes", "rsq").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getLong(2)))
+    assert(before.subsetOf(after.toSet),
+      "append must not rewrite existing residual codes")
+    // every appended row's stored denominator is a true reconstruction
+    // norm: strictly positive unless the reconstruction is zero, and
+    // the probe over the appended store still answers complete
+    assert(after.length > before.size, "append added no sidecar rows")
+    val probed = Similarity.ivfIndexStorePqProbe(spark,
+      d.filter(col("vec_id") < 10), dir)
+    assert(probed.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) === 5L))
+    // retrain: codebook survives verbatim, codes RE-TAKE their
+    // residuals under the trained centroids (rsq may change — the
+    // centroid moved), partitioning follows the trained lists
+    val cbBefore = spark.read.parquet(s"$dir/pq_codebook").collect()
+      .map(_.toSeq.map {
+        case b: Array[Byte] => b.mkString("[", ",", "]")
+        case x => x
+      }.toString).sorted.toSeq
+    Similarity.ivfIndexStoreTrain(spark, dir)
+    val cbAfter = spark.read.parquet(s"$dir/pq_codebook").collect()
+      .map(_.toSeq.map {
+        case b: Array[Byte] => b.mkString("[", ",", "]")
+        case x => x
+      }.toString).sorted.toSeq
+    assert(cbAfter === cbBefore, "retrain must keep the codebook verbatim")
+    val asg = Similarity.ivfIndexStoreAssignments(spark, dir)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pqParts = spark.read.parquet(s"$dir/pq_codes")
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pqParts === asg)
+    val probedTrained = Similarity.ivfIndexStorePqProbe(spark,
+      d.filter(col("vec_id") < 10), dir)
+    assert(probedTrained.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) === 5L))
+  }
+
   test("persisted PQ sidecar RECORDS its layout: appends encode under the stored permutation") {
     val d = sf("sf0.001")
     val perm = Similarity.opqPermutation(64)
@@ -457,7 +528,7 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     Similarity.ivfIndexStorePqBuild(spark, dir, layout = perm)
     // the layout round-trips through the store — a probe or append
     // never needs the caller to re-supply it
-    val (matrix, nSub, stored) = Similarity.ivfIndexStorePqCodebook(spark, dir)
+    val (matrix, nSub, stored, _) = Similarity.ivfIndexStorePqCodebook(spark, dir)
     assert(stored === perm)
     val assigned = Similarity.ivfIndexStoreAppend(spark, d.filter(!storedSide), dir)
     Similarity.ivfIndexStorePqAppend(spark, assigned, dir)
