@@ -573,6 +573,11 @@ object StressBench {
       // round-5 additions: the new curation/signal operators at scale
       time("gopher_rules", ext.TextOps.gopherRules(docs).count()),
       time("classifier_score", ext.TextOps.classifierQualityScore(docs).count()),
+      // round-16: hybrid retrieval at scale — the lexical arm's one
+      // corpus shuffle is the tf aggregate, the query side is
+      // broadcast-bounded, the fusion is two bounded windows; growth
+      // must track the tf aggregate, not the pair space
+      time("hybrid_rrf", ext.TextOps.hybridRrfTopDocs(docs, emb).count()),
       time("compression_ratio", ext.Compression.compressionSignal(spark, docs).count()),
       time("heavy_hitters_mg", ops.Sketches.heavyHitterTokens(docs).count()),
       // exact twin of the MG sketch for the same heavy-hitter answer

@@ -1377,6 +1377,10 @@ object Similarity {
     */
   def ivfIndexStoreAppend(spark: org.apache.spark.sql.SparkSession,
                           newVecs: DataFrame, dir: String): DataFrame = {
+    // the sidecar is read FIRST: a store without one (pre-round-16
+    // layout) must fail loud BEFORE any write — appending rows whose
+    // cells can't merge would silently break the sidecar invariant
+    val statsBefore = ivfIndexStoreLloydStats(spark, dir)
     val assigned = ivfIndexAssign(newVecs, ivfIndexStoreCentroids(spark, dir))
     assigned.select((STORE_COLS :+ "centroid_id").map(col): _*)
       .write.mode("append").partitionBy("centroid_id")
@@ -1387,8 +1391,7 @@ object Similarity {
     // the consolidated lists so [[ivfIndexStoreUpdateCentroids]] never
     // needs a stored-corpus rescan
     writeLloydStats(spark, dir,
-      lloydMergeStats(ivfIndexStoreLloydStats(spark, dir),
-        lloydStatsOf(assigned)))
+      lloydMergeStats(statsBefore, lloydStatsOf(assigned)))
     assigned
   }
 

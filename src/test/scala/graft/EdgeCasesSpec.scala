@@ -323,6 +323,33 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     mf.unpersist(false)
   }
 
+  test("lloyd_stats sidecar absence fails LOUD, never silently wrong") {
+    // a store created under the pre-round-16 layout (or with its
+    // sidecar deleted) must refuse the O(batch) cells — updating
+    // centroids off missing statistics or appending without the merge
+    // would silently break the sidecar ≡ member-sums invariant
+    import org.apache.spark.sql.functions.col
+    val S = graft.ext.Similarity
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_nostats")
+      .toString + "/idx"
+    S.ivfIndexStoreInit(d, dir)
+    // simulate the old layout
+    val p = new org.apache.hadoop.fs.Path(s"$dir/lloyd_stats")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val e1 = intercept[java.io.IOException] {
+      S.ivfIndexStoreUpdateCentroids(spark, dir)
+    }
+    assert(e1.getMessage.contains("lloyd_stats"))
+    val e2 = intercept[java.io.IOException] {
+      S.ivfIndexStoreAppend(spark, d.filter(col("vec_id") < 5), dir)
+    }
+    assert(e2.getMessage.contains("lloyd_stats"))
+    // train re-creates the sidecar (the documented migration path)
+    S.ivfIndexStoreTrain(spark, dir, iters = 0)
+    assert(spark.read.parquet(s"$dir/lloyd_stats").count() > 0)
+  }
+
   test("hll on empty input estimates 0") {
     import spark.implicits._
     val empty = Seq.empty[Long].toDF("v")

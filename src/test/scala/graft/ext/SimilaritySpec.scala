@@ -954,6 +954,13 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val summary2 = Similarity.ivfIndexStoreUpdateCentroids(spark, dir).collect()
     assert(summary2.map(_.toSeq).toSeq === summary.map(_.toSeq).toSeq)
     assert(Similarity.ivfIndexStoreLloydStats(spark, dir) === statsAfter)
+    // the drifted store still probes complete: lists stay as-assigned
+    // (the update never rewrites assignment rows), probes rank the
+    // MOVED centroids — the standard IVF maintenance posture
+    val probed = Similarity.ivfIndexStoreProbe(spark,
+      d.filter(col("vec_id") < 10), dir)
+    assert(probed.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) === 5L))
     // train re-bases the sidecar under the NEW lists: counts equal the
     // post-train list sizes
     val occ = Similarity.ivfIndexStoreTrain(spark, dir).collect()
