@@ -155,6 +155,21 @@ object SparkEntry {
     // two-arm retrieval itself hash-matches
     "q_hybrid_rrf" -> ((s, d) => TextOps.hybridRrfTopDocs(
       Tables.documents(s, d), Tables.embeddings(s, d))),
+    // the production hybrid shape: the semantic arm served by the
+    // PERSISTED IVF index's partition-pruned probe instead of the
+    // brute scan — both arms read index artifacts, neither scans the
+    // raw corpus per query
+    "q_hybrid_rrf_store" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_hybrid_store_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb, dir)
+      TextOps.hybridRrfStoreTopDocs(Tables.documents(s, d),
+        emb.filter(col("vec_id") < 10), dir)
+    }),
     "q_token_map" -> ((s, d) => TextOps.repeatedTokenMap(Tables.documents(s, d))),
     "q_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(Tables.documents(s, d))),
     "q_ngram_lm" -> ((s, d) => TextOps.bigramLmScore(Tables.documents(s, d))),
@@ -3433,6 +3448,94 @@ object SparkEntry {
         |          / sqrt(CAST(qs.sqa AS DOUBLE) * nb.qsq) DESC,
         |        nb.vec_id) AS INTEGER) AS emb_rnk
         |    FROM qs JOIN base nb ON nb.vec_id <> qs.query_id)
+        |  WHERE emb_rnk <= 10),
+        |fused AS (
+        |  SELECT COALESCE(l.query_id, e.query_id) AS query_id,
+        |    COALESCE(l.doc_id, e.neighbor_id) AS doc_id,
+        |    l.lex_rnk, e.emb_rnk,
+        |    round(COALESCE(1.0 / (60 + l.lex_rnk), 0.0) +
+        |          COALESCE(1.0 / (60 + e.emb_rnk), 0.0), 6) AS rrf_score
+        |  FROM lexarm l FULL OUTER JOIN embarm e
+        |    ON l.query_id = e.query_id AND l.doc_id = e.neighbor_id),
+        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rnk FROM fused)
+        |SELECT query_id, rnk, doc_id, lex_rnk, emb_rnk, rrf_score
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // the store-served hybrid: the semantic arm is the IVF-pruned
+    // probe (top-4 seed lists per query, exact int8 ranking of the
+    // pruned candidates) instead of the brute scan
+    "q_hybrid_rrf_store" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |qtok AS (SELECT DISTINCT doc_id AS query_id, token FROM tok WHERE doc_id < 10),
+        |contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (1.0 - 0.75
+        |          + 0.75 * dl.dl / (CAST(total_len AS DOUBLE) / n_docs)))
+        |      * 1000000.0) AS BIGINT) AS cm
+        |  FROM tf JOIN qtok q USING (token) JOIN dfreq USING (token)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        |  WHERE tf.doc_id <> q.query_id),
+        |lex AS (SELECT query_id, doc_id, CAST(SUM(cm) AS BIGINT) AS lex_micro
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |lexarm AS (SELECT query_id, doc_id, lex_rnk FROM (
+        |    SELECT query_id, doc_id,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY lex_micro DESC, doc_id) AS INTEGER) AS lex_rnk
+        |    FROM lex) WHERE lex_rnk <= 10),
+        |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
+        |      FROM q0),
+        |base AS (SELECT * FROM b WHERE qsq > 0),
+        |seeds AS (SELECT * FROM (
+        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS INTEGER) - 1 AS centroid_id
+        |    FROM base) WHERE centroid_id < 16),
+        |sc AS (SELECT base.vec_id, seeds.centroid_id,
+        |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
+        |  FROM base, seeds),
+        |asg AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, centroid_id) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |qp AS (SELECT * FROM (
+        |    SELECT vec_id AS query_id, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, centroid_id) AS prn
+        |    FROM sc WHERE vec_id < 10) WHERE prn <= 4),
+        |qq AS (SELECT vec_id AS query_id, qv AS qa, qsq AS sqa
+        |  FROM base WHERE vec_id < 10),
+        |cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id
+        |  FROM qp JOIN asg a ON a.centroid_id = qp.centroid_id
+        |    AND a.vec_id <> qp.query_id),
+        |embarm AS (SELECT query_id, neighbor_id, emb_rnk FROM (
+        |    SELECT c.query_id, c.neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, len(qq.qa) + 1),
+        |          i -> CAST(qq.qa[CAST(i AS INTEGER)] AS BIGINT)
+        |            * nb.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |          / sqrt(CAST(qq.sqa AS DOUBLE) * nb.qsq) DESC,
+        |        c.neighbor_id) AS INTEGER) AS emb_rnk
+        |    FROM cand c JOIN qq ON c.query_id = qq.query_id
+        |      JOIN base nb ON c.neighbor_id = nb.vec_id)
         |  WHERE emb_rnk <= 10),
         |fused AS (
         |  SELECT COALESCE(l.query_id, e.query_id) AS query_id,

@@ -307,7 +307,42 @@ object TextOps {
     */
   def hybridRrfTopDocs(documents: DataFrame, embeddings: DataFrame,
                        numQueries: Int = 10, k: Int = 5, arm: Int = 10,
-                       rrfK: Int = 60): DataFrame = {
+                       rrfK: Int = 60): DataFrame =
+    fuseRrf(bm25DocQueryArm(documents, numQueries, arm),
+      graft.ext.Similarity.quantizedCosineTopK(embeddings, numQueries, arm)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rnk").as("emb_rnk")),
+      k, rrfK)
+
+  /** [[hybridRrfTopDocs]] with the embedding arm served by the
+    * PERSISTED IVF index (`q_hybrid_rrf_store`) — the production
+    * hybrid shape: the lexical arm is the same doc-as-query BM25, the
+    * semantic arm is [[graft.ext.Similarity.ivfIndexStoreProbe]]'s
+    * partition-pruned scan of the maintained store (nProbe lists per
+    * query, exact int8 ranking), and the fusion is the same rank-only
+    * RRF. At 100 TB this is the pairing that actually deploys: both
+    * arms read INDEX artifacts (the tf aggregate's shuffle and the
+    * probed hive partitions), neither scans the raw corpus per query.
+    */
+  def hybridRrfStoreTopDocs(documents: DataFrame, queryVecs: DataFrame,
+                            indexDir: String, numQueries: Int = 10,
+                            k: Int = 5, arm: Int = 10, nProbe: Int = 4,
+                            rrfK: Int = 60): DataFrame =
+    fuseRrf(bm25DocQueryArm(documents, numQueries, arm),
+      graft.ext.Similarity.ivfIndexStoreProbe(queryVecs.sparkSession,
+        queryVecs, indexDir, k = arm, nProbe = nProbe)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rnk").as("emb_rnk")),
+      k, rrfK)
+
+  /** The doc-as-query BM25 arm: top-`arm` docs per query doc by the
+    * `q_bm25` arithmetic over the query's DISTINCT tokens, with each
+    * per-term contribution rounded to integer MICROS before the
+    * per-doc sum (float-sum order is engine-dependent; an integer sum
+    * is not — the lloydStats discipline).
+    */
+  private def bm25DocQueryArm(documents: DataFrame, numQueries: Int,
+                              arm: Int): DataFrame = {
     val tok = documents.select(col("doc_id"),
       explode(wsTokens(col("text"))).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -330,20 +365,23 @@ object TextOps {
           + lit(1.0)) * (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) *
             (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
-      // integer micros BEFORE the sum: float-sum order is engine-
-      // dependent; an integer sum is not (the lloydStats discipline)
       .withColumn("cm", round(col("c") * lit(1000000.0), 0).cast("long"))
     val lex = contrib.groupBy("query_id", "doc_id")
       .agg(sum(col("cm")).as("lex_micro"))
     val wl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("lex_micro").desc, col("doc_id"))
-    val lexArm = lex.withColumn("lex_rnk", row_number().over(wl))
+    lex.withColumn("lex_rnk", row_number().over(wl))
       .filter(col("lex_rnk") <= arm)
       .select("query_id", "doc_id", "lex_rnk")
-    val embArm = graft.ext.Similarity
-      .quantizedCosineTopK(embeddings, numQueries, arm)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"),
-        col("rnk").as("emb_rnk"))
+  }
+
+  /** Rank-only reciprocal-rank fusion of two arm frames
+    * ((query_id, doc_id, lex_rnk) ⋈full (query_id, doc_id, emb_rnk)):
+    * a doc absent from one arm contributes 0 from it and keeps a NULL
+    * rank as the witness. Two bounded frames in, one bounded window.
+    */
+  private def fuseRrf(lexArm: DataFrame, embArm: DataFrame,
+                      k: Int, rrfK: Int): DataFrame = {
     val fused = lexArm.join(embArm, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_score", round(
         coalesce(lit(1.0) / (lit(rrfK) + col("lex_rnk")), lit(0.0)) +

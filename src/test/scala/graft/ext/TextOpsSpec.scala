@@ -210,6 +210,27 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       "no doc surfaced by both arms — fixture too tame for the fusion")
   }
 
+  test("hybridRrfStoreTopDocs at full probe width equals the brute-arm " +
+    "hybrid row-for-row; pruned probes still fuse complete") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyb_store")
+      .toString + "/idx"
+    graft.ext.Similarity.ivfIndexStoreInit(emb, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    // nProbe = nList: the store probe IS the brute scan (spec-pinned in
+    // SimilaritySpec), so the whole fusion must coincide
+    val viaStore = TextOps.hybridRrfStoreTopDocs(d, queries, dir,
+      nProbe = 16).collect().map(_.toSeq)
+    val brute = TextOps.hybridRrfTopDocs(d, emb).collect().map(_.toSeq)
+    assert(viaStore.toSeq === brute.toSeq)
+    // pruned probes: fused top-5 still complete per query
+    val pruned = TextOps.hybridRrfStoreTopDocs(d, queries, dir)
+    assert(pruned.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) === 5L))
+  }
+
   test("vocabCoverage: OOV rate against the top-V corpus vocabulary") {
     // vocab size 2 → {'a' (4 occ), 'b' (2 occ)}; 'z','q' are OOV
     val d = docs((1L, "a a b z", "en"), (2L, "a a b q", "en"))
