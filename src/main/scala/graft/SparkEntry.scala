@@ -679,6 +679,22 @@ object SparkEntry {
       Similarity.ivfIndexStorePqBuild(s, dir, residual = true)
       Similarity.ivfIndexStorePqProbe(s, emb.filter(col("vec_id") < 10), dir)
     }),
+    // the FULL trained lifecycle of the residual configuration: train
+    // the store first, THEN build the residual sidecar — its codebook
+    // draws from residuals under the TRAINED centroids, its codes
+    // encode trained-residuals, and the probe ranks trained centroids
+    "q_ivfadc_store_probe_trained" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfadc_store_tr_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb, dir)
+      Similarity.ivfIndexStoreTrain(s, dir)
+      Similarity.ivfIndexStorePqBuild(s, dir, residual = true)
+      Similarity.ivfIndexStorePqProbe(s, emb.filter(col("vec_id") < 10), dir)
+    }),
     // residual-vs-raw recall A/B at equal probe width and equal bytes —
     // exact hit counts per query against the int8-exact top-k
     "q_ivfadc_recall" -> ((s, d) => Similarity.ivfAdcRecall(Tables.embeddings(s, d))),
@@ -1915,7 +1931,13 @@ object SparkEntry {
     * IVFADC (IVFADC_FRAG's `adcres`) vs the all-trained one against
     * the exact int8 top-5.
     */
-  private val TRAINED_IVFADC_TAIL: String = ",\n" +
+  /** The trained-coarse prefix shared by the trained-IVFADC recall A/B
+    * and the trained residual-store probe: two Lloyd epochs off the PQ
+    * chain's seeds (tce0 → tasg2), residuals RE-TAKEN under the
+    * trained centroids, and the residual codebook's epoch-0 draw (md5
+    * ranks 16..31's trained-residuals).
+    */
+  private val TRAINED_COARSE_FRAG: String = ",\n" +
     "tce0 AS (SELECT centroid_id, cv, CAST(csq AS BIGINT) AS csq FROM seeds),\n" +
     lloydAsgCte("tasg0", "tce0") + ",\n" +
     lloydUpdCte("tce1", "tasg0", "tce0") + ",\n" +
@@ -1929,8 +1951,9 @@ object SparkEntry {
       |trbook0 AS (SELECT CAST(ranked.rank_id - 16 AS INTEGER) AS entry_id,
       |    r.rv AS ev
       |  FROM ranked JOIN tresid r ON ranked.seed_vec_id = r.vec_id
-      |  WHERE ranked.rank_id >= 16 AND ranked.rank_id < 32),
-      |""".stripMargin +
+      |  WHERE ranked.rank_id >= 16 AND ranked.rank_id < 32)""".stripMargin
+
+  private val TRAINED_IVFADC_TAIL: String = TRAINED_COARSE_FRAG + ",\n" +
     resPqRound("trpick1", "trbook0", "trbook1") + ",\n" +
     resPqRound("trpick2", "trbook1", "trbook2") + ",\n" +
     """trpick AS (SELECT vec_id, j, entry_id FROM (
@@ -2027,6 +2050,72 @@ object SparkEntry {
     PQ_CHAIN + ",\n" + IVFADC_FRAG + TRAINED_IVFADC_TAIL
   private val PLANTED_TRAINED_IVFADC_RECALL_SQL: String =
     PLANTED_PQ_CHAIN + ",\n" + IVFADC_FRAG + TRAINED_IVFADC_TAIL
+
+  /** The TRAINED residual store's ADC probe
+    * (`q_ivfadc_store_probe_trained`): the store is trained first, so
+    * the residual sidecar built afterwards draws its codebook from the
+    * md5 ranks' residuals UNDER THE TRAINED CENTROIDS (trbook0 — the
+    * epoch-0 draw; no codebook Lloyd rounds in the store build),
+    * encodes every vector's trained-residual against it, and the probe
+    * ranks the trained centroids. IVFADC_FRAG rides along only for its
+    * `ranked` CTE (unused CTEs stay unexecuted).
+    */
+  private val TRAINED_IVFADC_STORE_SQL: String =
+    PQ_CHAIN + ",\n" + IVFADC_FRAG + TRAINED_COARSE_FRAG + """,
+      |tspick AS (SELECT vec_id, j, entry_id FROM (
+      |    SELECT r.vec_id, subs.j, b.entry_id,
+      |      row_number() OVER (PARTITION BY r.vec_id, subs.j ORDER BY
+      |        list_sum(list_transform(range(1, 9),
+      |          i -> CAST(r.rv[subs.j * 8 + CAST(i AS INTEGER)]
+      |                 - b.ev[subs.j * 8 + CAST(i AS INTEGER)] AS BIGINT)
+      |               * (r.rv[subs.j * 8 + CAST(i AS INTEGER)]
+      |                 - b.ev[subs.j * 8 + CAST(i AS INTEGER)]))),
+      |        b.entry_id) AS rn
+      |    FROM tresid r, trbook0 b, subs) WHERE rn = 1),
+      |tsrecon AS (SELECT p.vec_id, p.j,
+      |    list_transform(range(1, 9),
+      |      i -> b.ev[p.j * 8 + CAST(i AS INTEGER)]) AS rhat
+      |  FROM tspick p JOIN trbook0 b USING (entry_id)),
+      |tsw AS (SELECT r.vec_id,
+      |    list_transform(range(1, len(c.cv) + 1),
+      |      i -> c.cv[CAST(i AS INTEGER)] + f.rhat_full[CAST(i AS INTEGER)]) AS wv
+      |  FROM tresid r
+      |  JOIN tce2 c ON r.centroid_id = c.centroid_id
+      |  JOIN (SELECT vec_id, flatten(list(rhat ORDER BY j)) AS rhat_full
+      |        FROM tsrecon GROUP BY vec_id) f ON r.vec_id = f.vec_id),
+      |tswsq AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(wv, x -> CAST(x AS BIGINT) * x))
+      |      AS BIGINT) AS wsq,
+      |    wv FROM tsw),
+      |tsprobes AS (SELECT query_id, centroid_id FROM (
+      |    SELECT base.vec_id AS query_id, c.centroid_id,
+      |      row_number() OVER (PARTITION BY base.vec_id ORDER BY
+      |        CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+      |          i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+      |            * c.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+      |          / sqrt(CAST(base.qsq AS DOUBLE) * c.csq) DESC,
+      |        c.centroid_id) AS rn
+      |    FROM base, tce2 c WHERE base.vec_id < 10) WHERE rn <= 4),
+      |tscands AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM tsprobes p JOIN tasg2 a USING (centroid_id)
+      |  WHERE a.vec_id <> p.query_id),
+      |tsadc AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |      i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+      |        * ww.wv[CAST(i AS INTEGER)])) AS BIGINT) AS adc_dot,
+      |    CASE WHEN ww.wsq = 0 THEN 0.0
+      |         ELSE CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |             i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+      |               * ww.wv[CAST(i AS INTEGER)])) AS DOUBLE)
+      |           / sqrt(CAST(q.qsq AS DOUBLE) * ww.wsq) END AS sim
+      |  FROM tscands c
+      |  JOIN base q ON c.query_id = q.vec_id
+      |  JOIN tswsq ww ON c.neighbor_id = ww.vec_id),
+      |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk FROM tsadc)
+      |SELECT query_id, rnk, neighbor_id, adc_dot, round(sim, 6) AS ivfadc_sim
+      |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   /** One per-subspace Lloyd mean-update over PQ_CHAIN's names: the
     * lloydUpdCte arithmetic keyed by (subspace j, codebook entry),
@@ -5353,6 +5442,9 @@ object SparkEntry {
     // IVFADC (same seed draws over the same stored codes), so one SQL
     // is both oracles — the q_ivfpq_store_probe sharing discipline
     "q_ivfadc_store_probe" -> IVFADC_TOPK_SQL,
+    // the trained residual store: trained centroids everywhere, the
+    // residual codebook drawn under them (epoch-0; no codebook rounds)
+    "q_ivfadc_store_probe_trained" -> TRAINED_IVFADC_STORE_SQL,
     // residual-vs-raw recall A/B at equal probe width: exact top-5 ∩
     // each ADC ranking, counted per query
     "q_ivfadc_recall" -> (PQ_CHAIN + ",\n" + IVFADC_FRAG + IVFADC_RECALL_TAIL),
