@@ -1345,6 +1345,21 @@ object Similarity {
   def ivfIndexStoreUpdateCentroids(spark: org.apache.spark.sql.SparkSession,
                                    dir: String): DataFrame = {
     import spark.implicits._
+    // a RESIDUAL sidecar pins its codes to the centroids they were
+    // taken against: moving the centroids under it would leave stored
+    // r̂/wsq stale while the probe adds q·cv with the NEW centroids —
+    // a silent wrong answer. Refuse; a retrain rebuilds the sidecar
+    // inside its swap and is the supported path. (The RAW sidecar is
+    // unaffected — its codes are per-vector facts and pruning reads
+    // list ids, so the update proceeds under it.)
+    val cbPath = new org.apache.hadoop.fs.Path(s"$dir/pq_codebook")
+    val cbFs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cbFs.exists(cbPath) && ivfIndexStorePqCodebook(spark, dir)._4)
+      throw new IllegalStateException(
+        s"store at $dir carries a RESIDUAL PQ sidecar — updating " +
+          "centroids in place would silently invalidate its codes; " +
+          "use ivfIndexStoreTrain (which rebuilds the sidecar in its " +
+          "swap) instead")
     val current = ivfIndexStoreCentroids(spark, dir)
       .select("centroid_id", "seed_vec_id", "cv", "csq").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2), r.getLong(3)))

@@ -350,6 +350,34 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$dir/lloyd_stats").count() > 0)
   }
 
+  test("centroid update refuses a residual-sidecar store (stale-code guard) " +
+    "but proceeds under a raw sidecar") {
+    val S = graft.ext.Similarity
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // residual sidecar: moving centroids would leave stored r̂/wsq
+    // stale while the probe adds q·cv with the NEW centroids
+    val dirR = java.nio.file.Files.createTempDirectory("graft_updres")
+      .toString + "/idx"
+    S.ivfIndexStoreInit(d, dirR)
+    S.ivfIndexStorePqBuild(spark, dirR, residual = true)
+    val e = intercept[IllegalStateException] {
+      S.ivfIndexStoreUpdateCentroids(spark, dirR)
+    }
+    assert(e.getMessage.contains("RESIDUAL"))
+    // raw sidecar: codes are per-vector facts, pruning reads list ids —
+    // the update proceeds and the ADC probe still answers complete
+    val dirP = java.nio.file.Files.createTempDirectory("graft_updraw")
+      .toString + "/idx"
+    S.ivfIndexStoreInit(d, dirP)
+    S.ivfIndexStorePqBuild(spark, dirP)
+    S.ivfIndexStoreUpdateCentroids(spark, dirP)
+    import org.apache.spark.sql.functions.col
+    val probed = S.ivfIndexStorePqProbe(spark,
+      d.filter(col("vec_id") < 10), dirP)
+    assert(probed.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) === 5L))
+  }
+
   test("hll on empty input estimates 0") {
     import spark.implicits._
     val empty = Seq.empty[Long].toDF("v")
