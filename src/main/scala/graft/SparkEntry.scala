@@ -1204,6 +1204,126 @@ object SparkEntry {
       |  round(sim, 6) AS q_cosine
       |FROM rr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** The hybrid oracles' shared prefix: the doc-as-query BM25 lexical
+    * arm (per-term contributions rounded to integer MICROS before the
+    * per-doc sum — float-sum order is engine-dependent, integer sums
+    * are not) followed by the q_quantized_topk int8 chain. Shared by
+    * q_hybrid_rrf (brute semantic arm) and q_hybrid_rrf_store
+    * (IVF-pruned semantic arm), so the BM25 arithmetic can never
+    * silently drift between the two.
+    */
+  private val HYBRID_LEX_QUANT_FRAG: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |qtok AS (SELECT DISTINCT doc_id AS query_id, token FROM tok WHERE doc_id < 10),
+      |contrib AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (1.0 - 0.75
+      |          + 0.75 * dl.dl / (CAST(total_len AS DOUBLE) / n_docs)))
+      |      * 1000000.0) AS BIGINT) AS cm
+      |  FROM tf JOIN qtok q USING (token) JOIN dfreq USING (token)
+      |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      |  WHERE tf.doc_id <> q.query_id),
+      |lex AS (SELECT query_id, doc_id, CAST(SUM(cm) AS BIGINT) AS lex_micro
+      |  FROM contrib GROUP BY query_id, doc_id),
+      |lexarm AS (SELECT query_id, doc_id, lex_rnk FROM (
+      |    SELECT query_id, doc_id,
+      |      CAST(row_number() OVER (PARTITION BY query_id
+      |        ORDER BY lex_micro DESC, doc_id) AS INTEGER) AS lex_rnk
+      |    FROM lex) WHERE lex_rnk <= 10),
+      |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |m AS (SELECT vec_id, emb,
+      |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+      |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+      |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+      |q0 AS (SELECT vec_id,
+      |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+      |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+      |      FROM s),
+      |b AS (SELECT vec_id, qv,
+      |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
+      |      FROM q0),
+      |base AS (SELECT * FROM b WHERE qsq > 0)""".stripMargin
+
+  /** The hybrid oracles' shared fusion tail over `lexarm` and an
+    * `embarm(query_id, neighbor_id, emb_rnk)` CTE: rank-only RRF with
+    * NULL-rank witnesses, fused top-5.
+    */
+  private val HYBRID_FUSE_TAIL: String = """,
+    |fused AS (
+    |  SELECT COALESCE(l.query_id, e.query_id) AS query_id,
+    |    COALESCE(l.doc_id, e.neighbor_id) AS doc_id,
+    |    l.lex_rnk, e.emb_rnk,
+    |    round(COALESCE(1.0 / (60 + l.lex_rnk), 0.0) +
+    |          COALESCE(1.0 / (60 + e.emb_rnk), 0.0), 6) AS rrf_score
+    |  FROM lexarm l FULL OUTER JOIN embarm e
+    |    ON l.query_id = e.query_id AND l.doc_id = e.neighbor_id),
+    |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    |    ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rnk FROM fused)
+    |SELECT query_id, rnk, doc_id, lex_rnk, emb_rnk, rrf_score
+    |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** q_hybrid_rrf: the brute int8-cosine semantic arm. */
+  private val HYBRID_RRF_SQL: String = HYBRID_LEX_QUANT_FRAG + """,
+    |qs AS (SELECT vec_id AS query_id, qv AS qa, qsq AS sqa
+    |  FROM base WHERE vec_id < 10),
+    |embarm AS (SELECT query_id, neighbor_id, emb_rnk FROM (
+    |    SELECT qs.query_id, nb.vec_id AS neighbor_id,
+    |      CAST(row_number() OVER (PARTITION BY qs.query_id ORDER BY
+    |        CAST(list_sum(list_transform(range(1, len(qs.qa) + 1),
+    |          i -> CAST(qs.qa[CAST(i AS INTEGER)] AS BIGINT)
+    |            * nb.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+    |          / sqrt(CAST(qs.sqa AS DOUBLE) * nb.qsq) DESC,
+    |        nb.vec_id) AS INTEGER) AS emb_rnk
+    |    FROM qs JOIN base nb ON nb.vec_id <> qs.query_id)
+    |  WHERE emb_rnk <= 10)""".stripMargin + HYBRID_FUSE_TAIL
+
+  /** q_hybrid_rrf_store: the IVF-pruned semantic arm (top-4 seed lists
+    * per query, exact int8 ranking of the pruned candidates).
+    */
+  private val HYBRID_RRF_STORE_SQL: String = HYBRID_LEX_QUANT_FRAG + """,
+    |seeds AS (SELECT * FROM (
+    |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+    |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+    |        vec_id) AS INTEGER) - 1 AS centroid_id
+    |    FROM base) WHERE centroid_id < 16),
+    |sc AS (SELECT base.vec_id, seeds.centroid_id,
+    |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+    |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+    |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+    |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
+    |  FROM base, seeds),
+    |asg AS (SELECT * FROM (
+    |    SELECT *, row_number() OVER (PARTITION BY vec_id
+    |      ORDER BY sim DESC, centroid_id) AS rn FROM sc)
+    |  WHERE rn = 1),
+    |qp AS (SELECT * FROM (
+    |    SELECT vec_id AS query_id, centroid_id,
+    |      row_number() OVER (PARTITION BY vec_id
+    |        ORDER BY sim DESC, centroid_id) AS prn
+    |    FROM sc WHERE vec_id < 10) WHERE prn <= 4),
+    |qq AS (SELECT vec_id AS query_id, qv AS qa, qsq AS sqa
+    |  FROM base WHERE vec_id < 10),
+    |cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id
+    |  FROM qp JOIN asg a ON a.centroid_id = qp.centroid_id
+    |    AND a.vec_id <> qp.query_id),
+    |embarm AS (SELECT query_id, neighbor_id, emb_rnk FROM (
+    |    SELECT c.query_id, c.neighbor_id,
+    |      CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY
+    |        CAST(list_sum(list_transform(range(1, len(qq.qa) + 1),
+    |          i -> CAST(qq.qa[CAST(i AS INTEGER)] AS BIGINT)
+    |            * nb.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+    |          / sqrt(CAST(qq.sqa AS DOUBLE) * nb.qsq) DESC,
+    |        c.neighbor_id) AS INTEGER) AS emb_rnk
+    |    FROM cand c JOIN qq ON c.query_id = qq.query_id
+    |      JOIN base nb ON c.neighbor_id = nb.vec_id)
+    |  WHERE emb_rnk <= 10)""".stripMargin + HYBRID_FUSE_TAIL
+
   /** The PQ family's shared prefix: the q_quantized_topk int8 chain,
     * the 16 md5-ranked seeds (serving as BOTH the coarse IVF centroids
     * and the per-subspace codebook — the same deterministic draw as
@@ -3485,159 +3605,15 @@ object SparkEntry {
         |  FROM scored)
         |SELECT token, rnk, doc_id, tf, dl, bm25 FROM ranked WHERE rnk <= 3
         |ORDER BY token, rnk""".stripMargin,
-    // hybrid RRF: doc-as-query BM25 (per-term contributions rounded to
-    // integer micros BEFORE the per-doc sum — float-sum order is
-    // engine-dependent, integer sums are not) + the exact int8 cosine
-    // arm, fused by 1/(60+rank) per arm, ranks only
-    "q_hybrid_rrf" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
-        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-        |qtok AS (SELECT DISTINCT doc_id AS query_id, token FROM tok WHERE doc_id < 10),
-        |contrib AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-        |      * (tf.tf * 2.2)
-        |      / (tf.tf + 1.2 * (1.0 - 0.75
-        |          + 0.75 * dl.dl / (CAST(total_len AS DOUBLE) / n_docs)))
-        |      * 1000000.0) AS BIGINT) AS cm
-        |  FROM tf JOIN qtok q USING (token) JOIN dfreq USING (token)
-        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
-        |  WHERE tf.doc_id <> q.query_id),
-        |lex AS (SELECT query_id, doc_id, CAST(SUM(cm) AS BIGINT) AS lex_micro
-        |  FROM contrib GROUP BY query_id, doc_id),
-        |lexarm AS (SELECT query_id, doc_id, lex_rnk FROM (
-        |    SELECT query_id, doc_id,
-        |      CAST(row_number() OVER (PARTITION BY query_id
-        |        ORDER BY lex_micro DESC, doc_id) AS INTEGER) AS lex_rnk
-        |    FROM lex) WHERE lex_rnk <= 10),
-        |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |m AS (SELECT vec_id, emb,
-        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
-        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
-        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
-        |q0 AS (SELECT vec_id,
-        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
-        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
-        |      FROM s),
-        |b AS (SELECT vec_id, qv,
-        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
-        |      FROM q0),
-        |base AS (SELECT * FROM b WHERE qsq > 0),
-        |qs AS (SELECT vec_id AS query_id, qv AS qa, qsq AS sqa
-        |  FROM base WHERE vec_id < 10),
-        |embarm AS (SELECT query_id, neighbor_id, emb_rnk FROM (
-        |    SELECT qs.query_id, nb.vec_id AS neighbor_id,
-        |      CAST(row_number() OVER (PARTITION BY qs.query_id ORDER BY
-        |        CAST(list_sum(list_transform(range(1, len(qs.qa) + 1),
-        |          i -> CAST(qs.qa[CAST(i AS INTEGER)] AS BIGINT)
-        |            * nb.qv[CAST(i AS INTEGER)])) AS DOUBLE)
-        |          / sqrt(CAST(qs.sqa AS DOUBLE) * nb.qsq) DESC,
-        |        nb.vec_id) AS INTEGER) AS emb_rnk
-        |    FROM qs JOIN base nb ON nb.vec_id <> qs.query_id)
-        |  WHERE emb_rnk <= 10),
-        |fused AS (
-        |  SELECT COALESCE(l.query_id, e.query_id) AS query_id,
-        |    COALESCE(l.doc_id, e.neighbor_id) AS doc_id,
-        |    l.lex_rnk, e.emb_rnk,
-        |    round(COALESCE(1.0 / (60 + l.lex_rnk), 0.0) +
-        |          COALESCE(1.0 / (60 + e.emb_rnk), 0.0), 6) AS rrf_score
-        |  FROM lexarm l FULL OUTER JOIN embarm e
-        |    ON l.query_id = e.query_id AND l.doc_id = e.neighbor_id),
-        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rnk FROM fused)
-        |SELECT query_id, rnk, doc_id, lex_rnk, emb_rnk, rrf_score
-        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // hybrid RRF: doc-as-query BM25 (integer-micro contributions) +
+    // the exact int8 cosine arm, fused by 1/(60+rank) per arm, ranks
+    // only; the lexical/quant prefix and the fusion tail are shared
+    // with the store-served variant below
+    "q_hybrid_rrf" -> HYBRID_RRF_SQL,
     // the store-served hybrid: the semantic arm is the IVF-pruned
     // probe (top-4 seed lists per query, exact int8 ranking of the
     // pruned candidates) instead of the brute scan
-    "q_hybrid_rrf_store" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
-        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-        |qtok AS (SELECT DISTINCT doc_id AS query_id, token FROM tok WHERE doc_id < 10),
-        |contrib AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-        |      * (tf.tf * 2.2)
-        |      / (tf.tf + 1.2 * (1.0 - 0.75
-        |          + 0.75 * dl.dl / (CAST(total_len AS DOUBLE) / n_docs)))
-        |      * 1000000.0) AS BIGINT) AS cm
-        |  FROM tf JOIN qtok q USING (token) JOIN dfreq USING (token)
-        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
-        |  WHERE tf.doc_id <> q.query_id),
-        |lex AS (SELECT query_id, doc_id, CAST(SUM(cm) AS BIGINT) AS lex_micro
-        |  FROM contrib GROUP BY query_id, doc_id),
-        |lexarm AS (SELECT query_id, doc_id, lex_rnk FROM (
-        |    SELECT query_id, doc_id,
-        |      CAST(row_number() OVER (PARTITION BY query_id
-        |        ORDER BY lex_micro DESC, doc_id) AS INTEGER) AS lex_rnk
-        |    FROM lex) WHERE lex_rnk <= 10),
-        |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |m AS (SELECT vec_id, emb,
-        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
-        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
-        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
-        |q0 AS (SELECT vec_id,
-        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
-        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
-        |      FROM s),
-        |b AS (SELECT vec_id, qv,
-        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
-        |      FROM q0),
-        |base AS (SELECT * FROM b WHERE qsq > 0),
-        |seeds AS (SELECT * FROM (
-        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
-        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-        |        vec_id) AS INTEGER) - 1 AS centroid_id
-        |    FROM base) WHERE centroid_id < 16),
-        |sc AS (SELECT base.vec_id, seeds.centroid_id,
-        |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
-        |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
-        |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
-        |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
-        |  FROM base, seeds),
-        |asg AS (SELECT * FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY sim DESC, centroid_id) AS rn FROM sc)
-        |  WHERE rn = 1),
-        |qp AS (SELECT * FROM (
-        |    SELECT vec_id AS query_id, centroid_id,
-        |      row_number() OVER (PARTITION BY vec_id
-        |        ORDER BY sim DESC, centroid_id) AS prn
-        |    FROM sc WHERE vec_id < 10) WHERE prn <= 4),
-        |qq AS (SELECT vec_id AS query_id, qv AS qa, qsq AS sqa
-        |  FROM base WHERE vec_id < 10),
-        |cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id
-        |  FROM qp JOIN asg a ON a.centroid_id = qp.centroid_id
-        |    AND a.vec_id <> qp.query_id),
-        |embarm AS (SELECT query_id, neighbor_id, emb_rnk FROM (
-        |    SELECT c.query_id, c.neighbor_id,
-        |      CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY
-        |        CAST(list_sum(list_transform(range(1, len(qq.qa) + 1),
-        |          i -> CAST(qq.qa[CAST(i AS INTEGER)] AS BIGINT)
-        |            * nb.qv[CAST(i AS INTEGER)])) AS DOUBLE)
-        |          / sqrt(CAST(qq.sqa AS DOUBLE) * nb.qsq) DESC,
-        |        c.neighbor_id) AS INTEGER) AS emb_rnk
-        |    FROM cand c JOIN qq ON c.query_id = qq.query_id
-        |      JOIN base nb ON c.neighbor_id = nb.vec_id)
-        |  WHERE emb_rnk <= 10),
-        |fused AS (
-        |  SELECT COALESCE(l.query_id, e.query_id) AS query_id,
-        |    COALESCE(l.doc_id, e.neighbor_id) AS doc_id,
-        |    l.lex_rnk, e.emb_rnk,
-        |    round(COALESCE(1.0 / (60 + l.lex_rnk), 0.0) +
-        |          COALESCE(1.0 / (60 + e.emb_rnk), 0.0), 6) AS rrf_score
-        |  FROM lexarm l FULL OUTER JOIN embarm e
-        |    ON l.query_id = e.query_id AND l.doc_id = e.neighbor_id),
-        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rnk FROM fused)
-        |SELECT query_id, rnk, doc_id, lex_rnk, emb_rnk, rrf_score
-        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_hybrid_rrf_store" -> HYBRID_RRF_STORE_SQL,
     "q_vocab_coverage" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |vocab AS (

@@ -1345,6 +1345,14 @@ object Similarity {
   def ivfIndexStoreUpdateCentroids(spark: org.apache.spark.sql.SparkSession,
                                    dir: String): DataFrame = {
     import spark.implicits._
+    // every store mutation runs the whole-store crash recovery first
+    // (a headless train swap must be adopted, not misread as a
+    // missing-sidecar layout error)
+    if (Curation.storeSwapRecover(spark, dir) == "absent")
+      throw new java.io.IOException(
+        s"no IVF index store (live, old, or staged) at $dir")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a RESIDUAL sidecar pins its codes to the centroids they were
     // taken against: moving the centroids under it would leave stored
     // r̂/wsq stale while the probe adds q·cv with the NEW centroids —
@@ -1352,14 +1360,24 @@ object Similarity {
     // inside its swap and is the supported path. (The RAW sidecar is
     // unaffected — its codes are per-vector facts and pruning reads
     // list ids, so the update proceeds under it.)
-    val cbPath = new org.apache.hadoop.fs.Path(s"$dir/pq_codebook")
-    val cbFs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (cbFs.exists(cbPath) && ivfIndexStorePqCodebook(spark, dir)._4)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codebook")) &&
+        ivfIndexStorePqCodebook(spark, dir)._4)
       throw new IllegalStateException(
         s"store at $dir carries a RESIDUAL PQ sidecar — updating " +
           "centroids in place would silently invalidate its codes; " +
           "use ivfIndexStoreTrain (which rebuilds the sidecar in its " +
           "swap) instead")
+    // the centroid table's own rename-aside discipline: a crash
+    // between the delete and the rename leaves a completed `.next`
+    // with its _SUCCESS marker, adopted here on the next call — the
+    // store is never left headless by THIS mutation
+    val live = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/.centroids.next")
+    if (!fs.exists(live) &&
+        fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) {
+      if (!fs.rename(next, live))
+        throw new java.io.IOException(s"recovery rename $next -> $live failed")
+    } else fs.delete(next, true)
     val current = ivfIndexStoreCentroids(spark, dir)
       .select("centroid_id", "seed_vec_id", "cv", "csq").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2), r.getLong(3)))
@@ -1373,7 +1391,10 @@ object Similarity {
     val picked = updated.zip(current).map {
       case ((cid, cv, csq), (_, vid, _, _)) => (cid, vid, cv, csq)
     }
-    seedsToDf(spark, picked).write.mode("overwrite").parquet(s"$dir/centroids")
+    seedsToDf(spark, picked).write.parquet(next.toString)
+    fs.delete(live, true)
+    if (!fs.rename(next, live))
+      throw new java.io.IOException(s"rename $next -> $live failed")
     updated.map { case (cid, cv, csq) =>
       (cid, stats.get((cid, 0)).map(_._2).getOrElse(0L),
         cv.map(_.toLong).sum, csq)
@@ -1396,19 +1417,44 @@ object Similarity {
     // layout) must fail loud BEFORE any write — appending rows whose
     // cells can't merge would silently break the sidecar invariant
     val statsBefore = ivfIndexStoreLloydStats(spark, dir)
+    // persisted: the batch argmax feeds TWO actions here (the
+    // partitioned write and the statistics cells) and usually a third
+    // in the caller — one quantize+argmax pass instead of two or three
     val assigned = ivfIndexAssign(newVecs, ivfIndexStoreCentroids(spark, dir))
-    assigned.select((STORE_COLS :+ "centroid_id").map(col): _*)
-      .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$dir/assignments")
-    // merge the batch's additive statistics into the sidecar — ONE
-    // O(batch × nList) pass over the batch (the same cost class as the
-    // assignment itself), keeping the sidecar ≡ per-cell aggregate of
-    // the consolidated lists so [[ivfIndexStoreUpdateCentroids]] never
-    // needs a stored-corpus rescan
-    writeLloydStats(spark, dir,
-      lloydMergeStats(statsBefore, lloydStatsOf(assigned)))
+      .persist()
+    try {
+      assigned.select((STORE_COLS :+ "centroid_id").map(col): _*)
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(s"$dir/assignments")
+      // merge the batch's additive statistics into the sidecar — ONE
+      // O(batch × nList) pass over the CACHED batch, keeping the
+      // sidecar ≡ per-cell aggregate of the consolidated lists so
+      // [[ivfIndexStoreUpdateCentroids]] never needs a corpus rescan.
+      // Failure honesty: the rows-append and this overwrite are two
+      // separate commits (parquet append is not atomic either — a
+      // mid-append crash leaves partial ROWS too), and the store is
+      // single-writer by contract; a crash between the two commits
+      // leaves appended rows unrepresented in the sidecar. That window
+      // is RECOVERABLE, not silent-forever: [[ivfIndexStoreStatsRebuild]]
+      // re-derives the sidecar from the assignment bytes in one cheap
+      // scan, and a train/reseed re-bases it as part of its swap.
+      writeLloydStats(spark, dir,
+        lloydMergeStats(statsBefore, lloydStatsOf(assigned)))
+    } finally assigned.unpersist(blocking = false)
     assigned
   }
+
+  /** Re-derive the statistics sidecar from the stored assignment bytes
+    * — the recovery escape hatch for a crash between an append's two
+    * commits (rows landed, cells didn't), and the cheapest way to
+    * certify the sidecar invariant on demand: one columnar scan of the
+    * consolidated lists, no argmax, no float. Idempotent; equals what
+    * init wrote and what every append maintained.
+    */
+  def ivfIndexStoreStatsRebuild(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): Unit =
+    writeLloydStats(spark, dir,
+      collectAssignmentStats(spark, s"$dir/assignments"))
 
   /** Probe the PERSISTED index: rank the stored centroids per query,
     * collect the union of probed list ids (bounded: numQueries × nProbe
@@ -2645,9 +2691,16 @@ object Similarity {
   private[graft] def ivfIndexStorePqCodebook(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): (Array[Int], Int, Seq[Int], Boolean) = {
-    val rows = spark.read.parquet(s"$dir/pq_codebook")
-      .select("centroid_id", "seed_vec_id", "cv", "csq", "n_sub", "perm",
-        "residual")
+    val df = spark.read.parquet(s"$dir/pq_codebook")
+    // a codebook written before the residual tier existed has no
+    // `residual` column — those sidecars are raw by construction, so
+    // the absent column defaults to false instead of failing the read
+    // (and with it the train migration path for old stores)
+    val resCol = if (df.columns.contains("residual")) col("residual")
+                 else lit(false)
+    val rows = df
+      .select(col("centroid_id"), col("seed_vec_id"), col("cv"), col("csq"),
+        col("n_sub"), col("perm"), resCol.as("residual"))
       .collect()
     require(rows.nonEmpty, s"empty PQ codebook at $dir/pq_codebook")
     val picked = rows.map(r => (r.getInt(0), r.getLong(1),

@@ -246,25 +246,44 @@ object TextOps {
     * incremental float mean), and every constant is the same literal on
     * both engines, so the scores hash-match.
     */
-  def bm25TopDocs(documents: DataFrame, nTerms: Int = 10,
-                  topK: Int = 3): DataFrame = {
+  /** The BM25 corpus prelude shared by [[bm25TopDocs]] and the hybrid
+    * arm: tokens, per-(doc, term) tf, per-doc length, the one
+    * (n_docs, total_len) stats row, per-term df.
+    */
+  private final case class Bm25Corpus(tok: DataFrame, tf: DataFrame,
+                                      dl: DataFrame, stats: DataFrame,
+                                      dfreq: DataFrame)
+
+  private def bm25Corpus(documents: DataFrame): Bm25Corpus = {
     val tok = documents.select(col("doc_id"),
       explode(wsTokens(col("text"))).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val terms = dfreq.orderBy(col("df").desc, col("token")).limit(nTerms)
-    val scored = tf.join(broadcast(terms), Seq("token"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))
-      .withColumn("idf",
-        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-          + lit(1.0)))
-      .withColumn("bm25", round(col("idf") * (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) *
-          (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))), 6))
+    Bm25Corpus(tok, tf, dl,
+      dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len")),
+      tf.groupBy("token").agg(count(lit(1)).as("df")))
+  }
+
+  /** The Okapi BM25 term weight over columns (tf, dl, df, n_docs,
+    * total_len) — Lucene smooth idf, k1 = 1.2, b = 0.75, avgdl as ONE
+    * exact-long double division. ONE copy of the constants, so the
+    * ranker and the hybrid arm can never silently diverge.
+    */
+  private def bm25Weight: Column =
+    log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      + lit(1.0)) * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+        lit(0.75) * col("dl") /
+          (col("total_len").cast("double") / col("n_docs"))))
+
+  def bm25TopDocs(documents: DataFrame, nTerms: Int = 10,
+                  topK: Int = 3): DataFrame = {
+    val c = bm25Corpus(documents)
+    val terms = c.dfreq.orderBy(col("df").desc, col("token")).limit(nTerms)
+    val scored = c.tf.join(broadcast(terms), Seq("token"))
+      .join(c.dl, Seq("doc_id"))
+      .crossJoin(broadcast(c.stats))
+      .withColumn("bm25", round(bm25Weight, 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("token")).orderBy(col("bm25").desc, col("doc_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -343,29 +362,18 @@ object TextOps {
     */
   private def bm25DocQueryArm(documents: DataFrame, numQueries: Int,
                               arm: Int): DataFrame = {
-    val tok = documents.select(col("doc_id"),
-      explode(wsTokens(col("text"))).as("token"))
-    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val qtok = tok.filter(col("doc_id") < numQueries)
+    val c = bm25Corpus(documents)
+    val qtok = c.tok.filter(col("doc_id") < numQueries)
       .select(col("doc_id").as("query_id"), col("token")).distinct()
     // per-query-term df — bounded by the query vocab, broadcast back
-    val qdf = dfreq.join(qtok.select("token").distinct(), Seq("token"))
-    val contrib = tf
+    val qdf = c.dfreq.join(qtok.select("token").distinct(), Seq("token"))
+    val contrib = c.tf
       .join(broadcast(qtok), Seq("token"))
       .filter(col("doc_id") =!= col("query_id"))
       .join(broadcast(qdf), Seq("token"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))
-      .withColumn("c",
-        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-          + lit(1.0)) * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) *
-            (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
-      .withColumn("cm", round(col("c") * lit(1000000.0), 0).cast("long"))
+      .join(c.dl, Seq("doc_id"))
+      .crossJoin(broadcast(c.stats))
+      .withColumn("cm", round(bm25Weight * lit(1000000.0), 0).cast("long"))
     val lex = contrib.groupBy("query_id", "doc_id")
       .agg(sum(col("cm")).as("lex_micro"))
     val wl = org.apache.spark.sql.expressions.Window

@@ -345,9 +345,45 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
       S.ivfIndexStoreAppend(spark, d.filter(col("vec_id") < 5), dir)
     }
     assert(e2.getMessage.contains("lloyd_stats"))
-    // train re-creates the sidecar (the documented migration path)
+    // the cheap migration: StatsRebuild re-derives the sidecar from
+    // the assignment bytes (also the recovery for a crash between an
+    // append's two commits), after which the O(batch) cells work
+    S.ivfIndexStoreStatsRebuild(spark, dir)
+    assert(S.ivfIndexStoreUpdateCentroids(spark, dir).count() > 0)
+    // and a train re-bases it as part of its swap, as documented
     S.ivfIndexStoreTrain(spark, dir, iters = 0)
     assert(spark.read.parquet(s"$dir/lloyd_stats").count() > 0)
+  }
+
+  test("a pre-residual-tier pq_codebook (no 'residual' column) reads as raw") {
+    // stores built before the residual tier carry codebooks without the
+    // `residual` column; the reader must default them to raw instead of
+    // failing the select — which would also break the train migration
+    import org.apache.spark.sql.functions.col
+    val S = graft.ext.Similarity
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_oldcb")
+      .toString + "/idx"
+    S.ivfIndexStoreInit(d, dir)
+    S.ivfIndexStorePqBuild(spark, dir)
+    val expected = S.ivfIndexStorePqProbe(spark,
+      d.filter(col("vec_id") < 10), dir).collect().map(_.toSeq)
+    // rewrite the codebook in the OLD layout (residual column dropped);
+    // collect first so the overwrite never races its own read
+    val oldRows = spark.read.parquet(s"$dir/pq_codebook")
+      .drop("residual").collect().toSeq
+    val oldSchema = spark.read.parquet(s"$dir/pq_codebook")
+      .drop("residual").schema
+    spark.createDataFrame(
+      java.util.Arrays.asList(oldRows: _*), oldSchema)
+      .write.mode("overwrite").parquet(s"$dir/pq_codebook")
+    val got = S.ivfIndexStorePqProbe(spark,
+      d.filter(col("vec_id") < 10), dir).collect().map(_.toSeq)
+    assert(got.toSeq === expected.toSeq)
+    // and the train migration path survives the old layout
+    S.ivfIndexStoreTrain(spark, dir, iters = 0)
+    assert(S.ivfIndexStorePqProbe(spark, d.filter(col("vec_id") < 10), dir)
+      .groupBy("query_id").count().collect().forall(_.getLong(1) === 5L))
   }
 
   test("centroid update refuses a residual-sidecar store (stale-code guard) " +
