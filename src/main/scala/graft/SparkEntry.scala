@@ -522,6 +522,28 @@ object SparkEntry {
       Similarity.ivfIndexStoreAppend(s, emb.filter(!storedSide), dir)
       Similarity.ivfIndexStoreTrain(s, dir)
     }),
+    // the MULTI-CYCLE day-ingest law (round 16): append → update →
+    // append → update. The second batch assigns under the MOVED
+    // centroids and the lists now hold mixed-epoch members — the
+    // historical-assignment semantics (a centroid is the mean of its
+    // members AS ASSIGNED) is exactly what the sidecar's additive
+    // cells encode, and the oracle recomputes the whole two-cycle
+    // trajectory from scratch to certify it cross-engine
+    "q_ivf_store_update_inc2" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, md5, substring}
+      val emb = Tables.embeddings(s, d)
+      val h = substring(md5(col("vec_id").cast("string")), 1, 1)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_upd2_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb.filter(h < "8"), dir)
+      Similarity.ivfIndexStoreAppend(s,
+        emb.filter(h >= lit("8") && h < lit("c")), dir)
+      Similarity.ivfIndexStoreUpdateCentroids(s, dir)
+      Similarity.ivfIndexStoreAppend(s, emb.filter(h >= "c"), dir)
+      Similarity.ivfIndexStoreUpdateCentroids(s, dir)
+    }),
     // O(batch) centroid maintenance WIRED INTO THE ARTIFACT (round 16):
     // init persists the stored side's Lloyd sufficient statistics as a
     // store sidecar, the append merges the batch's stats by addition,
@@ -5100,6 +5122,99 @@ object SparkEntry {
         |    AS cv_sum,
         |  c.csq
         |FROM ce1 c LEFT JOIN counts k USING (centroid_id)
+        |ORDER BY c.centroid_id""".stripMargin,
+    // two full maintenance cycles recomputed from scratch: ce0 = seeds
+    // from the stored side; cycle 1 = (stored ∪ batch1) assigned under
+    // ce0, integer-mean update → ce1; cycle 2 = batch2 assigned under
+    // ce1, cells of BOTH epochs' members summed per list, update → the
+    // final centroids. The Spark side reads only its sidecar — the
+    // match certifies the mixed-epoch member-sums semantics
+    "q_ivf_store_update_inc2" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq,
+        |        substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS h
+        |      FROM q0),
+        |base AS (SELECT * FROM b WHERE qsq > 0),
+        |ce0 AS (SELECT centroid_id, cv, CAST(csq AS BIGINT) AS csq FROM (
+        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS INTEGER) - 1 AS centroid_id
+        |    FROM base WHERE h < '8') WHERE centroid_id < 16),
+        |asg01 AS (SELECT vec_id, centroid_id FROM (
+        |    SELECT base.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY base.vec_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |          i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |            * c.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |          / sqrt(CAST(base.qsq AS DOUBLE) * c.csq) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM base, ce0 c WHERE base.h < 'c') WHERE rn = 1),
+        |cells1 AS (SELECT a.centroid_id,
+        |      unnest(range(1, len(b2.qv) + 1)) AS pos, unnest(b2.qv) AS v
+        |    FROM asg01 a JOIN base b2 USING (vec_id)),
+        |u1 AS (SELECT centroid_id,
+        |      list(CAST(floor(CAST(2 * s + n AS DOUBLE) / (2 * n)) AS INTEGER)
+        |        ORDER BY pos) AS cv
+        |    FROM (SELECT centroid_id, pos, SUM(CAST(v AS BIGINT)) AS s,
+        |            COUNT(*) AS n
+        |          FROM cells1 GROUP BY centroid_id, pos)
+        |    GROUP BY centroid_id),
+        |un1 AS (SELECT centroid_id, cv,
+        |      CAST(list_sum(list_transform(cv, x -> CAST(x AS BIGINT) * x))
+        |        AS BIGINT) AS csq
+        |    FROM u1),
+        |ce1 AS (SELECT p.centroid_id,
+        |      CASE WHEN n.csq IS NULL OR n.csq = 0 THEN p.cv ELSE n.cv END AS cv,
+        |      CAST(CASE WHEN n.csq IS NULL OR n.csq = 0 THEN p.csq ELSE n.csq END
+        |        AS BIGINT) AS csq
+        |    FROM ce0 p LEFT JOIN un1 n USING (centroid_id)),
+        |asg2 AS (SELECT vec_id, centroid_id FROM (
+        |    SELECT base.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY base.vec_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |          i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |            * c.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |          / sqrt(CAST(base.qsq AS DOUBLE) * c.csq) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM base, ce1 c WHERE base.h >= 'c') WHERE rn = 1),
+        |allasg AS (SELECT vec_id, centroid_id FROM asg01
+        |  UNION ALL SELECT vec_id, centroid_id FROM asg2),
+        |cells2 AS (SELECT a.centroid_id,
+        |      unnest(range(1, len(b2.qv) + 1)) AS pos, unnest(b2.qv) AS v
+        |    FROM allasg a JOIN base b2 USING (vec_id)),
+        |u2 AS (SELECT centroid_id,
+        |      list(CAST(floor(CAST(2 * s + n AS DOUBLE) / (2 * n)) AS INTEGER)
+        |        ORDER BY pos) AS cv
+        |    FROM (SELECT centroid_id, pos, SUM(CAST(v AS BIGINT)) AS s,
+        |            COUNT(*) AS n
+        |          FROM cells2 GROUP BY centroid_id, pos)
+        |    GROUP BY centroid_id),
+        |un2 AS (SELECT centroid_id, cv,
+        |      CAST(list_sum(list_transform(cv, x -> CAST(x AS BIGINT) * x))
+        |        AS BIGINT) AS csq
+        |    FROM u2),
+        |ce2 AS (SELECT p.centroid_id,
+        |      CASE WHEN n.csq IS NULL OR n.csq = 0 THEN p.cv ELSE n.cv END AS cv,
+        |      CAST(CASE WHEN n.csq IS NULL OR n.csq = 0 THEN p.csq ELSE n.csq END
+        |        AS BIGINT) AS csq
+        |    FROM ce1 p LEFT JOIN un2 n USING (centroid_id)),
+        |counts AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        |    FROM allasg GROUP BY centroid_id)
+        |SELECT c.centroid_id,
+        |  COALESCE(k.n_members, 0) AS n_members,
+        |  CAST(list_sum(list_transform(c.cv, x -> CAST(x AS BIGINT))) AS BIGINT)
+        |    AS cv_sum,
+        |  c.csq
+        |FROM ce2 c LEFT JOIN counts k USING (centroid_id)
         |ORDER BY c.centroid_id""".stripMargin,
     // the PERSISTED-store form of the same theorem: Spark computes
     // init-stats + batch-stats merged in the store sidecar and updates
