@@ -605,6 +605,20 @@ object SparkEntry {
     "q_ivf_trained_recall_clustered" -> ((s, d) =>
       Similarity.ivfTrainedRecall(
         Similarity.plantedClusterEmbeddings(Tables.embeddings(s, d)))),
+    // the Matryoshka instrument (round 16): per query and prefix width
+    // d ∈ {16, 32, 64}, exact full-dim top-k hits recovered by ranking
+    // on the FIRST d coordinates only — "can this corpus rank on a
+    // prefix and read 4× fewer index bytes?" measured, never assumed;
+    // the d = 64 arm is the exact ranking (built-in recall-1.0 row)
+    "q_dim_truncation_recall" -> ((s, d) =>
+      Similarity.dimTruncationRecall(Tables.embeddings(s, d))),
+    // the same calibration on the planted-cluster corpus: the centers
+    // repeat every 8 dims, so a 16-dim prefix already sees two peaks
+    // per cluster — prefix ranking recovers cluster structure where
+    // the isotropic corpus has none to recover
+    "q_dim_truncation_recall_clustered" -> ((s, d) =>
+      Similarity.dimTruncationRecall(
+        Similarity.plantedClusterEmbeddings(Tables.embeddings(s, d)))),
     // quantized-scan ANN: cosine top-k over int8 codes — per-vector
     // scales cancel, so the ranking is pure integer arithmetic and
     // (unlike trained-codebook PQ) exactly oracle-matched
@@ -1345,6 +1359,96 @@ object SparkEntry {
     |    FROM cand c JOIN qq ON c.query_id = qq.query_id
     |      JOIN base nb ON c.neighbor_id = nb.vec_id)
     |  WHERE emb_rnk <= 10)""".stripMargin + HYBRID_FUSE_TAIL
+
+  /** One prefix-width arm of the dimension-truncation oracle: prefix
+    * norms, ranking on the first `d` coordinates (truncated-zero
+    * vectors score 0), top-5, and hit counts vs the full-dim exact
+    * top-5 CTE `ex`.
+    */
+  private def dimArmCtes(d: Int): String =
+    s"""bd$d AS (SELECT vec_id, qv,
+       |    CAST(list_sum(list_transform(range(1, ${d + 1}),
+       |      i -> CAST(qv[CAST(i AS INTEGER)] AS BIGINT)
+       |        * qv[CAST(i AS INTEGER)])) AS BIGINT) AS sqd
+       |  FROM base),
+       |arm$d AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CASE WHEN q.sqd = 0 OR c.sqd = 0 THEN 0.0
+       |             ELSE CAST(list_sum(list_transform(range(1, ${d + 1}),
+       |               i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+       |                 * c.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+       |               / sqrt(CAST(q.sqd AS DOUBLE) * c.sqd) END DESC,
+       |        c.vec_id) AS rnk
+       |    FROM bd$d q JOIN bd$d c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10)
+       |  WHERE rnk <= 5),
+       |h$d AS (SELECT e.query_id, COUNT(*) AS hits FROM ex e
+       |  JOIN arm$d a ON e.query_id = a.query_id
+       |    AND e.neighbor_id = a.neighbor_id
+       |  GROUP BY e.query_id)""".stripMargin
+
+  /** q_dim_truncation_recall: prefix-ranking arms at widths 16/32/64
+    * against the full-dim exact top-5.
+    */
+  private val DIM_TRUNCATION_SQL: String =
+    """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |m AS (SELECT vec_id, emb,
+      |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+      |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+      |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+      |q0 AS (SELECT vec_id,
+      |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+      |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+      |      FROM s),
+      |b AS (SELECT vec_id, qv,
+      |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
+      |      FROM q0),
+      |base AS (SELECT * FROM b WHERE qsq > 0),
+      |ex AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |          i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+      |            * c.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+      |          / sqrt(CAST(q.qsq AS DOUBLE) * c.qsq) DESC,
+      |        c.vec_id) AS rnk
+      |    FROM base q JOIN base c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 10)
+      |  WHERE rnk <= 5),
+      |""".stripMargin +
+    dimArmCtes(16) + ",\n" + dimArmCtes(32) + ",\n" + dimArmCtes(64) +
+    """,
+      |qs AS (SELECT vec_id AS query_id FROM base WHERE vec_id < 10)
+      |SELECT 16 AS dims, q.query_id,
+      |  CAST(COALESCE(h16.hits, 0) AS BIGINT) AS hits,
+      |  round(COALESCE(h16.hits, 0) / 5.0, 6) AS recall
+      |FROM qs q LEFT JOIN h16 ON q.query_id = h16.query_id
+      |UNION ALL
+      |SELECT 32 AS dims, q.query_id,
+      |  CAST(COALESCE(h32.hits, 0) AS BIGINT) AS hits,
+      |  round(COALESCE(h32.hits, 0) / 5.0, 6) AS recall
+      |FROM qs q LEFT JOIN h32 ON q.query_id = h32.query_id
+      |UNION ALL
+      |SELECT 64 AS dims, q.query_id,
+      |  CAST(COALESCE(h64.hits, 0) AS BIGINT) AS hits,
+      |  round(COALESCE(h64.hits, 0) / 5.0, 6) AS recall
+      |FROM qs q LEFT JOIN h64 ON q.query_id = h64.query_id
+      |ORDER BY dims, query_id""".stripMargin
+
+  /** DIM_TRUNCATION_SQL over the planted-cluster corpus — the same
+    * corpus-CTE swap (and non-vacuousness pin) as PLANTED_PQ_CHAIN.
+    */
+  private val PLANTED_DIM_TRUNCATION_SQL: String = DIM_TRUNCATION_SQL.replace(
+    "WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+    """WITH t AS (SELECT vec_id,
+      |    list_transform(range(1, 65), i -> CAST(
+      |      CASE WHEN (vec_id % 8 + i) % 8 = 0 THEN 80 ELSE -10 END
+      |      + ascii(substr(md5(CAST(vec_id * 64 + i AS VARCHAR)), 1, 1)) % 5 - 2
+      |      AS DOUBLE)) AS emb
+      |  FROM embeddings)""".stripMargin)
+  require(PLANTED_DIM_TRUNCATION_SQL != DIM_TRUNCATION_SQL,
+    "PLANTED_DIM_TRUNCATION_SQL replace matched nothing — the corpus CTE changed")
 
   /** The PQ family's shared prefix: the q_quantized_topk int8 chain,
     * the 16 md5-ranked seeds (serving as BOTH the coarse IVF centroids
@@ -5438,6 +5542,9 @@ object SparkEntry {
     // codes element-wise, spec-pinned), so the same SQL is its oracle
     "q_quantized_topk_bytes" -> QUANTIZED_TOPK_SQL,
     "q_quantized_topk" -> QUANTIZED_TOPK_SQL,
+    // Matryoshka calibration: prefix-width arms vs the full-dim exact
+    "q_dim_truncation_recall" -> DIM_TRUNCATION_SQL,
+    "q_dim_truncation_recall_clustered" -> PLANTED_DIM_TRUNCATION_SQL,
     // seed-codebook product quantization: per-(vector, subspace) exact
     // integer argmin over the 16 md5-ranked seeds' slices — code ids,
     // summed distortion, and the reconstruction's squared norm are all

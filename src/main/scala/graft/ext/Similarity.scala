@@ -1656,6 +1656,66 @@ object Similarity {
     Dedup.scopeCaches(out, codes)
   }
 
+  /** Dimension-truncation recall A/B (`q_dim_truncation_recall`) — the
+    * Matryoshka question (Kusupati et al., NeurIPS 2022 train
+    * embeddings so PREFIXES rank well; this instrument measures
+    * whether a given corpus's prefixes already do): per query and per
+    * prefix width d ∈ `dims`, the exact number of the FULL-dimension
+    * int8 top-k recovered by ranking on the first d coordinates only.
+    * A deployment that can rank on 16 of 64 dims reads 4× fewer index
+    * bytes — but only if recall holds, and that is corpus-specific, so
+    * it is measured, never assumed. All arms share ONE quantization
+    * pass; prefix dots and norms are exact integers (a truncated-zero
+    * vector scores 0 by definition on both engines), so the whole
+    * calibration table hash-matches. The widest arm (d = dim) IS the
+    * exact ranking — a built-in recall-1.0 sanity row per query.
+    */
+  def dimTruncationRecall(embeddings: DataFrame, numQueries: Int = 10,
+                          k: Int = 5,
+                          dims: Seq[Int] = Seq(16, 32, 64)): DataFrame = {
+    import graft.functions.IntDot.int_dot
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0).persist()
+    val exact = storedCodesTopK(codes, numQueries, k)
+      .select("query_id", "neighbor_id")
+    val arms = dims.map { d =>
+      val sliced = codes.select(col("vec_id"),
+        slice(col("qv"), 1, d).as("qd"))
+        .withColumn("sqd", int_dot(col("qd"), col("qd")))
+      val q = sliced.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("qd").as("qa"),
+          col("sqd").as("sqa"))
+      val sims = sliced
+        .select(col("vec_id").as("neighbor_id"), col("qd").as("qb"),
+          col("sqd").as("sqb"))
+        .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim",
+          when(col("sqa") === 0 || col("sqb") === 0, lit(0.0))
+            .otherwise(int_dot(col("qb"), col("qa")) /
+              sqrt(col("sqa").cast("double") * col("sqb").cast("double"))))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      val topd = sims.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select("query_id", "neighbor_id")
+      exact.join(topd, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .select(lit(d).as("dims"), col("query_id"), col("hits"))
+    }
+    val grid = codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"))
+      .crossJoin(dims.toDF("dims"))
+    val out = grid
+      .join(arms.reduce(_.unionByName(_)), Seq("dims", "query_id"), "left")
+      .select(col("dims"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall"))
+      .orderBy("dims", "query_id")
+    Dedup.scopeCaches(out, codes)
+  }
+
   // ------------------------------------------------------------------
   // Lloyd-refined centroids: distributed k-means in the exact int8 regime
   // ------------------------------------------------------------------

@@ -912,6 +912,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .forall(_.getLong(1) === 5L))
   }
 
+  test("dimTruncationRecall: the full-width arm IS the exact ranking; " +
+      "hits bounded; truncated-zero vectors score 0, not NaN") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Similarity.dimTruncationRecall(d).collect()
+    assert(rows.length === 30, "3 widths x 10 queries")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 5L)
+      assert(math.abs(r.getDouble(3) - r.getLong(2) / 5.0) < 1e-9)
+    }
+    // d = 64 (the full width) ranks exactly like the exact scan —
+    // every query's sanity row reads recall 1.0
+    rows.filter(_.getInt(0) === 64).foreach(r =>
+      assert(r.getLong(2) === 5L, s"full-width arm must be exact: $r"))
+    // a vector whose PREFIX is all-zero but whose tail is not must
+    // score 0 in the truncated arm (never NaN / never excluded): with
+    // 4 dims and width-2 prefixes, vec 3's prefix is zero
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Seq(3f, 1f, 0f, 1f), 0), (1L, Seq(2f, 2f, 1f, 0f), 0),
+      (2L, Seq(1f, 3f, 2f, 2f), 0), (3L, Seq(0f, 0f, 5f, 4f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val t = Similarity.dimTruncationRecall(tiny, numQueries = 2, k = 2,
+      dims = Seq(2, 4)).collect()
+    assert(t.length === 4)
+    t.foreach(r => assert(!r.isNullAt(2) && !r.isNullAt(3)))
+  }
+
   test("lloyd_stats sidecar: init writes it, append merges it, and the " +
       "O(batch) centroid update equals the union one-epoch Lloyd update") {
     import org.apache.spark.sql.functions.{col, md5, substring}
