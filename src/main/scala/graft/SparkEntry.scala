@@ -5431,7 +5431,7 @@ object SparkEntry {
         |tot AS (SELECT SUM(list_size) AS total FROM per)
         |SELECT per.centroid_id, seeds.seed_vec_id, per.list_size, per.n_codes,
         |  round(CAST(per.list_size AS DOUBLE) / tot.total, 6) AS share
-        |FROM per, tot
+        |FROM per CROSS JOIN tot
         |JOIN seeds ON seeds.centroid_id = per.centroid_id
         |ORDER BY per.centroid_id""".stripMargin,
     // post-reseed occupancy ≡ a fresh build's: seeds from ALL
@@ -5472,7 +5472,7 @@ object SparkEntry {
         |tot AS (SELECT SUM(list_size) AS total FROM per)
         |SELECT per.centroid_id, seeds.seed_vec_id, per.list_size, per.n_codes,
         |  round(CAST(per.list_size AS DOUBLE) / tot.total, 6) AS share
-        |FROM per, tot
+        |FROM per CROSS JOIN tot
         |JOIN seeds ON seeds.centroid_id = per.centroid_id
         |ORDER BY per.centroid_id""".stripMargin,
     // pruned-probe IVF top-k over the seed index: probes = each
