@@ -565,6 +565,24 @@ object SparkEntry {
       Similarity.ivfIndexStoreAppend(s, emb.filter(!storedSide), dir)
       Similarity.ivfIndexStoreUpdateCentroids(s, dir)
     }),
+    // the sidecar-invariant FSCK as a query (round 17): per list, the
+    // member count and per-coordinate integer sums recomputed from the
+    // STORED assignment bytes vs the lloyd_stats sidecar, cell by cell
+    // — TRUE-iff-equal booleans, so the documented append crash window
+    // (rows committed, cell merge not) is DETECTABLE by a query, not
+    // just recoverable by a hatch someone must remember
+    "q_ivf_store_fsck" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, md5, substring}
+      val emb = Tables.embeddings(s, d)
+      val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_fsck_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb.filter(storedSide), dir)
+      Similarity.ivfIndexStoreAppend(s, emb.filter(!storedSide), dir)
+      Similarity.ivfIndexStoreFsck(s, dir)
+    }),
     // the probabilistic side of q_ivf_topk under the oracle (the
     // bounds-twin pattern): per query, recall@k of the pruned probe vs
     // the exact top-k >= the documented floor, as a TRUE-iff-held
@@ -5382,6 +5400,51 @@ object SparkEntry {
         |    AS cv_sum,
         |  c.csq
         |FROM ce1 c LEFT JOIN counts k USING (centroid_id)
+        |ORDER BY c.centroid_id""".stripMargin,
+    // sidecar fsck on the init+append store: the oracle recomputes the
+    // per-list member count and total coordinate sum from the
+    // assignment law (stored-side seeds, union assignment), and the
+    // invariant booleans hold TRUE — the TRUE-iff-held pattern; the
+    // counts/sums are real data, so the hash also pins the aggregate
+    "q_ivf_store_fsck" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq,
+        |        substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS stored
+        |      FROM q0),
+        |base AS (SELECT * FROM b WHERE qsq > 0),
+        |ce0 AS (SELECT centroid_id, cv, CAST(csq AS BIGINT) AS csq FROM (
+        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS INTEGER) - 1 AS centroid_id
+        |    FROM base WHERE stored) WHERE centroid_id < 16),
+        |asg AS (SELECT vec_id, centroid_id FROM (
+        |    SELECT base.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY base.vec_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |          i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |            * c.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |          / sqrt(CAST(base.qsq AS DOUBLE) * c.csq) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM base, ce0 c) WHERE rn = 1),
+        |cells AS (SELECT a.centroid_id, unnest(b2.qv) AS v
+        |    FROM asg a JOIN base b2 USING (vec_id)),
+        |counts AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |    FROM asg GROUP BY centroid_id),
+        |sums AS (SELECT centroid_id, CAST(SUM(CAST(v AS BIGINT)) AS BIGINT)
+        |      AS sum_rows
+        |    FROM cells GROUP BY centroid_id)
+        |SELECT c.centroid_id, c.n_rows, c.n_rows AS n_sidecar, s2.sum_rows,
+        |  TRUE AS count_ok, TRUE AS cells_ok
+        |FROM counts c JOIN sums s2 USING (centroid_id)
         |ORDER BY c.centroid_id""".stripMargin,
     // seed-vs-Lloyd-trained index recall at equal probe width —
     // candidate and exact-top-k hit counts per query, both epochs

@@ -1232,9 +1232,57 @@ object Similarity {
       collectAssignmentStats(spark, s"$dir/assignments"))
   }
 
+  /** Rename-aside adoption for a store table written through a
+    * `.NAME.next` staging dir: if the live table is MISSING but a
+    * COMPLETED staging copy exists (`_SUCCESS` present), adopt it —
+    * the writer crashed in the window between deleting the live table
+    * and renaming the staged one in, and the staged copy is the
+    * write's full intent. Returns true iff a live table exists after
+    * the call. Called from every READ path of a rename-aside table
+    * (not just its writer), so recovery is generally reachable: any
+    * probe/append/train that touches the table self-heals the store
+    * instead of failing on the missing path (round-16 ADVICE).
+    */
+  private def adoptStagedNext(fs: org.apache.hadoop.fs.FileSystem,
+                              live: org.apache.hadoop.fs.Path,
+                              next: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(live) &&
+        fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) {
+      if (!fs.rename(next, live))
+        throw new java.io.IOException(s"recovery rename $next -> $live failed")
+    }
+    fs.exists(live)
+  }
+
+  /** Write a bounded driver-local DataFrame as a store table through
+    * the rename-aside discipline: stage at `.NAME.next` (Spark's
+    * `_SUCCESS` marker commits it), delete the live table, rename the
+    * staged one in. The only crash window that loses the live table
+    * leaves a COMPLETED `.next`, which every reader adopts via
+    * [[adoptStagedNext]] — the table is never absent without a
+    * generally-reachable recovery.
+    */
+  private def writeRenameAside(df: DataFrame, dir: String,
+                               name: String): Unit = {
+    val spark = df.sparkSession
+    val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/.$name.next")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(next, true)
+    df.write.parquet(next.toString)
+    fs.delete(live, true)
+    if (!fs.rename(next, live))
+      throw new java.io.IOException(s"rename $next -> $live failed")
+  }
+
   def ivfIndexStoreCentroids(spark: org.apache.spark.sql.SparkSession,
-                             dir: String): DataFrame =
+                             dir: String): DataFrame = {
+    val live = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    adoptStagedNext(fs, live,
+      new org.apache.hadoop.fs.Path(s"$dir/.centroids.next"))
     spark.read.parquet(s"$dir/centroids")
+  }
 
   def ivfIndexStoreAssignments(spark: org.apache.spark.sql.SparkSession,
                                dir: String): DataFrame =
@@ -1261,6 +1309,11 @@ object Similarity {
       dir: String): Map[(Int, Int), (Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/lloyd_stats")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // adopt a completed rename-aside staging copy first: a writer that
+    // crashed between its delete and its rename left the sidecar's
+    // full intent at `.lloyd_stats.next` — every reader self-heals
+    adoptStagedNext(fs, p,
+      new org.apache.hadoop.fs.Path(s"$dir/.lloyd_stats.next"))
     if (!fs.exists(p))
       throw new java.io.IOException(
         s"no Lloyd-statistics sidecar at $p — the store predates the " +
@@ -1308,17 +1361,24 @@ object Similarity {
 
   /** Persist a statistics map as the sidecar. The rows are written
     * from a driver-local sequence (the map is nList × dim bounded), so
-    * an overwrite never races its own read lineage.
+    * the write never races its own read lineage — and it goes through
+    * [[writeRenameAside]] (round-17): the sidecar is written on EVERY
+    * append, so a plain overwrite's crash window (live deleted, new
+    * bytes partial) would wedge all ingest until a manual
+    * [[ivfIndexStoreStatsRebuild]]; with rename-aside the only
+    * lost-live state leaves a completed `.next` that the next read
+    * adopts.
     */
   private def writeLloydStats(spark: org.apache.spark.sql.SparkSession,
                               dir: String,
                               stats: Map[(Int, Int), (Long, Long)]): Unit = {
     import spark.implicits._
-    stats.toSeq.map { case ((c, p), (s, n)) => (c, p, s, n) }
-      .sortBy(t => (t._1, t._2))
-      .toDF("cluster", "pos", "s", "n")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/lloyd_stats")
+    writeRenameAside(
+      stats.toSeq.map { case ((c, p), (s, n)) => (c, p, s, n) }
+        .sortBy(t => (t._1, t._2))
+        .toDF("cluster", "pos", "s", "n")
+        .coalesce(1),
+      dir, "lloyd_stats")
   }
 
   /** O(batch) CENTROID MAINTENANCE of the persisted index
@@ -1367,23 +1427,28 @@ object Similarity {
           "centroids in place would silently invalidate its codes; " +
           "use ivfIndexStoreTrain (which rebuilds the sidecar in its " +
           "swap) instead")
-    // the centroid table's own rename-aside discipline: a crash
-    // between the delete and the rename leaves a completed `.next`
-    // with its _SUCCESS marker, adopted here on the next call — the
-    // store is never left headless by THIS mutation
-    val live = new org.apache.hadoop.fs.Path(s"$dir/centroids")
-    val next = new org.apache.hadoop.fs.Path(s"$dir/.centroids.next")
-    if (!fs.exists(live) &&
-        fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) {
-      if (!fs.rename(next, live))
-        throw new java.io.IOException(s"recovery rename $next -> $live failed")
-    } else fs.delete(next, true)
     val current = ivfIndexStoreCentroids(spark, dir)
       .select("centroid_id", "seed_vec_id", "cv", "csq").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2), r.getLong(3)))
       .sortBy(_._1)
     require(current.nonEmpty, s"empty centroid table at $dir/centroids")
     val stats = ivfIndexStoreLloydStats(spark, dir)
+    // STALENESS CROSS-CHECK (round-17): a crash between an append's
+    // two commits (rows landed, cell merge didn't) leaves the sidecar
+    // silently under-counting — and this is the op that would turn
+    // that into wrong centroids. The sidecar's total member count must
+    // equal the consolidated assignment row count (a column-less
+    // parquet count — footer metadata, no corpus data scan); on
+    // mismatch fail LOUD at the recovery hatch instead of computing
+    // means from stale statistics.
+    val sidecarCount = stats.collect { case ((_, 0), (_, n)) => n }.sum
+    val rowCount = spark.read.parquet(s"$dir/assignments").count()
+    if (sidecarCount != rowCount)
+      throw new java.io.IOException(
+        s"lloyd_stats sidecar counts $sidecarCount members but the store " +
+          s"holds $rowCount assignment rows — an append crashed between " +
+          "its row and statistics commits; run ivfIndexStoreStatsRebuild " +
+          "(one columnar scan) before updating centroids")
     val updated = lloydCentroidsFromStats(
       current.map { case (cid, _, cv, csq) => (cid, cv, csq) }, stats)
     // lineage: the updated centroid keeps its ancestor's seed_vec_id,
@@ -1391,10 +1456,7 @@ object Similarity {
     val picked = updated.zip(current).map {
       case ((cid, cv, csq), (_, vid, _, _)) => (cid, vid, cv, csq)
     }
-    seedsToDf(spark, picked).write.parquet(next.toString)
-    fs.delete(live, true)
-    if (!fs.rename(next, live))
-      throw new java.io.IOException(s"rename $next -> $live failed")
+    writeRenameAside(seedsToDf(spark, picked), dir, "centroids")
     updated.map { case (cid, cv, csq) =>
       (cid, stats.get((cid, 0)).map(_._2).getOrElse(0L),
         cv.map(_.toLong).sum, csq)
@@ -1455,6 +1517,62 @@ object Similarity {
                                 dir: String): Unit =
     writeLloydStats(spark, dir,
       collectAssignmentStats(spark, s"$dir/assignments"))
+
+  /** FSCK of the statistics sidecar (`q_ivf_store_fsck`): certify the
+    * sidecar ≡ per-cell-aggregate-of-assignment-rows invariant by
+    * recomputing, per inverted list, the member count and the
+    * per-coordinate integer sums from the STORED assignment bytes and
+    * comparing them cell-by-cell against the sidecar. One columnar
+    * scan of the consolidated lists (the [[ivfIndexStoreStatsRebuild]]
+    * aggregate) plus the nList × dim sidecar read — no argmax, no
+    * float, no corpus re-read. Per list it reports both sides' counts,
+    * the total coordinate sum from the rows, and two booleans:
+    * `count_ok` (member counts agree) and `cells_ok` (EVERY
+    * (coordinate) cell's sum and count agree — per-cell, so two wrong
+    * cells can never cancel). This turns the documented append crash
+    * window (rows committed, cells not) from "recoverable if a human
+    * remembers the rebuild hatch" into "detectable by a query": a
+    * FALSE row names the exact list to rebuild. Day partitions are
+    * out of scope by the sidecar's own contract — they fold into the
+    * sidecar at train/reseed, the same moment they join the
+    * consolidated lists.
+    */
+  def ivfIndexStoreFsck(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.Int8Unpack.int8_unpack
+    // reader-side self-heal first, like every sidecar read path
+    val sidecarPath = new org.apache.hadoop.fs.Path(s"$dir/lloyd_stats")
+    adoptStagedNext(
+      sidecarPath.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      sidecarPath, new org.apache.hadoop.fs.Path(s"$dir/.lloyd_stats.next"))
+    val fromRows = spark.read.parquet(s"$dir/assignments")
+      .select(col("centroid_id").as("cluster"),
+        posexplode(int8_unpack(col("qb"))).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(sum(col("v")).as("rs"), count(lit(1)).as("rn"))
+    val sidecar = spark.read.parquet(s"$dir/lloyd_stats")
+      .select(col("cluster"), col("pos"), col("s").as("cs"),
+        col("n").as("cn"))
+    // full outer on the cell key: a cell present on one side only is
+    // itself an invariant violation (never silently dropped)
+    val cells = fromRows.join(sidecar, Seq("cluster", "pos"), "full_outer")
+      .withColumn("cell_ok",
+        coalesce(col("rs"), lit(Long.MinValue)) <=>
+          coalesce(col("cs"), lit(Long.MaxValue)) &&
+          coalesce(col("rn"), lit(Long.MinValue)) <=>
+            coalesce(col("cn"), lit(Long.MaxValue)))
+    cells.groupBy("cluster")
+      .agg(max(coalesce(col("rn"), lit(0L))).as("n_rows"),
+        max(coalesce(col("cn"), lit(0L))).as("n_sidecar"),
+        sum(coalesce(col("rs"), lit(0L))).as("sum_rows"),
+        min(col("cell_ok").cast("int")).cast("boolean").as("cells_ok"))
+      .select(col("cluster").as("centroid_id"), col("n_rows"),
+        col("n_sidecar"), col("sum_rows"),
+        (col("n_rows") === col("n_sidecar")).as("count_ok"),
+        col("cells_ok"))
+      .orderBy("centroid_id")
+  }
 
   /** Probe the PERSISTED index: rank the stored centroids per query,
     * collect the union of probed list ids (bounded: numQueries × nProbe

@@ -355,6 +355,90 @@ class EdgeCasesSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$dir/lloyd_stats").count() > 0)
   }
 
+  test("an append crash between its two commits is DETECTED (fsck FALSE, " +
+      "update refuses) and recovered by StatsRebuild") {
+    // the documented window: assignment rows committed, the sidecar's
+    // cell merge not reached. Injected by replaying exactly the rows
+    // half of ivfIndexStoreAppend — assign the batch under the stored
+    // centroids and append it to the hive lists directly.
+    import org.apache.spark.sql.functions.col
+    val S = graft.ext.Similarity
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_crashwin")
+      .toString + "/idx"
+    S.ivfIndexStoreInit(d.filter(col("vec_id") % 2 === 0), dir)
+    val healthy = S.ivfIndexStoreFsck(spark, dir).collect()
+    assert(healthy.nonEmpty &&
+      healthy.forall(r => r.getBoolean(4) && r.getBoolean(5)),
+      "a just-init'd store must fsck clean")
+    S.ivfIndexAssign(d.filter(col("vec_id") % 2 === 1),
+        S.ivfIndexStoreCentroids(spark, dir))
+      .select(col("vec_id"), col("qb"), col("qsq"), col("dig"),
+        col("centroid_sim"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$dir/assignments")
+    // detection 1: the fsck law reads FALSE on every list the orphan
+    // rows landed in (count and cells disagree)
+    val broken = S.ivfIndexStoreFsck(spark, dir).collect()
+    assert(broken.exists(r => !r.getBoolean(4) || !r.getBoolean(5)),
+      "fsck must flag the under-counting sidecar")
+    // detection 2: the O(batch) update cross-checks the sidecar total
+    // against the assignment row count and fails LOUD at the hatch —
+    // never computes centroids from stale statistics
+    val e = intercept[java.io.IOException] {
+      S.ivfIndexStoreUpdateCentroids(spark, dir)
+    }
+    assert(e.getMessage.contains("ivfIndexStoreStatsRebuild"))
+    // recovery: one columnar scan re-bases the sidecar; fsck reads
+    // clean and the update proceeds
+    S.ivfIndexStoreStatsRebuild(spark, dir)
+    val fixed = S.ivfIndexStoreFsck(spark, dir).collect()
+    assert(fixed.forall(r => r.getBoolean(4) && r.getBoolean(5)))
+    assert(S.ivfIndexStoreUpdateCentroids(spark, dir).count() > 0)
+  }
+
+  test("rename-aside tables self-heal from every READ path: a headless " +
+      "sidecar or centroid table with a completed .next is adopted") {
+    // simulate the writer's crash window (live deleted, staged rename
+    // not reached) by renaming the live table aside by hand — the
+    // staged copy keeps the _SUCCESS marker its parquet write created
+    val S = graft.ext.Similarity
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_adopt")
+      .toString + "/idx"
+    S.ivfIndexStoreInit(d, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def crashAside(name: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val next = new org.apache.hadoop.fs.Path(s"$dir/.$name.next")
+      assert(fs.rename(live, next), s"test setup: $name rename failed")
+    }
+    crashAside("lloyd_stats")
+    // any sidecar read adopts it — here via the fsck (a pure reader)
+    assert(S.ivfIndexStoreFsck(spark, dir).collect()
+      .forall(r => r.getBoolean(4) && r.getBoolean(5)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/lloyd_stats")))
+    crashAside("centroids")
+    // any centroid read adopts it — here via a probe (the hottest path)
+    import org.apache.spark.sql.functions.col
+    assert(S.ivfIndexStoreProbe(spark,
+      d.filter(col("vec_id") < 3), dir).count() > 0)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids")))
+    // an INCOMPLETE staging copy (no _SUCCESS) is never adopted: the
+    // reader fails on the missing table rather than reading torn bytes
+    crashAside("lloyd_stats")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/.lloyd_stats.next/_SUCCESS"), false)
+    intercept[Exception] {
+      S.ivfIndexStoreUpdateCentroids(spark, dir)
+    }
+    // StatsRebuild recreates a live sidecar from the assignment bytes
+    S.ivfIndexStoreStatsRebuild(spark, dir)
+    assert(S.ivfIndexStoreFsck(spark, dir).collect()
+      .forall(r => r.getBoolean(4) && r.getBoolean(5)))
+  }
+
   test("a pre-residual-tier pq_codebook (no 'residual' column) reads as raw") {
     // stores built before the residual tier carry codebooks without the
     // `residual` column; the reader must default them to raw instead of
