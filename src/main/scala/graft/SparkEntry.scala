@@ -583,6 +583,42 @@ object SparkEntry {
       Similarity.ivfIndexStoreAppend(s, emb.filter(!storedSide), dir)
       Similarity.ivfIndexStoreFsck(s, dir)
     }),
+    // DELETION from the persisted index (round 17) — the lifecycle step
+    // real corpora force (takedowns, dedup retractions, privacy
+    // erasure): drop the ids' rows from ONLY the hive partitions that
+    // held one and SUBTRACT their cells from the sidecar (additivity
+    // runs both directions). Per affected list: ids dropped and rows
+    // remaining — both exact integers, so the delete is hash-matched
+    "q_ivf_store_delete" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_del_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb, dir)
+      Similarity.ivfIndexStoreDelete(s,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), dir)
+    }),
+    // the delete → update COMPOSITION law (the union-minus theorem):
+    // after subtracting the victims' cells, the O(batch) centroid
+    // update off the sidecar alone equals the one-epoch Lloyd update
+    // of the SURVIVOR corpus under the init centroids — the oracle
+    // recomputes that from scratch, so the hash match certifies that
+    // deletion composes with the whole maintenance loop, not just
+    // with reads
+    "q_ivf_store_delete_upd" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_delupd_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb, dir)
+      Similarity.ivfIndexStoreDelete(s,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), dir)
+      Similarity.ivfIndexStoreUpdateCentroids(s, dir)
+    }),
     // the probabilistic side of q_ivf_topk under the oracle (the
     // bounds-twin pattern): per query, recall@k of the pruned probe vs
     // the exact top-k >= the documented floor, as a TRUE-iff-held
@@ -5445,6 +5481,106 @@ object SparkEntry {
         |SELECT c.centroid_id, c.n_rows, c.n_rows AS n_sidecar, s2.sum_rows,
         |  TRUE AS count_ok, TRUE AS cells_ok
         |FROM counts c JOIN sums s2 USING (centroid_id)
+        |ORDER BY c.centroid_id""".stripMargin,
+    // delete summary on the full-corpus store: seeds from ALL
+    // non-degenerate codes (init saw everything), every vector
+    // assigned, victims = vec_id % 7 = 3 — per affected list, the
+    // victim count and the surviving row count
+    "q_ivf_store_delete" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
+        |      FROM q0),
+        |base AS (SELECT * FROM b WHERE qsq > 0),
+        |ce0 AS (SELECT centroid_id, cv, CAST(csq AS BIGINT) AS csq FROM (
+        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS INTEGER) - 1 AS centroid_id
+        |    FROM base) WHERE centroid_id < 16),
+        |asg AS (SELECT vec_id, centroid_id FROM (
+        |    SELECT base.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY base.vec_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |          i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |            * c.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |          / sqrt(CAST(base.qsq AS DOUBLE) * c.csq) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM base, ce0 c) WHERE rn = 1),
+        |vic AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_deleted
+        |    FROM asg WHERE vec_id % 7 = 3 GROUP BY centroid_id),
+        |rem AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_remaining
+        |    FROM asg WHERE vec_id % 7 <> 3 GROUP BY centroid_id)
+        |SELECT v.centroid_id, v.n_deleted,
+        |  COALESCE(r.n_remaining, 0) AS n_remaining
+        |FROM vic v LEFT JOIN rem r USING (centroid_id)
+        |ORDER BY v.centroid_id""".stripMargin,
+    // delete → update composition (the union-minus law): the O(batch)
+    // update off the subtracted sidecar ≡ the one-epoch Lloyd update
+    // of the SURVIVORS under the full-corpus init centroids
+    "q_ivf_store_delete_upd" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
+        |      FROM q0),
+        |base AS (SELECT * FROM b WHERE qsq > 0),
+        |ce0 AS (SELECT centroid_id, cv, CAST(csq AS BIGINT) AS csq FROM (
+        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS INTEGER) - 1 AS centroid_id
+        |    FROM base) WHERE centroid_id < 16),
+        |asg AS (SELECT vec_id, centroid_id FROM (
+        |    SELECT base.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY base.vec_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |          i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |            * c.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |          / sqrt(CAST(base.qsq AS DOUBLE) * c.csq) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM base, ce0 c) WHERE rn = 1),
+        |surv AS (SELECT vec_id, centroid_id FROM asg WHERE vec_id % 7 <> 3),
+        |cells AS (SELECT a.centroid_id,
+        |      unnest(range(1, len(b2.qv) + 1)) AS pos, unnest(b2.qv) AS v
+        |    FROM surv a JOIN base b2 USING (vec_id)),
+        |u AS (SELECT centroid_id,
+        |      list(CAST(floor(CAST(2 * s + n AS DOUBLE) / (2 * n)) AS INTEGER)
+        |        ORDER BY pos) AS cv
+        |    FROM (SELECT centroid_id, pos, SUM(CAST(v AS BIGINT)) AS s,
+        |            COUNT(*) AS n
+        |          FROM cells GROUP BY centroid_id, pos)
+        |    GROUP BY centroid_id),
+        |un AS (SELECT centroid_id, cv,
+        |      CAST(list_sum(list_transform(cv, x -> CAST(x AS BIGINT) * x))
+        |        AS BIGINT) AS csq
+        |    FROM u),
+        |ce1 AS (SELECT p.centroid_id,
+        |      CASE WHEN n.csq IS NULL OR n.csq = 0 THEN p.cv ELSE n.cv END AS cv,
+        |      CAST(CASE WHEN n.csq IS NULL OR n.csq = 0 THEN p.csq ELSE n.csq END
+        |        AS BIGINT) AS csq
+        |    FROM ce0 p LEFT JOIN un n USING (centroid_id)),
+        |counts AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        |    FROM surv GROUP BY centroid_id)
+        |SELECT c.centroid_id,
+        |  COALESCE(k.n_members, 0) AS n_members,
+        |  CAST(list_sum(list_transform(c.cv, x -> CAST(x AS BIGINT))) AS BIGINT)
+        |    AS cv_sum,
+        |  c.csq
+        |FROM ce1 c LEFT JOIN counts k USING (centroid_id)
         |ORDER BY c.centroid_id""".stripMargin,
     // seed-vs-Lloyd-trained index recall at equal probe width —
     // candidate and exact-top-k hit counts per query, both epochs

@@ -1574,6 +1574,140 @@ object Similarity {
       .orderBy("centroid_id")
   }
 
+  /** Rewrite the affected hive partitions of a vec_id-keyed,
+    * centroid_id-partitioned store table, dropping the given ids:
+    * survivors of ONLY the affected lists are staged under
+    * `.NAME.delete-next` (one pruned columnar read of those
+    * partitions, an anti-join on vec_id, no other partition touched),
+    * then each affected partition dir is swapped live. A partition
+    * whose members are ALL deleted simply disappears (no staged dir to
+    * rename) — the hive layout treats an absent list as empty.
+    */
+  private def deleteFromPartitioned(spark: org.apache.spark.sql.SparkSession,
+                                    base: String, lists: Seq[Int],
+                                    idFrame: DataFrame): Unit = {
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      basePath.getParent, s".${basePath.getName}.delete-next")
+    fs.delete(staging, true)
+    spark.read.parquet(base)
+      .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*))
+      .join(idFrame, Seq("vec_id"), "left_anti")
+      .write.partitionBy("centroid_id").parquet(staging.toString)
+    lists.foreach { c =>
+      val live = new org.apache.hadoop.fs.Path(base, s"centroid_id=$c")
+      val next = new org.apache.hadoop.fs.Path(staging, s"centroid_id=$c")
+      fs.delete(live, true)
+      if (fs.exists(next) && !fs.rename(next, live))
+        throw new java.io.IOException(s"delete swap $next -> $live failed")
+    }
+    fs.delete(staging, true)
+  }
+
+  /** DELETE vectors from the persisted index (`q_ivf_store_delete`) —
+    * the lifecycle step real corpora force on every index (takedowns,
+    * dedup retractions, privacy erasure), and the cheap DUAL of
+    * [[ivfIndexStoreAppend]] under the additive-statistics design:
+    * drop the ids' assignment rows (and their `pq_codes` rows when a
+    * PQ sidecar exists), and SUBTRACT their cells from the
+    * `lloyd_stats` sidecar — additivity works in both directions, so
+    * init + appends + deletes + [[ivfIndexStoreUpdateCentroids]] still
+    * equals the one-epoch Lloyd update of the SURVIVOR corpus under
+    * the current centroids, exactly (the union-minus law,
+    * hash-certified by `q_ivf_store_delete_upd`'s oracle).
+    *
+    * Scale shape: victims are located with one pruned columnar scan of
+    * the index (NOT the corpus — the store is the only table read);
+    * the rewrite touches ONLY the hive partitions that held a victim
+    * (survivor rows of those lists rewritten once, other lists'
+    * bytes never moved); the cell subtraction is the victims' own
+    * O(victims × dim) aggregate merged driver-side. Centroids never
+    * move on a delete, so BOTH sidecar kinds stay valid: raw and
+    * residual PQ codes are per-vector facts against the FIXED centroid
+    * table — survivors' codes are untouched, which is why delete (unlike
+    * a centroid update) needs NO residual refusal.
+    *
+    * Ordering + crash honesty (single-writer store, like append):
+    * `pq_codes` partitions swap FIRST, then `assignments`, then the
+    * sidecar subtract — an ADC probe can never resurrect a deleted id
+    * whose assignment row is already gone. A crash mid-delete leaves
+    * either (a) some victims still present (retry the delete — it is
+    * idempotent: already-swapped partitions hold no victims and are
+    * rewritten to themselves) or (b) all rows gone but the sidecar not
+    * yet subtracted — exactly the append window, DETECTED by
+    * [[ivfIndexStoreFsck]] / the update's cross-check and recovered by
+    * [[ivfIndexStoreStatsRebuild]]. Streamed day partitions are not
+    * covered: fold them in with a train/reseed first (the same moment
+    * they join the consolidated lists and the sidecar) — refused loud.
+    *
+    * Returns one row per affected list: ids dropped and rows remaining.
+    */
+  def ivfIndexStoreDelete(spark: org.apache.spark.sql.SparkSession,
+                          ids: DataFrame, dir: String): DataFrame = {
+    import spark.implicits._
+    if (Curation.storeSwapRecover(spark, dir) == "absent")
+      throw new java.io.IOException(
+        s"no IVF index store (live, old, or staged) at $dir")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dayP = new org.apache.hadoop.fs.Path(s"$dir/day_assignments")
+    if (fs.exists(dayP) &&
+        fs.listStatus(dayP).exists(_.getPath.getName.startsWith("day=")))
+      throw new IllegalStateException(
+        s"store at $dir holds streamed day partitions the sidecar does " +
+          "not cover — train/reseed first to fold them into the " +
+          "consolidated lists, then delete")
+    // sidecar read FIRST (fail-loud on a pre-sidecar layout before any
+    // write, the append discipline) — also adopts a staged .next
+    val statsBefore = ivfIndexStoreLloydStats(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.Int8Unpack.int8_unpack
+    val idFrame = ids.select(col("vec_id")).distinct().persist()
+    try {
+      val victims = ivfIndexStoreAssignments(spark, dir)
+        .join(idFrame, Seq("vec_id")).persist()
+      try {
+        // the victims' additive cells (O(victims × dim), one pass over
+        // the cached victim rows) and their per-list counts
+        val victimCells = victims
+          .select(col("centroid_id").as("cluster"),
+            posexplode(int8_unpack(col("qb"))).as(Seq("pos", "v")))
+          .groupBy("cluster", "pos")
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
+        val perList = victims.groupBy("centroid_id")
+          .agg(count(lit(1)).as("n_deleted"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        if (perList.nonEmpty) {
+          val affected = perList.map(_._1).toSeq
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codes")))
+            deleteFromPartitioned(spark, s"$dir/pq_codes", affected, idFrame)
+          deleteFromPartitioned(spark, s"$dir/assignments", affected, idFrame)
+          // subtract the victims' cells; a cell whose count reaches 0
+          // leaves the sidecar entirely (an empty list has no cells —
+          // the update carries its centroid), and additivity guarantees
+          // its sum reached 0 with it
+          val merged = lloydMergeStats(statsBefore,
+            victimCells.map { case (k, (s0, n0)) => k -> (-s0, -n0) })
+          val (emptied, kept) = merged.partition(_._2._2 == 0L)
+          require(emptied.forall(_._2._1 == 0L),
+            "additivity violation: a zero-count cell kept a nonzero sum")
+          writeLloydStats(spark, dir, kept)
+        }
+        val remaining = ivfIndexStoreAssignments(spark, dir)
+          .groupBy("centroid_id").agg(count(lit(1)).as("n_remaining"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        perList.toSeq.map { case (cid, nd) =>
+          (cid, nd, remaining.getOrElse(cid, 0L))
+        }.toDF("centroid_id", "n_deleted", "n_remaining")
+          .orderBy("centroid_id")
+      } finally victims.unpersist(blocking = false)
+    } finally idFrame.unpersist(blocking = false)
+  }
+
   /** Probe the PERSISTED index: rank the stored centroids per query,
     * collect the union of probed list ids (bounded: numQueries × nProbe
     * ints), and read only those hive partitions of the assignment

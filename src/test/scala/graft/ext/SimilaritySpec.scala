@@ -999,6 +999,54 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("store delete: victims vanish from raw AND ADC probes, the rows equal " +
+      "a survivor assignment under the same centroids, and the store fscks clean") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_del").toString + "/idx"
+    Similarity.ivfIndexStoreInit(d, dir)
+    // a RESIDUAL PQ sidecar on purpose: codes are per-vector facts
+    // against the FIXED centroids, so delete needs no residual refusal
+    // (unlike a centroid update) — survivors' codes stay valid
+    Similarity.ivfIndexStorePqBuild(spark, dir, residual = true)
+    val victim = col("vec_id") % 5 === 2
+    val summary = Similarity.ivfIndexStoreDelete(spark,
+      d.filter(victim).select("vec_id"), dir).collect()
+    assert(summary.nonEmpty && summary.map(_.getLong(1)).sum > 0)
+    // rows after delete ≡ assigning the SURVIVORS under the same
+    // centroids (build-over-survivors at row granularity)
+    val got = Similarity.ivfIndexStoreAssignments(spark, dir)
+      .select("vec_id", "centroid_id", "dig").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val expected = Similarity.ivfIndexAssign(d.filter(!victim),
+        Similarity.ivfIndexStoreCentroids(spark, dir))
+      .select("vec_id", "centroid_id", "dig").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === expected)
+    // no probe path can resurrect a victim — raw and ADC alike
+    val queries = d.filter(col("vec_id") < 10)
+    val raw = Similarity.ivfIndexStoreProbe(spark, queries, dir).collect()
+    assert(raw.nonEmpty && raw.forall(_.getLong(2) % 5 != 2))
+    val adc = Similarity.ivfIndexStorePqProbe(spark, queries, dir).collect()
+    assert(adc.nonEmpty && adc.forall(_.getLong(2) % 5 != 2))
+    // the subtracted sidecar still satisfies the invariant law
+    assert(Similarity.ivfIndexStoreFsck(spark, dir).collect()
+      .forall(r => r.getBoolean(4) && r.getBoolean(5)))
+    // deleting ids the store never held is a no-op with an empty summary
+    import spark.implicits._
+    val none = Similarity.ivfIndexStoreDelete(spark,
+      Seq(-1L, -2L).toDF("vec_id"), dir)
+    assert(none.count() === 0)
+    // streamed day partitions are refused loud: the sidecar does not
+    // cover them until a train folds them in
+    Similarity.ivfIndexStreamDay(spark, d.filter(col("vec_id") < 3), 0L, dir)
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfIndexStoreDelete(spark, Seq(1L).toDF("vec_id"), dir)
+    }
+    assert(e.getMessage.contains("day"))
+  }
+
   test("PQ sidecar survives a retrain: codebook verbatim, per-vector codes " +
       "unchanged, partitioning follows the trained lists, probe still answers") {
     import org.apache.spark.sql.functions.col
