@@ -155,20 +155,57 @@ object SparkEntry {
     // two-arm retrieval itself hash-matches
     "q_hybrid_rrf" -> ((s, d) => TextOps.hybridRrfTopDocs(
       Tables.documents(s, d), Tables.embeddings(s, d))),
-    // the production hybrid shape: the semantic arm served by the
-    // PERSISTED IVF index's partition-pruned probe instead of the
-    // brute scan — both arms read index artifacts, neither scans the
-    // raw corpus per query
+    // the production hybrid shape, whole as of round 17: BOTH arms
+    // served by persisted indexes — the lexical arm reads the bucket-
+    // pruned lexical store (query-vocab partitions of postings +
+    // dfreq), the semantic arm the IVF store's partition-pruned probe;
+    // NEITHER arm scans the raw corpus per query
     "q_hybrid_rrf_store" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d)
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_hybrid_store_" + new java.io.File(d).getName + "_" +
           s.sparkContext.applicationId).getPath
       graft.Tables.deleteOnExit(dir)
+      val lexDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_hybrid_lex_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(lexDir)
       Similarity.ivfIndexStoreInit(emb, dir)
-      TextOps.hybridRrfStoreTopDocs(Tables.documents(s, d),
-        emb.filter(col("vec_id") < 10), dir)
+      TextOps.bm25IndexInit(docs, lexDir)
+      TextOps.hybridRrfStoreTopDocs(docs.filter(col("doc_id") < 10),
+        emb.filter(col("vec_id") < 10), lexDir, dir)
+    }),
+    // q_bm25 served from the PERSISTED lexical index: term selection
+    // off the vocab-sized dfreq sidecar, postings scan pruned to the
+    // terms' buckets, scoring off stored tf/dl/df + the one stats row
+    // — same oracle as q_bm25 (store build ≡ raw corpus, row for row)
+    "q_bm25_store" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lexDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25_store_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(lexDir)
+      TextOps.bm25IndexInit(docs, lexDir)
+      TextOps.bm25StoreTopDocs(s, lexDir)
+    }),
+    // the lexical day-ingest law: init on the md5-stored side, append
+    // the rest — postings rows append, df/n_docs/total_len merge BY
+    // ADDITION (a doc lives in one batch, so token stats are additive
+    // sufficient statistics — the lloyd_stats discipline on text) —
+    // and the served ranking equals the union build's, same oracle
+    "q_bm25_store_inc" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, md5, substring}
+      val docs = Tables.documents(s, d)
+      val storedSide = substring(md5(col("doc_id").cast("string")), 1, 1) < "8"
+      val lexDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25_inc_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(lexDir)
+      TextOps.bm25IndexInit(docs.filter(storedSide), lexDir)
+      TextOps.bm25IndexAppend(s, docs.filter(!storedSide), lexDir)
+      TextOps.bm25StoreTopDocs(s, lexDir)
     }),
     "q_token_map" -> ((s, d) => TextOps.repeatedTokenMap(Tables.documents(s, d))),
     "q_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(Tables.documents(s, d))),
@@ -1359,6 +1396,36 @@ object SparkEntry {
     |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   /** q_hybrid_rrf: the brute int8-cosine semantic arm. */
+  /** Okapi BM25 top-3 docs per top-10 corpus term — ONE oracle text
+    * for the raw-corpus ranker (`q_bm25`), the store-served ranker
+    * (`q_bm25_store`, store build ≡ raw corpus row for row), and the
+    * lexical day-ingest law (`q_bm25_store_inc`, init + append ≡ the
+    * union build by token-stat additivity).
+    */
+  private val BM25_SQL: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |terms AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 10),
+      |scored AS (
+      |  SELECT tf.token, tf.doc_id, tf.tf, dl.dl,
+      |    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf * 2.2)
+      |      / (tf + 1.2 * (1.0 - 0.75
+      |          + 0.75 * dl / (CAST(total_len AS DOUBLE) / n_docs))), 6)
+      |      AS bm25
+      |  FROM tf JOIN terms USING (token) JOIN dl USING (doc_id)
+      |  CROSS JOIN stats),
+      |ranked AS (
+      |  SELECT token, doc_id, tf, dl, bm25,
+      |    CAST(row_number() OVER (PARTITION BY token ORDER BY bm25 DESC, doc_id)
+      |      AS INTEGER) AS rnk
+      |  FROM scored)
+      |SELECT token, rnk, doc_id, tf, dl, bm25 FROM ranked WHERE rnk <= 3
+      |ORDER BY token, rnk""".stripMargin
+
   private val HYBRID_RRF_SQL: String = HYBRID_LEX_QUANT_FRAG + """,
     |qs AS (SELECT vec_id AS query_id, qv AS qa, qsq AS sqa
     |  FROM base WHERE vec_id < 10),
@@ -3762,29 +3829,14 @@ object SparkEntry {
         |ORDER BY doc_id, rnk""".stripMargin,
     // Okapi BM25 over the same whitespace tokens as q_tfidf: top-3
     // docs per top-10 df term; k1 = 1.2, b = 0.75, Lucene smooth idf
-    "q_bm25" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
-        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-        |terms AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 10),
-        |scored AS (
-        |  SELECT tf.token, tf.doc_id, tf.tf, dl.dl,
-        |    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-        |      * (tf * 2.2)
-        |      / (tf + 1.2 * (1.0 - 0.75
-        |          + 0.75 * dl / (CAST(total_len AS DOUBLE) / n_docs))), 6)
-        |      AS bm25
-        |  FROM tf JOIN terms USING (token) JOIN dl USING (doc_id)
-        |  CROSS JOIN stats),
-        |ranked AS (
-        |  SELECT token, doc_id, tf, dl, bm25,
-        |    CAST(row_number() OVER (PARTITION BY token ORDER BY bm25 DESC, doc_id)
-        |      AS INTEGER) AS rnk
-        |  FROM scored)
-        |SELECT token, rnk, doc_id, tf, dl, bm25 FROM ranked WHERE rnk <= 3
-        |ORDER BY token, rnk""".stripMargin,
+    "q_bm25" -> BM25_SQL,
+    // the persisted lexical index serves the IDENTICAL ranking: store
+    // build ≡ raw corpus row for row, so q_bm25's oracle certifies it
+    "q_bm25_store" -> BM25_SQL,
+    // and init + day-append ≡ the union build (df/n_docs/total_len are
+    // additive over an append-only corpus; tf/dl are per-doc facts) —
+    // the same oracle again, now certifying the merge law
+    "q_bm25_store_inc" -> BM25_SQL,
     // hybrid RRF: doc-as-query BM25 (integer-micro contributions) +
     // the exact int8 cosine arm, fused by 1/(60+rank) per arm, ranks
     // only; the lexical/quant prefix and the fusion tail are shared

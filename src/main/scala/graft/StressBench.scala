@@ -313,6 +313,19 @@ object StressBench {
     }
     if (Seq("ivfpq_store_probe", "ivfpq_store_probe_w1",
         "ivfpq_store_probe_w8").exists(selected)) { ivfPqStoreDir; () }
+    // round-17: the persisted LEXICAL index — built once over the
+    // MATERIALIZED replicated corpus (untimed, like every store
+    // artifact), probed per query batch. The timed row below reads
+    // ONLY the query-vocabulary buckets of postings/dfreq plus the one
+    // stats row — the per-call bill no longer contains the corpus tf
+    // aggregate, so its growth must track the matched postings rows,
+    // not the corpus (compare hybrid_rrf, which re-pays the aggregate)
+    lazy val lexStoreDir = {
+      val p = stressTmp("graft_stress_lex_store")
+      ext.TextOps.bm25IndexInit(docsPq, p)
+      p
+    }
+    if (selected("bm25_store_probe")) { lexStoreDir; () }
     // DELIBERATELY skewed persisted index (untimed setup): seeds drawn
     // from the replicas of just TWO base vectors — most seeds carry an
     // identical code, ties break to the lowest centroid id, so the
@@ -578,6 +591,19 @@ object StressBench {
       // broadcast-bounded, the fusion is two bounded windows; growth
       // must track the tf aggregate, not the pair space
       time("hybrid_rrf", ext.TextOps.hybridRrfTopDocs(docs, emb).count()),
+      // round-17: the lexical-store A/B at EQUAL output — the same
+      // doc-as-query BM25 arm computed (a) from the raw corpus (the
+      // pre-round-17 hybrid bill: tokenize + tf/df/dl aggregates over
+      // every token occurrence, per call) vs (b) from the persisted
+      // index (a pruned columnar read of pre-aggregated postings rows
+      // in the query-vocab buckets + the dfreq/stats sidecars). The
+      // store row's growth tracks MATCHED POSTINGS ROWS (long lists
+      // for common terms are real reads at any scale), never the
+      // corpus tokenization
+      time("bm25_brute_arm", ext.TextOps.bm25DocQueryArm(
+        docsPq, numQueries = 10, arm = 10).count()),
+      time("bm25_store_probe", ext.TextOps.bm25StoreQueryArm(spark,
+        docsPq.filter(col("doc_id") < 10), lexStoreDir).count()),
       time("compression_ratio", ext.Compression.compressionSignal(spark, docs).count()),
       time("heavy_hitters_mg", ops.Sketches.heavyHitterTokens(docs).count()),
       // exact twin of the MG sketch for the same heavy-hitter answer

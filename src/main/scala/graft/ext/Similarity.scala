@@ -1243,9 +1243,9 @@ object Similarity {
     * probe/append/train that touches the table self-heals the store
     * instead of failing on the missing path (round-16 ADVICE).
     */
-  private def adoptStagedNext(fs: org.apache.hadoop.fs.FileSystem,
-                              live: org.apache.hadoop.fs.Path,
-                              next: org.apache.hadoop.fs.Path): Boolean = {
+  private[ext] def adoptStagedNext(fs: org.apache.hadoop.fs.FileSystem,
+                                   live: org.apache.hadoop.fs.Path,
+                                   next: org.apache.hadoop.fs.Path): Boolean = {
     if (!fs.exists(live) &&
         fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) {
       if (!fs.rename(next, live))
@@ -1262,14 +1262,17 @@ object Similarity {
     * [[adoptStagedNext]] — the table is never absent without a
     * generally-reachable recovery.
     */
-  private def writeRenameAside(df: DataFrame, dir: String,
-                               name: String): Unit = {
+  private[ext] def writeRenameAside(df: DataFrame, dir: String,
+                                    name: String,
+                                    partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
     val next = new org.apache.hadoop.fs.Path(s"$dir/.$name.next")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(next, true)
-    df.write.parquet(next.toString)
+    val w = df.write
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(next.toString)
     fs.delete(live, true)
     if (!fs.rename(next, live))
       throw new java.io.IOException(s"rename $next -> $live failed")

@@ -293,6 +293,262 @@ object TextOps {
       .orderBy("token", "rnk")
   }
 
+  // ─────────────────── persisted lexical (BM25) index ───────────────────
+
+  /** Bucket of a token in the lexical store's hive layout: a stable
+    * hash modulus, NOT the token itself — one partition per token
+    * would explode the file count at a real vocabulary, while a
+    * bucketed layout keeps partition count fixed and still prunes
+    * every probe to the query-vocabulary buckets (a token's postings
+    * live in exactly ONE bucket, so pruned df/tf reads are exact).
+    */
+  private def lexBucket(nBuckets: Int): Column =
+    pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int")
+
+  /** The one batch → index-frames pass shared by init and append:
+    * postings rows (token, doc_id, tf, dl — `dl` denormalized onto the
+    * row, Lucene's norms-beside-postings layout, so scoring never
+    * joins a doc-length table), per-token df, and the one-row
+    * (n_docs, total_len) stats.
+    */
+  private def lexBatchFrames(documents: DataFrame)
+      : (DataFrame, DataFrame, (Long, Long)) = {
+    val c = bm25Corpus(documents)
+    val postings = c.tf.join(c.dl, Seq("doc_id"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+    val Array(st) = c.stats.collect()
+    (postings, c.dfreq, (st.getLong(0), st.getLong(1)))
+  }
+
+  private def lexStatsDf(spark: org.apache.spark.sql.SparkSession,
+                         nDocs: Long, totalLen: Long,
+                         nBuckets: Int): DataFrame = {
+    import spark.implicits._
+    Seq((nDocs, totalLen, nBuckets))
+      .toDF("n_docs", "total_len", "n_buckets").coalesce(1)
+  }
+
+  /** Read the lexical store's one-row corpus stats (adopting a staged
+    * rename-aside copy first); fail LOUD on absence — appending or
+    * probing a store without its additive statistics would silently
+    * break the init+append ≡ union-build law.
+    */
+  private def lexStoreStats(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): (Long, Long, Int) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/corpus_stats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Similarity.adoptStagedNext(fs, p,
+      new org.apache.hadoop.fs.Path(s"$dir/.corpus_stats.next"))
+    if (!fs.exists(p))
+      throw new java.io.IOException(
+        s"no corpus_stats at $p — not a lexical index store (or its " +
+          "stats were lost mid-write; bm25IndexStatsRebuild recovers them " +
+          "from the postings)")
+    val Array(r) = spark.read.parquet(p.toString).collect()
+    (r.getLong(r.fieldIndex("n_docs")), r.getLong(r.fieldIndex("total_len")),
+      r.getInt(r.fieldIndex("n_buckets")))
+  }
+
+  private def lexStoreDfreq(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/dfreq")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Similarity.adoptStagedNext(fs, p,
+      new org.apache.hadoop.fs.Path(s"$dir/.dfreq.next"))
+    spark.read.parquet(p.toString).select("token", "df", "bucket")
+  }
+
+  /** Build the PERSISTED lexical index (round 17) — the `lloyd_stats`
+    * discipline applied to token statistics, so the hybrid's BM25 arm
+    * can finally read index artifacts instead of re-tokenizing the
+    * corpus per call. Layout under `dir`:
+    *
+    *   - `postings/bucket=B/` (token, doc_id, tf, dl): the inverted
+    *     file, hive-partitioned by [[lexBucket]] — a probe reads ONLY
+    *     the query-vocabulary buckets, nProbe-style partition pruning
+    *     for text. Append-only, like the IVF assignment store.
+    *   - `dfreq/bucket=B/` (token, df): per-token document frequency.
+    *     On an append-only corpus a document lives in exactly one
+    *     batch, so df is an ADDITIVE sufficient statistic — appends
+    *     merge by addition, exactly the Lloyd-cell law.
+    *   - `corpus_stats` (n_docs, total_len, n_buckets): one additive
+    *     row; `n_buckets` pins the bucketing every later writer and
+    *     reader must agree on. Both sidecars are rename-aside with
+    *     read-side adoption ([[Similarity.adoptStagedNext]]).
+    *
+    * Failure honesty (single-writer, like the IVF store): an append's
+    * postings land before its sidecar merges — a crash between leaves
+    * the sidecars under-counting, detectable by comparing them to the
+    * postings ([[bm25IndexStatsRebuild]] recovers in one columnar
+    * scan, no corpus read).
+    */
+  def bm25IndexInit(documents: DataFrame, dir: String,
+                    nBuckets: Int = 16): Unit = {
+    val spark = documents.sparkSession
+    val (postings, dfreq, (nDocs, totalLen)) = lexBatchFrames(documents)
+    postings.withColumn("bucket", lexBucket(nBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    dfreq.withColumn("bucket", lexBucket(nBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/dfreq")
+    Similarity.writeRenameAside(lexStatsDf(spark, nDocs, totalLen, nBuckets),
+      dir, "corpus_stats")
+  }
+
+  /** Day-append a batch of NEW documents into the lexical index: the
+    * batch is tokenized and aggregated ALONE (O(batch), no store
+    * re-read beyond the vocab-sized dfreq), its postings rows append
+    * into the bucketed inverted file, and both sidecars merge by
+    * addition — init + appends ≡ the union build EXACTLY
+    * (`q_bm25_store_inc`), because tf/dl are per-document facts and
+    * df/n_docs/total_len are additive over any partition of an
+    * append-only corpus. Sidecars are read FIRST (fail loud before
+    * any write, the IVF-append discipline).
+    */
+  def bm25IndexAppend(spark: org.apache.spark.sql.SparkSession,
+                      newDocs: DataFrame, dir: String): Unit = {
+    val (nDocs, totalLen, nBuckets) = lexStoreStats(spark, dir)
+    val dfLive = lexStoreDfreq(spark, dir)
+    val (postings, dfBatch, (bDocs, bLen)) = lexBatchFrames(newDocs)
+    postings.withColumn("bucket", lexBucket(nBuckets))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+    // vocab-sized merge (tokens, not corpus): full-outer on token so
+    // both novel and shared tokens land, sums exact integers
+    val merged = dfLive.select(col("token"), col("df").as("df_live"))
+      .join(dfBatch.select(col("token"), col("df").as("df_new")),
+        Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("df_live"), lit(0L)) +
+          coalesce(col("df_new"), lit(0L))).as("df"))
+      .withColumn("bucket", lexBucket(nBuckets))
+    Similarity.writeRenameAside(merged, dir, "dfreq", Seq("bucket"))
+    Similarity.writeRenameAside(
+      lexStatsDf(spark, nDocs + bDocs, totalLen + bLen, nBuckets),
+      dir, "corpus_stats")
+  }
+
+  /** Re-derive both sidecars from the postings bytes — the recovery
+    * hatch for a crash between an append's postings write and its
+    * sidecar merges: df = postings rows per token, n_docs/total_len
+    * from one row per distinct doc. One columnar scan of the inverted
+    * file, NO corpus read. Idempotent; equals what init wrote and
+    * every append maintained.
+    */
+  def bm25IndexStatsRebuild(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, nBuckets: Int = -1): Unit = {
+    val nb = if (nBuckets > 0) nBuckets else lexStoreStats(spark, dir)._3
+    val postings = spark.read.parquet(s"$dir/postings")
+    Similarity.writeRenameAside(
+      postings.groupBy("token").agg(count(lit(1)).as("df"))
+        .withColumn("bucket", lexBucket(nb)),
+      dir, "dfreq", Seq("bucket"))
+    val Array(st) = postings.groupBy("doc_id")
+      .agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+      .collect()
+    Similarity.writeRenameAside(
+      lexStatsDf(spark, st.getLong(0), st.getLong(1), nb),
+      dir, "corpus_stats")
+  }
+
+  /** `q_bm25` served from the PERSISTED index (`q_bm25_store`): term
+    * selection reads the vocab-sized `dfreq` sidecar (top `nTerms` by
+    * df, lexicographic ties — never the corpus), the postings scan
+    * prunes to those terms' buckets, and scoring reads stored
+    * tf/dl/df plus the one stats row — the same [[bm25Weight]]
+    * literals, so the result equals the raw-corpus [[bm25TopDocs]]
+    * ROW FOR ROW (one shared oracle certifies both). At 100 TB the
+    * per-call cost is vocab-bounded + the matched postings rows;
+    * corpus bytes are never re-read.
+    */
+  def bm25StoreTopDocs(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, nTerms: Int = 10,
+                       topK: Int = 3): DataFrame = {
+    val (nDocs, totalLen, _) = lexStoreStats(spark, dir)
+    val terms = lexStoreDfreq(spark, dir)
+      .orderBy(col("df").desc, col("token")).limit(nTerms)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    scoreStorePostings(spark, dir,
+      terms.map(t => (t._1, t._2)), terms.map(_._3).distinct.toSeq,
+      nDocs, totalLen)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("token")).orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rnk") <= topK)
+      .select(col("token"), col("rnk"), col("doc_id"), col("tf"), col("dl"),
+        col("bm25"))
+      .orderBy("token", "rnk")
+  }
+
+  /** The pruned postings scan + BM25 scoring shared by the store
+    * ranker and the store hybrid arm: read ONLY the given buckets of
+    * the inverted file, keep ONLY the given terms (broadcast — a term
+    * list is query-scale), score each (term, doc) with the one
+    * [[bm25Weight]] copy off stored tf/dl and sidecar df/stats.
+    */
+  private def scoreStorePostings(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, terms: Seq[(String, Long)],
+                                 buckets: Seq[Int], nDocs: Long,
+                                 totalLen: Long): DataFrame = {
+    import spark.implicits._
+    val termDf = terms.toDF("token", "df")
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      .join(broadcast(termDf), Seq("token"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("total_len", lit(totalLen))
+      .withColumn("bm25", round(bm25Weight, 6))
+  }
+
+  /** The doc-as-query BM25 arm served from the PERSISTED index — what
+    * [[bm25DocQueryArm]] recomputed from the raw corpus per call, now
+    * read from artifacts: query docs (a bounded frame — queries are
+    * inputs, not corpus) tokenize on the query side only; their
+    * DISTINCT tokens' df comes from the pruned `dfreq` buckets; the
+    * postings scan prunes to the same buckets; contributions round to
+    * integer micros before the per-doc sum (the order-independence
+    * discipline), so the store arm equals the brute arm row for row.
+    */
+  def bm25StoreQueryArm(spark: org.apache.spark.sql.SparkSession,
+                        queryDocs: DataFrame, dir: String,
+                        arm: Int = 10): DataFrame = {
+    val (nDocs, totalLen, nBuckets) = lexStoreStats(spark, dir)
+    val qtok = queryDocs
+      .select(col("doc_id").as("query_id"),
+        explode(wsTokens(col("text"))).as("token"))
+      .distinct()
+      .withColumn("bucket", lexBucket(nBuckets))
+      .persist()
+    try {
+      val buckets = qtok.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // query-vocab df: pruned dfreq buckets, semi-joined to the query
+      // tokens — bounded by the query vocabulary
+      val qdf = lexStoreDfreq(spark, dir)
+        .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+        .join(broadcast(qtok.select("token").distinct()), Seq("token"))
+        .select(col("token"), col("df"))
+      val contrib = spark.read.parquet(s"$dir/postings")
+        .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+        .join(broadcast(qtok.select("query_id", "token")), Seq("token"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(broadcast(qdf), Seq("token"))
+        .withColumn("n_docs", lit(nDocs))
+        .withColumn("total_len", lit(totalLen))
+        .withColumn("cm", round(bm25Weight * lit(1000000.0), 0).cast("long"))
+      val lex = contrib.groupBy("query_id", "doc_id")
+        .agg(sum(col("cm")).as("lex_micro"))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("lex_micro").desc, col("doc_id"))
+      lex.withColumn("lex_rnk", row_number().over(wl))
+        .filter(col("lex_rnk") <= arm)
+        .select("query_id", "doc_id", "lex_rnk")
+        // the probe frame is bounded (numQueries × arm); materialize it
+        // eagerly so the caller's fusion never re-runs the pruned scan
+        .localCheckpoint(true)
+    } finally qtok.unpersist(blocking = false)
+  }
+
   /** Hybrid retrieval (`q_hybrid_rrf`): BM25 lexical ranking fused
     * with the exact int8-cosine embedding ranking by RECIPROCAL-RANK
     * FUSION (Cormack, Clarke & Büttcher, SIGIR 2009: `score(d) =
@@ -333,23 +589,26 @@ object TextOps {
           col("rnk").as("emb_rnk")),
       k, rrfK)
 
-  /** [[hybridRrfTopDocs]] with the embedding arm served by the
-    * PERSISTED IVF index (`q_hybrid_rrf_store`) — the production
-    * hybrid shape: the lexical arm is the same doc-as-query BM25, the
-    * semantic arm is [[graft.ext.Similarity.ivfIndexStoreProbe]]'s
-    * partition-pruned scan of the maintained store (nProbe lists per
-    * query, exact int8 ranking), and the fusion is the same rank-only
-    * RRF. At 100 TB this is the pairing that actually deploys: both
-    * arms read INDEX artifacts (the tf aggregate's shuffle and the
-    * probed hive partitions), neither scans the raw corpus per query.
+  /** [[hybridRrfTopDocs]] with BOTH arms served by persisted indexes
+    * (`q_hybrid_rrf_store`) — the production hybrid shape, finally
+    * whole (round 17): the lexical arm is [[bm25StoreQueryArm]]'s
+    * bucket-pruned read of the lexical store (query-vocab partitions
+    * of postings + dfreq, the one stats row — the raw corpus is never
+    * re-tokenized), the semantic arm is
+    * [[graft.ext.Similarity.ivfIndexStoreProbe]]'s partition-pruned
+    * scan of the IVF store (nProbe lists per query, exact int8
+    * ranking), and the fusion is the same rank-only RRF. At 100 TB
+    * NEITHER arm scans the raw corpus per query — per-call bytes are
+    * query-vocabulary buckets + nProbe inverted lists.
     */
-  def hybridRrfStoreTopDocs(documents: DataFrame, queryVecs: DataFrame,
-                            indexDir: String, numQueries: Int = 10,
+  def hybridRrfStoreTopDocs(queryDocs: DataFrame, queryVecs: DataFrame,
+                            lexDir: String, annDir: String,
                             k: Int = 5, arm: Int = 10, nProbe: Int = 4,
                             rrfK: Int = 60): DataFrame =
-    fuseRrf(bm25DocQueryArm(documents, numQueries, arm),
+    fuseRrf(bm25StoreQueryArm(queryDocs.sparkSession, queryDocs, lexDir,
+        arm),
       graft.ext.Similarity.ivfIndexStoreProbe(queryVecs.sparkSession,
-        queryVecs, indexDir, k = arm, nProbe = nProbe)
+        queryVecs, annDir, k = arm, nProbe = nProbe)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rnk").as("emb_rnk")),
       k, rrfK)
@@ -360,7 +619,7 @@ object TextOps {
     * per-doc sum (float-sum order is engine-dependent; an integer sum
     * is not — the lloydStats discipline).
     */
-  private def bm25DocQueryArm(documents: DataFrame, numQueries: Int,
+  private[graft] def bm25DocQueryArm(documents: DataFrame, numQueries: Int,
                               arm: Int): DataFrame = {
     val c = bm25Corpus(documents)
     val qtok = c.tok.filter(col("doc_id") < numQueries)

@@ -210,6 +210,64 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       "no doc surfaced by both arms — fixture too tame for the fusion")
   }
 
+  test("lexical index store: served ranking and query arm equal the brute " +
+    "forms; probes prune to query-vocab buckets; crash recovery rebuilds") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex")
+      .toString + "/idx"
+    TextOps.bm25IndexInit(d, dir)
+    // store ≡ raw corpus, row for row (the shared-oracle claim, pinned
+    // in-engine too)
+    val viaStore = TextOps.bm25StoreTopDocs(spark, dir).collect().map(_.toSeq)
+    val brute = TextOps.bm25TopDocs(d).collect().map(_.toSeq)
+    assert(viaStore.nonEmpty && viaStore.toSeq === brute.toSeq)
+    // the doc-as-query arm too (the hybrid's lexical half)
+    val queryDocs = d.filter(col("doc_id") < 10)
+    val armStore = TextOps.bm25StoreQueryArm(spark, queryDocs, dir)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val armBrute = TextOps.bm25DocQueryArm(d, numQueries = 10, arm = 10)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(armStore.toSeq === armBrute.toSeq)
+    // the inverted file is bucket-partitioned and a term read PRUNES:
+    // the files a bucket-filtered scan reads all live in those buckets
+    val buckets = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    assert(buckets.length > 1, "expected a bucketed inverted file")
+    val readFiles = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(0, 1))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(readFiles.nonEmpty &&
+      readFiles.forall(f => f.contains("bucket=0") || f.contains("bucket=1")),
+      "postings scan must prune to the requested buckets")
+    // day-append ≡ union build at the artifact level: same df cells
+    // and stats row as a fresh init over the union
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_lex_inc")
+      .toString + "/idx"
+    val half = col("doc_id") % 2 === 0
+    TextOps.bm25IndexInit(d.filter(half), dir2)
+    TextOps.bm25IndexAppend(spark, d.filter(!half), dir2)
+    def dfOf(p: String) = spark.read.parquet(s"$p/dfreq")
+      .select("token", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfOf(dir2) === dfOf(dir))
+    assert(spark.read.parquet(s"$dir2/corpus_stats").collect().map(_.toSeq)
+      .toSeq === spark.read.parquet(s"$dir/corpus_stats").collect()
+      .map(_.toSeq).toSeq)
+    // the append crash window (postings landed, sidecars not):
+    // inject by appending postings rows directly, then rebuild
+    val extra = d.filter(!half).limit(0) // no-op guard: frames compose
+    assert(extra.count() === 0)
+    val fs = new org.apache.hadoop.fs.Path(dir2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir2/dfreq"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir2/corpus_stats"), true)
+    intercept[java.io.IOException] { TextOps.bm25StoreTopDocs(spark, dir2) }
+    TextOps.bm25IndexStatsRebuild(spark, dir2, nBuckets = 16)
+    assert(TextOps.bm25StoreTopDocs(spark, dir2).collect().map(_.toSeq)
+      .toSeq === brute.toSeq)
+  }
+
   test("hybridRrfStoreTopDocs at full probe width equals the brute-arm " +
     "hybrid row-for-row; pruned probes still fuse complete") {
     import org.apache.spark.sql.functions.col
@@ -218,15 +276,21 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_hyb_store")
       .toString + "/idx"
     graft.ext.Similarity.ivfIndexStoreInit(emb, dir)
+    val lexDir = java.nio.file.Files.createTempDirectory("graft_hyb_lex")
+      .toString + "/idx"
+    TextOps.bm25IndexInit(d, lexDir)
     val queries = emb.filter(col("vec_id") < 10)
+    val queryDocs = d.filter(col("doc_id") < 10)
     // nProbe = nList: the store probe IS the brute scan (spec-pinned in
-    // SimilaritySpec), so the whole fusion must coincide
-    val viaStore = TextOps.hybridRrfStoreTopDocs(d, queries, dir,
-      nProbe = 16).collect().map(_.toSeq)
+    // SimilaritySpec) and the store lexical arm IS the brute arm
+    // (TextOps store-arm spec), so the whole fusion must coincide
+    val viaStore = TextOps.hybridRrfStoreTopDocs(queryDocs, queries,
+      lexDir, dir, nProbe = 16).collect().map(_.toSeq)
     val brute = TextOps.hybridRrfTopDocs(d, emb).collect().map(_.toSeq)
     assert(viaStore.toSeq === brute.toSeq)
     // pruned probes: fused top-5 still complete per query
-    val pruned = TextOps.hybridRrfStoreTopDocs(d, queries, dir)
+    val pruned = TextOps.hybridRrfStoreTopDocs(queryDocs, queries,
+      lexDir, dir)
     assert(pruned.groupBy("query_id").count().collect()
       .forall(_.getLong(1) === 5L))
   }
