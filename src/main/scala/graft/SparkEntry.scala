@@ -710,6 +710,18 @@ object SparkEntry {
     "q_dim_truncation_recall_clustered" -> ((s, d) =>
       Similarity.dimTruncationRecall(
         Similarity.plantedClusterEmbeddings(Tables.embeddings(s, d)))),
+    // the calibration CASHED IN (round 17): prefix-width-d shortlist of
+    // size r, exact full-dim rerank to top-k — per (d, r) cell, hits
+    // vs the exact top-k, off ONE cached pairs frame (the tradeoff-
+    // grid discipline); the d = 64 arm is the built-in recall-1.0 row
+    "q_truncated_rerank" -> ((s, d) =>
+      Similarity.truncatedRerank(Tables.embeddings(s, d))),
+    // on the planted-cluster corpus — where the calibration predicted
+    // prefixes carry the structure, so a small exact rerank recovers
+    // most of what pure prefix ranking loses
+    "q_truncated_rerank_clustered" -> ((s, d) =>
+      Similarity.truncatedRerank(
+        Similarity.plantedClusterEmbeddings(Tables.embeddings(s, d)))),
     // quantized-scan ANN: cosine top-k over int8 codes — per-vector
     // scales cancel, so the ranking is pure integer arithmetic and
     // (unlike trained-codebook PQ) exactly oracle-matched
@@ -1570,6 +1582,101 @@ object SparkEntry {
       |  FROM embeddings)""".stripMargin)
   require(PLANTED_DIM_TRUNCATION_SQL != DIM_TRUNCATION_SQL,
     "PLANTED_DIM_TRUNCATION_SQL replace matched nothing — the corpus CTE changed")
+
+  /** One (d, r) cell of the truncated-rerank grid: prefix-width-`d`
+    * shortlist of size `r`, exact full-dim rerank to top-5, hits vs
+    * the full-dim exact top-5 (`ex`). Reads the per-width CTE `td$d`.
+    */
+  private def truncArmCtes(d: Int, r: Int): String =
+    s"""tr${d}_$r AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim_full DESC, neighbor_id) AS rr
+       |    FROM (
+       |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+       |          i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+       |            * c.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+       |          / sqrt(CAST(q.qsq AS DOUBLE) * c.qsq) AS sim_full,
+       |        row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |          CASE WHEN q.sqd = 0 OR c.sqd = 0 THEN 0.0
+       |               ELSE CAST(list_sum(list_transform(range(1, ${d + 1}),
+       |                 i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+       |                   * c.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+       |                 / sqrt(CAST(q.sqd AS DOUBLE) * c.sqd) END DESC,
+       |          c.vec_id) AS sr
+       |      FROM td$d q JOIN td$d c ON c.vec_id <> q.vec_id
+       |      WHERE q.vec_id < 10) WHERE sr <= $r)
+       |  WHERE rr <= 5),
+       |th${d}_$r AS (SELECT e.query_id, COUNT(*) AS hits FROM ex e
+       |  JOIN tr${d}_$r a ON e.query_id = a.query_id
+       |    AND e.neighbor_id = a.neighbor_id
+       |  GROUP BY e.query_id)""".stripMargin
+
+  private def truncWidthCte(d: Int): String =
+    s"""td$d AS (SELECT vec_id, qv, qsq,
+       |    CAST(list_sum(list_transform(range(1, ${d + 1}),
+       |      i -> CAST(qv[CAST(i AS INTEGER)] AS BIGINT)
+       |        * qv[CAST(i AS INTEGER)])) AS BIGINT) AS sqd
+       |  FROM base)""".stripMargin
+
+  private def truncCellSelect(d: Int, r: Int): String =
+    s"""SELECT $d AS dims, $r AS rerank, q.query_id,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  round(COALESCE(h.hits, 0) / 5.0, 6) AS recall
+       |FROM qs q LEFT JOIN th${d}_$r h ON q.query_id = h.query_id""".stripMargin
+
+  /** q_truncated_rerank: the two-stage prefix-shortlist → exact-rerank
+    * grid over (d ∈ {16,32,64}) × (r ∈ {10,20}) vs the full-dim exact
+    * top-5 — the Matryoshka calibration's consumer.
+    */
+  private val TRUNC_RERANK_SQL: String =
+    """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |m AS (SELECT vec_id, emb,
+      |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+      |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+      |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+      |q0 AS (SELECT vec_id,
+      |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+      |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+      |      FROM s),
+      |b AS (SELECT vec_id, qv,
+      |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
+      |      FROM q0),
+      |base AS (SELECT * FROM b WHERE qsq > 0),
+      |ex AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |          i -> CAST(q.qv[CAST(i AS INTEGER)] AS BIGINT)
+      |            * c.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+      |          / sqrt(CAST(q.qsq AS DOUBLE) * c.qsq) DESC,
+      |        c.vec_id) AS rnk
+      |    FROM base q JOIN base c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 10)
+      |  WHERE rnk <= 5),
+      |""".stripMargin +
+    Seq(16, 32, 64).map(truncWidthCte).mkString(",\n") + ",\n" +
+    (for (d <- Seq(16, 32, 64); r <- Seq(10, 20))
+      yield truncArmCtes(d, r)).mkString(",\n") +
+    ",\nqs AS (SELECT vec_id AS query_id FROM base WHERE vec_id < 10)\n" +
+    (for (d <- Seq(16, 32, 64); r <- Seq(10, 20))
+      yield truncCellSelect(d, r)).mkString("\nUNION ALL\n") +
+    "\nORDER BY dims, rerank, query_id"
+
+  /** TRUNC_RERANK_SQL over the planted-cluster corpus — the same
+    * corpus-CTE swap (and non-vacuousness pin) as the calibration's.
+    */
+  private val PLANTED_TRUNC_RERANK_SQL: String = TRUNC_RERANK_SQL.replace(
+    "WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+    """WITH t AS (SELECT vec_id,
+      |    list_transform(range(1, 65), i -> CAST(
+      |      CASE WHEN (vec_id % 8 + i) % 8 = 0 THEN 80 ELSE -10 END
+      |      + ascii(substr(md5(CAST(vec_id * 64 + i AS VARCHAR)), 1, 1)) % 5 - 2
+      |      AS DOUBLE)) AS emb
+      |  FROM embeddings)""".stripMargin)
+  require(PLANTED_TRUNC_RERANK_SQL != TRUNC_RERANK_SQL,
+    "PLANTED_TRUNC_RERANK_SQL replace matched nothing — the corpus CTE changed")
 
   /** The PQ family's shared prefix: the q_quantized_topk int8 chain,
     * the 16 md5-ranked seeds (serving as BOTH the coarse IVF centroids
@@ -5795,6 +5902,10 @@ object SparkEntry {
     "q_quantized_topk" -> QUANTIZED_TOPK_SQL,
     // Matryoshka calibration: prefix-width arms vs the full-dim exact
     "q_dim_truncation_recall" -> DIM_TRUNCATION_SQL,
+    // the two-stage prefix-shortlist → exact-rerank grid and its
+    // planted-cluster twin — the calibration's consumer
+    "q_truncated_rerank" -> TRUNC_RERANK_SQL,
+    "q_truncated_rerank_clustered" -> PLANTED_TRUNC_RERANK_SQL,
     "q_dim_truncation_recall_clustered" -> PLANTED_DIM_TRUNCATION_SQL,
     // seed-codebook product quantization: per-(vector, subspace) exact
     // integer argmin over the 16 md5-ranked seeds' slices — code ids,

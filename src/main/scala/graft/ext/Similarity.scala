@@ -1971,6 +1971,89 @@ object Similarity {
     Dedup.scopeCaches(out, codes)
   }
 
+  /** The Matryoshka calibration CASHED IN (`q_truncated_rerank`) — the
+    * dimension-truncated TWO-STAGE probe the round-16 instrument
+    * exists to gate: shortlist each query's top-`r` candidates by the
+    * WIDTH-`d` PREFIX ranking (a deployment stores the prefix as its
+    * own column family and reads d/dim of the ranking bytes), then
+    * rerank ONLY the shortlist by the exact full-dim cosine and keep
+    * the top-`k`. Per (d, r) grid cell and query: hits against the
+    * exact full-dim top-k — the recall the byte saving costs, measured
+    * exactly (the `q_ivfpq_rerank` pattern with the prefix as the
+    * coarse scorer).
+    *
+    * Grid-off-one-pass discipline (the `q_ivfpq_tradeoff` rule): ONE
+    * pairs frame carries the full-dim sim and EVERY prefix sim
+    * (prefix norms precomputed per vector, one slice-dot per width);
+    * each grid cell is two bounded windows over that cached frame —
+    * the corpus is never re-scanned per cell. The d = dim arm at any
+    * r ≥ k is the built-in recall-1.0 sanity row. The calibration
+    * (`q_dim_truncation_recall[_clustered]`) predicts the outcome:
+    * isotropic prefixes carry ~nothing, so reranking a near-random
+    * shortlist stays low; planted-cluster prefixes carry the
+    * structure, so a small exact rerank recovers most of what pure
+    * prefix ranking loses.
+    */
+  def truncatedRerank(embeddings: DataFrame, numQueries: Int = 10,
+                      k: Int = 5, dims: Seq[Int] = Seq(16, 32, 64),
+                      reranks: Seq[Int] = Seq(10, 20)): DataFrame = {
+    import graft.functions.IntDot.int_dot
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val codes = quantizedQv(embeddings).filter(col("qsq") > 0)
+      .select(Seq(col("vec_id"), col("qv"), col("qsq")) ++
+        dims.map(d => int_dot(slice(col("qv"), 1, d), slice(col("qv"), 1, d))
+          .as(s"sq$d")): _*)
+    val q = codes.filter(col("vec_id") < numQueries)
+      .select(Seq(col("vec_id").as("query_id"), col("qv").as("qa"),
+        col("qsq").as("sqa")) ++
+        dims.map(d => col(s"sq$d").as(s"sqa$d")): _*)
+    val pairs = codes
+      .select(Seq(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
+        col("qsq").as("sqb")) ++
+        dims.map(d => col(s"sq$d").as(s"sqb$d")): _*)
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_full", int_dot(col("qb"), col("qa")) /
+        sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
+    val withPrefix = dims.foldLeft(pairs) { (df, d) =>
+      df.withColumn(s"sim_$d",
+        when(col(s"sqa$d") === 0 || col(s"sqb$d") === 0, lit(0.0))
+          .otherwise(int_dot(slice(col("qb"), 1, d), slice(col("qa"), 1, d)) /
+            sqrt(col(s"sqa$d").cast("double") * col(s"sqb$d").cast("double"))))
+    }.select(Seq(col("query_id"), col("neighbor_id"), col("sim_full")) ++
+      dims.map(d => col(s"sim_$d")): _*)
+      .persist()
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_full").desc, col("neighbor_id"))
+    val exact = withPrefix.withColumn("rnk", row_number().over(wf))
+      .filter(col("rnk") <= k).select("query_id", "neighbor_id")
+    val cells = for (d <- dims; r <- reranks) yield {
+      val wd = Window.partitionBy(col("query_id"))
+        .orderBy(col(s"sim_$d").desc, col("neighbor_id"))
+      val short = withPrefix.withColumn("srnk", row_number().over(wd))
+        .filter(col("srnk") <= r)
+      val reranked = short.withColumn("rrnk", row_number().over(wf))
+        .filter(col("rrnk") <= k).select("query_id", "neighbor_id")
+      exact.join(reranked, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .select(lit(d).as("dims"), lit(r).as("rerank"), col("query_id"),
+          col("hits"))
+    }
+    val grid = codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"))
+      .crossJoin(dims.toDF("dims"))
+      .crossJoin(reranks.toDF("rerank"))
+    val out = grid
+      .join(cells.reduce(_.unionByName(_)),
+        Seq("dims", "rerank", "query_id"), "left")
+      .select(col("dims"), col("rerank"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall"))
+      .orderBy("dims", "rerank", "query_id")
+    Dedup.scopeCaches(out, withPrefix)
+  }
+
   // ------------------------------------------------------------------
   // Lloyd-refined centroids: distributed k-means in the exact int8 regime
   // ------------------------------------------------------------------
