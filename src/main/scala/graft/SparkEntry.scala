@@ -656,6 +656,23 @@ object SparkEntry {
         emb.filter(col("vec_id") % 7 === 3).select("vec_id"), dir)
       Similarity.ivfIndexStoreUpdateCentroids(s, dir)
     }),
+    // FILTERED ANN over the store (round 17): top-k among only the
+    // vectors passing a metadata predicate, post-filter vs in-filter
+    // measured head-to-head off ONE scored pruned scan — hits/recall
+    // vs the filtered exact top-k, and the post ⊆ in containment as
+    // the TRUE-iff-held witness; deterministic int8 end to end
+    "q_ivf_store_probe_filtered" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_filt_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb, dir)
+      Similarity.ivfIndexStoreProbeFiltered(s,
+        emb.filter(col("vec_id") < 10), dir,
+        emb.select(col("vec_id"), (col("vec_id") % 3 === 1).as("keep")))
+    }),
     // the probabilistic side of q_ivf_topk under the oracle (the
     // bounds-twin pattern): per query, recall@k of the pruned probe vs
     // the exact top-k >= the documented floor, as a TRUE-iff-held
@@ -5893,6 +5910,98 @@ object SparkEntry {
         |SELECT query_id, rnk, neighbor_id, CAST(qdot AS BIGINT) AS qdot,
         |  round(sim, 6) AS q_cosine
         |FROM rr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // filtered ANN A/B: same probe arithmetic, keep = vec_id % 3 = 1;
+    // post-filter (rank all, keep survivors of the unfiltered top-5)
+    // vs in-filter (rank the keepers), both vs the filtered exact
+    // top-5; post ⊆ in makes in_no_worse a theorem (TRUE-iff-held)
+    "q_ivf_store_probe_filtered" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+        |      FROM s),
+        |b AS (SELECT vec_id, qv,
+        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq
+        |      FROM q0),
+        |base AS (SELECT * FROM b WHERE qsq > 0),
+        |seeds AS (SELECT * FROM (
+        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS INTEGER) - 1 AS centroid_id
+        |    FROM base) WHERE centroid_id < 16),
+        |sc AS (SELECT base.vec_id, seeds.centroid_id,
+        |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+        |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+        |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
+        |  FROM base, seeds),
+        |asg AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, centroid_id) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |qp AS (SELECT * FROM (
+        |    SELECT vec_id AS query_id, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY sim DESC, centroid_id) AS prn
+        |    FROM sc WHERE vec_id < 10) WHERE prn <= 4),
+        |qq AS (SELECT vec_id AS query_id, qv AS qa, qsq AS sqa
+        |  FROM base WHERE vec_id < 10),
+        |cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id,
+        |    (a.vec_id % 3 = 1) AS keep
+        |  FROM qp JOIN asg a ON a.centroid_id = qp.centroid_id
+        |    AND a.vec_id <> qp.query_id),
+        |d AS (SELECT c.query_id, c.neighbor_id, c.keep,
+        |    CAST(list_sum(list_transform(range(1, len(qq.qa) + 1),
+        |      i -> CAST(qq.qa[CAST(i AS INTEGER)] AS BIGINT)
+        |        * nb.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |      / sqrt(CAST(qq.sqa AS DOUBLE) * nb.qsq) AS sim
+        |  FROM cand c JOIN qq ON c.query_id = qq.query_id
+        |    JOIN base nb ON c.neighbor_id = nb.vec_id),
+        |post AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, keep,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rnk
+        |    FROM d) WHERE rnk <= 5 AND keep),
+        |infil AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rnk
+        |    FROM d WHERE keep) WHERE rnk <= 5),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT qq.query_id, nb.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, len(qq.qa) + 1),
+        |          i -> CAST(qq.qa[CAST(i AS INTEGER)] AS BIGINT)
+        |            * nb.qv[CAST(i AS INTEGER)])) AS DOUBLE)
+        |          / sqrt(CAST(qq.sqa AS DOUBLE) * nb.qsq) DESC,
+        |        nb.vec_id) AS rnk
+        |    FROM qq JOIN base nb ON nb.vec_id <> qq.query_id
+        |      AND nb.vec_id % 3 = 1)
+        |  WHERE rnk <= 5),
+        |np AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_post
+        |  FROM post GROUP BY query_id),
+        |hp AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits_post
+        |  FROM ex e JOIN post p ON e.query_id = p.query_id
+        |    AND e.neighbor_id = p.neighbor_id GROUP BY e.query_id),
+        |hi AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits_in
+        |  FROM ex e JOIN infil f ON e.query_id = f.query_id
+        |    AND e.neighbor_id = f.neighbor_id GROUP BY e.query_id)
+        |SELECT q.query_id,
+        |  COALESCE(np.n_post, 0) AS n_post,
+        |  COALESCE(hp.hits_post, 0) AS hits_post,
+        |  COALESCE(hi.hits_in, 0) AS hits_in,
+        |  round(COALESCE(hp.hits_post, 0) / 5.0, 6) AS recall_post,
+        |  round(COALESCE(hi.hits_in, 0) / 5.0, 6) AS recall_in,
+        |  TRUE AS in_no_worse
+        |FROM (SELECT DISTINCT query_id FROM qq) q
+        |LEFT JOIN np ON q.query_id = np.query_id
+        |LEFT JOIN hp ON q.query_id = hp.query_id
+        |LEFT JOIN hi ON q.query_id = hi.query_id
+        |ORDER BY q.query_id""".stripMargin,
     // the q_quantize_int8 code arithmetic + an exact integer dot
     // product (scales cancel in cosine), ranked per query — the
     // quantized ANN scan under the exact oracle. The PACKED-codes twin

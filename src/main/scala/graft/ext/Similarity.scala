@@ -1781,6 +1781,119 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** FILTERED ANN over the persisted index (`q_ivf_store_probe_filtered`)
+    * — the most-requested production ANN feature: top-k among only the
+    * vectors satisfying a metadata predicate (supplied as a
+    * `(vec_id, keep)` label frame — the id-join shape metadata always
+    * has). Both standard strategies, measured head-to-head off ONE
+    * scored scan of the SAME partition-pruned candidate read:
+    *
+    *   - POST-FILTER: rank all probed candidates, take the unfiltered
+    *     top-k, then filter — the cheap strategy; survivors can number
+    *     fewer than k (the classic under-fill), and its recall loss is
+    *     exactly what this instrument prices.
+    *   - IN-FILTER: drop non-matching candidates BEFORE ranking, take
+    *     top-k of the survivors — same bytes read (the filter applies
+    *     after the pruned scan), never under-fills while matches exist.
+    *
+    * Post-filter survivors are by construction a SUBSET of the
+    * in-filter top-k (both rank the same filtered probed population;
+    * post keeps only those that also cracked the unfiltered top-k), so
+    * `hits_post <= hits_in` ALWAYS — emitted as the TRUE-iff-held
+    * `in_no_worse` witness. Recall is measured against the FILTERED
+    * exact top-k (brute over the whole stored corpus joined to the
+    * labels — the instrument's baseline, which a production probe
+    * never computes). Everything is the deterministic int8 arithmetic,
+    * so the whole A/B is hash-matched.
+    */
+  def ivfIndexStoreProbeFiltered(spark: org.apache.spark.sql.SparkSession,
+                                 queryVecs: DataFrame, dir: String,
+                                 labels: DataFrame, k: Int = 5,
+                                 nProbe: Int = 4): DataFrame = {
+    import graft.functions.Int8Bytes.int8_bytes
+    import graft.functions.IntDotBytes.int_dot_bytes
+    import graft.functions.Int8Codes.int8_codes
+    import graft.functions.IntDot.int_dot
+    graft.functions.GraftFunctions.register(spark)
+    val scored = seedScoreArray(
+      collectSeedCentroids(ivfIndexStoreCentroids(spark, dir)))
+    val q0 = queryVecs
+      .select(col("vec_id"), int8_codes(col("embedding")).as("qv"),
+        int8_bytes(col("embedding")).as("qa"))
+      .withColumn("qsq", int_dot(col("qv"), col("qv")))
+      .filter(col("qsq") > 0)
+      .select(col("vec_id").as("query_id"), col("qa"),
+        col("qsq").as("sqa"),
+        explode(slice(reverse(array_sort(scored)), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qa"), col("sqa"),
+        listIdOf(col("p.nid")).as("cluster"))
+    val probeRows = q0.collect()
+    val clusterIdx = q0.schema.fieldIndex("cluster")
+    val lists = probeRows.map(_.getInt(clusterIdx)).distinct
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), q0.schema)
+    val keepOf = labels.select(col("vec_id").as("neighbor_id"),
+      col("keep"))
+    // ONE pruned scan scored once; both strategies are windows over it
+    val sims = ivfIndexStoreAssignments(spark, dir)
+      .unionByName(ivfIndexReadDayAssignments(spark, dir))
+      .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("neighbor_id"), col("qb"),
+        col("qsq").as("sqb"), col("centroid_id").as("cluster"))
+      .join(keepOf, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", int_dot_bytes(col("qb"), col("qa")) /
+        sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
+      .persist()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val post = sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k && col("keep"))
+      .select("query_id", "neighbor_id")
+    val in = sims.filter(col("keep"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id")
+    // the filtered exact top-k: brute over the whole stored corpus —
+    // the baseline the recall is measured against (instrument-only)
+    val exact = {
+      val all = ivfIndexStoreAssignments(spark, dir)
+        .unionByName(ivfIndexReadDayAssignments(spark, dir))
+        .select(col("vec_id").as("neighbor_id"), col("qb"),
+          col("qsq").as("sqb"))
+        .join(keepOf, Seq("neighbor_id"))
+        .filter(col("keep"))
+        .crossJoin(broadcast(q.select("query_id", "qa", "sqa").distinct()))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", int_dot_bytes(col("qb"), col("qa")) /
+          sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
+      all.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select("query_id", "neighbor_id")
+    }
+    def hitsOf(arm: DataFrame, name: String): DataFrame =
+      exact.join(arm, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as(name))
+    val out = q.select("query_id").distinct()
+      .join(post.groupBy("query_id").agg(count(lit(1)).as("n_post")),
+        Seq("query_id"), "left")
+      .join(hitsOf(post, "hits_post"), Seq("query_id"), "left")
+      .join(hitsOf(in, "hits_in"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        coalesce(col("hits_post"), lit(0L)).as("hits_post"),
+        coalesce(col("hits_in"), lit(0L)).as("hits_in"),
+        round(coalesce(col("hits_post"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall_post"),
+        round(coalesce(col("hits_in"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall_in"),
+        (coalesce(col("hits_in"), lit(0L)) >=
+          coalesce(col("hits_post"), lit(0L))).as("in_no_worse"))
+      .orderBy("query_id")
+    Dedup.scopeCaches(out, sims)
+  }
+
   /** One streamed DAY of inverted-file maintenance: the micro-batch is
     * assigned against the index's FIXED centroid table and written to
     * `indexDir/day_assignments/day=N` (then hive-partitioned by list

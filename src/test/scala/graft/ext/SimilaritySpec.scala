@@ -999,6 +999,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("filtered store probe: keep-all degenerates both arms to full recall; " +
+      "keep-none yields empty arms; in-filter never under-fills while post does") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_filt").toString + "/idx"
+    Similarity.ivfIndexStoreInit(d, dir)
+    val queries = d.filter(col("vec_id") < 10)
+    // keep = everything, full probe width: both arms ARE the plain
+    // probe, and the filtered exact baseline is the plain exact — both
+    // recalls land at 1.0 and both arms fill to k
+    val all = Similarity.ivfIndexStoreProbeFiltered(spark, queries, dir,
+      d.select(col("vec_id"), lit(true).as("keep")), nProbe = 16).collect()
+    assert(all.length === 10 && all.forall(r =>
+      r.getLong(1) == 5L && r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0 &&
+        r.getBoolean(6)))
+    // keep = nothing: both arms empty, recalls 0, witness still holds
+    val none = Similarity.ivfIndexStoreProbeFiltered(spark, queries, dir,
+      d.select(col("vec_id"), lit(false).as("keep"))).collect()
+    assert(none.length === 10 && none.forall(r =>
+      r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L &&
+        r.getBoolean(6)))
+    // a selective predicate: in-filter fills to min(k, matches) while
+    // post-filter under-fills, and hits_in >= hits_post everywhere
+    val sel = Similarity.ivfIndexStoreProbeFiltered(spark, queries, dir,
+      d.select(col("vec_id"), (col("vec_id") % 3 === 1).as("keep"))).collect()
+    assert(sel.forall(r => r.getLong(3) >= r.getLong(2) && r.getBoolean(6)))
+    assert(sel.exists(r => r.getLong(1) < 5L),
+      "a 1-in-3 predicate should under-fill some post-filter top-5")
+  }
+
   test("store delete: victims vanish from raw AND ADC probes, the rows equal " +
       "a survivor assignment under the same centroids, and the store fscks clean") {
     import org.apache.spark.sql.functions.col
