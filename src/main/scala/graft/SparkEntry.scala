@@ -207,6 +207,39 @@ object SparkEntry {
       TextOps.bm25IndexAppend(s, docs.filter(!storedSide), lexDir)
       TextOps.bm25StoreTopDocs(s, lexDir)
     }),
+    // lexical DELETION — the union-minus law on text (round 17): drop
+    // the victims' postings rows (only their buckets rewritten) and
+    // SUBTRACT their token statistics from the sidecars; the served
+    // ranking then equals the build over survivors, which is exactly
+    // what the survivor-filtered q_bm25 oracle computes
+    "q_bm25_store_del" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val lexDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25_del_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(lexDir)
+      TextOps.bm25IndexInit(docs, lexDir)
+      TextOps.bm25IndexDelete(s,
+        docs.filter(col("doc_id") % 5 === 2).select("doc_id"), lexDir)
+      TextOps.bm25StoreTopDocs(s, lexDir)
+    }),
+    // the lexical sidecar fsck — the invariant certifier, symmetric
+    // with q_ivf_store_fsck: df per token and the corpus stats
+    // recomputed from the postings bytes vs the sidecars, cell by
+    // cell over the full-outer token join, TRUE-iff-equal booleans
+    "q_bm25_store_fsck" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, md5, substring}
+      val docs = Tables.documents(s, d)
+      val storedSide = substring(md5(col("doc_id").cast("string")), 1, 1) < "8"
+      val lexDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25_fsck_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(lexDir)
+      TextOps.bm25IndexInit(docs.filter(storedSide), lexDir)
+      TextOps.bm25IndexAppend(s, docs.filter(!storedSide), lexDir)
+      TextOps.bm25StoreFsck(s, lexDir)
+    }),
     "q_token_map" -> ((s, d) => TextOps.repeatedTokenMap(Tables.documents(s, d))),
     "q_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(Tables.documents(s, d))),
     "q_ngram_lm" -> ((s, d) => TextOps.bigramLmScore(Tables.documents(s, d))),
@@ -1454,6 +1487,15 @@ object SparkEntry {
       |  FROM scored)
       |SELECT token, rnk, doc_id, tf, dl, bm25 FROM ranked WHERE rnk <= 3
       |ORDER BY token, rnk""".stripMargin
+
+  /** BM25_SQL over the survivor corpus — the delete ≡
+    * build-over-survivors law (`q_bm25_store_del`).
+    */
+  private val BM25_DEL_SQL: String = BM25_SQL.replace(
+    "AS token FROM documents)",
+    "AS token FROM documents WHERE doc_id % 5 <> 2)")
+  require(BM25_DEL_SQL != BM25_SQL,
+    "BM25_DEL_SQL replace matched nothing — BM25_SQL's tok CTE changed")
 
   private val HYBRID_RRF_SQL: String = HYBRID_LEX_QUANT_FRAG + """,
     |qs AS (SELECT vec_id AS query_id, qv AS qa, qsq AS sqa
@@ -3961,6 +4003,26 @@ object SparkEntry {
     // additive over an append-only corpus; tf/dl are per-doc facts) —
     // the same oracle again, now certifying the merge law
     "q_bm25_store_inc" -> BM25_SQL,
+    // delete ≡ build over survivors: the SAME oracle over the
+    // survivor-filtered corpus (term selection, df, dl, stats — all
+    // recomputed over the survivors, which is the union-minus claim)
+    "q_bm25_store_del" -> BM25_DEL_SQL,
+    // lexical sidecar fsck: postings-derived totals vs the sidecars,
+    // booleans TRUE-iff-held, real counts pinned by the hash
+    "q_bm25_store_fsck" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |agg AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS pairs FROM tf),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS total_len FROM dl)
+        |SELECT agg.n_tokens, agg.pairs AS df_rows_total,
+        |  agg.pairs AS df_side_total, TRUE AS df_ok,
+        |  st.n_docs AS n_docs_rows, st.n_docs AS n_docs_side,
+        |  st.total_len AS total_len_rows, st.total_len AS total_len_side,
+        |  TRUE AS n_docs_ok, TRUE AS total_len_ok
+        |FROM agg CROSS JOIN st""".stripMargin,
     // hybrid RRF: doc-as-query BM25 (integer-micro contributions) +
     // the exact int8 cosine arm, fused by 1/(60+rank) per arm, ranks
     // only; the lexical/quant prefix and the fusion tail are shared

@@ -450,6 +450,119 @@ object TextOps {
       dir, "corpus_stats")
   }
 
+  /** DELETE documents from the lexical index (`q_bm25_store_del`) —
+    * the additive dual of [[bm25IndexAppend]], the same union-minus
+    * law the IVF store certifies: drop the victims' postings rows and
+    * SUBTRACT their token statistics from the sidecars (df decrements
+    * by the victim's distinct-token memberships; n_docs/total_len by
+    * its count/length — additivity runs both directions, and a token
+    * whose df reaches zero leaves `dfreq` entirely). Victims are
+    * located by one columnar scan of the INDEX (the postings hold
+    * everything needed — tf rows carry dl — so the corpus is never
+    * re-read); the rewrite touches ONLY the buckets that held a victim
+    * row. A crash between the row rewrites and the sidecar subtracts
+    * is the same window as an append's — recovered by
+    * [[bm25IndexStatsRebuild]], and the served ranking over a
+    * post-delete store equals the build over survivors
+    * (hash-certified by `q_bm25_store_del` under the survivor-filtered
+    * `q_bm25` oracle). Returns (n_docs_deleted, n_rows_deleted).
+    */
+  def bm25IndexDelete(spark: org.apache.spark.sql.SparkSession,
+                      docIds: DataFrame, dir: String): (Long, Long) = {
+    val (nDocs, totalLen, nBuckets) = lexStoreStats(spark, dir)
+    val dfLive = lexStoreDfreq(spark, dir)
+    val idFrame = docIds.select(col("doc_id")).distinct().persist()
+    try {
+      val victims = spark.read.parquet(s"$dir/postings")
+        .join(idFrame, Seq("doc_id")).persist()
+      try {
+        // the victims' additive token statistics, off the victim rows
+        // alone: df decrement = one per (token, victim doc) posting
+        // row; doc count/length from one row per victim doc
+        val vdf = victims.groupBy("token").agg(count(lit(1)).as("df_gone"))
+        val Array(vstats) = victims.groupBy("doc_id")
+          .agg(first(col("dl")).as("dl"))
+          .agg(count(lit(1)).as("nd"), sum("dl").as("len"))
+          .collect()
+        val (vDocs, vLen) =
+          (vstats.getLong(0), if (vstats.isNullAt(1)) 0L else vstats.getLong(1))
+        val nRows = victims.count()
+        if (vDocs > 0L) {
+          val buckets = victims.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          // stage survivors of ONLY the affected buckets, then swap
+          // each bucket dir live (the IVF delete's partition rewrite)
+          val basePath = new org.apache.hadoop.fs.Path(s"$dir/postings")
+          val fs = basePath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val staging = new org.apache.hadoop.fs.Path(
+            basePath.getParent, ".postings.delete-next")
+          fs.delete(staging, true)
+          spark.read.parquet(basePath.toString)
+            .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+            .join(idFrame, Seq("doc_id"), "left_anti")
+            .write.partitionBy("bucket").parquet(staging.toString)
+          buckets.foreach { bkt =>
+            val live = new org.apache.hadoop.fs.Path(basePath, s"bucket=$bkt")
+            val next = new org.apache.hadoop.fs.Path(staging, s"bucket=$bkt")
+            fs.delete(live, true)
+            if (fs.exists(next) && !fs.rename(next, live))
+              throw new java.io.IOException(
+                s"delete swap $next -> $live failed")
+          }
+          fs.delete(staging, true)
+          // subtract the sidecars (vocab-sized merge; df = 0 rows leave)
+          val merged = dfLive.select(col("token"), col("df"))
+            .join(vdf, Seq("token"), "left_outer")
+            .select(col("token"),
+              (col("df") - coalesce(col("df_gone"), lit(0L))).as("df"))
+            .filter(col("df") > 0)
+            .withColumn("bucket", lexBucket(nBuckets))
+          Similarity.writeRenameAside(merged, dir, "dfreq", Seq("bucket"))
+          Similarity.writeRenameAside(
+            lexStatsDf(spark, nDocs - vDocs, totalLen - vLen, nBuckets),
+            dir, "corpus_stats")
+        }
+        (vDocs, nRows)
+      } finally victims.unpersist(blocking = false)
+    } finally idFrame.unpersist(blocking = false)
+  }
+
+  /** FSCK of the lexical sidecars (`q_bm25_store_fsck`) — the
+    * invariant certifier, symmetric with the IVF store's: recompute df
+    * per token and the corpus stats from the POSTINGS bytes (one
+    * columnar scan, no corpus read) and compare against the sidecars.
+    * One summary row: both sides' token/doc/length totals and
+    * TRUE-iff-equal booleans — `df_ok` compares CELL BY CELL over the
+    * full-outer token join (a token present on one side only is
+    * itself a violation), so the append/delete crash windows (postings
+    * moved, sidecars not) are detectable by a query here too.
+    */
+  def bm25StoreFsck(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    val postings = spark.read.parquet(s"$dir/postings")
+    val fromRows = postings.groupBy("token").agg(count(lit(1)).as("df_rows"))
+    val cells = fromRows
+      .join(lexStoreDfreq(spark, dir).select(col("token"),
+        col("df").as("df_side")), Seq("token"), "full_outer")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("df_rows"), lit(0L))).as("df_rows_total"),
+        sum(coalesce(col("df_side"), lit(0L))).as("df_side_total"),
+        min((coalesce(col("df_rows"), lit(-1L)) <=>
+          coalesce(col("df_side"), lit(-2L))).cast("int"))
+          .cast("boolean").as("df_ok"))
+    val stats = postings.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs_rows"),
+        coalesce(sum("dl"), lit(0L)).as("total_len_rows"))
+    val (nDocs, totalLen, _) = lexStoreStats(spark, dir)
+    cells.crossJoin(stats)
+      .select(col("n_tokens"), col("df_rows_total"), col("df_side_total"),
+        col("df_ok"), col("n_docs_rows"), lit(nDocs).as("n_docs_side"),
+        col("total_len_rows"), lit(totalLen).as("total_len_side"),
+        (col("n_docs_rows") === lit(nDocs)).as("n_docs_ok"),
+        (col("total_len_rows") === lit(totalLen)).as("total_len_ok"))
+  }
+
   /** `q_bm25` served from the PERSISTED index (`q_bm25_store`): term
     * selection reads the vocab-sized `dfreq` sidecar (top `nTerms` by
     * df, lexicographic ties — never the corpus), the postings scan

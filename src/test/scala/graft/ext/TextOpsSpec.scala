@@ -268,6 +268,42 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       .toSeq === brute.toSeq)
   }
 
+  test("lexical delete: served ranking equals the survivor build, the fsck " +
+    "certifies the subtracted sidecars and detects an injected crash window") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex_del")
+      .toString + "/idx"
+    TextOps.bm25IndexInit(d, dir)
+    val victim = col("doc_id") % 5 === 2
+    val (nd, nr) = TextOps.bm25IndexDelete(spark,
+      d.filter(victim).select("doc_id"), dir)
+    assert(nd > 0 && nr >= nd)
+    // delete ≡ build over survivors, row for row — ranking, df-based
+    // term selection, stats, everything
+    val got = TextOps.bm25StoreTopDocs(spark, dir).collect().map(_.toSeq)
+    val expected = TextOps.bm25TopDocs(d.filter(!victim))
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq === expected.toSeq)
+    // the subtracted sidecars still satisfy the invariant law
+    val clean = TextOps.bm25StoreFsck(spark, dir).collect()(0)
+    assert(clean.getBoolean(3) && clean.getBoolean(8) && clean.getBoolean(9))
+    // deleting unknown ids is a no-op
+    import spark.implicits._
+    assert(TextOps.bm25IndexDelete(spark, Seq(-1L).toDF("doc_id"), dir)
+      === ((0L, 0L)))
+    // inject the crash window (postings moved, sidecars not): appending
+    // rows directly must flip the fsck booleans; rebuild recovers
+    spark.read.parquet(s"$dir/postings").limit(7)
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+    val broken = TextOps.bm25StoreFsck(spark, dir).collect()(0)
+    assert(!broken.getBoolean(3),
+      "fsck must flag df cells lagging the postings")
+    TextOps.bm25IndexStatsRebuild(spark, dir)
+    val fixed = TextOps.bm25StoreFsck(spark, dir).collect()(0)
+    assert(fixed.getBoolean(3) && fixed.getBoolean(8) && fixed.getBoolean(9))
+  }
+
   test("hybridRrfStoreTopDocs at full probe width equals the brute-arm " +
     "hybrid row-for-row; pruned probes still fuse complete") {
     import org.apache.spark.sql.functions.col
