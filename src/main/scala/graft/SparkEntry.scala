@@ -224,6 +224,42 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 2).select("doc_id"), lexDir)
       TextOps.bm25StoreTopDocs(s, lexDir)
     }),
+    // streamed lexical days (round 17): init on the md5-stored side,
+    // two exactly-once day writes for the rest (pure per-day facts,
+    // overwrite-by-day), the probe serving consolidated ∪ days — the
+    // served ranking equals the union build, same q_bm25 oracle
+    "q_bm25_store_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, md5, substring}
+      val docs = Tables.documents(s, d)
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val lexDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25_stream_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(lexDir)
+      TextOps.bm25IndexInit(docs.filter(h < "8"), lexDir)
+      TextOps.bm25IndexStreamDay(s,
+        docs.filter(h >= lit("8") && h < lit("c")), 0L, lexDir)
+      TextOps.bm25IndexStreamDay(s, docs.filter(h >= "c"), 1L, lexDir)
+      TextOps.bm25StoreTopDocs(s, lexDir)
+    }),
+    // ... and the FOLD: compact rewrites consolidated ∪ days into a
+    // fresh store through storeSwapRecover's staging protocol; the
+    // served ranking is invariant (fold ≡ union build), same oracle
+    "q_bm25_store_compact" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, md5, substring}
+      val docs = Tables.documents(s, d)
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val lexDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25_compact_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(lexDir)
+      TextOps.bm25IndexInit(docs.filter(h < "8"), lexDir)
+      TextOps.bm25IndexStreamDay(s,
+        docs.filter(h >= lit("8") && h < lit("c")), 0L, lexDir)
+      TextOps.bm25IndexStreamDay(s, docs.filter(h >= "c"), 1L, lexDir)
+      TextOps.bm25IndexCompact(s, lexDir)
+      TextOps.bm25StoreTopDocs(s, lexDir)
+    }),
     // the lexical sidecar fsck — the invariant certifier, symmetric
     // with q_ivf_store_fsck: df per token and the corpus stats
     // recomputed from the postings bytes vs the sidecars, cell by
@@ -4007,6 +4043,11 @@ object SparkEntry {
     // survivor-filtered corpus (term selection, df, dl, stats — all
     // recomputed over the survivors, which is the union-minus claim)
     "q_bm25_store_del" -> BM25_DEL_SQL,
+    // streamed days ≡ union build (day facts are pure per-batch;
+    // the view merges df/stats by addition) — and compact ≡ the same
+    // (fold invariance): one oracle certifies the whole trajectory
+    "q_bm25_store_stream" -> BM25_SQL,
+    "q_bm25_store_compact" -> BM25_SQL,
     // lexical sidecar fsck: postings-derived totals vs the sidecars,
     // booleans TRUE-iff-held, real counts pinned by the hash
     "q_bm25_store_fsck" ->

@@ -358,6 +358,127 @@ object TextOps {
     spark.read.parquet(p.toString).select("token", "df", "bucket")
   }
 
+  private def lexDayDirExists(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("day="))
+  }
+
+  /** The read-side VIEW of the lexical store a probe must serve from:
+    * consolidated artifacts ∪ streamed day partitions (empty-safe on a
+    * batch-only store) — what the index HOLDS is what a probe reads,
+    * the [[graft.ext.Similarity.ivfIndexReadDayAssignments]] posture.
+    * Day token statistics are pure per-day facts written WITH their
+    * day ([[bm25IndexStreamDay]]), so the view merges df by addition
+    * (vocab-sized) and the stats row by summing the tiny day_stats
+    * table — no corpus re-read, and the consolidated sidecars keep
+    * covering exactly the consolidated postings (the fsck contract).
+    */
+  private def lexStoreView(spark: org.apache.spark.sql.SparkSession,
+                           dir: String)
+      : (DataFrame, DataFrame, Long, Long, Int) = {
+    val (nDocs0, totalLen0, nBuckets) = lexStoreStats(spark, dir)
+    val basePostings = spark.read.parquet(s"$dir/postings")
+      .select("token", "doc_id", "tf", "dl", "bucket")
+    val baseDfreq = lexStoreDfreq(spark, dir)
+    if (!lexDayDirExists(spark, dir, "day_postings"))
+      (basePostings, baseDfreq, nDocs0, totalLen0, nBuckets)
+    else {
+      val dayPostings = spark.read.parquet(s"$dir/day_postings")
+        .select("token", "doc_id", "tf", "dl", "bucket")
+      val dayDfreq = spark.read.parquet(s"$dir/day_dfreq")
+        .select("token", "df", "bucket")
+      val mergedDfreq = baseDfreq.unionByName(dayDfreq)
+        .groupBy("token", "bucket").agg(sum(col("df")).as("df"))
+        .select("token", "df", "bucket")
+      val Array(ds) = spark.read.parquet(s"$dir/day_stats")
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("nd"),
+          coalesce(sum("total_len"), lit(0L)).as("len")).collect()
+      (basePostings.unionByName(dayPostings), mergedDfreq,
+        nDocs0 + ds.getLong(0), totalLen0 + ds.getLong(1), nBuckets)
+    }
+  }
+
+  /** One streamed DAY of lexical-index maintenance — the exactly-once
+    * cell [[graft.ext.Similarity.ivfIndexStreamDay]] established,
+    * applied to text: the micro-batch's postings, per-token df, and
+    * (n_docs, total_len) stats are PURE functions of the batch (the
+    * only store state read is the one-row `corpus_stats`, for the
+    * pinned bucketing — the nList-centroid-table analogue), written to
+    * `day_postings/day=N/bucket=B`, `day_dfreq/day=N/bucket=B`, and
+    * `day_stats/day=N`. A foreachBatch replay overwrites its own day
+    * partitions with bytes that cannot disagree with what they replace
+    * — no read-modify-write anywhere, so no `day < N` discipline
+    * needed. The CONSOLIDATED sidecars are deliberately untouched (the
+    * additive merge is a read-modify-write, which replays would
+    * double-count): day statistics ride WITH their day and the probe
+    * view merges them ([[lexStoreView]]); [[bm25IndexCompact]] folds
+    * days into the consolidated store.
+    */
+  def bm25IndexStreamDay(spark: org.apache.spark.sql.SparkSession,
+                         docsBatch: DataFrame, day: Long,
+                         dir: String): Unit = {
+    val (_, _, nBuckets) = lexStoreStats(spark, dir)
+    val b = docsBatch.persist()
+    try {
+      if (!b.isEmpty) {
+        val (postings, dfreq, (nDocs, totalLen)) = lexBatchFrames(b)
+        postings.withColumn("bucket", lexBucket(nBuckets))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$dir/day_postings/day=$day")
+        dfreq.withColumn("bucket", lexBucket(nBuckets))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$dir/day_dfreq/day=$day")
+        lexStatsDf(spark, nDocs, totalLen, nBuckets)
+          .select("n_docs", "total_len")
+          .write.mode("overwrite").parquet(s"$dir/day_stats/day=$day")
+      }
+    } finally b.unpersist(blocking = false)
+  }
+
+  /** COMPACT the lexical store: fold streamed day partitions into the
+    * consolidated artifacts and rewrite the small files day-appends
+    * accumulate — one op, because fold and compaction are the same
+    * rewrite (read the union view, write a fresh store). The swap uses
+    * [[graft.ext.Curation.storeSwapRecover]]'s staging convention
+    * verbatim (`.NAME.compact-staging` + root `_SUCCESS`,
+    * rename-aside), so a crash at ANY point self-heals through the
+    * same enumerated-states recovery every other store uses — and the
+    * invariance law is hash-certified: the served ranking over the
+    * compacted store equals the union build (`q_bm25_store_compact`
+    * shares `q_bm25`'s oracle).
+    */
+  def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Unit = {
+    if (Curation.storeSwapRecover(spark, dir) == "absent")
+      throw new java.io.IOException(s"no lexical index store at $dir")
+    val (postings, dfreq, nDocs, totalLen, nBuckets) =
+      lexStoreView(spark, dir)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.compact-staging")
+    val old = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.compact-old")
+    fs.delete(staging, true)
+    // every staged write reads the still-live store and finishes
+    // before any rename — no lineage reaches the swapped paths after
+    postings.write.partitionBy("bucket").parquet(s"$staging/postings")
+    dfreq.write.partitionBy("bucket").parquet(s"$staging/dfreq")
+    lexStatsDf(spark, nDocs, totalLen, nBuckets)
+      .write.parquet(s"$staging/corpus_stats")
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")).close()
+    fs.delete(old, true)
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"rename $target -> $old failed")
+    if (!fs.rename(staging, target)) {
+      fs.rename(old, target)
+      throw new java.io.IOException(s"rename $staging -> $target failed")
+    }
+    fs.delete(old, true)
+  }
+
   /** Build the PERSISTED lexical index (round 17) — the `lloyd_stats`
     * discipline applied to token statistics, so the hybrid's BM25 arm
     * can finally read index artifacts instead of re-tokenizing the
@@ -469,6 +590,13 @@ object TextOps {
     */
   def bm25IndexDelete(spark: org.apache.spark.sql.SparkSession,
                       docIds: DataFrame, dir: String): (Long, Long) = {
+    // streamed day partitions are not covered by the consolidated
+    // sidecars this delete subtracts from — fold them in first
+    // (bm25IndexCompact), the IVF-delete posture
+    if (lexDayDirExists(spark, dir, "day_postings"))
+      throw new IllegalStateException(
+        s"lexical store at $dir holds streamed day partitions — run " +
+          "bm25IndexCompact to fold them in, then delete")
     val (nDocs, totalLen, nBuckets) = lexStoreStats(spark, dir)
     val dfLive = lexStoreDfreq(spark, dir)
     val idFrame = docIds.select(col("doc_id")).distinct().persist()
@@ -576,11 +704,11 @@ object TextOps {
   def bm25StoreTopDocs(spark: org.apache.spark.sql.SparkSession,
                        dir: String, nTerms: Int = 10,
                        topK: Int = 3): DataFrame = {
-    val (nDocs, totalLen, _) = lexStoreStats(spark, dir)
-    val terms = lexStoreDfreq(spark, dir)
+    val (postings, dfreq, nDocs, totalLen, _) = lexStoreView(spark, dir)
+    val terms = dfreq
       .orderBy(col("df").desc, col("token")).limit(nTerms)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
-    scoreStorePostings(spark, dir,
+    scoreStorePostings(postings,
       terms.map(t => (t._1, t._2)), terms.map(_._3).distinct.toSeq,
       nDocs, totalLen)
       .withColumn("rnk", row_number().over(
@@ -598,13 +726,14 @@ object TextOps {
     * list is query-scale), score each (term, doc) with the one
     * [[bm25Weight]] copy off stored tf/dl and sidecar df/stats.
     */
-  private def scoreStorePostings(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String, terms: Seq[(String, Long)],
+  private def scoreStorePostings(postings: DataFrame,
+                                 terms: Seq[(String, Long)],
                                  buckets: Seq[Int], nDocs: Long,
                                  totalLen: Long): DataFrame = {
+    val spark = postings.sparkSession
     import spark.implicits._
     val termDf = terms.toDF("token", "df")
-    spark.read.parquet(s"$dir/postings")
+    postings
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
       .join(broadcast(termDf), Seq("token"))
       .withColumn("n_docs", lit(nDocs))
@@ -624,7 +753,8 @@ object TextOps {
   def bm25StoreQueryArm(spark: org.apache.spark.sql.SparkSession,
                         queryDocs: DataFrame, dir: String,
                         arm: Int = 10): DataFrame = {
-    val (nDocs, totalLen, nBuckets) = lexStoreStats(spark, dir)
+    val (postings, dfreq, nDocs, totalLen, nBuckets) =
+      lexStoreView(spark, dir)
     val qtok = queryDocs
       .select(col("doc_id").as("query_id"),
         explode(wsTokens(col("text"))).as("token"))
@@ -636,11 +766,11 @@ object TextOps {
         .collect().map(_.getInt(0)).toSeq
       // query-vocab df: pruned dfreq buckets, semi-joined to the query
       // tokens — bounded by the query vocabulary
-      val qdf = lexStoreDfreq(spark, dir)
+      val qdf = dfreq
         .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
         .join(broadcast(qtok.select("token").distinct()), Seq("token"))
         .select(col("token"), col("df"))
-      val contrib = spark.read.parquet(s"$dir/postings")
+      val contrib = postings
         .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
         .join(broadcast(qtok.select("query_id", "token")), Seq("token"))
         .filter(col("doc_id") =!= col("query_id"))

@@ -473,6 +473,26 @@ object StreamingOps {
       }
       .start()
 
+  /** Live maintenance of the LEXICAL index
+    * ([[graft.ext.TextOps.bm25IndexStreamDay]] per micro-batch day):
+    * a day's postings, per-token df, and stats row are pure functions
+    * of the batch (the only store state read is the one-row
+    * `corpus_stats`, for the pinned bucketing), written
+    * overwrite-by-day — replays rewrite their own partitions with
+    * identical facts, the [[ivfIndexIngestStream]] contract on text.
+    * Probes serve from consolidated ∪ day artifacts;
+    * [[graft.ext.TextOps.bm25IndexCompact]] folds days in.
+    */
+  def bm25IngestStream(docs: DataFrame, indexDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, day: Long) =>
+        graft.ext.TextOps.bm25IndexStreamDay(batch.sparkSession, batch,
+          day, indexDir)
+      }
+      .start()
+
   def upsertParquetSink(agg: DataFrame, targetPath: String, keyCols: Seq[String],
                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     agg.writeStream.outputMode("update")

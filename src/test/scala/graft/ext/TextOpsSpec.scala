@@ -304,6 +304,62 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(fixed.getBoolean(3) && fixed.getBoolean(8) && fixed.getBoolean(9))
   }
 
+  test("lexical stream days: replays idempotent, probes serve the union " +
+    "exactly, compact folds days in and the fsck contract extends") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex_stream")
+      .toString + "/idx"
+    TextOps.bm25IndexInit(d.filter(col("doc_id") % 4 === 0), dir)
+    val day0 = d.filter(col("doc_id") % 4 === 1)
+    val day1 = d.filter(col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3)
+    TextOps.bm25IndexStreamDay(spark, day0, 0L, dir)
+    TextOps.bm25IndexStreamDay(spark, day1, 1L, dir)
+    // the view serves the UNION exactly: ranking and query arm equal
+    // the brute forms over the whole corpus
+    val brute = TextOps.bm25TopDocs(d).collect().map(_.toSeq)
+    assert(TextOps.bm25StoreTopDocs(spark, dir).collect().map(_.toSeq)
+      .toSeq === brute.toSeq)
+    val armBrute = TextOps.bm25DocQueryArm(d, numQueries = 10, arm = 10)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(TextOps.bm25StoreQueryArm(spark, d.filter(col("doc_id") < 10), dir)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq === armBrute.toSeq)
+    // replay contract: a day reads no mutable store state, so
+    // re-delivery rewrites its own partitions with identical facts
+    TextOps.bm25IndexStreamDay(spark, day1, 1L, dir)
+    assert(TextOps.bm25StoreTopDocs(spark, dir).collect().map(_.toSeq)
+      .toSeq === brute.toSeq, "replayed day must not change the index")
+    // delete refuses while days are unfolded (sidecars don't cover them)
+    import spark.implicits._
+    val e = intercept[IllegalStateException] {
+      TextOps.bm25IndexDelete(spark, Seq(0L).toDF("doc_id"), dir)
+    }
+    assert(e.getMessage.contains("ompact"))
+    // compact: days fold into the consolidated store (dirs gone), the
+    // served ranking is invariant, and the fsck contract now covers
+    // the WHOLE corpus (sidecars ≡ consolidated postings again)
+    TextOps.bm25IndexCompact(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/day_postings")))
+    assert(TextOps.bm25StoreTopDocs(spark, dir).collect().map(_.toSeq)
+      .toSeq === brute.toSeq, "compaction must not change the ranking")
+    val clean = TextOps.bm25StoreFsck(spark, dir).collect()(0)
+    assert(clean.getBoolean(3) && clean.getBoolean(8) && clean.getBoolean(9))
+    // compact is idempotent, and the store stays recoverable/live
+    TextOps.bm25IndexCompact(spark, dir)
+    assert(graft.ext.Curation.storeSwapRecover(spark, dir) === "live")
+    assert(TextOps.bm25StoreTopDocs(spark, dir).collect().map(_.toSeq)
+      .toSeq === brute.toSeq)
+    // and the delete that was refused now proceeds on the folded store
+    val (nd, _) = TextOps.bm25IndexDelete(spark,
+      d.filter(col("doc_id") % 4 === 0).select("doc_id"), dir)
+    assert(nd > 0)
+    assert(TextOps.bm25StoreTopDocs(spark, dir).collect().map(_.toSeq)
+      .toSeq === TextOps.bm25TopDocs(d.filter(col("doc_id") % 4 =!= 0))
+      .collect().map(_.toSeq).toSeq)
+  }
+
   test("hybridRrfStoreTopDocs at full probe width equals the brute-arm " +
     "hybrid row-for-row; pruned probes still fuse complete") {
     import org.apache.spark.sql.functions.col

@@ -951,6 +951,38 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSpec {
       "replayed day must not change the audit")
   }
 
+  test("bm25IngestStream: streamed lexical days serve the union ranking " +
+      "through foreachBatch; replays idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    implicit val sc = spark.sqlContext
+    import graft.ext.TextOps
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val storedSide = substring(md5(col("doc_id").cast("string")), 1, 1) < "8"
+    val arrivals = d.filter(!storedSide).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val days = Seq(
+      arrivals.filter(_._1 < 250).toSeq,
+      arrivals.filter(_._1 >= 250).toSeq)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex_fb").toString
+    TextOps.bm25IndexInit(d.filter(storedSide), dir)
+    val input = MemoryStream[(Long, String)]
+    val q = bm25IngestStream(input.toDF().toDF("doc_id", "text"),
+      dir, s"$dir/ckpt")
+    try {
+      days.foreach { day => input.addData(day); q.processAllAvailable() }
+    } finally q.stop()
+    // the streamed store serves the UNION ranking exactly
+    val brute = TextOps.bm25TopDocs(d).collect().map(_.toSeq)
+    assert(TextOps.bm25StoreTopDocs(spark, dir).collect().map(_.toSeq)
+      .toSeq === brute.toSeq)
+    // replay: re-delivering the last day must not change the ranking
+    TextOps.bm25IndexStreamDay(spark,
+      days.last.toDF("doc_id", "text"), 1L, dir)
+    assert(TextOps.bm25StoreTopDocs(spark, dir).collect().map(_.toSeq)
+      .toSeq === brute.toSeq)
+  }
+
   test("ivfIndexIngestStream: streamed day assignments equal the batch " +
       "assignment under fixed centroids; replays idempotent") {
     import spark.implicits._
