@@ -595,6 +595,25 @@ object SparkEntry {
       Similarity.ivfIndexStoreAppend(s, emb.filter(!storedSide), dir)
       Similarity.ivfIndexStoreOccupancy(s, dir)
     }),
+    // the centroid-preserving FOLD (round 17): init on the md5-stored
+    // side, stream the rest as two exactly-once days, then COMPACT —
+    // days fold into the consolidated lists without moving a single
+    // assignment (centroids verbatim, sidecar re-based off the staged
+    // bytes), so the post-compact occupancy is the drifted store's own
+    "q_ivf_store_compact" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, md5, substring}
+      val emb = Tables.embeddings(s, d)
+      val h = substring(md5(col("vec_id").cast("string")), 1, 1)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_compact_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb.filter(h < "8"), dir)
+      Similarity.ivfIndexStreamDay(s,
+        emb.filter(h >= lit("8") && h < lit("c")), 0L, dir)
+      Similarity.ivfIndexStreamDay(s, emb.filter(h >= "c"), 1L, dir)
+      Similarity.ivfIndexStoreCompact(s, dir)
+    }),
     // the rebalance step: same drifted store, re-seeded from the FULL
     // stored codes (packed bytes unpacked; embeddings never re-read)
     // through the rename-aside swap — the post-reseed occupancy equals
@@ -1494,6 +1513,54 @@ object SparkEntry {
     |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   /** q_hybrid_rrf: the brute int8-cosine semantic arm. */
+  /** Drifted-store occupancy: seeds from the md5-stored side (the
+    * fixed day-0 centroids), EVERY vector assigned against them, exact
+    * counts + share per list — shared by `q_ivf_store_occupancy`
+    * (batch append) and `q_ivf_store_compact` (streamed days folded by
+    * the centroid-preserving compact: same assignment facts, so the
+    * same oracle certifies the fold).
+    */
+  private val IVF_STORE_OCC_SQL: String =
+"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |m AS (SELECT vec_id, emb,
+      |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
+      |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
+      |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
+      |q0 AS (SELECT vec_id,
+      |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
+      |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
+      |      FROM s),
+      |b AS (SELECT vec_id, qv,
+      |        md5(list_aggr(list_transform(qv, x -> CAST(x AS VARCHAR)),
+      |          'string_agg', ',')) AS dig,
+      |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq,
+      |        substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS stored
+      |      FROM q0),
+      |base AS (SELECT * FROM b WHERE qsq > 0),
+      |seeds AS (SELECT * FROM (
+      |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
+      |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+      |        vec_id) AS INTEGER) - 1 AS centroid_id
+      |    FROM base WHERE stored) WHERE centroid_id < 16),
+      |sc AS (SELECT base.vec_id, base.dig, seeds.centroid_id,
+      |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
+      |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
+      |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
+      |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
+      |  FROM base, seeds),
+      |asg AS (SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY sim DESC, centroid_id) AS rn FROM sc)
+      |  WHERE rn = 1),
+      |per AS (SELECT centroid_id, COUNT(*) AS list_size,
+      |    COUNT(DISTINCT dig) AS n_codes FROM asg GROUP BY centroid_id),
+      |tot AS (SELECT SUM(list_size) AS total FROM per)
+      |SELECT per.centroid_id, seeds.seed_vec_id, per.list_size, per.n_codes,
+      |  round(CAST(per.list_size AS DOUBLE) / tot.total, 6) AS share
+      |FROM per CROSS JOIN tot
+      |JOIN seeds ON seeds.centroid_id = per.centroid_id
+      |ORDER BY per.centroid_id""".stripMargin
+
   /** Okapi BM25 top-3 docs per top-10 corpus term — ONE oracle text
     * for the raw-corpus ranker (`q_bm25`), the store-served ranker
     * (`q_bm25_store`, store build ≡ raw corpus row for row), and the
@@ -5872,46 +5939,11 @@ object SparkEntry {
     // occupancy of the drifted store: seeds from the md5-stored side
     // only (the store's FIXED day-0 centroids), every vector (stored +
     // appended) assigned against them, exact counts + share per list
-    "q_ivf_store_occupancy" ->
-      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |m AS (SELECT vec_id, emb,
-        |        list_max(list_transform(emb, v -> abs(v))) AS mx FROM t),
-        |s AS (SELECT vec_id, emb, CASE WHEN isnan(mx) THEN NULL
-        |        WHEN mx > 0 THEN mx / 127.0 END AS scale FROM m),
-        |q0 AS (SELECT vec_id,
-        |        list_transform(emb, v -> CASE WHEN scale IS NULL THEN 0
-        |          ELSE CAST(floor(v / scale + 0.5) AS INTEGER) END) AS qv
-        |      FROM s),
-        |b AS (SELECT vec_id, qv,
-        |        md5(list_aggr(list_transform(qv, x -> CAST(x AS VARCHAR)),
-        |          'string_agg', ',')) AS dig,
-        |        list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS qsq,
-        |        substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS stored
-        |      FROM q0),
-        |base AS (SELECT * FROM b WHERE qsq > 0),
-        |seeds AS (SELECT * FROM (
-        |    SELECT vec_id AS seed_vec_id, qv AS cv, qsq AS csq,
-        |      CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-        |        vec_id) AS INTEGER) - 1 AS centroid_id
-        |    FROM base WHERE stored) WHERE centroid_id < 16),
-        |sc AS (SELECT base.vec_id, base.dig, seeds.centroid_id,
-        |    CAST(list_sum(list_transform(range(1, len(base.qv) + 1),
-        |      i -> CAST(base.qv[CAST(i AS INTEGER)] AS BIGINT)
-        |        * seeds.cv[CAST(i AS INTEGER)])) AS DOUBLE)
-        |      / sqrt(CAST(base.qsq AS DOUBLE) * seeds.csq) AS sim
-        |  FROM base, seeds),
-        |asg AS (SELECT * FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY sim DESC, centroid_id) AS rn FROM sc)
-        |  WHERE rn = 1),
-        |per AS (SELECT centroid_id, COUNT(*) AS list_size,
-        |    COUNT(DISTINCT dig) AS n_codes FROM asg GROUP BY centroid_id),
-        |tot AS (SELECT SUM(list_size) AS total FROM per)
-        |SELECT per.centroid_id, seeds.seed_vec_id, per.list_size, per.n_codes,
-        |  round(CAST(per.list_size AS DOUBLE) / tot.total, 6) AS share
-        |FROM per CROSS JOIN tot
-        |JOIN seeds ON seeds.centroid_id = per.centroid_id
-        |ORDER BY per.centroid_id""".stripMargin,
+    "q_ivf_store_occupancy" -> IVF_STORE_OCC_SQL,
+    // streamed days folded by the centroid-preserving compact: the
+    // assignment facts are unchanged, so the SAME occupancy oracle
+    // certifies the fold (and that day rows entered the lists once)
+    "q_ivf_store_compact" -> IVF_STORE_OCC_SQL,
     // post-reseed occupancy ≡ a fresh build's: seeds from ALL
     // non-degenerate codes, every vector re-assigned, same aggregation
     "q_ivf_store_reseed" ->

@@ -2457,6 +2457,66 @@ object Similarity {
       .orderBy("centroid_id")
   }
 
+  /** COMPACT the persisted index (round 17): fold streamed day
+    * partitions into the consolidated inverted lists and rewrite the
+    * small files appends accumulate — WITHOUT touching a single
+    * assignment fact. Until now the only day-fold was a reseed/train
+    * (which re-partitions everything); this is the cheap between-
+    * retrains fold: centroids are copied verbatim, every assignment
+    * row keeps its list (a day row was assigned under the same fixed
+    * centroid table), the statistics sidecar is re-derived from the
+    * staged bytes (one columnar scan — and day rows ENTER the sidecar
+    * here, the same moment they enter the consolidated lists, exactly
+    * as the sidecar's contract promises), and any PQ artifacts are
+    * copied verbatim (their rows and partitioning are assignment
+    * facts, which this op never changes). The swap is
+    * [[graft.ext.Curation.storeSwapRecover]]'s staging protocol
+    * verbatim, so a crash at any point self-heals. Invariance is
+    * hash-certified: post-compact occupancy ≡ the union assignment
+    * under the stored-side seeds (`q_ivf_store_compact` shares
+    * `q_ivf_store_occupancy`'s oracle).
+    */
+  def ivfIndexStoreCompact(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    if (Curation.storeSwapRecover(spark, dir) == "absent")
+      throw new java.io.IOException(
+        s"no IVF index store (live, old, or staged) at $dir")
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.compact-staging")
+    val old = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.compact-old")
+    fs.delete(staging, true)
+    ivfIndexStoreCentroids(spark, dir).write.parquet(s"$staging/centroids")
+    ivfIndexStoreAssignments(spark, dir)
+      .unionByName(ivfIndexReadDayAssignments(spark, dir))
+      .select((STORE_COLS :+ "centroid_id").map(col): _*)
+      .write.partitionBy("centroid_id").parquet(s"$staging/assignments")
+    // the sidecar re-bases off the staged bytes: day rows join it at
+    // the same moment they join the consolidated lists
+    writeLloydStats(spark, staging.toString,
+      collectAssignmentStats(spark, s"$staging/assignments"))
+    // PQ artifacts are assignment-keyed facts — copied verbatim
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codebook"))) {
+      spark.read.parquet(s"$dir/pq_codebook")
+        .write.parquet(s"$staging/pq_codebook")
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codes")))
+        spark.read.parquet(s"$dir/pq_codes")
+          .write.partitionBy("centroid_id").parquet(s"$staging/pq_codes")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")).close()
+    fs.delete(old, true)
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"rename $target -> $old failed")
+    if (!fs.rename(staging, target)) {
+      fs.rename(old, target)
+      throw new java.io.IOException(s"rename $staging -> $target failed")
+    }
+    fs.delete(old, true)
+    ivfIndexStoreOccupancy(spark, dir)
+  }
+
   /** Re-seed + re-assign the PERSISTED index in place — the lifecycle
     * step the append-only store eventually needs: after enough drifted
     * ingest, fresh seeds are drawn from the CURRENT corpus (the same

@@ -999,6 +999,54 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ivf store compact: days fold without moving an assignment, the " +
+      "sidecar absorbs them, and the post-fold store supports every op") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cpt")
+      .toString + "/idx"
+    Similarity.ivfIndexStoreInit(d.filter(col("vec_id") % 3 === 0), dir)
+    Similarity.ivfIndexStorePqBuild(spark, dir)
+    Similarity.ivfIndexStreamDay(spark, d.filter(col("vec_id") % 3 === 1), 0L, dir)
+    Similarity.ivfIndexStreamDay(spark, d.filter(col("vec_id") % 3 === 2), 1L, dir)
+    def rowSet() = Similarity.ivfIndexStoreAssignments(spark, dir)
+      .unionByName(Similarity.ivfIndexReadDayAssignments(spark, dir))
+      .select("vec_id", "centroid_id", "dig").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val before = rowSet()
+    val cents = Similarity.collectSeedCentroids(
+      Similarity.ivfIndexStoreCentroids(spark, dir))
+    val probeBefore = Similarity.ivfIndexStoreProbe(spark,
+      d.filter(col("vec_id") < 10), dir).collect().map(_.toSeq)
+    Similarity.ivfIndexStoreCompact(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // days folded: dirs gone, not one assignment fact moved, centroids
+    // verbatim, probes identical
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/day_assignments")))
+    assert(rowSet() === before)
+    assert(Similarity.collectSeedCentroids(
+      Similarity.ivfIndexStoreCentroids(spark, dir)).toSeq === cents.toSeq)
+    assert(Similarity.ivfIndexStoreProbe(spark,
+      d.filter(col("vec_id") < 10), dir).collect().map(_.toSeq)
+      .toSeq === probeBefore.toSeq)
+    // the sidecar absorbed the day rows: fsck clean over the WHOLE
+    // corpus, and the O(batch) centroid update now covers them
+    assert(Similarity.ivfIndexStoreFsck(spark, dir).collect()
+      .forall(r => r.getBoolean(4) && r.getBoolean(5)))
+    assert(Similarity.ivfIndexStoreUpdateCentroids(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_members"))
+      .collect()(0).getLong(0) === before.size.toLong)
+    // PQ artifacts survived verbatim: the ADC probe still answers
+    assert(Similarity.ivfIndexStorePqProbe(spark,
+      d.filter(col("vec_id") < 10), dir).count() > 0)
+    // idempotent, and the store stays live under the shared recovery
+    Similarity.ivfIndexStoreCompact(spark, dir)
+    assert(rowSet() === before)
+    assert(graft.ext.Curation.storeSwapRecover(spark, dir) === "live")
+  }
+
   test("filtered store probe: keep-all degenerates both arms to full recall; " +
       "keep-none yields empty arms; in-filter never under-fills while post does") {
     import org.apache.spark.sql.functions.{col, lit}
