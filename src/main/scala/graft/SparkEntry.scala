@@ -177,6 +177,30 @@ object SparkEntry {
       TextOps.hybridRrfStoreTopDocs(docs.filter(col("doc_id") < 10),
         emb.filter(col("vec_id") < 10), lexDir, dir)
     }),
+    // the FILTERED store hybrid (round 17): retrieve among only the
+    // docs matching a predicate — the keep-set in-filtered into BOTH
+    // persisted arms before their rankings (the strategy the filtered-
+    // probe instrument measured as strictly better at equal bytes)
+    "q_hybrid_rrf_store_filtered" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_hybrid_filt_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      val lexDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_hybrid_flex_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(lexDir)
+      Similarity.ivfIndexStoreInit(emb, dir)
+      TextOps.bm25IndexInit(docs, lexDir)
+      TextOps.hybridRrfStoreFilteredTopDocs(
+        docs.filter(col("doc_id") < 10), emb.filter(col("vec_id") < 10),
+        lexDir, dir,
+        lexKeep = docs.filter(col("doc_id") % 3 === 1).select("doc_id"),
+        annKeep = emb.filter(col("vec_id") % 3 === 1).select("vec_id"))
+    }),
     // q_bm25 served from the PERSISTED lexical index: term selection
     // off the vocab-sized dfreq sidecar, postings scan pruned to the
     // terms' buckets, scoring off stored tf/dl/df + the one stats row
@@ -1614,6 +1638,7 @@ object SparkEntry {
     |    FROM qs JOIN base nb ON nb.vec_id <> qs.query_id)
     |  WHERE emb_rnk <= 10)""".stripMargin + HYBRID_FUSE_TAIL
 
+
   /** q_hybrid_rrf_store: the IVF-pruned semantic arm (top-4 seed lists
     * per query, exact int8 ranking of the pruned candidates).
     */
@@ -1654,6 +1679,21 @@ object SparkEntry {
     |    FROM cand c JOIN qq ON c.query_id = qq.query_id
     |      JOIN base nb ON c.neighbor_id = nb.vec_id)
     |  WHERE emb_rnk <= 10)""".stripMargin + HYBRID_FUSE_TAIL
+
+  /** The FILTERED store hybrid's oracle: the store hybrid with the
+    * keep predicate (id % 3 = 1) injected into BOTH arms — the lexical
+    * arm's contributions and the semantic arm's candidates, each
+    * BEFORE its ranking (in-filter on both sides).
+    */
+  private val HYBRID_RRF_STORE_FILTERED_SQL: String = HYBRID_RRF_STORE_SQL
+    .replace("  WHERE tf.doc_id <> q.query_id),",
+      "  WHERE tf.doc_id <> q.query_id AND tf.doc_id % 3 = 1),")
+    .replace("    AND a.vec_id <> qp.query_id),",
+      "    AND a.vec_id <> qp.query_id AND a.vec_id % 3 = 1),")
+  require(HYBRID_RRF_STORE_FILTERED_SQL != HYBRID_RRF_STORE_SQL &&
+    HYBRID_RRF_STORE_FILTERED_SQL.contains("tf.doc_id % 3 = 1") &&
+    HYBRID_RRF_STORE_FILTERED_SQL.contains("a.vec_id % 3 = 1"),
+    "HYBRID_RRF_STORE_FILTERED_SQL replaces matched nothing — the hybrid CTEs changed")
 
   /** One prefix-width arm of the dimension-truncation oracle: prefix
     * norms, ranking on the first `d` coordinates (truncated-zero
@@ -4140,6 +4180,9 @@ object SparkEntry {
     // probe (top-4 seed lists per query, exact int8 ranking of the
     // pruned candidates) instead of the brute scan
     "q_hybrid_rrf_store" -> HYBRID_RRF_STORE_SQL,
+    // the filtered store hybrid: the same fusion with the keep
+    // predicate in-filtered into both arms before their rankings
+    "q_hybrid_rrf_store_filtered" -> HYBRID_RRF_STORE_FILTERED_SQL,
     "q_vocab_coverage" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |vocab AS (

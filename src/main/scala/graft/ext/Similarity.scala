@@ -1718,9 +1718,16 @@ object Similarity {
     * nProbe/nList of the index bytes and none of the rest. Ranking is
     * the same exact arithmetic as [[ivfIndexTopK]].
     */
+  /** Optional `keep`: a (vec_id) frame of ADMISSIBLE neighbors — the
+    * IN-FILTER strategy (candidates semi-joined before ranking, the
+    * arm `q_ivf_store_probe_filtered` measured as strictly better at
+    * equal bytes), threaded through so the filtered hybrid serves a
+    * predicate-constrained semantic arm off the same pruned scan.
+    */
   def ivfIndexStoreProbe(spark: org.apache.spark.sql.SparkSession,
                          queryVecs: DataFrame, dir: String,
-                         k: Int = 5, nProbe: Int = 4): DataFrame = {
+                         k: Int = 5, nProbe: Int = 4,
+                         keep: Option[DataFrame] = None): DataFrame = {
     import graft.functions.Int8Bytes.int8_bytes
     import graft.functions.IntDotBytes.int_dot_bytes
     graft.functions.GraftFunctions.register(spark)
@@ -1762,11 +1769,14 @@ object Similarity {
     // a batch-only index): what the index HOLDS is what a probe reads —
     // an index maintained by ivfIndexStreamDay answers from day files
     // until a reseed folds them into the consolidated lists
-    val cands = ivfIndexStoreAssignments(spark, dir)
+    val cands0 = ivfIndexStoreAssignments(spark, dir)
       .unionByName(ivfIndexReadDayAssignments(spark, dir))
       .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*))
       .select(col("vec_id").as("neighbor_id"), col("qb"),
         col("qsq").as("sqb"), col("centroid_id").as("cluster"))
+    val cands = keep.fold(cands0)(ids => cands0.join(
+      ids.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"),
+      "left_semi"))
     val sims = cands.join(broadcast(q), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("qdot", int_dot_bytes(col("qb"), col("qa")))

@@ -750,9 +750,15 @@ object TextOps {
     * integer micros before the per-doc sum (the order-independence
     * discipline), so the store arm equals the brute arm row for row.
     */
+  /** Optional `keep`: a (doc_id) frame of ADMISSIBLE result docs —
+    * the in-filter strategy on the lexical arm (contributions of
+    * excluded docs dropped BEFORE the per-doc sum and the window), for
+    * the filtered hybrid.
+    */
   def bm25StoreQueryArm(spark: org.apache.spark.sql.SparkSession,
                         queryDocs: DataFrame, dir: String,
-                        arm: Int = 10): DataFrame = {
+                        arm: Int = 10,
+                        keep: Option[DataFrame] = None): DataFrame = {
     val (postings, dfreq, nDocs, totalLen, nBuckets) =
       lexStoreView(spark, dir)
     val qtok = queryDocs
@@ -770,8 +776,11 @@ object TextOps {
         .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
         .join(broadcast(qtok.select("token").distinct()), Seq("token"))
         .select(col("token"), col("df"))
-      val contrib = postings
+      val pruned = postings
         .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      val admitted = keep.fold(pruned)(ids =>
+        pruned.join(ids.select("doc_id"), Seq("doc_id"), "left_semi"))
+      val contrib = admitted
         .join(broadcast(qtok.select("query_id", "token")), Seq("token"))
         .filter(col("doc_id") =!= col("query_id"))
         .join(broadcast(qdf), Seq("token"))
@@ -852,6 +861,31 @@ object TextOps {
         arm),
       graft.ext.Similarity.ivfIndexStoreProbe(queryVecs.sparkSession,
         queryVecs, annDir, k = arm, nProbe = nProbe)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rnk").as("emb_rnk")),
+      k, rrfK)
+
+  /** The FILTERED store hybrid (`q_hybrid_rrf_store_filtered`) — the
+    * production "retrieve among docs matching a predicate" shape,
+    * composing this round's pieces: the lexical arm admits only the
+    * keep-set's docs BEFORE its per-doc sum, the semantic arm is the
+    * IN-FILTER store probe (`q_ivf_store_probe_filtered` measured it
+    * strictly better than post-filtering at equal bytes), and the
+    * fusion is the same rank-only RRF. Both arms stay on persisted
+    * artifacts; the predicate arrives as id frames — the join shape
+    * metadata always has.
+    */
+  def hybridRrfStoreFilteredTopDocs(queryDocs: DataFrame,
+                                    queryVecs: DataFrame,
+                                    lexDir: String, annDir: String,
+                                    lexKeep: DataFrame, annKeep: DataFrame,
+                                    k: Int = 5, arm: Int = 10,
+                                    nProbe: Int = 4,
+                                    rrfK: Int = 60): DataFrame =
+    fuseRrf(bm25StoreQueryArm(queryDocs.sparkSession, queryDocs, lexDir,
+        arm, keep = Some(lexKeep)),
+      graft.ext.Similarity.ivfIndexStoreProbe(queryVecs.sparkSession,
+        queryVecs, annDir, k = arm, nProbe = nProbe, keep = Some(annKeep))
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rnk").as("emb_rnk")),
       k, rrfK)

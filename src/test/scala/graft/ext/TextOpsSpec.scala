@@ -387,6 +387,33 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       .forall(_.getLong(1) === 5L))
   }
 
+  test("filtered store hybrid: keep-all degenerates to the unfiltered " +
+    "hybrid; filtered results never surface an excluded doc") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val annDir = java.nio.file.Files.createTempDirectory("graft_hf_ann")
+      .toString + "/idx"
+    val lexDir = java.nio.file.Files.createTempDirectory("graft_hf_lex")
+      .toString + "/idx"
+    graft.ext.Similarity.ivfIndexStoreInit(emb, annDir)
+    TextOps.bm25IndexInit(d, lexDir)
+    val qd = d.filter(col("doc_id") < 10)
+    val qv = emb.filter(col("vec_id") < 10)
+    val all = TextOps.hybridRrfStoreFilteredTopDocs(qd, qv, lexDir, annDir,
+      lexKeep = d.select("doc_id"), annKeep = emb.select("vec_id"))
+      .collect().map(_.toSeq)
+    val plain = TextOps.hybridRrfStoreTopDocs(qd, qv, lexDir, annDir)
+      .collect().map(_.toSeq)
+    assert(all.toSeq === plain.toSeq)
+    val filtered = TextOps.hybridRrfStoreFilteredTopDocs(qd, qv, lexDir,
+      annDir, lexKeep = d.filter(col("doc_id") % 3 === 1).select("doc_id"),
+      annKeep = emb.filter(col("vec_id") % 3 === 1).select("vec_id"))
+      .collect()
+    assert(filtered.nonEmpty && filtered.forall(_.getLong(2) % 3 == 1),
+      "every fused result must satisfy the predicate")
+  }
+
   test("vocabCoverage: OOV rate against the top-V corpus vocabulary") {
     // vocab size 2 → {'a' (4 occ), 'b' (2 occ)}; 'z','q' are OOV
     val d = docs((1L, "a a b z", "en"), (2L, "a a b q", "en"))
