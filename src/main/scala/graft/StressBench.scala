@@ -301,7 +301,8 @@ object StressBench {
       ext.Similarity.ivfIndexStoreInit(embPq, p)
       p
     }
-    if (selected("ivf_store_probe")) { ivfStoreDir; () }
+    if (Seq("ivf_store_probe", "ivf_store_stream_day",
+        "ivf_store_compact").exists(selected)) { ivfStoreDir; () }
     // the same persisted index with its PQ sidecar built (untimed —
     // a derived artifact written once); the timed row is the ADC probe
     // that reads the SAME probed partitions at 8 bytes/row instead of
@@ -325,7 +326,8 @@ object StressBench {
       ext.TextOps.bm25IndexInit(docsPq, p)
       p
     }
-    if (selected("bm25_store_probe")) { lexStoreDir; () }
+    if (Seq("bm25_store_probe", "bm25_store_stream_day",
+        "bm25_store_compact").exists(selected)) { lexStoreDir; () }
     // DELIBERATELY skewed persisted index (untimed setup): seeds drawn
     // from the replicas of just TWO base vectors — most seeds carry an
     // identical code, ties break to the lowest centroid id, so the
@@ -567,6 +569,32 @@ object StressBench {
         embPq.filter(col("vec_id") % 10 === 0)
           .withColumn("vec_id", col("vec_id") + lit(2000000000L)),
         ivfStoreDir).count()),
+      // round-17: the exactly-once streamed day (one argmax pass over
+      // the batch, zero store mutation) and the centroid-preserving
+      // COMPACT that folds it (one columnar rewrite + sidecar re-base,
+      // NO re-assignment) — contrast ivf_store_reseed, the full
+      // re-partition that folding previously required. Runs AFTER
+      // every other ivfStoreDir consumer (they mutate the store).
+      time("ivf_store_stream_day", {
+        ext.Similarity.ivfIndexStreamDay(spark,
+          embPq.filter(col("vec_id") % 10 === 1)
+            .withColumn("vec_id", col("vec_id") + lit(3000000000L))
+            .select("vec_id", "embedding"), 0L, ivfStoreDir)
+        1L
+      }),
+      time("ivf_store_compact", ext.Similarity.ivfIndexStoreCompact(
+        spark, ivfStoreDir).count()),
+      // the lexical fold at the same scale: day write + compact
+      time("bm25_store_stream_day", {
+        ext.TextOps.bm25IndexStreamDay(spark,
+          docsPq.filter(col("doc_id") % 10 === 1)
+            .withColumn("doc_id", col("doc_id") + lit(3000000000L)),
+          0L, lexStoreDir)
+        1L
+      }),
+      time("bm25_store_compact", {
+        ext.TextOps.bm25IndexCompact(spark, lexStoreDir); 1L
+      }),
       // skew → reseed → repair arc (rows run IN ORDER; the reseed row
       // mutates the store between the two probes). Occupancy rows
       // return the MAX list size — the number probe cost follows.
