@@ -584,17 +584,6 @@ object StressBench {
       }),
       time("ivf_store_compact", ext.Similarity.ivfIndexStoreCompact(
         spark, ivfStoreDir).count()),
-      // the lexical fold at the same scale: day write + compact
-      time("bm25_store_stream_day", {
-        ext.TextOps.bm25IndexStreamDay(spark,
-          docsPq.filter(col("doc_id") % 10 === 1)
-            .withColumn("doc_id", col("doc_id") + lit(3000000000L)),
-          0L, lexStoreDir)
-        1L
-      }),
-      time("bm25_store_compact", {
-        ext.TextOps.bm25IndexCompact(spark, lexStoreDir); 1L
-      }),
       // skew → reseed → repair arc (rows run IN ORDER; the reseed row
       // mutates the store between the two probes). Occupancy rows
       // return the MAX list size — the number probe cost follows.
@@ -632,6 +621,20 @@ object StressBench {
         docsPq, numQueries = 10, arm = 10).count()),
       time("bm25_store_probe", ext.TextOps.bm25StoreQueryArm(spark,
         docsPq.filter(col("doc_id") < 10), lexStoreDir).count()),
+      // the lexical fold at the same scale: day write + compact —
+      // AFTER the brute-vs-store A/B rows above (these two MUTATE
+      // lexStoreDir; running them first would grow the store ~10% and
+      // silently invalidate the equal-output comparison)
+      time("bm25_store_stream_day", {
+        ext.TextOps.bm25IndexStreamDay(spark,
+          docsPq.filter(col("doc_id") % 10 === 1)
+            .withColumn("doc_id", col("doc_id") + lit(3000000000L)),
+          0L, lexStoreDir)
+        1L
+      }),
+      time("bm25_store_compact", {
+        ext.TextOps.bm25IndexCompact(spark, lexStoreDir); 1L
+      }),
       time("compression_ratio", ext.Compression.compressionSignal(spark, docs).count()),
       time("heavy_hitters_mg", ops.Sketches.heavyHitterTokens(docs).count()),
       // exact twin of the MG sketch for the same heavy-hitter answer

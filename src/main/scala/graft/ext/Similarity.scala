@@ -1586,26 +1586,58 @@ object Similarity {
     * whose members are ALL deleted simply disappears (no staged dir to
     * rename) — the hive layout treats an absent list as empty.
     */
-  private def deleteFromPartitioned(spark: org.apache.spark.sql.SparkSession,
-                                    base: String, lists: Seq[Int],
-                                    idFrame: DataFrame): Unit = {
+  private[ext] def deleteFromPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      base: String, lists: Seq[Int], idFrame: DataFrame,
+      partitionCol: String = "centroid_id",
+      keyCol: String = "vec_id"): Unit = {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(
       basePath.getParent, s".${basePath.getName}.delete-next")
     fs.delete(staging, true)
     spark.read.parquet(base)
-      .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*))
-      .join(idFrame, Seq("vec_id"), "left_anti")
-      .write.partitionBy("centroid_id").parquet(staging.toString)
+      .filter(col(partitionCol).isin(lists.map(Integer.valueOf): _*))
+      .join(idFrame, Seq(keyCol), "left_anti")
+      .write.partitionBy(partitionCol).parquet(staging.toString)
     lists.foreach { c =>
-      val live = new org.apache.hadoop.fs.Path(base, s"centroid_id=$c")
-      val next = new org.apache.hadoop.fs.Path(staging, s"centroid_id=$c")
+      val live = new org.apache.hadoop.fs.Path(base, s"$partitionCol=$c")
+      val next = new org.apache.hadoop.fs.Path(staging, s"$partitionCol=$c")
       fs.delete(live, true)
       if (fs.exists(next) && !fs.rename(next, live))
         throw new java.io.IOException(s"delete swap $next -> $live failed")
     }
     fs.delete(staging, true)
+  }
+
+  /** ONE copy of the whole-store staged swap every compact/train uses
+    * (extracted round-17 — it encodes the exact names and rename order
+    * [[graft.ext.Curation.storeSwapRecover]]'s enumerated crash states
+    * depend on, so a drifting duplicate would silently break recovery):
+    * `stage` writes the new store's tables under the staging root; the
+    * root `_SUCCESS` marker then commits it, and the double rename
+    * (target → old, staging → target, rollback on failure) swaps it
+    * live.
+    */
+  private[ext] def stageThenSwap(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String)(stage: String => Unit): Unit = {
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.compact-staging")
+    val old = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.compact-old")
+    fs.delete(staging, true)
+    stage(staging.toString)
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")).close()
+    fs.delete(old, true)
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"rename $target -> $old failed")
+    if (!fs.rename(staging, target)) {
+      fs.rename(old, target)
+      throw new java.io.IOException(s"rename $staging -> $target failed")
+    }
+    fs.delete(old, true)
   }
 
   /** DELETE vectors from the persisted index (`q_ivf_store_delete`) —
@@ -1635,14 +1667,20 @@ object Similarity {
     * `pq_codes` partitions swap FIRST, then `assignments`, then the
     * sidecar subtract — an ADC probe can never resurrect a deleted id
     * whose assignment row is already gone. A crash mid-delete leaves
-    * either (a) some victims still present (retry the delete — it is
-    * idempotent: already-swapped partitions hold no victims and are
-    * rewritten to themselves) or (b) all rows gone but the sidecar not
-    * yet subtracted — exactly the append window, DETECTED by
-    * [[ivfIndexStoreFsck]] / the update's cross-check and recovered by
-    * [[ivfIndexStoreStatsRebuild]]. Streamed day partitions are not
-    * covered: fold them in with a train/reseed first (the same moment
-    * they join the consolidated lists and the sidecar) — refused loud.
+    * the sidecar disagreeing with the rows (some or all victims
+    * removed, their cells not yet subtracted) — exactly the append
+    * window, DETECTED by [[ivfIndexStoreFsck]] / the update's
+    * cross-check. The recovery protocol is: run
+    * [[ivfIndexStoreStatsRebuild]] FIRST (it reconciles the sidecar to
+    * whatever rows survived the crash), THEN retry the delete — the
+    * retry finds exactly the victims still present and subtracts
+    * exactly their cells. A bare retry without the rebuild would
+    * subtract only the remaining victims' cells while the sidecar
+    * still counts the already-removed ones — the fsck exists precisely
+    * so that state is caught, never trusted. Streamed day partitions
+    * are not covered: fold them in with a train/reseed/compact first
+    * (the same moment they join the consolidated lists and the
+    * sidecar) — refused loud.
     *
     * Returns one row per affected list: ids dropped and rows remaining.
     */
@@ -2491,39 +2529,27 @@ object Similarity {
     if (Curation.storeSwapRecover(spark, dir) == "absent")
       throw new java.io.IOException(
         s"no IVF index store (live, old, or staged) at $dir")
-    val target = new org.apache.hadoop.fs.Path(dir)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(
-      target.getParent, s".${target.getName}.compact-staging")
-    val old = new org.apache.hadoop.fs.Path(
-      target.getParent, s".${target.getName}.compact-old")
-    fs.delete(staging, true)
-    ivfIndexStoreCentroids(spark, dir).write.parquet(s"$staging/centroids")
-    ivfIndexStoreAssignments(spark, dir)
-      .unionByName(ivfIndexReadDayAssignments(spark, dir))
-      .select((STORE_COLS :+ "centroid_id").map(col): _*)
-      .write.partitionBy("centroid_id").parquet(s"$staging/assignments")
-    // the sidecar re-bases off the staged bytes: day rows join it at
-    // the same moment they join the consolidated lists
-    writeLloydStats(spark, staging.toString,
-      collectAssignmentStats(spark, s"$staging/assignments"))
-    // PQ artifacts are assignment-keyed facts — copied verbatim
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codebook"))) {
-      spark.read.parquet(s"$dir/pq_codebook")
-        .write.parquet(s"$staging/pq_codebook")
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codes")))
-        spark.read.parquet(s"$dir/pq_codes")
-          .write.partitionBy("centroid_id").parquet(s"$staging/pq_codes")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stageThenSwap(spark, dir) { staging =>
+      ivfIndexStoreCentroids(spark, dir).write.parquet(s"$staging/centroids")
+      ivfIndexStoreAssignments(spark, dir)
+        .unionByName(ivfIndexReadDayAssignments(spark, dir))
+        .select((STORE_COLS :+ "centroid_id").map(col): _*)
+        .write.partitionBy("centroid_id").parquet(s"$staging/assignments")
+      // the sidecar re-bases off the staged bytes: day rows join it at
+      // the same moment they join the consolidated lists
+      writeLloydStats(spark, staging,
+        collectAssignmentStats(spark, s"$staging/assignments"))
+      // PQ artifacts are assignment-keyed facts — copied verbatim
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codebook"))) {
+        spark.read.parquet(s"$dir/pq_codebook")
+          .write.parquet(s"$staging/pq_codebook")
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codes")))
+          spark.read.parquet(s"$dir/pq_codes")
+            .write.partitionBy("centroid_id").parquet(s"$staging/pq_codes")
+      }
     }
-    fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")).close()
-    fs.delete(old, true)
-    if (!fs.rename(target, old))
-      throw new java.io.IOException(s"rename $target -> $old failed")
-    if (!fs.rename(staging, target)) {
-      fs.rename(old, target)
-      throw new java.io.IOException(s"rename $staging -> $target failed")
-    }
-    fs.delete(old, true)
     ivfIndexStoreOccupancy(spark, dir)
   }
 
@@ -2596,13 +2622,9 @@ object Similarity {
     val picked = trained.zip(seeds0).map {
       case ((cid, cv, csq), (_, vid, _, _)) => (cid, vid, cv, csq)
     }
-    val target = new org.apache.hadoop.fs.Path(dir)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(
-      target.getParent, s".${target.getName}.compact-staging")
-    val old = new org.apache.hadoop.fs.Path(
-      target.getParent, s".${target.getName}.compact-old")
-    fs.delete(staging, true)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stageThenSwap(spark, dir) { staging =>
     // every staged write reads the still-live target (or staging files
     // already completed) and finishes before any rename — no lineage
     // reaches the swapped paths afterwards
@@ -2614,7 +2636,7 @@ object Similarity {
     // the statistics sidecar, under the NEW centroids/lists: aggregated
     // off the staged bytes (cheap scan, no extra argmax) — train is the
     // moment the sidecar re-bases, and day partitions fold in here
-    writeLloydStats(spark, staging.toString,
+    writeLloydStats(spark, staging,
       collectAssignmentStats(spark, s"$staging/assignments"))
     // PQ-sidecar REBUILD-IN-SWAP (round-16 lifecycle pin): if the live
     // store carries a PQ sidecar, the trained store keeps it usable —
@@ -2667,17 +2689,7 @@ object Similarity {
         }
       rebuilt.write.partitionBy("centroid_id").parquet(s"$staging/pq_codes")
     }
-    // root-level completeness marker LAST: storeSwapRecover adopts a
-    // headless staging dir only when this file exists
-    fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")).close()
-    fs.delete(old, true)
-    if (!fs.rename(target, old))
-      throw new java.io.IOException(s"rename $target -> $old failed")
-    if (!fs.rename(staging, target)) {
-      fs.rename(old, target) // restore the live store before failing
-      throw new java.io.IOException(s"rename $staging -> $target failed")
     }
-    fs.delete(old, true)
     ivfIndexStoreOccupancy(spark, dir)
   }
 

@@ -455,28 +455,14 @@ object TextOps {
       throw new java.io.IOException(s"no lexical index store at $dir")
     val (postings, dfreq, nDocs, totalLen, nBuckets) =
       lexStoreView(spark, dir)
-    val target = new org.apache.hadoop.fs.Path(dir)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(
-      target.getParent, s".${target.getName}.compact-staging")
-    val old = new org.apache.hadoop.fs.Path(
-      target.getParent, s".${target.getName}.compact-old")
-    fs.delete(staging, true)
     // every staged write reads the still-live store and finishes
     // before any rename — no lineage reaches the swapped paths after
-    postings.write.partitionBy("bucket").parquet(s"$staging/postings")
-    dfreq.write.partitionBy("bucket").parquet(s"$staging/dfreq")
-    lexStatsDf(spark, nDocs, totalLen, nBuckets)
-      .write.parquet(s"$staging/corpus_stats")
-    fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")).close()
-    fs.delete(old, true)
-    if (!fs.rename(target, old))
-      throw new java.io.IOException(s"rename $target -> $old failed")
-    if (!fs.rename(staging, target)) {
-      fs.rename(old, target)
-      throw new java.io.IOException(s"rename $staging -> $target failed")
+    Similarity.stageThenSwap(spark, dir) { staging =>
+      postings.write.partitionBy("bucket").parquet(s"$staging/postings")
+      dfreq.write.partitionBy("bucket").parquet(s"$staging/dfreq")
+      lexStatsDf(spark, nDocs, totalLen, nBuckets)
+        .write.parquet(s"$staging/corpus_stats")
     }
-    fs.delete(old, true)
   }
 
   /** Build the PERSISTED lexical index (round 17) — the `lloyd_stats`
@@ -556,8 +542,28 @@ object TextOps {
     */
   def bm25IndexStatsRebuild(spark: org.apache.spark.sql.SparkSession,
                             dir: String, nBuckets: Int = -1): Unit = {
-    val nb = if (nBuckets > 0) nBuckets else lexStoreStats(spark, dir)._3
     val postings = spark.read.parquet(s"$dir/postings")
+    val nb =
+      if (nBuckets > 0) nBuckets
+      else try lexStoreStats(spark, dir)._3
+      catch {
+        case _: java.io.IOException =>
+          // corpus_stats lost entirely (the case its error message
+          // sends operators HERE for) — infer the bucketing modulus
+          // from the postings' own layout: try max(bucket)+1 and
+          // VERIFY it maps every stored token to its stored bucket
+          // (sound if accepted; loud, never guessed, otherwise)
+          val cand = postings.agg(max(col("bucket")))
+            .collect()(0).getInt(0) + 1
+          val mismatched = postings
+            .filter(pmod(xxhash64(col("token")), lit(cand.toLong))
+              .cast("int") =!= col("bucket"))
+            .limit(1).count()
+          require(mismatched == 0L,
+            s"cannot infer n_buckets (max(bucket)+1 = $cand does not " +
+              "reproduce the stored bucketing); pass nBuckets explicitly")
+          cand
+      }
     Similarity.writeRenameAside(
       postings.groupBy("token").agg(count(lit(1)).as("df"))
         .withColumn("bucket", lexBucket(nb)),
@@ -581,12 +587,15 @@ object TextOps {
     * located by one columnar scan of the INDEX (the postings hold
     * everything needed — tf rows carry dl — so the corpus is never
     * re-read); the rewrite touches ONLY the buckets that held a victim
-    * row. A crash between the row rewrites and the sidecar subtracts
-    * is the same window as an append's — recovered by
-    * [[bm25IndexStatsRebuild]], and the served ranking over a
-    * post-delete store equals the build over survivors
-    * (hash-certified by `q_bm25_store_del` under the survivor-filtered
-    * `q_bm25` oracle). Returns (n_docs_deleted, n_rows_deleted).
+    * row. Sidecars subtract BEFORE the row swaps (so every lazy read
+    * of the victims evaluates against intact pre-delete bytes); a
+    * crash between the two phases leaves the sidecars ahead of the
+    * rows — the fsck flags it, [[bm25IndexStatsRebuild]] reconciles,
+    * and a retry then finds exactly the victims still present. The
+    * served ranking over a post-delete store equals the build over
+    * survivors (hash-certified by `q_bm25_store_del` under the
+    * survivor-filtered `q_bm25` oracle). Returns
+    * (n_docs_deleted, n_rows_deleted).
     */
   def bm25IndexDelete(spark: org.apache.spark.sql.SparkSession,
                       docIds: DataFrame, dir: String): (Long, Long) = {
@@ -618,28 +627,14 @@ object TextOps {
         if (vDocs > 0L) {
           val buckets = victims.select("bucket").distinct()
             .collect().map(_.getInt(0)).toSeq
-          // stage survivors of ONLY the affected buckets, then swap
-          // each bucket dir live (the IVF delete's partition rewrite)
-          val basePath = new org.apache.hadoop.fs.Path(s"$dir/postings")
-          val fs = basePath.getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
-          val staging = new org.apache.hadoop.fs.Path(
-            basePath.getParent, ".postings.delete-next")
-          fs.delete(staging, true)
-          spark.read.parquet(basePath.toString)
-            .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
-            .join(idFrame, Seq("doc_id"), "left_anti")
-            .write.partitionBy("bucket").parquet(staging.toString)
-          buckets.foreach { bkt =>
-            val live = new org.apache.hadoop.fs.Path(basePath, s"bucket=$bkt")
-            val next = new org.apache.hadoop.fs.Path(staging, s"bucket=$bkt")
-            fs.delete(live, true)
-            if (fs.exists(next) && !fs.rename(next, live))
-              throw new java.io.IOException(
-                s"delete swap $next -> $live failed")
-          }
-          fs.delete(staging, true)
-          // subtract the sidecars (vocab-sized merge; df = 0 rows leave)
+          // SIDECARS FIRST, while the victims' lineage source (the live
+          // postings) is intact: the merged dfreq below is a LAZY frame
+          // over the cached victims — if a cached block were lost after
+          // the row swap, Spark would recompute it from the rewritten
+          // postings where the victim rows are gone and silently
+          // under-subtract. Subtracting before any swap makes every
+          // recompute read the pre-delete bytes, so cache loss is
+          // harmless. (Vocab-sized merge; df = 0 tokens leave.)
           val merged = dfLive.select(col("token"), col("df"))
             .join(vdf, Seq("token"), "left_outer")
             .select(col("token"),
@@ -650,6 +645,16 @@ object TextOps {
           Similarity.writeRenameAside(
             lexStatsDf(spark, nDocs - vDocs, totalLen - vLen, nBuckets),
             dir, "corpus_stats")
+          // then the row rewrite: survivors of ONLY the affected
+          // buckets staged and swapped — ONE copy of the partition
+          // delete protocol, shared with the IVF store.
+          // Crash honesty: a crash here leaves the sidecars subtracted
+          // ahead of the rows — the fsck flags it; the protocol is
+          // bm25IndexStatsRebuild FIRST (reconciles the sidecars to
+          // whatever rows survived), THEN retry the delete, which finds
+          // exactly the victims still present.
+          Similarity.deleteFromPartitioned(spark, s"$dir/postings",
+            buckets, idFrame, partitionCol = "bucket", keyCol = "doc_id")
         }
         (vDocs, nRows)
       } finally victims.unpersist(blocking = false)

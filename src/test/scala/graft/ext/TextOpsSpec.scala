@@ -263,7 +263,11 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir2/dfreq"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir2/corpus_stats"), true)
     intercept[java.io.IOException] { TextOps.bm25StoreTopDocs(spark, dir2) }
-    TextOps.bm25IndexStatsRebuild(spark, dir2, nBuckets = 16)
+    // rebuild with NO explicit modulus: corpus_stats is gone, so the
+    // hatch must infer n_buckets from the postings' own hive layout
+    // (max+1, verified against every stored token) — the exact lost-
+    // stats scenario its error message routes operators to
+    TextOps.bm25IndexStatsRebuild(spark, dir2)
     assert(TextOps.bm25StoreTopDocs(spark, dir2).collect().map(_.toSeq)
       .toSeq === brute.toSeq)
   }
