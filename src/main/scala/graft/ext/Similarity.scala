@@ -1276,6 +1276,11 @@ object Similarity {
     fs.delete(live, true)
     if (!fs.rename(next, live))
       throw new java.io.IOException(s"rename $next -> $live failed")
+    // a whole-table rewrite supersedes any pending PER-PARTITION swap
+    // staging ([[rewritePartitions]]'s `.delete-next`) — clear it, or a
+    // stale staged partition could be adopted over the fresh table the
+    // next time its live dir legitimately empties out
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/.$name.delete-next"), true)
   }
 
   def ivfIndexStoreCentroids(spark: org.apache.spark.sql.SparkSession,
@@ -1288,9 +1293,11 @@ object Similarity {
   }
 
   def ivfIndexStoreAssignments(spark: org.apache.spark.sql.SparkSession,
-                               dir: String): DataFrame =
+                               dir: String): DataFrame = {
+    adoptDeleteStaged(spark, s"$dir/assignments")
     spark.read.parquet(s"$dir/assignments")
       .select("vec_id", "qb", "qsq", "dig", "centroid_id", "centroid_sim")
+  }
 
   /** The store's LLOYD-STATISTICS SIDECAR (`dir/lloyd_stats`): per
     * (inverted list, coordinate) the EXACT integer sum and count of
@@ -1577,14 +1584,72 @@ object Similarity {
       .orderBy("centroid_id")
   }
 
+  /** Adopt a COMPLETED per-partition staging dir (`_SUCCESS` at its
+    * root) left by a crashed [[deleteFromPartitioned]] / selective
+    * rewrite: any `partitionCol=*` child whose LIVE partition dir is
+    * absent was mid-swap when the writer died — the staged copy is the
+    * write's full intent for that partition, so rename it in. A
+    * partition whose live dir still exists is either untouched
+    * (pre-swap) or already swapped (its staged dir was consumed by the
+    * rename) — both safe to leave; a retry recomputes from live bytes.
+    * `clean` additionally removes the staging root afterwards — TRUE
+    * only from the (single) writer's own entry; read paths adopt but
+    * never delete another writer's staging.
+    */
+  private[ext] def adoptPartitionStaged(
+      fs: org.apache.hadoop.fs.FileSystem,
+      basePath: org.apache.hadoop.fs.Path,
+      staging: org.apache.hadoop.fs.Path,
+      partitionCol: String, clean: Boolean): Unit = {
+    if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+      fs.listStatus(staging).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(s"$partitionCol=")) {
+          val live = new org.apache.hadoop.fs.Path(basePath, name)
+          if (!fs.exists(live) && !fs.rename(st.getPath, live))
+            throw new java.io.IOException(
+              s"adoption rename ${st.getPath} -> $live failed")
+        }
+      }
+    }
+    if (clean) fs.delete(staging, true)
+  }
+
+  /** Read-side twin of the writer's entry adoption: before reading a
+    * partitioned store table, adopt any completed `.delete-next`
+    * staging a crashed partition swap left behind — so every reader
+    * (probe, fsck, StatsRebuild) sees the swap's full intent instead
+    * of a truncated table, and a StatsRebuild run mid-recovery can
+    * never rebase the sidecars to rows that are about to reappear.
+    * Never deletes the staging root (the single writer owns cleanup).
+    */
+  private[ext] def adoptDeleteStaged(spark: org.apache.spark.sql.SparkSession,
+                                     base: String,
+                                     partitionCol: String = "centroid_id"): Unit = {
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      basePath.getParent, s".${basePath.getName}.delete-next")
+    adoptPartitionStaged(fs, basePath, staging, partitionCol, clean = false)
+  }
+
   /** Rewrite the affected hive partitions of a vec_id-keyed,
     * centroid_id-partitioned store table, dropping the given ids:
     * survivors of ONLY the affected lists are staged under
     * `.NAME.delete-next` (one pruned columnar read of those
     * partitions, an anti-join on vec_id, no other partition touched),
-    * then each affected partition dir is swapped live. A partition
-    * whose members are ALL deleted simply disappears (no staged dir to
-    * rename) — the hive layout treats an absent list as empty.
+    * then each affected partition dir is swapped live through a
+    * PER-PARTITION rename-aside (live → `.old` inside the staging
+    * root, staged → live, delete old) — at no instant is a
+    * partition's only copy inside a dir nothing adopts. Entry adopts
+    * any COMPLETED staging a previous crash left ([[adoptPartitionStaged]]:
+    * absent-live partitions get their staged survivors renamed in
+    * BEFORE the staging root is cleared), so the documented
+    * StatsRebuild-then-retry recovery can never destroy survivor rows
+    * (round-18 ADVICE — the old delete-live-then-rename protocol had
+    * exactly that hazard). A partition whose members are ALL deleted
+    * simply disappears (no staged dir to rename) — the hive layout
+    * treats an absent list as empty.
     */
   private[ext] def deleteFromPartitioned(
       spark: org.apache.spark.sql.SparkSession,
@@ -1593,19 +1658,46 @@ object Similarity {
       keyCol: String = "vec_id"): Unit = {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rewritePartitions(spark, base, lists,
+      spark.read.parquet(base)
+        .filter(col(partitionCol).isin(lists.map(Integer.valueOf): _*))
+        .join(idFrame, Seq(keyCol), "left_anti"),
+      partitionCol)
+  }
+
+  /** Selectively rewrite the given hive partitions of a store table
+    * with new content — [[deleteFromPartitioned]]'s protocol with the
+    * staged frame supplied by the caller (the round-18 primitive behind
+    * the BATCH-vocabulary-sized dfreq merge): `content` must carry
+    * `partitionCol` and hold rows for ONLY the given partitions. It is
+    * staged under `.NAME.delete-next` (Spark's `_SUCCESS` commits it),
+    * then each listed partition swaps live through the per-partition
+    * rename-aside; a listed partition with no staged rows simply
+    * disappears. Partitions NOT listed are never read, staged, or
+    * moved — their bytes are untouched, which is what makes a mutation
+    * over this primitive cost O(affected partitions), not O(table).
+    */
+  private[ext] def rewritePartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      base: String, parts: Seq[Int], content: DataFrame,
+      partitionCol: String): Unit = {
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(
       basePath.getParent, s".${basePath.getName}.delete-next")
-    fs.delete(staging, true)
-    spark.read.parquet(base)
-      .filter(col(partitionCol).isin(lists.map(Integer.valueOf): _*))
-      .join(idFrame, Seq(keyCol), "left_anti")
-      .write.partitionBy(partitionCol).parquet(staging.toString)
-    lists.foreach { c =>
+    adoptPartitionStaged(fs, basePath, staging, partitionCol, clean = true)
+    content.write.partitionBy(partitionCol).parquet(staging.toString)
+    parts.foreach { c =>
       val live = new org.apache.hadoop.fs.Path(base, s"$partitionCol=$c")
       val next = new org.apache.hadoop.fs.Path(staging, s"$partitionCol=$c")
-      fs.delete(live, true)
-      if (fs.exists(next) && !fs.rename(next, live))
-        throw new java.io.IOException(s"delete swap $next -> $live failed")
+      if (fs.exists(next)) {
+        val old = new org.apache.hadoop.fs.Path(staging, s".$partitionCol=$c.old")
+        if (fs.exists(live) && !fs.rename(live, old))
+          throw new java.io.IOException(s"swap aside $live -> $old failed")
+        if (!fs.rename(next, live))
+          throw new java.io.IOException(s"swap $next -> $live failed")
+        fs.delete(old, true)
+      } else fs.delete(live, true)
     }
     fs.delete(staging, true)
   }
@@ -1880,6 +1972,14 @@ object Similarity {
     val lists = probeRows.map(_.getInt(clusterIdx)).distinct
     val q = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), q0.schema)
+    // MISSING-LABEL SEMANTICS (round-18 ADVICE): a stored vector absent
+    // from `labels` reads as keep = FALSE — excluded from both arms AND
+    // from the exact baseline, by the left join + coalesce below. That
+    // is the documented contract (un-labeled metadata means the
+    // predicate cannot admit the row), not a silent artifact of an
+    // inner join: a partially-covered label frame shrinks the candidate
+    // universe identically on every side, so recall is measured against
+    // the same filtered population the arms rank.
     val keepOf = labels.select(col("vec_id").as("neighbor_id"),
       col("keep"))
     // ONE pruned scan scored once; both strategies are windows over it
@@ -1888,7 +1988,8 @@ object Similarity {
       .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*))
       .select(col("vec_id").as("neighbor_id"), col("qb"),
         col("qsq").as("sqb"), col("centroid_id").as("cluster"))
-      .join(keepOf, Seq("neighbor_id"))
+      .join(keepOf, Seq("neighbor_id"), "left_outer")
+      .withColumn("keep", coalesce(col("keep"), lit(false)))
       .join(broadcast(q), Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", int_dot_bytes(col("qb"), col("qa")) /
@@ -1910,8 +2011,8 @@ object Similarity {
         .unionByName(ivfIndexReadDayAssignments(spark, dir))
         .select(col("vec_id").as("neighbor_id"), col("qb"),
           col("qsq").as("sqb"))
-        .join(keepOf, Seq("neighbor_id"))
-        .filter(col("keep"))
+        .join(keepOf, Seq("neighbor_id"), "left_outer")
+        .filter(coalesce(col("keep"), lit(false)))
         .crossJoin(broadcast(q.select("query_id", "qa", "sqa").distinct()))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("sim", int_dot_bytes(col("qb"), col("qa")) /
@@ -2545,9 +2646,11 @@ object Similarity {
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codebook"))) {
         spark.read.parquet(s"$dir/pq_codebook")
           .write.parquet(s"$staging/pq_codebook")
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codes")))
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codes"))) {
+          adoptDeleteStaged(spark, s"$dir/pq_codes")
           spark.read.parquet(s"$dir/pq_codes")
             .write.partitionBy("centroid_id").parquet(s"$staging/pq_codes")
+        }
       }
     }
     ivfIndexStoreOccupancy(spark, dir)
@@ -3395,6 +3498,7 @@ object Similarity {
     val lists = probeRows.map(_.getInt(clusterIdx)).distinct
     val q = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), q0.schema)
+    adoptDeleteStaged(spark, s"$dir/pq_codes")
     val cands = spark.read.parquet(s"$dir/pq_codes")
       .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*))
       .select(col("vec_id").as("neighbor_id"), col("pcodes"), col("rsq"),
