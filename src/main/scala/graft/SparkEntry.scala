@@ -851,6 +851,40 @@ object SparkEntry {
     "q_truncated_rerank_clustered" -> ((s, d) =>
       Similarity.truncatedRerank(
         Similarity.plantedClusterEmbeddings(Tables.embeddings(s, d)))),
+    // the calibration cashed in at the BYTE level (round 18): the store
+    // carries a Matryoshka prefix sidecar (prefix_codes/d=D/centroid_id=L,
+    // the pq_codes layout and lifecycle), and the two-stage probe's
+    // shortlist scan READS only d/dim of the ranking bytes before the
+    // exact full-dim rerank of the shortlist alone. At nProbe = nList
+    // on the static store the (d, r) grid equals q_truncated_rerank
+    // cell for cell — same oracle certifies the persisted form
+    "q_truncated_store_probe" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_trunc_store_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb, dir)
+      Similarity.ivfIndexStorePrefixBuild(s, dir)
+      Similarity.ivfIndexStoreTruncatedGrid(s, emb.filter(col("vec_id") < 10),
+        dir)
+    }),
+    // ... and on the planted-cluster corpus, where the calibration said
+    // prefixes carry the structure — the byte-true probe recovers it
+    // from d/dim of the index bytes (recall ceiling at small d)
+    "q_truncated_store_probe_clustered" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Similarity.plantedClusterEmbeddings(Tables.embeddings(s, d))
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_trunc_storec_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb, dir)
+      Similarity.ivfIndexStorePrefixBuild(s, dir)
+      Similarity.ivfIndexStoreTruncatedGrid(s, emb.filter(col("vec_id") < 10),
+        dir)
+    }),
     // quantized-scan ANN: cosine top-k over int8 codes — per-vector
     // scales cancel, so the ranking is pure integer arithmetic and
     // (unlike trained-codebook PQ) exactly oracle-matched
@@ -6193,6 +6227,11 @@ object SparkEntry {
     // planted-cluster twin — the calibration's consumer
     "q_truncated_rerank" -> TRUNC_RERANK_SQL,
     "q_truncated_rerank_clustered" -> PLANTED_TRUNC_RERANK_SQL,
+    // the byte-true store probe serves the SAME grid from persisted
+    // prefix bytes (nProbe = nList on a static store ≡ the in-memory
+    // two-stage form) — one oracle certifies both, like q_bm25_store
+    "q_truncated_store_probe" -> TRUNC_RERANK_SQL,
+    "q_truncated_store_probe_clustered" -> PLANTED_TRUNC_RERANK_SQL,
     "q_dim_truncation_recall_clustered" -> PLANTED_DIM_TRUNCATION_SQL,
     // seed-codebook product quantization: per-(vector, subspace) exact
     // integer argmin over the 16 md5-ranked seeds' slices — code ids,

@@ -1818,6 +1818,13 @@ object Similarity {
           val affected = perList.map(_._1).toSeq
           if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codes")))
             deleteFromPartitioned(spark, s"$dir/pq_codes", affected, idFrame)
+          // the prefix sidecar's rows are per-vector facts like PQ's —
+          // dropped from the affected (d, list) partitions BEFORE the
+          // assignment swap, same resurrection-safety order
+          ivfIndexStorePrefixDims(spark, dir).foreach { d =>
+            deleteFromPartitioned(spark, s"$dir/prefix_codes/d=$d",
+              affected, idFrame)
+          }
           deleteFromPartitioned(spark, s"$dir/assignments", affected, idFrame)
           // subtract the victims' cells; a cell whose count reaches 0
           // leaves the sidecar entirely (an empty list has no cells —
@@ -2652,6 +2659,16 @@ object Similarity {
             .write.partitionBy("centroid_id").parquet(s"$staging/pq_codes")
         }
       }
+      // prefix sidecar: per-vector byte truncations of assignment
+      // facts — but built over the VIEW (consolidated ∪ days), so the
+      // fold re-derives it off the staged bytes (cheap substring scan)
+      // rather than copying a consolidated-only artifact verbatim
+      val pdims = ivfIndexStorePrefixDims(spark, dir)
+      if (pdims.nonEmpty)
+        prefixRowsOf(spark.read.parquet(s"$staging/assignments")
+          .select("vec_id", "qb", "centroid_id"), pdims)
+          .write.partitionBy("d", "centroid_id")
+          .parquet(s"$staging/prefix_codes")
     }
     ivfIndexStoreOccupancy(spark, dir)
   }
@@ -2792,6 +2809,17 @@ object Similarity {
         }
       rebuilt.write.partitionBy("centroid_id").parquet(s"$staging/pq_codes")
     }
+    // prefix-sidecar rebuild-in-swap (the PQ rule): prefixes are pure
+    // byte truncations of per-vector codes — values unchanged by a
+    // retrain; only the hive partitioning moves to the new list ids,
+    // so they re-derive off the staged assignment bytes in one
+    // substring scan
+    val pdims = ivfIndexStorePrefixDims(spark, dir)
+    if (pdims.nonEmpty)
+      prefixRowsOf(spark.read.parquet(s"$staging/assignments")
+        .select("vec_id", "qb", "centroid_id"), pdims)
+        .write.partitionBy("d", "centroid_id")
+        .parquet(s"$staging/prefix_codes")
     }
     ivfIndexStoreOccupancy(spark, dir)
   }
@@ -3516,6 +3544,262 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         col("adc_dot"), round(col("sim"), 6).as(simCol))
       .orderBy("query_id", "rnk")
+  }
+
+  // ------------------------------------------------------------------
+  // Matryoshka PREFIX sidecar: the byte-TRUE truncated two-stage probe
+  // ------------------------------------------------------------------
+
+  /** Build the persisted index's PREFIX SIDECAR (round 18 — cashing in
+    * [[truncatedRerank]]'s calibration at the BYTE level): for each
+    * calibrated width `d`, `dir/prefix_codes/d=D/centroid_id=L/` holds
+    * (vec_id, pb, psq) where `pb` is the FIRST d bytes of the stored
+    * packed code (`substring` of `qb` — Matryoshka prefixes are
+    * literal truncations, so no re-quantization and no float re-read)
+    * and `psq` its exact squared norm. The layout mirrors `pq_codes`
+    * deliberately: hive-partitioned by the SAME list ids as the
+    * assignments, so a truncated probe partition-prunes exactly like
+    * every other probe while its shortlist scan reads d/dim of the
+    * ranking bytes PHYSICALLY — the saving [[truncatedRerank]] could
+    * only model logically (its own doc promised this column family).
+    * Derived artifact (rebuildable at will from store bytes); the
+    * widths are recorded in the store as the `d=D` partitions
+    * themselves. Lifecycle mirrors the PQ sidecar: appends encode the
+    * batch under the stored widths ([[ivfIndexStorePrefixAppend]]),
+    * deletes drop rows of affected (d, list) partitions, compact
+    * copies verbatim, train re-partitions by the new list ids.
+    */
+  def ivfIndexStorePrefixBuild(spark: org.apache.spark.sql.SparkSession,
+                               dir: String,
+                               dims: Seq[Int] = Seq(16, 32, 64)): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    require(dims.nonEmpty && dims == dims.distinct,
+      s"prefix widths must be distinct and nonempty, got $dims")
+    val rows = ivfIndexStoreAssignments(spark, dir)
+      .unionByName(ivfIndexReadDayAssignments(spark, dir))
+      .select(col("vec_id"), col("qb"), col("centroid_id"))
+    prefixRowsOf(rows, dims)
+      .write.mode("overwrite").partitionBy("d", "centroid_id")
+      .parquet(s"$dir/prefix_codes")
+  }
+
+  /** The width-exploded prefix rows of an assignment-shaped frame
+    * (vec_id, qb, centroid_id) — ONE copy of the prefix encoding shared
+    * by build, append, and the train rebuild: per width d, the first d
+    * PACKED bytes and their exact squared norm.
+    */
+  private def prefixRowsOf(rows: DataFrame, dims: Seq[Int]): DataFrame = {
+    import graft.functions.IntDotBytes.int_dot_bytes
+    dims.map { d =>
+      rows.select(col("vec_id"),
+        substring(col("qb"), 1, d).as("pb"),
+        col("centroid_id"))
+        .withColumn("psq", int_dot_bytes(col("pb"), col("pb")))
+        .withColumn("d", lit(d))
+        .select("vec_id", "pb", "psq", "d", "centroid_id")
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The prefix widths recorded in the store — the `d=D` hive
+    * partitions of `prefix_codes` (empty if no prefix sidecar exists).
+    */
+  def ivfIndexStorePrefixDims(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/prefix_codes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("d="))
+      .map(_.stripPrefix("d=").toInt).sorted.toSeq
+  }
+
+  /** Encode an appended batch into the prefix sidecar under the FIXED
+    * stored widths — prefixes are pure per-vector facts (a byte
+    * truncation of the batch's own packed code), so append-then-probe
+    * equals building over the union, the PQ-append rule verbatim.
+    * `assigned` is [[ivfIndexStoreAppend]]'s return.
+    */
+  def ivfIndexStorePrefixAppend(spark: org.apache.spark.sql.SparkSession,
+                                assigned: DataFrame, dir: String): Unit = {
+    val dims = ivfIndexStorePrefixDims(spark, dir)
+    require(dims.nonEmpty, s"no prefix sidecar at $dir/prefix_codes")
+    prefixRowsOf(assigned.select("vec_id", "qb", "centroid_id"), dims)
+      .write.mode("append").partitionBy("d", "centroid_id")
+      .parquet(s"$dir/prefix_codes")
+  }
+
+  /** The byte-TRUE truncated two-stage probe over the persisted index
+    * (`q_truncated_store_probe`): shortlist each query's top-`rerank`
+    * candidates by the width-`d` prefix ranking — a scan that READS
+    * ONLY the `prefix_codes/d=D` partitions of the probed lists, d/dim
+    * of the ranking bytes — then rerank ONLY the shortlist by the
+    * exact full-dim cosine (full `qb` rows fetched for shortlist ids
+    * alone) and keep the top-`k`. The [[ivfIndexStorePqProbe]] probe
+    * arc with the ADC scorer replaced by the Matryoshka prefix scorer,
+    * and the physical consumer [[truncatedRerank]]'s calibration was
+    * missing. On a static store at nProbe = nList this equals
+    * [[truncatedRerank]]'s (d, rerank) cell row-for-row — which is how
+    * the grid form below hash-certifies under the SAME oracle.
+    */
+  def ivfIndexStoreTruncatedProbe(spark: org.apache.spark.sql.SparkSession,
+                                  queryVecs: DataFrame, dir: String,
+                                  d: Int, k: Int = 5, nProbe: Int = 4,
+                                  rerank: Int = 10): DataFrame = {
+    val cells = truncatedStoreCells(spark, queryVecs, dir, Seq(d),
+      Seq(rerank), k, nProbe, withRecall = false)
+    cells.select(col("query_id"), col("rnk"), col("neighbor_id"),
+      col("qdot"), round(col("sim_full"), 6).as("q_cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The (d, rerank) GRID of the byte-true store probe vs the exact
+    * full-dim top-k (`q_truncated_store_probe[_clustered]`): per cell
+    * and query, hits against the exact top-k — [[truncatedRerank]]'s
+    * instrument served from persisted prefix bytes. At nProbe = nList
+    * on a static store the numbers are IDENTICAL to the in-memory
+    * grid's (the d = dim arm is the built-in recall-1.0 row), so the
+    * query shares `q_truncated_rerank`'s oracle verbatim.
+    */
+  def ivfIndexStoreTruncatedGrid(spark: org.apache.spark.sql.SparkSession,
+                                 queryVecs: DataFrame, dir: String,
+                                 dims: Seq[Int] = Seq(16, 32, 64),
+                                 reranks: Seq[Int] = Seq(10, 20),
+                                 k: Int = 5, nProbe: Int = 16): DataFrame =
+    truncatedStoreCells(spark, queryVecs, dir, dims, reranks, k, nProbe,
+      withRecall = true)
+
+  /** The bounded query-side frame of the truncated probe: per (query,
+    * probed list), the full packed code, its norm, and the width-d
+    * prefix slices + norms for every requested width — ONE evaluation,
+    * re-fed as a local relation (the ivfIndexStoreProbe discipline).
+    * Returns (frame, probed list ids).
+    */
+  private def truncatedQueryFrame(spark: org.apache.spark.sql.SparkSession,
+                                  queryVecs: DataFrame, dir: String,
+                                  dims: Seq[Int], nProbe: Int)
+      : (DataFrame, Seq[Int]) = {
+    import graft.functions.Int8Codes.int8_codes
+    import graft.functions.Int8Bytes.int8_bytes
+    import graft.functions.IntDot.int_dot
+    import graft.functions.IntDotBytes.int_dot_bytes
+    graft.functions.GraftFunctions.register(spark)
+    val scored = seedScoreArray(
+      collectSeedCentroids(ivfIndexStoreCentroids(spark, dir)))
+    val q0 = queryVecs
+      .select(col("vec_id"), int8_codes(col("embedding")).as("qv"),
+        int8_bytes(col("embedding")).as("qa"))
+      .withColumn("qsq", int_dot(col("qv"), col("qv")))
+      .filter(col("qsq") > 0)
+      .select(Seq(col("vec_id").as("query_id"), col("qa"),
+        col("qsq").as("sqa")) ++
+        dims.flatMap(d => Seq(
+          substring(col("qa"), 1, d).as(s"qa$d"),
+          int_dot_bytes(substring(col("qa"), 1, d),
+            substring(col("qa"), 1, d)).as(s"sqa$d"))) :+
+        explode(slice(reverse(array_sort(scored)), 1, nProbe)).as("p"): _*)
+      .select(Seq(col("query_id"), col("qa"), col("sqa")) ++
+        dims.flatMap(d => Seq(col(s"qa$d"), col(s"sqa$d"))) :+
+        listIdOf(col("p.nid")).as("cluster"): _*)
+    val probeRows = q0.collect()
+    val clusterIdx = q0.schema.fieldIndex("cluster")
+    val lists = probeRows.map(_.getInt(clusterIdx)).distinct.toSeq
+    (spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), q0.schema), lists)
+  }
+
+  /** The shared engine of the truncated store probe and its grid:
+    * per (d, rerank) cell, the prefix-shortlisted, exactly-reranked
+    * top-k — either as ranked rows (`withRecall = false`, one cell)
+    * or as per-query hit counts vs the exact full-dim top-k. The
+    * shortlist scan per width d reads ONLY `prefix_codes/d=D` of the
+    * probed lists; full `qb` bytes are fetched for shortlist ids
+    * alone (a broadcast-scale semi-join — numQueries × rerank rows).
+    */
+  private def truncatedStoreCells(spark: org.apache.spark.sql.SparkSession,
+                                  queryVecs: DataFrame, dir: String,
+                                  dims: Seq[Int], reranks: Seq[Int],
+                                  k: Int, nProbe: Int,
+                                  withRecall: Boolean): DataFrame = {
+    import graft.functions.IntDotBytes.int_dot_bytes
+    import spark.implicits._
+    val stored = ivfIndexStorePrefixDims(spark, dir)
+    require(dims.forall(stored.contains),
+      s"prefix sidecar at $dir holds widths $stored; requested $dims — " +
+        "rebuild with ivfIndexStorePrefixBuild")
+    val (q, lists) = truncatedQueryFrame(spark, queryVecs, dir, dims, nProbe)
+    val listKeys = lists.map(Integer.valueOf)
+    val qOnce = q.drop("cluster").dropDuplicates("query_id")
+    // full-dim rows of the probed lists, scanned once and reused by
+    // every cell's rerank and (grid form) the exact baseline
+    val full = ivfIndexStoreAssignments(spark, dir)
+      .filter(col("centroid_id").isin(listKeys: _*))
+      .select(col("vec_id").as("neighbor_id"), col("qb"),
+        col("qsq").as("sqb"))
+      .persist()
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_full").desc, col("neighbor_id"))
+    val cells = for (d <- dims; r <- reranks) yield {
+      // the BYTE-TRUE shortlist: only d-byte prefix rows are scanned
+      adoptDeleteStaged(spark, s"$dir/prefix_codes/d=$d")
+      val prefix = spark.read.parquet(s"$dir/prefix_codes/d=$d")
+        .filter(col("centroid_id").isin(listKeys: _*))
+        .select(col("vec_id").as("neighbor_id"), col("pb"), col("psq"),
+          col("centroid_id").as("cluster"))
+      val qd = q.select(col("query_id"), col(s"qa$d"), col(s"sqa$d"),
+        col("cluster"))
+      val wd = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim_d").desc, col("neighbor_id"))
+      val short = prefix.join(broadcast(qd), Seq("cluster"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim_d",
+          when(col(s"sqa$d") === 0 || col("psq") === 0, lit(0.0))
+            .otherwise(int_dot_bytes(col("pb"), col(s"qa$d")) /
+              sqrt(col(s"sqa$d").cast("double") * col("psq").cast("double"))))
+        .withColumn("srnk", row_number().over(wd))
+        .filter(col("srnk") <= r)
+        .select("query_id", "neighbor_id")
+      // exact rerank of the shortlist alone: full bytes for
+      // numQueries × r ids, never the whole probed population
+      broadcast(short)
+        .join(full, Seq("neighbor_id"))
+        .join(broadcast(qOnce.select("query_id", "qa", "sqa")),
+          Seq("query_id"))
+        .withColumn("qdot", int_dot_bytes(col("qb"), col("qa")))
+        .withColumn("sim_full",
+          col("qdot") / sqrt(col("sqa").cast("double") *
+            col("sqb").cast("double")))
+        .withColumn("rnk", row_number().over(wf))
+        .filter(col("rnk") <= k)
+        .select(lit(d).as("dims"), lit(r).as("rerank"), col("query_id"),
+          col("rnk"), col("neighbor_id"), col("qdot"), col("sim_full"))
+    }
+    val out = cells.reduce(_.unionByName(_))
+    if (!withRecall) Dedup.scopeCaches(out, full)
+    else {
+      // the exact full-dim top-k, computed ONCE off the same cached
+      // probed-list scan (exact in the instrument sense only when the
+      // probe covers every list — the grid query runs nProbe = nList)
+      val exact = full.join(broadcast(qOnce.select("query_id", "qa", "sqa")),
+        col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim_full", int_dot_bytes(col("qb"), col("qa")) /
+          sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
+        .withColumn("rnk", row_number().over(wf))
+        .filter(col("rnk") <= k)
+        .select("query_id", "neighbor_id")
+      val hits = exact
+        .join(out.select("dims", "rerank", "query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"))
+        .groupBy("dims", "rerank", "query_id")
+        .agg(count(lit(1)).as("hits"))
+      val grid = qOnce.select("query_id")
+        .crossJoin(dims.toDF("dims")).crossJoin(reranks.toDF("rerank"))
+      val res = grid.join(hits, Seq("dims", "rerank", "query_id"), "left")
+        .select(col("dims"), col("rerank"), col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6)
+            .as("recall"))
+        .orderBy("dims", "rerank", "query_id")
+      Dedup.scopeCaches(res, full)
+    }
   }
 
   /** The md5-ranked vec_ids in rank order, ranks `[from, from + n)` —
