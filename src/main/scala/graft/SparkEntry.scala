@@ -284,6 +284,30 @@ object SparkEntry {
       TextOps.bm25IndexCompact(s, lexDir)
       TextOps.bm25StoreTopDocs(s, lexDir)
     }),
+    // STREAMED deletion (round 18): a store with unfolded days cannot
+    // run the batch delete (sidecars don't cover days — refused loud);
+    // the tombstone day cell closes that gap. Init + two streamed days,
+    // tombstone the victims (facts derived once, written ids → dfreq →
+    // stats-marker), COMPACT applies them physically — the served
+    // ranking then equals the build over survivors: q_bm25_store_del's
+    // exact oracle (stream + tombstone + compact ≡ survivor build)
+    "q_bm25_store_stream_del" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, md5, substring}
+      val docs = Tables.documents(s, d)
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val lexDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25_sdel_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(lexDir)
+      TextOps.bm25IndexInit(docs.filter(h < "8"), lexDir)
+      TextOps.bm25IndexStreamDay(s,
+        docs.filter(h >= lit("8") && h < lit("c")), 0L, lexDir)
+      TextOps.bm25IndexStreamDay(s, docs.filter(h >= "c"), 1L, lexDir)
+      TextOps.bm25IndexTombstone(s,
+        docs.filter(col("doc_id") % 5 === 2).select("doc_id"), lexDir, 2L)
+      TextOps.bm25IndexCompact(s, lexDir)
+      TextOps.bm25StoreTopDocs(s, lexDir)
+    }),
     // the lexical sidecar fsck — the invariant certifier, symmetric
     // with q_ivf_store_fsck: df per token and the corpus stats
     // recomputed from the postings bytes vs the sidecars, cell by
@@ -767,6 +791,30 @@ object SparkEntry {
       Similarity.ivfIndexStoreDelete(s,
         emb.filter(col("vec_id") % 7 === 3).select("vec_id"), dir)
       Similarity.ivfIndexStoreUpdateCentroids(s, dir)
+    }),
+    // STREAMED deletion for the IVF store (round 18): stream-ingest +
+    // tombstone + compact ≡ a build over the survivors. The tombstone
+    // day is a pure function of the id batch (overwrite-by-day —
+    // exactly-once extended to deletions); readers subtract it at
+    // merge-on-read; the centroid-preserving compact applies it
+    // physically and re-derives every sidecar from the staged bytes.
+    // Oracle = the drifted-occupancy oracle counting only survivors
+    // (centroids verbatim: seeds stay drawn from the full stored side)
+    "q_ivf_store_stream_del" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, md5, substring}
+      val emb = Tables.embeddings(s, d)
+      val h = substring(md5(col("vec_id").cast("string")), 1, 1)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_sdel_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      Similarity.ivfIndexStoreInit(emb.filter(h < "8"), dir)
+      Similarity.ivfIndexStreamDay(s,
+        emb.filter(h >= lit("8") && h < lit("c")), 0L, dir)
+      Similarity.ivfIndexStreamDay(s, emb.filter(h >= "c"), 1L, dir)
+      Similarity.ivfIndexStoreTombstone(s,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), dir, 2L)
+      Similarity.ivfIndexStoreCompact(s, dir)
     }),
     // FILTERED ANN over the store (round 17): top-k among only the
     // vectors passing a metadata predicate, post-filter vs in-filter
@@ -1618,6 +1666,19 @@ object SparkEntry {
       |FROM per CROSS JOIN tot
       |JOIN seeds ON seeds.centroid_id = per.centroid_id
       |ORDER BY per.centroid_id""".stripMargin
+
+  /** IVF_STORE_OCC_SQL counting only the SURVIVORS of the tombstoned
+    * ids (`q_ivf_store_stream_del`): seeds stay drawn from the full
+    * stored side — the compact is centroid-preserving, so the engine's
+    * post-fold centroids are the init centroids verbatim — while the
+    * per-list counts and shares cover the surviving population alone.
+    */
+  private val IVF_STORE_STREAM_DEL_SQL: String = IVF_STORE_OCC_SQL.replace(
+    "COUNT(DISTINCT dig) AS n_codes FROM asg GROUP BY centroid_id",
+    "COUNT(DISTINCT dig) AS n_codes FROM asg WHERE vec_id % 7 <> 3 " +
+      "GROUP BY centroid_id")
+  require(IVF_STORE_STREAM_DEL_SQL != IVF_STORE_OCC_SQL,
+    "IVF_STORE_STREAM_DEL_SQL replace matched nothing — the per CTE changed")
 
   /** Okapi BM25 top-3 docs per top-10 corpus term — ONE oracle text
     * for the raw-corpus ranker (`q_bm25`), the store-served ranker
@@ -4184,6 +4245,9 @@ object SparkEntry {
     // survivor-filtered corpus (term selection, df, dl, stats — all
     // recomputed over the survivors, which is the union-minus claim)
     "q_bm25_store_del" -> BM25_DEL_SQL,
+    // stream + tombstone + compact ≡ the survivor build — the batch
+    // delete's exact oracle certifies the streamed deletion law too
+    "q_bm25_store_stream_del" -> BM25_DEL_SQL,
     // streamed days ≡ union build (day facts are pure per-batch;
     // the view merges df/stats by addition) — and compact ≡ the same
     // (fold invariance): one oracle certifies the whole trajectory
@@ -6021,6 +6085,7 @@ object SparkEntry {
     // assignment facts are unchanged, so the SAME occupancy oracle
     // certifies the fold (and that day rows entered the lists once)
     "q_ivf_store_compact" -> IVF_STORE_OCC_SQL,
+    "q_ivf_store_stream_del" -> IVF_STORE_STREAM_DEL_SQL,
     // post-reseed occupancy ≡ a fresh build's: seeds from ALL
     // non-degenerate codes, every vector re-assigned, same aggregation
     "q_ivf_store_reseed" ->

@@ -1437,6 +1437,13 @@ object Similarity {
           "centroids in place would silently invalidate its codes; " +
           "use ivfIndexStoreTrain (which rebuilds the sidecar in its " +
           "swap) instead")
+    // pending tombstones: the sidecar still counts the tombstoned
+    // members, so an update off it would price deleted rows — fold
+    // first (compact applies tombstones and re-derives the cells)
+    if (ivfTombstonesExist(spark, dir))
+      throw new IllegalStateException(
+        s"store at $dir holds pending tombstone days the sidecar does " +
+          "not reflect — compact/train first to apply them, then update")
     val current = ivfIndexStoreCentroids(spark, dir)
       .select("centroid_id", "seed_vec_id", "cv", "csq").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2), r.getLong(3)))
@@ -1791,6 +1798,10 @@ object Similarity {
         s"store at $dir holds streamed day partitions the sidecar does " +
           "not cover — train/reseed first to fold them into the " +
           "consolidated lists, then delete")
+    if (ivfTombstonesExist(spark, dir))
+      throw new IllegalStateException(
+        s"store at $dir holds pending tombstone days the sidecar does " +
+          "not reflect — compact/train first to apply them, then delete")
     // sidecar read FIRST (fail-loud on a pre-sidecar layout before any
     // write, the append discipline) — also adopts a staged .next
     val statsBefore = ivfIndexStoreLloydStats(spark, dir)
@@ -1906,8 +1917,7 @@ object Similarity {
     // a batch-only index): what the index HOLDS is what a probe reads —
     // an index maintained by ivfIndexStreamDay answers from day files
     // until a reseed folds them into the consolidated lists
-    val cands0 = ivfIndexStoreAssignments(spark, dir)
-      .unionByName(ivfIndexReadDayAssignments(spark, dir))
+    val cands0 = ivfIndexStoreLiveAssignments(spark, dir)
       .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*))
       .select(col("vec_id").as("neighbor_id"), col("qb"),
         col("qsq").as("sqb"), col("centroid_id").as("cluster"))
@@ -1990,8 +2000,7 @@ object Similarity {
     val keepOf = labels.select(col("vec_id").as("neighbor_id"),
       col("keep"))
     // ONE pruned scan scored once; both strategies are windows over it
-    val sims = ivfIndexStoreAssignments(spark, dir)
-      .unionByName(ivfIndexReadDayAssignments(spark, dir))
+    val sims = ivfIndexStoreLiveAssignments(spark, dir)
       .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*))
       .select(col("vec_id").as("neighbor_id"), col("qb"),
         col("qsq").as("sqb"), col("centroid_id").as("cluster"))
@@ -2014,8 +2023,7 @@ object Similarity {
     // the filtered exact top-k: brute over the whole stored corpus —
     // the baseline the recall is measured against (instrument-only)
     val exact = {
-      val all = ivfIndexStoreAssignments(spark, dir)
-        .unionByName(ivfIndexReadDayAssignments(spark, dir))
+      val all = ivfIndexStoreLiveAssignments(spark, dir)
         .select(col("vec_id").as("neighbor_id"), col("qb"),
           col("qsq").as("sqb"))
         .join(keepOf, Seq("neighbor_id"), "left_outer")
@@ -2099,6 +2107,71 @@ object Similarity {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
   }
+
+  /** TOMBSTONE a batch of ids in a store that holds streamed days
+    * (round 18 — the delete path [[ivfIndexStoreDelete]] refuses):
+    * writes `day_tombstones/day=N` as a pure function of the id batch
+    * (distinct ids, overwrite-by-day — the exactly-once day cell
+    * extended to DELETIONS, so a foreachBatch replay rewrites its own
+    * partition with bytes that cannot disagree). Readers subtract it
+    * at merge-on-read ([[ivfIndexStoreLiveAssignments]]); a compact /
+    * train applies it physically (survivor rows staged, sidecars
+    * re-derived from the staged bytes, tombstone days retired with the
+    * old root) — so stream-ingest + tombstone + compact ≡ a build over
+    * the survivors, hash-certified by `q_ivf_store_stream_del`.
+    * Between the tombstone and the fold, the consolidated `lloyd_stats`
+    * sidecar still counts tombstoned members — which is why
+    * [[ivfIndexStoreUpdateCentroids]] and [[ivfIndexStoreDelete]]
+    * refuse while tombstone days exist (fold first, same as unfolded
+    * day partitions). Ordering contract (single-writer): a tombstoned
+    * vec_id stays invisible until the next compact — re-ingesting it
+    * BEFORE the fold is unsupported (the id-level anti-join hides the
+    * new rows and the fold drops them); after the compact the id is
+    * retired and may be ingested anew. Returns the batch's
+    * distinct-id count.
+    */
+  def ivfIndexStoreTombstone(spark: org.apache.spark.sql.SparkSession,
+                             ids: DataFrame, dir: String,
+                             day: Long): Long = {
+    val batch = ids.select(col("vec_id")).distinct().persist()
+    try {
+      val n = batch.count()
+      if (n > 0)
+        batch.write.mode("overwrite")
+          .parquet(s"$dir/day_tombstones/day=$day")
+      n
+    } finally batch.unpersist(blocking = false)
+  }
+
+  /** All tombstoned ids (empty-safe): the subtraction side of the
+    * store's merge-on-read view.
+    */
+  def ivfIndexReadTombstones(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/day_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.startsWith("day=")))
+      Some(spark.read.parquet(p.toString).select("vec_id").distinct())
+    else None
+  }
+
+  /** The LIVE rows of the persisted index — what every probe, fold,
+    * and rebuild serves: consolidated assignments ∪ streamed days,
+    * minus tombstoned ids (merge-on-read; the anti-join disappears
+    * when no tombstone day exists).
+    */
+  def ivfIndexStoreLiveAssignments(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): DataFrame = {
+    val base = ivfIndexStoreAssignments(spark, dir)
+      .unionByName(ivfIndexReadDayAssignments(spark, dir))
+    ivfIndexReadTombstones(spark, dir)
+      .fold(base)(ts => base.join(ts, Seq("vec_id"), "left_anti"))
+  }
+
+  private[ext] def ivfTombstonesExist(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    ivfIndexReadTombstones(spark, dir).nonEmpty
 
   /** SOAR-style SPILLED assignment A/B (`q_ivf_spilled_recall`): assign
     * each vector to its top-`spill` centroids instead of one — the
@@ -2596,8 +2669,7 @@ object Similarity {
     val seedById = ivfIndexStoreCentroids(spark, dir)
       .select("centroid_id", "seed_vec_id").collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val per = ivfIndexStoreAssignments(spark, dir)
-      .unionByName(ivfIndexReadDayAssignments(spark, dir))
+    val per = ivfIndexStoreLiveAssignments(spark, dir)
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("n"), countDistinct(col("dig")).as("nc"))
       .collect()
@@ -2641,8 +2713,7 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     stageThenSwap(spark, dir) { staging =>
       ivfIndexStoreCentroids(spark, dir).write.parquet(s"$staging/centroids")
-      ivfIndexStoreAssignments(spark, dir)
-        .unionByName(ivfIndexReadDayAssignments(spark, dir))
+      ivfIndexStoreLiveAssignments(spark, dir)
         .select((STORE_COLS :+ "centroid_id").map(col): _*)
         .write.partitionBy("centroid_id").parquet(s"$staging/assignments")
       // the sidecar re-bases off the staged bytes: day rows join it at
@@ -2655,7 +2726,11 @@ object Similarity {
           .write.parquet(s"$staging/pq_codebook")
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codes"))) {
           adoptDeleteStaged(spark, s"$dir/pq_codes")
-          spark.read.parquet(s"$dir/pq_codes")
+          // verbatim copy MINUS tombstoned ids — the fold is the moment
+          // tombstones apply physically, and every sidecar applies them
+          val pq = spark.read.parquet(s"$dir/pq_codes")
+          ivfIndexReadTombstones(spark, dir)
+            .fold(pq)(ts => pq.join(ts, Seq("vec_id"), "left_anti"))
             .write.partitionBy("centroid_id").parquet(s"$staging/pq_codes")
         }
       }
@@ -2729,8 +2804,7 @@ object Similarity {
     if (Curation.storeSwapRecover(spark, dir) == "absent")
       throw new java.io.IOException(
         s"no IVF index store (live, old, or staged) at $dir")
-    val codes = ivfIndexStoreAssignments(spark, dir)
-      .unionByName(ivfIndexReadDayAssignments(spark, dir))
+    val codes = ivfIndexStoreLiveAssignments(spark, dir)
       .select(col("vec_id"), int8_unpack(col("qb")).as("qv"), col("qb"),
         col("qsq"), col("dig"))
       .persist()
@@ -3349,8 +3423,7 @@ object Similarity {
     import graft.functions.PqCodes.{pq_encode, pq_recon, int_vec_add,
       int_vec_sub}
     import graft.functions.IntDot.int_dot
-    val raw = ivfIndexStoreAssignments(spark, dir)
-      .unionByName(ivfIndexReadDayAssignments(spark, dir))
+    val raw = ivfIndexStoreLiveAssignments(spark, dir)
       .select(col("vec_id"), int8_unpack(col("qb")).as("qv"), col("qsq"),
         col("centroid_id"))
     if (!residual) {
@@ -3527,8 +3600,10 @@ object Similarity {
     val q = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), q0.schema)
     adoptDeleteStaged(spark, s"$dir/pq_codes")
-    val cands = spark.read.parquet(s"$dir/pq_codes")
+    val cands0 = spark.read.parquet(s"$dir/pq_codes")
       .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*))
+    val cands = ivfIndexReadTombstones(spark, dir)
+      .fold(cands0)(ts => cands0.join(ts, Seq("vec_id"), "left_anti"))
       .select(col("vec_id").as("neighbor_id"), col("pcodes"), col("rsq"),
         col("centroid_id").as("cluster"))
     val sims = cands.join(broadcast(q), Seq("cluster"))
@@ -3575,8 +3650,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     require(dims.nonEmpty && dims == dims.distinct,
       s"prefix widths must be distinct and nonempty, got $dims")
-    val rows = ivfIndexStoreAssignments(spark, dir)
-      .unionByName(ivfIndexReadDayAssignments(spark, dir))
+    val rows = ivfIndexStoreLiveAssignments(spark, dir)
       .select(col("vec_id"), col("qb"), col("centroid_id"))
     prefixRowsOf(rows, dims)
       .write.mode("overwrite").partitionBy("d", "centroid_id")
@@ -3728,10 +3802,13 @@ object Similarity {
     val (q, lists) = truncatedQueryFrame(spark, queryVecs, dir, dims, nProbe)
     val listKeys = lists.map(Integer.valueOf)
     val qOnce = q.drop("cluster").dropDuplicates("query_id")
+    val tombs = ivfIndexReadTombstones(spark, dir)
     // full-dim rows of the probed lists, scanned once and reused by
     // every cell's rerank and (grid form) the exact baseline
-    val full = ivfIndexStoreAssignments(spark, dir)
+    val full0 = ivfIndexStoreAssignments(spark, dir)
       .filter(col("centroid_id").isin(listKeys: _*))
+    val full = tombs.fold(full0)(ts =>
+      full0.join(ts, Seq("vec_id"), "left_anti"))
       .select(col("vec_id").as("neighbor_id"), col("qb"),
         col("qsq").as("sqb"))
       .persist()
@@ -3740,8 +3817,10 @@ object Similarity {
     val cells = for (d <- dims; r <- reranks) yield {
       // the BYTE-TRUE shortlist: only d-byte prefix rows are scanned
       adoptDeleteStaged(spark, s"$dir/prefix_codes/d=$d")
-      val prefix = spark.read.parquet(s"$dir/prefix_codes/d=$d")
+      val prefix0 = spark.read.parquet(s"$dir/prefix_codes/d=$d")
         .filter(col("centroid_id").isin(listKeys: _*))
+      val prefix = tombs.fold(prefix0)(ts =>
+        prefix0.join(ts, Seq("vec_id"), "left_anti"))
         .select(col("vec_id").as("neighbor_id"), col("pb"), col("psq"),
           col("centroid_id").as("cluster"))
       val qd = q.select(col("query_id"), col(s"qa$d"), col(s"sqa$d"),

@@ -378,8 +378,9 @@ object TextOps {
     * all three with bytes that cannot disagree, completing it.
     */
   private def lexCompleteDays(spark: org.apache.spark.sql.SparkSession,
-                              dir: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/day_stats")
+                              dir: String,
+                              statsName: String = "day_stats"): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$statsName")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).map(_.getPath.getName)
@@ -407,26 +408,55 @@ object TextOps {
       .select("token", "doc_id", "tf", "dl", "bucket")
     val baseDfreq = lexStoreDfreq(spark, dir)
     val days = lexCompleteDays(spark, dir)
-    if (days.isEmpty || !lexDayDirExists(spark, dir, "day_postings"))
-      (basePostings, baseDfreq, nDocs0, totalLen0, nBuckets)
+    val (postings, dfreq, nDocs, totalLen) =
+      if (days.isEmpty || !lexDayDirExists(spark, dir, "day_postings"))
+        (basePostings, baseDfreq, nDocs0, totalLen0)
+      else {
+        // serve ONLY complete days (day_stats present — the commit
+        // marker): a torn day is invisible, never under-counted
+        val dayKeys = days.map(java.lang.Long.valueOf)
+        val dayPostings = spark.read.parquet(s"$dir/day_postings")
+          .filter(col("day").isin(dayKeys: _*))
+          .select("token", "doc_id", "tf", "dl", "bucket")
+        val dayDfreq = spark.read.parquet(s"$dir/day_dfreq")
+          .filter(col("day").isin(dayKeys: _*))
+          .select("token", "df", "bucket")
+        val mergedDfreq = baseDfreq.unionByName(dayDfreq)
+          .groupBy("token", "bucket").agg(sum(col("df")).as("df"))
+          .select("token", "df", "bucket")
+        val Array(ds) = spark.read.parquet(s"$dir/day_stats")
+          .agg(coalesce(sum("n_docs"), lit(0L)).as("nd"),
+            coalesce(sum("total_len"), lit(0L)).as("len")).collect()
+        (basePostings.unionByName(dayPostings), mergedDfreq,
+          nDocs0 + ds.getLong(0), totalLen0 + ds.getLong(1))
+      }
+    // ... MINUS complete tombstone days (round 18 — streamed deletion):
+    // ids anti-joined out of the postings, their per-token df and
+    // doc/length totals subtracted from the merged statistics; all
+    // three artifacts ride WITH their day ([[bm25IndexTombstone]]
+    // writes facts → stats-marker in order), so a torn tombstone is
+    // invisible, never half-applied. df hits exactly zero for fully
+    // tombstoned tokens and the filter drops them — the delete law's
+    // shape, merged on read.
+    val tombDays = lexCompleteDays(spark, dir, "tomb_stats")
+    if (tombDays.isEmpty) (postings, dfreq, nDocs, totalLen, nBuckets)
     else {
-      // serve ONLY complete days (day_stats present — the commit
-      // marker): a torn day is invisible, never under-counted
-      val dayKeys = days.map(java.lang.Long.valueOf)
-      val dayPostings = spark.read.parquet(s"$dir/day_postings")
-        .filter(col("day").isin(dayKeys: _*))
-        .select("token", "doc_id", "tf", "dl", "bucket")
-      val dayDfreq = spark.read.parquet(s"$dir/day_dfreq")
-        .filter(col("day").isin(dayKeys: _*))
-        .select("token", "df", "bucket")
-      val mergedDfreq = baseDfreq.unionByName(dayDfreq)
+      val tKeys = tombDays.map(java.lang.Long.valueOf)
+      val tombIds = spark.read.parquet(s"$dir/day_tombstones")
+        .filter(col("day").isin(tKeys: _*)).select("doc_id").distinct()
+      val tombDf = spark.read.parquet(s"$dir/tomb_dfreq")
+        .filter(col("day").isin(tKeys: _*))
+        .select(col("token"), (-col("df")).as("df"), col("bucket"))
+      val outDfreq = dfreq.unionByName(tombDf)
         .groupBy("token", "bucket").agg(sum(col("df")).as("df"))
+        .filter(col("df") > 0)
         .select("token", "df", "bucket")
-      val Array(ds) = spark.read.parquet(s"$dir/day_stats")
+      val Array(ts) = spark.read.parquet(s"$dir/tomb_stats")
+        .filter(col("day").isin(tKeys: _*))
         .agg(coalesce(sum("n_docs"), lit(0L)).as("nd"),
           coalesce(sum("total_len"), lit(0L)).as("len")).collect()
-      (basePostings.unionByName(dayPostings), mergedDfreq,
-        nDocs0 + ds.getLong(0), totalLen0 + ds.getLong(1), nBuckets)
+      (postings.join(tombIds, Seq("doc_id"), "left_anti"), outDfreq,
+        nDocs - ts.getLong(0), totalLen - ts.getLong(1), nBuckets)
     }
   }
 
@@ -471,6 +501,60 @@ object TextOps {
           .write.mode("overwrite").parquet(s"$dir/day_stats/day=$day")
       }
     } finally b.unpersist(blocking = false)
+  }
+
+  /** TOMBSTONE documents in a lexical store that holds streamed days
+    * (round 18 — the path [[bm25IndexDelete]] refuses): the exactly-
+    * once day cell extended to DELETIONS. The victims' token facts are
+    * derived ONCE, at tombstone time, from the served view (which
+    * already excludes prior tombstones — so re-tombstoning an id
+    * contributes exactly zero) and written as three per-day artifacts:
+    * `day_tombstones/day=N` (the victim ids actually present),
+    * `tomb_dfreq/day=N/bucket=B` (their per-token df, bucket-pruned
+    * like every dfreq read), and `tomb_stats/day=N` (their doc/length
+    * totals) — stats LAST, the commit marker, so a torn tombstone is
+    * invisible rather than half-applied ([[lexStoreView]] subtracts
+    * only marker-complete days). A foreachBatch replay against the
+    * same store state rewrites identical facts (single-writer, like
+    * every day cell). The consolidated sidecars are deliberately
+    * untouched (read-modify-write would double-subtract on replay):
+    * the view subtracts at merge-on-read, and [[bm25IndexCompact]]
+    * applies tombstones PHYSICALLY (its staged store is the view) and
+    * retires the tombstone days with the old root — so stream-ingest +
+    * tombstone + compact ≡ a build over the survivors, hash-certified
+    * by `q_bm25_store_stream_del`. Ordering contract (single-writer):
+    * a tombstoned doc_id stays invisible until the next compact —
+    * re-ingesting it BEFORE the fold is unsupported (the id-level
+    * anti-join would hide the new rows and the fold would drop them);
+    * after the compact the id is fully retired and may be ingested as
+    * a new document. Returns the number of victim docs found.
+    */
+  def bm25IndexTombstone(spark: org.apache.spark.sql.SparkSession,
+                         docIds: DataFrame, dir: String,
+                         day: Long): Long = {
+    val (postings, _, _, _, _) = lexStoreView(spark, dir)
+    val idFrame = docIds.select(col("doc_id")).distinct()
+    val victims = postings.join(idFrame, Seq("doc_id")).persist()
+    try {
+      val Array(vstats) = victims.groupBy("doc_id")
+        .agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("nd"),
+          coalesce(sum("dl"), lit(0L)).as("len")).collect()
+      val (vDocs, vLen) = (vstats.getLong(0), vstats.getLong(1))
+      if (vDocs > 0) {
+        victims.select("doc_id").distinct()
+          .write.mode("overwrite").parquet(s"$dir/day_tombstones/day=$day")
+        victims.groupBy("token", "bucket").agg(count(lit(1)).as("df"))
+          .select("token", "df", "bucket")
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$dir/tomb_dfreq/day=$day")
+        // the commit marker — WRITE ORDER IS LOAD-BEARING, like the
+        // ingest day's: ids → dfreq → stats
+        lexStatsDf(spark, vDocs, vLen, 0).select("n_docs", "total_len")
+          .write.mode("overwrite").parquet(s"$dir/tomb_stats/day=$day")
+      }
+      vDocs
+    } finally victims.unpersist(blocking = false)
   }
 
   /** COMPACT the lexical store: fold streamed day partitions into the
@@ -674,6 +758,11 @@ object TextOps {
       throw new IllegalStateException(
         s"lexical store at $dir holds streamed day partitions — run " +
           "bm25IndexCompact to fold them in, then delete")
+    if (lexCompleteDays(spark, dir, "tomb_stats").nonEmpty)
+      throw new IllegalStateException(
+        s"lexical store at $dir holds pending tombstone days the " +
+          "consolidated sidecars do not reflect — run bm25IndexCompact " +
+          "to apply them, then delete")
     val (nDocs, totalLen, nBuckets) = lexStoreStats(spark, dir)
     val dfLive = lexStoreDfreq(spark, dir)
     val idFrame = docIds.select(col("doc_id")).distinct().persist()
