@@ -214,6 +214,22 @@ object SparkEntry {
       TextOps.bm25IndexInit(docs, lexDir)
       TextOps.bm25StoreTopDocs(s, lexDir)
     }),
+    // BLOCK-MAX pruned probe (round 18) — lossless top-k early
+    // termination, the lexical twin of nProbe pruning: per (token,
+    // block) max-tf/min-dl impact bounds let the probe skip scoring
+    // any block that provably cannot crack the term's top-k; the
+    // result is IDENTICAL to the exhaustive store ranker, so the same
+    // q_bm25 oracle certifies the pruned protocol end to end
+    "q_bm25_store_pruned" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lexDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25_pruned_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(lexDir)
+      TextOps.bm25IndexInit(docs, lexDir)
+      TextOps.bm25ImpactBuild(s, lexDir)
+      TextOps.bm25StoreTopDocsPruned(s, lexDir)
+    }),
     // the lexical day-ingest law: init on the md5-stored side, append
     // the rest — postings rows append, df/n_docs/total_len merge BY
     // ADDITION (a doc lives in one batch, so token stats are additive
@@ -4237,6 +4253,9 @@ object SparkEntry {
     // the persisted lexical index serves the IDENTICAL ranking: store
     // build ≡ raw corpus row for row, so q_bm25's oracle certifies it
     "q_bm25_store" -> BM25_SQL,
+    // block-max pruning is LOSSLESS — the pruned probe's result is the
+    // exhaustive ranker's row for row, under the very same oracle
+    "q_bm25_store_pruned" -> BM25_SQL,
     // and init + day-append ≡ the union build (df/n_docs/total_len are
     // additive over an append-only corpus; tf/dl are per-doc facts) —
     // the same oracle again, now certifying the merge law

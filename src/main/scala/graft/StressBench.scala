@@ -314,6 +314,16 @@ object StressBench {
     }
     if (Seq("ivfpq_store_probe", "ivfpq_store_probe_w1",
         "ivfpq_store_probe_w8").exists(selected)) { ivfPqStoreDir; () }
+    // round-18: the same store with its Matryoshka prefix sidecar
+    // (untimed build); the timed probe's shortlist reads d/dim of the
+    // ranking bytes of the probed lists, then exactly reranks only the
+    // shortlist
+    lazy val ivfPrefixStoreDir = {
+      val p = ivfStoreDir
+      ext.Similarity.ivfIndexStorePrefixBuild(spark, p)
+      p
+    }
+    if (selected("ivf_truncated_probe_d16")) { ivfPrefixStoreDir; () }
     // round-17: the persisted LEXICAL index — built once over the
     // MATERIALIZED replicated corpus (untimed, like every store
     // artifact), probed per query batch. The timed row below reads
@@ -327,7 +337,19 @@ object StressBench {
       p
     }
     if (Seq("bm25_store_probe", "bm25_store_stream_day",
-        "bm25_store_compact").exists(selected)) { lexStoreDir; () }
+        "bm25_store_compact", "bm25_store_append").exists(selected)) {
+      lexStoreDir; ()
+    }
+    // round-18: the lexical store WITH its block-max impact sidecar
+    // (untimed build — a derived artifact); the timed A/B below is the
+    // exhaustive vs pruned ranker at EQUAL output
+    lazy val lexImpactDir = {
+      val p = lexStoreDir
+      ext.TextOps.bm25ImpactBuild(spark, p)
+      p
+    }
+    if (Seq("bm25_exhaustive_rank", "bm25_pruned_rank")
+        .exists(selected)) { lexImpactDir; () }
     // DELIBERATELY skewed persisted index (untimed setup): seeds drawn
     // from the replicas of just TWO base vectors — most seeds carry an
     // identical code, ties break to the lowest centroid id, so the
@@ -548,6 +570,14 @@ object StressBench {
         emb.filter(col("vec_id") < 10), ivfStoreDir).count()),
       time("ivfpq_store_probe", ext.Similarity.ivfIndexStorePqProbe(spark,
         emb.filter(col("vec_id") < 10), ivfPqStoreDir).count()),
+      // round-18: the byte-true truncated probe vs the full-width probe
+      // above at equal probed lists — its shortlist scan reads 16/64 of
+      // the ranking bytes; the rerank fetches full rows for ONLY the
+      // shortlist ids (numQueries × rerank)
+      time("ivf_truncated_probe_d16",
+        ext.Similarity.ivfIndexStoreTruncatedProbe(spark,
+          emb.filter(col("vec_id") < 10), ivfPrefixStoreDir, d = 16,
+          rerank = 10).count()),
       // q_ivfpq_tradeoff's cost axis, proven on stored bytes: the SAME
       // sidecar probed at nProbe=1 vs 8 — partition-pruned reads (and
       // the candidate volume the grid counts) scale with probe width
@@ -621,6 +651,16 @@ object StressBench {
         docsPq, numQueries = 10, arm = 10).count()),
       time("bm25_store_probe", ext.TextOps.bm25StoreQueryArm(spark,
         docsPq.filter(col("doc_id") < 10), lexStoreDir).count()),
+      // round-18: block-max pruned vs exhaustive store ranker at EQUAL
+      // output (both serve q_bm25's top-3-per-top-10-term off the same
+      // store; pruning is LOSSLESS — hash-certified by
+      // q_bm25_store_pruned). The pruned row's bill is the impact scan
+      // (nTerms × blocks rows) + only the admitted blocks' postings —
+      // on common terms that is a few percent of the matched pairs
+      time("bm25_exhaustive_rank",
+        ext.TextOps.bm25StoreTopDocs(spark, lexImpactDir).count()),
+      time("bm25_pruned_rank",
+        ext.TextOps.bm25StoreTopDocsPruned(spark, lexImpactDir).count()),
       // the lexical fold at the same scale: day write + compact —
       // AFTER the brute-vs-store A/B rows above (these two MUTATE
       // lexStoreDir; running them first would grow the store ~10% and
@@ -634,6 +674,20 @@ object StressBench {
       }),
       time("bm25_store_compact", {
         ext.TextOps.bm25IndexCompact(spark, lexStoreDir); 1L
+      }),
+      // round-18 (closing r17's weak): the batch append's mutation cost
+      // must track the BATCH vocabulary, not the store's — the dfreq
+      // (and impact, when built) merges read and rewrite ONLY the
+      // buckets the batch's tokens hash into. The batch here is FIXED
+      // (the unreplicated corpus's first docs), so this row staying
+      // flat across ×10/×30/×100 while the store vocabulary grows is
+      // the claim, measured
+      time("bm25_store_append", {
+        ext.TextOps.bm25IndexAppend(spark,
+          Tables.documents(spark, sfDir).filter(col("doc_id") < 20)
+            .withColumn("doc_id", col("doc_id") + lit(4000000000L)),
+          lexStoreDir)
+        1L
       }),
       time("compression_ratio", ext.Compression.compressionSignal(spark, docs).count()),
       time("heavy_hitters_mg", ops.Sketches.heavyHitterTokens(docs).count()),

@@ -582,6 +582,15 @@ object TextOps {
       dfreq.write.partitionBy("bucket").parquet(s"$staging/dfreq")
       lexStatsDf(spark, nDocs, totalLen, nBuckets)
         .write.parquet(s"$staging/corpus_stats")
+      // the impact sidecar (when built) REBUILDS off the staged
+      // postings — the fold is where folded days and applied
+      // tombstones enter it, like every consolidated sidecar
+      lexImpactMeta(spark, dir).foreach { nBlocks =>
+        lexImpactOf(spark.read.parquet(s"$staging/postings"))
+          .write.partitionBy("bucket").parquet(s"$staging/impact")
+        spark.read.parquet(s"$dir/impact_meta")
+          .write.parquet(s"$staging/impact_meta")
+      }
     }
   }
 
@@ -669,6 +678,26 @@ object TextOps {
             coalesce(col("df_new"), lit(0L))).as("df"), col("bucket"))
       Similarity.rewritePartitions(spark, s"$dir/dfreq", buckets, merged,
         "bucket")
+      // the impact sidecar (when built) merges ADDITIVELY on append —
+      // max/min/count are max/min/sum-mergeable — over the same
+      // affected buckets only; the avgdl-free bound pair stays valid
+      // as this append moves the corpus statistics
+      lexImpactMeta(spark, dir).foreach { nBlocks =>
+        val batchImp = lexImpactOf(
+          postings.withColumn("bucket", lexBucket(nBuckets)))
+        Similarity.adoptDeleteStaged(spark, s"$dir/impact", "bucket")
+        val liveImp = spark.read.parquet(s"$dir/impact")
+          .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+          .select("token", "block", "bucket", "max_tf", "min_dl", "cnt")
+        val mergedImp = liveImp.unionByName(
+          batchImp.select("token", "block", "bucket", "max_tf", "min_dl",
+            "cnt"))
+          .groupBy("token", "block", "bucket")
+          .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"),
+            sum(col("cnt")).as("cnt"))
+        Similarity.rewritePartitions(spark, s"$dir/impact", buckets,
+          mergedImp, "bucket")
+      }
       Similarity.writeRenameAside(
         lexStatsDf(spark, nDocs + bDocs, totalLen + bLen, nBuckets),
         dir, "corpus_stats")
@@ -821,6 +850,16 @@ object TextOps {
           // exactly the victims still present.
           Similarity.deleteFromPartitioned(spark, s"$dir/postings",
             buckets, idFrame, partitionCol = "bucket", keyCol = "doc_id")
+          // the impact sidecar has no subtraction (max/min) — the
+          // affected buckets RECOMPUTE from the post-delete postings,
+          // the classical block-max delete rule; untouched buckets
+          // keep their bytes
+          lexImpactMeta(spark, dir).foreach { nBlocks =>
+            Similarity.rewritePartitions(spark, s"$dir/impact", buckets,
+              lexImpactOf(spark.read.parquet(s"$dir/postings")
+                .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))),
+              "bucket")
+          }
         }
         (vDocs, nRows)
       } finally victims.unpersist(blocking = false)
@@ -890,6 +929,193 @@ object TextOps {
       .select(col("token"), col("rnk"), col("doc_id"), col("tf"), col("dl"),
         col("bm25"))
       .orderBy("token", "rnk")
+  }
+
+  // ------------------------------------------------------------------
+  // Block-max IMPACT sidecar: lossless top-k early termination
+  // ------------------------------------------------------------------
+
+  /** IMPACT-ORDERED block key — a pure per-ROW fact, so the blocking
+    * is append-stable and recomputable at probe time with no lookup:
+    * `(min(tf, 16) − 1) × 16 + min(⌊log₂ dl⌋, 15)`. Hash-random
+    * blocking makes every block's (max_tf, min_dl) bound loose (each
+    * block samples the whole score range — measured: <1% of pairs
+    * skipped); keying blocks by the two score inputs themselves makes
+    * the bound tight per block (max_tf IS the block's tf level, min_dl
+    * its dl range's floor), which is what lets the bulk low-tf /
+    * long-doc blocks of a common term actually fail the θ test. 256
+    * possible blocks per (token, bucket); `nBlocks` in `impact_meta`
+    * records the scheme's ceiling.
+    */
+  private def lexImpactBlock: Column =
+    (least(col("tf"), lit(16L)) - lit(1L)).cast("int") * lit(16) +
+      least(floor(log2(col("dl"))).cast("int"), lit(15))
+
+  private def lexImpactMeta(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/impact_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Similarity.adoptStagedNext(fs, p,
+      new org.apache.hadoop.fs.Path(s"$dir/.impact_meta.next"))
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).collect()(0).getInt(0))
+  }
+
+  /** The per-(token, block) impact aggregate of a postings-shaped
+    * frame: max tf and min dl — a VALID upper-bound pair for every
+    * member's BM25 tf-part under ANY avgdl (the weight is increasing
+    * in tf, decreasing in dl), which is what keeps the bound correct
+    * as appends move the corpus statistics — plus the member count.
+    * ONE copy shared by build, the selective append merge, and the
+    * delete/compact recomputes.
+    */
+  private def lexImpactOf(postings: DataFrame): DataFrame =
+    postings
+      .withColumn("block", lexImpactBlock)
+      .groupBy("token", "block", "bucket")
+      .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"),
+        count(lit(1)).as("cnt"))
+
+  /** Build the lexical store's BLOCK-MAX IMPACT sidecar (round 18 —
+    * the WAND/block-max family's metadata, Broder et al. CIKM 2003 /
+    * Ding & Suel SIGIR 2011, re-expressed for a bucketed hive store):
+    * `impact/bucket=B` holds, per (token, block = [[lexImpactBlock]] —
+    * the impact-ordered (tf, ⌊log₂ dl⌋) key), the block's max tf, min
+    * dl, and count — enough to upper-bound every member's BM25 weight
+    * at query time without touching the block's rows. `impact_meta`
+    * pins the scheme's block ceiling. The
+    * bound pair (max_tf, min_dl) is deliberately avgdl-FREE, so it
+    * stays valid as appends move n_docs/total_len; it merges
+    * additively on append (max/min/sum), and a delete/compact
+    * recomputes the affected buckets (max has no subtraction — the
+    * classical recompute-on-delete rule). Derived artifact,
+    * rebuildable at will from postings bytes.
+    */
+  def bm25ImpactBuild(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, nBlocks: Int = 256): Unit = {
+    Similarity.adoptDeleteStaged(spark, s"$dir/postings", "bucket")
+    lexImpactOf(spark.read.parquet(s"$dir/postings"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/impact")
+    import spark.implicits._
+    Similarity.writeRenameAside(
+      Seq(nBlocks).toDF("n_blocks").coalesce(1), dir, "impact_meta")
+  }
+
+  /** `q_bm25` served from the persisted index THROUGH the block-max
+    * pruned scan (`q_bm25_store_pruned`) — LOSSLESS top-k early
+    * termination, the lexical twin of nProbe pruning: the result is
+    * provably identical to [[bm25StoreTopDocs]] (one shared oracle
+    * certifies both), but common terms' postings are mostly never
+    * scored. Two bounded phases per the classical block-max protocol,
+    * driver-coordinated (both driver fetches are nTerms-scale):
+    *
+    *   1. per term, blocks are ranked by their impact UPPER BOUND
+    *      (idf × tf-part(max_tf, min_dl) at the current avgdl) and the
+    *      cheapest prefix covering ≥ topK docs is scored exactly → the
+    *      term's kth-best actual score θ (a LOWER bound on the final
+    *      kth-best);
+    *   2. only blocks whose upper bound clears θ − ε are scored (ε =
+    *      1e-6 absorbs the stored scores' half-up micro rounding); an
+    *      excluded block's every member scores strictly below θ, so it
+    *      cannot enter the top-k OR shift a tie — the top-k over
+    *      admitted blocks is exactly the top-k over everything.
+    *
+    * Pruning cuts SCORED PAIRS (and their join/window cost); physical
+    * byte skipping additionally needs the postings sorted by (token,
+    * block) inside each bucket so parquet row-group stats prune — the
+    * documented layout extension, deliberately not coupled to the
+    * correctness law here. Refuses (loud) under streamed days or
+    * tombstones: impact covers the consolidated postings only — fold
+    * first, like every consolidated-sidecar consumer.
+    */
+  def bm25StoreTopDocsPruned(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, nTerms: Int = 10,
+                             topK: Int = 3): DataFrame =
+    bm25PrunedInternal(spark, dir, nTerms, topK)._1
+
+  /** The pruning instrument: (result, scored-pair count via the pruned
+    * protocol, total matched pairs the unpruned ranker scores) — what
+    * the StressBench row prices and the spec pins.
+    */
+  private[ext] def bm25PrunedInternal(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      nTerms: Int, topK: Int): (DataFrame, Long, Long) = {
+    import spark.implicits._
+    if (lexDayDirExists(spark, dir, "day_postings") ||
+        lexCompleteDays(spark, dir, "tomb_stats").nonEmpty)
+      throw new IllegalStateException(
+        s"lexical store at $dir holds streamed days or pending " +
+          "tombstones the impact sidecar does not cover — run " +
+          "bm25IndexCompact (then bm25ImpactBuild), then probe pruned")
+    if (lexImpactMeta(spark, dir).isEmpty)
+      throw new java.io.IOException(
+        s"no impact sidecar at $dir/impact — run bm25ImpactBuild first")
+    val (postings, dfreq, nDocs, totalLen, _) = lexStoreView(spark, dir)
+    val terms = dfreq
+      .orderBy(col("df").desc, col("token")).limit(nTerms)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val buckets = terms.map(_._3).distinct.toSeq
+    val dfOf = terms.map(t => t._1 -> t._2).toMap
+    val avgdl = totalLen.toDouble / nDocs
+    def ub(token: String, maxTf: Long, minDl: Long): Double = {
+      val df = dfOf(token).toDouble
+      math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0) *
+        (maxTf * 2.2) / (maxTf + 1.2 * (1.0 - 0.75 + 0.75 * minDl / avgdl))
+    }
+    // the terms' impact rows: bucket-pruned scan, nTerms × n_blocks
+    // rows — a bounded driver fetch by construction
+    Similarity.adoptDeleteStaged(spark, s"$dir/impact", "bucket")
+    val impact = spark.read.parquet(s"$dir/impact")
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      .join(broadcast(terms.map(_._1).toSeq.toDF("token")), Seq("token"))
+      .select("token", "block", "max_tf", "min_dl", "cnt")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        ub(r.getString(0), r.getLong(2), r.getLong(3)), r.getLong(4)))
+    val byToken = impact.groupBy(_._1).map { case (t, rows) =>
+      t -> rows.sortBy(r => (-r._3, r._2))
+    }
+    // phase 1: per term, the cheapest ub-descending block prefix
+    // covering >= topK members
+    val phase1 = byToken.toSeq.flatMap { case (t, rows) =>
+      var cum = 0L
+      rows.takeWhile { r => val take = cum < topK; cum += r._4; take }
+        .map(r => (t, r._2))
+    }
+    def scoreOf(pairs: Seq[(String, Int)]): DataFrame =
+      postings
+        .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+        .withColumn("block", lexImpactBlock)
+        .join(broadcast(pairs.toDF("token", "block")), Seq("token", "block"))
+        .join(broadcast(terms.map(t => (t._1, t._2)).toSeq
+          .toDF("token", "df")), Seq("token"))
+        .withColumn("n_docs", lit(nDocs))
+        .withColumn("total_len", lit(totalLen))
+        .withColumn("bm25", round(bm25Weight, 6))
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("bm25").desc, col("doc_id"))
+    // θ per term: the kth best ACTUAL score inside phase 1 (nTerms rows)
+    val theta = scoreOf(phase1)
+      .withColumn("rnk", row_number().over(wT))
+      .filter(col("rnk") === topK)
+      .select("token", "bm25").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // phase 2: admit exactly the blocks whose bound clears θ − ε; a
+    // term with fewer than topK docs has no θ and admits everything
+    val admitted = byToken.toSeq.flatMap { case (t, rows) =>
+      val cut = theta.get(t)
+      rows.filter(r => cut.forall(th => r._3 >= th - 1e-6))
+        .map(r => (t, r._2))
+    }
+    val result = scoreOf(admitted)
+      .withColumn("rnk", row_number().over(wT))
+      .filter(col("rnk") <= topK)
+      .select(col("token"), col("rnk"), col("doc_id"), col("tf"), col("dl"),
+        col("bm25"))
+      .orderBy("token", "rnk")
+    (result, admitted.map(p => byToken(p._1)
+      .find(_._2 == p._2).map(_._4).getOrElse(0L)).sum,
+      impact.map(_._4).sum)
   }
 
   /** The pruned postings scan + BM25 scoring shared by the store
