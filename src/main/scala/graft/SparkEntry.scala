@@ -15,6 +15,68 @@ import graft.ext._
   */
 object SparkEntry {
 
+  /** Build-once-per-session store fixtures for the IMMUTABLE-store
+    * query family (round 18 — verdict ask #7, the `StressBench.
+    * lexStoreDir` pattern): the hybrid/probe queries each used to
+    * build their own full-corpus store per invocation, so the sweep
+    * timed ~6 redundant index builds. Stores are deterministic
+    * functions of (testdata dir), so sharing one build per
+    * (applicationId, testdata dir) leaves every hash unchanged and
+    * makes the bench measure PROBES (after the family's first member
+    * pays the build — bench numbers for this family are probe-cost,
+    * annotated in RESULTS.md). ONLY read-only consumers share a
+    * fixture; every mutating query (append/delete/stream/compact/
+    * reseed/train/update/fsck-inject) keeps its private dir. Sidecar
+    * builds (impact, prefix) are one-time additive artifacts guarded
+    * by their own key — they never change what other readers of the
+    * base store serve.
+    */
+  private val storeFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fixture(s: SparkSession, key: String)
+                     (build: String => Unit): String =
+    storeFixtures.computeIfAbsent(
+      key + "_" + s.sparkContext.applicationId,
+      k => {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_fx_" + k).getPath
+        graft.Tables.deleteOnExit(dir)
+        build(dir)
+        dir
+      })
+  private def lexStoreFixture(s: SparkSession, d: String): String =
+    fixture(s, "lex_" + new java.io.File(d).getName) { dir =>
+      TextOps.bm25IndexInit(Tables.documents(s, d), dir)
+    }
+  private def lexImpactFixture(s: SparkSession, d: String): String = {
+    val base = lexStoreFixture(s, d)
+    fixture(s, "leximp_" + new java.io.File(d).getName) { _ =>
+      TextOps.bm25ImpactBuild(s, base)
+    }
+    base
+  }
+  private def ivfStoreFixture(s: SparkSession, d: String): String =
+    fixture(s, "ivf_" + new java.io.File(d).getName) { dir =>
+      Similarity.ivfIndexStoreInit(Tables.embeddings(s, d), dir)
+    }
+  private def ivfPrefixFixture(s: SparkSession, d: String): String = {
+    val base = ivfStoreFixture(s, d)
+    fixture(s, "ivfpre_" + new java.io.File(d).getName) { _ =>
+      Similarity.ivfIndexStorePrefixBuild(s, base)
+    }
+    base
+  }
+  private def ivfPrefixClusteredFixture(s: SparkSession, d: String): String = {
+    val base = fixture(s, "ivfc_" + new java.io.File(d).getName) { dir =>
+      Similarity.ivfIndexStoreInit(
+        Similarity.plantedClusterEmbeddings(Tables.embeddings(s, d)), dir)
+    }
+    fixture(s, "ivfcpre_" + new java.io.File(d).getName) { _ =>
+      Similarity.ivfIndexStorePrefixBuild(s, base)
+    }
+    base
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
@@ -164,18 +226,11 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, d)
       val docs = Tables.documents(s, d)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_hybrid_store_" + new java.io.File(d).getName + "_" +
-          s.sparkContext.applicationId).getPath
-      graft.Tables.deleteOnExit(dir)
-      val lexDir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_hybrid_lex_" + new java.io.File(d).getName + "_" +
-          s.sparkContext.applicationId).getPath
-      graft.Tables.deleteOnExit(lexDir)
-      Similarity.ivfIndexStoreInit(emb, dir)
-      TextOps.bm25IndexInit(docs, lexDir)
+      // shared read-only fixtures (round 18): the stores build once per
+      // session — the query's bill is the two persisted-arm PROBES
       TextOps.hybridRrfStoreTopDocs(docs.filter(col("doc_id") < 10),
-        emb.filter(col("vec_id") < 10), lexDir, dir)
+        emb.filter(col("vec_id") < 10), lexStoreFixture(s, d),
+        ivfStoreFixture(s, d))
     }),
     // the FILTERED store hybrid (round 17): retrieve among only the
     // docs matching a predicate — the keep-set in-filtered into BOTH
@@ -185,19 +240,9 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, d)
       val docs = Tables.documents(s, d)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_hybrid_filt_" + new java.io.File(d).getName + "_" +
-          s.sparkContext.applicationId).getPath
-      graft.Tables.deleteOnExit(dir)
-      val lexDir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_hybrid_flex_" + new java.io.File(d).getName + "_" +
-          s.sparkContext.applicationId).getPath
-      graft.Tables.deleteOnExit(lexDir)
-      Similarity.ivfIndexStoreInit(emb, dir)
-      TextOps.bm25IndexInit(docs, lexDir)
       TextOps.hybridRrfStoreFilteredTopDocs(
         docs.filter(col("doc_id") < 10), emb.filter(col("vec_id") < 10),
-        lexDir, dir,
+        lexStoreFixture(s, d), ivfStoreFixture(s, d),
         lexKeep = docs.filter(col("doc_id") % 3 === 1).select("doc_id"),
         annKeep = emb.filter(col("vec_id") % 3 === 1).select("vec_id"))
     }),
@@ -205,31 +250,16 @@ object SparkEntry {
     // off the vocab-sized dfreq sidecar, postings scan pruned to the
     // terms' buckets, scoring off stored tf/dl/df + the one stats row
     // — same oracle as q_bm25 (store build ≡ raw corpus, row for row)
-    "q_bm25_store" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val lexDir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_bm25_store_" + new java.io.File(d).getName + "_" +
-          s.sparkContext.applicationId).getPath
-      graft.Tables.deleteOnExit(lexDir)
-      TextOps.bm25IndexInit(docs, lexDir)
-      TextOps.bm25StoreTopDocs(s, lexDir)
-    }),
+    "q_bm25_store" -> ((s, d) =>
+      TextOps.bm25StoreTopDocs(s, lexStoreFixture(s, d))),
     // BLOCK-MAX pruned probe (round 18) — lossless top-k early
     // termination, the lexical twin of nProbe pruning: per (token,
     // block) max-tf/min-dl impact bounds let the probe skip scoring
     // any block that provably cannot crack the term's top-k; the
     // result is IDENTICAL to the exhaustive store ranker, so the same
     // q_bm25 oracle certifies the pruned protocol end to end
-    "q_bm25_store_pruned" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val lexDir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_bm25_pruned_" + new java.io.File(d).getName + "_" +
-          s.sparkContext.applicationId).getPath
-      graft.Tables.deleteOnExit(lexDir)
-      TextOps.bm25IndexInit(docs, lexDir)
-      TextOps.bm25ImpactBuild(s, lexDir)
-      TextOps.bm25StoreTopDocsPruned(s, lexDir)
-    }),
+    "q_bm25_store_pruned" -> ((s, d) =>
+      TextOps.bm25StoreTopDocsPruned(s, lexImpactFixture(s, d))),
     // the lexical day-ingest law: init on the md5-stored side, append
     // the rest — postings rows append, df/n_docs/total_len merge BY
     // ADDITION (a doc lives in one batch, so token stats are additive
@@ -840,13 +870,8 @@ object SparkEntry {
     "q_ivf_store_probe_filtered" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val emb = Tables.embeddings(s, d)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivf_filt_" + new java.io.File(d).getName + "_" +
-          s.sparkContext.applicationId).getPath
-      graft.Tables.deleteOnExit(dir)
-      Similarity.ivfIndexStoreInit(emb, dir)
       Similarity.ivfIndexStoreProbeFiltered(s,
-        emb.filter(col("vec_id") < 10), dir,
+        emb.filter(col("vec_id") < 10), ivfStoreFixture(s, d),
         emb.select(col("vec_id"), (col("vec_id") % 3 === 1).as("keep")))
     }),
     // the probabilistic side of q_ivf_topk under the oracle (the
@@ -924,30 +949,19 @@ object SparkEntry {
     // cell for cell — same oracle certifies the persisted form
     "q_truncated_store_probe" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val emb = Tables.embeddings(s, d)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_trunc_store_" + new java.io.File(d).getName + "_" +
-          s.sparkContext.applicationId).getPath
-      graft.Tables.deleteOnExit(dir)
-      Similarity.ivfIndexStoreInit(emb, dir)
-      Similarity.ivfIndexStorePrefixBuild(s, dir)
-      Similarity.ivfIndexStoreTruncatedGrid(s, emb.filter(col("vec_id") < 10),
-        dir)
+      Similarity.ivfIndexStoreTruncatedGrid(s,
+        Tables.embeddings(s, d).filter(col("vec_id") < 10),
+        ivfPrefixFixture(s, d))
     }),
     // ... and on the planted-cluster corpus, where the calibration said
     // prefixes carry the structure — the byte-true probe recovers it
     // from d/dim of the index bytes (recall ceiling at small d)
     "q_truncated_store_probe_clustered" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val emb = Similarity.plantedClusterEmbeddings(Tables.embeddings(s, d))
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_trunc_storec_" + new java.io.File(d).getName + "_" +
-          s.sparkContext.applicationId).getPath
-      graft.Tables.deleteOnExit(dir)
-      Similarity.ivfIndexStoreInit(emb, dir)
-      Similarity.ivfIndexStorePrefixBuild(s, dir)
-      Similarity.ivfIndexStoreTruncatedGrid(s, emb.filter(col("vec_id") < 10),
-        dir)
+      Similarity.ivfIndexStoreTruncatedGrid(s,
+        Similarity.plantedClusterEmbeddings(Tables.embeddings(s, d))
+          .filter(col("vec_id") < 10),
+        ivfPrefixClusteredFixture(s, d))
     }),
     // quantized-scan ANN: cosine top-k over int8 codes — per-vector
     // scales cancel, so the ranking is pure integer arithmetic and

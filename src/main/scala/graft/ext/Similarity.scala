@@ -1717,6 +1717,21 @@ object Similarity {
     * root `_SUCCESS` marker then commits it, and the double rename
     * (target → old, staging → target, rollback on failure) swaps it
     * live.
+    *
+    * SINGLE-READER CONTRACT (round 18, spec-pinned): between the two
+    * renames there is an instant where NO live store root exists. A
+    * crashed writer in that window self-heals (`storeSwapRecover`
+    * enumerates exactly these states), but a CONCURRENT reader racing
+    * the swap observes an absent store and fails loud with the
+    * missing-table error — a spurious, retryable failure, never a
+    * wrong answer (the reader cannot see a half-swapped MIX: the store
+    * root moves as one rename). Deployments needing live readers
+    * across folds want a version-pointer manifest (readers resolve
+    * `CURRENT` → `store_v{N}/`, writers stage v{N+1} fully and
+    * atomically rewrite the pointer, old versions GC'd) — the
+    * documented extension; the single-writer stores here quiesce reads
+    * across compact/train instead, the same contract a delete already
+    * imposes (see [[graft.ext.TextOps.bm25IndexDelete]]).
     */
   private[ext] def stageThenSwap(spark: org.apache.spark.sql.SparkSession,
                                  dir: String)(stage: String => Unit): Unit = {

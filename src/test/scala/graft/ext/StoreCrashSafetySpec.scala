@@ -173,6 +173,36 @@ class StoreCrashSafetySpec extends AnyFunSuite with SparkSpec {
       .toSeq === TextOps.bm25TopDocs(d).collect().map(_.toSeq).toSeq)
   }
 
+  test("whole-store swap reader race: a reader inside the rename window " +
+    "fails loud (never a wrong answer); recovery restores the store") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_swap_race")
+      .toString
+    val dir = s"$root/idx"
+    TextOps.bm25IndexInit(d, dir)
+    val want = TextOps.bm25StoreTopDocs(spark, dir).collect().map(_.toSeq)
+    val fs = hadoopFs(dir)
+    // construct the exact between-renames window stageThenSwap's
+    // single-reader contract documents: staging complete (_SUCCESS at
+    // its root), target renamed aside, nothing live
+    val staging = new org.apache.hadoop.fs.Path(s"$root/.idx.compact-staging")
+    val old = new org.apache.hadoop.fs.Path(s"$root/.idx.compact-old")
+    Seq("postings", "dfreq", "corpus_stats").foreach { t =>
+      spark.read.parquet(s"$dir/$t").write
+        .parquet(new org.apache.hadoop.fs.Path(staging, t).toString)
+    }
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")).close()
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir), old))
+    // the racing reader: loud missing-store failure, not a wrong answer
+    val e = intercept[Exception] { TextOps.bm25StoreTopDocs(spark, dir) }
+    assert(e.getMessage != null, s"expected a loud failure, got $e")
+    // the enumerated-states recovery adopts the completed staging and
+    // the reader then serves the full store again
+    assert(Curation.storeSwapRecover(spark, dir) === "recovered-staging")
+    assert(TextOps.bm25StoreTopDocs(spark, dir).collect().map(_.toSeq)
+      .toSeq === want.toSeq)
+  }
+
   test("filtered store probe: ids missing from the label frame read as " +
     "keep = false — identical to labeling them false explicitly") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
