@@ -330,6 +330,35 @@ object SparkEntry {
       TextOps.bm25IndexCompact(s, lexDir)
       TextOps.bm25StoreTopDocs(s, lexDir)
     }),
+    // the lexical store under the VERSION-POINTER MANIFEST — same law
+    // as q_ivf_store_versioned: init publishes store_v1, streamed days
+    // mutate v1 in place, compact publishes store_v2 with one atomic
+    // marker creation, and a reader pinned to v1 across the publish
+    // serves the SAME ranking as a fresh v2 reader (fold invisible,
+    // old version physically intact for the in-flight reader)
+    "q_bm25_store_versioned" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, md5, substring}
+      val docs = Tables.documents(s, d)
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25_ver_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(base)
+      StoreVersioning.publish(s, base) { root =>
+        TextOps.bm25IndexInit(docs.filter(h < "8"), root)
+      }
+      val v1 = StoreVersioning.resolve(s, base)
+      TextOps.bm25IndexStreamDay(s,
+        docs.filter(h >= lit("8") && h < lit("c")), 0L, v1)
+      TextOps.bm25IndexStreamDay(s, docs.filter(h >= "c"), 1L, v1)
+      TextOps.bm25IndexCompact(s, v1) // publishes v2; v1 intact
+      val v2 = StoreVersioning.resolve(s, base)
+      require(v2 != v1, s"compact must publish a new version, got $v2")
+      TextOps.bm25StoreTopDocs(s, v2).withColumn("arm", lit("current_v2"))
+        .unionByName(TextOps.bm25StoreTopDocs(s, v1)
+          .withColumn("arm", lit("pinned_v1")))
+        .orderBy("arm", "token", "rnk")
+    }),
     // STREAMED deletion (round 18): a store with unfolded days cannot
     // run the batch delete (sidecars don't cover days — refused loud);
     // the tombstone day cell closes that gap. Init + two streamed days,
@@ -707,6 +736,75 @@ object SparkEntry {
         emb.filter(h >= lit("8") && h < lit("c")), 0L, dir)
       Similarity.ivfIndexStreamDay(s, emb.filter(h >= "c"), 1L, dir)
       Similarity.ivfIndexStoreCompact(s, dir)
+    }),
+    // the same lifecycle under the VERSION-POINTER MANIFEST (round 18,
+    // session 2 — the concurrent-reader fix): init publishes store_v1,
+    // the streamed days land in v1's root (in-place, the LSM shape),
+    // the compact publishes store_v2 through stageThenSwap's versioned
+    // branch — committing with ONE atomic marker creation, so no
+    // instant without a live root ever exists. The law certified here
+    // is the reader-grace guarantee itself: a reader PINNED to v1
+    // before the publish reads the SAME occupancy off v1's untouched
+    // bytes as a fresh reader resolving v2 — both arms against one
+    // oracle (the fold is logically invisible AND the old version is
+    // physically intact)
+    "q_ivf_store_versioned" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, md5, substring}
+      val emb = Tables.embeddings(s, d)
+      val h = substring(md5(col("vec_id").cast("string")), 1, 1)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_ver_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(base)
+      StoreVersioning.publish(s, base) { root =>
+        Similarity.ivfIndexStoreInit(emb.filter(h < "8"), root)
+      }
+      val v1 = StoreVersioning.resolve(s, base)
+      Similarity.ivfIndexStreamDay(s,
+        emb.filter(h >= lit("8") && h < lit("c")), 0L, v1)
+      Similarity.ivfIndexStreamDay(s, emb.filter(h >= "c"), 1L, v1)
+      Similarity.ivfIndexStoreCompact(s, v1) // publishes v2; v1 intact
+      val v2 = StoreVersioning.resolve(s, base)
+      require(v2 != v1, s"compact must publish a new version, got $v2")
+      Similarity.ivfIndexStoreOccupancy(s, v2)
+        .withColumn("arm", lit("current_v2"))
+        .unionByName(Similarity.ivfIndexStoreOccupancy(s, v1)
+          .withColumn("arm", lit("pinned_v1")))
+        .orderBy("arm", "centroid_id")
+    }),
+    // TIME TRAVEL with DISTINGUISHABLE snapshots — the adversarial
+    // complement of q_ivf_store_versioned (whose two arms serve the
+    // same logical content, so a resolveVersion that always returned
+    // CURRENT would still hash-match there): snapshot N-1 is an init
+    // over the stored half, snapshot N a full RE-BUILD (the corrected-
+    // upstream re-ingest shape) — genuinely different occupancy, so
+    // the hash certifies the pinned resolve reads the PRIOR version's
+    // bytes and GC's retain-2 really kept them. Version ids are read
+    // RELATIVELY (previous = versions.init.last) so the query is
+    // rerun-stable as publishes accumulate within a session
+    "q_ivf_store_time_travel" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, md5, substring}
+      val emb = Tables.embeddings(s, d)
+      val h = substring(md5(col("vec_id").cast("string")), 1, 1)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_tt_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(base)
+      StoreVersioning.publish(s, base) { root =>
+        Similarity.ivfIndexStoreInit(emb.filter(h < "8"), root)
+      }
+      StoreVersioning.publish(s, base) { root =>
+        Similarity.ivfIndexStoreInit(emb, root)
+      }
+      val vs = StoreVersioning.versions(s, base)
+      require(vs.size == 2, s"retain-2 GC must keep exactly 2, got $vs")
+      val prev = StoreVersioning.resolveVersion(s, base, vs.init.last)
+      val curr = StoreVersioning.resolveVersion(s, base, vs.last)
+      Similarity.ivfIndexStoreOccupancy(s, curr)
+        .withColumn("arm", lit("snapshot_curr"))
+        .unionByName(Similarity.ivfIndexStoreOccupancy(s, prev)
+          .withColumn("arm", lit("snapshot_prev")))
+        .orderBy("arm", "centroid_id")
     }),
     // the rebalance step: same drifted store, re-seeded from the FULL
     // stored codes (packed bytes unpacked; embeddings never re-read)
@@ -1709,6 +1807,26 @@ object SparkEntry {
       "GROUP BY centroid_id")
   require(IVF_STORE_STREAM_DEL_SQL != IVF_STORE_OCC_SQL,
     "IVF_STORE_STREAM_DEL_SQL replace matched nothing — the per CTE changed")
+
+  /** IVF_STORE_OCC_SQL restricted to the stored HALF on both sides
+    * (seeds already draw from it; membership now does too) — the
+    * occupancy of an init over the h<'8' slice alone, i.e. the
+    * time-travel query's PREVIOUS snapshot. */
+  private val IVF_STORE_OCC_HALF_SQL: String = IVF_STORE_OCC_SQL.replace(
+    "base AS (SELECT * FROM b WHERE qsq > 0)",
+    "base AS (SELECT * FROM b WHERE qsq > 0 AND stored)")
+  require(IVF_STORE_OCC_HALF_SQL != IVF_STORE_OCC_SQL,
+    "IVF_STORE_OCC_HALF_SQL replace matched nothing — the base CTE changed")
+
+  /** IVF_STORE_OCC_SQL with seeds drawn from the FULL corpus (the
+    * fresh-build form `q_ivf_store_reseed` also uses) — the occupancy
+    * of an init over everything, i.e. the time-travel query's CURRENT
+    * snapshot. */
+  private val IVF_STORE_OCC_FULLSEED_SQL: String = IVF_STORE_OCC_SQL.replace(
+    "FROM base WHERE stored) WHERE centroid_id < 16",
+    "FROM base) WHERE centroid_id < 16")
+  require(IVF_STORE_OCC_FULLSEED_SQL != IVF_STORE_OCC_SQL,
+    "IVF_STORE_OCC_FULLSEED_SQL replace matched nothing — the seeds CTE changed")
 
   /** Okapi BM25 top-3 docs per top-10 corpus term — ONE oracle text
     * for the raw-corpus ranker (`q_bm25`), the store-served ranker
@@ -4286,6 +4404,13 @@ object SparkEntry {
     // (fold invariance): one oracle certifies the whole trajectory
     "q_bm25_store_stream" -> BM25_SQL,
     "q_bm25_store_compact" -> BM25_SQL,
+    // versioned lexical lifecycle: reader pinned to v1 across the
+    // publish and a fresh v2 reader serve the SAME ranking
+    "q_bm25_store_versioned" ->
+      s"""WITH r AS ($BM25_SQL),
+         |arms AS (SELECT 'current_v2' AS arm UNION ALL SELECT 'pinned_v1')
+         |SELECT arms.arm, r.token, r.rnk, r.doc_id, r.tf, r.dl, r.bm25
+         |FROM arms CROSS JOIN r ORDER BY arm, token, rnk""".stripMargin,
     // lexical sidecar fsck: postings-derived totals vs the sidecars,
     // booleans TRUE-iff-held, real counts pinned by the hash
     "q_bm25_store_fsck" ->
@@ -6118,6 +6243,27 @@ object SparkEntry {
     // assignment facts are unchanged, so the SAME occupancy oracle
     // certifies the fold (and that day rows entered the lists once)
     "q_ivf_store_compact" -> IVF_STORE_OCC_SQL,
+    // versioned lifecycle: BOTH arms (reader pinned to v1 across the
+    // publish, fresh reader on v2) must equal the same folded
+    // occupancy — the fold is logically invisible and the superseded
+    // version physically intact, so the oracle is the occupancy law
+    // cross-joined with the two arm tags
+    "q_ivf_store_versioned" ->
+      s"""WITH occ AS ($IVF_STORE_OCC_SQL),
+         |arms AS (SELECT 'current_v2' AS arm UNION ALL SELECT 'pinned_v1')
+         |SELECT arms.arm, occ.centroid_id, occ.seed_vec_id,
+         |  occ.list_size, occ.n_codes, occ.share
+         |FROM arms CROSS JOIN occ ORDER BY arm, centroid_id""".stripMargin,
+    // time travel: the two snapshots are DIFFERENT stores — previous
+    // is the half-corpus init, current the full re-build — so the
+    // oracle is the two occupancy laws, one per arm
+    "q_ivf_store_time_travel" ->
+      s"""WITH o1 AS ($IVF_STORE_OCC_HALF_SQL),
+         |o2 AS ($IVF_STORE_OCC_FULLSEED_SQL),
+         |u AS (SELECT 'snapshot_prev' AS arm, * FROM o1
+         |      UNION ALL SELECT 'snapshot_curr' AS arm, * FROM o2)
+         |SELECT arm, centroid_id, seed_vec_id, list_size, n_codes, share
+         |FROM u ORDER BY arm, centroid_id""".stripMargin,
     "q_ivf_store_stream_del" -> IVF_STORE_STREAM_DEL_SQL,
     // post-reseed occupancy ≡ a fresh build's: seeds from ALL
     // non-degenerate codes, every vector re-assigned, same aggregation

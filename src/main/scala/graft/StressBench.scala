@@ -324,6 +324,20 @@ object StressBench {
       p
     }
     if (selected("ivf_truncated_probe_d16")) { ivfPrefixStoreDir; () }
+    // round-18 session 2: the same corpus under the VERSIONED layout
+    // (untimed publish of store_v1); the timed rows below price the
+    // windowless swap against the flat compact — same staged rewrite
+    // plus one atomic marker create + retain-2 GC — and the per-query
+    // resolve (one bounded manifest listing)
+    lazy val ivfVerBase = {
+      val p = stressTmp("graft_stress_ivf_ver")
+      ext.StoreVersioning.publish(spark, p) { root =>
+        ext.Similarity.ivfIndexStoreInit(embPq, root)
+      }
+      p
+    }
+    if (Seq("ivf_store_versioned_publish", "store_version_resolve")
+        .exists(selected)) { ivfVerBase; () }
     // round-17: the persisted LEXICAL index — built once over the
     // MATERIALIZED replicated corpus (untimed, like every store
     // artifact), probed per query batch. The timed row below reads
@@ -614,6 +628,16 @@ object StressBench {
       }),
       time("ivf_store_compact", ext.Similarity.ivfIndexStoreCompact(
         spark, ivfStoreDir).count()),
+      // round-18 session 2: the SAME fold through the versioned swap —
+      // publish of store_v2 via one atomic marker create instead of
+      // the double rename; the delta vs ivf_store_compact is the
+      // manifest's whole cost (expected ~0: the rewrite dominates)
+      time("ivf_store_versioned_publish", ext.Similarity.ivfIndexStoreCompact(
+        spark, ext.StoreVersioning.resolve(spark, ivfVerBase)).count()),
+      // the per-query pointer read, ×100: one bounded manifest listing
+      // each — the whole price every probe pays for windowless reads
+      time("store_version_resolve", (1 to 100).map(_ =>
+        ext.StoreVersioning.resolve(spark, ivfVerBase).length.toLong).sum),
       // skew → reseed → repair arc (rows run IN ORDER; the reseed row
       // mutates the store between the two probes). Occupancy rows
       // return the MAX list size — the number probe cost follows.

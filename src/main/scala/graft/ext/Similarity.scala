@@ -1718,23 +1718,35 @@ object Similarity {
     * (target → old, staging → target, rollback on failure) swaps it
     * live.
     *
-    * SINGLE-READER CONTRACT (round 18, spec-pinned): between the two
-    * renames there is an instant where NO live store root exists. A
-    * crashed writer in that window self-heals (`storeSwapRecover`
-    * enumerates exactly these states), but a CONCURRENT reader racing
-    * the swap observes an absent store and fails loud with the
-    * missing-table error — a spurious, retryable failure, never a
-    * wrong answer (the reader cannot see a half-swapped MIX: the store
-    * root moves as one rename). Deployments needing live readers
-    * across folds want a version-pointer manifest (readers resolve
-    * `CURRENT` → `store_v{N}/`, writers stage v{N+1} fully and
-    * atomically rewrite the pointer, old versions GC'd) — the
-    * documented extension; the single-writer stores here quiesce reads
-    * across compact/train instead, the same contract a delete already
-    * imposes (see [[graft.ext.TextOps.bm25IndexDelete]]).
+    * SINGLE-READER CONTRACT — FLAT LAYOUT ONLY (round 18, spec-pinned):
+    * between the two renames there is an instant where NO live store
+    * root exists. A crashed writer in that window self-heals
+    * (`storeSwapRecover` enumerates exactly these states), but a
+    * CONCURRENT reader racing the swap observes an absent store and
+    * fails loud with the missing-table error — a spurious, retryable
+    * failure, never a wrong answer (the reader cannot see a
+    * half-swapped MIX: the store root moves as one rename). The flat
+    * single-writer stores quiesce reads across compact/train, the same
+    * contract a delete already imposes
+    * (see [[graft.ext.TextOps.bm25IndexDelete]]).
+    *
+    * VERSIONED BRANCH (round 18, session 2): when `dir` is a published
+    * `store_v{N}` root under a [[StoreVersioning]] manifest, the swap
+    * is NOT a double rename — the whole next store is staged as the
+    * sibling `store_v{N+1}` and committed with one atomic marker
+    * creation. No instant without a live root exists; a reader that
+    * resolved v{N} before the publish finishes on v{N}'s untouched
+    * bytes (GC retains the previous version for exactly that reader).
+    * Returns the live root after the swap — `dir` itself in flat
+    * layout, the NEW version root when versioned; post-swap reads must
+    * use the returned root, never the argument.
     */
   private[ext] def stageThenSwap(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String)(stage: String => Unit): Unit = {
+                                 dir: String)(stage: String => Unit): String = {
+    if (StoreVersioning.isVersionRoot(spark, dir)) {
+      val base = new org.apache.hadoop.fs.Path(dir).getParent.toString
+      return StoreVersioning.publish(spark, base)(stage)
+    }
     val target = new org.apache.hadoop.fs.Path(dir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(
@@ -1752,6 +1764,7 @@ object Similarity {
       throw new java.io.IOException(s"rename $staging -> $target failed")
     }
     fs.delete(old, true)
+    dir
   }
 
   /** DELETE vectors from the persisted index (`q_ivf_store_delete`) —
@@ -2726,7 +2739,7 @@ object Similarity {
         s"no IVF index store (live, old, or staged) at $dir")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    stageThenSwap(spark, dir) { staging =>
+    val live = stageThenSwap(spark, dir) { staging =>
       ivfIndexStoreCentroids(spark, dir).write.parquet(s"$staging/centroids")
       ivfIndexStoreLiveAssignments(spark, dir)
         .select((STORE_COLS :+ "centroid_id").map(col): _*)
@@ -2760,7 +2773,7 @@ object Similarity {
           .write.partitionBy("d", "centroid_id")
           .parquet(s"$staging/prefix_codes")
     }
-    ivfIndexStoreOccupancy(spark, dir)
+    ivfIndexStoreOccupancy(spark, live)
   }
 
   /** Re-seed + re-assign the PERSISTED index in place — the lifecycle
@@ -2833,7 +2846,7 @@ object Similarity {
     }
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    stageThenSwap(spark, dir) { staging =>
+    val live = stageThenSwap(spark, dir) { staging =>
     // every staged write reads the still-live target (or staging files
     // already completed) and finishes before any rename — no lineage
     // reaches the swapped paths afterwards
@@ -2910,7 +2923,7 @@ object Similarity {
         .write.partitionBy("d", "centroid_id")
         .parquet(s"$staging/prefix_codes")
     }
-    ivfIndexStoreOccupancy(spark, dir)
+    ivfIndexStoreOccupancy(spark, live)
   }
 
   // ───────────────────── product-quantization (PQ) tier ─────────────────────

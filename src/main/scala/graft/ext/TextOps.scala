@@ -567,10 +567,13 @@ object TextOps {
     * same enumerated-states recovery every other store uses — and the
     * invariance law is hash-certified: the served ranking over the
     * compacted store equals the union build (`q_bm25_store_compact`
-    * shares `q_bm25`'s oracle).
+    * shares `q_bm25`'s oracle). Returns the live root after the swap —
+    * `dir` in flat layout, the NEW version root when `dir` is a
+    * published [[graft.ext.StoreVersioning]] root (post-compact reads
+    * must use the return, never the argument).
     */
   def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
-                       dir: String): Unit = {
+                       dir: String): String = {
     if (Curation.storeSwapRecover(spark, dir) == "absent")
       throw new java.io.IOException(s"no lexical index store at $dir")
     val (postings, dfreq, nDocs, totalLen, nBuckets) =
