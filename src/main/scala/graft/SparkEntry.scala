@@ -359,6 +359,47 @@ object SparkEntry {
           .withColumn("arm", lit("pinned_v1")))
         .orderBy("arm", "token", "rnk")
     }),
+    // the lexical INCREMENTAL fold (round 18, session 2 — the IVF
+    // incfold's twin): manifested postings, streamed days + a
+    // tombstone folded into ONLY the buckets their tokens touch, day
+    // retirement atomic with the data flip; served ranking ≡ the
+    // survivor build (the streamed-delete oracle verbatim)
+    "q_bm25_store_incfold" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, md5, substring}
+      val docs = Tables.documents(s, d)
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25_incf_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      val dp = new org.apache.hadoop.fs.Path(dir)
+      dp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dp, true)
+      LexIncremental.init(docs.filter(h < "8"), dir)
+      TextOps.bm25IndexStreamDay(s,
+        docs.filter(h >= lit("8") && h < lit("c")), 0L, dir)
+      TextOps.bm25IndexStreamDay(s, docs.filter(h >= "c"), 1L, dir)
+      LexIncremental.tombstone(s,
+        docs.filter(col("doc_id") % 5 === 2).select("doc_id"), dir, 2L)
+      LexIncremental.fold(s, dir)
+      LexIncremental.topDocs(s, dir)
+    }),
+    // lexical ATOMIC append under the manifest: batch postings as new
+    // per-bucket entries, one commit, selective dfreq merge — the
+    // union-build law (q_bm25_store_inc's oracle verbatim)
+    "q_bm25_store_inc_append" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, md5, substring}
+      val docs = Tables.documents(s, d)
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25_inca_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      val dp = new org.apache.hadoop.fs.Path(dir)
+      dp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dp, true)
+      LexIncremental.init(docs.filter(h < "8"), dir)
+      LexIncremental.append(s, docs.filter(h >= "8"), dir)
+      LexIncremental.topDocs(s, dir)
+    }),
     // STREAMED deletion (round 18): a store with unfolded days cannot
     // run the batch delete (sidecars don't cover days — refused loud);
     // the tombstone day cell closes that gap. Init + two streamed days,
@@ -959,6 +1000,58 @@ object SparkEntry {
       Similarity.ivfIndexStoreTombstone(s,
         emb.filter(col("vec_id") % 7 === 3).select("vec_id"), dir, 2L)
       Similarity.ivfIndexStoreCompact(s, dir)
+    }),
+    // the INCREMENTAL fold (round 18, session 2): the same lifecycle
+    // as q_ivf_store_stream_del — init + two streamed days + a
+    // tombstone batch — but the store's consolidated rows live under a
+    // FILE-LIST MANIFEST (ManifestedTable, the Iceberg shape), so the
+    // fold rewrites ONLY the partitions a day row or victim touched
+    // (unaffected entries carry their old paths verbatim) and retires
+    // the day/tombstone cells ATOMICALLY with the data flip in one
+    // manifest commit — the mid-fold double-count a directory layout
+    // cannot avoid is structurally impossible. Occupancy over the
+    // folded store ≡ a fresh build over the survivors: the streamed-
+    // delete oracle verbatim (same law, different fold machinery)
+    "q_ivf_store_incfold" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, md5, substring}
+      val emb = Tables.embeddings(s, d)
+      val h = substring(md5(col("vec_id").cast("string")), 1, 1)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_incf_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      // rerun-safe: a fresh store per invocation (a re-init against an
+      // existing manifest is a loud duplicate-version error BY DESIGN)
+      val dp = new org.apache.hadoop.fs.Path(dir)
+      dp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dp, true)
+      IvfIncremental.init(emb.filter(h < "8"), dir)
+      Similarity.ivfIndexStreamDay(s,
+        emb.filter(h >= lit("8") && h < lit("c")), 0L, dir)
+      Similarity.ivfIndexStreamDay(s, emb.filter(h >= "c"), 1L, dir)
+      Similarity.ivfIndexStoreTombstone(s,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), dir, 2L)
+      IvfIncremental.fold(s, dir)
+      IvfIncremental.occupancy(s, dir)
+    }),
+    // ATOMIC append under the manifest: the batch's files land as NEW
+    // entries (multiple entries per partition — the LSM shape; no
+    // existing file read or rewritten, O(batch) at any store size) and
+    // ONE manifest commit makes them all visible, closing the flat
+    // append's non-atomic parquet-append window. Occupancy ≡ the flat
+    // init+append law (q_ivf_store_occupancy's oracle verbatim)
+    "q_ivf_store_inc_append" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, md5, substring}
+      val emb = Tables.embeddings(s, d)
+      val storedSide = substring(md5(col("vec_id").cast("string")), 1, 1) < "8"
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_inca_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      val dp = new org.apache.hadoop.fs.Path(dir)
+      dp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dp, true)
+      IvfIncremental.init(emb.filter(storedSide), dir)
+      IvfIncremental.append(s, emb.filter(!storedSide), dir)
+      IvfIncremental.occupancy(s, dir)
     }),
     // FILTERED ANN over the store (round 17): top-k among only the
     // vectors passing a metadata predicate, post-filter vs in-filter
@@ -4399,6 +4492,10 @@ object SparkEntry {
     // stream + tombstone + compact ≡ the survivor build — the batch
     // delete's exact oracle certifies the streamed deletion law too
     "q_bm25_store_stream_del" -> BM25_DEL_SQL,
+    // the lexical incremental fold obeys the SAME survivor law
+    "q_bm25_store_incfold" -> BM25_DEL_SQL,
+    // the lexical atomic append obeys the union-build law
+    "q_bm25_store_inc_append" -> BM25_SQL,
     // streamed days ≡ union build (day facts are pure per-batch;
     // the view merges df/stats by addition) — and compact ≡ the same
     // (fold invariance): one oracle certifies the whole trajectory
@@ -6265,6 +6362,11 @@ object SparkEntry {
          |SELECT arm, centroid_id, seed_vec_id, list_size, n_codes, share
          |FROM u ORDER BY arm, centroid_id""".stripMargin,
     "q_ivf_store_stream_del" -> IVF_STORE_STREAM_DEL_SQL,
+    // the incremental fold obeys the SAME survivor law — different
+    // fold machinery (manifest flip vs whole-store swap), same result
+    "q_ivf_store_incfold" -> IVF_STORE_STREAM_DEL_SQL,
+    // the atomic append obeys the flat init+append occupancy law
+    "q_ivf_store_inc_append" -> IVF_STORE_OCC_SQL,
     // post-reseed occupancy ≡ a fresh build's: seeds from ALL
     // non-degenerate codes, every vector re-assigned, same aggregation
     "q_ivf_store_reseed" ->

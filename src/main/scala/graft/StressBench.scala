@@ -338,6 +338,23 @@ object StressBench {
     }
     if (Seq("ivf_store_versioned_publish", "store_version_resolve")
         .exists(selected)) { ivfVerBase; () }
+    // round-18 session 2: the MANIFESTED store over the SAME corpus as
+    // ivf_store_compact's flat store, with one pending day of ~50
+    // near-identical vectors (a planted single-cluster batch) that all
+    // land in ONE list — the matched A/B: the incremental fold rewrites
+    // that one partition's files; the flat compact rewrites the whole
+    // store. Setup (init + day stream) untimed, like every store row.
+    lazy val ivfIncDir = {
+      val p = stressTmp("graft_stress_ivf_inc")
+      ext.IvfIncremental.init(embPq, p)
+      ext.Similarity.ivfIndexStreamDay(spark,
+        ext.Similarity.plantedClusterEmbeddings(embPq)
+          .filter(col("vec_id") % 8 === 2 && col("vec_id") < 400)
+          .withColumn("vec_id", col("vec_id") + lit(4000000000L)),
+        0L, p)
+      p
+    }
+    if (selected("ivf_store_incfold")) { ivfIncDir; () }
     // round-17: the persisted LEXICAL index — built once over the
     // MATERIALIZED replicated corpus (untimed, like every store
     // artifact), probed per query batch. The timed row below reads
@@ -638,6 +655,13 @@ object StressBench {
       // each — the whole price every probe pays for windowless reads
       time("store_version_resolve", (1 to 100).map(_ =>
         ext.StoreVersioning.resolve(spark, ivfVerBase).length.toLong).sum),
+      // the incremental fold A/B against ivf_store_compact (same
+      // corpus, same store bytes): one pending single-list day folded
+      // by rewriting ONE partition's files + one manifest commit vs the
+      // flat compact's whole-store rewrite. `rows` = affected lists —
+      // the claim is 1, and the cost tracking IT, not the store
+      time("ivf_store_incfold",
+        ext.IvfIncremental.fold(spark, ivfIncDir).count()),
       // skew → reseed → repair arc (rows run IN ORDER; the reseed row
       // mutates the store between the two probes). Occupancy rows
       // return the MAX list size — the number probe cost follows.

@@ -1214,7 +1214,7 @@ object Similarity {
     * day-scan reads, so its physical width is the family's bandwidth
     * bill at 100 TB.
     */
-  private val STORE_COLS = Seq("vec_id", "qb", "qsq", "dig", "centroid_sim")
+  private[ext] val STORE_COLS = Seq("vec_id", "qb", "qsq", "dig", "centroid_sim")
 
   def ivfIndexStoreInit(embeddings: DataFrame, dir: String,
                         nList: Int = 16): Unit = {
@@ -1379,7 +1379,7 @@ object Similarity {
     * lost-live state leaves a completed `.next` that the next read
     * adopts.
     */
-  private def writeLloydStats(spark: org.apache.spark.sql.SparkSession,
+  private[ext] def writeLloydStats(spark: org.apache.spark.sql.SparkSession,
                               dir: String,
                               stats: Map[(Int, Int), (Long, Long)]): Unit = {
     import spark.implicits._
@@ -1903,7 +1903,23 @@ object Similarity {
   def ivfIndexStoreProbe(spark: org.apache.spark.sql.SparkSession,
                          queryVecs: DataFrame, dir: String,
                          k: Int = 5, nProbe: Int = 4,
-                         keep: Option[DataFrame] = None): DataFrame = {
+                         keep: Option[DataFrame] = None): DataFrame =
+    storeProbeWith(spark, queryVecs, dir, k, nProbe, keep,
+      lists => ivfIndexStoreLiveAssignments(spark, dir)
+        .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*)))
+
+  /** The probe with its candidate source abstracted: `candidatesOf`
+    * maps the collected probed-list ids to the live candidate rows of
+    * exactly those lists — hive partition pruning for the flat store,
+    * manifest-entry selection for [[ManifestedTable]]-backed stores.
+    * ONE copy of the query-side quantization, centroid ranking, and
+    * exact packed-byte rescore.
+    */
+  private[ext] def storeProbeWith(spark: org.apache.spark.sql.SparkSession,
+                                  queryVecs: DataFrame, dir: String,
+                                  k: Int, nProbe: Int,
+                                  keep: Option[DataFrame],
+                                  candidatesOf: Seq[Int] => DataFrame): DataFrame = {
     import graft.functions.Int8Bytes.int8_bytes
     import graft.functions.IntDotBytes.int_dot_bytes
     graft.functions.GraftFunctions.register(spark)
@@ -1945,8 +1961,7 @@ object Similarity {
     // a batch-only index): what the index HOLDS is what a probe reads —
     // an index maintained by ivfIndexStreamDay answers from day files
     // until a reseed folds them into the consolidated lists
-    val cands0 = ivfIndexStoreLiveAssignments(spark, dir)
-      .filter(col("centroid_id").isin(lists.map(Integer.valueOf): _*))
+    val cands0 = candidatesOf(lists.toSeq)
       .select(col("vec_id").as("neighbor_id"), col("qb"),
         col("qsq").as("sqb"), col("centroid_id").as("cluster"))
     val cands = keep.fold(cands0)(ids => cands0.join(
@@ -2692,12 +2707,22 @@ object Similarity {
     * hash-matched.
     */
   def ivfIndexStoreOccupancy(spark: org.apache.spark.sql.SparkSession,
-                             dir: String): DataFrame = {
+                             dir: String): DataFrame =
+    occupancySummary(spark, dir, ivfIndexStoreLiveAssignments(spark, dir))
+
+  /** The occupancy aggregate over an explicit live-rows frame — ONE
+    * copy shared by the flat/versioned store and the manifested
+    * incremental store ([[ManifestedTable]]), whose live view resolves
+    * differently but whose centroids table and occupancy law are
+    * identical.
+    */
+  private[ext] def occupancySummary(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String, live: DataFrame): DataFrame = {
     import spark.implicits._
     val seedById = ivfIndexStoreCentroids(spark, dir)
       .select("centroid_id", "seed_vec_id").collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val per = ivfIndexStoreLiveAssignments(spark, dir)
+    val per = live
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("n"), countDistinct(col("dig")).as("nc"))
       .collect()

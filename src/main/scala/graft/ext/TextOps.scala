@@ -302,7 +302,7 @@ object TextOps {
     * every probe to the query-vocabulary buckets (a token's postings
     * live in exactly ONE bucket, so pruned df/tf reads are exact).
     */
-  private def lexBucket(nBuckets: Int): Column =
+  private[ext] def lexBucket(nBuckets: Int): Column =
     pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int")
 
   /** The one batch → index-frames pass shared by init and append:
@@ -311,7 +311,7 @@ object TextOps {
     * joins a doc-length table), per-token df, and the one-row
     * (n_docs, total_len) stats.
     */
-  private def lexBatchFrames(documents: DataFrame)
+  private[ext] def lexBatchFrames(documents: DataFrame)
       : (DataFrame, DataFrame, (Long, Long)) = {
     val c = bm25Corpus(documents)
     val postings = c.tf.join(c.dl, Seq("doc_id"))
@@ -320,7 +320,7 @@ object TextOps {
     (postings, c.dfreq, (st.getLong(0), st.getLong(1)))
   }
 
-  private def lexStatsDf(spark: org.apache.spark.sql.SparkSession,
+  private[ext] def lexStatsDf(spark: org.apache.spark.sql.SparkSession,
                          nDocs: Long, totalLen: Long,
                          nBuckets: Int): DataFrame = {
     import spark.implicits._
@@ -333,7 +333,7 @@ object TextOps {
     * probing a store without its additive statistics would silently
     * break the init+append ≡ union-build law.
     */
-  private def lexStoreStats(spark: org.apache.spark.sql.SparkSession,
+  private[ext] def lexStoreStats(spark: org.apache.spark.sql.SparkSession,
                             dir: String): (Long, Long, Int) = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/corpus_stats")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -349,7 +349,7 @@ object TextOps {
       r.getInt(r.fieldIndex("n_buckets")))
   }
 
-  private def lexStoreDfreq(spark: org.apache.spark.sql.SparkSession,
+  private[ext] def lexStoreDfreq(spark: org.apache.spark.sql.SparkSession,
                             dir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/dfreq")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -361,7 +361,7 @@ object TextOps {
     spark.read.parquet(p.toString).select("token", "df", "bucket")
   }
 
-  private def lexDayDirExists(spark: org.apache.spark.sql.SparkSession,
+  private[ext] def lexDayDirExists(spark: org.apache.spark.sql.SparkSession,
                               dir: String, name: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -377,7 +377,7 @@ object TextOps {
     * (round-18 ADVICE); the foreachBatch replay of that day overwrites
     * all three with bytes that cannot disagree, completing it.
     */
-  private def lexCompleteDays(spark: org.apache.spark.sql.SparkSession,
+  private[ext] def lexCompleteDays(spark: org.apache.spark.sql.SparkSession,
                               dir: String,
                               statsName: String = "day_stats"): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$statsName")
@@ -397,17 +397,32 @@ object TextOps {
     * table — no corpus re-read, and the consolidated sidecars keep
     * covering exactly the consolidated postings (the fsck contract).
     */
-  private def lexStoreView(spark: org.apache.spark.sql.SparkSession,
+  private[ext] def lexStoreView(spark: org.apache.spark.sql.SparkSession,
                            dir: String)
       : (DataFrame, DataFrame, Long, Long, Int) = {
-    val (nDocs0, totalLen0, nBuckets) = lexStoreStats(spark, dir)
     // adopt any completed per-bucket swap a crashed delete left mid-
     // rename before serving (the IVF assignments-read posture)
     Similarity.adoptDeleteStaged(spark, s"$dir/postings", "bucket")
     val basePostings = spark.read.parquet(s"$dir/postings")
       .select("token", "doc_id", "tf", "dl", "bucket")
+    lexViewOf(spark, dir, basePostings,
+      lexCompleteDays(spark, dir),
+      lexCompleteDays(spark, dir, "tomb_stats"))
+  }
+
+  /** The served-view MERGE with the consolidated base and the day /
+    * tombstone-day sets injected — ONE copy of the df-addition,
+    * stats-sum, and tombstone-subtraction arithmetic, shared by the
+    * directory-layout store ([[lexStoreView]]: ALL marker-complete
+    * days) and the manifested store ([[LexIncremental]]: only the
+    * days its resolved manifest does not list as folded/applied).
+    */
+  private[ext] def lexViewOf(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, basePostings: DataFrame,
+                             days: Seq[Long], tombDays: Seq[Long])
+      : (DataFrame, DataFrame, Long, Long, Int) = {
+    val (nDocs0, totalLen0, nBuckets) = lexStoreStats(spark, dir)
     val baseDfreq = lexStoreDfreq(spark, dir)
-    val days = lexCompleteDays(spark, dir)
     val (postings, dfreq, nDocs, totalLen) =
       if (days.isEmpty || !lexDayDirExists(spark, dir, "day_postings"))
         (basePostings, baseDfreq, nDocs0, totalLen0)
@@ -424,7 +439,11 @@ object TextOps {
         val mergedDfreq = baseDfreq.unionByName(dayDfreq)
           .groupBy("token", "bucket").agg(sum(col("df")).as("df"))
           .select("token", "df", "bucket")
+        // filtered to the INJECTED day set — identical for the flat
+        // store (all marker days), load-bearing for the manifested one
+        // (folded days' cells linger until grace-retirement)
         val Array(ds) = spark.read.parquet(s"$dir/day_stats")
+          .filter(col("day").isin(dayKeys: _*))
           .agg(coalesce(sum("n_docs"), lit(0L)).as("nd"),
             coalesce(sum("total_len"), lit(0L)).as("len")).collect()
         (basePostings.unionByName(dayPostings), mergedDfreq,
@@ -438,7 +457,6 @@ object TextOps {
     // invisible, never half-applied. df hits exactly zero for fully
     // tombstoned tokens and the filter drops them — the delete law's
     // shape, merged on read.
-    val tombDays = lexCompleteDays(spark, dir, "tomb_stats")
     if (tombDays.isEmpty) (postings, dfreq, nDocs, totalLen, nBuckets)
     else {
       val tKeys = tombDays.map(java.lang.Long.valueOf)
@@ -531,8 +549,18 @@ object TextOps {
     */
   def bm25IndexTombstone(spark: org.apache.spark.sql.SparkSession,
                          docIds: DataFrame, dir: String,
-                         day: Long): Long = {
-    val (postings, _, _, _, _) = lexStoreView(spark, dir)
+                         day: Long): Long =
+    lexTombstoneWith(spark, lexStoreView(spark, dir)._1, docIds, dir, day)
+
+  /** [[bm25IndexTombstone]] with the served postings injected — ONE
+    * copy of the victim-fact derivation and the three-artifact write
+    * order, shared with the manifested store ([[LexIncremental]]),
+    * whose served view resolves through its manifest instead of the
+    * directory layout.
+    */
+  private[ext] def lexTombstoneWith(spark: org.apache.spark.sql.SparkSession,
+                                    postings: DataFrame, docIds: DataFrame,
+                                    dir: String, day: Long): Long = {
     val idFrame = docIds.select(col("doc_id")).distinct()
     val victims = postings.join(idFrame, Seq("doc_id")).persist()
     try {
@@ -917,8 +945,16 @@ object TextOps {
     */
   def bm25StoreTopDocs(spark: org.apache.spark.sql.SparkSession,
                        dir: String, nTerms: Int = 10,
-                       topK: Int = 3): DataFrame = {
-    val (postings, dfreq, nDocs, totalLen, _) = lexStoreView(spark, dir)
+                       topK: Int = 3): DataFrame =
+    lexTopDocsOf(spark, lexStoreView(spark, dir), nTerms, topK)
+
+  /** [[bm25StoreTopDocs]] off an injected served view — ONE copy of
+    * the demo-term pick and ranking, shared with [[LexIncremental]].
+    */
+  private[ext] def lexTopDocsOf(spark: org.apache.spark.sql.SparkSession,
+                                view: (DataFrame, DataFrame, Long, Long, Int),
+                                nTerms: Int = 10, topK: Int = 3): DataFrame = {
+    val (postings, dfreq, nDocs, totalLen, _) = view
     val terms = dfreq
       .orderBy(col("df").desc, col("token")).limit(nTerms)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
@@ -1127,7 +1163,7 @@ object TextOps {
     * list is query-scale), score each (term, doc) with the one
     * [[bm25Weight]] copy off stored tf/dl and sidecar df/stats.
     */
-  private def scoreStorePostings(postings: DataFrame,
+  private[ext] def scoreStorePostings(postings: DataFrame,
                                  terms: Seq[(String, Long)],
                                  buckets: Seq[Int], nDocs: Long,
                                  totalLen: Long): DataFrame = {
