@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * {{{
   *   tbl/
   *     manifest/v{N}.txt    ← committed by RENAME of a fully-written
-  *                            tmp (atomic, no torn read; a duplicate
-  *                            version fails the rename LOUD)
+  *                            writer-unique tmp (atomic — no torn
+  *                            read; replayed same-version commits
+  *                            fail the exists-check; see [[commit]]
+  *                            for the single-writer contract)
   *     data/v{K}/pdir=P/    ← one dir of parquet part-files per
   *                            (writing version, partition); immutable
   *                            once referenced
@@ -138,21 +140,37 @@ object ManifestedTable {
     fs.delete(dataDir, true)
     df.withColumn("pdir", col(partCol))
       .write.partitionBy("pdir").parquet(dataDir.toString)
+    val parts = fs.listStatus(dataDir).toSeq
+      .filter(_.getPath.getName.startsWith("pdir="))
+    // EMPTY content writes no partition dirs (just _SUCCESS): return
+    // no entries rather than crash the read-back — a full-takedown
+    // fold legitimately empties every affected partition, and its
+    // commit must still land so the pending tombstones retire
+    if (parts.isEmpty) return Seq.empty
+    // row counts off the read-back: the groupBy is on the PARTITION
+    // column with count(*) only, so the scan carries an empty data
+    // ReadSchema — row-group counts, not data pages
     val rowsOf = spark.read.parquet(dataDir.toString)
       .groupBy("pdir").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    fs.listStatus(dataDir).toSeq
-      .filter(_.getPath.getName.startsWith("pdir="))
-      .map { st =>
-        val part = st.getPath.getName.stripPrefix("pdir=").toInt
-        Entry(part, s"data/v$v/pdir=$part", rowsOf.getOrElse(part, 0L))
-      }.sortBy(_.part)
+    parts.map { st =>
+      val part = st.getPath.getName.stripPrefix("pdir=").toInt
+      Entry(part, s"data/v$v/pdir=$part", rowsOf.getOrElse(part, 0L))
+    }.sortBy(_.part)
   }
 
-  /** Commit a snapshot: serialize fully to a hidden tmp, then RENAME
-    * into the manifest dir — atomic on every Hadoop FS, and a rename
-    * onto an existing version fails loud (a lost single-writer race is
-    * detected, never silent).
+  /** Commit a snapshot: serialize fully to a WRITER-UNIQUE hidden tmp,
+    * then RENAME into the manifest dir — atomic, so a reader never
+    * sees a torn manifest. The exists-check catches a replayed commit
+    * of the same version (the realistic single-writer failure), and on
+    * HDFS-semantics filesystems a rename onto an existing version also
+    * refuses. TRUE concurrent writers are OUTSIDE this table's
+    * contract (single-writer, like every store mutation in this repo —
+    * POSIX rename(2) replaces an existing file silently, so the local
+    * filesystem cannot make a same-version double-commit loud at this
+    * layer); [[StoreVersioning.publish]]'s marker protocol is the
+    * multi-writer-detecting variant, bought by keeping its manifest
+    * content-free.
     */
   def commit(spark: SparkSession, tbl: String, snap: Snapshot): Unit = {
     val m = manifestDir(tbl)
@@ -163,7 +181,9 @@ object ManifestedTable {
       throw new java.io.IOException(
         s"manifest version ${snap.version} already committed at $tbl — " +
           "lost single-writer race or replayed commit")
-    val tmp = new Path(m, s".v${snap.version}.txt.tmp")
+    // writer-unique tmp: even an out-of-contract racer can never clobber
+    // another writer's half-serialized bytes
+    val tmp = new Path(m, s".v${snap.version}.txt.tmp-${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try {
       val sb = new StringBuilder
@@ -234,18 +254,31 @@ object IvfIncremental {
   private val TBL = "assignments_m"
   private def tbl(dir: String) = s"$dir/$TBL"
 
-  private def statsOfRows(rows: DataFrame): Map[(Int, Int), (Long, Long)] = {
-    graft.functions.GraftFunctions.register(rows.sparkSession)
-    import graft.functions.Int8Unpack.int8_unpack
-    rows
-      .select(col("centroid_id").as("cluster"),
-        posexplode(int8_unpack(col("qb"))).as(Seq("pos", "v")))
-      .groupBy("cluster", "pos")
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
-      .toMap
+  // ONE copy of the sidecar-cell aggregation ([[Similarity]]'s own,
+  // widened for sharing) — two copies could drift, the exact hazard
+  // the extracted occupancy/probe internals exist to avoid
+  private def statsOfRows(rows: DataFrame): Map[(Int, Int), (Long, Long)] =
+    Similarity.collectAssignmentStats(rows)
+
+  /** The store schema, for the empty-entries degenerate (a
+    * full-takedown fold legitimately empties the table; reads must
+    * serve an empty frame, not crash on schema inference).
+    */
+  private def emptyRows(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new StructType()
+        .add("vec_id", LongType).add("qb", BinaryType).add("qsq", LongType)
+        .add("dig", StringType).add("centroid_sim", DoubleType)
+        .add("centroid_id", IntegerType))
   }
+
+  private def readRows(spark: SparkSession, dir: String,
+                       snap: ManifestedTable.Snapshot,
+                       parts: Option[Seq[Int]]): DataFrame =
+    if (snap.entries.isEmpty) emptyRows(spark)
+    else ManifestedTable.read(spark, tbl(dir), snap, parts)
 
   /** Build the incremental store: centroids + sidecar exactly as the
     * flat init, assignments committed as manifest v1.
@@ -262,8 +295,8 @@ object IvfIncremental {
       ManifestedTable.Snapshot(1L, entries, Nil, Nil))
     // sidecar off the just-committed bytes — no second argmax
     Similarity.writeLloydStats(spark, dir, statsOfRows(
-      ManifestedTable.read(spark, tbl(dir),
-        ManifestedTable.snapshot(spark, tbl(dir)).get)))
+      readRows(spark, dir, ManifestedTable.snapshot(spark, tbl(dir)).get,
+        None)))
   }
 
   private def currentSnap(spark: SparkSession, dir: String)
@@ -306,7 +339,7 @@ object IvfIncremental {
                      parts: Option[Seq[Int]]): DataFrame = {
     val consCols = Seq("vec_id", "qb", "qsq", "dig", "centroid_id",
       "centroid_sim")
-    val cons = ManifestedTable.read(spark, tbl(dir), snap, parts)
+    val cons = readRows(spark, dir, snap, parts)
       .select(consCols.map(col): _*)
     val pendDays = dayIds(spark, dir, "day_assignments")
       .filterNot(snap.foldedDays.toSet)
@@ -390,7 +423,7 @@ object IvfIncremental {
     */
   def statsRebuild(spark: SparkSession, dir: String): Unit =
     Similarity.writeLloydStats(spark, dir, statsOfRows(
-      ManifestedTable.read(spark, tbl(dir), currentSnap(spark, dir))))
+      readRows(spark, dir, currentSnap(spark, dir), None)))
 
   /** INCREMENTAL FOLD — apply every pending day and tombstone cell to
     * only their affected partitions, in one atomic manifest flip:
@@ -446,7 +479,7 @@ object IvfIncremental {
       // victims located against the MANIFESTED rows only (day victims
       // never entered the entries, so they just don't fold)
       val victims = tombIds.map(t =>
-        ManifestedTable.read(spark, tbl(dir), snap)
+        readRows(spark, dir, snap, None)
           .select(consCols.map(col): _*)
           .join(t, Seq("vec_id"), "left_semi").persist())
       try {
@@ -466,8 +499,8 @@ object IvfIncremental {
             ManifestedTable.Snapshot(snap.version + 1, snap.entries,
               snap.foldedDays ++ pendDays, snap.tombDays ++ pendTombs)
           else {
-            val affCons = ManifestedTable.read(spark, tbl(dir), snap,
-              Some(affected)).select(consCols.map(col): _*)
+            val affCons = readRows(spark, dir, snap, Some(affected))
+              .select(consCols.map(col): _*)
             val affSurv = tombIds.fold(affCons)(t =>
               affCons.join(t, Seq("vec_id"), "left_anti"))
             val content = adds.fold(affSurv)(affSurv.unionByName(_))
@@ -551,6 +584,25 @@ object LexIncremental {
       throw new java.io.IOException(
         s"no manifested lexical store at $dir (no committed manifest)"))
 
+  /** The postings schema, for the empty-entries degenerate (the
+    * [[IvfIncremental.emptyRows]] posture: a full takedown empties the
+    * table; reads serve an empty frame, never a schema-inference crash).
+    */
+  private def emptyRows(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new StructType()
+        .add("token", StringType).add("doc_id", LongType)
+        .add("tf", LongType).add("dl", LongType).add("bucket", IntegerType))
+  }
+
+  private def readRows(spark: SparkSession, dir: String,
+                       snap: ManifestedTable.Snapshot,
+                       parts: Option[Seq[Int]]): DataFrame =
+    if (snap.entries.isEmpty) emptyRows(spark)
+    else ManifestedTable.read(spark, tbl(dir), snap, parts)
+
   /** Build the store: manifested postings (v1) + the flat store's
     * dfreq / corpus_stats sidecars covering exactly those rows.
     */
@@ -575,7 +627,7 @@ object LexIncremental {
   private[ext] def view(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, Long, Long, Int) = {
     val snap = currentSnap(spark, dir)
-    val base = ManifestedTable.read(spark, tbl(dir), snap)
+    val base = readRows(spark, dir, snap, None)
       .select(COLS.map(col): _*)
     TextOps.lexViewOf(spark, dir, base,
       TextOps.lexCompleteDays(spark, dir).filterNot(snap.foldedDays.toSet),
@@ -645,7 +697,7 @@ object LexIncremental {
     */
   def statsRebuild(spark: SparkSession, dir: String): Unit = {
     val (_, _, nBuckets) = TextOps.lexStoreStats(spark, dir)
-    val rows = ManifestedTable.read(spark, tbl(dir), currentSnap(spark, dir))
+    val rows = readRows(spark, dir, currentSnap(spark, dir), None)
       .select(COLS.map(col): _*)
     // the rebuild's lineage reads MANIFESTED files, never dfreq itself,
     // so one rename-aside write suffices (no read-then-overwrite race)
@@ -689,41 +741,49 @@ object LexIncremental {
         .toDF("bucket", "n_added", "n_removed", "n_rows")
     val dayKeys = pendDays.map(java.lang.Long.valueOf)
     val tKeys = pendTombs.map(java.lang.Long.valueOf)
+    // each pending-cell frame read ONCE and reused (buckets derivation
+    // + content/merge) — persisted, like the IVF fold's adds/victims
     val dayPostings =
       if (pendDays.isEmpty) None
       else Some(spark.read.parquet(s"$dir/day_postings")
-        .filter(col("day").isin(dayKeys: _*)).select(COLS.map(col): _*))
+        .filter(col("day").isin(dayKeys: _*)).select(COLS.map(col): _*)
+        .persist())
     val tombIds =
       if (pendTombs.isEmpty) None
       else Some(spark.read.parquet(s"$dir/day_tombstones")
         .filter(col("day").isin(tKeys: _*)).select("doc_id").distinct()
         .persist())
+    val dayDf =
+      if (pendDays.isEmpty) None
+      else Some(spark.read.parquet(s"$dir/day_dfreq")
+        .filter(col("day").isin(dayKeys: _*))
+        .select("token", "df", "bucket").persist())
+    val tombDf =
+      if (pendTombs.isEmpty) None
+      else Some(spark.read.parquet(s"$dir/tomb_dfreq")
+        .filter(col("day").isin(tKeys: _*))
+        .select(col("token"), (-col("df")).as("df"), col("bucket"))
+        .persist())
     try {
       // affected buckets: the pending cells' own dfreq rows name them —
       // a bounded sidecar read, no postings scan to locate victims
-      val dayBuckets =
-        if (pendDays.isEmpty) Seq.empty[Int]
-        else spark.read.parquet(s"$dir/day_dfreq")
-          .filter(col("day").isin(dayKeys: _*))
-          .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-      val tombBuckets =
-        if (pendTombs.isEmpty) Seq.empty[Int]
-        else spark.read.parquet(s"$dir/tomb_dfreq")
-          .filter(col("day").isin(tKeys: _*))
-          .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+      val dayBuckets = dayDf.map(_.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq).getOrElse(Seq.empty[Int])
+      val tombBuckets = tombDf.map(_.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq).getOrElse(Seq.empty[Int])
       val affected = (dayBuckets ++ tombBuckets).distinct.sorted
-      val affCons = ManifestedTable.read(spark, tbl(dir), snap,
-        Some(affected)).select(COLS.map(col): _*)
-      val removedPer = tombIds.map(t =>
-        affCons.join(t, Seq("doc_id"), "left_semi").groupBy("bucket")
-          .agg(count(lit(1)).as("n")).collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap)
-        .getOrElse(Map.empty[Int, Long])
+      val affCons = readRows(spark, dir, snap, Some(affected))
+        .select(COLS.map(col): _*)
       val addsPer = dayPostings.map { d =>
         val surv = tombIds.fold(d)(t => d.join(t, Seq("doc_id"), "left_anti"))
         surv.groupBy("bucket").agg(count(lit(1)).as("n")).collect()
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
       }.getOrElse(Map.empty[Int, Long])
+      // removed rows need NO victim scan: the manifest already carries
+      // per-entry row counts, and after(b) = affSurv(b) + adds(b), so
+      // removed(b) = consBefore(b) − (after(b) − adds(b))
+      val consBefore = snap.entries.groupBy(_.part)
+        .map { case (p, es) => p -> es.map(_.rows).sum }
       val newSnap =
         if (affected.isEmpty)
           ManifestedTable.Snapshot(snap.version + 1, snap.entries,
@@ -748,16 +808,6 @@ object LexIncremental {
       if (affected.nonEmpty) {
         val baseAff = TextOps.lexStoreDfreq(spark, dir)
           .filter(col("bucket").isin(affected.map(Integer.valueOf): _*))
-        val dayDf =
-          if (pendDays.isEmpty) None
-          else Some(spark.read.parquet(s"$dir/day_dfreq")
-            .filter(col("day").isin(dayKeys: _*))
-            .select("token", "df", "bucket"))
-        val tombDf =
-          if (pendTombs.isEmpty) None
-          else Some(spark.read.parquet(s"$dir/tomb_dfreq")
-            .filter(col("day").isin(tKeys: _*))
-            .select(col("token"), (-col("df")).as("df"), col("bucket")))
         val merged = (dayDf.toSeq ++ tombDf.toSeq)
           .foldLeft(baseAff)(_.unionByName(_))
           .groupBy("token", "bucket").agg(sum(col("df")).as("df"))
@@ -793,11 +843,15 @@ object LexIncremental {
       retireFoldedCells(spark, dir)
       val after = newSnap.entries.groupBy(_.part)
         .map { case (p, es) => p -> es.map(_.rows).sum }
-      affected.map(b => (b, addsPer.getOrElse(b, 0L),
-        removedPer.getOrElse(b, 0L), after.getOrElse(b, 0L)))
-        .toDF("bucket", "n_added", "n_removed", "n_rows")
+      affected.map { b =>
+        val adds = addsPer.getOrElse(b, 0L)
+        val removed = consBefore.getOrElse(b, 0L) -
+          (after.getOrElse(b, 0L) - adds)
+        (b, adds, removed, after.getOrElse(b, 0L))
+      }.toDF("bucket", "n_added", "n_removed", "n_rows")
         .orderBy("bucket")
-    } finally tombIds.foreach(_.unpersist(blocking = false))
+    } finally Seq(dayPostings, tombIds, dayDf, tombDf)
+      .foreach(_.foreach(_.unpersist(blocking = false)))
   }
 
   /** [[IvfIncremental]]'s grace-aware cell retirement over the lexical

@@ -1342,10 +1342,18 @@ object Similarity {
     */
   private def collectAssignmentStats(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Map[(Int, Int), (Long, Long)] = {
-    graft.functions.GraftFunctions.register(spark)
+      path: String): Map[(Int, Int), (Long, Long)] =
+    collectAssignmentStats(spark.read.parquet(path))
+
+  /** The sidecar-cell aggregation off an explicit rows frame — ONE
+    * copy shared with the manifested store ([[IvfIncremental]]), whose
+    * rows resolve through a manifest instead of a path.
+    */
+  private[ext] def collectAssignmentStats(
+      rows: DataFrame): Map[(Int, Int), (Long, Long)] = {
+    graft.functions.GraftFunctions.register(rows.sparkSession)
     import graft.functions.Int8Unpack.int8_unpack
-    spark.read.parquet(path)
+    rows
       .select(col("centroid_id").as("cluster"),
         posexplode(int8_unpack(col("qb"))).as(Seq("pos", "v")))
       .groupBy("cluster", "pos")

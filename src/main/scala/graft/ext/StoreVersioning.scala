@@ -112,17 +112,23 @@ object StoreVersioning {
     }
   }
 
-  /** Publish the next version: stage the WHOLE store under
-    * `store_v{N+1}` (the callback writes every table there, exactly
-    * like [[Similarity.stageThenSwap]]'s staging root), `_SUCCESS` it,
-    * then commit with one atomic marker creation. Retains the newest
-    * `retain` versions (default 2: current + one superseded, the
-    * in-flight-reader grace copy); older roots are GC'd marker-FIRST.
-    * Returns the new live root. Single-writer, like every store
-    * mutation here — two concurrent publishes would race the same
-    * `store_v{N+1}` dir (the second marker creation fails loud on
-    * the already-existing marker, so the race is detected, never
-    * silent).
+  /** Publish the next version: stage the WHOLE store in a HIDDEN
+    * aside dir (the callback writes every table there, exactly like
+    * [[Similarity.stageThenSwap]]'s staging root), `_SUCCESS` it,
+    * RENAME it to `store_v{N+1}`, then commit with one atomic marker
+    * creation. Retains the newest `retain` versions (default 2:
+    * current + one superseded, the in-flight-reader grace copy); older
+    * roots are GC'd marker-FIRST. Returns the new live root.
+    *
+    * Single-writer, like every store mutation here — but a LOST race
+    * is detected loud, never silent, and never corrupts the winner:
+    * the loser stages beside (its own hidden dir — it cannot scribble
+    * on a root the winner already committed), and then either its
+    * rename refuses (the winner's `store_v{N+1}` exists) or its marker
+    * creation refuses (create-no-overwrite). The one cross-writer
+    * hazard left is the entry sweep deleting the other racer's
+    * IN-FLIGHT staging (same staging name) — which fails that racer's
+    * rename loudly with the winner's bytes untouched.
     */
   def publish(spark: SparkSession, base: String, retain: Int = 2)
              (stage: String => Unit): String = {
@@ -132,11 +138,13 @@ object StoreVersioning {
     val marked = versions(spark, base)
     val next = marked.lastOption.getOrElse(0L) + 1
     val root = new Path(basePath, s"store_v$next")
-    // sweep every UNMARKED root: the crashed prior attempt at `next`,
-    // and any [[gc]]-crash orphan (a crash between gc's marker delete
-    // and root delete leaves a markerless root nothing can resolve or
-    // ever mark — publish is the one writer entry point, so it owns
-    // the sweep). Unmarked ⇒ invisible to readers ⇒ safe to delete.
+    val staging = new Path(basePath, s".store_v$next.staging")
+    // sweep every UNMARKED root and stale staging: the crashed prior
+    // attempt at `next`, and any [[gc]]-crash orphan (a crash between
+    // gc's marker delete and root delete leaves a markerless root
+    // nothing can resolve or ever mark — publish is the one writer
+    // entry point, so it owns the sweep). Unmarked ⇒ invisible to
+    // readers ⇒ safe to delete.
     val markedSet = marked.toSet
     if (fs.exists(basePath))
       fs.listStatus(basePath).foreach { st =>
@@ -146,12 +154,20 @@ object StoreVersioning {
           case _ => ()
         }
       }
-    stage(root.toString)
-    fs.create(new Path(root, "_SUCCESS")).close()
+    fs.delete(staging, true)
+    stage(staging.toString)
+    fs.create(new Path(staging, "_SUCCESS")).close()
+    // the aside→root rename: refuses if a concurrent winner already
+    // committed this version's root — loser fails HERE with the
+    // winner's bytes untouched
+    if (!fs.rename(staging, root))
+      throw new java.io.IOException(
+        s"publish rename $staging -> $root failed — lost race with a " +
+          "concurrent publish (winner's root intact) or staging swept")
     val m = manifestDir(basePath)
     fs.mkdirs(m)
-    // the commit: atomic create, no-overwrite — a lost single-writer
-    // race fails HERE, loud, with the staged dir intact for forensics
+    // the commit: atomic create, no-overwrite — the marker-level race
+    // also fails loud, with the staged root intact for forensics
     fs.create(new Path(m, s"v$next"), false).close()
     gc(spark, base, retain)
     root.toString

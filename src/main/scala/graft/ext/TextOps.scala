@@ -358,7 +358,17 @@ object TextOps {
     // ... and any completed PER-BUCKET swap a crashed selective merge
     // left mid-rename (the round-18 append/delete path)
     Similarity.adoptDeleteStaged(spark, s"$dir/dfreq", "bucket")
-    spark.read.parquet(p.toString).select("token", "df", "bucket")
+    // a FULLY-EMPTIED sidecar (every bucket's df reached zero — the
+    // full-takedown state) has no children to infer a schema from:
+    // serve the empty frame, not a schema-inference crash
+    if (!fs.exists(p) ||
+        !fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket="))) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new StructType().add("token", StringType).add("df", LongType)
+          .add("bucket", IntegerType))
+    } else spark.read.parquet(p.toString).select("token", "df", "bucket")
   }
 
   private[ext] def lexDayDirExists(spark: org.apache.spark.sql.SparkSession,

@@ -306,6 +306,40 @@ class ManifestedStoreSpec extends AnyFunSuite with SparkSpec {
       spark.read.parquet(s"$flat/dfreq").collect().toSet)
   }
 
+  test("full takedown: tombstoning EVERY row folds to an empty store " +
+    "that still serves (empty, not a crash) and accepts re-ingest") {
+    val inc = tmp("graft_inc_takedown")
+    val h = hashHalf
+    val half = emb.filter(h < "8")
+    IvfIncremental.init(half, inc)
+    Similarity.ivfIndexStoreTombstone(spark,
+      IvfIncremental.liveAssignments(spark, inc).select("vec_id"), inc, 0L)
+    IvfIncremental.fold(spark, inc)
+    val snap = ManifestedTable.snapshot(spark, s"$inc/assignments_m").get
+    assert(snap.entries.isEmpty, "a full takedown must empty the entries")
+    assert(snap.tombDays === Seq(0L))
+    assert(IvfIncremental.liveAssignments(spark, inc).count() === 0L)
+    assert(spark.read.parquet(s"$inc/lloyd_stats").count() === 0L,
+      "every sidecar cell's count reached zero and left")
+    // the retired ids may be ingested anew (the documented contract)
+    IvfIncremental.append(spark, half, inc)
+    assert(IvfIncremental.liveAssignments(spark, inc).count() > 0L)
+    // lexical twin of the crash shape: full takedown folds clean
+    val linc = tmp("graft_linc_takedown")
+    val docs = graft.Tables.documents(spark, sf)
+    LexIncremental.init(docs, linc)
+    LexIncremental.tombstone(spark, docs.select("doc_id"), linc, 0L)
+    LexIncremental.fold(spark, linc)
+    assert(ManifestedTable.snapshot(spark, s"$linc/postings_m")
+      .get.entries.isEmpty)
+    // every bucket's df reached zero and left; the read path serves
+    // the empty frame (lexStoreDfreq's takedown guard)
+    assert(!fs(linc).listStatus(
+      new org.apache.hadoop.fs.Path(s"$linc/dfreq"))
+      .exists(_.getPath.getName.startsWith("bucket=")))
+    assert(LexIncremental.topDocs(spark, linc).count() === 0L)
+  }
+
   test("the pruned probe reads only the probed lists' manifest entries " +
     "(plus day cells): manifest-entry selection IS partition pruning") {
     val inc = tmp("graft_inc_prune")

@@ -47,8 +47,10 @@ class StoreVersioningSpec extends AnyFunSuite with SparkSpec {
         throw new RuntimeException("injected crash before the marker")
       }
     }
-    // the partial v2 is on disk but UNMARKED — no reader resolves it
-    assert(fs(base).exists(new org.apache.hadoop.fs.Path(s"$base/store_v2/t")))
+    // the partial v2 is in the hidden aside staging — no reader path
+    // ever names it
+    assert(fs(base).exists(
+      new org.apache.hadoop.fs.Path(s"$base/.store_v2.staging/t")))
     assert(StoreVersioning.versions(spark, base) === Seq(1L))
     assert(StoreVersioning.resolve(spark, base) === v1)
     // the retry re-stages v2 from scratch (the partial is deleted first)
@@ -156,6 +158,31 @@ class StoreVersioningSpec extends AnyFunSuite with SparkSpec {
     // the loser's failure is detected, never silent: the winner's
     // marker stands and resolve follows it
     assert(StoreVersioning.versions(spark, base) === Seq(1L, 2L))
+  }
+
+  test("a loser whose winner fully committed (root AND marker) fails " +
+    "at the rename with the winner's bytes untouched") {
+    val base = tmpBase("graft_ver_racefull")
+    StoreVersioning.publish(spark, base) { root =>
+      Seq(1L).toDF("id").write.parquet(s"$root/t")
+    }
+    intercept[java.io.IOException] {
+      StoreVersioning.publish(spark, base) { root =>
+        Seq(2L).toDF("id").write.parquet(s"$root/t")
+        // the winner commits v2 COMPLETELY while our stage runs: its
+        // own root (staged aside, renamed in) plus its marker
+        Seq(99L).toDF("id").write.parquet(s"$base/store_v2/t")
+        fs(base).create(
+          new org.apache.hadoop.fs.Path(s"$base/manifest/v2"), false).close()
+      }
+    }
+    // the loser could never scribble on the committed root: v2 serves
+    // the WINNER's bytes exactly
+    assert(StoreVersioning.versions(spark, base) === Seq(1L, 2L))
+    val got = spark.read.parquet(
+      s"${StoreVersioning.resolve(spark, base)}/t")
+      .as[Long].collect().toSeq
+    assert(got === Seq(99L), "winner's committed bytes must be intact")
   }
 
   test("publish sweeps gc-crash orphans: a markerless root is deleted " +
