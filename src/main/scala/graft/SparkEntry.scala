@@ -1053,6 +1053,31 @@ object SparkEntry {
       IvfIncremental.append(s, emb.filter(!storedSide), dir)
       IvfIncremental.occupancy(s, dir)
     }),
+    // the manifest's own integrity law, certified after the full
+    // lifecycle (init + days + tombstone + fold): per list, the row
+    // count the manifest CLAIMS (entries' recorded counts) vs the rows
+    // actually in the referenced files, full-outer so a one-sided
+    // list fails — rows_ok is TRUE-iff-held over real counts, and the
+    // counts themselves hash against the survivor law
+    "q_ivf_store_inc_fsck" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, md5, substring}
+      val emb = Tables.embeddings(s, d)
+      val h = substring(md5(col("vec_id").cast("string")), 1, 1)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_incfs_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      val dp = new org.apache.hadoop.fs.Path(dir)
+      dp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dp, true)
+      IvfIncremental.init(emb.filter(h < "8"), dir)
+      Similarity.ivfIndexStreamDay(s,
+        emb.filter(h >= lit("8") && h < lit("c")), 0L, dir)
+      Similarity.ivfIndexStreamDay(s, emb.filter(h >= "c"), 1L, dir)
+      Similarity.ivfIndexStoreTombstone(s,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), dir, 2L)
+      IvfIncremental.fold(s, dir)
+      IvfIncremental.fsck(s, dir)
+    }),
     // FILTERED ANN over the store (round 17): top-k among only the
     // vectors passing a metadata predicate, post-filter vs in-filter
     // measured head-to-head off ONE scored pruned scan — hits/recall
@@ -6367,6 +6392,13 @@ object SparkEntry {
     "q_ivf_store_incfold" -> IVF_STORE_STREAM_DEL_SQL,
     // the atomic append obeys the flat init+append occupancy law
     "q_ivf_store_inc_append" -> IVF_STORE_OCC_SQL,
+    // manifest fsck: both sides' counts equal the survivor law's list
+    // sizes, TRUE-iff-held
+    "q_ivf_store_inc_fsck" ->
+      s"""WITH o AS ($IVF_STORE_STREAM_DEL_SQL)
+         |SELECT centroid_id, list_size AS manifest_rows,
+         |  list_size AS file_rows, TRUE AS rows_ok
+         |FROM o ORDER BY centroid_id""".stripMargin,
     // post-reseed occupancy ≡ a fresh build's: seeds from ALL
     // non-degenerate codes, every vector re-assigned, same aggregation
     "q_ivf_store_reseed" ->

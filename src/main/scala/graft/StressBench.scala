@@ -355,6 +355,20 @@ object StressBench {
       p
     }
     if (selected("ivf_store_incfold")) { ivfIncDir; () }
+    // the LEXICAL manifested store with one pending single-bucket day
+    // (a tiny fixed vocabulary hashes to one bucket) — the matched A/B
+    // vs bm25_store_compact's whole-store fold, like the IVF pair
+    lazy val lexIncDir = {
+      val p = stressTmp("graft_stress_lex_inc")
+      ext.LexIncremental.init(docsPq, p)
+      ext.TextOps.bm25IndexStreamDay(spark,
+        docsPq.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + lit(4000000000L))
+          .withColumn("text", lit("daytoken daytoken daytoken")),
+        0L, p)
+      p
+    }
+    if (selected("bm25_store_incfold")) { lexIncDir; () }
     // round-17: the persisted LEXICAL index — built once over the
     // MATERIALIZED replicated corpus (untimed, like every store
     // artifact), probed per query batch. The timed row below reads
@@ -662,6 +676,10 @@ object StressBench {
       // the claim is 1, and the cost tracking IT, not the store
       time("ivf_store_incfold",
         ext.IvfIncremental.fold(spark, ivfIncDir).count()),
+      // lexical twin: fold a single-bucket day; `rows` = affected
+      // buckets (claim: 1), vs bm25_store_compact's whole-store rewrite
+      time("bm25_store_incfold",
+        ext.LexIncremental.fold(spark, lexIncDir).count()),
       // skew → reseed → repair arc (rows run IN ORDER; the reseed row
       // mutates the store between the two probes). Occupancy rows
       // return the MAX list size — the number probe cost follows.

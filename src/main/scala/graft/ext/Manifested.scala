@@ -415,6 +415,34 @@ object IvfIncremental {
     assigned
   }
 
+  /** FSCK of the manifest itself (`q_ivf_store_inc_fsck`) — the
+    * integrity law every store artifact here gets a certifier for:
+    * per inverted list, the row count the MANIFEST claims (the sum of
+    * its entries' recorded counts) against the rows actually present
+    * in the referenced files, full-outer on the list id so a
+    * one-sided list (an entry whose files vanished, or files no entry
+    * claims... the latter is unreachable via the API — GC deletes
+    * unreferenced dirs — but a certifier must not assume its own
+    * writers) is itself a violation. One columnar count scan of the
+    * referenced files (empty data ReadSchema), no day cells — the
+    * manifest covers exactly the consolidated rows.
+    */
+  def fsck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val snap = currentSnap(spark, dir)
+    val claimed = snap.entries.groupBy(_.part)
+      .map { case (p, es) => (p, es.map(_.rows).sum) }.toSeq
+      .toDF("centroid_id", "manifest_rows")
+    val actual = readRows(spark, dir, snap, None)
+      .groupBy("centroid_id").agg(count(lit(1)).as("file_rows"))
+    claimed.join(actual, Seq("centroid_id"), "full_outer")
+      .select(col("centroid_id"),
+        coalesce(col("manifest_rows"), lit(0L)).as("manifest_rows"),
+        coalesce(col("file_rows"), lit(0L)).as("file_rows"))
+      .withColumn("rows_ok", col("manifest_rows") === col("file_rows"))
+      .orderBy("centroid_id")
+  }
+
   /** Re-derive the sidecar from the CURRENT manifest's rows — the
     * recovery hatch for a crash between a fold's manifest commit and
     * its sidecar merge (rows flipped, cells stale): one columnar scan
