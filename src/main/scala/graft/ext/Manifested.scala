@@ -433,7 +433,14 @@ object IvfIncremental {
     val claimed = snap.entries.groupBy(_.part)
       .map { case (p, es) => (p, es.map(_.rows).sum) }.toSeq
       .toDF("centroid_id", "manifest_rows")
-    val actual = readRows(spark, dir, snap, None)
+    // a VANISHED entry dir must read as zero rows on that list, not
+    // crash the whole scan: the certifier reads what exists (bounded
+    // existence checks — one per entry) and the full-outer surfaces
+    // the claimed-but-absent list as rows_ok = false
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present = snap.entries.filter(e =>
+      fs.exists(new Path(s"${tbl(dir)}/${e.path}")))
+    val actual = readRows(spark, dir, snap.copy(entries = present), None)
       .groupBy("centroid_id").agg(count(lit(1)).as("file_rows"))
     claimed.join(actual, Seq("centroid_id"), "full_outer")
       .select(col("centroid_id"),

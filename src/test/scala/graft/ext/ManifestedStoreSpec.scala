@@ -340,6 +340,25 @@ class ManifestedStoreSpec extends AnyFunSuite with SparkSpec {
     assert(LexIncremental.topDocs(spark, linc).count() === 0L)
   }
 
+  test("fsck: clean store reads all-ok; a vanished entry dir reads " +
+    "rows_ok=false on exactly that list") {
+    val inc = tmp("graft_inc_fsck")
+    IvfIncremental.init(emb, inc)
+    val clean = IvfIncremental.fsck(spark, inc).collect()
+    assert(clean.nonEmpty && clean.forall(_.getAs[Boolean]("rows_ok")))
+    // corrupt: delete one referenced entry's files out from under the
+    // manifest (out-of-API damage — exactly what a certifier is for)
+    val victim = ManifestedTable.snapshot(spark, s"$inc/assignments_m")
+      .get.entries.head
+    fs(inc).delete(new org.apache.hadoop.fs.Path(
+      s"$inc/assignments_m/${victim.path}"), true)
+    val dirty = IvfIncremental.fsck(spark, inc).collect()
+    val bad = dirty.filter(!_.getAs[Boolean]("rows_ok"))
+    assert(bad.map(_.getInt(0)).toSeq === Seq(victim.part))
+    assert(bad.head.getAs[Long]("file_rows") === 0L)
+    assert(bad.head.getAs[Long]("manifest_rows") === victim.rows)
+  }
+
   test("the pruned probe reads only the probed lists' manifest entries " +
     "(plus day cells): manifest-entry selection IS partition pruning") {
     val inc = tmp("graft_inc_prune")
