@@ -359,10 +359,15 @@ object TextOps {
     // left mid-rename (the round-18 append/delete path)
     Similarity.adoptDeleteStaged(spark, s"$dir/dfreq", "bucket")
     // a FULLY-EMPTIED sidecar (every bucket's df reached zero — the
-    // full-takedown state) has no children to infer a schema from:
-    // serve the empty frame, not a schema-inference crash
-    if (!fs.exists(p) ||
-        !fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket="))) {
+    // full-takedown state) has no data children to infer a schema
+    // from: serve the empty frame, not a schema-inference crash. The
+    // test is "no VISIBLE children at all" — a recovered staging copy
+    // is legitimately unpartitioned (plain part-files, bucket as a
+    // data column) and must still be served
+    if (!fs.exists(p) || !fs.listStatus(p).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }) {
       import org.apache.spark.sql.types._
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
