@@ -383,6 +383,30 @@ object SparkEntry {
       LexIncremental.fold(s, dir)
       LexIncremental.topDocs(s, dir)
     }),
+    // the lexical manifest's integrity law at the TOTALS level (bucket
+    // ids are xxhash64-keyed — engine-local, so per-bucket would be
+    // rows-only; the total stays under the hash oracle): after the
+    // full incfold lifecycle, manifest-claimed rows ≡ file rows ≡ the
+    // survivors' distinct (doc, token) pairs
+    "q_bm25_store_inc_fsck" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, md5, substring}
+      val docs = Tables.documents(s, d)
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25_incfs_" + new java.io.File(d).getName + "_" +
+          s.sparkContext.applicationId).getPath
+      graft.Tables.deleteOnExit(dir)
+      val dp = new org.apache.hadoop.fs.Path(dir)
+      dp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dp, true)
+      LexIncremental.init(docs.filter(h < "8"), dir)
+      TextOps.bm25IndexStreamDay(s,
+        docs.filter(h >= lit("8") && h < lit("c")), 0L, dir)
+      TextOps.bm25IndexStreamDay(s, docs.filter(h >= "c"), 1L, dir)
+      LexIncremental.tombstone(s,
+        docs.filter(col("doc_id") % 5 === 2).select("doc_id"), dir, 2L)
+      LexIncremental.fold(s, dir)
+      LexIncremental.fsck(s, dir)
+    }),
     // lexical ATOMIC append under the manifest: batch postings as new
     // per-bucket entries, one commit, selective dfreq merge — the
     // union-build law (q_bm25_store_inc's oracle verbatim)
@@ -4521,6 +4545,15 @@ object SparkEntry {
     "q_bm25_store_incfold" -> BM25_DEL_SQL,
     // the lexical atomic append obeys the union-build law
     "q_bm25_store_inc_append" -> BM25_SQL,
+    // lexical manifest fsck: both totals equal the survivors' distinct
+    // (doc, token) pair count, TRUE-iff-held
+    "q_bm25_store_inc_fsck" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id % 5 <> 2),
+        |pairs AS (SELECT doc_id, token FROM tok GROUP BY doc_id, token)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS manifest_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS file_rows, TRUE AS rows_ok
+        |FROM pairs""".stripMargin,
     // streamed days ≡ union build (day facts are pure per-batch;
     // the view merges df/stats by addition) — and compact ≡ the same
     // (fold invariance): one oracle certifies the whole trajectory

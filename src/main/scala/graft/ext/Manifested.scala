@@ -723,6 +723,32 @@ object LexIncremental {
     ManifestedTable.gc(spark, tbl(dir))
   }
 
+  /** FSCK of the lexical manifest (`q_bm25_store_inc_fsck`) —
+    * [[IvfIncremental.fsck]]'s law at the TOTALS level: the row count
+    * the manifest claims (sum of entries' recorded counts) vs the
+    * rows actually present in the referenced files. Totals rather
+    * than per-bucket because bucket ids are `xxhash64`-keyed (an
+    * engine-local fact a cross-engine oracle cannot reproduce — the
+    * same reason the near-dup bucket queries are rows-only); the
+    * total IS cross-engine certifiable, so the certifier stays under
+    * the hash oracle. Vanished entry dirs read as zero rows, never a
+    * crash (bounded existence checks, the IVF fsck's posture).
+    */
+  def fsck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val snap = currentSnap(spark, dir)
+    val claimed = snap.entries.map(_.rows).sum
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present = snap.entries.filter(e =>
+      fs.exists(new Path(s"${tbl(dir)}/${e.path}")))
+    val actual =
+      if (present.isEmpty) 0L
+      else ManifestedTable.read(spark, tbl(dir),
+        snap.copy(entries = present), None).count()
+    Seq((claimed, actual)).toDF("manifest_rows", "file_rows")
+      .withColumn("rows_ok", col("manifest_rows") === col("file_rows"))
+  }
+
   /** Re-derive dfreq + corpus_stats from the CURRENT manifest's rows —
     * the recovery hatch for a crash between a fold/append's manifest
     * commit and its sidecar merges: one columnar scan of the

@@ -359,6 +359,24 @@ class ManifestedStoreSpec extends AnyFunSuite with SparkSpec {
     assert(bad.head.getAs[Long]("manifest_rows") === victim.rows)
   }
 
+  test("lexical fsck: clean totals agree; a vanished entry reads " +
+    "rows_ok=false with the missing rows visible in the delta") {
+    val inc = tmp("graft_linc_fsck")
+    val docs = graft.Tables.documents(spark, sf)
+    LexIncremental.init(docs, inc)
+    val clean = LexIncremental.fsck(spark, inc).collect()(0)
+    assert(clean.getAs[Boolean]("rows_ok"))
+    assert(clean.getAs[Long]("manifest_rows") > 0L)
+    val victim = ManifestedTable.snapshot(spark, s"$inc/postings_m")
+      .get.entries.head
+    fs(inc).delete(new org.apache.hadoop.fs.Path(
+      s"$inc/postings_m/${victim.path}"), true)
+    val dirty = LexIncremental.fsck(spark, inc).collect()(0)
+    assert(!dirty.getAs[Boolean]("rows_ok"))
+    assert(dirty.getAs[Long]("manifest_rows") -
+      dirty.getAs[Long]("file_rows") === victim.rows)
+  }
+
   test("the pruned probe reads only the probed lists' manifest entries " +
     "(plus day cells): manifest-entry selection IS partition pruning") {
     val inc = tmp("graft_inc_prune")
