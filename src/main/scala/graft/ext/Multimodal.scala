@@ -73,13 +73,33 @@ object Multimodal {
         (col("n_chars") % 480).cast("int").as("height_px"),
         col("doc_id").as("source_id")).as("meta"))
 
+  /** Parallelism floor for the codec stages (optimization-guide §2.5,
+    * the "one huge unsplittable file" input-skew case): a payload table
+    * whose scan yields fewer partitions than the session has cores
+    * serializes the decode — THE dominant media cost — on those few
+    * tasks (measured: a single-file store of ~5k clips ran the fused
+    * video stage as ONE 4.8 s task on `local[32]`, 31 cores idle; a
+    * single parquet row group cannot be split, so
+    * `files.maxPartitionBytes` can't help). When (and only when) the
+    * input carries fewer partitions than `defaultParallelism`, spread
+    * the rows round-robin BEFORE the decode. At production scale a
+    * payload table is many splits wide, the guard is false, and this
+    * is the identity — payload bytes still never cross a shuffle in
+    * the regime where those bytes are big.
+    */
+  private def codecParallel(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Batch feature extraction over the media table via `mapPartitions` —
     * the per-partition batch shape a real codec needs (amortize codec
     * init per partition, not per row). No shuffle: narrow transformation.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload"), col("meta.media_type"))
+    codecParallel(media.select(col("doc_id"), col("payload"),
+        col("meta.media_type")))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         // per-partition init site (real codec: open decoder context here)
@@ -100,7 +120,7 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, media: DataFrame,
                    nFrames: Int = 4, resizeTo: Int = 16): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload"))
+    codecParallel(media.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
@@ -188,7 +208,7 @@ object Multimodal {
     */
   def syntheticPngTable(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    codecParallel(documents.select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val w = (8 + id % 9).toInt
@@ -222,7 +242,7 @@ object Multimodal {
     */
   def syntheticJpegTable(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    codecParallel(documents.select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val w = (16 + id % 9).toInt
@@ -273,7 +293,8 @@ object Multimodal {
     */
   def decodePngFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    codecParallel(media.select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, png) =>
           val img = PngCodec.decode(png)
@@ -317,7 +338,8 @@ object Multimodal {
   def jpegBoundsAudit(spark: SparkSession, media: DataFrame,
                       tolerance: Long = 8L): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    codecParallel(media.select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, jpg) =>
           def sums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
@@ -425,7 +447,7 @@ object Multimodal {
     */
   def syntheticWavTable(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    codecParallel(documents.select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val n = (200 + id % 100).toInt
@@ -452,7 +474,8 @@ object Multimodal {
     */
   def decodeWavFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    codecParallel(media.select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, wav) =>
           val (rate, samples) = WavCodec.decode(wav)
@@ -505,7 +528,8 @@ object Multimodal {
 
   def audioEhash(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    codecParallel(media.select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])]
       .mapPartitions(it => it.map { case (id, wav) =>
         (id, ehashOf(WavCodec.decode(wav)._2))
       })
@@ -565,7 +589,7 @@ object Multimodal {
   def syntheticWavClusters(spark: SparkSession, documents: DataFrame,
                            nClusters: Int = 50): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    codecParallel(documents.select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val key = id % nClusters
@@ -599,7 +623,7 @@ object Multimodal {
   def syntheticWavSkewed(spark: SparkSession, documents: DataFrame,
                          nClusters: Int = 50, silentEvery: Int = 4): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    codecParallel(documents.select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           if (id % silentEvery == 0) {
@@ -677,7 +701,8 @@ object Multimodal {
 
   def imageDhash(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    codecParallel(media.select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])]
       .mapPartitions(it => it.map { case (id, payload) => (id, dhashOf(payload)) })
       .toDF("doc_id", "dhash")
   }
@@ -987,7 +1012,7 @@ object Multimodal {
   def syntheticPngSkewed(spark: SparkSession, documents: DataFrame,
                          nClusters: Int = 50, flatEvery: Int = 4): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    codecParallel(documents.select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           if (id % flatEvery == 0) {
@@ -1030,7 +1055,8 @@ object Multimodal {
     */
   def imageQualityStats(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    codecParallel(media.select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, png) =>
           val s = statsOfImage(PngCodec.decode(png))
@@ -1087,7 +1113,8 @@ object Multimodal {
     */
   def imageStatsDhash(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    codecParallel(media.select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, png) =>
           val img = PngCodec.decode(png)
@@ -1145,7 +1172,8 @@ object Multimodal {
     import spark.implicits._
     require(clipThreshold > 0 && silenceThreshold >= 0,
       s"bad thresholds: clip=$clipThreshold silence=$silenceThreshold")
-    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    codecParallel(media.select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, wav) =>
           val s = statsOfSamples(WavCodec.decode(wav)._2, clipThreshold,
@@ -1173,7 +1201,8 @@ object Multimodal {
     import spark.implicits._
     require(clipThreshold > 0 && silenceThreshold >= 0,
       s"bad thresholds: clip=$clipThreshold silence=$silenceThreshold")
-    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    codecParallel(media.select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, wav) =>
           val samples = WavCodec.decode(wav)._2
@@ -1279,7 +1308,7 @@ object Multimodal {
     */
   def syntheticVideoTable(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    codecParallel(documents.select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val n = (4 + id % 5).toInt
@@ -1314,7 +1343,8 @@ object Multimodal {
     */
   def decodeVideoFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    codecParallel(media.select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, gvid) =>
           val (fps, frames) = VideoCodec.decode(gvid)
@@ -1350,7 +1380,8 @@ object Multimodal {
   def videoFrameSample(spark: SparkSession, media: DataFrame, k: Int = 4): DataFrame = {
     import spark.implicits._
     require(k > 0, s"k must be positive: $k")
-    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    codecParallel(media.select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, gvid) =>
           val (_, n) = VideoCodec.probe(gvid)
@@ -1398,7 +1429,8 @@ object Multimodal {
   def videoPhash(spark: SparkSession, media: DataFrame, k: Int = 4): DataFrame = {
     import spark.implicits._
     require(k > 0, s"k must be positive: $k")
-    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    codecParallel(media.select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, gvid) =>
           val (_, n) = VideoCodec.probe(gvid)
@@ -1430,7 +1462,8 @@ object Multimodal {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     require(cutThreshold > 0, s"cutThreshold must be positive: $cutThreshold")
-    val frameHashes = media.select(col("doc_id"), col("payload"))
+    val frameHashes = codecParallel(
+        media.select(col("doc_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, gvid) =>
@@ -1462,7 +1495,7 @@ object Multimodal {
   def syntheticVideoScenes(spark: SparkSession, documents: DataFrame,
                            sceneLen: Int = 3): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    codecParallel(documents.select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val n = (6 + id % 7).toInt
@@ -1500,7 +1533,8 @@ object Multimodal {
     */
   def videoQualityStats(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    codecParallel(media.select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, gvid) =>
           val (fps, frames) = VideoCodec.decode(gvid)
@@ -1552,7 +1586,8 @@ object Multimodal {
   def videoStatsPhash(spark: SparkSession, media: DataFrame, k: Int = 4): DataFrame = {
     import spark.implicits._
     require(k > 0, s"k must be positive: $k")
-    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    codecParallel(media.select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, gvid) =>
           val (fps, frames) = VideoCodec.decode(gvid)
@@ -1604,7 +1639,7 @@ object Multimodal {
   def syntheticVideoJunk(spark: SparkSession, documents: DataFrame,
                          sceneLen: Int = 3): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    codecParallel(documents.select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val n = (6 + id % 7).toInt
@@ -1862,7 +1897,7 @@ object Multimodal {
   def syntheticVideoClusters(spark: SparkSession, documents: DataFrame,
                              nClusters: Int = 50): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    codecParallel(documents.select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val key = id % nClusters
@@ -1902,7 +1937,7 @@ object Multimodal {
   def syntheticPngClusters(spark: SparkSession, documents: DataFrame,
                            nClusters: Int = 50): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    codecParallel(documents.select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val key = id % nClusters
